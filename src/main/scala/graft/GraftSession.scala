@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the scale-oriented defaults we'd ship on a real
+  * cluster: AQE on (runtime join re-planning + skew splitting + partition
+  * coalescing — the Spark analogue of the reference engine's runtime
+  * filters and scheduler), shuffle partitions sized for the local[32]
+  * harness, UTC, and our function extensions pre-registered.
+  */
+object GraftSession {
+  def build(appName: String = "graft",
+            master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+            shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt): SparkSession = {
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

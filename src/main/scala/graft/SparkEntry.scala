@@ -1,13 +1,34 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Regional revenue rollup: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
+    * region with broadcast dims — the canonical star-join shape. */
+  def entry(spark: SparkSession): DataFrame = {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("r_name")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    TpchQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a rows-only check. */
+  def oracleSql: Map[String, String] =
+    TpchQueries.oracles
 }

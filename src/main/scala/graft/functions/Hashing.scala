@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hash primitives used across dedup / fingerprinting.
+  *
+  * The reference engine exposes `fnv_hash()` as a builtin
+  * (apache-impala-4.1.0/be/src/exprs/math-functions-ir.cc:438,
+  * be/src/util/hash-util.h:121); we re-derive FNV-1 64-bit from the
+  * public FNV spec (Fowler–Noll–Vo) rather than translating that code.
+  * Implementations are plain static JVM methods so generated Java
+  * (whole-stage codegen) can call them directly.
+  */
+object HashImpl {
+  final val FnvPrime: Long = 1099511628211L
+  final val FnvSeed: Long = -3750763034362895579L // 0xcbf29ce484222325
+
+  /** FNV-1 64-bit (multiply then xor, matching the reference's variant). */
+  def fnv64(bytes: Array[Byte]): Long = {
+    var h = FnvSeed
+    var i = 0
+    while (i < bytes.length) { h = (h * FnvPrime) ^ (bytes(i) & 0xffL); i += 1 }
+    h
+  }
+
+  def fnv64(s: UTF8String): Long = fnv64(s.getBytes)
+
+  /** SimHash-64 over a token array: per-token 64-bit hash votes on each
+    * bit; the sign of each bit's tally forms the signature. Public
+    * algorithm (Charikar 2002, "Similarity estimation techniques from
+    * rounding algorithms"). */
+  def simhash64(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        val h = fnv64(tokens.getUTF8String(t))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** Winnowing-style document fingerprint (Schleimer et al., SIGMOD'03):
+    * minimum of the rolling polynomial hashes of all k-byte grams.
+    * Deterministic, content-defined; equal prefixes/suffixes don't
+    * perturb it the way a whole-string hash does. */
+  def fingerprint64(s: UTF8String, k: Int): Long = {
+    val bytes = s.getBytes
+    if (bytes.length == 0) return 0L
+    val kk = math.min(k, bytes.length)
+    val B = 257L
+    // precompute B^(k-1) for the rolling update
+    var bk = 1L
+    var i = 0
+    while (i < kk - 1) { bk *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < kk) { h = h * B + (bytes(i) & 0xffL); i += 1 }
+    var min = h
+    i = kk
+    while (i < bytes.length) {
+      h = (h - (bytes(i - kk) & 0xffL) * bk) * B + (bytes(i) & 0xffL)
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}
+
+/** `fnv_hash(string) -> bigint` as a native Catalyst expression with
+  * whole-stage codegen (no UDF boxing; stays inside WholeStageCodegen). */
+case class FnvHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = HashImpl.fnv64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.fnv64($c)")
+  override protected def withNewChildInternal(newChild: Expression): FnvHash64 = copy(child = newChild)
+  override def prettyName: String = "fnv_hash"
+}
+
+/** `simhash64(array<string>) -> bigint` — near-dup signature over a
+  * pre-tokenized document. */
+case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = HashImpl.simhash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+/** `fingerprint64(string) -> bigint` — winnowing-lite rolling-hash
+  * document fingerprint over 8-byte grams. */
+case class Fingerprint64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    HashImpl.fingerprint64(input.asInstanceOf[UTF8String], 8)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.fingerprint64($c, 8)")
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint64 = copy(child = newChild)
+  override def prettyName: String = "fingerprint64"
+}

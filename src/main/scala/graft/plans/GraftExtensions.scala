@@ -1,0 +1,49 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions._
+
+/** Extensibility surface — the Spark-native equivalent of the reference
+  * engine's builtin/UDF registry (apache-impala-4.1.0/be/src/exprs/,
+  * fe/.../catalog/BuiltinsDb.java): custom codegen'd expressions
+  * registered into the SQL function registry, via either
+  * `spark.sql.extensions=graft.plans.GraftExtensions` or
+  * [[GraftFunctions.register]] on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+  type Builder = Seq[Expression] => Expression
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  val all: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("fnv_hash", info("fnv_hash", "fnv_hash(str) - FNV-1 64-bit hash"),
+      (es: Seq[Expression]) => FnvHash64(es.head)),
+    ("simhash64", info("simhash64", "simhash64(tokens) - SimHash signature"),
+      (es: Seq[Expression]) => SimHash64(es.head)),
+    ("fingerprint64", info("fingerprint64", "fingerprint64(str) - rolling-hash doc fingerprint"),
+      (es: Seq[Expression]) => Fingerprint64(es.head)),
+    ("cosine_sim", info("cosine_sim", "cosine_sim(a, b) - cosine similarity of float vectors"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+    ("rhp_bucket", info("rhp_bucket", "rhp_bucket(vec, nplanes) - random-hyperplane LSH bucket"),
+      (es: Seq[Expression]) => RhpBucket(es(0), es(1))),
+  )
+
+  /** Idempotent runtime registration (works on a session we didn't build). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    all.foreach { case (name, inf, builder) =>
+      reg.registerFunction(FunctionIdentifier(name), inf, builder)
+    }
+  }
+}
