@@ -25,10 +25,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TpchQueries.queries
+    TpchQueries.queries ++ RelationalQueries.queries ++
+      AggQueries.queries ++ WindowQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    TpchQueries.oracles
+    TpchQueries.oracles ++ RelationalQueries.oracles ++
+      AggQueries.oracles ++ WindowQueries.oracles
 }

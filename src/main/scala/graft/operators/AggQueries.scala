@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Exact._
+
+/** Aggregation coverage (SURVEY.md §2 A2–A11) — the grouping-aggregator
+  * surface of the reference engine (apache-impala-4.1.0/be/src/exec/
+  * grouping-aggregator.cc: streaming pre-agg + partitioned final agg;
+  * multiple DISTINCT via fe/.../MultiAggregateInfo.java; ROLLUP/CUBE/
+  * GROUPING SETS in 4.1 fe/.../analysis/GroupByClause.java; builtin
+  * aggs incl. group_concat, ndv, appx_median in be/src/exprs/
+  * aggregate-functions-ir.cc). Spark realization: partial+final
+  * HashAggregate, expand-node grouping sets, HLL++ for ndv.
+  */
+object AggQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // A2: several DISTINCT aggs + plain aggs in one pass.
+    "agg_multi_distinct" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.lineitem.groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          count(lit(1)).as("n_rows"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // A3: ROLLUP with coalesced total rows.
+    "agg_rollup" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority")
+    }),
+
+    // A4: CUBE.
+    "agg_cube" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.customer.cube("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+          coalesce(col("c_nationkey"), lit(-1)).as("nk"), col("n"))
+        .orderBy("segment", "nk")
+    }),
+
+    // A5: explicit GROUPING SETS via the SQL surface.
+    "agg_grouping_sets" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.orders.createOrReplaceTempView("orders_gs")
+      spark.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |       coalesce(o_orderpriority, 'ALL') AS priority,
+          |       count(1) AS n
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY status, priority""".stripMargin)
+    }),
+
+    // A6: moment stats from exact sums (engine-portable stddev/var).
+    // Squares are summed at DECIMAL(38,0): the rounded-to-integer square
+    // sum stays below 2^53, so its double cast is exact in any engine
+    // (at scale 6 the scaled int128 exceeds 2^53 and engines disagree in
+    // the final ulp of the cast).
+    "agg_stats" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val n = count(lit(1)).cast("double")
+      val s = dsum(col("l_extendedprice"))
+      val s2 = sum((col("l_extendedprice") * col("l_extendedprice"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).cast("double")
+      t.lineitem.groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          s.as("sum_price"),
+          ((s2 - s * s / n) / (n - lit(1.0))).as("var_price"),
+          sqrt((s2 - s * s / n) / (n - lit(1.0))).as("std_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // A7: ordered group_concat (reference: aggregate-functions-ir.cc
+    // StringConcat) — deterministic via sort_array.
+    "agg_group_concat" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.customer.groupBy("c_nationkey")
+        .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments"))
+        .orderBy("c_nationkey")
+    }),
+
+    // A8: ndv() ≈ HLL++ (approx → rows-only check).
+    "agg_approx_ndv" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.orders.groupBy("o_orderstatus")
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // A9: exact interpolated percentiles (appx_median analogue, exact
+    // here so the oracle can check it; approx variant is A8-style).
+    "agg_percentile" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.orders.groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // A11: count(*) vs count(col) vs count(distinct) null semantics.
+    "agg_count_semantics" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.orders
+        .select(nullif(col("o_orderstatus"), lit("P")).as("status_np"), col("o_custkey"))
+        .agg(
+          count(lit(1)).as("n_all"),
+          count(col("status_np")).as("n_nonnull"),
+          countDistinct(col("status_np")).as("nd_status"),
+          countDistinct(col("o_custkey")).as("nd_cust"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_multi_distinct" ->
+      s"""SELECT l_returnflag,
+         |  count(DISTINCT l_partkey) AS nd_part, count(DISTINCT l_suppkey) AS nd_supp,
+         |  count(*) AS n_rows, ${sqlSum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_rollup" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         |  coalesce(o_orderpriority, 'ALL') AS priority,
+         |  count(*) AS n, ${sqlSum("o_totalprice")} AS total
+         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         |ORDER BY 1, 2""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+        |  coalesce(c_nationkey, -1) AS nk, count(*) AS n
+        |FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY 1, 2""".stripMargin,
+
+    "agg_stats" -> {
+      val sq = "CAST(SUM(CAST((l_extendedprice * l_extendedprice) AS DECIMAL(38,0))) AS DOUBLE)"
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+         |  ${sqlSum("l_extendedprice")} AS sum_price,
+         |  (($sq -
+         |    ${sqlSum("l_extendedprice")} * ${sqlSum("l_extendedprice")} / CAST(count(*) AS DOUBLE))
+         |   / (CAST(count(*) AS DOUBLE) - 1.0)) AS var_price,
+         |  sqrt(($sq -
+         |    ${sqlSum("l_extendedprice")} * ${sqlSum("l_extendedprice")} / CAST(count(*) AS DOUBLE))
+         |   / (CAST(count(*) AS DOUBLE) - 1.0)) AS std_price
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "agg_group_concat" ->
+      """SELECT c_nationkey, string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_percentile" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_count_semantics" ->
+      """SELECT count(*) AS n_all, count(status_np) AS n_nonnull,
+        |  count(DISTINCT status_np) AS nd_status, count(DISTINCT o_custkey) AS nd_cust
+        |FROM (SELECT nullif(o_orderstatus, 'P') AS status_np, o_custkey FROM orders)""".stripMargin,
+  )
+}
