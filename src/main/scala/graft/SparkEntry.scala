@@ -26,11 +26,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TpchQueries.queries ++ RelationalQueries.queries ++
-      AggQueries.queries ++ WindowQueries.queries
+      AggQueries.queries ++ WindowQueries.queries ++
+      FunctionQueries.queries ++ EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     TpchQueries.oracles ++ RelationalQueries.oracles ++
-      AggQueries.oracles ++ WindowQueries.oracles
+      AggQueries.oracles ++ WindowQueries.oracles ++
+      FunctionQueries.oracles ++ EventQueries.oracles
 }

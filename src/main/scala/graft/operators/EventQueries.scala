@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Exact._
+
+/** Events / time-series workload (SURVEY.md §2 E1–E5): tumbling windows,
+  * behavioral aggregation, gap-based sessionization, funnels, and pivot.
+  * Batch shapes here; the same logic re-appears in graft.streaming as
+  * Structured Streaming jobs with watermarks. All timestamps are reduced
+  * to whole epoch seconds (floor) before arithmetic so nanosecond vs
+  * microsecond parquet precision can never leak into results.
+  */
+object EventQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // events.ts is TIMESTAMP(NANOS) parquet, read as bigint nanoseconds
+  // (spark.sql.legacy.parquet.nanosAsLong). Integer div to whole seconds —
+  // double division would lose precision at 1e18 magnitudes.
+  private val sec = expr("ts div 1000000000")
+
+  val queries: Map[String, Q] = Map(
+    // E1: tumbling hourly window (batch date_trunc form).
+    "events_tumbling_hour" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.events
+        .groupBy(date_format(date_trunc("hour", timestamp_seconds(expr("ts div 1000000000"))),
+          "yyyy-MM-dd HH:00").as("hour"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy("hour")
+    }),
+
+    // E2: per-user behavior profile with HAVING.
+    "events_user_stats" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.events.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          dsum(col("value")).as("total_value"))
+        .filter(col("n_events") >= 15)
+        .orderBy("user_id")
+    }),
+
+    // E3: top-k users by purchase value.
+    "events_topk_users" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.events.filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(dsum(col("value")).as("purchase_value"), count(lit(1)).as("n_purchases"))
+        .orderBy(col("purchase_value").desc, col("user_id"))
+        .limit(20)
+    }),
+
+    // E4: gap-based sessionization (30-min inactivity), lag + running
+    // sum of session-start flags — the batch twin of the streaming
+    // flatMapGroupsWithState sessionizer.
+    "events_sessionize" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val byUser = Window.partitionBy("user_id").orderBy(sec, col("event_id"))
+      val withGap = t.events
+        .select(col("user_id"), col("event_id"), sec.as("s"))
+        .withColumn("prev_s", lag(col("s"), 1).over(Window.partitionBy("user_id")
+          .orderBy(col("s"), col("event_id"))))
+        .withColumn("new_session",
+          when(col("prev_s").isNull || col("s") - col("prev_s") > 1800L, 1L).otherwise(0L))
+      withGap
+        .withColumn("session_id", sum(col("new_session")).over(
+          Window.partitionBy("user_id").orderBy(col("s"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("session_events"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("session_events")).as("n_events"),
+          max(col("session_events")).as("max_session_events"))
+        .orderBy("user_id")
+    }),
+
+    // E5: ordered funnel view → click → purchase via conditional min-ts.
+    "events_funnel" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.events
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", sec)).as("t_view"),
+          min(when(col("event_type") === "click", sec)).as("t_click"),
+          min(when(col("event_type") === "purchase", sec)).as("t_purchase"))
+        .agg(
+          count(col("t_view")).as("n_view"),
+          sum(when(col("t_click") > col("t_view"), 1L).otherwise(0L)).as("n_view_then_click"),
+          sum(when(col("t_purchase") > col("t_click") && col("t_click") > col("t_view"), 1L)
+            .otherwise(0L)).as("n_full_funnel"))
+    }),
+
+    // Pivot: event counts per type, wide form (reference has no PIVOT;
+    // planner rewrites it to conditional aggs — we use the DF pivot API
+    // with explicit values so no extra distinct-scan job runs).
+    "events_pivot" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.events.filter(col("user_id") < 50)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "events_tumbling_hour" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+         |  count(*) AS n, ${sqlSum("value")} AS total_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_user_stats" ->
+      s"""SELECT user_id, count(*) AS n_events,
+         |  count(DISTINCT event_type) AS n_types, ${sqlSum("value")} AS total_value
+         |FROM events GROUP BY 1 HAVING count(*) >= 15 ORDER BY 1""".stripMargin,
+
+    "events_topk_users" ->
+      s"""SELECT user_id, ${sqlSum("value")} AS purchase_value, count(*) AS n_purchases
+         |FROM events WHERE event_type = 'purchase'
+         |GROUP BY 1 ORDER BY purchase_value DESC, user_id LIMIT 20""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, s, event_id,
+        |    CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
+        |sessions AS (
+        |  SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged),
+        |per_session AS (
+        |  SELECT user_id, session_id, count(*) AS session_events
+        |  FROM sessions GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(session_events) AS BIGINT) AS n_events,
+        |  max(session_events) AS max_session_events
+        |FROM per_session GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_funnel" ->
+      """WITH stages AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN CAST(epoch(date_trunc('second', ts)) AS BIGINT) END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN CAST(epoch(date_trunc('second', ts)) AS BIGINT) END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN CAST(epoch(date_trunc('second', ts)) AS BIGINT) END) AS t_purchase
+        |  FROM events GROUP BY 1)
+        |SELECT count(t_view) AS n_view,
+        |  CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_view_then_click,
+        |  CAST(sum(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        |FROM stages""".stripMargin,
+
+    "events_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM events WHERE user_id < 50 GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}
