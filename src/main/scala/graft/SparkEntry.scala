@@ -27,12 +27,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TpchQueries.queries ++ RelationalQueries.queries ++
       AggQueries.queries ++ WindowQueries.queries ++
-      FunctionQueries.queries ++ EventQueries.queries
+      FunctionQueries.queries ++ EventQueries.queries ++
+      graft.pipeline.Dedup.queries ++ graft.pipeline.Similarity.queries ++
+      graft.pipeline.TextAnalysis.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     TpchQueries.oracles ++ RelationalQueries.oracles ++
       AggQueries.oracles ++ WindowQueries.oracles ++
-      FunctionQueries.oracles ++ EventQueries.oracles
+      FunctionQueries.oracles ++ EventQueries.oracles ++
+      graft.pipeline.Dedup.oracles ++ graft.pipeline.Similarity.oracles ++
+      graft.pipeline.TextAnalysis.oracles
 }

@@ -1,0 +1,160 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.plans.GraftFunctions
+
+/** Deduplication operators for large-scale text corpora (SURVEY.md §2
+  * P1–P5). The scale discipline: nothing here ever materializes an n²
+  * pair set — candidates always come from an equi-join on a bucket key
+  * (hash group, LSH band, source shard), so at 100 TB each reducer sees
+  * only its bucket. Exact dedup is a hash groupBy; near-dup is
+  * MinHash+LSH banding (Broder 1997) with an exact Jaccard verify on
+  * the candidate pairs only.
+  */
+object Dedup {
+
+  /** Lower-cased whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Distinct k-word shingles; short docs fall back to the whole token
+    * string so every doc has at least one shingle. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val w = tokens(text)
+    array_distinct(
+      when(size(w) >= k,
+        transform(sequence(lit(0), size(w) - k),
+          i => concat_ws(" ", slice(w, i + lit(1), lit(k)))))
+        .otherwise(array(concat_ws(" ", w))))
+  }
+
+  /** Shingles reduced to 64-bit hashes: Jaccard over the hashed sets is
+    * the same value (collisions are ~n²/2⁶⁴), while shuffle payloads and
+    * intersections shrink ~3× vs raw strings — the form that survives a
+    * 100 TB pair-join. */
+  def hashedShingles(text: Column, k: Int = 3): Column =
+    array_distinct(transform(shingles(text, k), s => xxhash64(s)))
+
+  /** MinHash signature: for each of `perms` hash permutations, the min
+    * over hashed shingles of xxhash64(perm, shingle). Pure builtin
+    * codegen — no UDF, no driver state. */
+  def minhashSig(sh: Column, perms: Int): Seq[Column] =
+    (0 until perms).map(p => array_min(transform(sh, s => xxhash64(lit(p), s))))
+
+  /** Exact Jaccard similarity of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  /** Exact-duplicate groups: one row per distinct text hash. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+
+  /** Exact dedup keeping the first (lowest doc_id) row per text hash. */
+  def exactKeepFirst(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+    docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs with exact-Jaccard
+    * verification. bands×rowsPerBand permutations; candidates = pairs
+    * sharing ≥1 band bucket; output pairs with verified Jaccard ≥
+    * minJaccard. The band explode keeps the join an equi-join on
+    * (band, band_hash) — shuffle-partitionable at any corpus size. */
+  def minhashCandidates(docs: DataFrame, bands: Int = 8, rowsPerBand: Int = 2,
+                        minJaccard: Double = 0.2, maxBucket: Int = 1000): DataFrame = {
+    val perms = bands * rowsPerBand
+    // Feature extraction runs ONCE: a self-join would re-execute the
+    // whole shingle pipeline per side (3× at 100 TB). MEMORY_AND_DISK so
+    // executors spill instead of OOM on big corpora.
+    val sh = docs.select(col("doc_id"), hashedShingles(col("text")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSig = sh.select(col("doc_id"), array(minhashSig(col("sh"), perms): _*).as("sig"))
+    val banded = withSig.select(
+      col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64((lit(b) +: (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => element_at(col("sig"), i + 1))): _*)): _*)).as(Seq("band", "bh")))
+    // Candidates from bucket grouping, not a self-join: each band bucket
+    // expands to its in-bucket pairs (i<j over the sorted id list), so a
+    // bucket is one reducer's work and pathological buckets are capped.
+    val buckets = banded.groupBy("band", "bh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(slice(col("ids"), 1, maxBucket).as("ids"))
+    val pairs = buckets.select(explode(flatten(
+        transform(sequence(lit(0), size(col("ids")) - 2),
+          i => transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
+            x => array(element_at(col("ids"), i + lit(1)), x))))).as("p"))
+      .select(element_at(col("p"), 1).as("doc_a"), element_at(col("p"), 2).as("doc_b"))
+      .distinct() // a pair may collide in several bands — verify once
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** SimHash per doc (custom codegen expression) + a 12-bit prefix
+    * bucket — Hamming-close docs collide in the bucket at scale. */
+  def simhashBuckets(spark: SparkSession, docs: DataFrame): DataFrame = {
+    GraftFunctions.register(spark)
+    docs.select(col("doc_id"),
+      call_function("simhash64", tokens(col("text"))).as("simhash"))
+      .withColumn("bucket", shiftrightunsigned(col("simhash"), 52))
+  }
+
+  /** Word-3gram Jaccard pairs, bucketed by `source` so the pair join is
+    * bounded per bucket (the 100 TB path swaps `source` for an LSH band). */
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val withSh = docs.select(col("source"), col("doc_id"), hashedShingles(col("text")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = withSh.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = withSh.select(col("source"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("source")).filter(col("doc_a") < col("doc_b"))
+      .select(col("source"), col("doc_a"), col("doc_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  // ---- queries()/oracle entries -------------------------------------
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> ((spark, dir) => {
+      exactGroups(Tables(spark, dir).documents).orderBy("h")
+    }),
+    "dedup_exact_rows" -> ((spark, dir) => {
+      exactKeepFirst(Tables(spark, dir).documents)
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    }),
+    "dedup_minhash_lsh" -> ((spark, dir) => {
+      minhashCandidates(Tables(spark, dir).documents, minJaccard = 0.1)
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(200)
+    }),
+    "dedup_simhash" -> ((spark, dir) => {
+      simhashBuckets(spark, Tables(spark, dir).documents).orderBy("doc_id")
+    }),
+    "dedup_ngram_jaccard" -> ((spark, dir) => {
+      ngramJaccardPairs(Tables(spark, dir).documents, 0.05)
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(200)
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_exact_rows" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // minhash/simhash/ngram: no SQL oracle (xxhash64 / custom exprs) →
+    // rows-only driver check + ScalaTest property specs.
+  )
+}

@@ -1,0 +1,65 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.HashImpl
+
+/** Multimodal column plumbing (SURVEY.md §2 P13): media payloads ride as
+  * opaque `binary` columns next to typed metadata, and feature extraction
+  * runs as partition-local batch decode. The real Spark-side machinery —
+  * schema, encoders, batch shape, partition preservation — is genuine;
+  * only the codec call is stubbed (this container ships no image/audio
+  * libs), clearly marked below.
+  */
+object Multimodal {
+
+  case class MediaMeta(width: Int, height: Int, sampleRateHz: Int)
+  case class MediaItem(id: Long, modality: String, payload: Array[Byte], meta: MediaMeta)
+  case class MediaFeatures(id: Long, modality: String, dim: Int, features: Array[Float])
+
+  /** Wrap the documents table as a media table: payload = UTF-8 bytes
+    * standing in for encoded image/audio/video frames. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"),
+        lit(16000).as("sampleRateHz")).as("meta"))
+
+  /** === STUB DECODE ===
+    * A real deployment decodes the payload with an image/audio codec
+    * (per-batch, vectorized — the JVM analogue of a pandas-batched UDF).
+    * Deterministic fake: feature[i] = unit-scaled bits of
+    * fnv64(payload ++ [i]). Same payload → same features, any executor. */
+  private def decodeBatch(batch: Seq[MediaItem], dim: Int): Seq[MediaFeatures] =
+    batch.map { m =>
+      val f = new Array[Float](dim)
+      var i = 0
+      while (i < dim) {
+        val h = HashImpl.fnv64(m.payload :+ i.toByte)
+        f(i) = (h.toDouble / 9.223372036854776e18).toFloat
+        i += 1
+      }
+      MediaFeatures(m.id, m.modality, dim, f)
+    }
+
+  /** Partition-local batched feature extraction. `mapPartitions` +
+    * `grouped(batchSize)` mirrors the arrow-batch shape of a vectorized
+    * python UDF: the decoder amortizes per-batch setup, partitioning is
+    * untouched (no shuffle), and memory is bounded by batchSize. */
+  def extractFeatures(media: Dataset[MediaItem], dim: Int = 16,
+                      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(it => it.grouped(batchSize).flatMap(b => decodeBatch(b, dim)))
+  }
+
+  /** End-to-end: documents → media table → features, as a DataFrame. */
+  def documentFeatures(spark: SparkSession, docs: DataFrame, dim: Int = 16): DataFrame = {
+    import spark.implicits._
+    extractFeatures(mediaFromDocuments(docs).as[MediaItem], dim).toDF()
+  }
+}

@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.plans.GraftFunctions
+
+/** Similarity search over embedding columns (SURVEY.md §2 P6–P8, P14).
+  *
+  * Baseline: brute-force cosine top-k — correct, O(|Q|·n), fine when the
+  * query set is bounded. Scale path: random-hyperplane LSH bucketing
+  * (multi-table) so each probe only scans its buckets — the 100 TB
+  * variant of the same API. Cosine is a custom codegen Expression
+  * (graft.functions.CosineSimilarity) accumulating in double.
+  */
+object Similarity {
+
+  def cosine(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** Brute-force top-k neighbors for each query vector. */
+  def bruteForceTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+                     k: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val scored = q.crossJoin(c).filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Multi-table random-hyperplane LSH top-k: one 24-plane signature,
+    * sliced into 4 tables of 6 bits; candidates share any table bucket.
+    * Per-probe work drops from n to ~n/64 per table. Approximate: may
+    * miss neighbors whose hash differs in all tables. */
+  def lshTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+              k: Int, tables: Int = 4, bitsPerTable: Int = 6): DataFrame = {
+    GraftFunctions.register(spark)
+    def buckets(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
+      val sig = call_function("rhp_bucket", col("embedding"), lit(tables * bitsPerTable))
+      df.select(col("vec_id").as(idAs), col("embedding").as(vecAs), sig.as("sig"))
+        .select(col(idAs), col(vecAs),
+          posexplode(array((0 until tables).map(t =>
+            shiftrightunsigned(col("sig"), t * bitsPerTable)
+              .bitwiseAND(lit((1 << bitsPerTable) - 1))): _*)).as(Seq("tbl", "bucket")))
+    }
+    val q = buckets(queries, "q_id", "q_vec")
+    val c = buckets(corpus, "c_id", "c_vec")
+    val cand = q.join(c, Seq("tbl", "bucket")).filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("q_vec"), col("c_vec")).distinct()
+    val scored = cand.select(col("q_id"), col("c_id"),
+      round(cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+  }
+
+  /** Near-duplicate pairs by cosine threshold within a label partition
+    * (the bucketed-pair discipline again — never all-pairs global). */
+  def cosinePairs(spark: SparkSession, emb: DataFrame, minCos: Double): DataFrame = {
+    GraftFunctions.register(spark)
+    val a = emb.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("e_a"))
+    val b = emb.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("e_b"))
+    a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        round(cosine(col("e_a"), col("e_b")), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** Element-wise centroid per label via posexplode + exact avg —
+    * distributed long-form (no collect, no driver loop). */
+  def labelCentroids(emb: DataFrame): DataFrame = {
+    import graft.operators.Exact
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(Exact.davg(col("v").cast("double")).as("c"))
+      .select(col("label"), col("pos"), round(col("c"), 6).as("c"))
+  }
+
+  // ---- queries()/oracle entries -------------------------------------
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "sim_brute_topk" -> ((spark, dir) => {
+      val emb = Tables(spark, dir).embeddings
+      bruteForceTopK(spark, emb.filter(col("vec_id") < 10), emb, 5)
+        .select("q_id", "c_id", "cos", "rk").orderBy("q_id", "rk")
+    }),
+    "sim_lsh_topk" -> ((spark, dir) => {
+      val emb = Tables(spark, dir).embeddings
+      lshTopK(spark, emb.filter(col("vec_id") < 10), emb, 5)
+        .select("q_id", "c_id", "cos", "rk").orderBy("q_id", "rk")
+    }),
+    "sim_cosine_pairs" -> ((spark, dir) => {
+      cosinePairs(spark, Tables(spark, dir).embeddings, 0.3)
+        .orderBy(col("cos").desc, col("vec_a"), col("vec_b")).limit(200)
+    }),
+    "sim_label_centroid" -> ((spark, dir) => {
+      labelCentroids(Tables(spark, dir).embeddings).orderBy("label", "pos")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // DuckDB computes the same double-accumulated cosine once FLOAT[] is
+    // cast to DOUBLE[]; rank ties broken by c_id after rounding to 6.
+    "sim_brute_topk" ->
+      """SELECT q_id, c_id, cos, rk FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                 CAST(c.embedding AS DOUBLE[])), 6) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                            CAST(c.embedding AS DOUBLE[])), 6) DESC,
+        |               c.vec_id) AS rk
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10)
+        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    // lsh/cosine_pairs/centroid: custom exprs / float-avg — rows-only +
+    // ScalaTest specs (lsh recall asserted against brute force there).
+  )
+}

@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.plans.GraftFunctions
+
+/** Text analysis for training-data pipelines (SURVEY.md §2 P9–P12):
+  * language ID (marker-word scoring), quality scoring (length/alpha/
+  * stopword ratios), token counting (whitespace + BPE-ish regex), and
+  * rolling-hash document fingerprints. Everything is per-row builtin
+  * column algebra — embarrassingly parallel, scan-bound at 100 TB.
+  */
+object TextAnalysis {
+
+  private def words(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  private def countIn(ws: Column, set: Seq[String]): Column =
+    size(filter(ws, w => set.map(s => w === s).reduce(_ || _))).cast("long")
+
+  /** Marker-word language scores; argmax with a fixed priority order.
+    * (n-gram-frequency heuristic reduced to marker tokens — deterministic
+    * and SQL-mirrorable; swap the marker table for real profiles.) */
+  def languageId(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val sEn = countIn(w, Seq("the", "a"))
+    val sDe = countIn(w, Seq("der", "die", "das"))
+    val sFr = countIn(w, Seq("le", "la", "les"))
+    val sEs = countIn(w, Seq("el", "los", "las"))
+    val sZh = countIn(w, Seq("的", "了"))
+    docs.select(col("doc_id"), col("lang"),
+      sEn.as("s_en"), sDe.as("s_de"), sFr.as("s_fr"), sEs.as("s_es"), sZh.as("s_zh"))
+      .withColumn("lang_pred",
+        when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es"), col("s_zh")), "en")
+          .when(col("s_de") >= greatest(col("s_fr"), col("s_es"), col("s_zh")), "de")
+          .when(col("s_fr") >= greatest(col("s_es"), col("s_zh")), "fr")
+          .when(col("s_es") >= col("s_zh"), "es")
+          .otherwise("zh"))
+  }
+
+  /** Length / alphabetic / stopword quality features + a blended score. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    val w = words(text)
+    val nWords = size(w).cast("long")
+    val nChars = length(text).cast("long")
+    val nNonSpace = length(regexp_replace(text, "\\s", "")).cast("long")
+    val nAlpha = length(regexp_replace(lower(text), "[^a-z]", "")).cast("long")
+    val nStop = countIn(w, Seq("the", "a"))
+    docs.select(col("doc_id"), nChars.as("n_chars_m"), nWords.as("n_words"),
+        nNonSpace.as("n_nonspace"), nAlpha.as("n_alpha"), nStop.as("n_stop"))
+      .withColumn("avg_word_len",
+        round(col("n_nonspace").cast("double") / col("n_words"), 4))
+      .withColumn("alpha_ratio",
+        round(col("n_alpha").cast("double") / col("n_chars_m"), 4))
+      .withColumn("stop_ratio",
+        round(col("n_stop").cast("double") / col("n_words"), 4))
+  }
+
+  /** Whitespace and BPE-ish regex token counts. */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val lower_ = lower(col("text"))
+    docs.select(col("doc_id"),
+      size(split(trim(lower_), "\\s+")).cast("long").as("n_ws_tokens"),
+      size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+        .cast("long").as("n_re_tokens"))
+  }
+
+  /** Rolling-hash fingerprint + simhash per doc (custom codegen exprs). */
+  def fingerprints(spark: SparkSession, docs: DataFrame): DataFrame = {
+    GraftFunctions.register(spark)
+    docs.select(col("doc_id"),
+      call_function("fingerprint64", col("text")).as("fp64"),
+      call_function("simhash64", words(col("text"))).as("simhash"))
+  }
+
+  // ---- queries()/oracle entries -------------------------------------
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "text_langid" -> ((spark, dir) =>
+      languageId(Tables(spark, dir).documents).orderBy("doc_id")),
+    "text_quality" -> ((spark, dir) =>
+      qualityScore(Tables(spark, dir).documents).orderBy("doc_id")),
+    "text_tokens" -> ((spark, dir) =>
+      tokenCounts(Tables(spark, dir).documents).orderBy("doc_id")),
+    "text_fingerprint" -> ((spark, dir) =>
+      fingerprints(spark, Tables(spark, dir).documents).orderBy("doc_id")),
+  )
+
+  private val wsSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+
+  val oracles: Map[String, String] = Map(
+    "text_langid" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter($wsSql, w -> w = 'the' OR w = 'a')) AS BIGINT) AS s_en,
+         |    CAST(len(list_filter($wsSql, w -> w = 'der' OR w = 'die' OR w = 'das')) AS BIGINT) AS s_de,
+         |    CAST(len(list_filter($wsSql, w -> w = 'le' OR w = 'la' OR w = 'les')) AS BIGINT) AS s_fr,
+         |    CAST(len(list_filter($wsSql, w -> w = 'el' OR w = 'los' OR w = 'las')) AS BIGINT) AS s_es,
+         |    CAST(len(list_filter($wsSql, w -> w = '的' OR w = '了')) AS BIGINT) AS s_zh
+         |  FROM documents)
+         |SELECT doc_id, lang, s_en, s_de, s_fr, s_es, s_zh,
+         |  CASE WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
+         |       WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
+         |       WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
+         |       WHEN s_es >= s_zh THEN 'es'
+         |       ELSE 'zh' END AS lang_pred
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars_m,
+         |    CAST(len($wsSql) AS BIGINT) AS n_words,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_nonspace,
+         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_filter($wsSql, w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop
+         |  FROM documents)
+         |SELECT doc_id, n_chars_m, n_words, n_nonspace, n_alpha, n_stop,
+         |  round(CAST(n_nonspace AS DOUBLE) / n_words, 4) AS avg_word_len,
+         |  round(CAST(n_alpha AS DOUBLE) / n_chars_m, 4) AS alpha_ratio,
+         |  round(CAST(n_stop AS DOUBLE) / n_words, 4) AS stop_ratio
+         |FROM base ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len($wsSql) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_re_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // text_fingerprint: custom exprs → rows-only + spec.
+  )
+}

