@@ -81,6 +81,51 @@ object HashImpl {
   }
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** splitmix64 finalizer (Steele et al. 2014, public domain). */
+  def splitmix64(x0: Long): Long = {
+    var z = x0 + -7046029254386353131L // golden gamma
+    z = (z ^ (z >>> 30)) * -4658895280553007687L
+    z = (z ^ (z >>> 27)) * -7723592293110705685L
+    z ^ (z >>> 31)
+  }
+
+  /** Jaccard similarity of two SORTED distinct long arrays by merge
+    * walk — no per-row hash-set allocation (array_intersect builds one
+    * per invocation; at 625k pairs/task that dominates the stage). */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0; var j = 0; var common = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { common += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    common.toDouble / (na + nb - common)
+  }
+
+  /** All `perms` MinHash minima in ONE pass over the hashed-shingle
+    * array. Composing this from 16 builtin `transform`+`array_min`
+    * expressions generates 16 loops and megabytes of Janino code; one
+    * fused loop is what a 100 TB scan wants. */
+  def minhashSig(sh: ArrayData, perms: Int): Array[Long] = {
+    val out = Array.fill(perms)(Long.MaxValue)
+    val n = sh.numElements()
+    var i = 0
+    while (i < n) {
+      val v = sh.getLong(i)
+      var p = 0
+      while (p < perms) {
+        val h = splitmix64(v ^ (p.toLong * 0x9e3779b97f4a7c15L))
+        if (h < out(p)) out(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    out
+  }
 }
 
 /** `fnv_hash(string) -> bigint` as a native Catalyst expression with
@@ -105,6 +150,38 @@ case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInpu
     defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.simhash64($c)")
   override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(child = newChild)
   override def prettyName: String = "simhash64"
+}
+
+/** `minhash_sig(array<bigint>, perms) -> array<bigint>` — fused MinHash
+  * signature over pre-hashed shingles. */
+case class MinHashSig(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType), IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any, p: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      HashImpl.minhashSig(a.asInstanceOf[ArrayData], p.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, p) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.functions.HashImpl.minhashSig($a, $p))")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): MinHashSig =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** `jaccard_sorted(array<bigint>, array<bigint>) -> double` over
+  * pre-sorted distinct arrays. */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashImpl.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpl.jaccardSorted($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardSorted =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "jaccard_sorted"
 }
 
 /** `fingerprint64(string) -> bigint` — winnowing-lite rolling-hash

@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Column, Encoder}
+
+/** Typed declarative aggregator (SURVEY.md §2 X3): element-wise mean of
+  * float vectors — the reference engine's UDA surface
+  * (apache-impala-4.1.0/be/src/exprs/agg-fn-evaluator.h) re-expressed as
+  * a Spark `Aggregator` with partial aggregation for free (reduce =
+  * update, merge = merge, map-side combine included).
+  */
+case class VecBuf(var sums: Array[Double], var n: Long)
+
+object VectorAvg extends Aggregator[Array[Float], VecBuf, Array[Float]] {
+
+  override def zero: VecBuf = VecBuf(Array.emptyDoubleArray, 0L)
+
+  private def accumulate(buf: VecBuf, v: Array[Double]): VecBuf = {
+    if (buf.sums.isEmpty) buf.sums = new Array[Double](v.length)
+    var i = 0
+    while (i < math.min(buf.sums.length, v.length)) { buf.sums(i) += v(i); i += 1 }
+    buf
+  }
+
+  override def reduce(buf: VecBuf, a: Array[Float]): VecBuf = {
+    if (a == null) buf
+    else { val b = accumulate(buf, a.map(_.toDouble)); b.n += 1; b }
+  }
+
+  override def merge(x: VecBuf, y: VecBuf): VecBuf = {
+    if (y.sums.isEmpty) x
+    else { val b = accumulate(x, y.sums); b.n += y.n; b }
+  }
+
+  override def finish(b: VecBuf): Array[Float] =
+    if (b.n == 0) Array.emptyFloatArray else b.sums.map(s => (s / b.n).toFloat)
+
+  override def bufferEncoder: Encoder[VecBuf] = ExpressionEncoder[VecBuf]()
+  override def outputEncoder: Encoder[Array[Float]] = ExpressionEncoder[Array[Float]]()
+
+  /** Column form: `VectorAvg.of(col("embedding"))`. */
+  def of(c: Column): Column = org.apache.spark.sql.functions.udaf(this).apply(c)
+}

@@ -105,6 +105,16 @@ object AggQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // A8b: DataSketches-style HLL sketch build + estimate (reference
+    // 4.1 ds_hll_* — be/src/exprs/datasketches-functions-ir.cc).
+    // Sketch merge is commutative → estimate is deterministic (rows-only).
+    "agg_hll_sketch" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.orders.groupBy("o_orderstatus")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").as("est_customers"))
+        .orderBy("o_orderstatus")
+    }),
+
     // A9: exact interpolated percentiles (appx_median analogue, exact
     // here so the oracle can check it; approx variant is A8-style).
     "agg_percentile" -> ((spark, dir) => {

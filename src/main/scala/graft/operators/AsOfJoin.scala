@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** As-of (point-in-time) join — the temporal join a training-data
+  * pipeline needs for feature lookups ("the last known value at or
+  * before t"). The reference engine has no such operator; neither does
+  * Spark SQL. Rather than a custom physical node, we compose it from
+  * primitives Catalyst already optimizes: tag both sides, UNION, one
+  * shuffle+sort by (key, ts, side), and a running last_value over the
+  * right side's payload. O(n log n) in each partition, ONE shuffle
+  * total — the union-window formulation scales where a range-join
+  * (inequality join → broadcast nested loop) would not.
+  */
+object AsOfJoin {
+
+  /** For each left row (key, ts, ...), attach the payload of the latest
+    * right row (key, rts, payload*) with rts <= ts. Left rows with no
+    * prior right row keep nulls. Column names must be disjoint except
+    * for `key`/`ts`. */
+  def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
+           payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.filterNot(payload.contains)
+    // side 1 = right (emitter), side 2 = left (receiver): on a ts tie the
+    // right row sorts first, so "at or before" includes equal timestamps.
+    val l = left.select(
+      (col(key).as(key) +: col(ts).cast("long").as("__ts") +: lit(2).as("__side") +:
+        leftCols.filterNot(c => c == key || c == ts).map(col) ++:
+        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p))): _*)
+    val r = right.select(
+      (col(key).as(key) +: col(ts).cast("long").as("__ts") +: lit(1).as("__side") +:
+        leftCols.filterNot(c => c == key || c == ts)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
+        payload.map(col)): _*)
+    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = l.unionByName(r).select(
+      (col(key) +: col("__ts") +: col("__side") +:
+        leftCols.filterNot(c => c == key || c == ts).map(col) ++:
+        payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p))): _*)
+    filled.filter(col("__side") === 2)
+      .select((col(key) +: col("__ts").as(ts) +:
+        leftCols.filterNot(c => c == key || c == ts).map(col) ++: payload.map(col)): _*)
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Each purchase event joined to the user's latest prior (or same-
+    * second) signup/view "state" event value. */
+  val queries: Map[String, Q] = Map(
+    "asof_join_events" -> ((spark, dir) => {
+      val ev = Tables(spark, dir).events
+        .select(col("user_id"), expr("ts div 1000000000").as("sec"),
+          col("event_id"), col("event_type"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("sec"), col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("sec").as("vsec"), col("value").as("view_value"))
+        // one state row per (user, second): keep the max-value view so the
+        // as-of target is unique and the join is deterministic.
+        .groupBy("user_id", "vsec").agg(max("view_value").as("view_value"))
+        .withColumnRenamed("vsec", "sec")
+      asof(purchases, views, "user_id", "sec", Seq("view_value"))
+        .select(col("user_id"), col("sec"), col("event_id"),
+          coalesce(col("view_value"), lit(-1.0)).as("last_view_value"))
+        .orderBy("user_id", "sec", "event_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // DuckDB has a native ASOF JOIN — an independent implementation of
+    // the same semantics, which is exactly what an oracle should be.
+    "asof_join_events" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+        |         event_id, event_type, value
+        |  FROM events),
+        |purchases AS (
+        |  SELECT user_id, sec, event_id FROM ev WHERE event_type = 'purchase'),
+        |views AS (
+        |  SELECT user_id, sec, max(value) AS view_value
+        |  FROM ev WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.user_id, p.sec, p.event_id,
+        |       coalesce(v.view_value, -1.0) AS last_view_value
+        |FROM purchases p ASOF LEFT JOIN views v
+        |  ON p.user_id = v.user_id AND p.sec >= v.sec
+        |ORDER BY p.user_id, p.sec, p.event_id""".stripMargin,
+  )
+}

@@ -34,16 +34,19 @@ object Dedup {
     * intersections shrink ~3× vs raw strings — the form that survives a
     * 100 TB pair-join. */
   def hashedShingles(text: Column, k: Int = 3): Column =
-    array_distinct(transform(shingles(text, k), s => xxhash64(s)))
+    sort_array(array_distinct(transform(shingles(text, k), s => xxhash64(s))))
 
-  /** MinHash signature: for each of `perms` hash permutations, the min
-    * over hashed shingles of xxhash64(perm, shingle). Pure builtin
-    * codegen — no UDF, no driver state. */
-  def minhashSig(sh: Column, perms: Int): Seq[Column] =
-    (0 until perms).map(p => array_min(transform(sh, s => xxhash64(lit(p), s))))
+  /** MinHash signature via the fused custom expression (one loop for
+    * all permutations — see graft.functions.MinHashSig). */
+  def minhashSig(sh: Column, perms: Int): Column =
+    call_function("minhash_sig", sh, lit(perms))
 
-  /** Exact Jaccard similarity of two distinct-element arrays. */
-  def jaccard(a: Column, b: Column): Column =
+  /** Exact Jaccard of two hashed-shingle sets (sorted long arrays) via
+    * the fused merge-walk expression. */
+  def jaccard(a: Column, b: Column): Column = call_function("jaccard_sorted", a, b)
+
+  /** Generic (unsorted, any element type) Jaccard from builtins. */
+  def jaccardGeneric(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
 
   /** Exact-duplicate groups: one row per distinct text hash. */
@@ -69,9 +72,10 @@ object Dedup {
     // Feature extraction runs ONCE: a self-join would re-execute the
     // whole shingle pipeline per side (3× at 100 TB). MEMORY_AND_DISK so
     // executors spill instead of OOM on big corpora.
+    GraftFunctions.register(docs.sparkSession)
     val sh = docs.select(col("doc_id"), hashedShingles(col("text")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withSig = sh.select(col("doc_id"), array(minhashSig(col("sh"), perms): _*).as("sig"))
+    val withSig = sh.select(col("doc_id"), minhashSig(col("sh"), perms).as("sig"))
     val banded = withSig.select(
       col("doc_id"),
       posexplode(array((0 until bands).map(b =>
@@ -109,11 +113,20 @@ object Dedup {
   /** Word-3gram Jaccard pairs, bucketed by `source` so the pair join is
     * bounded per bucket (the 100 TB path swaps `source` for an LSH band). */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
     val withSh = docs.select(col("source"), col("doc_id"), hashedShingles(col("text")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = withSh.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = withSh.select(col("source"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("source")).filter(col("doc_a") < col("doc_b"))
+    // Replicated-fragment join: a source bucket alone caps parallelism at
+    // |sources| tasks and skews with bucket size. Salting the b-side by
+    // doc_b % slices and exploding the a-side over all slices keeps the
+    // same pair set but gives |sources|×slices evenly-sized tasks; only
+    // the (small) a-side rows are replicated.
+    val slices = 8
+    val a = withSh.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      explode(array((0 until slices).map(lit): _*)).as("slice"))
+    val b = withSh.select(col("source"), col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      pmod(col("doc_id"), lit(slices)).as("slice"))
+    a.join(b, Seq("source", "slice")).filter(col("doc_a") < col("doc_b"))
       .select(col("source"), col("doc_a"), col("doc_b"),
         round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)

@@ -33,6 +33,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => SimHash64(es.head)),
     ("fingerprint64", info("fingerprint64", "fingerprint64(str) - rolling-hash doc fingerprint"),
       (es: Seq[Expression]) => Fingerprint64(es.head)),
+    ("minhash_sig", info("minhash_sig", "minhash_sig(hashes, perms) - fused MinHash signature"),
+      (es: Seq[Expression]) => MinHashSig(es(0), es(1))),
+    ("jaccard_sorted", info("jaccard_sorted", "jaccard_sorted(a, b) - Jaccard of sorted long arrays"),
+      (es: Seq[Expression]) => JaccardSorted(es(0), es(1))),
     ("cosine_sim", info("cosine_sim", "cosine_sim(a, b) - cosine similarity of float vectors"),
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
     ("rhp_bucket", info("rhp_bucket", "rhp_bucket(vec, nplanes) - random-hyperplane LSH bucket"),

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import graft.functions.VectorAvg
+import graft.operators.AsOfJoin
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("R14: inline relations — createDataset, toDF, SQL VALUES") {
+    val ds = Seq((1, "a"), (2, "b")).toDS()
+    assert(ds.count() == 2)
+    val viaSql = spark.sql("SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(id, name)")
+    assert(viaSql.where($"name" === "b").head.getInt(0) == 2)
+  }
+
+  test("as-of join picks the latest right row at or before each left ts") {
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L))
+      .toDF("user_id", "sec", "event_id")
+    val right = Seq((1L, 8L, 1.5), (1L, 15L, 2.5), (1L, 20L, 3.5), (3L, 1L, 9.9))
+      .toDF("user_id", "sec", "view_value")
+    val out = AsOfJoin.asof(left, right, "user_id", "sec", Seq("view_value"))
+      .orderBy("user_id", "sec").collect()
+    // (1,10)→1.5 (latest ≤10); (1,20)→3.5 (equal ts included); (2,5)→null
+    assert(out(0).getAs[Double]("view_value") == 1.5)
+    assert(out(1).getAs[Double]("view_value") == 3.5)
+    assert(out(2).isNullAt(out(2).fieldIndex("view_value")))
+  }
+
+  test("X3: typed VectorAvg aggregator computes element-wise means with partial agg") {
+    val emb = Seq((7, Array(1f, 3f)), (7, Array(3f, 5f)), (8, Array(10f, 10f)))
+      .toDF("label", "embedding")
+    val out = emb.groupBy("label").agg(VectorAvg.of(col("embedding")).as("centroid"))
+      .orderBy("label").collect()
+    assert(out(0).getAs[scala.collection.Seq[Float]]("centroid").toSeq == Seq(2f, 4f))
+    assert(out(1).getAs[scala.collection.Seq[Float]]("centroid").toSeq == Seq(10f, 10f))
+  }
+
+  test("S7: bucketed tables join without a shuffle exchange") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      val customer = spark.read.parquet(s"$sf0001/customer.parquet")
+      orders.write.mode(SaveMode.Overwrite)
+        .bucketBy(4, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+      customer.write.mode(SaveMode.Overwrite)
+        .bucketBy(4, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$wh/customer_b").saveAsTable("customer_b")
+      val j = spark.table("orders_b")
+        .join(spark.table("customer_b"), $"o_custkey" === $"c_custkey")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+}
