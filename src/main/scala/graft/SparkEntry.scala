@@ -25,18 +25,18 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TpchQueries.queries ++ RelationalQueries.queries ++
+    TpchQueries.queries ++ TpchQueries2.queries ++ Skew.queries ++ RelationalQueries.queries ++
       AggQueries.queries ++ WindowQueries.queries ++
       FunctionQueries.queries ++ EventQueries.queries ++
       graft.pipeline.Dedup.queries ++ graft.pipeline.Similarity.queries ++
-      graft.pipeline.TextAnalysis.queries ++ AsOfJoin.queries
+      graft.pipeline.TextAnalysis.queries ++ AsOfJoin.queries ++ BandJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    TpchQueries.oracles ++ RelationalQueries.oracles ++
+    TpchQueries.oracles ++ TpchQueries2.oracles ++ Skew.oracles ++ RelationalQueries.oracles ++
       AggQueries.oracles ++ WindowQueries.oracles ++
       FunctionQueries.oracles ++ EventQueries.oracles ++
       graft.pipeline.Dedup.oracles ++ graft.pipeline.Similarity.oracles ++
-      graft.pipeline.TextAnalysis.oracles ++ AsOfJoin.oracles
+      graft.pipeline.TextAnalysis.oracles ++ AsOfJoin.oracles ++ BandJoin.oracles
 }

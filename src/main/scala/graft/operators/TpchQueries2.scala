@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Exact._
+
+/** Second TPC-H-derived batch (q8/q9/q15/q16/q17/q21 shapes, adapted:
+  * no partsupp table, so cost/availability terms are re-expressed over
+  * part.p_retailprice and lineitem supplier links — adaptations noted
+  * per query). Reference workload: apache-impala-4.1.0/testdata/
+  * workloads/tpch/queries/.
+  */
+object TpchQueries2 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  val queries: Map[String, Q] = Map(
+    // q8: national market share within a region's customer base.
+    "q08_market_share" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val americaCust = t.customer
+        .join(broadcast(t.nation.join(broadcast(t.region.filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey")
+      val suppNation = t.supplier
+        .join(broadcast(t.nation.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(americaCust), col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((dsum(when(col("supp_nation") === "NATION_3", rev).otherwise(0.0)) /
+          dsum(rev)).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // q9: product profit by supplier nation and year. Adaptation: no
+    // partsupp.ps_supplycost → cost proxy = 5% of p_retailprice per unit.
+    "q09_product_profit" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val amount = rev - col("l_quantity") * col("p_retailprice") * lit(0.05)
+      t.lineitem
+        .join(broadcast(t.part.filter(col("p_name").isNotNull)), col("l_partkey") === col("p_partkey"))
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(dsum(amount).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // q15: top supplier(s) by revenue in a quarter (ties kept, like the
+    // original's scalar-subquery-on-max formulation — here a window max).
+    "q15_top_supplier" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val revenue = t.lineitem
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(rev).as("total_revenue"))
+      revenue
+        .withColumn("max_rev", max(col("total_revenue")).over(Window.partitionBy()))
+        .filter(col("total_revenue") === col("max_rev"))
+        .join(broadcast(Tables(spark, dir).supplier), col("l_suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    }),
+
+    // q16: distinct supplier count per part attribute, excluding
+    // deficit-balance suppliers (stand-in for q16's complaints filter).
+    "q16_supplier_count" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val okSupp = t.supplier.filter(col("s_acctbal") >= 0.0).select("s_suppkey")
+      t.lineitem
+        .join(broadcast(t.part.filter(col("p_size").isin(1, 5, 9, 13))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(okSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // q17: revenue impact of small-quantity orders: lineitems below 50%
+    // of their part's average quantity, for one part type.
+    "q17_small_quantity" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val partAvg = t.lineitem.groupBy(col("l_partkey").as("pk"))
+        .agg(davg(col("l_quantity")).as("avg_qty"))
+      t.lineitem
+        .join(broadcast(t.part.filter(col("p_type") === "ECONOMY")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(partAvg), col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+    }),
+
+    // q21: suppliers whose 'F' orders involved ≥2 distinct suppliers —
+    // the multi-supplier-order shape of q21 without l_receiptdate.
+    "q21_multi_supplier_orders" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val multiSupp = t.lineitem.groupBy(col("l_orderkey").as("mo_key"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+        .filter(col("n_supp") >= 2)
+        .select("mo_key")
+      t.lineitem
+        .join(t.orders.filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(multiSupp, col("l_orderkey") === col("mo_key"), "left_semi")
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("n_name"))
+    }),
+  )
+
+  private val revSql = "l_extendedprice * (1.0 - l_discount)"
+
+  val oracles: Map[String, String] = Map(
+    "q08_market_share" ->
+      s"""SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+         |  ${sqlSum(s"CASE WHEN n2.n_name = 'NATION_3' THEN $revSql ELSE 0.0 END")} /
+         |  ${sqlSum(revSql)} AS mkt_share
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |WHERE o_custkey IN (
+         |  SELECT c_custkey FROM customer
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'AMERICA')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q09_product_profit" ->
+      s"""SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+         |  ${sqlSum(s"$revSql - l_quantity * p_retailprice * 0.05")} AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey, ${sqlSum(revSql)} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_supplier_count" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size IN (1, 5, 9, 13)
+        |  AND l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0.0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q17_small_quantity" ->
+      s"""SELECT ${sqlSum("l_extendedprice")} / 7.0 AS avg_yearly
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_type = 'ECONOMY'
+         |  AND l_quantity < 0.5 * (
+         |    SELECT ${sqlAvg("l2.l_quantity")} FROM lineitem l2
+         |    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+
+    "q21_multi_supplier_orders" ->
+      """SELECT n_name, count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem GROUP BY 1
+        |    HAVING count(DISTINCT l_suppkey) >= 2)
+        |GROUP BY 1 ORDER BY n_orders DESC, n_name""".stripMargin,
+  )
+}

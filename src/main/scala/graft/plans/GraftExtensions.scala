@@ -14,10 +14,12 @@ import graft.functions._
   * [[GraftFunctions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => JaccardPrefilter)
+  }
 }
 
 object GraftFunctions {
@@ -43,11 +45,16 @@ object GraftFunctions {
       (es: Seq[Expression]) => RhpBucket(es(0), es(1))),
   )
 
-  /** Idempotent runtime registration (works on a session we didn't build). */
+  /** Idempotent runtime registration (works on a session we didn't
+    * build): functions into the registry, optimizer rules via
+    * `experimental.extraOptimizations`. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     all.foreach { case (name, inf, builder) =>
       reg.registerFunction(FunctionIdentifier(name), inf, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(JaccardPrefilter))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ JaccardPrefilter
   }
 }

@@ -74,6 +74,25 @@ class FunctionsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("JaccardPrefilter rule adds implied size checks without changing results") {
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(20)
+    val pairs = docs.select(col("doc_id"),
+      graft.pipeline.Dedup.hashedShingles(col("text")).as("a"),
+      graft.pipeline.Dedup.hashedShingles(substring(col("text"), 1, 60)).as("b"))
+    val filtered = pairs.filter(expr("jaccard_sorted(a, b) >= 0.2"))
+    val opt = filtered.queryExecution.optimizedPlan.toString
+    assert(opt.contains("size("), s"prefilter missing from plan:\n$opt")
+    // equivalence vs a driver-side recomputation of the same predicate
+    val expected = pairs.collect().count { r =>
+      val a = r.getAs[scala.collection.Seq[Long]]("a").toArray
+      val b = r.getAs[scala.collection.Seq[Long]]("b").toArray
+      val common = a.toSet.intersect(b.toSet).size
+      common.toDouble / (a.length + b.length - common) >= 0.2
+    }
+    assert(filtered.count() == expected && expected > 0)
+  }
+
   test("GraftExtensions registers all functions via injection points") {
     // unit-level: the extension applies builders without touching a live session
     val names = GraftFunctions.all.map(_._1).toSet
