@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -46,11 +46,48 @@ object AsOfJoin {
         leftCols.filterNot(c => c == key || c == ts).map(col) ++: payload.map(col)): _*)
   }
 
+  /** The same semantics as [[asof]] through the custom physical
+    * operator (graft.plans.AsOfJoinExec): cluster-by-key + sorted
+    * merge, one shuffle per side. Key and ts columns must be LongType.
+    * The right side is re-aliased so self-join lineage can't collide
+    * attribute ids. */
+  def asofPhysical(left: DataFrame, right: DataFrame, key: String, ts: String,
+                   payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val spark = left.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan0 = right.queryExecution.analyzed
+    val rPlan = Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      plan.output.find(_.name == n).getOrElse(sys.error(s"column $n not found"))
+    GraftSqlBridge.ofRows(spark, graft.plans.AsOfJoinPlan(
+      lPlan, rPlan, attr(lPlan, key), attr(lPlan, ts),
+      attr(rPlan, key), attr(rPlan, ts), payload.map(p => attr(rPlan, p))))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   /** Each purchase event joined to the user's latest prior (or same-
     * second) signup/view "state" event value. */
   val queries: Map[String, Q] = Map(
+    "asof_join_events_exec" -> ((spark, dir) => {
+      val ev = Tables(spark, dir).events
+        .select(col("user_id"), expr("ts div 1000000000").as("sec"),
+          col("event_id"), col("event_type"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("sec"), col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("sec").as("vsec"), col("value").as("view_value"))
+        .groupBy("user_id", "vsec").agg(max("view_value").as("view_value"))
+        .withColumnRenamed("vsec", "sec")
+      asofPhysical(purchases, views, "user_id", "sec", Seq("view_value"))
+        .select(col("user_id"), col("sec"), col("event_id"),
+          coalesce(col("view_value"), lit(-1.0)).as("last_view_value"))
+        .orderBy("user_id", "sec", "event_id")
+    }),
+
     "asof_join_events" -> ((spark, dir) => {
       val ev = Tables(spark, dir).events
         .select(col("user_id"), expr("ts div 1000000000").as("sec"),
@@ -70,11 +107,10 @@ object AsOfJoin {
     }),
   )
 
-  val oracles: Map[String, String] = Map(
+  private val asofOracle =
     // DuckDB has a native ASOF JOIN — an independent implementation of
     // the same semantics, which is exactly what an oracle should be.
-    "asof_join_events" ->
-      """WITH ev AS (
+    """WITH ev AS (
         |  SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
         |         event_id, event_type, value
         |  FROM events),
@@ -87,6 +123,12 @@ object AsOfJoin {
         |       coalesce(v.view_value, -1.0) AS last_view_value
         |FROM purchases p ASOF LEFT JOIN views v
         |  ON p.user_id = v.user_id AND p.sec >= v.sec
-        |ORDER BY p.user_id, p.sec, p.event_id""".stripMargin,
+        |ORDER BY p.user_id, p.sec, p.event_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "asof_join_events" -> asofOracle,
+    // Same oracle: two independent graft implementations (composed
+    // union+window vs custom physical exec) must both match DuckDB.
+    "asof_join_events_exec" -> asofOracle,
   )
 }

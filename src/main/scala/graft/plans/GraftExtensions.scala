@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     ext.injectOptimizerRule(_ => JaccardPrefilter)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 
@@ -56,5 +57,8 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(JaccardPrefilter))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ JaccardPrefilter
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
   }
 }

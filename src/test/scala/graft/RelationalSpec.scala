@@ -28,6 +28,28 @@ class RelationalSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("view_value")))
   }
 
+  test("custom AsOfJoinExec physical operator agrees with the composed as-of join") {
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("user_id"), expr("ts div 1000000000").as("sec"),
+        col("event_id"), col("event_type"), col("value"))
+    val left = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("sec"), col("event_id"))
+    val right = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("sec").as("vs"), col("value").as("vv"))
+      .groupBy("user_id", "vs").agg(max("vv").as("vv"))
+      .withColumnRenamed("vs", "sec")
+    val a = AsOfJoin.asof(left, right, "user_id", "sec", Seq("vv"))
+      .orderBy("user_id", "sec", "event_id").collect()
+    val b = AsOfJoin.asofPhysical(left, right, "user_id", "sec", Seq("vv"))
+      .orderBy("user_id", "sec", "event_id").collect()
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
+    // and the plan really uses the custom node
+    val plan = AsOfJoin.asofPhysical(left, right, "user_id", "sec", Seq("vv"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+  }
+
   test("X3: typed VectorAvg aggregator computes element-wise means with partial agg") {
     val emb = Seq((7, Array(1f, 3f)), (7, Array(3f, 5f)), (8, Array(10f, 10f)))
       .toDF("label", "embedding")
