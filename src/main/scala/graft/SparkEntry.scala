@@ -27,7 +27,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TpchQueries.queries ++ TpchQueries2.queries ++ Skew.queries ++ RelationalQueries.queries ++
       AggQueries.queries ++ WindowQueries.queries ++
-      FunctionQueries.queries ++ EventQueries.queries ++
+      FunctionQueries.queries ++ FunctionQueries2.queries ++ EventQueries.queries ++
       graft.pipeline.Dedup.queries ++ graft.pipeline.Similarity.queries ++
       graft.pipeline.TextAnalysis.queries ++ AsOfJoin.queries ++ BandJoin.queries
 
@@ -36,7 +36,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     TpchQueries.oracles ++ TpchQueries2.oracles ++ Skew.oracles ++ RelationalQueries.oracles ++
       AggQueries.oracles ++ WindowQueries.oracles ++
-      FunctionQueries.oracles ++ EventQueries.oracles ++
+      FunctionQueries.oracles ++ FunctionQueries2.oracles ++ EventQueries.oracles ++
       graft.pipeline.Dedup.oracles ++ graft.pipeline.Similarity.oracles ++
       graft.pipeline.TextAnalysis.oracles ++ AsOfJoin.oracles ++ BandJoin.oracles
 }

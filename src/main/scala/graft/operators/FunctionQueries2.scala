@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Second scalar-function batch (SURVEY.md §2 F2b/F4b/F5b) — deeper
+  * coverage of the reference's builtin registry
+  * (apache-impala-4.1.0/be/src/exprs/string-functions-ir.cc,
+  * date-functions-ir.cc, math-functions-ir.cc): translate/ascii/chr/
+  * left/right/starts/ends/contains, month arithmetic with end-of-month
+  * clamping, day-of-year, trig/radians. Plus TABLESAMPLE (Impala
+  * TABLESAMPLE SYSTEM(n)) as seeded Bernoulli sampling (rows-only:
+  * sampling is engine-specific by construction).
+  */
+object FunctionQueries2 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "fn_string2" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.customer.filter(col("c_custkey") < 200)
+        .select(col("c_custkey"),
+          translate(col("c_name"), "0123", "abcd").as("tr"),
+          ascii(col("c_mktsegment")).cast("long").as("first_ascii"),
+          chr(col("c_nationkey") + lit(65)).as("nation_chr"),
+          expr("left(c_name, 8)").as("l8"),
+          expr("right(c_name, 4)").as("r4"),
+          col("c_name").startsWith("Customer").as("is_cust"),
+          col("c_name").endsWith("7").as("ends7"),
+          col("c_name").contains("#00").as("has_pad"))
+        .orderBy("c_custkey")
+    }),
+
+    "fn_datetime2" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.orders.filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          add_months(to_date(col("o_orderdate")), 1).as("plus_month"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"),
+          make_date(year(col("o_orderdate")), lit(12), lit(31)).as("year_end"),
+          (to_date(col("o_orderdate")) === last_day(to_date(col("o_orderdate")))).as("is_eom"))
+        .orderBy("o_orderkey")
+    }),
+
+    "fn_math2" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.lineitem.filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(radians(col("l_quantity")), 6).as("rad"),
+          round(degrees(col("l_discount")), 6).as("deg"),
+          round(atan2(col("l_quantity"), col("l_extendedprice")), 6).as("at2"),
+          round(sin(col("l_discount")), 6).as("sn"),
+          round(cos(col("l_discount")), 6).as("cs"),
+          round(lit(math.Pi), 6).as("pi6"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // TABLESAMPLE: seeded, deterministic per engine but not across
+    // engines → rows-only; the spec bounds the sampled fraction.
+    "rel_tablesample" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.orders.sample(withReplacement = false, 0.1, seed = 42)
+        .select("o_orderkey").orderBy("o_orderkey")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "fn_string2" ->
+      """SELECT c_custkey,
+        |  translate(c_name, '0123', 'abcd') AS tr,
+        |  CAST(ascii(c_mktsegment) AS BIGINT) AS first_ascii,
+        |  chr(c_nationkey + 65) AS nation_chr,
+        |  left(c_name, 8) AS l8, right(c_name, 4) AS r4,
+        |  starts_with(c_name, 'Customer') AS is_cust,
+        |  ends_with(c_name, '7') AS ends7,
+        |  contains(c_name, '#00') AS has_pad
+        |FROM customer WHERE c_custkey < 200 ORDER BY 1""".stripMargin,
+
+    "fn_datetime2" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_month,
+        |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        |  make_date(CAST(EXTRACT(YEAR FROM o_orderdate) AS INT), 12, 31) AS year_end,
+        |  CAST(o_orderdate AS DATE) = last_day(CAST(o_orderdate AS DATE)) AS is_eom
+        |FROM orders WHERE o_orderkey < 500 ORDER BY 1""".stripMargin,
+
+    "fn_math2" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(radians(l_quantity), 6) AS rad,
+        |  round(degrees(l_discount), 6) AS deg,
+        |  round(atan2(l_quantity, l_extendedprice), 6) AS at2,
+        |  round(sin(l_discount), 6) AS sn,
+        |  round(cos(l_discount), 6) AS cs,
+        |  round(pi(), 6) AS pi6
+        |FROM lineitem WHERE l_orderkey < 200 ORDER BY 1, 2""".stripMargin,
+  )
+}

@@ -27,6 +27,20 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("total_value"))
 
+  /** T4: sliding windows — each event contributes to window_size/slide
+    * overlapping windows. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("user_id"), col("n"))
+
+  /** T5: stream-static enrichment join — the static dim is re-broadcast
+    * per micro-batch, no state needed. */
+  def enrichStatic(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
   /** T3: drop duplicate event_ids arriving within the watermark. */
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")

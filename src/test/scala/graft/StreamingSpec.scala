@@ -41,6 +41,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T4: sliding windows count events into overlapping windows") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.slidingCounts(in.toDF())
+      .writeStream.format("memory").queryName("t4_out").outputMode("update").start()
+    try {
+      in.addData(Event(1, ts(7), 1, "view", 1.0)) // minute 7 → two 10-min windows
+      q.processAllAvailable()
+      assert(spark.table("t4_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("T5: stream-static enrichment join") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = Streams.enrichStatic(in.toDF(), dim)
+      .writeStream.format("memory").queryName("t5_out").outputMode("append").start()
+    try {
+      in.addData(Event(1, ts(0), 1, "view", 1.0), Event(2, ts(1), 9, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("t5_out").select("user_id", "tier").collect()
+      assert(rows.find(_.getLong(0) == 1L).get.getString(1) == "gold")
+      assert(rows.find(_.getLong(0) == 9L).get.isNullAt(1))
+    } finally q.stop()
+  }
+
   test("T2: stateful sessionization closes a session after the gap") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Event]
