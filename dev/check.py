@@ -49,6 +49,9 @@ for name in sorted(oracle):
         results[name] = f"COLS oracle={list(o.columns)} spark={list(s.columns)}"; continue
     if len(o) != len(s):
         results[name] = f"ROWS oracle={len(o)} spark={len(s)}"; continue
+    for c in o.columns:  # arrays are unhashable/unsortable in pandas
+        if o[c].dtype == object:
+            o[c] = o[c].astype(str); s[c] = s[c].astype(str)
     o = o.sort_values(by=list(o.columns)).reset_index(drop=True)
     s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
     o = o.astype(str); s = s.astype(str)

@@ -106,6 +106,56 @@ object HashImpl {
     common.toDouble / (na + nb - common)
   }
 
+  /** Tokenize (lowercase, whitespace), hash each token, combine each run
+    * of k consecutive token hashes into a shingle hash, return the
+    * SORTED DISTINCT shingle hashes — the whole dedup feature pipeline
+    * in one pass with no intermediate strings. Equivalent information
+    * to hashing k-word shingle text (any 1:1 recombination of token
+    * hashes works; we chain splitmix64). Docs shorter than k tokens
+    * produce one whole-doc shingle. */
+  def hashedShingles(s: UTF8String, k: Int): Array[Long] = {
+    val bytes = s.toLowerCase.getBytes
+    // token hashes via FNV over byte runs between whitespace
+    var tokens = new Array[Long](16)
+    var nTok = 0
+    var h = FnvSeed
+    var inTok = false
+    var i = 0
+    while (i <= bytes.length) {
+      val ws = i == bytes.length || bytes(i) == ' ' || bytes(i) == '\t' ||
+        bytes(i) == '\n' || bytes(i) == '\r'
+      if (ws) {
+        if (inTok) {
+          if (nTok == tokens.length) tokens = java.util.Arrays.copyOf(tokens, nTok * 2)
+          tokens(nTok) = h; nTok += 1; h = FnvSeed; inTok = false
+        }
+      } else {
+        h = (h * FnvPrime) ^ (bytes(i) & 0xffL); inTok = true
+      }
+      i += 1
+    }
+    if (nTok == 0) return Array.emptyLongArray
+    val kk = math.min(k, nTok)
+    val out = new Array[Long](nTok - kk + 1)
+    var j = 0
+    while (j < out.length) {
+      var sh = 0L
+      var m = 0
+      while (m < kk) { sh = splitmix64(sh ^ tokens(j + m)); m += 1 }
+      out(j) = sh
+      j += 1
+    }
+    java.util.Arrays.sort(out)
+    // dedup in place
+    var w = 0
+    var r = 0
+    while (r < out.length) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    if (w == out.length) out else java.util.Arrays.copyOf(out, w)
+  }
+
   /** All `perms` MinHash minima in ONE pass over the hashed-shingle
     * array. Composing this from 16 builtin `transform`+`array_min`
     * expressions generates 16 loops and megabytes of Janino code; one
@@ -167,6 +217,23 @@ case class MinHashSig(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): MinHashSig =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "minhash_sig"
+}
+
+/** `hashed_shingles(text, k) -> array<bigint>`: sorted distinct k-word
+  * shingle hashes in one fused pass. */
+case class HashedShingles(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(s: Any, k: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      HashImpl.hashedShingles(s.asInstanceOf[UTF8String], k.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, k) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.functions.HashImpl.hashedShingles($s, $k))")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): HashedShingles =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "hashed_shingles"
 }
 
 /** `jaccard_sorted(array<bigint>, array<bigint>) -> double` over

@@ -57,6 +57,23 @@ object FunctionQueries2 {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Complex types (the reference's nested-types surface —
+    // tpch_nested workload, fe ARRAY/MAP/STRUCT support): build arrays
+    // in aggregation, element access, membership, struct round trip.
+    "fn_complex_types" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.lineitem.filter(col("l_orderkey") < 300)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+        .select(col("l_orderkey"),
+          array_join(transform(col("lines"), x => x.cast("string")), ",").as("lines_csv"),
+          size(col("lines")).cast("long").as("n_lines"),
+          element_at(col("lines"), 1).as("first_ln"),
+          array_contains(col("lines"), 3).as("has3"),
+          struct(col("l_orderkey").as("k"), size(col("lines")).as("v")).getField("k").as("sk"))
+        .orderBy("l_orderkey")
+    }),
+
     // TABLESAMPLE: seeded, deterministic per engine but not across
     // engines → rows-only; the spec bounds the sampled fraction.
     "rel_tablesample" -> ((spark, dir) => {
@@ -67,6 +84,15 @@ object FunctionQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_complex_types" ->
+      """SELECT l_orderkey,
+        |  array_to_string(lines, ',') AS lines_csv, CAST(len(lines) AS BIGINT) AS n_lines,
+        |  lines[1] AS first_ln, list_contains(lines, 3) AS has3,
+        |  struct_pack(k := l_orderkey, v := len(lines)).k AS sk
+        |FROM (SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS lines
+        |      FROM lineitem WHERE l_orderkey < 300 GROUP BY 1)
+        |ORDER BY 1""".stripMargin,
+
     "fn_string2" ->
       """SELECT c_custkey,
         |  translate(c_name, '0123', 'abcd') AS tr,

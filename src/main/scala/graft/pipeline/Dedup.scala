@@ -32,8 +32,16 @@ object Dedup {
   /** Shingles reduced to 64-bit hashes: Jaccard over the hashed sets is
     * the same value (collisions are ~n²/2⁶⁴), while shuffle payloads and
     * intersections shrink ~3× vs raw strings — the form that survives a
-    * 100 TB pair-join. */
+    * 100 TB pair-join. Fused single-pass expression (tokenize → token
+    * hash → shingle combine → sort+dedup, no intermediate strings — see
+    * graft.functions.HashedShingles). */
   def hashedShingles(text: Column, k: Int = 3): Column =
+    call_function("hashed_shingles", text, lit(k))
+
+  /** Builtin-composed variant of [[hashedShingles]] (kept as the
+    * readable spec of the same computation, and for engines without our
+    * extensions). */
+  def hashedShinglesComposed(text: Column, k: Int = 3): Column =
     sort_array(array_distinct(transform(shingles(text, k), s => xxhash64(s))))
 
   /** MinHash signature via the fused custom expression (one loop for

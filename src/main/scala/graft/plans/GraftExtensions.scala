@@ -38,6 +38,8 @@ object GraftFunctions {
       (es: Seq[Expression]) => Fingerprint64(es.head)),
     ("minhash_sig", info("minhash_sig", "minhash_sig(hashes, perms) - fused MinHash signature"),
       (es: Seq[Expression]) => MinHashSig(es(0), es(1))),
+    ("hashed_shingles", info("hashed_shingles", "hashed_shingles(text, k) - sorted distinct k-word shingle hashes"),
+      (es: Seq[Expression]) => HashedShingles(es(0), es(1))),
     ("jaccard_sorted", info("jaccard_sorted", "jaccard_sorted(a, b) - Jaccard of sorted long arrays"),
       (es: Seq[Expression]) => JaccardSorted(es(0), es(1))),
     ("cosine_sim", info("cosine_sim", "cosine_sim(a, b) - cosine similarity of float vectors"),

@@ -59,6 +59,33 @@ class RelationalSpec extends SparkSpec {
     assert(out(1).getAs[scala.collection.Seq[Float]]("centroid").toSeq == Seq(10f, 10f))
   }
 
+  test("runtime bloom filter join (Impala runtime-filter parity)") {
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+    spark.conf.set("spark.sql.optimizer.runtimeFilter.number.threshold", "10")
+    // tiny test tables: drop the probe-side size gate and forbid
+    // broadcast so the rule (which skips broadcast joins) can fire
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      val o = spark.read.parquet(s"$sf0001/orders.parquet")
+        .filter(col("o_totalprice") > 450000.0)
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      // the probe side gets a might_contain(bloom) filter pushed in
+      assert(plan.contains("might_contain") || plan.contains("bloom"),
+        s"no runtime bloom filter in plan:\n${plan.take(2000)}")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      spark.conf.unset("spark.sql.optimizer.runtimeFilter.number.threshold")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("S7: bucketed tables join without a shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
