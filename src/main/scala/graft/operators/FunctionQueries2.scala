@@ -74,6 +74,50 @@ object FunctionQueries2 {
         .orderBy("l_orderkey")
     }),
 
+    // DECIMAL arithmetic (the reference's DECIMAL(p,s) engine —
+    // be/src/exprs/decimal-operators-ir.cc): exact add/multiply on
+    // decimal-cast money, final cast to double for engine-portable
+    // output (decimal display scales differ across engines; values
+    // don't).
+    "fn_decimal" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val price = col("o_totalprice").cast("decimal(18,2)")
+      val tax = (price * lit("0.08").cast("decimal(4,2)"))
+      t.orders.filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          price.cast("double").as("price_d"),
+          tax.cast("double").as("tax_d"),
+          // no scale-reducing intermediate cast (engines disagree on its
+          // rounding); decimal addition aligns scales exactly
+          (price + tax).cast("double").as("total_d"),
+          // scale-reduction rounding is engine-specific (HALF_UP in
+          // Spark, truncation in DuckDB) — use explicit floor instead
+          floor(price).cast("long").as("price_floor"))
+        .orderBy("o_orderkey")
+    }),
+
+    // LIKE family: %/_ wildcards, ILIKE, NOT LIKE, escape.
+    "fn_like" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.customer.filter(col("c_custkey") < 300)
+        .select(col("c_custkey"),
+          col("c_name").like("Customer#%7").as("like_7"),
+          col("c_name").ilike("CUSTOMER#%").as("ilike_any"),
+          (!col("c_mktsegment").like("%ING%")).as("not_ing"),
+          col("c_mktsegment").like("_UILDING").as("one_wild"))
+        .orderBy("c_custkey")
+    }),
+
+    // Word frequency via explode(split) — lateral-view shape + the
+    // vocabulary-stats pass every corpus pipeline runs.
+    "text_word_freq" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.documents
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")).limit(50)
+    }),
+
     // TABLESAMPLE: seeded, deterministic per engine but not across
     // engines → rows-only; the spec bounds the sampled fraction.
     "rel_tablesample" -> ((spark, dir) => {
@@ -84,6 +128,30 @@ object FunctionQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_decimal" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_d,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST('0.08' AS DECIMAL(4,2)) AS DOUBLE) AS tax_d,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) +
+        |       CAST(o_totalprice AS DECIMAL(18,2)) * CAST('0.08' AS DECIMAL(4,2))
+        |       AS DOUBLE) AS total_d,
+        |  CAST(floor(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) AS price_floor
+        |FROM orders WHERE o_orderkey < 500 ORDER BY 1""".stripMargin,
+
+    "fn_like" ->
+      """SELECT c_custkey,
+        |  c_name LIKE 'Customer#%7' AS like_7,
+        |  c_name ILIKE 'CUSTOMER#%' AS ilike_any,
+        |  c_mktsegment NOT LIKE '%ING%' AS not_ing,
+        |  c_mktsegment LIKE '_UILDING' AS one_wild
+        |FROM customer WHERE c_custkey < 300 ORDER BY 1""".stripMargin,
+
+    "text_word_freq" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, word LIMIT 50""".stripMargin,
+
     "fn_complex_types" ->
       """SELECT l_orderkey,
         |  array_to_string(lines, ',') AS lines_csv, CAST(len(lines) AS BIGINT) AS n_lines,
