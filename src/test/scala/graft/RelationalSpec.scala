@@ -86,6 +86,15 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("TABLESAMPLE: seeded sample is deterministic and near the target fraction") {
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+    val n = o.count()
+    val s1 = o.sample(withReplacement = false, 0.1, seed = 42).count()
+    val s2 = o.sample(withReplacement = false, 0.1, seed = 42).count()
+    assert(s1 == s2)
+    assert(s1 > n / 20 && s1 < n / 5, s"sampled $s1 of $n")
+  }
+
   test("S7: bucketed tables join without a shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -69,6 +69,20 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T6: streaming parquet sink with checkpointing") {
+    implicit val ctx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val in = MemoryStream[Event]
+    val q = in.toDF().writeStream.format("parquet")
+      .option("path", s"$out/data").option("checkpointLocation", s"$out/chk")
+      .outputMode("append").start()
+    try {
+      in.addData(Event(1, ts(0), 1, "view", 1.0), Event(2, ts(1), 2, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$out/data").count() == 2)
+    } finally q.stop()
+  }
+
   test("T2: stateful sessionization closes a session after the gap") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Event]
