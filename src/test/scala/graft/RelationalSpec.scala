@@ -89,8 +89,10 @@ class RelationalSpec extends SparkSpec {
   test("TABLESAMPLE: seeded sample is deterministic and near the target fraction") {
     val o = spark.read.parquet(s"$sf0001/orders.parquet")
     val n = o.count()
-    val s1 = o.sample(withReplacement = false, 0.1, seed = 42).count()
-    val s2 = o.sample(withReplacement = false, 0.1, seed = 42).count()
+    // drive the registered query itself so the spec tracks its params
+    val q = graft.operators.FunctionQueries2.queries("rel_tablesample")
+    val s1 = q(spark, sf0001).count()
+    val s2 = q(spark, sf0001).count()
     assert(s1 == s2)
     assert(s1 > n / 20 && s1 < n / 5, s"sampled $s1 of $n")
   }

@@ -80,7 +80,13 @@ class StreamingSpec extends SparkSpec {
       in.addData(Event(1, ts(0), 1, "view", 1.0), Event(2, ts(1), 2, "click", 2.0))
       q.processAllAvailable()
       assert(spark.read.parquet(s"$out/data").count() == 2)
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // don't leak checkpoint/parquet state across runs
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("T2: stateful sessionization closes a session after the gap") {
