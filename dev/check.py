@@ -9,8 +9,9 @@ Usage: python3 dev/check.py [sfDir] [outDir] [--skip-verify]
 import sys, os, json, glob, subprocess
 import duckdb
 
-sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+sf = pos[0] if len(pos) > 0 else "/root/testdata/sf0.01"
+out = pos[1] if len(pos) > 1 else "/tmp/graft_verify"
 
 if "--skip-verify" not in sys.argv:
     r = subprocess.run(
@@ -72,7 +73,8 @@ for d in sorted(glob.glob(f"{out}/*")):
         except Exception as e:
             results[name] = f"ROWS_ONLY_ERR {e}"
 
-ok = sum(1 for v in results.values() if v == "OK" or v.startswith("ROWS_ONLY n="))
+ok = sum(1 for v in results.values()
+         if v == "OK" or (v.startswith("ROWS_ONLY n=") and "EMPTY" not in v))
 for k, v in results.items():
     flag = "  " if (v == "OK" or (v.startswith("ROWS_ONLY n=") and "EMPTY" not in v)) else "XX"
     print(f"{flag} {k}: {v}")

@@ -18,8 +18,10 @@ object VectorAvg extends Aggregator[Array[Float], VecBuf, Array[Float]] {
 
   private def accumulate(buf: VecBuf, v: Array[Double]): VecBuf = {
     if (buf.sums.isEmpty) buf.sums = new Array[Double](v.length)
+    require(buf.sums.length == v.length,
+      s"VectorAvg: mixed vector dimensions in one group (${buf.sums.length} vs ${v.length})")
     var i = 0
-    while (i < math.min(buf.sums.length, v.length)) { buf.sums(i) += v(i); i += 1 }
+    while (i < v.length) { buf.sums(i) += v(i); i += 1 }
     buf
   }
 

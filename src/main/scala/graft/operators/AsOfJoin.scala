@@ -26,24 +26,30 @@ object AsOfJoin {
     val leftCols = left.columns.filterNot(payload.contains)
     // side 1 = right (emitter), side 2 = left (receiver): on a ts tie the
     // right row sorts first, so "at or before" includes equal timestamps.
+    // The payload rides inside a struct: the running last() must skip the
+    // left rows' filler (NULL struct) but NOT a right row whose payload
+    // VALUE is genuinely NULL — ignoreNulls on bare columns would
+    // incorrectly resurrect an older non-null value in that case.
+    val pstruct = struct(payload.map(col): _*)
     val l = left.select(
       (col(key).as(key) +: col(ts).cast("long").as("__ts") +: lit(2).as("__side") +:
         leftCols.filterNot(c => c == key || c == ts).map(col) ++:
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p))): _*)
+        Seq(lit(null).cast(right.select(pstruct).schema.head.dataType).as("__p"))): _*)
     val r = right.select(
       (col(key).as(key) +: col(ts).cast("long").as("__ts") +: lit(1).as("__side") +:
         leftCols.filterNot(c => c == key || c == ts)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
-        payload.map(col)): _*)
+        Seq(pstruct.as("__p"))): _*)
     val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = l.unionByName(r).select(
       (col(key) +: col("__ts") +: col("__side") +:
         leftCols.filterNot(c => c == key || c == ts).map(col) ++:
-        payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p))): _*)
+        Seq(last(col("__p"), ignoreNulls = true).over(w).as("__p"))): _*)
     filled.filter(col("__side") === 2)
       .select((col(key) +: col("__ts").as(ts) +:
-        leftCols.filterNot(c => c == key || c == ts).map(col) ++: payload.map(col)): _*)
+        leftCols.filterNot(c => c == key || c == ts).map(col) ++:
+        payload.map(p => col("__p").getField(p).as(p))): _*)
   }
 
   /** The same semantics as [[asof]] through the custom physical

@@ -59,17 +59,15 @@ object EventQueries {
     // flatMapGroupsWithState sessionizer.
     "events_sessionize" -> ((spark, dir) => {
       val t = Tables(spark, dir)
-      val byUser = Window.partitionBy("user_id").orderBy(sec, col("event_id"))
+      val byUser = Window.partitionBy("user_id").orderBy(col("s"), col("event_id"))
       val withGap = t.events
         .select(col("user_id"), col("event_id"), sec.as("s"))
-        .withColumn("prev_s", lag(col("s"), 1).over(Window.partitionBy("user_id")
-          .orderBy(col("s"), col("event_id"))))
+        .withColumn("prev_s", lag(col("s"), 1).over(byUser))
         .withColumn("new_session",
           when(col("prev_s").isNull || col("s") - col("prev_s") > 1800L, 1L).otherwise(0L))
       withGap
         .withColumn("session_id", sum(col("new_session")).over(
-          Window.partitionBy("user_id").orderBy(col("s"), col("event_id"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy("user_id", "session_id")
         .agg(count(lit(1)).as("session_events"))
         .groupBy("user_id")

@@ -15,6 +15,20 @@ import graft.plans.GraftFunctions
   */
 object Dedup {
 
+  /** One live cache per operator: persisting the shingle projection is
+    * what keeps the pair stages from recomputing the feature pipeline,
+    * but a long-lived session running many dedup calls must not pin
+    * every historical cache — each new call releases the previous one. */
+  private def cacheReplacing(df: DataFrame,
+      slot: java.util.concurrent.atomic.AtomicReference[DataFrame]): DataFrame = {
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val old = slot.getAndSet(cached)
+    if ((old ne null) && (old ne cached)) old.unpersist(false)
+    cached
+  }
+  private val minhashSlot = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private val ngramSlot = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
@@ -81,8 +95,8 @@ object Dedup {
     // whole shingle pipeline per side (3× at 100 TB). MEMORY_AND_DISK so
     // executors spill instead of OOM on big corpora.
     GraftFunctions.register(docs.sparkSession)
-    val sh = docs.select(col("doc_id"), hashedShingles(col("text")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = cacheReplacing(
+      docs.select(col("doc_id"), hashedShingles(col("text")).as("sh")), minhashSlot)
     val withSig = sh.select(col("doc_id"), minhashSig(col("sh"), perms).as("sig"))
     val banded = withSig.select(
       col("doc_id"),
@@ -122,8 +136,8 @@ object Dedup {
     * bounded per bucket (the 100 TB path swaps `source` for an LSH band). */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    val withSh = docs.select(col("source"), col("doc_id"), hashedShingles(col("text")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSh = cacheReplacing(
+      docs.select(col("source"), col("doc_id"), hashedShingles(col("text")).as("sh")), ngramSlot)
     // Replicated-fragment join: a source bucket alone caps parallelism at
     // |sources| tasks and skews with bucket size. Salting the b-side by
     // doc_b % slices and exploding the a-side over all slices keeps the

@@ -64,7 +64,10 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rts = BindReferences.bindReference(rightTs, right.output)
     val payloadExprs = rightPayload.map(a => BindReferences.bindReference(a: Expression, right.output))
     val numPayload = rightPayload.length
-    val outSchema = left.output ++ rightPayload
+    // project against `output` (payload nullability forced true): binding
+    // the original non-nullable payload attrs would skip null checks and
+    // read the null-filler row as 0 instead of NULL
+    val outSchema = output
 
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       val payloadProj = UnsafeProjection.create(payloadExprs)

@@ -67,8 +67,10 @@ object Streams {
             sorted.foreach { e =>
               val sec = e.ts.getTime / 1000
               cur match {
-                case Some(s) if sec - s.last <= gapSeconds =>
-                  cur = Some(s.copy(last = sec, n = s.n + 1))
+                // late (out-of-order within watermark) or in-order event
+                // extends the session envelope; never move `last` backwards
+                case Some(s) if sec - s.last <= gapSeconds && s.start - sec <= gapSeconds =>
+                  cur = Some(SessionState(math.min(s.start, sec), math.max(s.last, sec), s.n + 1))
                 case Some(s) =>
                   closed ::= SessionOut(user, s.n, s.last - s.start)
                   cur = Some(SessionState(sec, sec, 1))

@@ -17,16 +17,23 @@ class FunctionsSpec extends SparkSpec {
     assert(HashImpl.fnv64("abc".getBytes) != HashImpl.fnv64("abd".getBytes))
   }
 
-  test("fingerprint64 is content-defined: shared long run → often equal, change-sensitive") {
-    val a = UTF8String.fromString("the quick brown fox jumps over the lazy dog")
-    val b = UTF8String.fromString("the quick brown fox jumps over the lazy cat")
-    assert(HashImpl.fingerprint64(a, 8) == HashImpl.fingerprint64(a, 8))
-    // min-of-k-gram hashes over mostly-shared content collides more than
-    // a full-string hash would; both docs share 35+ bytes of prefix.
-    val fpA = HashImpl.fingerprint64(a, 8)
-    val fpB = HashImpl.fingerprint64(b, 8)
-    assert(fpA == fpB || fpA != fpB) // defined for both; equality is content-dependent
-    assert(HashImpl.fingerprint64(UTF8String.fromString(""), 8) == 0L)
+  test("fingerprint64 equals an independent min-of-k-gram reference implementation") {
+    // straightforward O(n*k) reference: min over polynomial hashes of
+    // every 8-byte gram (same B=257 base, no rolling update)
+    def reference(str: String, k: Int): Long = {
+      val bytes = str.getBytes("UTF-8")
+      if (bytes.isEmpty) return 0L
+      val kk = math.min(k, bytes.length)
+      (0 to bytes.length - kk).map { i =>
+        var h = 0L
+        for (j <- i until i + kk) h = h * 257L + (bytes(j) & 0xffL)
+        h
+      }.min
+    }
+    for (str <- Seq("the quick brown fox jumps over the lazy dog", "ab", "",
+      "aaaaaaaaaaaaaaaa", "sort merge join hash scan filter")) {
+      assert(HashImpl.fingerprint64(UTF8String.fromString(str), 8) == reference(str, 8), str)
+    }
   }
 
   test("simhash: similar token sets are Hamming-close, disjoint ones are not") {

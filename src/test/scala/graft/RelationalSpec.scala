@@ -28,6 +28,15 @@ class RelationalSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("view_value")))
   }
 
+  test("as-of join returns NULL when the latest right row's payload value is NULL") {
+    val left = Seq((1L, 25L, 100L)).toDF("user_id", "sec", "event_id")
+    val right = Seq((1L, 10L, Some(1.5)), (1L, 20L, None))
+      .toDF("user_id", "sec", "vv")
+    val got = AsOfJoin.asof(left, right, "user_id", "sec", Seq("vv")).collect().head
+    // latest right row at ts=20 has NULL vv: must NOT resurrect 1.5
+    assert(got.isNullAt(got.fieldIndex("vv")), got.toString)
+  }
+
   test("custom AsOfJoinExec physical operator agrees with the composed as-of join") {
     val ev = spark.read.parquet(s"$sf0001/events.parquet")
       .select(col("user_id"), expr("ts div 1000000000").as("sec"),

@@ -89,6 +89,24 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("T2b: late (out-of-order) event does not move the session end backwards") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("t2b_out").outputMode("append").start()
+    try {
+      in.addData(Event(1, ts(0), 5, "view", 1.0), Event(2, ts(10), 5, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(3, ts(5), 5, "view", 1.0)) // late, within the session envelope
+      q.processAllAvailable()
+      in.addData(Event(4, ts(100), 5, "view", 1.0)) // gap → closes the session
+      q.processAllAvailable()
+      val out = spark.table("t2b_out").as[Streams.SessionOut].collect()
+      assert(out.exists(s => s.user_id == 5 && s.n_events == 3 && s.duration_s == 600),
+        out.mkString(","))
+    } finally q.stop()
+  }
+
   test("T2: stateful sessionization closes a session after the gap") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Event]
