@@ -62,6 +62,24 @@ class SourcesSpec extends SparkSpec {
     assert(scan.contains("ReadSchema") && !scan.contains("l_comment"))
   }
 
+  test("S3b: text format round trip") {
+    val dir = tmp()
+    li.select(concat_ws("|", col("l_orderkey"), col("l_returnflag")).as("value"))
+      .limit(30).write.mode(SaveMode.Overwrite).text(dir)
+    val back = spark.read.text(dir)
+    assert(back.count() == 30)
+    assert(back.schema.fieldNames.sameElements(Array("value")))
+  }
+
+  test("S1b: parquet compression codecs (snappy, zstd) round trip") {
+    for (codec <- Seq("snappy", "zstd")) {
+      val dir = tmp()
+      li.limit(200).write.mode(SaveMode.Overwrite)
+        .option("compression", codec).parquet(dir)
+      assert(spark.read.parquet(dir).count() == 200, codec)
+    }
+  }
+
   test("S6: dynamic partition overwrite replaces only the written partition") {
     val dir = tmp()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
