@@ -114,6 +114,7 @@ object HashImpl {
     * hashes works; we chain splitmix64). Docs shorter than k tokens
     * produce one whole-doc shingle. */
   def hashedShingles(s: UTF8String, k: Int): Array[Long] = {
+    require(k > 0, s"hashed_shingles: k must be positive, got $k")
     val bytes = s.toLowerCase.getBytes
     // token hashes via FNV over byte runs between whitespace
     var tokens = new Array[Long](16)

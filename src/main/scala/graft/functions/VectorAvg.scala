@@ -16,23 +16,33 @@ object VectorAvg extends Aggregator[Array[Float], VecBuf, Array[Float]] {
 
   override def zero: VecBuf = VecBuf(Array.emptyDoubleArray, 0L)
 
-  private def accumulate(buf: VecBuf, v: Array[Double]): VecBuf = {
-    if (buf.sums.isEmpty) buf.sums = new Array[Double](v.length)
-    require(buf.sums.length == v.length,
-      s"VectorAvg: mixed vector dimensions in one group (${buf.sums.length} vs ${v.length})")
-    var i = 0
-    while (i < v.length) { buf.sums(i) += v(i); i += 1 }
-    buf
+  private def ensure(buf: VecBuf, len: Int): Unit = {
+    if (buf.sums.isEmpty) buf.sums = new Array[Double](len)
+    require(buf.sums.length == len,
+      s"VectorAvg: mixed vector dimensions in one group (${buf.sums.length} vs $len)")
   }
 
   override def reduce(buf: VecBuf, a: Array[Float]): VecBuf = {
     if (a == null) buf
-    else { val b = accumulate(buf, a.map(_.toDouble)); b.n += 1; b }
+    else {
+      // widen in the loop — no temporary double array per input row
+      ensure(buf, a.length)
+      var i = 0
+      while (i < a.length) { buf.sums(i) += a(i).toDouble; i += 1 }
+      buf.n += 1
+      buf
+    }
   }
 
   override def merge(x: VecBuf, y: VecBuf): VecBuf = {
     if (y.sums.isEmpty) x
-    else { val b = accumulate(x, y.sums); b.n += y.n; b }
+    else {
+      ensure(x, y.sums.length)
+      var i = 0
+      while (i < y.sums.length) { x.sums(i) += y.sums(i); i += 1 }
+      x.n += y.n
+      x
+    }
   }
 
   override def finish(b: VecBuf): Array[Float] =

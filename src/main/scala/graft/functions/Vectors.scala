@@ -12,10 +12,15 @@ import org.apache.spark.sql.types._
   */
 object VectorImpl {
   def cosine(x: ArrayData, y: ArrayData): Double = {
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // fail fast on ragged/corrupt embeddings: a prefix-only cosine is a
+    // plausible-but-wrong score (and the DuckDB oracle rejects mismatch)
+    require(n == y.numElements(),
+      s"cosine_sim: vector length mismatch ($n vs ${y.numElements()})")
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      require(!x.isNullAt(i) && !y.isNullAt(i), "cosine_sim: NULL vector element")
       val a = x.getFloat(i).toDouble
       val b = y.getFloat(i).toDouble
       dot += a * b; nx += a * a; ny += b * b
@@ -25,7 +30,9 @@ object VectorImpl {
   }
 
   def dot(x: ArrayData, y: ArrayData): Double = {
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    require(n == y.numElements(),
+      s"dot: vector length mismatch ($n vs ${y.numElements()})")
     var d = 0.0
     var i = 0
     while (i < n) { d += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
@@ -37,6 +44,9 @@ object VectorImpl {
     * splitmix64 stream seeded per (plane, dim), so executors need no
     * broadcast state and the bucketing is deterministic. */
   def rhpSignature(x: ArrayData, planes: Int): Long = {
+    // 1L << p wraps mod 64 on the JVM: planes > 64 would silently alias
+    // onto already-used bits and correlate the LSH tables
+    require(planes >= 1 && planes <= 64, s"rhp_bucket: planes must be in [1,64], got $planes")
     val n = x.numElements()
     var sig = 0L
     var p = 0

@@ -38,6 +38,8 @@ object Similarity {
     * miss neighbors whose hash differs in all tables. */
   def lshTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
               k: Int, tables: Int = 4, bitsPerTable: Int = 6): DataFrame = {
+    require(tables * bitsPerTable <= 64,
+      s"lshTopK: tables*bitsPerTable must fit one 64-bit signature (got ${tables * bitsPerTable})")
     GraftFunctions.register(spark)
     def buckets(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
       val sig = call_function("rhp_bucket", col("embedding"), lit(tables * bitsPerTable))

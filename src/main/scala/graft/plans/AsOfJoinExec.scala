@@ -76,22 +76,33 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val nulls = new GenericInternalRow(numPayload)
       // Right side pre-mapped to (key, ts, copied payload): iterator rows
       // are reused buffers, so the payload must be copied when buffered.
-      val rIter = ri.map { r =>
-        (rk.eval(r).asInstanceOf[Long], rts.eval(r).asInstanceOf[Long], payloadProj(r).copy())
+      // NULL-key/ts right rows can never match (SQL join-on-NULL
+      // semantics) and would break the ascending-key merge invariant
+      // (NULLs sort first but eval to null, not a long) — drop them.
+      val rIter = ri.flatMap { r =>
+        val k = rk.eval(r); val t = rts.eval(r)
+        if (k == null || t == null) Nil
+        else (k.asInstanceOf[Long], t.asInstanceOf[Long], payloadProj(r).copy()) :: Nil
       }.buffered
       var lastKey = 0L
       var lastRow: InternalRow = null
       var haveLast = false
       li.map { l =>
-        val k = lk.eval(l).asInstanceOf[Long]
-        val t = lts.eval(l).asInstanceOf[Long]
-        while (rIter.hasNext &&
-          (rIter.head._1 < k || (rIter.head._1 == k && rIter.head._2 <= t))) {
-          val h = rIter.next()
-          lastKey = h._1; lastRow = h._3; haveLast = true
+        val kAny = lk.eval(l); val tAny = lts.eval(l)
+        if (kAny == null || tAny == null) {
+          // NULL-key left rows are kept (LEFT as-of) with NULL payload
+          resultProj(joined(l, nulls))
+        } else {
+          val k = kAny.asInstanceOf[Long]
+          val t = tAny.asInstanceOf[Long]
+          while (rIter.hasNext &&
+            (rIter.head._1 < k || (rIter.head._1 == k && rIter.head._2 <= t))) {
+            val h = rIter.next()
+            lastKey = h._1; lastRow = h._3; haveLast = true
+          }
+          val payload = if (haveLast && lastKey == k) lastRow else nulls
+          resultProj(joined(l, payload))
         }
-        val payload = if (haveLast && lastKey == k) lastRow else nulls
-        resultProj(joined(l, payload))
       }
     }
   }

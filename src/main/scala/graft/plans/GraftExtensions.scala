@@ -29,23 +29,33 @@ object GraftFunctions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "")
 
+  /** Arity-checked builder: surplus args must not be silently dropped
+    * (`fnv_hash(a, b)` hashing only `a` would be a silent wrong answer)
+    * and missing args get a readable error, not an index exception. */
+  private def arity(name: String, n: Int)(f: Seq[Expression] => Expression): Builder =
+    es => {
+      if (es.length != n) throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${es.length}")
+      f(es)
+    }
+
   val all: Seq[(String, ExpressionInfo, Builder)] = Seq(
     ("fnv_hash", info("fnv_hash", "fnv_hash(str) - FNV-1 64-bit hash"),
-      (es: Seq[Expression]) => FnvHash64(es.head)),
+      arity("fnv_hash", 1)(es => FnvHash64(es.head))),
     ("simhash64", info("simhash64", "simhash64(tokens) - SimHash signature"),
-      (es: Seq[Expression]) => SimHash64(es.head)),
+      arity("simhash64", 1)(es => SimHash64(es.head))),
     ("fingerprint64", info("fingerprint64", "fingerprint64(str) - rolling-hash doc fingerprint"),
-      (es: Seq[Expression]) => Fingerprint64(es.head)),
+      arity("fingerprint64", 1)(es => Fingerprint64(es.head))),
     ("minhash_sig", info("minhash_sig", "minhash_sig(hashes, perms) - fused MinHash signature"),
-      (es: Seq[Expression]) => MinHashSig(es(0), es(1))),
+      arity("minhash_sig", 2)(es => MinHashSig(es(0), es(1)))),
     ("hashed_shingles", info("hashed_shingles", "hashed_shingles(text, k) - sorted distinct k-word shingle hashes"),
-      (es: Seq[Expression]) => HashedShingles(es(0), es(1))),
+      arity("hashed_shingles", 2)(es => HashedShingles(es(0), es(1)))),
     ("jaccard_sorted", info("jaccard_sorted", "jaccard_sorted(a, b) - Jaccard of sorted long arrays"),
-      (es: Seq[Expression]) => JaccardSorted(es(0), es(1))),
+      arity("jaccard_sorted", 2)(es => JaccardSorted(es(0), es(1)))),
     ("cosine_sim", info("cosine_sim", "cosine_sim(a, b) - cosine similarity of float vectors"),
-      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+      arity("cosine_sim", 2)(es => CosineSimilarity(es(0), es(1)))),
     ("rhp_bucket", info("rhp_bucket", "rhp_bucket(vec, nplanes) - random-hyperplane LSH bucket"),
-      (es: Seq[Expression]) => RhpBucket(es(0), es(1))),
+      arity("rhp_bucket", 2)(es => RhpBucket(es(0), es(1)))),
   )
 
   /** Idempotent runtime registration (works on a session we didn't

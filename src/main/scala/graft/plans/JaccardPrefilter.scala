@@ -32,8 +32,18 @@ object JaccardPrefilter extends Rule[LogicalPlan] {
       if (newCond fastEquals cond) f else Filter(newCond, child)
   }
 
-  /** Fixed-point guard: once a Size node appears next to a JaccardSorted
-    * comparison we've been here — don't stack prefilters. */
-  private def alreadyRewritten(cond: Expression): Boolean =
-    cond.exists(_.isInstanceOf[Size]) && cond.exists(_.isInstanceOf[JaccardSorted])
+  /** Fixed-point guard: look for the exact conjunct shape this rule
+    * emits — `cast(size(_)) >= lit * cast(size(_))` — rather than any
+    * Size node, so a user filter that merely mentions size() still gets
+    * the prefilter. */
+  private def isOurPrefilter(e: Expression): Boolean = e match {
+    case GreaterThanOrEqual(l: Cast, m: Multiply) =>
+      l.child.isInstanceOf[Size] &&
+        (m.right match {
+          case c: Cast => m.left.isInstanceOf[Literal] && c.child.isInstanceOf[Size]
+          case _ => false
+        })
+    case _ => false
+  }
+  private def alreadyRewritten(cond: Expression): Boolean = cond.exists(isOurPrefilter)
 }
