@@ -9,12 +9,14 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Regional revenue rollup: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
-    * region with broadcast dims — the canonical star-join shape. */
+    * region — the canonical star-join shape. Only fixed-cardinality
+    * dims (nation=25, region=5) carry broadcast hints; customer grows
+    * with scale factor, so AQE decides its join strategy. */
   def entry(spark: SparkSession): DataFrame = {
     val t = Tables(spark, "/root/testdata/sf0.001")
     t.lineitem
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name")

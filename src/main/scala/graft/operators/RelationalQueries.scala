@@ -74,10 +74,11 @@ object RelationalQueries {
         .orderBy("c_nationkey")
     }),
 
-    // R6: inner equi-join, dim side broadcast.
+    // R6: inner equi-join. customer grows with SF, so no forced
+    // broadcast — AQE promotes the filtered side when it fits.
     "join_inner" -> ((spark, dir) => {
       val t = Tables(spark, dir)
-      t.orders.join(broadcast(t.customer.filter(col("c_mktsegment") === "MACHINERY")),
+      t.orders.join(t.customer.filter(col("c_mktsegment") === "MACHINERY"),
           col("o_custkey") === col("c_custkey"))
         .select("o_orderkey", "c_name", "o_totalprice")
         .orderBy("o_orderkey").limit(500)

@@ -9,10 +9,15 @@ import Exact._
   * star schema (no partsupp table; reduced column set — see TESTDATA.md).
   * These mirror the reference engine's own acceptance workload
   * (apache-impala-4.1.0/testdata/workloads/tpch/queries/tpch-q*.test),
-  * re-expressed with the DataFrame API: dimension joins broadcast, fact
-  * joins shuffle on the join key, aggregates rely on partial (map-side)
-  * aggregation. Money sums go through Exact.dsum for engine-portable
-  * determinism.
+  * re-expressed with the DataFrame API. Broadcast hints are limited to
+  * FIXED-cardinality relations (region=5, nation=25, single-row scalar
+  * aggregates); customer/part/supplier grow with scale factor, so their
+  * joins are left to AQE + autoBroadcastJoinThreshold — at 100 TB these
+  * tables are not broadcastable and a forced hint would OOM the build
+  * side (Impala analog: DistributedPlanner picks broadcast vs
+  * partitioned per cost, not unconditionally). Fact joins shuffle on
+  * the join key; aggregates rely on partial (map-side) aggregation.
+  * Money sums go through Exact.dsum for engine-portable determinism.
   */
 object TpchQueries {
 
@@ -42,7 +47,7 @@ object TpchQueries {
       t.lineitem.filter(col("l_shipdate") > lit("1998-06-30").cast("timestamp"))
         .join(t.orders.filter(col("o_orderdate") < lit("1998-06-30").cast("timestamp")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
         .select(col("l_orderkey"), col("revenue"), to_date(col("o_orderdate")).as("o_orderdate"))
@@ -71,8 +76,8 @@ object TpchQueries {
         .join(t.orders.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey") &&
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
@@ -96,8 +101,8 @@ object TpchQueries {
       val n2 = t.nation.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
       t.lineitem
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
         .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
@@ -113,7 +118,7 @@ object TpchQueries {
         .join(t.orders.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1997-07-01").cast("timestamp")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
         .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
@@ -151,7 +156,7 @@ object TpchQueries {
       t.lineitem
         .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
-        .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .join(t.part, col("l_partkey") === col("p_partkey"))
         .agg((lit(100.0) *
           dsum(when(col("p_type") === "PROMO",
             col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(0.0)) /
@@ -165,7 +170,7 @@ object TpchQueries {
         .filter(col("q") > 250)
         .select(col("l_orderkey").as("big_okey"))
       t.orders.join(bigOrders, col("o_orderkey") === col("big_okey"))
-        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
         .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum(col("l_quantity")).as("sum_qty"))
@@ -178,7 +183,7 @@ object TpchQueries {
     "q19_discount_revenue" -> ((spark, dir) => {
       val t = Tables(spark, dir)
       t.lineitem
-        .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .join(t.part, col("l_partkey") === col("p_partkey"))
         .filter(
           (col("p_type") === "SMALL" && col("p_size").between(1, 10) && col("l_quantity").between(1, 20)) ||
           (col("p_type") === "MEDIUM" && col("p_size").between(1, 15) && col("l_quantity").between(5, 30)) ||

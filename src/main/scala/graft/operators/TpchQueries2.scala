@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import Exact._
@@ -32,8 +31,8 @@ object TpchQueries2 {
         .select("s_suppkey", "supp_nation")
       t.lineitem
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(americaCust), col("o_custkey") === col("c_custkey"), "left_semi")
-        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(americaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
         .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
         .agg((dsum(when(col("supp_nation") === "NATION_3", rev).otherwise(0.0)) /
           dsum(rev)).as("mkt_share"))
@@ -46,9 +45,9 @@ object TpchQueries2 {
       val t = Tables(spark, dir)
       val amount = rev - col("l_quantity") * col("p_retailprice") * lit(0.05)
       t.lineitem
-        .join(broadcast(t.part.filter(col("p_name").isNotNull)), col("l_partkey") === col("p_partkey"))
+        .join(t.part.filter(col("p_name").isNotNull), col("l_partkey") === col("p_partkey"))
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
         .agg(dsum(amount).as("sum_profit"))
@@ -56,7 +55,10 @@ object TpchQueries2 {
     }),
 
     // q15: top supplier(s) by revenue in a quarter (ties kept, like the
-    // original's scalar-subquery-on-max formulation — here a window max).
+    // original's scalar-subquery-on-max formulation). The max is a
+    // 1-row scalar aggregate broadcast into a cross join — NOT an
+    // empty-partition window, which would funnel every per-supplier
+    // row through a single task.
     "q15_top_supplier" -> ((spark, dir) => {
       val t = Tables(spark, dir)
       val revenue = t.lineitem
@@ -64,10 +66,11 @@ object TpchQueries2 {
           col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey"))
         .agg(dsum(rev).as("total_revenue"))
+      val maxRev = revenue.agg(max(col("total_revenue")).as("max_rev"))
       revenue
-        .withColumn("max_rev", max(col("total_revenue")).over(Window.partitionBy()))
+        .crossJoin(broadcast(maxRev))
         .filter(col("total_revenue") === col("max_rev"))
-        .join(broadcast(Tables(spark, dir).supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     }),
@@ -78,9 +81,9 @@ object TpchQueries2 {
       val t = Tables(spark, dir)
       val okSupp = t.supplier.filter(col("s_acctbal") >= 0.0).select("s_suppkey")
       t.lineitem
-        .join(broadcast(t.part.filter(col("p_size").isin(1, 5, 9, 13))),
+        .join(t.part.filter(col("p_size").isin(1, 5, 9, 13)),
           col("l_partkey") === col("p_partkey"))
-        .join(broadcast(okSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .join(okSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
@@ -93,9 +96,9 @@ object TpchQueries2 {
       val partAvg = t.lineitem.groupBy(col("l_partkey").as("pk"))
         .agg(davg(col("l_quantity")).as("avg_qty"))
       t.lineitem
-        .join(broadcast(t.part.filter(col("p_type") === "ECONOMY")),
+        .join(t.part.filter(col("p_type") === "ECONOMY"),
           col("l_partkey") === col("p_partkey"))
-        .join(broadcast(partAvg), col("l_partkey") === col("pk"))
+        .join(partAvg, col("l_partkey") === col("pk"))
         .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
         .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
     }),
@@ -112,7 +115,7 @@ object TpchQueries2 {
         .join(t.orders.filter(col("o_orderstatus") === "F"),
           col("l_orderkey") === col("o_orderkey"))
         .join(multiSupp, col("l_orderkey") === col("mo_key"), "left_semi")
-        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(countDistinct(col("l_orderkey")).as("n_orders"))

@@ -26,8 +26,17 @@ object TypedQueries {
         .select(col("user_id"), col("event_id"), col("value")).as[Ev]
       ev.groupByKey(_.user_id)
         .flatMapGroups { (uid, it) =>
-          // iterator order within a group is unspecified → sort explicitly
-          it.toSeq.sortBy(e => (-e.value, e.event_id)).take(3).zipWithIndex
+          // Bounded top-k: O(k) memory however large the group — a hot
+          // user with 10^8 events must never materialize in one task.
+          // Heap keeps the k best; head is the worst of the kept set.
+          val k = 3
+          val goodness = Ordering.by[Ev, (Double, Long)](e => (e.value, -e.event_id))
+          val heap = scala.collection.mutable.PriorityQueue.empty[Ev](goodness.reverse)
+          it.foreach { e =>
+            if (heap.size < k) heap.enqueue(e)
+            else if (goodness.gt(e, heap.head)) { heap.dequeue(); heap.enqueue(e) }
+          }
+          heap.toList.sorted(goodness.reverse).zipWithIndex
             .map { case (e, i) => TopEv(uid, e.event_id, e.value, i + 1L) }
         }
         .toDF()
