@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, ResolvedHint}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+/** Scale-hygiene plan audit (SURVEY.md §5): broadcast hints must be
+  * limited to fixed-cardinality relations. `customer`, `part`,
+  * `supplier` (and anything fact-derived without aggregation) grow
+  * with scale factor — at 100 TB they are not broadcastable, and an
+  * explicit hint overrides AQE unconditionally. The Impala analog
+  * picks broadcast vs partitioned per cost in DistributedPlanner
+  * (apache-impala-4.1.0/fe/src/main/java/org/apache/impala/planner/
+  * DistributedPlanner.java); AQE + autoBroadcastJoinThreshold is the
+  * Spark twin, so un-hinted joins are left to it.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Tables whose row count grows linearly with scale factor. */
+  private val linearGrowth =
+    Seq("customer", "part", "supplier", "orders", "lineitem", "events", "documents", "embeddings")
+
+  private val tpchSuite = Seq(
+    "q01_pricing_summary", "q03_shipping_priority", "q04_order_priority",
+    "q05_local_supplier", "q06_forecast_revenue", "q07_volume_shipping",
+    "q08_market_share", "q09_product_profit", "q10_returned_items",
+    "q12_priority_by_linestatus", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_count",
+    "q17_small_quantity", "q18_large_volume", "q19_discount_revenue",
+    "q21_multi_supplier_orders", "q22_dormant_customers", "join_inner")
+
+  /** Root paths of parquet scans inside a logical subtree. */
+  private def scanNames(p: LogicalPlan): Seq[String] = p.collect {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation => fs.location.rootPaths.map(_.getName)
+      case _ => Seq.empty[String]
+    }
+  }.flatten
+
+  private def hasAggregate(p: LogicalPlan): Boolean =
+    p.collectFirst { case a: Aggregate => a }.isDefined
+
+  test("broadcast hints only on fixed-cardinality or aggregated relations (TPC-H suite + entry)") {
+    val dfs: Seq[(String, DataFrame)] =
+      tpchSuite.map(n => n -> SparkEntry.queries(n)(spark, sf0001)) :+
+        ("entry" -> SparkEntry.entry(spark))
+    dfs.foreach { case (name, df) =>
+      val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      hints.foreach { h =>
+        // A hint is scale-safe iff its subtree only scans bounded dims
+        // (nation=25, region=5) OR reduces a fact with an aggregation
+        // (scalar aggregates / bounded group domains like p_brand).
+        val scans = scanNames(h.child)
+        val rawLinear = scans.filter(s => linearGrowth.exists(s.startsWith))
+        assert(rawLinear.isEmpty || hasAggregate(h.child),
+          s"$name broadcasts un-aggregated linear-growth relation(s) $rawLinear:\n${h.child.treeString.take(1500)}")
+      }
+    }
+  }
+
+  /** Physical check: with size-based broadcast disabled, the only
+    * BroadcastHashJoins left are hint-forced — their build sides must
+    * not scan customer/part/supplier, and the nation/region hints must
+    * still produce broadcasts. */
+  test("q05/q09/q10: no forced broadcast builds from customer/part/supplier; dims still broadcast") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Seq("q05_local_supplier", "q09_product_profit", "q10_returned_items").foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sf0001)
+        val bhj = df.queryExecution.sparkPlan.collect { case b: BroadcastHashJoinExec => b }
+        val buildScans = bhj.flatMap { b =>
+          val build: SparkPlan = b.buildSide match {
+            case BuildLeft => b.left
+            case BuildRight => b.right
+          }
+          build.collect { case f: FileSourceScanExec =>
+            f.relation.location.rootPaths.map(_.getName)
+          }.flatten
+        }
+        val bad = buildScans.filter(s =>
+          Seq("customer", "part", "supplier").exists(s.startsWith))
+        assert(bad.isEmpty, s"$name: forced broadcast build side scans $bad")
+        assert(buildScans.exists(s => s.startsWith("nation") || s.startsWith("region")),
+          s"$name: expected nation/region dim broadcasts to survive, saw $buildScans")
+      }
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}
