@@ -59,13 +59,29 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
-  /** Near-duplicate pairs by cosine threshold within a label partition
-    * (the bucketed-pair discipline again — never all-pairs global). */
-  def cosinePairs(spark: SparkSession, emb: DataFrame, minCos: Double): DataFrame = {
+  /** Near-duplicate pairs by cosine threshold. Candidates come from an
+    * equi-join on (label, lsh table, bucket) using the same
+    * random-hyperplane signatures as [[lshTopK]] — label alone is NOT a
+    * bucket (with O(1) labels, a per-label self-join is all-pairs on
+    * the corpus: O(n²/L)). Approximate like all LSH: a pair whose
+    * signatures differ in every table is missed; high-cosine pairs
+    * collide in ≥1 table with high probability. */
+  def cosinePairs(spark: SparkSession, emb: DataFrame, minCos: Double,
+                  tables: Int = 4, bitsPerTable: Int = 6): DataFrame = {
+    require(tables * bitsPerTable <= 64,
+      s"cosinePairs: tables*bitsPerTable must fit one 64-bit signature (got ${tables * bitsPerTable})")
     GraftFunctions.register(spark)
-    val a = emb.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("e_a"))
-    val b = emb.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("e_b"))
-    a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+    def side(idAs: String, vecAs: String): DataFrame = {
+      val sig = call_function("rhp_bucket", col("embedding"), lit(tables * bitsPerTable))
+      emb.select(col("label"), col("vec_id").as(idAs), col("embedding").as(vecAs), sig.as("sig"))
+        .select(col("label"), col(idAs), col(vecAs),
+          posexplode(array((0 until tables).map(t =>
+            shiftrightunsigned(col("sig"), t * bitsPerTable)
+              .bitwiseAND(lit((1 << bitsPerTable) - 1))): _*)).as(Seq("tbl", "bucket")))
+    }
+    side("vec_a", "e_a").join(side("vec_b", "e_b"), Seq("label", "tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .dropDuplicates("label", "vec_a", "vec_b")
       .select(col("label"), col("vec_a"), col("vec_b"),
         round(cosine(col("e_a"), col("e_b")), 6).as("cos"))
       .filter(col("cos") >= minCos)

@@ -34,6 +34,31 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getAs[Long]("doc_b") == 3L || r.getAs[Long]("doc_a") == 3L))
   }
 
+  test("minhash LSH surfaces bucket truncation via observed metrics") {
+    // 5 identical docs, maxBucket=3: every band bucket holds 5 ids →
+    // each counts as truncated; the observe() metric must report it
+    @volatile var seen: Option[org.apache.spark.sql.Row] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.get("minhash_lsh_buckets").foreach(r => seen = Some(r))
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val docs = docsDf((1L to 5L).map(i => (i, "same words in every document", "s1")): _*)
+      Dedup.minhashCandidates(docs, maxBucket = 3, minJaccard = 0.1).collect()
+      var tries = 0 // listener fires asynchronously after the action
+      while (seen.isEmpty && tries < 100) { Thread.sleep(100); tries += 1 }
+      val m = seen.getOrElse(fail("no minhash_lsh_buckets metric observed"))
+      assert(m.getAs[Long]("truncated_buckets") > 0, m.toString)
+      assert(m.getAs[Int]("max_bucket_size") == 5, m.toString)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("ngram jaccard pairs stay within source buckets and respect the threshold") {
     val docs = docsDf(
       (1L, "a b c d e f g h", "s1"),
@@ -75,6 +100,28 @@ class PipelineSpec extends SparkSpec {
       .select("q_id", "c_id").as[(Long, Long)].collect().toSet
     val recall = (brute & lsh).size.toDouble / brute.size
     assert(recall >= 0.1, s"recall=$recall")
+  }
+
+  test("cosinePairs: candidates from LSH buckets, subset of exact pairs, no cartesian") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val pairs = Similarity.cosinePairs(spark, emb, 0.3)
+    // never all-pairs: the candidate join must be an equi-join, not a
+    // label-only (or cartesian) product
+    val plan = pairs.queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan.take(1200))
+    val got = pairs.select("vec_a", "vec_b", "cos").as[(Long, Long, Double)].collect()
+    // exact ground truth via the brute path (test-only; small sf)
+    val a = emb.select($"label", $"vec_id".as("vec_a"), $"embedding".as("e_a"))
+    val b = emb.select($"label", $"vec_id".as("vec_b"), $"embedding".as("e_b"))
+    val exact = a.join(b, Seq("label")).filter($"vec_a" < $"vec_b")
+      .select($"vec_a", $"vec_b", round(Similarity.cosine($"e_a", $"e_b"), 6).as("cos"))
+      .filter($"cos" >= 0.3)
+      .select("vec_a", "vec_b", "cos").as[(Long, Long, Double)].collect()
+    val exactKeys = exact.map(t => (t._1, t._2)).toSet
+    assert(got.nonEmpty)
+    got.foreach { t => assert(exactKeys.contains((t._1, t._2)), s"false positive $t") }
+    val recall = got.length.toDouble / exact.length
+    assert(recall >= 0.1, s"recall=$recall (${got.length}/${exact.length})")
   }
 
   test("label centroids are element-wise exact means") {
