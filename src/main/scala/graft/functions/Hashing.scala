@@ -123,8 +123,11 @@ object HashImpl {
     var inTok = false
     var i = 0
     while (i <= bytes.length) {
+      // must match the \s+ class used by Dedup.tokens and the composed
+      // path: space, tab, LF, CR, FF, VT — else fused and composed
+      // shingles diverge on docs containing form-feed/vertical-tab
       val ws = i == bytes.length || bytes(i) == ' ' || bytes(i) == '\t' ||
-        bytes(i) == '\n' || bytes(i) == '\r'
+        bytes(i) == '\n' || bytes(i) == '\r' || bytes(i) == '\f' || bytes(i) == 0x0b
       if (ws) {
         if (inTok) {
           if (nTok == tokens.length) tokens = java.util.Arrays.copyOf(tokens, nTok * 2)

@@ -23,7 +23,10 @@ object VectorAvg extends Aggregator[Array[Float], VecBuf, Array[Float]] {
   }
 
   override def reduce(buf: VecBuf, a: Array[Float]): VecBuf = {
-    if (a == null) buf
+    // zero-length vectors carry no information: counting them would
+    // bias every element-wise mean toward zero (empty buf passes
+    // ensure(), so only n would grow) — treat like null
+    if (a == null || a.length == 0) buf
     else {
       // widen in the loop — no temporary double array per input row
       ensure(buf, a.length)

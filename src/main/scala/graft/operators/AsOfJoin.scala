@@ -20,7 +20,13 @@ object AsOfJoin {
   /** For each left row (key, ts, ...), attach the payload of the latest
     * right row (key, rts, payload*) with rts <= ts. Left rows with no
     * prior right row keep nulls. Column names must be disjoint except
-    * for `key`/`ts`. */
+    * for `key`/`ts`.
+    *
+    * PRECONDITION: the right side must be unique per (key, ts) — with
+    * duplicate timestamps the payload picked is whichever tied row the
+    * sort happens to place last, which is not deterministic across
+    * runs/partitionings (same for [[asofPhysical]]). Pre-aggregate the
+    * right side (as the registered queries do) to make ties impossible. */
   def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
            payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.filterNot(payload.contains)
@@ -56,7 +62,9 @@ object AsOfJoin {
     * operator (graft.plans.AsOfJoinExec): cluster-by-key + sorted
     * merge, one shuffle per side. Key and ts columns must be LongType.
     * The right side is re-aliased so self-join lineage can't collide
-    * attribute ids. */
+    * attribute ids. Same unique-(key, ts) right-side PRECONDITION as
+    * [[asof]]: tied timestamps make the chosen payload
+    * partitioning-dependent. */
   def asofPhysical(left: DataFrame, right: DataFrame, key: String, ts: String,
                    payload: Seq[String]): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Alias

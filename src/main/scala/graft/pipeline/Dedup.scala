@@ -109,6 +109,13 @@ object Dedup {
     val buckets = banded.groupBy("band", "bh")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+      // no silent caps: the maxBucket truncation below loses candidate
+      // pairs in hot buckets — surface how often via observed metrics
+      // (rides the existing job; read with a QueryExecutionListener)
+      .observe("minhash_lsh_buckets",
+        count(lit(1)).as("buckets"),
+        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)).as("truncated_buckets"),
+        max(size(col("ids"))).as("max_bucket_size"))
       .select(slice(col("ids"), 1, maxBucket).as("ids"))
     val pairs = buckets.select(explode(flatten(
         transform(sequence(lit(0), size(col("ids")) - 2),

@@ -19,17 +19,25 @@ object JaccardPrefilter extends Rule[LogicalPlan] {
 
   private def sizeOf(e: Expression): Expression = Cast(Size(e), DoubleType)
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, child) if !alreadyRewritten(cond) =>
-      val newCond = cond.transformUp {
-        case geq @ GreaterThanOrEqual(JaccardSorted(a, b), Literal(t: Double, DoubleType))
-            if t > 0.0 && t <= 1.0 =>
-          val pre = And(
-            GreaterThanOrEqual(sizeOf(a), Multiply(Literal(t), sizeOf(b))),
-            GreaterThanOrEqual(sizeOf(b), Multiply(Literal(t), sizeOf(a))))
-          And(pre, geq)
-      }
-      if (newCond fastEquals cond) f else Filter(newCond, child)
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // Null-preservation relies on size(null)=null (the ANSI/modern
+    // default). Under effective legacy semantics (sizeOfNull=true AND
+    // ANSI off), size(null)=-1 makes the conjunct false where the
+    // original predicate is null — under a NOT that flips "row
+    // dropped" to "row kept". Skip the rewrite there.
+    if (conf.legacySizeOfNull) plan
+    else plan.transform {
+      case f @ Filter(cond, child) if !alreadyRewritten(cond) =>
+        val newCond = cond.transformUp {
+          case geq @ GreaterThanOrEqual(JaccardSorted(a, b), Literal(t: Double, DoubleType))
+              if t > 0.0 && t <= 1.0 =>
+            val pre = And(
+              GreaterThanOrEqual(sizeOf(a), Multiply(Literal(t), sizeOf(b))),
+              GreaterThanOrEqual(sizeOf(b), Multiply(Literal(t), sizeOf(a))))
+            And(pre, geq)
+        }
+        if (newCond fastEquals cond) f else Filter(newCond, child)
+    }
   }
 
   /** Fixed-point guard: look for the exact conjunct shape this rule

@@ -60,7 +60,10 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("X3: typed VectorAvg aggregator computes element-wise means with partial agg") {
-    val emb = Seq((7, Array(1f, 3f)), (7, Array(3f, 5f)), (8, Array(10f, 10f)))
+    // the empty vector must not count toward the mean (it carries no
+    // elements; counting it would bias every component toward zero)
+    val emb = Seq((7, Array(1f, 3f)), (7, Array(3f, 5f)), (7, Array.empty[Float]),
+        (8, Array(10f, 10f)))
       .toDF("label", "embedding")
     val out = emb.groupBy("label").agg(VectorAvg.of(col("embedding")).as("centroid"))
       .orderBy("label").collect()
