@@ -29,6 +29,44 @@ object HashImpl {
 
   def fnv64(s: UTF8String): Long = fnv64(s.getBytes)
 
+  final val MurmurPrime: Long = 0xc6a4a7935bd1e995L
+  final val MurmurR: Int = 47
+
+  /** MurmurHash2 64-bit (Appleby's public-domain murmur2, 64A variant),
+    * the algorithm behind the reference's `murmur_hash()` builtin
+    * (apache-impala-4.1.0/be/src/util/hash-util.h:127,
+    * be/src/exprs/expr-test.cc:5500). Little-endian 8-byte blocks,
+    * seed 0; matches the published test vector for 'hello world'. */
+  def murmur2_64(bytes: Array[Byte], seed: Long): Long = {
+    val len = bytes.length
+    var h = seed ^ (len.toLong * MurmurPrime)
+    val nBlocks = len / 8
+    var i = 0
+    while (i < nBlocks) {
+      val base = i * 8
+      var k = 0L
+      var b = 7
+      while (b >= 0) { k = (k << 8) | (bytes(base + b) & 0xffL); b -= 1 }
+      k *= MurmurPrime
+      k ^= k >>> MurmurR
+      k *= MurmurPrime
+      h ^= k
+      h *= MurmurPrime
+      i += 1
+    }
+    val tail = nBlocks * 8
+    val rem = len & 7
+    var j = rem - 1
+    while (j >= 0) { h ^= (bytes(tail + j) & 0xffL) << (8 * j); j -= 1 }
+    if (rem > 0) h *= MurmurPrime
+    h ^= h >>> MurmurR
+    h *= MurmurPrime
+    h ^= h >>> MurmurR
+    h
+  }
+
+  def murmur2_64(s: UTF8String): Long = murmur2_64(s.getBytes, 0L)
+
   /** SimHash-64 over a token array: per-token 64-bit hash votes on each
     * bit; the sign of each bit's tally forms the signature. Public
     * algorithm (Charikar 2002, "Similarity estimation techniques from
@@ -192,6 +230,18 @@ case class FnvHash64(child: Expression) extends UnaryExpression with ExpectsInpu
     defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.fnv64($c)")
   override protected def withNewChildInternal(newChild: Expression): FnvHash64 = copy(child = newChild)
   override def prettyName: String = "fnv_hash"
+}
+
+/** `murmur_hash(string) -> bigint` as a native Catalyst expression —
+  * the reference's murmur builtin surfaced with whole-stage codegen. */
+case class MurmurHash2_64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = HashImpl.murmur2_64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.murmur2_64($c)")
+  override protected def withNewChildInternal(newChild: Expression): MurmurHash2_64 = copy(child = newChild)
+  override def prettyName: String = "murmur_hash"
 }
 
 /** `simhash64(array<string>) -> bigint` — near-dup signature over a

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.{KllQuantile, Sampling}
+import graft.plans.GraftFunctions
 import Exact._
 
 /** Aggregation coverage (SURVEY.md §2 A2–A11) — the grouping-aggregator
@@ -112,6 +114,48 @@ object AggQueries {
       val t = Tables(spark, dir)
       t.orders.groupBy("o_orderstatus")
         .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").as("est_customers"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // KLL quantile sketch build + estimate (reference ds_kll_sketch /
+    // ds_kll_quantile — be/src/exprs/datasketches-functions-ir.cc:240)
+    // over the DataSketches library. Sketch compaction is randomized →
+    // rows-only; the spec bounds the rank error vs exact percentile.
+    "agg_kll_quantile" -> ((spark, dir) => {
+      GraftFunctions.register(spark)
+      val t = Tables(spark, dir)
+      t.orders.groupBy("o_orderstatus")
+        .agg(KllQuantile.sketch(col("o_totalprice")).as("sk"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderstatus"),
+          call_function("kll_quantile", col("sk"), lit(0.5)).as("p50_est"),
+          call_function("kll_quantile", col("sk"), lit(0.9)).as("p90_est"),
+          col("n"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // sample()/histogram()/sampled_ndv() parity (BuiltinsDb.java:1020,
+    // 1040,1179): bounded reservoir per group, seeded — partition-order
+    // dependent like any distributed reservoir → rows-only + specs.
+    "agg_sample" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.orders.groupBy("o_orderstatus")
+        .agg(Sampling.sample(col("o_totalprice"), 20).as("sample"))
+        .select(col("o_orderstatus"), array_join(col("sample"), ",").as("sample"))
+        .orderBy("o_orderstatus")
+    }),
+    "agg_histogram" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.orders.groupBy("o_orderstatus")
+        .agg(Sampling.histogram(col("o_totalprice"), 4).as("hist"))
+        .select(col("o_orderstatus"), array_join(col("hist"), ",").as("hist"))
+        .orderBy("o_orderstatus")
+    }),
+    "agg_sampled_ndv" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.orders.groupBy("o_orderstatus")
+        .agg(Sampling.sampledNdv(col("o_custkey").cast("double")).as("ndv_est"),
+          countDistinct(col("o_custkey")).as("ndv_exact"))
         .orderBy("o_orderstatus")
     }),
 

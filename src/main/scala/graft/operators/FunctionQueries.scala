@@ -122,6 +122,7 @@ object FunctionQueries {
       t.customer.filter(col("c_custkey") < 200)
         .select(col("c_custkey"),
           call_function("fnv_hash", col("c_name")).as("name_fnv"),
+          call_function("murmur_hash", col("c_name")).as("name_murmur"),
           call_function("fingerprint64", col("c_name")).as("name_fp"))
         .orderBy("c_custkey")
     }),

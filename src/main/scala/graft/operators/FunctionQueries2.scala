@@ -108,6 +108,28 @@ object FunctionQueries2 {
         .orderBy("c_custkey")
     }),
 
+    // URL parsing (reference surface: parse_url/parse_url_key,
+    // apache-impala-4.1.0/be/src/exprs/string-functions-ir.cc:1266,1306)
+    // via Spark's builtin parse_url. Deterministic URLs are constructed
+    // from document columns so the oracle can mirror extraction with
+    // regexp string ops.
+    "fn_url" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val url = concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+        col("doc_id"), lit("?lang="), col("lang"), lit("&n="), col("n_chars"),
+        lit("#sec"), col("doc_id") % 10)
+      t.documents.filter(col("doc_id") < 300)
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          parse_url(col("url"), lit("PROTOCOL")).as("proto"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY")).as("query"),
+          parse_url(col("url"), lit("QUERY"), lit("lang")).as("q_lang"),
+          parse_url(col("url"), lit("REF")).as("ref"))
+        .orderBy("doc_id")
+    }),
+
     // Word frequency via explode(split) — lateral-view shape + the
     // vocabulary-stats pass every corpus pipeline runs.
     "text_word_freq" -> ((spark, dir) => {
@@ -128,6 +150,20 @@ object FunctionQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.com/docs/' || doc_id ||
+        |    '?lang=' || lang || '&n=' || n_chars || '#sec' || (doc_id % 10) AS url
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT doc_id,
+        |  regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+        |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        |  regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS query,
+        |  regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS q_lang,
+        |  regexp_extract(url, '#(.*)$', 1) AS ref
+        |FROM u ORDER BY doc_id""".stripMargin,
     "fn_decimal" ->
       """SELECT o_orderkey,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_d,

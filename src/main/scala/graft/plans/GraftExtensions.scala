@@ -42,6 +42,8 @@ object GraftFunctions {
   val all: Seq[(String, ExpressionInfo, Builder)] = Seq(
     ("fnv_hash", info("fnv_hash", "fnv_hash(str) - FNV-1 64-bit hash"),
       arity("fnv_hash", 1)(es => FnvHash64(es.head))),
+    ("murmur_hash", info("murmur_hash", "murmur_hash(str) - MurmurHash2 64-bit hash"),
+      arity("murmur_hash", 1)(es => MurmurHash2_64(es.head))),
     ("simhash64", info("simhash64", "simhash64(tokens) - SimHash signature"),
       arity("simhash64", 1)(es => SimHash64(es.head))),
     ("fingerprint64", info("fingerprint64", "fingerprint64(str) - rolling-hash doc fingerprint"),
@@ -56,6 +58,8 @@ object GraftFunctions {
       arity("cosine_sim", 2)(es => CosineSimilarity(es(0), es(1)))),
     ("rhp_bucket", info("rhp_bucket", "rhp_bucket(vec, nplanes) - random-hyperplane LSH bucket"),
       arity("rhp_bucket", 2)(es => RhpBucket(es(0), es(1)))),
+    ("kll_quantile", info("kll_quantile", "kll_quantile(sketch, rank) - quantile estimate from a KLL sketch"),
+      arity("kll_quantile", 2)(es => KllQuantileAt(es(0), es(1)))),
   )
 
   /** Idempotent runtime registration (works on a session we didn't

@@ -17,6 +17,23 @@ class FunctionsSpec extends SparkSpec {
     assert(HashImpl.fnv64("abc".getBytes) != HashImpl.fnv64("abd".getBytes))
   }
 
+  test("murmur2_64 matches the published murmur_hash test vector and tail/block behavior") {
+    // authoritative vector from the reference's own acceptance test
+    // (expr-test.cc:5499: murmur_hash('hello world') on seed 0)
+    assert(HashImpl.murmur2_64(UTF8String.fromString("hello world")) == -3190198453633110066L)
+    // empty input: h = seed ^ 0 run through finalization only
+    val emptyExpected = {
+      var h = 0L
+      h ^= h >>> HashImpl.MurmurR; h *= HashImpl.MurmurPrime; h ^= h >>> HashImpl.MurmurR
+      h
+    }
+    assert(HashImpl.murmur2_64(Array.emptyByteArray, 0L) == emptyExpected)
+    // 8-byte-block boundary sensitivity: 7, 8, 9 bytes all distinct
+    val v = Seq("1234567", "12345678", "123456789")
+      .map(s => HashImpl.murmur2_64(s.getBytes("UTF-8"), 0L))
+    assert(v.distinct.length == 3)
+  }
+
   test("fingerprint64 equals an independent min-of-k-gram reference implementation") {
     // straightforward O(n*k) reference: min over polynomial hashes of
     // every 8-byte gram (same B=257 base, no rolling update)
@@ -103,7 +120,7 @@ class FunctionsSpec extends SparkSpec {
   test("GraftExtensions registers all functions via injection points") {
     // unit-level: the extension applies builders without touching a live session
     val names = GraftFunctions.all.map(_._1).toSet
-    assert(names == Set("fnv_hash", "simhash64", "fingerprint64", "minhash_sig", "hashed_shingles", "jaccard_sorted", "cosine_sim", "rhp_bucket"))
+    assert(names == Set("fnv_hash", "murmur_hash", "simhash64", "fingerprint64", "minhash_sig", "hashed_shingles", "jaccard_sorted", "cosine_sim", "rhp_bucket", "kll_quantile"))
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 }

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{KllQuantile, Sampling}
+import graft.plans.GraftFunctions
+
+/** KLL quantile sketch + sampling-family aggregates: error bounds,
+  * reservoir invariants, seeded determinism. */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("KLL sketch quantile estimate stays within the k=200 rank-error bound") {
+    GraftFunctions.register(spark)
+    val n = 20000
+    val df = (1 to n).map(_.toDouble).toDF("x").repartition(8)
+    val out = df.agg(KllQuantile.sketch($"x").as("sk"))
+      .select(call_function("kll_quantile", $"sk", lit(0.5)).as("p50"),
+        call_function("kll_quantile", $"sk", lit(0.9)).as("p90"))
+      .collect().head
+    // k=200 → ~1.65% normalized rank error; allow 3%
+    assert(math.abs(out.getAs[Double]("p50") - n * 0.5) <= n * 0.03, out.toString)
+    assert(math.abs(out.getAs[Double]("p90") - n * 0.9) <= n * 0.03, out.toString)
+  }
+
+  test("KLL sketch build/merge round-trips through serialization") {
+    val df = (1 to 5000).map(i => (i % 4, i.toDouble)).toDF("g", "x").repartition(8)
+    val rows = df.groupBy("g").agg(KllQuantile.sketch($"x").as("sk")).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("sk")
+      assert(KllQuantile.countOf(bytes) == 1250, r.toString) // every row reached the sketch
+    }
+  }
+
+  test("reservoir sample: subset of input, bounded size, exhaustive when group fits") {
+    val vals = (1 to 50).map(_.toDouble)
+    val df = vals.toDF("x").repartition(4)
+    // capacity > group size → the sample IS the group
+    val full = df.agg(Sampling.sample($"x", capacity = 100).as("s"))
+      .collect().head.getAs[scala.collection.Seq[Double]]("s").toSeq
+    assert(full.sorted == vals)
+    // capacity < group size → bounded and drawn from the input
+    val small = df.agg(Sampling.sample($"x", capacity = 10).as("s"))
+      .collect().head.getAs[scala.collection.Seq[Double]]("s").toSeq
+    assert(small.length == 10 && small.forall(vals.contains))
+  }
+
+  test("reservoir sample is deterministic for a fixed seed and plan") {
+    val df = (1 to 500).map(_.toDouble).toDF("x").repartition(4)
+    def run() = df.agg(Sampling.sample($"x", capacity = 20, seed = 7L).as("s"))
+      .collect().head.getAs[scala.collection.Seq[Double]]("s").toSeq
+    assert(run() == run())
+  }
+
+  test("histogram: monotone equi-height right edges, max in last bucket") {
+    val df = (1 to 1000).map(_.toDouble).toDF("x").repartition(4)
+    val h = df.agg(Sampling.histogram($"x", buckets = 4, capacity = 2000).as("h"))
+      .collect().head.getAs[scala.collection.Seq[Double]]("h").toSeq
+    assert(h.length == 4)
+    assert(h == h.sorted, h.toString)
+    assert(h.last == 1000.0) // capacity ≥ n → exact equi-height edges
+    // edges near the exact quartiles
+    Seq(250.0, 500.0, 750.0).zip(h.dropRight(1)).foreach { case (exact, got) =>
+      assert(math.abs(got - exact) <= 1.0, h.toString)
+    }
+  }
+
+  test("sampled_ndv: exact when the group fits the reservoir, sane estimate when not") {
+    val df = (1 to 800).map(i => (i % 57).toDouble).toDF("x").repartition(4)
+    val exactFit = df.agg(Sampling.sampledNdv($"x", capacity = 1000).as("ndv"))
+      .collect().head.getAs[Long]("ndv")
+    assert(exactFit == 57)
+    // 5000 rows, 400 distinct, reservoir 500: GEE estimate within 2×
+    val big = (1 to 5000).map(i => (i % 400).toDouble).toDF("x").repartition(8)
+    val est = big.agg(Sampling.sampledNdv($"x", capacity = 500).as("ndv"))
+      .collect().head.getAs[Long]("ndv")
+    assert(est >= 200 && est <= 800, s"ndv estimate $est vs exact 400")
+  }
+}
