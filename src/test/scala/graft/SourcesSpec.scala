@@ -27,6 +27,28 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() == li.filter(col("l_returnflag") === "R").count())
   }
 
+  test("S8: dynamic partition pruning injects a runtime filter from the dim side") {
+    // Impala parity: partition-key runtime filters
+    // (apache-impala-4.1.0/be/src/runtime/runtime-filter.h) — Spark's
+    // twin is DPP: the broadcast dim's join keys prune fact PARTITIONS
+    // at scan time, visible as a dynamicpruning PartitionFilter.
+    import spark.implicits._
+    val dir = tmp()
+    li.write.partitionBy("l_returnflag").mode(SaveMode.Overwrite).parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // dim must be file-backed: a LocalRelation would constant-fold the
+    // filter away and DPP sees no selective predicate to derive from
+    val dimDir = tmp()
+    Seq(("R", "returned"), ("A", "acknowledged"), ("N", "none"))
+      .toDF("flag", "meaning").write.mode(SaveMode.Overwrite).parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val j = fact.join(dim.filter(col("meaning") === "returned"),
+      col("l_returnflag") === col("flag"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(2500))
+    assert(j.count() == li.filter(col("l_returnflag") === "R").count())
+  }
+
   test("S2: ORC round trip") {
     val dir = tmp()
     li.limit(100).write.mode(SaveMode.Overwrite).orc(dir)
