@@ -57,6 +57,121 @@ object KllQuantile {
     KllDoublesSketch.heapify(Memory.wrap(bytes)).getN
 }
 
+// ---- Theta sketches (distinct-count set algebra) ---------------------
+
+/** Theta sketch build + set operations — the reference's `ds_theta_*`
+  * builtins (apache-impala-4.1.0/be/src/exprs/
+  * datasketches-functions-ir.cc, ds_theta_union/intersect/exclude).
+  * Theta keeps the k smallest value hashes, so build and union are
+  * input-order independent; while a population stays under k=4096 the
+  * sketch is in exact mode and every estimate IS the exact distinct
+  * count (which is what makes the registered query oracle-checkable at
+  * the verification scale). */
+class ThetaBuf(@transient var union: org.apache.datasketches.theta.Union) extends Serializable {
+  private def writeObject(out: ObjectOutputStream): Unit = {
+    val bytes = union.getResult.toByteArray
+    out.writeInt(bytes.length)
+    out.write(bytes)
+  }
+  private def readObject(in: ObjectInputStream): Unit = {
+    val n = in.readInt()
+    val b = new Array[Byte](n)
+    in.readFully(b)
+    union = org.apache.datasketches.theta.SetOperation.builder().buildUnion()
+    union.union(org.apache.datasketches.theta.Sketches.heapifyCompactSketch(Memory.wrap(b)))
+  }
+}
+
+/** `theta_sketch(x)` build aggregate: longs in, serialized compact
+  * theta sketch out. */
+case class ThetaSketchAgg() extends Aggregator[Long, ThetaBuf, Array[Byte]] {
+  override def zero: ThetaBuf =
+    new ThetaBuf(org.apache.datasketches.theta.SetOperation.builder().buildUnion())
+  override def reduce(b: ThetaBuf, x: Long): ThetaBuf = { b.union.update(x); b }
+  override def merge(a: ThetaBuf, b: ThetaBuf): ThetaBuf = {
+    a.union.union(b.union.getResult)
+    a
+  }
+  override def finish(b: ThetaBuf): Array[Byte] = b.union.getResult.toByteArray
+  override def bufferEncoder: Encoder[ThetaBuf] = Encoders.javaSerialization[ThetaBuf]
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+object ThetaOps {
+  import org.apache.datasketches.theta.{SetOperation, Sketch => TSketch, Sketches => TSketches}
+
+  def sketch(c: Column): Column =
+    org.apache.spark.sql.functions.udaf(ThetaSketchAgg()).apply(c)
+
+  private def heap(b: Array[Byte]): TSketch =
+    TSketches.heapifyCompactSketch(Memory.wrap(b))
+
+  def estimate(b: Array[Byte]): Double = heap(b).getEstimate
+
+  def unionEst(a: Array[Byte], b: Array[Byte]): Double = {
+    val u = SetOperation.builder().buildUnion()
+    u.union(heap(a)); u.union(heap(b))
+    u.getResult.getEstimate
+  }
+
+  def intersectEst(a: Array[Byte], b: Array[Byte]): Double = {
+    val i = SetOperation.builder().buildIntersection()
+    i.intersect(heap(a)); i.intersect(heap(b))
+    i.getResult.getEstimate
+  }
+
+  def aNotBEst(a: Array[Byte], b: Array[Byte]): Double = {
+    val d = SetOperation.builder().buildANotB()
+    d.setA(heap(a)); d.notB(heap(b))
+    d.getResult(true).getEstimate
+  }
+}
+
+/** Scalar estimate extraction over serialized theta sketches — each
+  * runs on post-aggregation rows (one per group pair). */
+case class ThetaEstimate(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(b: Any): Any = ThetaOps.estimate(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.ThetaOps.estimate($b)")
+  override protected def withNewChildInternal(newChild: Expression): ThetaEstimate = copy(child = newChild)
+  override def prettyName: String = "theta_estimate"
+}
+
+abstract class ThetaBinaryEst extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  protected def call: String
+  protected def eval2(a: Array[Byte], b: Array[Byte]): Double
+  override def nullSafeEval(a: Any, b: Any): Any =
+    eval2(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ThetaOps.$call($a, $b)")
+}
+
+case class ThetaUnionEst(left: Expression, right: Expression) extends ThetaBinaryEst {
+  override protected def call = "unionEst"
+  override protected def eval2(a: Array[Byte], b: Array[Byte]): Double = ThetaOps.unionEst(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ThetaUnionEst = copy(l, r)
+  override def prettyName: String = "theta_union_est"
+}
+
+case class ThetaIntersectEst(left: Expression, right: Expression) extends ThetaBinaryEst {
+  override protected def call = "intersectEst"
+  override protected def eval2(a: Array[Byte], b: Array[Byte]): Double = ThetaOps.intersectEst(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ThetaIntersectEst = copy(l, r)
+  override def prettyName: String = "theta_intersect_est"
+}
+
+case class ThetaANotBEst(left: Expression, right: Expression) extends ThetaBinaryEst {
+  override protected def call = "aNotBEst"
+  override protected def eval2(a: Array[Byte], b: Array[Byte]): Double = ThetaOps.aNotBEst(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ThetaANotBEst = copy(l, r)
+  override def prettyName: String = "theta_anotb_est"
+}
+
 /** `kll_quantile(sketch_bytes, rank) -> double` — estimate extraction,
   * the ds_kll_quantile shape. Runs on post-aggregation rows (one per
   * group), so the heapify-per-call is off the hot path. */

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{KllQuantile, Sampling}
+import graft.functions.{KllQuantile, Sampling, ThetaOps}
 import graft.plans.GraftFunctions
 import Exact._
 
@@ -159,6 +159,29 @@ object AggQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // Theta sketch set algebra (ds_theta_union/intersect/exclude —
+    // be/src/exprs/datasketches-functions-ir.cc): customer-population
+    // overlap between order statuses. Theta is order-independent, and
+    // below k=4096 distinct values it runs in exact mode — at the
+    // sf0.01 verification scale every estimate IS the exact distinct
+    // count, so this row is oracle-checkable (unlike HLL/KLL).
+    "agg_theta_overlap" -> ((spark, dir) => {
+      GraftFunctions.register(spark)
+      val t = Tables(spark, dir)
+      val sk = t.orders.groupBy("o_orderstatus")
+        .agg(ThetaOps.sketch(col("o_custkey")).as("sk"))
+      val a = sk.select(col("o_orderstatus").as("status_a"), col("sk").as("sk_a"))
+      val b = sk.select(col("o_orderstatus").as("status_b"), col("sk").as("sk_b"))
+      a.join(b, col("status_a") < col("status_b"))
+        .select(col("status_a"), col("status_b"),
+          round(call_function("theta_estimate", col("sk_a")), 1).as("est_a"),
+          round(call_function("theta_estimate", col("sk_b")), 1).as("est_b"),
+          round(call_function("theta_union_est", col("sk_a"), col("sk_b")), 1).as("est_union"),
+          round(call_function("theta_intersect_est", col("sk_a"), col("sk_b")), 1).as("est_intersect"),
+          round(call_function("theta_anotb_est", col("sk_a"), col("sk_b")), 1).as("est_anotb"))
+        .orderBy("status_a", "status_b")
+    }),
+
     // A9: exact interpolated percentiles (appx_median analogue, exact
     // here so the oracle can check it; approx variant is A8-style).
     "agg_percentile" -> ((spark, dir) => {
@@ -185,6 +208,26 @@ object AggQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact-mode theta (all populations < 4096 at sf0.01) == exact set
+    // algebra; see agg_theta_overlap comment.
+    "agg_theta_overlap" ->
+      """WITH s AS (SELECT DISTINCT o_orderstatus, o_custkey FROM orders),
+        |d AS (SELECT o_orderstatus, count(*) AS nd FROM s GROUP BY 1)
+        |SELECT a.o_orderstatus AS status_a, b.o_orderstatus AS status_b,
+        |  round(CAST(a.nd AS DOUBLE), 1) AS est_a,
+        |  round(CAST(b.nd AS DOUBLE), 1) AS est_b,
+        |  round(CAST((SELECT count(DISTINCT o_custkey) FROM orders
+        |     WHERE o_orderstatus IN (a.o_orderstatus, b.o_orderstatus)) AS DOUBLE), 1) AS est_union,
+        |  round(CAST((SELECT count(*) FROM
+        |     (SELECT o_custkey FROM s WHERE o_orderstatus = a.o_orderstatus
+        |      INTERSECT
+        |      SELECT o_custkey FROM s WHERE o_orderstatus = b.o_orderstatus)) AS DOUBLE), 1) AS est_intersect,
+        |  round(CAST((SELECT count(*) FROM
+        |     (SELECT o_custkey FROM s WHERE o_orderstatus = a.o_orderstatus
+        |      EXCEPT
+        |      SELECT o_custkey FROM s WHERE o_orderstatus = b.o_orderstatus)) AS DOUBLE), 1) AS est_anotb
+        |FROM d a JOIN d b ON a.o_orderstatus < b.o_orderstatus
+        |ORDER BY 1, 2""".stripMargin,
     "agg_multi_distinct" ->
       s"""SELECT l_returnflag,
          |  count(DISTINCT l_partkey) AS nd_part, count(DISTINCT l_suppkey) AS nd_supp,

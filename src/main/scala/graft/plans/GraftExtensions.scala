@@ -60,6 +60,14 @@ object GraftFunctions {
       arity("rhp_bucket", 2)(es => RhpBucket(es(0), es(1)))),
     ("kll_quantile", info("kll_quantile", "kll_quantile(sketch, rank) - quantile estimate from a KLL sketch"),
       arity("kll_quantile", 2)(es => KllQuantileAt(es(0), es(1)))),
+    ("theta_estimate", info("theta_estimate", "theta_estimate(sketch) - distinct estimate from a theta sketch"),
+      arity("theta_estimate", 1)(es => ThetaEstimate(es.head))),
+    ("theta_union_est", info("theta_union_est", "theta_union_est(a, b) - distinct estimate of A ∪ B"),
+      arity("theta_union_est", 2)(es => ThetaUnionEst(es(0), es(1)))),
+    ("theta_intersect_est", info("theta_intersect_est", "theta_intersect_est(a, b) - distinct estimate of A ∩ B"),
+      arity("theta_intersect_est", 2)(es => ThetaIntersectEst(es(0), es(1)))),
+    ("theta_anotb_est", info("theta_anotb_est", "theta_anotb_est(a, b) - distinct estimate of A \\ B"),
+      arity("theta_anotb_est", 2)(es => ThetaANotBEst(es(0), es(1)))),
   )
 
   /** Idempotent runtime registration (works on a session we didn't

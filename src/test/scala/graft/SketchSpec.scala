@@ -32,6 +32,26 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("theta sketch: exact below k; union/intersect/a-not-b match set algebra") {
+    import graft.functions.ThetaOps
+    GraftFunctions.register(spark)
+    // A = {0..999}, B = {500..1499}: |A|=|B|=1000, |A∪B|=1500, |A∩B|=500, |A\B|=500
+    val df = ((0 until 1000).map(i => ("a", i.toLong)) ++
+      (500 until 1500).map(i => ("b", i.toLong))).toDF("g", "x").repartition(8)
+    val sk = df.groupBy("g").agg(ThetaOps.sketch($"x").as("sk")).collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Array[Byte]]("sk")).toMap
+    assert(ThetaOps.estimate(sk("a")) == 1000.0)
+    assert(ThetaOps.estimate(sk("b")) == 1000.0)
+    assert(ThetaOps.unionEst(sk("a"), sk("b")) == 1500.0)
+    assert(ThetaOps.intersectEst(sk("a"), sk("b")) == 500.0)
+    assert(ThetaOps.aNotBEst(sk("a"), sk("b")) == 500.0)
+    // above k=4096 the sketch estimates: 100k distinct within 5%
+    val big = (1 to 100000).map(_.toLong).toDF("x").repartition(8)
+    val est = ThetaOps.estimate(big.agg(ThetaOps.sketch($"x").as("sk"))
+      .collect().head.getAs[Array[Byte]]("sk"))
+    assert(math.abs(est - 100000) <= 5000, s"theta estimate $est")
+  }
+
   test("reservoir sample: subset of input, bounded size, exhaustive when group fits") {
     val vals = (1 to 50).map(_.toDouble)
     val df = vals.toDF("x").repartition(4)
