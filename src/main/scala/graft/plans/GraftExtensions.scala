@@ -68,6 +68,12 @@ object GraftFunctions {
       arity("theta_intersect_est", 2)(es => ThetaIntersectEst(es(0), es(1)))),
     ("theta_anotb_est", info("theta_anotb_est", "theta_anotb_est(a, b) - distinct estimate of A \\ B"),
       arity("theta_anotb_est", 2)(es => ThetaANotBEst(es(0), es(1)))),
+    ("sniff_format", info("sniff_format", "sniff_format(bin) - container format from magic numbers"),
+      arity("sniff_format", 1)(es => SniffFormat(es.head))),
+    ("byte_entropy", info("byte_entropy", "byte_entropy(bin) - Shannon entropy in bits/byte"),
+      arity("byte_entropy", 1)(es => ByteEntropy(es.head))),
+    ("byte_histogram16", info("byte_histogram16", "byte_histogram16(bin) - 16-bin byte histogram"),
+      arity("byte_histogram16", 1)(es => ByteHistogram16(es.head))),
   )
 
   /** Idempotent runtime registration (works on a session we didn't

@@ -102,6 +102,19 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.1, s"recall=$recall")
   }
 
+  test("IVF top-k recalls a usable fraction of brute-force neighbors at sf0.001") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(spark, queries, emb, 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(spark, queries, emb, 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    // every IVF hit is a real corpus neighbor, and recall is usable
+    assert(ivf.nonEmpty)
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.1, s"recall=$recall")
+  }
+
   test("cosinePairs: candidates from LSH buckets, subset of exact pairs, no cartesian") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val pairs = Similarity.cosinePairs(spark, emb, 0.3)
@@ -122,6 +135,35 @@ class PipelineSpec extends SparkSpec {
     got.foreach { t => assert(exactKeys.contains((t._1, t._2)), s"false positive $t") }
     val recall = got.length.toDouble / exact.length
     assert(recall >= 0.1, s"recall=$recall (${got.length}/${exact.length})")
+  }
+
+  test("binary triage: magic-number sniffing and entropy pin known values") {
+    graft.plans.GraftFunctions.register(spark)
+    import graft.functions.BinImpl
+    // direct impl checks on known byte arrays
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, 1, 2)
+    assert(BinImpl.sniffFormat(png).toString == "png")
+    assert(BinImpl.sniffFormat("RIFFxxxxWAVEdata".getBytes("ISO-8859-1")).toString == "wav")
+    assert(BinImpl.sniffFormat("%PDF-1.7".getBytes).toString == "pdf")
+    assert(BinImpl.sniffFormat("hello".getBytes).toString == "unknown")
+    assert(BinImpl.byteEntropy(Array.fill[Byte](100)(7)) == 0.0)
+    val uniform = (0 until 256).map(_.toByte).toArray
+    assert(math.abs(BinImpl.byteEntropy(uniform) - 8.0) < 1e-9)
+    val hist = BinImpl.byteHistogram16(uniform)
+    assert(hist.forall(f => math.abs(f - 1.0 / 16) < 1e-12))
+    // and through the SQL surface over the media table
+    val feats = Multimodal.binaryFeatures(spark,
+      spark.read.parquet(s"$sf0001/documents.parquet").limit(60))
+    val rows = feats.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (m, f) = (r.getAs[String]("modality"), r.getAs[String]("format"))
+      if (m == "image") assert(f == "png", r.toString)
+      else if (m == "audio") assert(f == "wav", r.toString)
+      else assert(f == "unknown", r.toString)
+      val e = r.getAs[Double]("entropy")
+      assert(e >= 0.0 && e <= 8.0)
+    }
   }
 
   test("label centroids are element-wise exact means") {
