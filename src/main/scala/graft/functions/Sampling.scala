@@ -23,7 +23,14 @@ abstract class ReservoirAgg[OUT](capacity: Int, seed: Long)
     extends Aggregator[Double, ResBuf, OUT] {
   require(capacity > 0, s"reservoir capacity must be positive, got $capacity")
 
-  override def zero: ResBuf = ResBuf(new Array[Double](capacity), 0, 0L)
+  // The reservoir array GROWS lazily toward `capacity` instead of being
+  // pre-allocated: when this aggregate shares a query with a DISTINCT
+  // agg, Spark's expand phase runs partial aggregation keyed by
+  // (group, distinct-col) — millions of one-row groups at scale, each
+  // with its own buffer. Eager capacity-sized arrays turn that into
+  // gigabytes of allocation churn; lazy growth keeps a one-row group's
+  // buffer at 8 slots.
+  override def zero: ResBuf = ResBuf(Array.emptyDoubleArray, 0, 0L)
 
   private def rng(a: Long, b: Long): Long =
     HashImpl.splitmix64(HashImpl.splitmix64(seed ^ a) ^ b)
@@ -31,6 +38,9 @@ abstract class ReservoirAgg[OUT](capacity: Int, seed: Long)
   override def reduce(buf: ResBuf, x: Double): ResBuf = {
     buf.seen += 1
     if (buf.filled < capacity) {
+      if (buf.filled == buf.items.length)
+        buf.items = java.util.Arrays.copyOf(buf.items,
+          math.min(capacity, math.max(8, buf.items.length * 2)))
       buf.items(buf.filled) = x
       buf.filled += 1
     } else {
@@ -41,9 +51,23 @@ abstract class ReservoirAgg[OUT](capacity: Int, seed: Long)
     buf
   }
 
+  /** A buffer that sampled nothing yet (seen == filled) is an exact
+    * multiset of its rows — replay them through the O(1) reservoir
+    * step instead of the E-S resort. This is the hot path when a
+    * DISTINCT agg in the same query forces partial aggregation over
+    * millions of one-row groups: merge cost drops from
+    * O(capacity·log capacity) per one-row buffer to O(1). */
+  private def mergeExhaustive(into: ResBuf, exact: ResBuf): ResBuf = {
+    var i = 0
+    while (i < exact.filled) { reduce(into, exact.items(i)); i += 1 }
+    into
+  }
+
   override def merge(a: ResBuf, b: ResBuf): ResBuf = {
     if (b.seen == 0) a
     else if (a.seen == 0) b
+    else if (b.seen == b.filled) mergeExhaustive(a, b)
+    else if (a.seen == a.filled) mergeExhaustive(b, a)
     else {
       // Efraimidis–Spirakis weighted merge: each reservoir item stands
       // for seen/filled source rows; keep the `capacity` largest keys
@@ -66,7 +90,7 @@ abstract class ReservoirAgg[OUT](capacity: Int, seed: Long)
       }
       val keep = math.min(capacity, nPool) // nPool ≤ 2·capacity: sort is cheap
       val idx = (0 until nPool).sortBy(j => -keys(j))
-      val out = new Array[Double](capacity)
+      val out = new Array[Double](keep)
       var k = 0
       while (k < keep) { out(k) = vals(idx(k)); k += 1 }
       ResBuf(out, keep, total)
