@@ -159,6 +159,21 @@ object AggQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // A5b: grouping() indicator columns — distinguishes "NULL because
+    // rolled up" from a genuinely NULL group key (GroupByClause.java /
+    // grouping_id parity).
+    "agg_grouping_fn" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.orders.cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("o_orderpriority")).cast("long").as("g_prio"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("g_status"), col("g_prio"), col("n"))
+        .orderBy("status", "priority", "g_status", "g_prio")
+    }),
+
     // Theta sketch set algebra (ds_theta_union/intersect/exclude —
     // be/src/exprs/datasketches-functions-ir.cc): customer-population
     // overlap between order statuses. Theta is order-independent, and
@@ -208,6 +223,14 @@ object AggQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_grouping_fn" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+        |  count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
     // exact-mode theta (all populations < 4096 at sf0.01) == exact set
     // algebra; see agg_theta_overlap comment.
     "agg_theta_overlap" ->

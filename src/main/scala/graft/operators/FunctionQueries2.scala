@@ -140,6 +140,48 @@ object FunctionQueries2 {
         .orderBy(col("n").desc, col("word")).limit(50)
     }),
 
+    // UNPIVOT (wide→long reshape; Impala expresses this as a UNION ALL
+    // of per-column selects — Spark 3.4+ has the operator natively).
+    "rel_unpivot" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.lineitem.filter(col("l_orderkey") < 100)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    }),
+
+    // String batch 3: edit distance, k-th field split, substring search,
+    // repetition (string-functions-ir.cc: Levenshtein/SplitPart/Instr/
+    // Repeat parity).
+    "fn_string3" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.customer.filter(col("c_custkey") < 200)
+        .select(col("c_custkey"),
+          levenshtein(col("c_mktsegment"), lit("MACHINERY")).cast("long").as("lev"),
+          split_part(col("c_name"), lit("#"), lit(2)).as("cust_num"),
+          instr(col("c_name"), "#").cast("long").as("hash_pos"),
+          repeat(lit("ab"), 3).as("rep"),
+          substring_index(col("c_name"), "#", 1).as("name_head"))
+        .orderBy("c_custkey")
+    }),
+
+    // Math batch 3: hex encoding, positive modulus, roots/logs
+    // (math-functions-ir.cc: Conv/Pmod/Cbrt/Log2 parity).
+    "fn_math3" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.orders.filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey"),
+          upper(hex(col("o_orderkey"))).as("key_hex"),
+          pmod(col("o_custkey") - lit(7), lit(5)).cast("long").as("pm"),
+          round(cbrt(col("o_totalprice")), 6).as("cube_root"),
+          round(log2(col("o_totalprice")), 6).as("lg2"),
+          round(exp(col("o_totalprice") / lit(100000.0)), 6).as("e_scaled"),
+          round(hypot(col("o_totalprice"), lit(1000.0)), 4).as("hyp"))
+        .orderBy("o_orderkey")
+    }),
+
     // TABLESAMPLE: seeded, deterministic per engine but not across
     // engines → rows-only; the spec bounds the sampled fraction.
     "rel_tablesample" -> ((spark, dir) => {
@@ -150,6 +192,29 @@ object FunctionQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, val
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        |      FROM lineitem WHERE l_orderkey < 100)
+        |UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount))
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+    "fn_string3" ->
+      """SELECT c_custkey,
+        |  CAST(levenshtein(c_mktsegment, 'MACHINERY') AS BIGINT) AS lev,
+        |  split_part(c_name, '#', 2) AS cust_num,
+        |  CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+        |  repeat('ab', 3) AS rep,
+        |  split_part(c_name, '#', 1) AS name_head
+        |FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""".stripMargin,
+    "fn_math3" ->
+      """SELECT o_orderkey,
+        |  upper(to_hex(o_orderkey)) AS key_hex,
+        |  CAST(((o_custkey - 7) % 5 + 5) % 5 AS BIGINT) AS pm,
+        |  round(cbrt(o_totalprice), 6) AS cube_root,
+        |  round(log2(o_totalprice), 6) AS lg2,
+        |  round(exp(o_totalprice / 100000.0), 6) AS e_scaled,
+        |  round(sqrt(o_totalprice * o_totalprice + 1000.0 * 1000.0), 4) AS hyp
+        |FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""".stripMargin,
     "fn_url" ->
       """WITH u AS (
         |  SELECT doc_id,

@@ -114,9 +114,34 @@ object WindowQueries {
           count(lit(1)).over(w).as("n_within_10k_below"))
         .orderBy("o_orderstatus", "o_orderkey")
     }),
+
+    // W9: IGNORE NULLS forward-fill (gap-fill idiom) — last non-null
+    // value at or before each row, the analytic shape the reference's
+    // last_value(... IGNORE NULLS) covers
+    // (fe/.../analysis/AnalyticExpr.java nullable-handling).
+    "win_fill_ignore_nulls" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.events
+        .select(col("user_id"), col("event_id"),
+          when(col("event_type") === "view", lit(null)).otherwise(col("value")).as("v"))
+        .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+        .select("user_id", "event_id", "filled")
+        .orderBy("user_id", "event_id")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
+    "win_fill_ignore_nulls" ->
+      """SELECT user_id, event_id,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM (SELECT user_id, event_id,
+        |        CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+        |      FROM events)
+        |ORDER BY user_id, event_id""".stripMargin,
     "win_row_number" ->
       """SELECT o_orderstatus, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderstatus, o_orderkey, o_totalprice,
