@@ -41,6 +41,36 @@ object Streams {
   def enrichStatic(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), Seq("user_id"), "left")
 
+  /** T7: stream-stream interval join — purchases matched to the views
+    * that preceded them within `windowMinutes`. Both sides carry
+    * watermarks and the join condition bounds the time range, so state
+    * on each side is evictable (no unbounded buffers). */
+  def viewPurchaseJoin(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("value").as("view_value"))
+      .withWatermark("view_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("buy_ts"), col("event_id").as("buy_id"))
+      .withWatermark("buy_ts", "10 minutes")
+    purchases.join(views,
+      col("view_ts") <= col("buy_ts") &&
+        col("view_ts") >= col("buy_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        views("user_id") === purchases("user_id"))
+      .select(purchases("user_id"), col("buy_id"), col("buy_ts"),
+        col("view_ts"), col("view_value"))
+  }
+
+  /** T8: native session windows (`session_window`) — the declarative
+    * twin of the flatMapGroupsWithState sessionizer in [[sessionize]]:
+    * Spark merges overlapping per-event gap windows in the state store. */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("n_events"))
+
   /** T3: drop duplicate event_ids arriving within the watermark. */
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")

@@ -89,6 +89,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("T7: stream-stream interval join matches purchases to preceding views only") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.viewPurchaseJoin(in.toDF(), windowMinutes = 30)
+      .writeStream.format("memory").queryName("t7_out").outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, ts(0), 1, "view", 1.5),      // within 30 min of buy → match
+        Event(2, ts(40), 1, "view", 2.5),     // within window → match
+        Event(3, ts(50), 1, "purchase", 9.0), // buy at +50
+        Event(4, ts(55), 1, "view", 3.5),     // AFTER the buy → no match
+        Event(5, ts(10), 2, "view", 4.0))     // other user → no match
+      q.processAllAvailable()
+      val out = spark.table("t7_out").collect()
+      // only the +40 view is within [buy-30, buy]; the +0 view is too old
+      assert(out.length == 1, out.mkString(";"))
+      assert(out.head.getAs[Double]("view_value") == 2.5)
+    } finally q.stop()
+  }
+
+  test("T8: native session_window groups events by inactivity gap") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.sessionWindowCounts(in.toDF(), gap = "30 minutes")
+      .writeStream.format("memory").queryName("t8_out").outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, ts(0), 1, "view", 1.0), Event(2, ts(10), 1, "view", 1.0),
+        Event(3, ts(120), 1, "view", 1.0), // gap > 30 min → new session
+        // watermark pusher so the first sessions close
+        Event(9, ts(600), 9, "view", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(10, ts(1200), 9, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("t8_out").collect().filter(_.getAs[Long]("user_id") == 1L)
+      assert(rows.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L), rows.mkString(";"))
+    } finally q.stop()
+  }
+
   test("T2b: late (out-of-order) event does not move the session end backwards") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Event]
