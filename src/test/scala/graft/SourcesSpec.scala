@@ -49,6 +49,25 @@ class SourcesSpec extends SparkSpec {
     assert(j.count() == li.filter(col("l_returnflag") === "R").count())
   }
 
+  test("S9: DataSource V2 custom source with column pruning and id-range pushdown") {
+    val df = spark.read.format("graft.sources.SeqSource")
+      .option("rows", 1000).option("numPartitions", 8).load()
+    assert(df.count() == 1000)
+    // range pushdown narrows partition spans BEFORE scheduling
+    val filtered = df.filter(col("id") >= 250 && col("id") < 500).select("id", "val")
+    assert(filtered.count() == 250)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("graft_seq range=[250,500)"), scan.take(1500))
+    // column pruning reaches the reader
+    assert(scan.contains("cols=id,val"), scan.take(1500))
+    // values are the deterministic synthetic ones
+    val r = df.filter(col("id") === 7).collect().head
+    assert(r.getAs[Double]("val") == graft.sources.SeqSource.valOf(7))
+    assert(r.getAs[String]("label") == "L7")
+    // an unsatisfiable range plans zero partitions → empty, no tasks
+    assert(df.filter(col("id") > 5000).count() == 0)
+  }
+
   test("S2: ORC round trip") {
     val dir = tmp()
     li.limit(100).write.mode(SaveMode.Overwrite).orc(dir)
