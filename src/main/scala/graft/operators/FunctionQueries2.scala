@@ -182,6 +182,32 @@ object FunctionQueries2 {
         .orderBy("o_orderkey")
     }),
 
+    // Date batch 3: month-end, day naming, epoch seconds, ISO week
+    // (timestamp-functions parity: be/src/exprs/timestamp-functions*.cc).
+    "fn_datetime3" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.orders.filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey"),
+          to_date(last_day(col("o_orderdate"))).as("month_end"),
+          date_format(col("o_orderdate"), "EEEE").as("day_name"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+          datediff(lit("2000-01-01").cast("date"), to_date(col("o_orderdate")))
+            .cast("long").as("days_to_y2k"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Base64/binary codecs (base64encode/decode parity).
+    "fn_base64" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.customer.filter(col("c_custkey") < 200)
+        .select(col("c_custkey"),
+          base64(col("c_name").cast("binary")).as("b64"),
+          unbase64(base64(col("c_name").cast("binary"))).cast("string").as("roundtrip"),
+          length(base64(col("c_mktsegment").cast("binary"))).cast("long").as("b64_len"))
+        .orderBy("c_custkey")
+    }),
+
     // TABLESAMPLE: seeded, deterministic per engine but not across
     // engines → rows-only; the spec bounds the sampled fraction.
     "rel_tablesample" -> ((spark, dir) => {
@@ -192,6 +218,20 @@ object FunctionQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_datetime3" ->
+      """SELECT o_orderkey,
+        |  CAST(last_day(o_orderdate) AS DATE) AS month_end,
+        |  dayname(o_orderdate) AS day_name,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |  CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS BIGINT) AS days_to_y2k
+        |FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""".stripMargin,
+    "fn_base64" ->
+      """SELECT c_custkey,
+        |  to_base64(ENCODE(c_name)) AS b64,
+        |  DECODE(from_base64(to_base64(ENCODE(c_name)))) AS roundtrip,
+        |  CAST(length(to_base64(ENCODE(c_mktsegment))) AS BIGINT) AS b64_len
+        |FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""".stripMargin,
     "rel_unpivot" ->
       """SELECT l_orderkey, l_linenumber, metric, val
         |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
