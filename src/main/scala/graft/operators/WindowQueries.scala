@@ -115,6 +115,18 @@ object WindowQueries {
         .orderBy("o_orderstatus", "o_orderkey")
     }),
 
+    // W10: nth_value with a full-partition frame.
+    "win_nth_value" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t.orders.filter(col("o_orderkey") < 2000)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_highest"))
+        .orderBy("o_orderstatus", "o_orderkey")
+    }),
+
     // W9: IGNORE NULLS forward-fill (gap-fill idiom) — last non-null
     // value at or before each row, the analytic shape the reference's
     // last_value(... IGNORE NULLS) covers
@@ -134,6 +146,13 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "win_nth_value" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  nth_value(o_totalprice, 2) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice DESC, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_highest
+        |FROM orders WHERE o_orderkey < 2000
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
     "win_fill_ignore_nulls" ->
       """SELECT user_id, event_id,
         |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id

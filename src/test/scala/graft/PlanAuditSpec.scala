@@ -61,6 +61,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("hot-path queries stay inside whole-stage codegen, custom exprs included") {
+    // the brief's codegen rule: hot expressions must not fall out of
+    // WholeStageCodegen (a non-codegen Expression in the scan path
+    // de-vectorizes the whole stage at 100 TB)
+    Seq("q01_pricing_summary", "q06_forecast_revenue", "fn_fnv_hash", "text_fingerprint")
+      .foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sf0001)
+        df.collect() // AQE only annotates codegen spans in the FINAL plan
+        val simple = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode)
+        val spans = "\\*\\(".r.findAllIn(simple).length
+        assert(spans >= 1, s"$name has no WholeStageCodegen span:\n${simple.take(1200)}")
+      }
+  }
+
   /** Physical check: with size-based broadcast disabled, the only
     * BroadcastHashJoins left are hint-forced — their build sides must
     * not scan customer/part/supplier, and the nation/region hints must
