@@ -33,6 +33,21 @@ object EventQueries {
         .orderBy("hour")
     }),
 
+    // E7: retention cohort matrix — users bucketed by first active
+    // month, counted per (cohort, activity month). The canonical
+    // product-analytics shape: two grouped passes over one scan.
+    "events_retention_cohort" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val ev = t.events.select(col("user_id"),
+        date_format(date_trunc("month", timestamp_seconds(expr("ts div 1000000000"))),
+          "yyyy-MM").as("m")).dropDuplicates("user_id", "m")
+      val cohort = ev.groupBy("user_id").agg(min(col("m")).as("cohort_m"))
+      ev.join(cohort, "user_id")
+        .groupBy("cohort_m", "m")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_m", "m")
+    }),
+
     // E2: per-user behavior profile with HAVING.
     "events_user_stats" -> ((spark, dir) => {
       val t = Tables(spark, dir)
@@ -108,6 +123,14 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_retention_cohort" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, strftime(date_trunc('month', ts), '%Y-%m') AS m
+        |  FROM events),
+        |c AS (SELECT user_id, min(m) AS cohort_m FROM ev GROUP BY 1)
+        |SELECT cohort_m, m, count(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN c ON ev.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_tumbling_hour" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
          |  count(*) AS n, ${sqlSum("value")} AS total_value

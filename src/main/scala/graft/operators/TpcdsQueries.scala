@@ -215,6 +215,40 @@ object TpcdsQueries {
         .limit(100)
     }),
 
+    // DS13 (q88 shape): a battery of independent scalar aggregates
+    // combined into one row — each band is a 1-row aggregate, so the
+    // broadcast cross joins are scale-safe by construction.
+    "ds_q88_multi_count" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      def band(lo: Double, hi: Double, name: String) =
+        t.lineitem.filter(col("l_quantity") >= lo && col("l_quantity") < hi)
+          .agg(count(lit(1)).as(name))
+      band(1, 13, "h1")
+        .crossJoin(broadcast(band(13, 25, "h2")))
+        .crossJoin(broadcast(band(25, 37, "h3")))
+        .crossJoin(broadcast(band(37, 51, "h4")))
+    }),
+
+    // DS14 (q1 shape): CTE reused twice — per-customer return totals
+    // filtered against 1.2× their nation's average (correlated-scalar
+    // rewritten as a grouped join, the scale-safe form).
+    "ds_q1_cte_threshold" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val ctr = t.lineitem.filter(col("l_returnflag") === "R")
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(dsum(rev).as("total_return"))
+      val avgT = ctr.groupBy(col("c_nationkey").as("nk"))
+        .agg((davg(col("total_return")) * lit(1.2)).as("thresh"))
+      ctr.join(avgT, col("c_nationkey") === col("nk"))
+        .filter(col("total_return") > col("thresh"))
+        .select(col("c_custkey"), col("c_nationkey"),
+          round(col("total_return"), 4).as("total_return"),
+          round(col("thresh"), 4).as("thresh"))
+        .orderBy("c_custkey")
+    }),
+
     // DS11: deep CTE chain + window-over-join (the q59/q74 WITH-chain
     // idiom), expressed in SQL end-to-end.
     "ds_cte_chain" -> ((spark, dir) => {
@@ -391,6 +425,32 @@ object TpcdsQueries {
          |JOIN customer ON o_custkey = c_custkey
          |WHERE extended_price > 100000.0
          |ORDER BY extended_price DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "ds_q88_multi_count" ->
+      """SELECT
+        |  (SELECT count(*) FROM lineitem WHERE l_quantity >= 1 AND l_quantity < 13) AS h1,
+        |  (SELECT count(*) FROM lineitem WHERE l_quantity >= 13 AND l_quantity < 25) AS h2,
+        |  (SELECT count(*) FROM lineitem WHERE l_quantity >= 25 AND l_quantity < 37) AS h3,
+        |  (SELECT count(*) FROM lineitem WHERE l_quantity >= 37 AND l_quantity < 51) AS h4""".stripMargin,
+
+    "ds_q1_cte_threshold" ->
+      s"""WITH ctr AS (
+         |  SELECT c_nationkey, c_custkey,
+         |    ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS total_return
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  WHERE l_returnflag = 'R'
+         |  GROUP BY 1, 2),
+         |a AS (
+         |  SELECT c_nationkey AS nk,
+         |    (CAST(SUM(CAST(total_return AS DECIMAL(38,6))) AS DOUBLE) / COUNT(total_return)) * 1.2 AS thresh
+         |  FROM ctr GROUP BY 1)
+         |SELECT c_custkey, c_nationkey, round(total_return, 4) AS total_return,
+         |  round(thresh, 4) AS thresh
+         |FROM ctr JOIN a ON c_nationkey = nk
+         |WHERE total_return > thresh
+         |ORDER BY c_custkey""".stripMargin,
 
     "ds_cte_chain" ->
       s"""WITH monthly AS (
