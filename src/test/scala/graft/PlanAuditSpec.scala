@@ -30,7 +30,8 @@ class PlanAuditSpec extends SparkSpec {
     "q12_priority_by_linestatus", "q13_customer_distribution",
     "q14_promo_revenue", "q15_top_supplier", "q16_supplier_count",
     "q17_small_quantity", "q18_large_volume", "q19_discount_revenue",
-    "q21_multi_supplier_orders", "q22_dormant_customers", "join_inner")
+    "q21_multi_supplier_orders", "q22_dormant_customers", "join_inner") ++
+    graft.operators.TpcdsQueries.queries.keys.toSeq.sorted
 
   /** Root paths of parquet scans inside a logical subtree. */
   private def scanNames(p: LogicalPlan): Seq[String] = p.collect {
