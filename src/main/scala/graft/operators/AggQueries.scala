@@ -159,6 +159,23 @@ object AggQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // A17: min_by/max_by/bool_and/bool_or. The by-key is an exact
+    // bigint encoding of (cents, orderkey) so ties are impossible and
+    // both engines pick the identical argmin/argmax row.
+    "agg_minmax_by" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val byKey = (round(col("o_totalprice") * 100).cast("long") * lit(10000000L) +
+        col("o_orderkey")).as("bk")
+      t.orders
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"), byKey)
+        .groupBy("o_orderstatus")
+        .agg(max_by(col("o_orderkey"), col("bk")).as("priciest_key"),
+          min_by(col("o_orderkey"), col("bk")).as("cheapest_key"),
+          bool_and(col("o_totalprice") > 1000.0).as("all_over_1k"),
+          bool_or(col("o_totalprice") > 400000.0).as("any_over_400k"))
+        .orderBy("o_orderstatus")
+    }),
+
     // A5b: grouping() indicator columns — distinguishes "NULL because
     // rolled up" from a genuinely NULL group key (GroupByClause.java /
     // grouping_id parity).
@@ -223,6 +240,13 @@ object AggQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_minmax_by" ->
+      """SELECT o_orderstatus,
+        |  max_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS priciest_key,
+        |  min_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS cheapest_key,
+        |  bool_and(o_totalprice > 1000.0) AS all_over_1k,
+        |  bool_or(o_totalprice > 400000.0) AS any_over_400k
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_grouping_fn" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,

@@ -182,6 +182,25 @@ object FunctionQueries2 {
         .orderBy("o_orderkey")
     }),
 
+    // Higher-order array functions — the lambda surface the brief calls
+    // out for vector math (`functions.aggregate`/`zip_with`). The
+    // oracle mirrors the lambda results with scalar arithmetic on the
+    // same constructed arrays, so every lambda is checked exactly.
+    "fn_higher_order" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val a = array(col("c_custkey") % 7, col("c_custkey") % 5, col("c_custkey") % 3)
+      val b = array(lit(2L), lit(3L), lit(4L))
+      t.customer.filter(col("c_custkey") < 300)
+        .select(col("c_custkey"),
+          array_join(transform(a, x => x * 2), ",").as("doubled"),
+          array_join(filter(a, x => x > lit(2L)), ",").as("big_elems"),
+          aggregate(a, lit(0L), (acc, x) => acc + x).as("fold_sum"),
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x).as("dot"),
+          exists(a, x => x > lit(5L)).as("has_big"),
+          forall(a, x => x >= lit(0L)).as("all_nonneg"))
+        .orderBy("c_custkey")
+    }),
+
     // Date batch 3: month-end, day naming, epoch seconds, ISO week
     // (timestamp-functions parity: be/src/exprs/timestamp-functions*.cc).
     "fn_datetime3" -> ((spark, dir) => {
@@ -218,6 +237,23 @@ object FunctionQueries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    // lambda results mirrored with scalar arithmetic over the same
+    // constructed elements (m7=c%7, m5=c%5, m3=c%3; weights 2,3,4)
+    "fn_higher_order" ->
+      """SELECT c_custkey,
+        |  (m7*2) || ',' || (m5*2) || ',' || (m3*2) AS doubled,
+        |  concat_ws(',',
+        |    CASE WHEN m7 > 2 THEN CAST(m7 AS VARCHAR) END,
+        |    CASE WHEN m5 > 2 THEN CAST(m5 AS VARCHAR) END,
+        |    CASE WHEN m3 > 2 THEN CAST(m3 AS VARCHAR) END) AS big_elems,
+        |  m7 + m5 + m3 AS fold_sum,
+        |  m7*2 + m5*3 + m3*4 AS dot,
+        |  (m7 > 5 OR m5 > 5 OR m3 > 5) AS has_big,
+        |  (m7 >= 0 AND m5 >= 0 AND m3 >= 0) AS all_nonneg
+        |FROM (SELECT c_custkey, c_custkey % 7 AS m7, c_custkey % 5 AS m5,
+        |        c_custkey % 3 AS m3
+        |      FROM customer WHERE c_custkey < 300)
+        |ORDER BY c_custkey""".stripMargin,
     "fn_datetime3" ->
       """SELECT o_orderkey,
         |  CAST(last_day(o_orderdate) AS DATE) AS month_end,
