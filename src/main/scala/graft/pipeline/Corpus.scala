@@ -26,11 +26,21 @@ object Corpus {
     val w = Dedup.tokens(col("text"))
     val nWords = size(w).cast("long")
     val nStop = size(filter(w, t => t === "the" || t === "a")).cast("long")
+    val lenOk = length(col("text")) >= gate.minChars
+    val wordsOk = nWords >= gate.minWords
+    val stopOk = nStop.cast("double") / nWords <= gate.maxStopRatio
+    val langOk = col("lang").isin(langs: _*)
     val gated = deduped
-      .filter(length(col("text")) >= gate.minChars)
-      .filter(nWords >= gate.minWords)
-      .filter(nStop.cast("double") / nWords <= gate.maxStopRatio)
-      .filter(col("lang").isin(langs: _*))
+      // no silent drops: per-gate attrition rides the job as observed
+      // metrics (first-failing-gate attribution, so the counts add up)
+      .observe("corpus_gates",
+        count(lit(1)).as("after_dedup"),
+        sum(when(!lenOk, 1L).otherwise(0L)).as("dropped_len"),
+        sum(when(lenOk && !wordsOk, 1L).otherwise(0L)).as("dropped_words"),
+        sum(when(lenOk && wordsOk && !stopOk, 1L).otherwise(0L)).as("dropped_stop"),
+        sum(when(lenOk && wordsOk && stopOk && !langOk, 1L).otherwise(0L)).as("dropped_lang"),
+        sum(when(lenOk && wordsOk && stopOk && langOk, 1L).otherwise(0L)).as("kept"))
+      .filter(lenOk && wordsOk && stopOk && langOk)
     if (!nearDup) gated
     else {
       // drop the higher-id doc of every verified near-dup pair

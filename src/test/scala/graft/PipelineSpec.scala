@@ -137,6 +137,33 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.1, s"recall=$recall (${got.length}/${exact.length})")
   }
 
+  test("corpus cleaner reports per-gate attrition via observed metrics") {
+    import graft.pipeline.Corpus
+    @volatile var seen: Option[org.apache.spark.sql.Row] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.get("corpus_gates").foreach(r => seen = Some(r))
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      val kept = Corpus.clean(docs).count()
+      var tries = 0
+      while (seen.isEmpty && tries < 100) { Thread.sleep(100); tries += 1 }
+      val m = seen.getOrElse(fail("no corpus_gates metric observed"))
+      val drops = Seq("dropped_len", "dropped_words", "dropped_stop", "dropped_lang")
+        .map(m.getAs[Long]).sum
+      // first-failing-gate attribution: kept + drops == rows after dedup
+      assert(m.getAs[Long]("kept") == kept, m.toString)
+      assert(m.getAs[Long]("after_dedup") == kept + drops, m.toString)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("binary triage: magic-number sniffing and entropy pin known values") {
     graft.plans.GraftFunctions.register(spark)
     import graft.functions.BinImpl
