@@ -87,6 +87,21 @@ object TextAnalysis {
       tokenCounts(Tables(spark, dir).documents).orderBy("doc_id")),
     "text_fingerprint" -> ((spark, dir) =>
       fingerprints(spark, Tables(spark, dir).documents).orderBy("doc_id")),
+    // Misra–Gries vocabulary heavy hitters: k-counter partial summaries
+    // per partition, O(k·partitions) shuffle instead of the whole
+    // vocabulary. Counts are lower bounds and merge-order dependent →
+    // rows-only; the guarantee (every word with freq > n/(k+1) present)
+    // is asserted in PipelineSpec.
+    "text_heavy_hitters" -> ((spark, dir) => {
+      import graft.functions.HeavyHitters
+      val t = Tables(spark, dir)
+      t.documents
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .agg(HeavyHitters.of(col("word"), 20).as("hh"))
+        .select(posexplode(col("hh")).as(Seq("pos", "entry")))
+        .select(col("pos").cast("long").as("pos"), col("entry"))
+    }),
   )
 
   private val wsSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""

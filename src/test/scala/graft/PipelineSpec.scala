@@ -137,6 +137,28 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.1, s"recall=$recall (${got.length}/${exact.length})")
   }
 
+  test("Misra-Gries heavy hitters: guarantee holds against exact counts") {
+    import graft.functions.HeavyHitters
+    val k = 10
+    val words = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(explode(split(trim(lower($"text")), "\\s+")).as("word"))
+      .filter(length($"word") > 0)
+    val n = words.count()
+    val exact = words.groupBy("word").count().as[(String, Long)].collect().toMap
+    val hh = words.agg(HeavyHitters.of($"word", k).as("hh"))
+      .select(explode($"hh").as("e")).as[String].collect()
+      .map { s => val i = s.lastIndexOf(':'); (s.substring(0, i), s.substring(i + 1).toLong) }
+    // every true heavy hitter (freq > n/(k+1)) must be reported
+    val mustHave = exact.filter(_._2 > n / (k + 1)).keySet
+    val reported = hh.map(_._1).toSet
+    assert(mustHave.subsetOf(reported), s"missing: ${mustHave -- reported}")
+    // reported counts are lower bounds within n/(k+1) of the truth
+    hh.foreach { case (w, c) =>
+      val t = exact(w)
+      assert(c <= t && c >= t - n / (k + 1), s"$w: reported $c, true $t")
+    }
+  }
+
   test("corpus cleaner reports per-gate attrition via observed metrics") {
     import graft.pipeline.Corpus
     @volatile var seen: Option[org.apache.spark.sql.Row] = None
