@@ -6,12 +6,44 @@ import org.apache.spark.sql.SparkSession
   * `noop` sink — `count()` would let Catalyst prune unreferenced
   * projections, under-measuring select-heavy queries — and run
   * SPARK_GRAFT_ITERS times (default 3) keeping the median, so one
-  * co-tenant hiccup doesn't masquerade as a regression. */
+  * co-tenant hiccup doesn't masquerade as a regression.
+  *
+  * Output contract: ONE compact JSON line on stdout whose `queries` map
+  * carries the headline (TPC-H + flagship pipeline) timings. The full
+  * per-query map for all ~130 queries is written to `bench_full.json` —
+  * the harness that reads stdout captures only the last ~2000 chars of
+  * output, and a 130-entry map cannot fit in that window.
+  *
+  * Failure semantics: `failed` lists only queries whose EVERY iteration
+  * threw; a query that failed some-but-not-all iterations appears in
+  * `flaky` (with its successful-iteration median still reported), so
+  * downstream consumers can tell broken from flaky. All-failed queries
+  * are omitted from the `queries` map rather than carrying a -1 sentinel.
+  *
+  * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_ITERS,
+  * SPARK_GRAFT_ONLY (regex over query names, for local iteration).
+  */
 object Bench {
+  /** Queries reported inline on stdout: the TPC-H/TPC-DS headliners plus
+    * one flagship per pipeline family. Everything still RUNS and counts
+    * toward `value`; this only bounds the printed map's size. */
+  private val headline: Set[String] = Set(
+    "q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier",
+    "q06_forecast_revenue", "q07_volume_shipping", "q08_market_share",
+    "q09_product_profit", "q10_returned_items", "q13_customer_distribution",
+    "q15_top_supplier", "q16_supplier_count", "q17_small_quantity",
+    "q18_large_volume", "q19_discount_revenue", "q21_multi_supplier_orders",
+    "q22_dormant_customers", "ds_q59_yoy_nation", "ds_q67_rollup_topn",
+    "dedup_minhash_lsh", "sim_lsh_topk", "corpus_clean", "text_quality",
+    "asof_join_events", "events_sessionize", "win_topn_per_group")
+
+  private def fmt(v: Double): String = "%.3f".format(v)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,30 +59,46 @@ object Bench {
     // file-source listing) so first-query numbers measure the query,
     // not JVM startup.
     SparkEntry.entry(spark).count()
-    var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+    val runs = selected.map { case (name, fn) =>
+      var err: String = null
       val times = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
-          if (!failed.contains(name)) {
-            failed ::= name
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          if (err == null) {
+            err = String.valueOf(e.getMessage).take(200)
+            System.err.println(s"[bench] $name FAILED: $err")
           }
           None
         }
       }
       val median =
-        if (times.isEmpty) -1.0 else times.sorted.apply(times.length / 2)
-      name -> median
+        if (times.isEmpty) None else Some(times.sorted.apply(times.length / 2))
+      (name, median, times.length)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val fj = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"iters":$iters,"sf":"$sfDir"}""")
+    val failed = runs.collect { case (n, None, _) => n }
+    val flaky = runs.collect { case (n, Some(_), ok) if ok < iters => n }
+    val ok = runs.collect { case (n, Some(t), _) => n -> t }
+    val total = ok.map(_._2).sum
+    def mapJson(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    def listJson(names: Seq[String]): String =
+      names.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${mapJson(ok)},""" +
+        s""""ok_iters":${ok.map { case (k, _) => "\"" + k + "\":" + runs.find(_._1 == k).get._3 }.mkString("{", ",", "}")},""" +
+        s""""failed":${listJson(failed)},"flaky":${listJson(flaky)},"iters":$iters,"cpus":"$cpus","sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      full.getBytes("UTF-8"))
+    val head = ok.filter { case (k, _) => headline.contains(k) }
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${mapJson(head)},""" +
+        s""""nq":${ok.length},"failed":${listJson(failed)},"flaky":${listJson(flaky)},""" +
+        s""""iters":$iters,"full":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -124,8 +124,10 @@ case class HistogramAgg(buckets: Int, capacity: Int, seed: Long)
     if (s.isEmpty) Array.emptyDoubleArray
     else {
       java.util.Arrays.sort(s)
-      (1 to buckets).map(i => s(math.min(s.length - 1,
-        (i.toLong * s.length / buckets).toInt - 1))).toArray
+      // Clamp below as well as above: with fewer sampled rows than
+      // buckets, i*len/buckets - 1 is -1 for the leading buckets.
+      (1 to buckets).map(i => s(math.max(0, math.min(s.length - 1,
+        (i.toLong * s.length / buckets).toInt - 1)))).toArray
     }
   }
   override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()

@@ -160,12 +160,16 @@ object AggQueries {
     }),
 
     // A17: min_by/max_by/bool_and/bool_or. The by-key is an exact
-    // bigint encoding of (cents, orderkey) so ties are impossible and
-    // both engines pick the identical argmin/argmax row.
+    // DECIMAL(38,0) encoding of (cents, orderkey) so ties are impossible
+    // and both engines pick the identical argmin/argmax row. The 10^13
+    // multiplier keeps the encoding collision-free while o_orderkey
+    // < 10^13 (TPC-H keys reach SF·6·10^6, so safe past SF 10^6), and
+    // decimal width means cents·10^13 cannot overflow the way the old
+    // bigint·10^7 key did from roughly SF 2.
     "agg_minmax_by" -> ((spark, dir) => {
       val t = Tables(spark, dir)
-      val byKey = (round(col("o_totalprice") * 100).cast("long") * lit(10000000L) +
-        col("o_orderkey")).as("bk")
+      val byKey = (round(col("o_totalprice") * 100).cast("decimal(38,0)") *
+        lit(10000000000000L) + col("o_orderkey")).as("bk")
       t.orders
         .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"), byKey)
         .groupBy("o_orderstatus")
@@ -242,8 +246,8 @@ object AggQueries {
   val oracles: Map[String, String] = Map(
     "agg_minmax_by" ->
       """SELECT o_orderstatus,
-        |  max_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS priciest_key,
-        |  min_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS cheapest_key,
+        |  max_by(o_orderkey, CAST(round(o_totalprice * 100) AS HUGEINT) * 10000000000000 + o_orderkey) AS priciest_key,
+        |  min_by(o_orderkey, CAST(round(o_totalprice * 100) AS HUGEINT) * 10000000000000 + o_orderkey) AS cheapest_key,
         |  bool_and(o_totalprice > 1000.0) AS all_over_1k,
         |  bool_or(o_totalprice > 400000.0) AS any_over_400k
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -31,10 +31,17 @@ import org.apache.spark.unsafe.types.UTF8String
 class SeqSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = SeqSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
+                        properties: util.Map[String, String]): Table = {
+    // This source's schema is fixed; a user-supplied spark.read.schema(...)
+    // that disagrees would otherwise be silently served the inferred one
+    // (and a renamed field would MatchError inside the readers). Fail loud.
+    require(schema == SeqSource.schema,
+      s"graft.sources.SeqSource has a fixed schema ${SeqSource.schema.simpleString}; " +
+        s"user-specified schema ${schema.simpleString} does not match")
     new SeqTable(
       properties.getOrDefault("rows", "1000").toLong,
       properties.getOrDefault("numPartitions", "4").toInt)
+  }
 }
 
 object SeqSource {
@@ -73,12 +80,23 @@ class SeqScanBuilder(rows: Long, numPartitions: Int)
     * Accepted filters still return in the residual (conservative, like
     * a parquet scan: pushdown narrows, Spark re-verifies). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // Accept any integral Number, not just java.lang.Long — an Int-typed
+    // literal reaching the scan would otherwise silently skip pruning.
+    object IntegralValue {
+      def unapply(v: Any): Option[Long] = v match {
+        case n: java.lang.Long => Some(n)
+        case n: java.lang.Integer => Some(n.toLong)
+        case n: java.lang.Short => Some(n.toLong)
+        case n: java.lang.Byte => Some(n.toLong)
+        case _ => None
+      }
+    }
     val (accepted, _) = filters.partition {
-      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1); true
-      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v); true
-      case LessThan("id", v: Long) => hi = math.min(hi, v); true
-      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1); true
-      case EqualTo("id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+      case GreaterThan("id", IntegralValue(v)) => lo = math.max(lo, v + 1); true
+      case GreaterThanOrEqual("id", IntegralValue(v)) => lo = math.max(lo, v); true
+      case LessThan("id", IntegralValue(v)) => hi = math.min(hi, v); true
+      case LessThanOrEqual("id", IntegralValue(v)) => hi = math.min(hi, v + 1); true
+      case EqualTo("id", IntegralValue(v)) => lo = math.max(lo, v); hi = math.min(hi, v + 1); true
       case _ => false
     }
     pushed = accepted

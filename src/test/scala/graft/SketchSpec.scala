@@ -85,6 +85,17 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("histogram: group smaller than the bucket count does not crash") {
+    // Regression (round-2 advisor): fewer sampled rows than buckets made
+    // the leading bucket index -1. Edges must clamp to the smallest row.
+    val df = Seq(3.0, 7.0).toDF("x")
+    val h = df.agg(Sampling.histogram($"x", buckets = 10).as("h"))
+      .collect().head.getAs[scala.collection.Seq[Double]]("h").toSeq
+    assert(h.length == 10)
+    assert(h == h.sorted, h.toString)
+    assert(h.head == 3.0 && h.last == 7.0, h.toString)
+  }
+
   test("sampled_ndv: exact when the group fits the reservoir, sane estimate when not") {
     val df = (1 to 800).map(i => (i % 57).toDouble).toDF("x").repartition(4)
     val exactFit = df.agg(Sampling.sampledNdv($"x", capacity = 1000).as("ndv"))

@@ -68,6 +68,32 @@ class SourcesSpec extends SparkSpec {
     assert(df.filter(col("id") > 5000).count() == 0)
   }
 
+  test("S9b: SeqSource rejects a mismatched user schema; Int filters still prune") {
+    // Round-2 advisor: a user-supplied schema was silently ignored. Spark 4
+    // rejects it at the DataFrameReader level (supportsExternalMetadata is
+    // false); getTable's own require() backstops direct V2 callers.
+    val bad = intercept[Exception] {
+      spark.read.format("graft.sources.SeqSource")
+        .schema("wrong STRING").option("rows", 10).load().collect()
+    }
+    assert(bad.getMessage.contains("does not support user-specified schema")
+      || bad.getMessage.contains("fixed schema"), bad.getMessage)
+    val direct = intercept[IllegalArgumentException] {
+      new graft.sources.SeqSource().getTable(
+        org.apache.spark.sql.types.StructType.fromDDL("wrong STRING"),
+        Array.empty, new java.util.HashMap[String, String]())
+    }
+    assert(direct.getMessage.contains("fixed schema"), direct.getMessage)
+    // Int-boxed (not just Long-boxed) range values must still narrow spans.
+    val sb = new graft.sources.SeqScanBuilder(1000, 8)
+    sb.pushFilters(Array(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("id", Integer.valueOf(250)),
+      org.apache.spark.sql.sources.LessThan("id", Integer.valueOf(500))))
+    assert(sb.pushedFilters().length == 2)
+    val scan = sb.build()
+    assert(scan.description().contains("range=[250,500)"), scan.description())
+  }
+
   test("S2: ORC round trip") {
     val dir = tmp()
     li.limit(100).write.mode(SaveMode.Overwrite).orc(dir)
