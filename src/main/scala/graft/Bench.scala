@@ -95,10 +95,15 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       full.getBytes("UTF-8"))
     val head = ok.filter { case (k, _) => headline.contains(k) }
+    // 1-minute load average at exit: timings on this box swing 10×+ with
+    // co-tenant load (q18 1.6s idle vs 28s in the round-2 harness run) —
+    // record the context so a noisy run is attributable.
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${mapJson(head)},""" +
         s""""nq":${ok.length},"failed":${listJson(failed)},"flaky":${listJson(flaky)},""" +
-        s""""iters":$iters,"full":"bench_full.json","sf":"$sfDir"}""")
+        s""""iters":$iters,"load1m":${fmt(load)},"full":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -29,18 +29,22 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TpchQueries.queries ++ TpchQueries2.queries ++ TpcdsQueries.queries ++ TypedQueries.queries ++ Skew.queries ++ RelationalQueries.queries ++
       AggQueries.queries ++ WindowQueries.queries ++
-      FunctionQueries.queries ++ FunctionQueries2.queries ++ EventQueries.queries ++
+      FunctionQueries.queries ++ FunctionQueries2.queries ++ FunctionQueries3.queries ++
+      TableOps.queries ++ EventQueries.queries ++
       graft.pipeline.Dedup.queries ++ graft.pipeline.Similarity.queries ++
       graft.pipeline.TextAnalysis.queries ++ graft.pipeline.Corpus.queries ++
-      graft.pipeline.Multimodal.queries ++ AsOfJoin.queries ++ BandJoin.queries
+      graft.pipeline.Multimodal.queries ++ graft.pipeline.Splits.queries ++
+      graft.pipeline.Cluster.queries ++ AsOfJoin.queries ++ BandJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     TpchQueries.oracles ++ TpchQueries2.oracles ++ TpcdsQueries.oracles ++ TypedQueries.oracles ++ Skew.oracles ++ RelationalQueries.oracles ++
       AggQueries.oracles ++ WindowQueries.oracles ++
-      FunctionQueries.oracles ++ FunctionQueries2.oracles ++ EventQueries.oracles ++
+      FunctionQueries.oracles ++ FunctionQueries2.oracles ++ FunctionQueries3.oracles ++
+      TableOps.oracles ++ EventQueries.oracles ++
       graft.pipeline.Dedup.oracles ++ graft.pipeline.Similarity.oracles ++
       graft.pipeline.TextAnalysis.oracles ++ graft.pipeline.Corpus.oracles ++
-      graft.pipeline.Multimodal.oracles ++ AsOfJoin.oracles ++ BandJoin.oracles
+      graft.pipeline.Multimodal.oracles ++ graft.pipeline.Splits.oracles ++
+      graft.pipeline.Cluster.oracles ++ AsOfJoin.oracles ++ BandJoin.oracles
 }

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Table-maintenance operations (SURVEY.md §2 M1/M2) — the reference's
+  * statement-level surface re-expressed as relational queries.
+  *
+  * - `stats_table`: COMPUTE STATS parity (apache-impala-4.1.0/fe/src/
+  *   main/java/org/apache/impala/analysis/ComputeStatsStmt.java —
+  *   per-column row count / null count / NDV / min / max / avg size,
+  *   gathered in ONE scan of the table exactly like Impala's
+  *   child-query batching). NDV here is exact countDistinct so the row
+  *   is oracle-checkable; the approximate path is `agg_approx_ndv`.
+  * - `merge_upsert`: UPSERT parity (InsertStmt.java upsert mode /
+  *   ModifyStmt.java): updates win over the base snapshot per key,
+  *   delete-set rows drop out — expressed as union + per-key
+  *   row_number (one shuffle) + left-anti join, the scalable shape (no
+  *   full-outer join with its two-sided null handling; priority order
+  *   extends to n sources unchanged).
+  */
+object TableOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // M1: one-pass per-column table stats over orders. Numeric min/max
+    // go through DECIMAL(18,2) so both engines render identical strings.
+    "stats_table" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val a = t.orders.agg(
+        count(lit(1)).as("n"),
+        count(col("o_orderstatus")).as("nn_status"),
+        countDistinct(col("o_orderstatus")).as("ndv_status"),
+        min(col("o_orderstatus")).as("min_status"),
+        max(col("o_orderstatus")).as("max_status"),
+        round(avg(length(col("o_orderstatus"))), 4).as("len_status"),
+        count(col("o_orderpriority")).as("nn_prio"),
+        countDistinct(col("o_orderpriority")).as("ndv_prio"),
+        min(col("o_orderpriority")).as("min_prio"),
+        max(col("o_orderpriority")).as("max_prio"),
+        round(avg(length(col("o_orderpriority"))), 4).as("len_prio"),
+        count(col("o_custkey")).as("nn_cust"),
+        countDistinct(col("o_custkey")).as("ndv_cust"),
+        min(col("o_custkey")).cast("decimal(18,2)").cast("string").as("min_cust"),
+        max(col("o_custkey")).cast("decimal(18,2)").cast("string").as("max_cust"),
+        count(col("o_totalprice")).as("nn_price"),
+        countDistinct(col("o_totalprice")).as("ndv_price"),
+        min(col("o_totalprice")).cast("decimal(18,2)").cast("string").as("min_price"),
+        max(col("o_totalprice")).cast("decimal(18,2)").cast("string").as("max_price"))
+      a.select(expr(
+        """stack(4,
+          |  'o_orderstatus',   n, n - nn_status, ndv_status, min_status, max_status, len_status,
+          |  'o_orderpriority', n, n - nn_prio,   ndv_prio,   min_prio,   max_prio,   len_prio,
+          |  'o_custkey',       n, n - nn_cust,   ndv_cust,   min_cust,   max_cust,   CAST(NULL AS DOUBLE),
+          |  'o_totalprice',    n, n - nn_price,  ndv_price,  min_price,  max_price,  CAST(NULL AS DOUBLE)
+          |) AS (col_name, n_rows, n_nulls, ndv, min_val, max_val, avg_len)""".stripMargin))
+        .orderBy("col_name")
+    }),
+
+    // M2: upsert + delete merge. Keys are bounded for verify-output
+    // size only; the plan is scale-free (shuffle on the merge key).
+    "merge_upsert" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val o = t.orders.filter(col("o_orderkey") < 20000)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      val base = o.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("src", lit("base")).withColumn("pri", lit(1))
+      val updates = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), (col("price_cents") + 1000L).as("price_cents"),
+          lit("upd").as("src"), lit(0).as("pri"))
+      val deletes = o.filter(col("o_orderkey") % 7 === 0).select(col("o_orderkey"))
+      val w = Window.partitionBy("o_orderkey").orderBy("pri")
+      updates.unionByName(base)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn", "pri")
+        .join(deletes, Seq("o_orderkey"), "left_anti")
+        .orderBy("o_orderkey")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stats_table" ->
+      """WITH a AS (SELECT
+        |  count(*) AS n,
+        |  count(o_orderstatus) AS nn_status, count(DISTINCT o_orderstatus) AS ndv_status,
+        |  min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
+        |  round(avg(length(o_orderstatus)), 4) AS len_status,
+        |  count(o_orderpriority) AS nn_prio, count(DISTINCT o_orderpriority) AS ndv_prio,
+        |  min(o_orderpriority) AS min_prio, max(o_orderpriority) AS max_prio,
+        |  round(avg(length(o_orderpriority)), 4) AS len_prio,
+        |  count(o_custkey) AS nn_cust, count(DISTINCT o_custkey) AS ndv_cust,
+        |  CAST(CAST(min(o_custkey) AS DECIMAL(18,2)) AS VARCHAR) AS min_cust,
+        |  CAST(CAST(max(o_custkey) AS DECIMAL(18,2)) AS VARCHAR) AS max_cust,
+        |  count(o_totalprice) AS nn_price, count(DISTINCT o_totalprice) AS ndv_price,
+        |  CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS min_price,
+        |  CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS max_price
+        |FROM orders)
+        |SELECT 'o_orderstatus' AS col_name, n AS n_rows, n - nn_status AS n_nulls,
+        |       ndv_status AS ndv, min_status AS min_val, max_status AS max_val,
+        |       len_status AS avg_len FROM a
+        |UNION ALL SELECT 'o_orderpriority', n, n - nn_prio, ndv_prio, min_prio, max_prio, len_prio FROM a
+        |UNION ALL SELECT 'o_custkey', n, n - nn_cust, ndv_cust, min_cust, max_cust, NULL FROM a
+        |UNION ALL SELECT 'o_totalprice', n, n - nn_price, ndv_price, min_price, max_price, NULL FROM a
+        |ORDER BY col_name""".stripMargin,
+    "merge_upsert" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders WHERE o_orderkey < 20000),
+        |unioned AS (
+        |  SELECT o_orderkey, price_cents + 1000 AS price_cents, 'upd' AS src, 0 AS pri
+        |  FROM o WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, price_cents, 'base' AS src, 1 AS pri
+        |  FROM o WHERE o_orderkey % 2 = 1),
+        |merged AS (
+        |  SELECT o_orderkey, price_cents, src,
+        |         row_number() OVER (PARTITION BY o_orderkey ORDER BY pri) AS rn
+        |  FROM unioned)
+        |SELECT o_orderkey, price_cents, src FROM merged
+        |WHERE rn = 1 AND o_orderkey NOT IN (SELECT o_orderkey FROM o WHERE o_orderkey % 7 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
+  )
+}

@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Near-duplicate CLUSTERING (SURVEY.md §2 P21): pair lists from
+  * MinHash/SimHash say "a~b", but a corpus cleaner needs whole groups —
+  * the transitive closure — to keep exactly one representative per
+  * group. That is connected components over the candidate-pair graph.
+  *
+  * Algorithm: min-label propagation with pointer jumping (the
+  * Shiloach–Vishkin shortcutting step, same device as Kiveris et al.'s
+  * "Connected Components in MapReduce and Beyond" star operations):
+  * each round every node adopts the smallest label in its closed
+  * neighborhood AND then shortcuts to its label's label. Neighbor
+  * propagation alone needs diameter rounds (a 10⁶-long chain at 100 TB
+  * would mean 10⁶ shuffles); the shortcut halves remaining path lengths,
+  * so convergence is O(log n) rounds of a constant number of shuffles.
+  * There is no per-node driver work and no collect of node data; the
+  * one action per round (change count) is the unavoidable cost of any
+  * iterative fixpoint — GraphX pays the same.
+  */
+object Cluster {
+
+  /** Connected components of an undirected edge list.
+    *
+    * @param edges two-column DataFrame (src, dst), any long-typed ids
+    * @return (id, cluster_id) with cluster_id = min id in the component;
+    *         includes every endpoint (callers union isolated nodes).
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
+    val Seq(srcC, dstC) = edges.columns.take(2).toSeq
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges.select(col(srcC).cast("long").as("a"), col(dstC).cast("long").as("b"))
+      .union(edges.select(col(dstC).cast("long").as("a"), col(srcC).cast("long").as("b")))
+      .distinct()
+      .persist(lvl)
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(lvl)
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIters && changed > 0) {
+      // 1. closed neighborhood: own label ∪ labels flowing over edges
+      val viaEdges = sym.join(labels.withColumnRenamed("id", "a"), "a")
+        .select(col("b").as("id"), col("label"))
+      val hop = viaEdges.union(labels)
+        .groupBy("id").agg(min(col("label")).as("label"))
+      // 2. pointer jump: label := label(label). Labels always point
+      // within the component (they only ever arrive over edges), so the
+      // shortcut is safe; it is what turns O(diameter) into O(log n).
+      val next = hop.alias("x")
+        .join(hop.select(col("id").as("label"), col("label").as("ll")).alias("y"),
+          Seq("label"), "left")
+        .select(col("x.id").as("id"), least(col("label"), col("ll")).as("label"))
+        .persist(lvl)
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist(false)
+      labels = next
+      iter += 1
+    }
+    sym.unpersist(false)
+    // A silent partial fixpoint would yield plausible-but-wrong clusters.
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIters rounds ($changed labels still moving)")
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // P21, oracle-exact: CC over CHAIN edges linking each doc to the
+    // next doc_id within its (lang, source) shard. Chains force real
+    // multi-round propagation — the min label must traverse the chain
+    // (with shortcutting: in log₂(len) rounds), not arrive in one hop as
+    // it would from star edges — while the ground truth stays
+    // SQL-expressible: cluster_id = min(doc_id) over the shard. The
+    // near-dup graph (minhashCandidates pairs) runs through the same
+    // function in PipelineSpec — no SQL oracle there (xxhash64 input).
+    "dedup_cluster_cc" -> ((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(spark, dir).documents
+      val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+      val chain = docs
+        .select(col("doc_id"), lag(col("doc_id"), 1).over(w).as("prev_id"))
+        .filter(col("prev_id").isNotNull)
+      connectedComponents(chain.select(col("prev_id"), col("doc_id")))
+        .orderBy("id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_cluster_cc" ->
+      """WITH g AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY lang, source) AS cluster_id,
+        |         count(*) OVER (PARTITION BY lang, source) AS n
+        |  FROM documents)
+        |SELECT doc_id AS id, cluster_id FROM g WHERE n > 1 ORDER BY id""".stripMargin,
+  )
+}

@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Dataset-splitting operators for training pipelines (SURVEY.md §2
+  * P19/P20). A training corpus needs reproducible membership: a doc's
+  * split must not change when the corpus is re-partitioned, re-ordered,
+  * or incrementally grown — so the assignment is a pure function of the
+  * stable key (md5 of doc_id), never of rand()/partition position.
+  * That also makes the exact split oracle-checkable in any engine with
+  * md5. Stratified sampling keeps per-stratum rates without a global
+  * shuffle: Bernoulli per row, rate looked up by stratum.
+  */
+object Splits {
+
+  /** split_train_test: deterministic 80/20 assignment. The 0..255
+    * bucket comes from the first two hex chars of md5(doc_id) — the
+    * engine-portable form of hash-mod-256 (Spark's hash() and DuckDB's
+    * hash() disagree; md5 is bit-identical everywhere). */
+  def trainTest(docs: DataFrame, trainBuckets: Int = 204): DataFrame = {
+    val bucket =
+      (expr("instr('0123456789abcdef', substring(md5(cast(cast(doc_id AS string) AS binary)), 1, 1))") - 1) * 16 +
+        (expr("instr('0123456789abcdef', substring(md5(cast(cast(doc_id AS string) AS binary)), 2, 1))") - 1)
+    docs.select(col("doc_id"),
+      bucket.cast("long").as("bucket"),
+      when(bucket < trainBuckets, "train").otherwise("test").as("split"))
+  }
+
+  /** sample_stratified: per-stratum Bernoulli rates (sampleBy). */
+  def stratified(docs: DataFrame, fractions: Map[String, Double], seed: Long): DataFrame =
+    docs.stat.sampleBy("lang", fractions, seed)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // P19: oracle-exact — the assignment is pure md5 arithmetic.
+    "split_train_test" -> ((spark, dir) => {
+      trainTest(Tables(spark, dir).documents).orderBy("doc_id")
+    }),
+    // P20: sampling is seeded but engine-specific → rows-only; the
+    // spec asserts per-stratum bounds and determinism. Aggregated so
+    // the row count is stable for the driver's rows>0 smoke.
+    "sample_stratified" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val langs = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.25)
+      stratified(t.documents, langs, seed = 42L)
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "split_train_test" ->
+      """SELECT doc_id,
+        |  CAST((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS BIGINT) AS bucket,
+        |  CASE WHEN (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |          + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 204
+        |       THEN 'train' ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -234,6 +234,72 @@ class PipelineSpec extends SparkSpec {
     assert(l.getAs[String]("lang_pred") == "en")
   }
 
+  test("connected components: chains, cliques, isolated parts resolve exactly") {
+    import graft.pipeline.Cluster
+    // one 6-node chain (diameter 5 — exercises pointer jumping), one
+    // triangle, one disjoint edge; min id labels each component
+    val edges = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L), // chain
+      (20L, 21L), (21L, 22L), (20L, 22L),                         // triangle
+      (30L, 31L)                                                  // pair
+    ).toDF("a", "b")
+    val got = Cluster.connectedComponents(edges).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    val want = (10L to 15L).map(_ -> 10L).toMap ++
+      (20L to 22L).map(_ -> 20L).toMap ++ Map(30L -> 30L, 31L -> 30L)
+    assert(got == want)
+  }
+
+  test("connected components: near-dup pairs from minhash cluster transitively") {
+    import graft.pipeline.Cluster
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet green hills near the old stone bridge"
+    // 1~2 and 2~3 are near-dups; 1~3 may or may not surface directly —
+    // the cluster must contain all three either way. 4 is unrelated.
+    val docs = docsDf(
+      (1L, base, "s1"),
+      (2L, base.replace("quiet", "silent"), "s1"),
+      (3L, base.replace("quiet", "silent").replace("rain", "snow"), "s1"),
+      (4L, "completely different words about database engines and query plans running fast", "s2"))
+    val pairs = Dedup.minhashCandidates(docs, minJaccard = 0.3)
+      .select("doc_a", "doc_b")
+    val cc = Cluster.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(cc.keySet == Set(1L, 2L, 3L))
+    assert(cc.values.toSet == Set(1L))
+  }
+
+  test("stratified sample respects per-stratum fractions and a fixed seed") {
+    import graft.pipeline.Splits
+    val docs = (1L to 2000L).map(i => (i, s"text $i", "s1")).toDF("doc_id", "text", "source")
+      .withColumn("lang", when(col("doc_id") % 2 === 0, "en").otherwise("de"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val fr = Map("en" -> 0.5, "de" -> 0.1)
+    val s1 = Splits.stratified(docs, fr, seed = 7L)
+    val counts = s1.groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    // 1000 per stratum; Bernoulli bounds are loose but damning if crossed
+    assert(counts("en") > 350 && counts("en") < 650, counts.toString)
+    assert(counts("de") > 30 && counts("de") < 200, counts.toString)
+    // fixed seed + same plan → same sample
+    assert(s1.collect().map(_.getAs[Long]("doc_id")).sorted.toSeq ==
+      Splits.stratified(docs, fr, seed = 7L).collect().map(_.getAs[Long]("doc_id")).sorted.toSeq)
+  }
+
+  test("train/test split is a pure function of doc_id with ~80/20 mass") {
+    import graft.pipeline.Splits
+    val docs = (1L to 2000L).map(i => (i, s"text $i", "s1")).toDF("doc_id", "text", "source")
+    val out = Splits.trainTest(docs)
+    val byId = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("bucket"), r.getAs[String]("split"))).toMap
+    // repartitioning must not move anyone (pure function of the key)
+    val re = Splits.trainTest(docs.repartition(13)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("bucket"), r.getAs[String]("split"))).toMap
+    assert(byId == re)
+    assert(byId.values.forall { case (b, s) => b >= 0 && b < 256 && (s == "train") == (b < 204) })
+    val trainFrac = byId.values.count(_._2 == "train").toDouble / byId.size
+    assert(trainFrac > 0.75 && trainFrac < 0.85, trainFrac.toString)
+  }
+
   test("multimodal: stubbed decode is deterministic, batched, partition-preserving") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val media = Multimodal.mediaFromDocuments(docs)
