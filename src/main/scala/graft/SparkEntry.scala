@@ -29,7 +29,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TpchQueries.queries ++ TpchQueries2.queries ++ TpcdsQueries.queries ++ TypedQueries.queries ++ Skew.queries ++ RelationalQueries.queries ++
       AggQueries.queries ++ WindowQueries.queries ++
-      FunctionQueries.queries ++ FunctionQueries2.queries ++ FunctionQueries3.queries ++
+      FunctionQueries.queries ++ FunctionQueries2.queries ++ FunctionQueries3.queries ++ FunctionQueries4.queries ++
       TableOps.queries ++ EventQueries.queries ++
       graft.pipeline.Dedup.queries ++ graft.pipeline.Similarity.queries ++
       graft.pipeline.TextAnalysis.queries ++ graft.pipeline.Corpus.queries ++
@@ -41,7 +41,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     TpchQueries.oracles ++ TpchQueries2.oracles ++ TpcdsQueries.oracles ++ TypedQueries.oracles ++ Skew.oracles ++ RelationalQueries.oracles ++
       AggQueries.oracles ++ WindowQueries.oracles ++
-      FunctionQueries.oracles ++ FunctionQueries2.oracles ++ FunctionQueries3.oracles ++
+      FunctionQueries.oracles ++ FunctionQueries2.oracles ++ FunctionQueries3.oracles ++ FunctionQueries4.oracles ++
       TableOps.oracles ++ EventQueries.oracles ++
       graft.pipeline.Dedup.oracles ++ graft.pipeline.Similarity.oracles ++
       graft.pipeline.TextAnalysis.oracles ++ graft.pipeline.Corpus.oracles ++

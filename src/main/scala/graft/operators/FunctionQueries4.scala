@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.plans.GraftFunctions
+
+/** Fourth builtin batch (round 3) — the remaining scalar/aggregate
+  * surface from the reference registry
+  * (apache-impala-4.1.0/common/function-registry/impala_functions.py):
+  *
+  * - string distances: jaro_distance/similarity, jaro_winkler_*,
+  *   damerau_levenshtein (:602-618) → custom codegen expressions
+  *   (graft.functions.StringDistance), oracle-checked against the
+  *   oracle engine's native implementations of the same published
+  *   algorithms.
+  * - aggif(predicate, expr) (fe/.../BuiltinsDb.java) → the standard SQL
+  *   `agg FILTER (WHERE ...)` clause, which both engines execute.
+  * - grouping_id() under CUBE (BuiltinsDb.java grouping_id).
+  * - bit manipulation: rotateleft/rotateright/getbit/setbit/countset
+  *   (bit-byte-functions.cc) → shift/or/and-composed column algebra —
+  *   the rotate identity ((x<<n)|(x>>(w-n))) masked to 32 bits, so
+  *   every term stays in non-negative int64 range in both engines.
+  * - leftover math/predicates: cosh/sinh/tanh/cot, is_inf/is_nan,
+  *   IS [NOT] DISTINCT FROM (distinctfrom/notdistinct), conv(), bin().
+  * - leftover string: initcap, find_in_set, locate, space,
+  *   regexp_match_count (→ regexp_count), regexp_escape (→ class-based
+  *   regexp_replace with a group backreference).
+  * - leftover date/time: months_between, next_day, monthname,
+  *   weeks_add, quarter-add (months_add ×3).
+  */
+object FunctionQueries4 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val mangle = translate(col("c_name"), "0123456789", "OIZEASGTBQ")
+
+  val queries: Map[String, Q] = Map(
+    // F22: string-distance family over c_name and deterministic mangles
+    // (digit-substitution for a prefix-preserving Jaro-Winkler case,
+    // reversal for a transposition-heavy Damerau case).
+    "fn_strdist" -> ((spark, dir) => {
+      GraftFunctions.register(spark)
+      val t = Tables(spark, dir)
+      t.customer.filter(col("c_custkey") < 500)
+        .select(col("c_custkey"),
+          round(call_function("jaro_sim", col("c_name"), reverse(col("c_name"))), 6).as("jaro_rev"),
+          round(lit(1.0) - call_function("jaro_sim", col("c_name"), mangle), 6).as("jaro_dist"),
+          round(call_function("jaro_winkler_sim", col("c_name"), mangle), 6).as("jw_sim"),
+          call_function("damerau_levenshtein", col("c_name"), mangle).cast("long").as("dl_mangled"),
+          call_function("damerau_levenshtein", col("c_name"), reverse(col("c_name"))).cast("long").as("dl_rev"))
+        .orderBy("c_custkey")
+    }),
+
+    // A20: FILTER'd aggregates — the reference's aggif() in its
+    // standard-SQL form, including a FILTER'd DISTINCT agg.
+    "agg_filter" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.lineitem.createOrReplaceTempView("graft_li_filter")
+      spark.sql(
+        """SELECT l_returnflag,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS qty_hidisc,
+          |  count(*) FILTER (WHERE l_tax > 0.04) AS n_hitax,
+          |  count(DISTINCT l_suppkey) FILTER (WHERE l_quantity > 25.0) AS supp_big,
+          |  CAST(max(l_linenumber) FILTER (WHERE l_quantity < 10.0) AS BIGINT) AS maxline_small
+          |FROM graft_li_filter GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // A21: grouping_id() bitmask under CUBE (complements agg_grouping_fn's
+    // per-column grouping() indicators).
+    "agg_grouping_id" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.lineitem.createOrReplaceTempView("graft_li_gid")
+      spark.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          |  count(*) AS n
+          |FROM graft_li_gid GROUP BY CUBE(l_returnflag, l_linestatus)
+          |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // F23: bit-manipulation batch. x is masked to 32 bits so the rotate
+    // identity never leaves non-negative int64 territory.
+    "fn_bitops2" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val x = col("l_orderkey").bitwiseAND(lit(4294967295L))
+      val n = (col("l_linenumber") % 31 + 1).cast("int")
+      t.lineitem.filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (shiftleft(x, 1).bitwiseOR(shiftrightunsigned(x, 31))).bitwiseAND(lit(4294967295L)).as("rotl_const"),
+          expr("(shiftleft(l_orderkey & 4294967295, (l_linenumber % 31 + 1)) | " +
+            "shiftrightunsigned(l_orderkey & 4294967295, 32 - (l_linenumber % 31 + 1))) & 4294967295").as("rotl"),
+          expr("(shiftrightunsigned(l_orderkey & 4294967295, (l_linenumber % 31 + 1)) | " +
+            "shiftleft(l_orderkey & 4294967295, 32 - (l_linenumber % 31 + 1))) & 4294967295").as("rotr"),
+          shiftrightunsigned(x, 3).bitwiseAND(lit(1L)).as("getbit3"),
+          x.bitwiseOR(lit(32L)).as("setbit5"),
+          (x - x.bitwiseAND(lit(4L))).as("clearbit2"),
+          bit_count(x).cast("long").as("countset"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // F24: leftover math + predicates. is_inf is data-dependent
+    // (exp overflows to +Inf for the big quantities in both engines);
+    // NaN goes through an engine-portable literal cast.
+    "fn_math4" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.lineitem.filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(cosh(col("l_discount")), 6).as("cosh_d"),
+          round(sinh(col("l_discount")), 6).as("sinh_d"),
+          round(tanh(col("l_discount")), 6).as("tanh_d"),
+          round(lit(1.0) / tan(col("l_quantity")), 6).as("cot_q"),
+          (exp(col("l_quantity") * 100) === lit("Infinity").cast("double")).as("is_inf_big"),
+          isnan(lit("NaN").cast("double") * col("l_quantity")).as("is_nan_lit"),
+          nullif(col("l_quantity"), lit(25.0)) <=> col("l_quantity") as "notdistinct_q",
+          conv(col("l_orderkey").cast("string"), 10, 16).as("hex36"),
+          conv(col("l_orderkey").cast("string"), 10, 36).as("base36"),
+          bin(col("l_orderkey")).as("bin_key"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // F25: leftover string builtins over part names (multi-word, so
+    // initcap is a real per-word test).
+    "fn_string4" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.part.filter(col("p_partkey") < 500)
+        .select(col("p_partkey"),
+          initcap(col("p_name")).as("ic_name"),
+          expr("CAST(find_in_set(split_part(p_name, ' ', 1), 'red,blue,green,small,large') AS BIGINT)").as("fis_color"),
+          expr("CAST(locate('e', p_name) AS BIGINT)").as("loc_e"),
+          concat(expr("space(CAST(p_size % 4 AS INT))"), lit("|")).as("spaced"),
+          regexp_count(col("p_name"), lit("[aeiou]")).cast("long").as("n_vowels"),
+          regexp_replace(concat(col("p_name"), lit("[a].*")),
+            "([.^$|?*+()\\[\\]{}\\\\])", "\\\\$1").as("re_escaped"))
+        .orderBy("p_partkey")
+    }),
+
+    // F26: leftover date/time builtins. months_between is mirrored in
+    // the oracle by its published rule (whole months when days match,
+    // else +(d1-d2)/31, rounded to 8); next_day by ISO-dow arithmetic.
+    "fn_datetime4" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.orders.filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          months_between(col("o_orderdate"), lit("1995-01-15").cast("timestamp")).as("mb"),
+          next_day(col("o_orderdate"), "Monday").cast("date").as("next_mon"),
+          date_format(col("o_orderdate"), "MMMM").as("mname"),
+          date_add(col("o_orderdate").cast("date"), 14).as("plus2w"),
+          add_months(col("o_orderdate").cast("date"), 3).as("plus_q"))
+        .orderBy("o_orderkey")
+    }),
+  )
+
+  private val duckMangle = "translate(c_name, '0123456789', 'OIZEASGTBQ')"
+
+  val oracles: Map[String, String] = Map(
+    "fn_strdist" ->
+      s"""SELECT c_custkey,
+         |  round(jaro_similarity(c_name, reverse(c_name)), 6) AS jaro_rev,
+         |  round(1.0 - jaro_similarity(c_name, $duckMangle), 6) AS jaro_dist,
+         |  round(jaro_winkler_similarity(c_name, $duckMangle), 6) AS jw_sim,
+         |  CAST(damerau_levenshtein(c_name, $duckMangle) AS BIGINT) AS dl_mangled,
+         |  CAST(damerau_levenshtein(c_name, reverse(c_name)) AS BIGINT) AS dl_rev
+         |FROM customer WHERE c_custkey < 500 ORDER BY c_custkey""".stripMargin,
+
+    "agg_filter" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS qty_hidisc,
+        |  count(*) FILTER (WHERE l_tax > 0.04) AS n_hitax,
+        |  count(DISTINCT l_suppkey) FILTER (WHERE l_quantity > 25.0) AS supp_big,
+        |  CAST(max(l_linenumber) FILTER (WHERE l_quantity < 10.0) AS BIGINT) AS maxline_small
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "fn_bitops2" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ((x << 1) | (x >> 31)) & 4294967295 AS rotl_const,
+        |  ((x << n) | (x >> (32 - n))) & 4294967295 AS rotl,
+        |  ((x >> n) | (x << (32 - n))) & 4294967295 AS rotr,
+        |  (x >> 3) & 1 AS getbit3,
+        |  x | 32 AS setbit5,
+        |  x - (x & 4) AS clearbit2,
+        |  CAST(bit_count(x) AS BIGINT) AS countset
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |        l_orderkey & 4294967295 AS x,
+        |        l_linenumber % 31 + 1 AS n
+        |      FROM lineitem WHERE l_orderkey < 300)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "fn_math4" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round((exp(l_discount) + exp(-l_discount)) / 2, 6) AS cosh_d,
+        |  round((exp(l_discount) - exp(-l_discount)) / 2, 6) AS sinh_d,
+        |  round((exp(2 * l_discount) - 1) / (exp(2 * l_discount) + 1), 6) AS tanh_d,
+        |  round(1.0 / tan(l_quantity), 6) AS cot_q,
+        |  exp(l_quantity * 100) = 'inf'::DOUBLE AS is_inf_big,
+        |  isnan('nan'::DOUBLE * l_quantity) AS is_nan_lit,
+        |  nullif(l_quantity, 25.0) IS NOT DISTINCT FROM l_quantity AS notdistinct_q,
+        |  upper(to_base(l_orderkey, 16)) AS hex36,
+        |  to_base(l_orderkey, 36) AS base36,
+        |  to_base(l_orderkey, 2) AS bin_key
+        |FROM lineitem WHERE l_orderkey < 300
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "fn_string4" ->
+      """SELECT p_partkey,
+        |  list_aggregate([upper(w[1]) || w[2:] for w in string_split(p_name, ' ')], 'string_agg', ' ') AS ic_name,
+        |  CAST(coalesce(list_position(string_split('red,blue,green,small,large', ','), split_part(p_name, ' ', 1)), 0) AS BIGINT) AS fis_color,
+        |  CAST(strpos(p_name, 'e') AS BIGINT) AS loc_e,
+        |  repeat(' ', p_size % 4) || '|' AS spaced,
+        |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
+        |  regexp_replace(p_name || '[a].*', '([.^$|?*+()\[\]{}\\])', '\\\1', 'g') AS re_escaped
+        |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin,
+
+    "fn_datetime4" ->
+      """SELECT o_orderkey,
+        |  round((EXTRACT(YEAR FROM o_orderdate) - 1995) * 12 + (EXTRACT(MONTH FROM o_orderdate) - 1)
+        |    + CASE WHEN EXTRACT(DAY FROM o_orderdate) = 15 THEN 0.0
+        |           ELSE (EXTRACT(DAY FROM o_orderdate) - 15) / 31.0 END, 8) AS mb,
+        |  CAST(o_orderdate + INTERVAL (CASE WHEN (1 - isodow(o_orderdate) + 7) % 7 = 0 THEN 7
+        |                                    ELSE (1 - isodow(o_orderdate) + 7) % 7 END) DAY AS DATE) AS next_mon,
+        |  monthname(o_orderdate) AS mname,
+        |  CAST(o_orderdate + INTERVAL 14 DAY AS DATE) AS plus2w,
+        |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_q
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+  )
+}

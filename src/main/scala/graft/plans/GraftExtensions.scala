@@ -68,6 +68,12 @@ object GraftFunctions {
       arity("theta_intersect_est", 2)(es => ThetaIntersectEst(es(0), es(1)))),
     ("theta_anotb_est", info("theta_anotb_est", "theta_anotb_est(a, b) - distinct estimate of A \\ B"),
       arity("theta_anotb_est", 2)(es => ThetaANotBEst(es(0), es(1)))),
+    ("jaro_sim", info("jaro_sim", "jaro_sim(s1, s2) - Jaro similarity in [0,1]"),
+      arity("jaro_sim", 2)(es => JaroSimilarity(es(0), es(1)))),
+    ("jaro_winkler_sim", info("jaro_winkler_sim", "jaro_winkler_sim(s1, s2) - Jaro-Winkler similarity"),
+      arity("jaro_winkler_sim", 2)(es => JaroWinklerSimilarity(es(0), es(1)))),
+    ("damerau_levenshtein", info("damerau_levenshtein", "damerau_levenshtein(s1, s2) - full Damerau-Levenshtein distance"),
+      arity("damerau_levenshtein", 2)(es => DamerauLevenshtein(es(0), es(1)))),
     ("sniff_format", info("sniff_format", "sniff_format(bin) - container format from magic numbers"),
       arity("sniff_format", 1)(es => SniffFormat(es.head))),
     ("byte_entropy", info("byte_entropy", "byte_entropy(bin) - Shannon entropy in bits/byte"),

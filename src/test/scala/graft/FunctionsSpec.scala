@@ -120,7 +120,30 @@ class FunctionsSpec extends SparkSpec {
   test("GraftExtensions registers all functions via injection points") {
     // unit-level: the extension applies builders without touching a live session
     val names = GraftFunctions.all.map(_._1).toSet
-    assert(names == Set("fnv_hash", "murmur_hash", "simhash64", "fingerprint64", "minhash_sig", "hashed_shingles", "jaccard_sorted", "cosine_sim", "rhp_bucket", "kll_quantile", "theta_estimate", "theta_union_est", "theta_intersect_est", "theta_anotb_est", "sniff_format", "byte_entropy", "byte_histogram16"))
+    assert(names == Set("fnv_hash", "murmur_hash", "simhash64", "fingerprint64", "minhash_sig", "hashed_shingles", "jaccard_sorted", "cosine_sim", "rhp_bucket", "kll_quantile", "theta_estimate", "theta_union_est", "theta_intersect_est", "theta_anotb_est", "sniff_format", "byte_entropy", "byte_histogram16", "jaro_sim", "jaro_winkler_sim", "damerau_levenshtein"))
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
+  test("string distances match the published algorithm vectors") {
+    def u(s: String) = UTF8String.fromString(s)
+    // Winkler's canonical example: jaro(MARTHA, MARHTA) = 17/18,
+    // winkler boost with prefix 3 → 0.9611..
+    assert(math.abs(StrDistImpl.jaro(u("MARTHA"), u("MARHTA")) - 17.0 / 18.0) < 1e-12)
+    assert(math.abs(StrDistImpl.jaroWinkler(u("MARTHA"), u("MARHTA")) - 0.9611111111111111) < 1e-12)
+    // DIXON/DICKSONX (Winkler 1990): jaro = 0.7666.., jw = 0.8133..
+    assert(math.abs(StrDistImpl.jaro(u("DIXON"), u("DICKSONX")) - 0.7666666666666666) < 1e-12)
+    assert(math.abs(StrDistImpl.jaroWinkler(u("DIXON"), u("DICKSONX")) - 0.8133333333333332) < 1e-10)
+    // no boost below the 0.7 threshold
+    val lowJ = StrDistImpl.jaro(u("abcdef"), u("badcfe"))
+    if (lowJ <= 0.7) assert(StrDistImpl.jaroWinkler(u("abcdef"), u("badcfe")) == lowJ)
+    // oracle-engine empty conventions
+    assert(StrDistImpl.jaro(u(""), u("")) == 0.0 && StrDistImpl.jaro(u("a"), u("")) == 0.0)
+    // FULL Damerau-Levenshtein: CA→ABC is 2 (transpose then insert),
+    // where restricted OSA would say 3
+    assert(StrDistImpl.damerauLevenshtein(u("CA"), u("ABC")) == 2)
+    assert(StrDistImpl.damerauLevenshtein(u("kitten"), u("sitting")) == 3)
+    assert(StrDistImpl.damerauLevenshtein(u("ab"), u("ba")) == 1)
+    assert(StrDistImpl.damerauLevenshtein(u(""), u("abc")) == 3)
+    assert(StrDistImpl.damerauLevenshtein(u("same"), u("same")) == 0)
   }
 }
