@@ -187,3 +187,87 @@ case class KllQuantileAt(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "kll_quantile"
 }
+
+// ---- CPC sketches (compressed probabilistic counting) ----------------
+
+/** CPC distinct-count sketches — the reference's `ds_cpc_sketch`/
+  * `ds_cpc_union`/`ds_cpc_estimate` builtins
+  * (apache-impala-4.1.0/fe/.../catalog/BuiltinsDb.java ds_cpc_sketch,
+  * be/src/exprs/datasketches-functions-ir.cc). CPC ("compressed
+  * probabilistic counting", Lang 2017) gives ~30% better accuracy per
+  * stored byte than HLL at the cost of slower updates — the sketch you
+  * ship over the wire. Buffer holds a live heap CpcSketch; merge pairs
+  * go through a CpcUnion; bytes only at shuffle boundaries. */
+class CpcBuf(@transient var sketch: org.apache.datasketches.cpc.CpcSketch) extends Serializable {
+  private def writeObject(out: ObjectOutputStream): Unit = {
+    val bytes = sketch.toByteArray
+    out.writeInt(bytes.length)
+    out.write(bytes)
+  }
+  private def readObject(in: ObjectInputStream): Unit = {
+    val n = in.readInt()
+    val b = new Array[Byte](n)
+    in.readFully(b)
+    sketch = org.apache.datasketches.cpc.CpcSketch.heapify(Memory.wrap(b))
+  }
+}
+
+/** `cpc_sketch(x)` build aggregate: longs in, serialized CPC sketch out. */
+case class CpcSketchAgg(lgK: Int) extends Aggregator[Long, CpcBuf, Array[Byte]] {
+  override def zero: CpcBuf = new CpcBuf(new org.apache.datasketches.cpc.CpcSketch(lgK))
+  override def reduce(b: CpcBuf, x: Long): CpcBuf = { b.sketch.update(x); b }
+  override def merge(a: CpcBuf, b: CpcBuf): CpcBuf = {
+    val u = new org.apache.datasketches.cpc.CpcUnion(lgK)
+    u.update(a.sketch); u.update(b.sketch)
+    a.sketch = u.getResult
+    a
+  }
+  override def finish(b: CpcBuf): Array[Byte] = b.sketch.toByteArray
+  override def bufferEncoder: Encoder[CpcBuf] = Encoders.javaSerialization[CpcBuf]
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+object CpcOps {
+  /** Build a CPC sketch of `c`; lgK=11 (2048 coupons) is the library
+    * default ≈ 1.2% RSE. */
+  def sketch(c: Column, lgK: Int = 11): Column =
+    org.apache.spark.sql.functions.udaf(CpcSketchAgg(lgK)).apply(c)
+
+  def estimate(b: Array[Byte]): Double =
+    org.apache.datasketches.cpc.CpcSketch.heapify(Memory.wrap(b)).getEstimate
+
+  /** ds_cpc_union_f: merge two serialized sketches, estimate the union. */
+  def unionEst(a: Array[Byte], b: Array[Byte]): Double = {
+    val sa = org.apache.datasketches.cpc.CpcSketch.heapify(Memory.wrap(a))
+    val sb = org.apache.datasketches.cpc.CpcSketch.heapify(Memory.wrap(b))
+    val u = new org.apache.datasketches.cpc.CpcUnion(math.min(sa.getLgK, sb.getLgK))
+    u.update(sa); u.update(sb)
+    u.getResult.getEstimate
+  }
+}
+
+/** `cpc_estimate(sketch) -> double` — post-aggregation estimate. */
+case class CpcEstimate(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(b: Any): Any = CpcOps.estimate(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.CpcOps.estimate($b)")
+  override protected def withNewChildInternal(newChild: Expression): CpcEstimate = copy(child = newChild)
+  override def prettyName: String = "cpc_estimate"
+}
+
+/** `cpc_union_est(a, b) -> double` — union-of-two-sketches estimate. */
+case class CpcUnionEst(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CpcOps.unionEst(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.CpcOps.unionEst($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CpcUnionEst =
+    copy(left = l, right = r)
+  override def prettyName: String = "cpc_union_est"
+}

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{KllQuantile, Sampling, ThetaOps}
+import graft.functions.{CpcOps, KllQuantile, Sampling, ThetaOps}
 import graft.plans.GraftFunctions
 import Exact._
 
@@ -114,6 +114,23 @@ object AggQueries {
       val t = Tables(spark, dir)
       t.orders.groupBy("o_orderstatus")
         .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").as("est_customers"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // A22: CPC distinct-count sketch build + estimate + pairwise union
+    // (reference ds_cpc_sketch/ds_cpc_union/ds_cpc_estimate —
+    // fe/.../catalog/BuiltinsDb.java, datasketches-functions-ir.cc).
+    // CPC estimates are approximate → rows-only; SketchSpec bounds the
+    // relative error vs exact countDistinct.
+    "agg_cpc_ndv" -> ((spark, dir) => {
+      GraftFunctions.register(spark)
+      val t = Tables(spark, dir)
+      val sk = t.orders.groupBy("o_orderstatus")
+        .agg(CpcOps.sketch(col("o_custkey")).as("sk"), count(lit(1)).as("n"))
+      sk.select(col("o_orderstatus"),
+          round(call_function("cpc_estimate", col("sk")), 1).as("est_customers"),
+          round(call_function("cpc_union_est", col("sk"), col("sk")), 1).as("est_self_union"),
+          col("n"))
         .orderBy("o_orderstatus")
     }),
 

@@ -68,6 +68,10 @@ object GraftFunctions {
       arity("theta_intersect_est", 2)(es => ThetaIntersectEst(es(0), es(1)))),
     ("theta_anotb_est", info("theta_anotb_est", "theta_anotb_est(a, b) - distinct estimate of A \\ B"),
       arity("theta_anotb_est", 2)(es => ThetaANotBEst(es(0), es(1)))),
+    ("cpc_estimate", info("cpc_estimate", "cpc_estimate(sketch) - distinct estimate from a CPC sketch"),
+      arity("cpc_estimate", 1)(es => CpcEstimate(es.head))),
+    ("cpc_union_est", info("cpc_union_est", "cpc_union_est(a, b) - distinct estimate of A ∪ B from CPC sketches"),
+      arity("cpc_union_est", 2)(es => CpcUnionEst(es(0), es(1)))),
     ("jaro_sim", info("jaro_sim", "jaro_sim(s1, s2) - Jaro similarity in [0,1]"),
       arity("jaro_sim", 2)(es => JaroSimilarity(es(0), es(1)))),
     ("jaro_winkler_sim", info("jaro_winkler_sim", "jaro_winkler_sim(s1, s2) - Jaro-Winkler similarity"),

@@ -107,4 +107,22 @@ class SketchSpec extends SparkSpec {
       .collect().head.getAs[Long]("ndv")
     assert(est >= 200 && est <= 800, s"ndv estimate $est vs exact 400")
   }
+
+  test("CPC sketch: estimate within error bound, union matches multiset union") {
+    import graft.functions.CpcOps
+    GraftFunctions.register(spark)
+    val df = (1 to 20000).map(i => (i % 2, (i % 3000).toLong)).toDF("g", "x").repartition(8)
+    val sk = df.groupBy($"g").agg(CpcOps.sketch($"x").as("sk"))
+    val ests = sk.select($"g", call_function("cpc_estimate", $"sk").as("est"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // each parity class sees 1500 distinct values
+    ests.values.foreach(e => assert(math.abs(e - 1500.0) / 1500.0 < 0.05, ests.toString))
+    // union of the two group sketches ≈ 3000 overall distincts
+    val pair = sk.orderBy($"g").collect().map(_.getAs[Array[Byte]]("sk"))
+    val u = CpcOps.unionEst(pair(0), pair(1))
+    assert(math.abs(u - 3000.0) / 3000.0 < 0.05, u.toString)
+    // self-union is idempotent up to sketch resolution
+    val selfU = CpcOps.unionEst(pair(0), pair(0))
+    assert(math.abs(selfU - ests(0)) / ests(0) < 0.01, s"$selfU vs ${ests(0)}")
+  }
 }
