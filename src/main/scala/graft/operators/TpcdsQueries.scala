@@ -291,6 +291,80 @@ object TpcdsQueries {
          SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
         ORDER BY c""")
     }),
+
+    // DS13 (q67 shape): 4-level ROLLUP of sales, then rank() inside each
+    // top-level category over ALL rollup grain levels, keep the top 5.
+    // Window-over-rollup is the shape nothing else in the suite covers.
+    "ds_q67_rollup_topn" -> ((spark, dir) => {
+      views(spark, dir)
+      spark.sql(s"""
+        WITH base AS (
+          SELECT p_type, p_brand, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 CAST(month(o_orderdate) AS BIGINT) AS o_month,
+                 l_extendedprice * (1.0 - l_discount) AS r
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN part ON l_partkey = p_partkey),
+        sales AS (
+          SELECT p_type, p_brand, o_year, o_month,
+                 CAST(SUM(CAST(r AS DECIMAL(38,6))) AS DOUBLE) AS sumsales
+          FROM base GROUP BY ROLLUP(p_type, p_brand, o_year, o_month))
+        SELECT * FROM (
+          SELECT p_type, p_brand, o_year, o_month, sumsales,
+                 CAST(rank() OVER (PARTITION BY p_type ORDER BY sumsales DESC) AS BIGINT) AS rk
+          FROM sales)
+        WHERE rk <= 5
+        ORDER BY p_type ASC NULLS FIRST, rk, p_brand ASC NULLS FIRST,
+                 o_year ASC NULLS FIRST, o_month ASC NULLS FIRST""")
+    }),
+
+    // DS14 (q51 shape): two per-channel cumulative series (returned vs
+    // clean lines), FULL OUTER JOIN on the (supplier, month) grain, keep
+    // points where the returned-cumulative overtakes the clean one.
+    "ds_q51_cume_compare" -> ((spark, dir) => {
+      views(spark, dir)
+      spark.sql("""
+        WITH r AS (
+          SELECT l_suppkey, CAST(month(l_shipdate) AS BIGINT) AS m,
+                 SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS rev
+          FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2),
+        n AS (
+          SELECT l_suppkey, CAST(month(l_shipdate) AS BIGINT) AS m,
+                 SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS rev
+          FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1, 2),
+        rc AS (
+          SELECT l_suppkey, m, SUM(rev) OVER (
+            PARTITION BY l_suppkey ORDER BY m
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_r
+          FROM r),
+        nc AS (
+          SELECT l_suppkey, m, SUM(rev) OVER (
+            PARTITION BY l_suppkey ORDER BY m
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+          FROM n)
+        SELECT coalesce(rc.l_suppkey, nc.l_suppkey) AS supp,
+               coalesce(rc.m, nc.m) AS m,
+               CAST(cum_r AS DOUBLE) AS cum_r, CAST(cum_n AS DOUBLE) AS cum_n
+        FROM rc FULL OUTER JOIN nc
+          ON rc.l_suppkey = nc.l_suppkey AND rc.m = nc.m
+        WHERE cum_r > cum_n
+        ORDER BY supp, m LIMIT 100""")
+    }),
+
+    // DS15 (q98/q12 shape): per-item revenue with its ratio-to-class
+    // window share.
+    "ds_q98_class_share" -> ((spark, dir) => {
+      views(spark, dir)
+      spark.sql("""
+        WITH itemrev AS (
+          SELECT p_type, p_brand, SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS s
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1, 2)
+        SELECT p_type, p_brand, CAST(s AS DOUBLE) AS itemrev,
+               round(CAST(s AS DOUBLE) * 100 / CAST(SUM(s) OVER (PARTITION BY p_type) AS DOUBLE), 6) AS ratio
+        FROM itemrev
+        ORDER BY p_type, ratio DESC, p_brand""")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -485,5 +559,62 @@ object TpcdsQueries {
         | EXCEPT
         | SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
         |ORDER BY c""".stripMargin,
+
+    "ds_q67_rollup_topn" ->
+      """WITH base AS (
+        |  SELECT p_type, p_brand, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |         CAST(month(o_orderdate) AS BIGINT) AS o_month,
+        |         l_extendedprice * (1.0 - l_discount) AS r
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey),
+        |sales AS (
+        |  SELECT p_type, p_brand, o_year, o_month,
+        |         CAST(SUM(CAST(r AS DECIMAL(38,6))) AS DOUBLE) AS sumsales
+        |  FROM base GROUP BY ROLLUP(p_type, p_brand, o_year, o_month))
+        |SELECT * FROM (
+        |  SELECT p_type, p_brand, o_year, o_month, sumsales,
+        |         CAST(rank() OVER (PARTITION BY p_type ORDER BY sumsales DESC) AS BIGINT) AS rk
+        |  FROM sales)
+        |WHERE rk <= 5
+        |ORDER BY p_type ASC NULLS FIRST, rk, p_brand ASC NULLS FIRST,
+        |         o_year ASC NULLS FIRST, o_month ASC NULLS FIRST""".stripMargin,
+
+    "ds_q51_cume_compare" ->
+      """WITH r AS (
+        |  SELECT l_suppkey, CAST(month(l_shipdate) AS BIGINT) AS m,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS rev
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2),
+        |n AS (
+        |  SELECT l_suppkey, CAST(month(l_shipdate) AS BIGINT) AS m,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS rev
+        |  FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1, 2),
+        |rc AS (
+        |  SELECT l_suppkey, m, SUM(rev) OVER (
+        |    PARTITION BY l_suppkey ORDER BY m
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_r
+        |  FROM r),
+        |nc AS (
+        |  SELECT l_suppkey, m, SUM(rev) OVER (
+        |    PARTITION BY l_suppkey ORDER BY m
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+        |  FROM n)
+        |SELECT coalesce(rc.l_suppkey, nc.l_suppkey) AS supp,
+        |       coalesce(rc.m, nc.m) AS m,
+        |       CAST(cum_r AS DOUBLE) AS cum_r, CAST(cum_n AS DOUBLE) AS cum_n
+        |FROM rc FULL OUTER JOIN nc
+        |  ON rc.l_suppkey = nc.l_suppkey AND rc.m = nc.m
+        |WHERE cum_r > cum_n
+        |ORDER BY supp, m LIMIT 100""".stripMargin,
+
+    "ds_q98_class_share" ->
+      """WITH itemrev AS (
+        |  SELECT p_type, p_brand, SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS s
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2)
+        |SELECT p_type, p_brand, CAST(s AS DOUBLE) AS itemrev,
+        |       round(CAST(s AS DOUBLE) * 100 / CAST(SUM(s) OVER (PARTITION BY p_type) AS DOUBLE), 6) AS ratio
+        |FROM itemrev
+        |ORDER BY p_type, ratio DESC, p_brand""".stripMargin,
   )
 }
