@@ -33,7 +33,7 @@ object SparkEntry {
       TableOps.queries ++ EventQueries.queries ++
       graft.pipeline.Dedup.queries ++ graft.pipeline.Similarity.queries ++
       graft.pipeline.TextAnalysis.queries ++ graft.pipeline.Corpus.queries ++
-      graft.pipeline.Multimodal.queries ++ graft.pipeline.Splits.queries ++
+      graft.pipeline.Multimodal.queries ++ graft.pipeline.Splits.queries ++ graft.pipeline.Curation.queries ++
       graft.pipeline.Cluster.queries ++ AsOfJoin.queries ++ BandJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -45,6 +45,6 @@ object SparkEntry {
       TableOps.oracles ++ EventQueries.oracles ++
       graft.pipeline.Dedup.oracles ++ graft.pipeline.Similarity.oracles ++
       graft.pipeline.TextAnalysis.oracles ++ graft.pipeline.Corpus.oracles ++
-      graft.pipeline.Multimodal.oracles ++ graft.pipeline.Splits.oracles ++
+      graft.pipeline.Multimodal.oracles ++ graft.pipeline.Splits.oracles ++ graft.pipeline.Curation.oracles ++
       graft.pipeline.Cluster.oracles ++ AsOfJoin.oracles ++ BandJoin.oracles
 }

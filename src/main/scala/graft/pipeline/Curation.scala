@@ -1,0 +1,168 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between ingest and tokenization (SURVEY.md §2 P22–P25): PII
+  * redaction, boilerplate/repetition scoring, benchmark-contamination
+  * detection, and fixed-window sequence packing. All four are per-row
+  * column algebra or bucketed equi-joins — no all-pairs work anywhere —
+  * so they scan-scale to 100 TB the same way the P9–P12 text family
+  * does.
+  */
+object Curation {
+
+  private def words(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** P22: PII redaction. Class-based regex scrub (emails, phone-shaped
+    * numbers, SSN-shaped ids) with per-class match counts, so the
+    * pipeline can both clean and audit. The demo input derives
+    * PII-shaped text deterministically from the customer table (the
+    * corpus documents are synthetic words with no PII to find). */
+  def piiScrub(df: DataFrame, textCol: Column): DataFrame = {
+    val email = "[a-zA-Z0-9#._-]+@[a-zA-Z0-9.-]+"
+    val phone = "555-[0-9]{4,8}"
+    val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+    df.select(col("*"),
+      regexp_count(textCol, lit(email)).cast("long").as("n_email"),
+      regexp_count(textCol, lit(phone)).cast("long").as("n_phone"),
+      regexp_count(textCol, lit(ssn)).cast("long").as("n_ssn"),
+      regexp_replace(regexp_replace(regexp_replace(textCol,
+        email, "<EMAIL>"), phone, "<PHONE>"), ssn, "<ID>").as("scrubbed"))
+  }
+
+  /** P23: repetition score — 1 − distinct/total word-3-grams. High
+    * values flag boilerplate and degenerate (looping) text; the n-gram
+    * work is a per-row array expression, never a join. */
+  def repetitionScore(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    docs
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))").as("g3"))
+      .select(col("doc_id"),
+        size(col("g3")).cast("long").as("n_grams"),
+        size(array_distinct(col("g3"))).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6))
+  }
+
+  /** P24: benchmark-contamination check. The benchmark set's signature
+    * 8-grams (here: the opening 8-gram of every doc_id ≡ 0 mod 97 doc)
+    * are matched against EVERY 8-gram of the remaining corpus via an
+    * equi-join on the gram — the scale path for decontamination: grams
+    * explode per-row, the join shuffles on the gram key (or broadcasts:
+    * a benchmark suite is bounded), and no pairwise doc×doc comparison
+    * ever materializes. */
+  def contamination(docs: DataFrame): DataFrame = {
+    val withWords = docs.select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 8)
+    val benchGrams = withWords.filter(col("doc_id") % 97 === 0)
+      .select(concat_ws(" ", slice(col("w"), 1, 8)).as("g"))
+      .distinct()
+    withWords.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(w) - 7), i -> concat_ws(' ', slice(w, i, 8)))")).as("g"))
+      .join(benchGrams, Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+      .orderBy("doc_id")
+  }
+
+  /** P25: fixed-window sequence packing (pretraining style): documents
+    * are concatenated in stable doc_id order within a shard and cut
+    * every `ctx` tokens; a doc's pack is determined by its start
+    * offset. Pure running-sum window math per shard — shards are
+    * independent, so packing parallelizes across the cluster and is
+    * reproducible under any physical row order. */
+  def packSequences(docs: DataFrame, ctx: Int = 512, shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = size(words(col("text"))).cast("long")
+    val shard = (col("doc_id") % shards).cast("long")
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), shard.as("shard"), tok.as("n_tok"))
+      .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("pack_id", (col("start_off") / ctx).cast("long"))
+  }
+
+  // ---- queries()/oracle entries -------------------------------------
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "pipe_pii_scrub" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val src = t.customer.filter(col("c_custkey") < 500)
+        .select(col("c_custkey"),
+          concat(col("c_name"), lit(" contact "), lower(col("c_name")), lit("@example.com tel 555-0"),
+            col("c_custkey"), lit(" id 123-45-6789")).as("txt"))
+      piiScrub(src, col("txt")).drop("txt").orderBy("c_custkey")
+    }),
+    "pipe_repetition" -> ((spark, dir) =>
+      repetitionScore(Tables(spark, dir).documents).orderBy("doc_id")),
+    "pipe_contamination" -> ((spark, dir) =>
+      contamination(Tables(spark, dir).documents)),
+    "pipe_pack_sequences" -> ((spark, dir) =>
+      packSequences(Tables(spark, dir).documents).orderBy("doc_id")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "pipe_pii_scrub" ->
+      """WITH src AS (
+        |  SELECT c_custkey,
+        |         c_name || ' contact ' || lower(c_name) || '@example.com tel 555-0' || CAST(c_custkey AS VARCHAR) || ' id 123-45-6789' AS txt
+        |  FROM customer WHERE c_custkey < 500)
+        |SELECT c_custkey,
+        |  CAST(len(regexp_extract_all(txt, '[a-zA-Z0-9#._-]+@[a-zA-Z0-9.-]+')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(txt, '555-[0-9]{4,8}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(txt, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssn,
+        |  regexp_replace(regexp_replace(regexp_replace(txt,
+        |    '[a-zA-Z0-9#._-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+        |    '555-[0-9]{4,8}', '<PHONE>', 'g'),
+        |    '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<ID>', 'g') AS scrubbed
+        |FROM src ORDER BY c_custkey""".stripMargin,
+
+    "pipe_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         [list_aggregate(ws[i:i+2], 'string_agg', ' ') for i in generate_series(1, len(ws) - 2)] AS g3
+        |  FROM w WHERE len(ws) >= 3)
+        |SELECT doc_id,
+        |  CAST(len(g3) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(g3)) AS BIGINT) AS n_distinct,
+        |  round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6) AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "pipe_contamination" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |ok AS (SELECT * FROM w WHERE len(ws) >= 8),
+        |bench AS (
+        |  SELECT DISTINCT list_aggregate(ws[1:8], 'string_agg', ' ') AS g
+        |  FROM ok WHERE doc_id % 97 = 0),
+        |grams AS (
+        |  SELECT doc_id,
+        |         unnest([list_aggregate(ws[i:i+7], 'string_agg', ' ') for i in generate_series(1, len(ws) - 7)]) AS g
+        |  FROM ok WHERE doc_id % 97 <> 0)
+        |SELECT DISTINCT doc_id FROM grams JOIN bench USING (g)
+        |ORDER BY doc_id""".stripMargin,
+
+    "pipe_pack_sequences" ->
+      """WITH base AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT doc_id, shard, n_tok,
+        |  CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS BIGINT) AS start_off,
+        |  CAST(floor(CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS DOUBLE) / 512) AS BIGINT) AS pack_id
+        |FROM base ORDER BY doc_id""".stripMargin,
+  )
+}

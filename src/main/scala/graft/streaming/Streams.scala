@@ -71,6 +71,35 @@ object Streams {
       .select(col("user_id"), col("session_window.start").as("sess_start"),
         col("session_window.end").as("sess_end"), col("n_events"))
 
+  /** T9: foreachBatch sink — each micro-batch lands in its own
+    * `batch_id=N` directory with overwrite semantics, so an
+    * at-least-once replay of a batch rewrites the same directory
+    * instead of duplicating rows (the standard idempotent-sink recipe
+    * for sinks with no transactional writer). */
+  def foreachBatchParquet(events: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    }
+
+  /** T10: Trigger.AvailableNow file-to-file copy — drains everything
+    * currently in `inDir` through the streaming engine (checkpointed,
+    * so a re-run picks up only NEW files) and stops. The streaming twin
+    * of an incremental batch ingest job. */
+  def availableNowIngest(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      inDir: String, outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** T3: drop duplicate event_ids arriving within the watermark. */
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")

@@ -161,4 +161,42 @@ class StreamingSpec extends SparkSpec {
       assert(out.exists(s => s.user_id == 1 && s.n_events == 2 && s.duration_s == 600))
     } finally q.stop()
   }
+
+  test("T9: foreachBatch writes per-batch dirs; rewriting a batch dir is idempotent") {
+    implicit val ctx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_feb").toString
+    val in = MemoryStream[Event]
+    val q = Streams.foreachBatchParquet(in.toDF(), out)
+      .option("checkpointLocation", s"$out/_chk").start()
+    try {
+      in.addData(Event(1, ts(0), 1, "view", 1.0), Event(2, ts(1), 2, "click", 2.0))
+      q.processAllAvailable()
+      in.addData(Event(3, ts(2), 3, "view", 3.0))
+      q.processAllAvailable()
+      val dirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted
+      assert(dirs.length >= 2, dirs.mkString(","))
+      assert(spark.read.parquet(s"$out/batch_id=*").count() == 3)
+      // replaying batch 0's payload into its directory must overwrite,
+      // not append — the idempotence contract
+      Seq(Event(1, ts(0), 1, "view", 1.0), Event(2, ts(1), 2, "click", 2.0)).toDF()
+        .write.mode("overwrite").parquet(s"$out/batch_id=0")
+      assert(spark.read.parquet(s"$out/batch_id=*").count() == 3)
+    } finally q.stop()
+  }
+
+  test("T10: Trigger.AvailableNow drains the input once; a re-run ingests only new files") {
+    val root = java.nio.file.Files.createTempDirectory("graft_an").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val chk = s"$root/chk"
+    val first = Seq(Event(1, ts(0), 1, "view", 1.0), Event(2, ts(1), 2, "click", 2.0)).toDF()
+    first.write.parquet(inDir)
+    val q1 = Streams.availableNowIngest(spark, first.schema, inDir, outDir, chk)
+    assert(q1.awaitTermination(60000))
+    assert(spark.read.parquet(outDir).count() == 2)
+    // second run: one new file appears; only its rows flow through
+    Seq(Event(3, ts(2), 3, "view", 3.0)).toDF()
+      .write.mode("append").parquet(inDir)
+    val q2 = Streams.availableNowIngest(spark, first.schema, inDir, outDir, chk)
+    assert(q2.awaitTermination(60000))
+    assert(spark.read.parquet(outDir).count() == 3)
+  }
 }
