@@ -135,6 +135,35 @@ object FunctionQueries4 {
         .orderBy("p_partkey")
     }),
 
+    // F27: Iceberg truncate partition transform (reference
+    // iceberg_truncate_transform, impala_functions.py:1105) — integer
+    // floor-to-width (negative-safe) and string code-point prefix. The
+    // integer/string truncate rules are pure arithmetic → oracle-exact.
+    "fn_iceberg_truncate" -> ((spark, dir) => {
+      GraftFunctions.register(spark)
+      val t = Tables(spark, dir)
+      t.customer.filter(col("c_custkey") < 500)
+        .select(col("c_custkey"),
+          call_function("iceberg_truncate", col("c_custkey") - 250, lit(10L)).as("trunc10"),
+          call_function("iceberg_truncate", col("c_custkey") - 250, lit(7L)).as("trunc7"),
+          call_function("iceberg_truncate", col("c_name"), lit(6L)).as("name6"))
+        .orderBy("c_custkey")
+    }),
+
+    // F28: Iceberg bucket partition transform (murmur3_x86_32 per the
+    // public Iceberg spec; seed 0, little-endian widened ints). No
+    // oracle engine implements this hash → rows-only; FunctionsSpec
+    // pins the spec's published vectors.
+    "fn_iceberg_bucket" -> ((spark, dir) => {
+      GraftFunctions.register(spark)
+      val t = Tables(spark, dir)
+      t.customer.filter(col("c_custkey") < 500)
+        .select(col("c_custkey"),
+          call_function("iceberg_bucket", col("c_custkey"), lit(16)).as("b_key16"),
+          call_function("iceberg_bucket", col("c_name"), lit(32)).as("b_name32"))
+        .orderBy("c_custkey")
+    }),
+
     // F26: leftover date/time builtins. months_between is mirrored in
     // the oracle by its published rule (whole months when days match,
     // else +(d1-d2)/31, rounded to 8); next_day by ISO-dow arithmetic.
@@ -217,6 +246,13 @@ object FunctionQueries4 {
         |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
         |  regexp_replace(p_name || '[a].*', '([.^$|?*+()\[\]{}\\])', '\\\1', 'g') AS re_escaped
         |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin,
+
+    "fn_iceberg_truncate" ->
+      """SELECT c_custkey,
+        |  (c_custkey - 250) - ((((c_custkey - 250) % 10) + 10) % 10) AS trunc10,
+        |  (c_custkey - 250) - ((((c_custkey - 250) % 7) + 7) % 7) AS trunc7,
+        |  substring(c_name, 1, 6) AS name6
+        |FROM customer WHERE c_custkey < 500 ORDER BY c_custkey""".stripMargin,
 
     "fn_datetime4" ->
       """SELECT o_orderkey,

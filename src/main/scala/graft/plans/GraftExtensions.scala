@@ -68,6 +68,10 @@ object GraftFunctions {
       arity("theta_intersect_est", 2)(es => ThetaIntersectEst(es(0), es(1)))),
     ("theta_anotb_est", info("theta_anotb_est", "theta_anotb_est(a, b) - distinct estimate of A \\ B"),
       arity("theta_anotb_est", 2)(es => ThetaANotBEst(es(0), es(1)))),
+    ("iceberg_bucket", info("iceberg_bucket", "iceberg_bucket(v, n) - Iceberg bucket partition transform"),
+      arity("iceberg_bucket", 2)(es => IcebergBucket(es(0), es(1)))),
+    ("iceberg_truncate", info("iceberg_truncate", "iceberg_truncate(v, w) - Iceberg truncate partition transform"),
+      arity("iceberg_truncate", 2)(es => IcebergTruncate(es(0), es(1)))),
     ("cpc_estimate", info("cpc_estimate", "cpc_estimate(sketch) - distinct estimate from a CPC sketch"),
       arity("cpc_estimate", 1)(es => CpcEstimate(es.head))),
     ("cpc_union_est", info("cpc_union_est", "cpc_union_est(a, b) - distinct estimate of A ∪ B from CPC sketches"),

@@ -120,8 +120,23 @@ class FunctionsSpec extends SparkSpec {
   test("GraftExtensions registers all functions via injection points") {
     // unit-level: the extension applies builders without touching a live session
     val names = GraftFunctions.all.map(_._1).toSet
-    assert(names == Set("fnv_hash", "murmur_hash", "simhash64", "fingerprint64", "minhash_sig", "hashed_shingles", "jaccard_sorted", "cosine_sim", "rhp_bucket", "kll_quantile", "theta_estimate", "theta_union_est", "theta_intersect_est", "theta_anotb_est", "sniff_format", "byte_entropy", "byte_histogram16", "jaro_sim", "jaro_winkler_sim", "damerau_levenshtein", "cpc_estimate", "cpc_union_est"))
+    assert(names == Set("fnv_hash", "murmur_hash", "simhash64", "fingerprint64", "minhash_sig", "hashed_shingles", "jaccard_sorted", "cosine_sim", "rhp_bucket", "kll_quantile", "theta_estimate", "theta_union_est", "theta_intersect_est", "theta_anotb_est", "sniff_format", "byte_entropy", "byte_histogram16", "jaro_sim", "jaro_winkler_sim", "damerau_levenshtein", "cpc_estimate", "cpc_union_est", "iceberg_bucket", "iceberg_truncate"))
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
+  test("iceberg transforms match the public table-spec vectors") {
+    // Iceberg spec Appendix B: murmur3_x86_32 of little-endian int64(34)
+    // and of UTF-8 "iceberg"
+    assert(IcebergImpl.hashLong(34L) == 2017239379)
+    assert(IcebergImpl.hashString(UTF8String.fromString("iceberg")) == 1210000089)
+    assert(IcebergImpl.bucketLong(34L, 16) == 2017239379 % 16)
+    assert(IcebergImpl.bucketString(UTF8String.fromString("iceberg"), 16) == 1210000089 % 16)
+    // truncate floors toward -inf for integers, code-point prefix for strings
+    assert(IcebergImpl.truncateLong(17L, 10L) == 10L)
+    assert(IcebergImpl.truncateLong(-1L, 10L) == -10L)
+    assert(IcebergImpl.truncateLong(-10L, 10L) == -10L)
+    assert(IcebergImpl.truncateString(UTF8String.fromString("iceberg"), 3).toString == "ice")
+    assert(IcebergImpl.truncateString(UTF8String.fromString("ab"), 5).toString == "ab")
   }
 
   test("string distances match the published algorithm vectors") {
