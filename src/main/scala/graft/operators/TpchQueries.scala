@@ -163,17 +163,22 @@ object TpchQueries {
           dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("promo_revenue"))
     }),
 
+    // Single lineitem pass (round 3): the per-order quantity total is a
+    // window aggregate over the SAME l_orderkey shuffle the orders join
+    // then reuses — the agg-then-rejoin formulation scanned lineitem
+    // twice and aggregated a second time after the join. Window
+    // partitions are per-order (≤7 rows), so no skew risk, and the
+    // qualifying total IS the final sum_qty (no post-join agg at all).
     "q18_large_volume" -> ((spark, dir) => {
       val t = Tables(spark, dir)
-      val bigOrders = t.lineitem.groupBy("l_orderkey")
-        .agg(sum(col("l_quantity").cast("decimal(38,6)")).as("q"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
+      val bigOrders = t.lineitem
+        .withColumn("q", sum(col("l_quantity").cast("decimal(38,6)")).over(w))
         .filter(col("q") > 250)
-        .select(col("l_orderkey").as("big_okey"))
+        .select(col("l_orderkey").as("big_okey"), col("q").cast("double").as("sum_qty"))
+        .dropDuplicates("big_okey")
       t.orders.join(bigOrders, col("o_orderkey") === col("big_okey"))
         .join(t.customer, col("o_custkey") === col("c_custkey"))
-        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum(col("l_quantity")).as("sum_qty"))
         .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
           to_date(col("o_orderdate")).as("o_orderdate"), col("o_totalprice"), col("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))

@@ -105,16 +105,19 @@ object TpchQueries2 {
 
     // q21: suppliers whose 'F' orders involved ≥2 distinct suppliers —
     // the multi-supplier-order shape of q21 without l_receiptdate.
+    // Single lineitem pass (round 3): the distinct-supplier count per
+    // order is a window collect_set over the SAME l_orderkey shuffle
+    // the orders join reuses — the agg-then-semi-join formulation
+    // scanned and shuffled lineitem twice. Per-order partitions are ≤7
+    // rows, so the in-window set is O(1)-bounded.
     "q21_multi_supplier_orders" -> ((spark, dir) => {
       val t = Tables(spark, dir)
-      val multiSupp = t.lineitem.groupBy(col("l_orderkey").as("mo_key"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"))
-        .filter(col("n_supp") >= 2)
-        .select("mo_key")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
       t.lineitem
+        .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
+        .filter(col("n_supp") >= 2)
         .join(t.orders.filter(col("o_orderstatus") === "F"),
           col("l_orderkey") === col("o_orderkey"))
-        .join(multiSupp, col("l_orderkey") === col("mo_key"), "left_semi")
         .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
