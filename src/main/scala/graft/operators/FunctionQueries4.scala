@@ -164,6 +164,51 @@ object FunctionQueries4 {
         .orderBy("c_custkey")
     }),
 
+    // F29: timezone conversions (from_utc_timestamp/to_utc_timestamp/
+    // from_unixtime/unix_timestamp — the reference's
+    // from_utc_timestamp/to_utc_timestamp/from_unixtime surface). The
+    // oracle mirrors with fixed-offset zones (Tokyo +9, Kolkata +5:30 —
+    // neither observes DST, so interval arithmetic is exact parity) and
+    // wall-clock strings are returned instead of raw timestamps.
+    "fn_datetime5" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.orders.filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          date_format(from_utc_timestamp(col("o_orderdate"), "Asia/Tokyo"), "yyyy-MM-dd HH:mm").as("tokyo_wall"),
+          date_format(from_utc_timestamp(col("o_orderdate"), "Asia/Kolkata"), "yyyy-MM-dd HH:mm").as("kolkata_wall"),
+          date_format(to_utc_timestamp(col("o_orderdate"), "Asia/Tokyo"), "yyyy-MM-dd HH:mm").as("tokyo_to_utc"),
+          from_unixtime(unix_timestamp(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("epoch_rt"))
+        .orderBy("o_orderkey")
+    }),
+
+    // F30: madlib vector-builtin parity (madlib_vector/vector_get/
+    // encode_vector in the reference registry) — expressed as native
+    // array algebra over the embeddings table: dimension, element get,
+    // and double-accumulated self-dot / element-sum via zip_with +
+    // aggregate lambdas. No UDF anywhere.
+    "fn_vector" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.embeddings.filter(col("vec_id") < 300)
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(element_at(col("embedding"), 3).cast("double"), 6).as("get3"),
+          round(expr("aggregate(zip_with(embedding, embedding, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"), 4).as("self_dot"),
+          round(expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"), 5).as("sum_elems"))
+        .orderBy("vec_id")
+    }),
+
+    // F31: environment/utility builtins (user()/version()/
+    // current_database()/pid() in the reference). Values are
+    // deployment-specific → rows-only; the point is the surface exists.
+    "fn_env" -> ((spark, dir) => {
+      val _ = dir
+      spark.range(1).select(
+        expr("current_database()").as("db"),
+        expr("current_catalog()").as("catalog"),
+        expr("substring(version(), 1, 1)").as("major_version"),
+        expr("current_user()").as("usr"))
+    }),
+
     // F26: leftover date/time builtins. months_between is mirrored in
     // the oracle by its published rule (whole months when days match,
     // else +(d1-d2)/31, rounded to 8); next_day by ISO-dow arithmetic.
@@ -246,6 +291,22 @@ object FunctionQueries4 {
         |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
         |  regexp_replace(p_name || '[a].*', '([.^$|?*+()\[\]{}\\])', '\\\1', 'g') AS re_escaped
         |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin,
+
+    "fn_datetime5" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate + INTERVAL 9 HOUR, '%Y-%m-%d %H:%M') AS tokyo_wall,
+        |  strftime(o_orderdate + INTERVAL 330 MINUTE, '%Y-%m-%d %H:%M') AS kolkata_wall,
+        |  strftime(o_orderdate - INTERVAL 9 HOUR, '%Y-%m-%d %H:%M') AS tokyo_to_utc,
+        |  strftime(to_timestamp(epoch(o_orderdate)), '%Y-%m-%d %H:%M:%S') AS epoch_rt
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+
+    "fn_vector" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(CAST(embedding[3] AS DOUBLE), 6) AS get3,
+        |  round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 4) AS self_dot,
+        |  round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 5) AS sum_elems
+        |FROM embeddings WHERE vec_id < 300 ORDER BY vec_id""".stripMargin,
 
     "fn_iceberg_truncate" ->
       """SELECT c_custkey,

@@ -169,6 +169,34 @@ object RelationalQueries {
         .groupBy("o_orderstatus").agg(count(lit(1)).as("n_orders"))
         .orderBy("o_orderstatus")
     }),
+
+    // R17: recursive CTE (Spark 4 WITH RECURSIVE) — the calendar-spine
+    // pattern: generate every month of 1996–1997 by recursion, then
+    // LEFT JOIN monthly revenue so gap months surface as 0.0 instead of
+    // silently missing. (Beyond the reference engine's SQL surface —
+    // Impala has no recursive CTEs — included as Spark-native parity
+    // with the standard.)
+    "rel_recursive_spine" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.orders.createOrReplaceTempView("graft_orders_rec")
+      spark.sql(s"""
+        WITH RECURSIVE idx(i) AS (
+          SELECT 0 UNION ALL SELECT i + 1 FROM idx WHERE i < 23),
+        spine AS (
+          SELECT CAST(1996 + i DIV 12 AS BIGINT) AS yr,
+                 CAST(i % 12 + 1 AS BIGINT) AS mo
+          FROM idx),
+        rev AS (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                 CAST(month(o_orderdate) AS BIGINT) AS mo,
+                 ${Exact.sqlSum("o_totalprice")} AS r
+          FROM graft_orders_rec
+          WHERE year(o_orderdate) IN (1996, 1997)
+          GROUP BY 1, 2)
+        SELECT s.yr, s.mo, coalesce(round(rev.r, 4), 0.0) AS monthly_rev
+        FROM spine s LEFT JOIN rev ON s.yr = rev.yr AND s.mo = rev.mo
+        ORDER BY s.yr, s.mo""")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -265,5 +293,23 @@ object RelationalQueries {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity = 50.0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "rel_recursive_spine" ->
+      s"""WITH RECURSIVE idx(i) AS (
+         |  SELECT 0 UNION ALL SELECT i + 1 FROM idx WHERE i < 23),
+         |spine AS (
+         |  SELECT CAST(1996 + i // 12 AS BIGINT) AS yr,
+         |         CAST(i % 12 + 1 AS BIGINT) AS mo
+         |  FROM idx),
+         |rev AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         |         CAST(month(o_orderdate) AS BIGINT) AS mo,
+         |         ${Exact.sqlSum("o_totalprice")} AS r
+         |  FROM orders
+         |  WHERE year(o_orderdate) IN (1996, 1997)
+         |  GROUP BY 1, 2)
+         |SELECT s.yr, s.mo, coalesce(round(rev.r, 4), 0.0) AS monthly_rev
+         |FROM spine s LEFT JOIN rev ON s.yr = rev.yr AND s.mo = rev.mo
+         |ORDER BY s.yr, s.mo""".stripMargin,
   )
 }

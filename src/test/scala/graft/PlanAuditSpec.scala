@@ -104,4 +104,31 @@ class PlanAuditSpec extends SparkSpec {
       }
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  /** Impala pushes runtime filters (bloom/min-max) from a join's build
+    * side into the probe scan (apache-impala-4.1.0/be/src/runtime/
+    * runtime-filter.h). Spark's twin is the injected runtime bloom
+    * filter: a selective dim filter spawns a `might_contain` predicate
+    * on the fact side of a shuffle join. The application-side size
+    * threshold defaults to 10 GB, so the test pins it to 0 — the rule,
+    * not the threshold, is what's audited. */
+  test("runtime bloom filter injected from selective dim into fact side (Impala runtime-filter parity)") {
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val t = Tables(spark, sf0001)
+      val df = t.lineitem
+        .join(t.part.filter(col("p_size") === 5), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand").count()
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        s"no runtime bloom filter in optimized plan:\n${opt.take(1500)}")
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
