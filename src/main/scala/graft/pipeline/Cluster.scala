@@ -50,11 +50,22 @@ object Cluster {
       // 2. pointer jump: label := label(label). Labels always point
       // within the component (they only ever arrive over edges), so the
       // shortcut is safe; it is what turns O(diameter) into O(log n).
-      val next = hop.alias("x")
+      // The eager localCheckpoint truncates the logical plan each
+      // round — hop appears twice in the join, so without truncation
+      // the plan tree doubles per iteration (2^rounds nodes: at sf0.1
+      // the accumulated plan string passed 2 GB and OOM'd the driver).
+      // The createDataFrame re-wrap then drops the checkpoint's stale
+      // constraint set (its originalConstraints reference pre-checkpoint
+      // attribute ids, which crashes Union constraint rewriting when the
+      // result re-enters next round's viaEdges.union). On a
+      // multi-executor deployment with lineage-based recovery concerns,
+      // swap for setCheckpointDir + checkpoint.
+      val chk = hop.alias("x")
         .join(hop.select(col("id").as("label"), col("label").as("ll")).alias("y"),
           Seq("label"), "left")
         .select(col("x.id").as("id"), least(col("label"), col("ll")).as("label"))
-        .persist(lvl)
+        .localCheckpoint(true)
+      val next = chk.sparkSession.createDataFrame(chk.rdd, chk.schema)
       changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).count()
       labels.unpersist(false)
