@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, ResolvedHint}
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
@@ -130,5 +131,43 @@ class PlanAuditSpec extends SparkSpec {
       spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
+  }
+
+  /** The contamination check's scale contract: candidate matching is an
+    * EQUI-join on the gram key. If the join condition ever degraded to
+    * contains()/LIKE, Spark would plan a nested-loop product — the
+    * O(docs × benchmark) shape the operator exists to avoid. */
+  test("pipe_contamination joins grams by key — no nested-loop/cartesian anywhere") {
+    val df = SparkEntry.queries("pipe_contamination")(spark, sf0001)
+    val plan = df.queryExecution.sparkPlan
+    val bad = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j.nodeName
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j.nodeName
+    }
+    assert(bad.isEmpty, s"non-equi join in contamination plan: $bad")
+  }
+
+  /** Impala exposes per-join distribution control (STRAIGHT_JOIN plus
+    * the +broadcast / +shuffle plan hints — fe/.../planner/
+    * DistributedPlanner.java); Spark's twin is the join-strategy hint
+    * family. Audit that each hint actually selects its physical
+    * operator. */
+  test("join strategy hints map to their physical operators (Impala hint parity)") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val t = Tables(spark, sf0001)
+      val probe = t.lineitem.select("l_partkey")
+      def planOf(hint: String) =
+        probe.join(t.part.hint(hint), col("l_partkey") === col("p_partkey"))
+          .queryExecution.sparkPlan
+      assert(planOf("broadcast").collectFirst {
+        case j: BroadcastHashJoinExec => j }.isDefined, "broadcast hint ignored")
+      assert(planOf("shuffle_hash").collectFirst {
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j }.isDefined,
+        "shuffle_hash hint ignored")
+      assert(planOf("merge").collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }.isDefined,
+        "merge hint ignored")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 }
