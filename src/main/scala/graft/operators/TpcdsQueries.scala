@@ -365,6 +365,98 @@ object TpcdsQueries {
         FROM itemrev
         ORDER BY p_type, ratio DESC, p_brand""")
     }),
+
+    // DS16 (q4/q11 shape): per-customer year-over-year growth compared
+    // across two "channels" (priority classes stand in for store/web):
+    // keep customers whose urgent-channel growth outpaces their
+    // normal-channel growth. The self-join of yearly aggregates is
+    // flattened into one conditional-aggregation pass over the
+    // (customer, channel, year) grain — one shuffle on custkey instead
+    // of four.
+    "ds_q4_growth_ratio" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val chan = when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "urgent")
+        .otherwise("normal")
+      val base = t.lineitem
+        .join(t.orders.filter(year(col("o_orderdate")).isin(1996, 1997)),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"), chan.as("channel"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(dsum(rev).as("rev"))
+      base.groupBy("o_custkey")
+        .agg(
+          max(when(col("channel") === "urgent" && col("yr") === 1996, col("rev"))).as("u96"),
+          max(when(col("channel") === "urgent" && col("yr") === 1997, col("rev"))).as("u97"),
+          max(when(col("channel") === "normal" && col("yr") === 1996, col("rev"))).as("n96"),
+          max(when(col("channel") === "normal" && col("yr") === 1997, col("rev"))).as("n97"))
+        .filter(col("u96") > 0 && col("n96") > 0 &&
+          col("u97").isNotNull && col("n97").isNotNull)
+        .filter(col("u97") / col("u96") > col("n97") / col("n96"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"),
+          round(col("u97") / col("u96"), 6).as("urgent_growth"),
+          round(col("n97") / col("n96"), 6).as("normal_growth"))
+        .orderBy("c_custkey")
+    }),
+
+    // DS17 (q49 shape): worst return ratios per channel — quantity-based
+    // and amount-based ranks computed in two windows over the same
+    // per-(channel, item) aggregate, keep anything top-10 on either
+    // axis. Both rank orders include the item key, so the rank is a
+    // total order and engine-deterministic.
+    "ds_q49_return_rank" -> ((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val isR = col("l_returnflag") === "R"
+      val base = t.lineitem
+        .groupBy(col("l_linestatus").as("channel"), col("l_partkey").as("item"))
+        .agg(
+          dsum(when(isR, col("l_quantity")).otherwise(lit(0.0))).as("ret_qty"),
+          dsum(col("l_quantity")).as("tot_qty"),
+          dsum(when(isR, rev).otherwise(lit(0.0))).as("ret_amt"),
+          dsum(rev).as("tot_amt"))
+        .withColumn("qty_ratio", col("ret_qty") / col("tot_qty"))
+        .withColumn("amt_ratio", col("ret_amt") / col("tot_amt"))
+      val wq = Window.partitionBy("channel").orderBy(col("qty_ratio").desc, col("item"))
+      val wa = Window.partitionBy("channel").orderBy(col("amt_ratio").desc, col("item"))
+      base
+        .withColumn("qty_rank", rank().over(wq).cast("long"))
+        .withColumn("amt_rank", rank().over(wa).cast("long"))
+        .filter(col("qty_rank") <= 10 || col("amt_rank") <= 10)
+        .select(col("channel"), col("item"),
+          round(col("qty_ratio"), 6).as("qty_ratio"),
+          round(col("amt_ratio"), 6).as("amt_ratio"),
+          col("qty_rank"), col("amt_rank"))
+        .orderBy("channel", "qty_rank", "amt_rank", "item")
+    }),
+
+    // DS18 (q14 shape): cross-channel items — partkeys sold under ALL
+    // THREE priority channels (INTERSECT chain), then 1997 brand revenue
+    // restricted to those items via an IN-subquery (planned as a
+    // shuffled semi-join; AQE may demote it to broadcast when small).
+    "ds_q14_cross_items" -> ((spark, dir) => {
+      views(spark, dir)
+      spark.sql("""
+        WITH cross_items AS (
+          SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderpriority = '1-URGENT'
+          INTERSECT
+          SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderpriority = '2-HIGH'
+          INTERSECT
+          SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderpriority = '3-MEDIUM')
+        SELECT p_brand,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE year(o_orderdate) = 1997
+          AND l_partkey IN (SELECT l_partkey FROM cross_items)
+        GROUP BY p_brand
+        ORDER BY revenue DESC, p_brand LIMIT 100""")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -616,5 +708,70 @@ object TpcdsQueries {
         |       round(CAST(s AS DOUBLE) * 100 / CAST(SUM(s) OVER (PARTITION BY p_type) AS DOUBLE), 6) AS ratio
         |FROM itemrev
         |ORDER BY p_type, ratio DESC, p_brand""".stripMargin,
+
+    "ds_q4_growth_ratio" ->
+      """WITH base AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'urgent' ELSE 'normal' END AS channel,
+        |    CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS rev
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE year(o_orderdate) IN (1996, 1997)
+        |  GROUP BY 1, 2, 3),
+        |cells AS (
+        |  SELECT o_custkey,
+        |    MAX(CASE WHEN channel = 'urgent' AND yr = 1996 THEN rev END) AS u96,
+        |    MAX(CASE WHEN channel = 'urgent' AND yr = 1997 THEN rev END) AS u97,
+        |    MAX(CASE WHEN channel = 'normal' AND yr = 1996 THEN rev END) AS n96,
+        |    MAX(CASE WHEN channel = 'normal' AND yr = 1997 THEN rev END) AS n97
+        |  FROM base GROUP BY 1)
+        |SELECT c_custkey, c_name,
+        |  round(u97 / u96, 6) AS urgent_growth,
+        |  round(n97 / n96, 6) AS normal_growth
+        |FROM cells JOIN customer ON o_custkey = c_custkey
+        |WHERE u96 > 0 AND n96 > 0 AND u97 IS NOT NULL AND n97 IS NOT NULL
+        |  AND u97 / u96 > n97 / n96
+        |ORDER BY c_custkey""".stripMargin,
+
+    "ds_q49_return_rank" ->
+      """WITH base AS (
+        |  SELECT l_linestatus AS channel, l_partkey AS item,
+        |    CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS ret_qty,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS tot_qty,
+        |    CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS ret_amt,
+        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS tot_amt
+        |  FROM lineitem GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT channel, item, ret_qty / tot_qty AS qty_ratio, ret_amt / tot_amt AS amt_ratio,
+        |    rank() OVER (PARTITION BY channel ORDER BY ret_qty / tot_qty DESC, item) AS qty_rank,
+        |    rank() OVER (PARTITION BY channel ORDER BY ret_amt / tot_amt DESC, item) AS amt_rank
+        |  FROM base)
+        |SELECT channel, item,
+        |  round(qty_ratio, 6) AS qty_ratio, round(amt_ratio, 6) AS amt_ratio,
+        |  CAST(qty_rank AS BIGINT) AS qty_rank, CAST(amt_rank AS BIGINT) AS amt_rank
+        |FROM ranked
+        |WHERE qty_rank <= 10 OR amt_rank <= 10
+        |ORDER BY channel, qty_rank, amt_rank, item""".stripMargin,
+
+    "ds_q14_cross_items" ->
+      """WITH cross_items AS (
+        |  SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT
+        |  SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderpriority = '2-HIGH'
+        |  INTERSECT
+        |  SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderpriority = '3-MEDIUM')
+        |SELECT p_brand,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE year(o_orderdate) = 1997
+        |  AND l_partkey IN (SELECT l_partkey FROM cross_items)
+        |GROUP BY p_brand
+        |ORDER BY revenue DESC, p_brand LIMIT 100""".stripMargin,
   )
 }

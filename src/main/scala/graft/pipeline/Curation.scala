@@ -88,6 +88,23 @@ object Curation {
       .withColumn("pack_id", (col("start_off") / ctx).cast("long"))
   }
 
+  /** P26: overlapping context-window chunking — each document is cut
+    * into windows of `chunkTokens` tokens starting every `stride`
+    * tokens (overlap = chunkTokens − stride), the standard prep for
+    * fixed-context training and for embedding long docs. Per-row
+    * explode of O(n/stride) start offsets + array slice — row-local,
+    * no shuffle at all until a downstream op asks for one. */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 8, stride: Int = 6): DataFrame =
+    docs.select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 1)
+      .select(col("doc_id"), col("w"),
+        explode(expr(s"sequence(0, size(w) - 1, $stride)")).as("start"))
+      .select(col("doc_id"), (col("start") / stride).cast("long").as("chunk_idx"),
+        expr(s"slice(w, start + 1, $chunkTokens)").as("ck"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("ck")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("ck")).as("chunk_text"))
+
   // ---- queries()/oracle entries -------------------------------------
 
   type Q = (SparkSession, String) => DataFrame
@@ -107,6 +124,8 @@ object Curation {
       contamination(Tables(spark, dir).documents)),
     "pipe_pack_sequences" -> ((spark, dir) =>
       packSequences(Tables(spark, dir).documents).orderBy("doc_id")),
+    "pipe_chunking" -> ((spark, dir) =>
+      chunkDocuments(Tables(spark, dir).documents).orderBy("doc_id", "chunk_idx")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -164,5 +183,17 @@ object Curation {
         |  CAST(floor(CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS DOUBLE) / 512) AS BIGINT) AS pack_id
         |FROM base ORDER BY doc_id""".stripMargin,
+
+    "pipe_chunking" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 1),
+        |starts AS (
+        |  SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 1, 6)) AS start FROM w)
+        |SELECT doc_id,
+        |  CAST(start // 6 AS BIGINT) AS chunk_idx,
+        |  CAST(len(ws[start + 1 : start + 8]) AS BIGINT) AS n_tokens,
+        |  array_to_string(ws[start + 1 : start + 8], ' ') AS chunk_text
+        |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin,
   )
 }

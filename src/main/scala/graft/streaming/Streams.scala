@@ -4,7 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.Encoders
 
 /** Structured Streaming surface (SURVEY.md §2 T1–T3). The reference
   * engine is batch-only; these are the Spark-native streaming twins of
@@ -99,6 +100,55 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .start()
+
+  case class UserSnapshot(user_id: Long, total_events: Long,
+                          distinct_types: Int, recent_value_sum: Double)
+
+  /** T11: `transformWithState` (Spark 4 arbitrary-state API, the
+    * successor to flatMapGroupsWithState) — a per-user activity
+    * snapshot that exercises all three state-variable kinds:
+    *   - ValueState: lifetime event count,
+    *   - MapState:   per-event-type counts (distinct-type cardinality),
+    *   - ListState:  bounded buffer of the most recent `recentK`
+    *     values, trimmed in-processor so state stays O(k) per user.
+    * Emits one Update-mode row per (user, micro-batch). State lives in
+    * the RocksDB state store (required by this API), keyed by user, so
+    * it shards across executors like any shuffle partition. */
+  class UserActivityProcessor(recentK: Int)
+      extends StatefulProcessor[Long, Event, UserSnapshot] {
+    @transient private var total: ValueState[Long] = _
+    @transient private var byType: MapState[String, Long] = _
+    @transient private var recent: ListState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      total = getHandle.getValueState[Long]("total", Encoders.scalaLong, TTLConfig.NONE)
+      byType = getHandle.getMapState[String, Long](
+        "byType", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      recent = getHandle.getListState[Double]("recent", Encoders.scalaDouble, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[UserSnapshot] = {
+      val batch = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+      val newTotal = (if (total.exists()) total.get() else 0L) + batch.length
+      total.update(newTotal)
+      batch.foreach { e =>
+        val n = if (byType.containsKey(e.event_type)) byType.getValue(e.event_type) else 0L
+        byType.updateValue(e.event_type, n + 1)
+      }
+      val buf = (recent.get().toArray ++ batch.map(_.value)).takeRight(recentK)
+      recent.put(buf)
+      Iterator.single(UserSnapshot(user, newTotal, byType.keys().size, buf.sum))
+    }
+  }
+
+  /** T11 pipeline: events keyed by user through [[UserActivityProcessor]]. */
+  def userActivitySnapshots(events: Dataset[Event], recentK: Int = 5): Dataset[UserSnapshot] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserActivityProcessor(recentK),
+        TimeMode.None(), OutputMode.Update())
+  }
 
   /** T3: drop duplicate event_ids arriving within the watermark. */
   def dedupEvents(events: DataFrame): DataFrame =

@@ -146,6 +146,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T11: transformWithState keeps value/map/list state per user across batches") {
+    implicit val ctx = spark.sqlContext
+    // The transformWithState operator requires the RocksDB state store.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Event]
+    val q = Streams.userActivitySnapshots(in.toDS(), recentK = 3)
+      .writeStream.format("memory").queryName("t11_out").outputMode("update").start()
+    try {
+      in.addData(
+        Event(1, ts(0), 1, "view", 1.0), Event(2, ts(1), 1, "view", 2.0),
+        Event(3, ts(2), 1, "click", 4.0))
+      q.processAllAvailable()
+      in.addData( // second batch: state must carry over, list trimmed to k=3
+        Event(4, ts(3), 1, "buy", 8.0), Event(5, ts(4), 1, "view", 16.0))
+      q.processAllAvailable()
+      val rows = spark.table("t11_out").collect()
+        .map(r => (r.getAs[Long]("total_events"), r.getAs[Int]("distinct_types"),
+          r.getAs[Double]("recent_value_sum"))).toSet
+      // batch 1: 3 events, 2 types, buffer [1,2,4] → 7
+      assert(rows.contains((3L, 2, 7.0)))
+      // batch 2: 5 events lifetime, 3 types, buffer trimmed to [4,8,16] → 28
+      assert(rows.contains((5L, 3, 28.0)))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("T2: stateful sessionization closes a session after the gap") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Event]
