@@ -62,6 +62,9 @@ object FunctionQueries {
           regexp_extract(col("c_name"), "([0-9]+)$", 1).as("digits"),
           regexp_replace(col("c_name"), "[0-9]", "").as("stripped"),
           col("c_name").rlike("00[0-9]*7$").as("ends_7"),
+          // Impala's 3-arg regexp_like(s, p, 'i') — the options land as
+          // inline flags in the RE2/Java common dialect.
+          col("c_name").rlike("(?i)^CUSTOMER#").as("ci_match"),
           regexp_extract(col("c_mktsegment"), "^(.)", 1).as("first_char"))
         .orderBy("c_custkey")
     }),
@@ -194,6 +197,7 @@ object FunctionQueries {
         |  regexp_extract(c_name, '([0-9]+)$', 1) AS digits,
         |  regexp_replace(c_name, '[0-9]', '', 'g') AS stripped,
         |  regexp_matches(c_name, '00[0-9]*7$') AS ends_7,
+        |  regexp_matches(c_name, '^CUSTOMER#', 'i') AS ci_match,
         |  regexp_extract(c_mktsegment, '^(.)', 1) AS first_char
         |FROM customer WHERE c_custkey < 200 ORDER BY 1""".stripMargin,
 

@@ -206,7 +206,11 @@ object FunctionQueries4 {
         expr("current_database()").as("db"),
         expr("current_catalog()").as("catalog"),
         expr("substring(version(), 1, 1)").as("major_version"),
-        expr("current_user()").as("usr"))
+        expr("current_user()").as("usr"),
+        // uuid() is per-row random (reference: impala_functions.py
+        // 'uuid'); assert shape, not value — RFC-4122 v4 layout.
+        expr("uuid()").rlike("^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$")
+          .as("uuid_v4_shape"))
     }),
 
     // F26: leftover date/time builtins. months_between is mirrored in

@@ -74,6 +74,26 @@ object RelationalQueries {
         .orderBy("c_nationkey")
     }),
 
+    // R5b: INTERSECT ALL / EXCEPT ALL — bag semantics (per-key
+    // multiplicity min / difference), the variants the set ops above
+    // deliberately discard. Result is re-aggregated to (key, count) so
+    // the multiplicities themselves are what the oracle checks.
+    "rel_intersect_all" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.customer.select("c_nationkey")
+        .intersectAll(t.supplier.select(col("s_nationkey").as("c_nationkey")))
+        .groupBy("c_nationkey").agg(count(lit(1)).as("multiplicity"))
+        .orderBy("c_nationkey")
+    }),
+    "rel_except_all" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.customer.select("c_nationkey")
+        .exceptAll(t.supplier.filter(col("s_acctbal") > 0.0)
+          .select(col("s_nationkey").as("c_nationkey")))
+        .groupBy("c_nationkey").agg(count(lit(1)).as("multiplicity"))
+        .orderBy("c_nationkey")
+    }),
+
     // R6: inner equi-join. customer grows with SF, so no forced
     // broadcast — AQE promotes the filtered side when it fits.
     "join_inner" -> ((spark, dir) => {
@@ -233,6 +253,18 @@ object RelationalQueries {
     "rel_except" ->
       """SELECT c_nationkey FROM customer
         |EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal > 0.0 ORDER BY 1""".stripMargin,
+
+    "rel_intersect_all" ->
+      """SELECT c_nationkey, count(*) AS multiplicity FROM (
+        |  SELECT c_nationkey FROM customer
+        |  INTERSECT ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "rel_except_all" ->
+      """SELECT c_nationkey, count(*) AS multiplicity FROM (
+        |  SELECT c_nationkey FROM customer
+        |  EXCEPT ALL SELECT s_nationkey FROM supplier WHERE s_acctbal > 0.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "join_inner" ->
       """SELECT o_orderkey, c_name, o_totalprice

@@ -124,6 +124,12 @@ class FunctionsSpec extends SparkSpec {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("fn_env emits a well-formed RFC-4122 v4 uuid alongside env facts") {
+    val row = SparkEntry.queries("fn_env")(spark, sf0001).collect().head
+    assert(row.getAs[Boolean]("uuid_v4_shape"))
+    assert(row.getAs[String]("major_version") == "4")
+  }
+
   test("iceberg transforms match the public table-spec vectors") {
     // Iceberg spec Appendix B: murmur3_x86_32 of little-endian int64(34)
     // and of UTF-8 "iceberg"
