@@ -80,6 +80,21 @@ object TableOps {
         .join(deletes, Seq("o_orderkey"), "left_anti")
         .orderBy("o_orderkey")
     }),
+
+    // M3: Z-order clustering key (graft.functions.ZOrder64) — the
+    // multi-column layout transform: sort/range-partition a fact by
+    // zorder64(partkey, suppkey) before writing and min/max stats
+    // prune scans filtered on EITHER dimension. Key values are
+    // oracle-exact (DuckDB mirrors the interleave bit-by-bit).
+    "layout_zorder" -> ((spark, dir) => {
+      graft.plans.GraftFunctions.register(spark)
+      val t = Tables(spark, dir)
+      t.lineitem.filter(col("l_orderkey") < 400)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          call_function("zorder64", col("l_partkey"), col("l_suppkey")).as("zkey"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -123,5 +138,13 @@ object TableOps {
         |SELECT o_orderkey, price_cents, src FROM merged
         |WHERE rn = 1 AND o_orderkey NOT IN (SELECT o_orderkey FROM o WHERE o_orderkey % 7 = 0)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "layout_zorder" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CAST(list_sum([(((l_partkey >> i) & 1) << (2*i + 1)) +
+        |                 (((l_suppkey >> i) & 1) << (2*i))
+        |                 for i in range(0, 32)]) AS BIGINT) AS zkey
+        |FROM lineitem WHERE l_orderkey < 400
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
   )
 }

@@ -82,6 +82,8 @@ object GraftFunctions {
       arity("jaro_winkler_sim", 2)(es => JaroWinklerSimilarity(es(0), es(1)))),
     ("damerau_levenshtein", info("damerau_levenshtein", "damerau_levenshtein(s1, s2) - full Damerau-Levenshtein distance"),
       arity("damerau_levenshtein", 2)(es => DamerauLevenshtein(es(0), es(1)))),
+    ("zorder64", info("zorder64", "zorder64(a, b) - 64-bit Morton (Z-order) clustering key"),
+      arity("zorder64", 2)(es => ZOrder64(es(0), es(1)))),
     ("sniff_format", info("sniff_format", "sniff_format(bin) - container format from magic numbers"),
       arity("sniff_format", 1)(es => SniffFormat(es.head))),
     ("byte_entropy", info("byte_entropy", "byte_entropy(bin) - Shannon entropy in bits/byte"),

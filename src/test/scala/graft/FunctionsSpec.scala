@@ -120,8 +120,29 @@ class FunctionsSpec extends SparkSpec {
   test("GraftExtensions registers all functions via injection points") {
     // unit-level: the extension applies builders without touching a live session
     val names = GraftFunctions.all.map(_._1).toSet
-    assert(names == Set("fnv_hash", "murmur_hash", "simhash64", "fingerprint64", "minhash_sig", "hashed_shingles", "jaccard_sorted", "cosine_sim", "rhp_bucket", "kll_quantile", "theta_estimate", "theta_union_est", "theta_intersect_est", "theta_anotb_est", "sniff_format", "byte_entropy", "byte_histogram16", "jaro_sim", "jaro_winkler_sim", "damerau_levenshtein", "cpc_estimate", "cpc_union_est", "iceberg_bucket", "iceberg_truncate"))
+    assert(names == Set("fnv_hash", "murmur_hash", "simhash64", "fingerprint64", "minhash_sig", "hashed_shingles", "jaccard_sorted", "cosine_sim", "rhp_bucket", "kll_quantile", "theta_estimate", "theta_union_est", "theta_intersect_est", "theta_anotb_est", "sniff_format", "byte_entropy", "byte_histogram16", "jaro_sim", "jaro_winkler_sim", "damerau_levenshtein", "cpc_estimate", "cpc_union_est", "iceberg_bucket", "iceberg_truncate", "zorder64"))
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
+  test("zorder64: interleave vectors, inverse round-trip, and 2-D locality") {
+    import graft.functions.ZOrderImpl.{interleave, spread}
+    // pinned vectors: a on odd bits, b on even
+    assert(interleave(0L, 0L) == 0L)
+    assert(interleave(1L, 0L) == 2L)
+    assert(interleave(0L, 1L) == 1L)
+    assert(interleave(0xFFFFL, 0L) == 0xAAAAAAAAL)
+    assert(interleave(0L, 0xFFFFL) == 0x55555555L)
+    assert(interleave(5L, 3L) == 39L)
+    assert(interleave(0xFFFFFFFFL, 0xFFFFFFFFL) == -1L) // all 64 bits set
+    // spread is injective on 32-bit inputs → interleave is a bijection
+    val rnd = new scala.util.Random(7)
+    val samples = Seq.fill(2000)(rnd.nextInt().toLong & 0xFFFFFFFFL)
+    assert(samples.map(spread).distinct.size == samples.distinct.size)
+    // locality: within an 8×8 tile the Morton range is exactly the tile
+    // (keys of a 2^k-aligned tile are contiguous) — the property file
+    // skipping relies on
+    val tile = for (a <- 16L until 24L; b <- 8L until 16L) yield interleave(a, b)
+    assert(tile.max - tile.min == 63L && tile.distinct.size == 64)
   }
 
   test("fn_env emits a well-formed RFC-4122 v4 uuid alongside env facts") {
