@@ -145,6 +145,27 @@ object Similarity {
       .select(col("label"), col("pos"), round(col("c"), 6).as("c"))
   }
 
+  /** Symmetric int8 quantization of the embedding column — the 4×
+    * memory/IO lever for ANN at 100 TB (float32 → int8 with one
+    * per-vector scale). Rounding is floor(v + 0.5): `round()`'s
+    * half-even vs half-up conventions differ across engines, floor is
+    * bit-exact in both. Per-row column algebra only; the result here
+    * projects audit scalars (scale + quantized checksums) because
+    * array columns don't survive the oracle's frame compare. */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    emb
+      .select(col("vec_id"),
+        greatest(
+          expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"),
+          lit(1e-12)).as("scale"),
+        col("embedding"))
+      .select(col("vec_id"), col("scale"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS BIGINT))").as("q"))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("q_sum"),
+        expr("aggregate(q, CAST(-128 AS BIGINT), (acc, x) -> greatest(acc, x))").as("q_max"),
+        expr("aggregate(q, CAST(128 AS BIGINT), (acc, x) -> least(acc, x))").as("q_min"))
+
   // ---- queries()/oracle entries -------------------------------------
 
   type Q = (SparkSession, String) => DataFrame
@@ -172,6 +193,9 @@ object Similarity {
     "sim_label_centroid" -> ((spark, dir) => {
       labelCentroids(Tables(spark, dir).embeddings).orderBy("label", "pos")
     }),
+    "sim_quantize_int8" -> ((spark, dir) => {
+      quantizeInt8(Tables(spark, dir).embeddings).orderBy("vec_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -191,5 +215,21 @@ object Similarity {
         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
     // lsh/cosine_pairs/centroid: custom exprs / float-avg — rows-only +
     // ScalaTest specs (lsh recall asserted against brute force there).
+
+    "sim_quantize_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id,
+        |    greatest(list_max([abs(CAST(x AS DOUBLE)) for x in embedding]), 1e-12) AS scale,
+        |    embedding
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, scale,
+        |    [CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS BIGINT) for x in embedding] AS qv
+        |  FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max,
+        |  CAST(list_min(qv) AS BIGINT) AS q_min
+        |FROM q ORDER BY vec_id""".stripMargin,
   )
 }
