@@ -150,6 +150,54 @@ object Streams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** T12: event-time TIMERS via `transformWithState` — the timer-driven
+    * twin of the flatMapGroupsWithState sessionizer: each input batch
+    * re-arms a per-user timer at `last + gap`; when the watermark
+    * passes it, `handleExpiredTimer` emits the closed session and
+    * clears state. Timer bookkeeping lives in the state store alongside
+    * the session envelope, so idle-key cleanup costs no scan of the
+    * key space (the store surfaces expired timers directly). */
+  class IdleSessionProcessor(gapSeconds: Long)
+      extends StatefulProcessor[Long, Event, SessionOut] {
+    @transient private var sess: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessionState](
+        "sess", Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[SessionOut] = {
+      val secs = rows.map(_.ts.getTime / 1000).toArray
+      if (secs.isEmpty) return Iterator.empty
+      val cur = sess.get() // null when absent
+      val next =
+        if (cur == null) SessionState(secs.min, secs.max, secs.length)
+        else SessionState(math.min(cur.start, secs.min),
+          math.max(cur.last, secs.max), cur.n + secs.length)
+      sess.update(next)
+      getHandle.listTimers().foreach(getHandle.deleteTimer) // re-arm
+      getHandle.registerTimer((next.last + gapSeconds) * 1000)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] = {
+      val s = sess.get()
+      sess.clear()
+      if (s == null) Iterator.empty
+      else Iterator.single(SessionOut(user, s.n, s.last - s.start))
+    }
+  }
+
+  /** T12 pipeline: watermarked events through [[IdleSessionProcessor]]. */
+  def timerSessions(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new IdleSessionProcessor(gapSeconds),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** T3: drop duplicate event_ids arriving within the watermark. */
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")

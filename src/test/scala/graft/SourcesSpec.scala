@@ -94,6 +94,31 @@ class SourcesSpec extends SparkSpec {
     assert(scan.description().contains("range=[250,500)"), scan.description())
   }
 
+  test("S10: zorder64 range-partitioned write narrows per-file min/max spans") {
+    // The layout claim behind layout_zorder: files written in Morton-key
+    // ranges carry narrow min/max stats on BOTH dimensions, so a
+    // 2-D-filtered scan row-group-prunes. Quantify: per-file span of
+    // l_partkey under zorder layout vs the same data round-robin'd.
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    graft.plans.GraftFunctions.register(spark)
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .withColumn("zkey", call_function("zorder64", col("l_partkey"), col("l_suppkey")))
+    li.repartitionByRange(8, col("zkey")).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/zordered")
+    li.repartition(8).write.mode(SaveMode.Overwrite).parquet(s"$dir/shuffled")
+    def meanSpan(path: String): Double = {
+      val spans = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max("l_partkey") - min("l_partkey")).cast("double").as("span"))
+        .collect().map(_.getAs[Double]("span"))
+      spans.sum / spans.length
+    }
+    val (z, s) = (meanSpan(s"$dir/zordered"), meanSpan(s"$dir/shuffled"))
+    // round-robin files span ~the whole key domain; zorder files a fraction
+    assert(z < s * 0.7, s"zorder mean partkey span $z not narrower than shuffled $s")
+  }
+
   test("S2: ORC round trip") {
     val dir = tmp()
     li.limit(100).write.mode(SaveMode.Overwrite).orc(dir)

@@ -175,6 +175,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("T12: event-time timers close idle sessions via handleExpiredTimer") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Event]
+    val q = Streams.timerSessions(in.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("t12_out").outputMode("append").start()
+    try {
+      // user 1: events at minutes 0 and 5; user 2: one event at minute 3
+      in.addData(
+        Event(1, ts(0), 1, "view", 1.0), Event(2, ts(5), 1, "click", 2.0),
+        Event(3, ts(3), 2, "view", 3.0))
+      q.processAllAvailable()
+      // far-future event advances the watermark past both users' timers
+      in.addData(Event(4, ts(120), 3, "view", 4.0))
+      q.processAllAvailable()
+      in.addData(Event(5, ts(121), 3, "view", 5.0))
+      q.processAllAvailable()
+      val out = spark.table("t12_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("n_events"),
+          r.getAs[Long]("duration_s"))).toSet
+      assert(out.contains((1L, 2, 300L)), s"user 1 session missing from $out")
+      assert(out.contains((2L, 1, 0L)), s"user 2 session missing from $out")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("T2: stateful sessionization closes a session after the gap") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Event]
