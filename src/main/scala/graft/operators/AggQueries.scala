@@ -67,6 +67,20 @@ object AggQueries {
           |ORDER BY status, priority""".stripMargin)
     }),
 
+    // A5b: GROUP BY ALL — the analyst shorthand both Spark 4 and the
+    // oracle engine resolve to "group by every non-aggregate select
+    // item"; pinned here so dialect resolution stays aligned.
+    "agg_group_by_all" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.lineitem.createOrReplaceTempView("graft_li_gba")
+      spark.sql(
+        s"""SELECT l_returnflag, l_linestatus,
+           |       ${Exact.sqlSum("l_quantity")} AS sum_qty, count(*) AS n
+           |FROM graft_li_gba
+           |GROUP BY ALL
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    }),
+
     // A6: moment stats from exact sums (engine-portable stddev/var).
     // Squares are summed at DECIMAL(38,0): the rounded-to-integer square
     // sum stays below 2^53, so its double cast is exact in any engine
@@ -314,6 +328,13 @@ object AggQueries {
         |  coalesce(c_nationkey, -1) AS nk, count(*) AS n
         |FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
         |ORDER BY 1, 2""".stripMargin,
+
+    "agg_group_by_all" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlSum("l_quantity")} AS sum_qty, count(*) AS n
+         |FROM lineitem
+         |GROUP BY ALL
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "agg_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,

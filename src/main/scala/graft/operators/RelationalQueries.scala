@@ -217,6 +217,28 @@ object RelationalQueries {
         FROM spine s LEFT JOIN rev ON s.yr = rev.yr AND s.mo = rev.mo
         ORDER BY s.yr, s.mo""")
     }),
+
+    // R18: LATERAL correlated subquery — each nation row joined to an
+    // aggregate over its own customers' orders. Impala rewrites
+    // correlated subqueries into joins in the frontend
+    // (fe/.../StmtRewriter.java); Spark's DecorrelateInnerQuery does
+    // the same to this lateral, planning ONE grouped aggregate plus a
+    // join rather than 25 correlated executions.
+    "rel_lateral" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.nation.createOrReplaceTempView("graft_nation_lat")
+      t.customer.createOrReplaceTempView("graft_customer_lat")
+      t.orders.createOrReplaceTempView("graft_orders_lat")
+      spark.sql("""
+        SELECT n_name, n_ord, max_price
+        FROM graft_nation_lat,
+        LATERAL (
+          SELECT count(*) AS n_ord,
+                 CAST(max(o_totalprice) AS DOUBLE) AS max_price
+          FROM graft_orders_lat JOIN graft_customer_lat ON o_custkey = c_custkey
+          WHERE c_nationkey = n_nationkey)
+        ORDER BY n_name""")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -343,5 +365,15 @@ object RelationalQueries {
          |SELECT s.yr, s.mo, coalesce(round(rev.r, 4), 0.0) AS monthly_rev
          |FROM spine s LEFT JOIN rev ON s.yr = rev.yr AND s.mo = rev.mo
          |ORDER BY s.yr, s.mo""".stripMargin,
+
+    "rel_lateral" ->
+      """SELECT n_name, n_ord, max_price
+        |FROM nation,
+        |LATERAL (
+        |  SELECT count(*) AS n_ord,
+        |         CAST(max(o_totalprice) AS DOUBLE) AS max_price
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_nationkey = n_nationkey)
+        |ORDER BY n_name""".stripMargin,
   )
 }

@@ -430,6 +430,50 @@ object TpcdsQueries {
         .orderBy("channel", "qty_rank", "amt_rank", "item")
     }),
 
+    // DS19 (q31 shape): quarter-over-quarter revenue growth per nation.
+    // The classic form self-joins the quarterly aggregate once per
+    // period pair; here lead() over the (nation) partition reads the
+    // next quarter from the SAME shuffle — one aggregate, one window,
+    // no re-scan (the oracle mirrors the identical window form).
+    "ds_q31_qoq_growth" -> ((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val q = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+        .filter(year(col("o_orderdate")) === 1997)
+        .groupBy(col("c_nationkey").as("nk"),
+          quarter(col("o_orderdate")).cast("long").as("qt"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      val w = Window.partitionBy("nk").orderBy("qt")
+      q.withColumn("next_qt", lead("qt", 1).over(w))
+        .withColumn("next_rev", lead("rev", 1).over(w))
+        .filter(col("next_rev").isNotNull && col("rev") > 0)
+        .select(col("nk"), col("qt").as("q_from"), col("next_qt"),
+          round(col("next_rev") / col("rev"), 6).as("growth"))
+        .orderBy("nk", "q_from")
+    }),
+
+    // DS20 (q23 shape): frequent items × best customers — two HAVING'd
+    // aggregates drive IN-subquery cuts of the fact, then yearly
+    // revenue over the doubly-restricted set.
+    "ds_q23_frequent_items" -> ((spark, dir) => {
+      views(spark, dir)
+      spark.sql("""
+        WITH freq AS (
+          SELECT l_partkey FROM lineitem
+          GROUP BY l_partkey HAVING count(DISTINCT l_orderkey) > 4),
+        big_cust AS (
+          SELECT o_custkey FROM orders
+          GROUP BY o_custkey
+          HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) > 400000.0)
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_partkey IN (SELECT l_partkey FROM freq)
+          AND o_custkey IN (SELECT o_custkey FROM big_cust)
+        GROUP BY 1 ORDER BY 1""")
+    }),
+
     // DS18 (q14 shape): cross-channel items — partkeys sold under ALL
     // THREE priority channels (INTERSECT chain), then 1997 brand revenue
     // restricted to those items via an IN-subquery (planned as a
@@ -752,6 +796,38 @@ object TpcdsQueries {
         |FROM ranked
         |WHERE qty_rank <= 10 OR amt_rank <= 10
         |ORDER BY channel, qty_rank, amt_rank, item""".stripMargin,
+
+    "ds_q31_qoq_growth" ->
+      """WITH q AS (
+        |  SELECT c_nationkey AS nk, CAST(quarter(o_orderdate) AS BIGINT) AS qt,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE year(o_orderdate) = 1997
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT nk, qt AS q_from,
+        |         lead(qt) OVER (PARTITION BY nk ORDER BY qt) AS next_qt,
+        |         lead(rev) OVER (PARTITION BY nk ORDER BY qt) AS next_rev, rev
+        |  FROM q)
+        |SELECT nk, q_from, next_qt, round(next_rev / rev, 6) AS growth
+        |FROM w WHERE next_rev IS NOT NULL AND rev > 0
+        |ORDER BY nk, q_from""".stripMargin,
+
+    "ds_q23_frequent_items" ->
+      """WITH freq AS (
+        |  SELECT l_partkey FROM lineitem
+        |  GROUP BY l_partkey HAVING count(DISTINCT l_orderkey) > 4),
+        |big_cust AS (
+        |  SELECT o_custkey FROM orders
+        |  GROUP BY o_custkey
+        |  HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) > 400000.0)
+        |SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_partkey IN (SELECT l_partkey FROM freq)
+        |  AND o_custkey IN (SELECT o_custkey FROM big_cust)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ds_q14_cross_items" ->
       """WITH cross_items AS (
