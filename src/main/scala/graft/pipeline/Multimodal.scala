@@ -93,6 +93,25 @@ object Multimodal {
       .orderBy("id")
   }
 
+  /** Frame-sampling plan (the video path of the multimodal brief):
+    * decide WHICH frames to decode before any codec runs — uniform
+    * stride over the frame count derived from payload duration
+    * (synthetic: 1 byte ≡ 1 ms). Pure integer arithmetic + explode, so
+    * the selection plan is oracle-exact even though decode itself is
+    * stubbed; a real pipeline feeds these (id, frame_idx) pairs to the
+    * batched decoder in [[extractFeatures]]. All division is integer
+    * DIV to stay engine-portable. */
+  def frameSamplePlan(docs: DataFrame, k: Int = 8, fps: Int = 25): DataFrame =
+    mediaFromDocuments(docs)
+      .filter(col("modality") === "video")
+      .select(col("id"), length(col("payload")).cast("long").as("dur_ms"))
+      .withColumn("total_frames",
+        greatest(expr(s"dur_ms * $fps DIV 1000"), lit(1L)))
+      .withColumn("step", greatest(expr(s"total_frames DIV $k"), lit(1L)))
+      .select(col("id"), col("total_frames"),
+        explode(expr("sequence(CAST(0 AS BIGINT), total_frames - 1, step)")).as("frame_idx"))
+      .withColumn("ts_ms", expr(s"frame_idx * 1000 DIV $fps"))
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -101,7 +120,28 @@ object Multimodal {
     "mm_binary_features" -> ((spark, dir) => {
       binaryFeatures(spark, graft.Tables(spark, dir).documents.filter(col("doc_id") < 500))
     }),
+    "mm_frame_sample" -> ((spark, dir) => {
+      frameSamplePlan(graft.Tables(spark, dir).documents.filter(col("doc_id") < 500))
+        .orderBy("id", "frame_idx")
+    }),
   )
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    // payload is the UTF-8 text bytes → strlen (DuckDB byte length)
+    // mirrors length(binary); modality 'video' ⇔ doc_id % 3 = 2.
+    "mm_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS dur_ms
+        |  FROM documents WHERE doc_id < 500 AND doc_id % 3 = 2),
+        |f AS (
+        |  SELECT id, greatest(dur_ms * 25 // 1000, 1) AS total_frames,
+        |         greatest(greatest(dur_ms * 25 // 1000, 1) // 8, 1) AS step
+        |  FROM v),
+        |g AS (
+        |  SELECT id, total_frames,
+        |         unnest(generate_series(0, total_frames - 1, step)) AS frame_idx
+        |  FROM f)
+        |SELECT id, total_frames, frame_idx, frame_idx * 1000 // 25 AS ts_ms
+        |FROM g ORDER BY id, frame_idx""".stripMargin,
+  )
 }
