@@ -74,6 +74,32 @@ object FunctionQueries2 {
         .orderBy("l_orderkey")
     }),
 
+    // F13b: MAP type surface (Impala 4.1 reads maps via join unnesting —
+    // fe/.../analysis/CollectionTableRef.java; Spark's map column is the
+    // native twin). Values are integer-valued doubles so the fold over
+    // map_values is order-exact; the oracle mirrors with sorted
+    // key/value lists (result parity, not construct parity).
+    "fn_map_types" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      // (orderkey, linenumber) is NOT unique in this synthetic data —
+      // pre-aggregate so map keys are; quantities are integer-valued
+      // doubles, so the per-key sum is exact in any order.
+      t.lineitem.filter(col("l_orderkey") < 300)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(sum(col("l_quantity")).as("q"))
+        .groupBy("l_orderkey")
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("l_linenumber"), col("q"))))).as("m"))
+        .select(col("l_orderkey"),
+          size(col("m")).cast("long").as("n_keys"),
+          element_at(col("m"), 1).as("q1"),
+          map_contains_key(col("m"), 2).as("has2"),
+          size(map_concat(col("m"), map(lit(99), lit(0.0)))).cast("long").as("n_plus_sentinel"),
+          expr("aggregate(map_values(m), CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("qty_sum"),
+          array_join(transform(map_keys(col("m")), x => x.cast("string")), ",").as("keys_csv"))
+        .orderBy("l_orderkey")
+    }),
+
     // DECIMAL arithmetic (the reference's DECIMAL(p,s) engine —
     // be/src/exprs/decimal-operators-ir.cc): exact add/multiply on
     // decimal-cast money, final cast to double for engine-portable
@@ -337,6 +363,24 @@ object FunctionQueries2 {
         |FROM (SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS lines
         |      FROM lineitem WHERE l_orderkey < 300 GROUP BY 1)
         |ORDER BY 1""".stripMargin,
+
+    "fn_map_types" ->
+      """WITH pl AS (
+        |  SELECT l_orderkey, l_linenumber, SUM(l_quantity) AS q
+        |  FROM lineitem WHERE l_orderkey < 300 GROUP BY 1, 2),
+        |g AS (
+        |  SELECT l_orderkey,
+        |         list(l_linenumber ORDER BY l_linenumber) AS ks,
+        |         list(q ORDER BY l_linenumber) AS vs
+        |  FROM pl GROUP BY 1)
+        |SELECT l_orderkey,
+        |  CAST(len(ks) AS BIGINT) AS n_keys,
+        |  vs[list_position(ks, 1)] AS q1,
+        |  list_contains(ks, 2) AS has2,
+        |  CAST(len(ks) + 1 AS BIGINT) AS n_plus_sentinel,
+        |  list_sum(vs) AS qty_sum,
+        |  array_to_string(ks, ',') AS keys_csv
+        |FROM g ORDER BY 1""".stripMargin,
 
     "fn_string2" ->
       """SELECT c_custkey,
