@@ -85,17 +85,27 @@ object TpcdsQueries {
     // DS4 (q27 shape): multi-dim ROLLUP of average measures.
     "ds_q27_rollup_profile" -> ((spark, dir) => {
       val t = Tables(spark, dir)
-      t.lineitem
+      val D = org.apache.spark.sql.types.DecimalType(38, 6)
+      // Pre-aggregate sum/count partials at the finest (nation, segment)
+      // grain, then ROLLUP the 125-row aggregate: Expand multiplies the
+      // bounded grain, never the fact (same trick as ds_q67; avg is
+      // re-derived as exact-decimal sum ÷ count so results are
+      // bit-identical to a direct rollup-avg).
+      val grain = t.lineitem
         .join(t.orders.filter(col("o_orderstatus") === "F"),
           col("l_orderkey") === col("o_orderkey"))
         .join(t.customer, col("o_custkey") === col("c_custkey"))
         .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
         // Column overload: the String overload trips Spark's ambiguous-
         // self-join detection on multi-join inputs (false positive)
-        .rollup(col("n_name"), col("c_mktsegment"))
-        .agg(davg(col("l_quantity")).as("agg1"),
-          davg(col("l_extendedprice")).as("agg2"),
-          count(lit(1)).as("n"))
+        .groupBy(col("n_name"), col("c_mktsegment"))
+        .agg(sum(col("l_quantity").cast(D)).as("sq"),
+          sum(col("l_extendedprice").cast(D)).as("sp"),
+          count(lit(1)).as("cnt"))
+      grain.rollup(col("n_name"), col("c_mktsegment"))
+        .agg((sum(col("sq")).cast("double") / sum(col("cnt"))).as("agg1"),
+          (sum(col("sp")).cast("double") / sum(col("cnt"))).as("agg2"),
+          sum(col("cnt")).as("n"))
         .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
           coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
           col("agg1"), col("agg2"), col("n"))
@@ -297,18 +307,25 @@ object TpcdsQueries {
     // Window-over-rollup is the shape nothing else in the suite covers.
     "ds_q67_rollup_topn" -> ((spark, dir) => {
       views(spark, dir)
+      // Scale shape: ROLLUP over the RAW fact runs Expand (×5 row
+      // multiplication) before aggregation — 5 copies of every fact row
+      // shuffled at 100 TB. Sums re-aggregate, so pre-aggregate at the
+      // finest grain first (one fact shuffle onto a bounded grain) and
+      // roll partials up; Expand then multiplies thousands of rows, not
+      // billions. Exact-decimal partials keep the result bit-identical.
       spark.sql(s"""
-        WITH base AS (
+        WITH grain AS (
           SELECT p_type, p_brand, CAST(year(o_orderdate) AS BIGINT) AS o_year,
                  CAST(month(o_orderdate) AS BIGINT) AS o_month,
-                 l_extendedprice * (1.0 - l_discount) AS r
+                 SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS s
           FROM lineitem
           JOIN orders ON l_orderkey = o_orderkey
-          JOIN part ON l_partkey = p_partkey),
+          JOIN part ON l_partkey = p_partkey
+          GROUP BY 1, 2, 3, 4),
         sales AS (
           SELECT p_type, p_brand, o_year, o_month,
-                 CAST(SUM(CAST(r AS DECIMAL(38,6))) AS DOUBLE) AS sumsales
-          FROM base GROUP BY ROLLUP(p_type, p_brand, o_year, o_month))
+                 CAST(SUM(s) AS DOUBLE) AS sumsales
+          FROM grain GROUP BY ROLLUP(p_type, p_brand, o_year, o_month))
         SELECT * FROM (
           SELECT p_type, p_brand, o_year, o_month, sumsales,
                  CAST(rank() OVER (PARTITION BY p_type ORDER BY sumsales DESC) AS BIGINT) AS rk
