@@ -33,22 +33,31 @@ object AggQueries {
         .orderBy("l_returnflag")
     }),
 
-    // A3: ROLLUP with coalesced total rows.
+    // A3: ROLLUP with coalesced total rows. Pre-aggregated at the
+    // finest (status, priority) grain so Expand (×3) multiplies the
+    // 15-row grain, not the orders fact — count/sum partials
+    // re-aggregate exactly (same scale shape as ds_q67).
     "agg_rollup" -> ((spark, dir) => {
       val t = Tables(spark, dir)
-      t.orders.rollup("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      val D = org.apache.spark.sql.types.DecimalType(38, 6)
+      val grain = t.orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice").cast(D)).as("s"))
+      grain.rollup("o_orderstatus", "o_orderpriority")
+        .agg(sum(col("cnt")).as("n"), sum(col("s")).cast("double").as("total"))
         .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("n"), col("total"))
         .orderBy("status", "priority")
     }),
 
-    // A4: CUBE.
+    // A4: CUBE — same pre-aggregation shape (Expand ×4 over the
+    // 125-cell grain instead of the customer table).
     "agg_cube" -> ((spark, dir) => {
       val t = Tables(spark, dir)
-      t.customer.cube("c_mktsegment", "c_nationkey")
-        .agg(count(lit(1)).as("n"))
+      val grain = t.customer.groupBy("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("cnt"))
+      grain.cube("c_mktsegment", "c_nationkey")
+        .agg(sum(col("cnt")).as("n"))
         .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
           coalesce(col("c_nationkey"), lit(-1)).as("nk"), col("n"))
         .orderBy("segment", "nk")
