@@ -68,10 +68,13 @@ object AggQueries {
       val t = Tables(spark, dir)
       t.orders.createOrReplaceTempView("orders_gs")
       spark.sql(
-        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        """WITH grain AS (
+          |  SELECT o_orderstatus, o_orderpriority, count(1) AS cnt
+          |  FROM orders_gs GROUP BY 1, 2)
+          |SELECT coalesce(o_orderstatus, 'ALL') AS status,
           |       coalesce(o_orderpriority, 'ALL') AS priority,
-          |       count(1) AS n
-          |FROM orders_gs
+          |       sum(cnt) AS n
+          |FROM grain
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
           |ORDER BY status, priority""".stripMargin)
     }),
@@ -225,8 +228,11 @@ object AggQueries {
     // grouping_id parity).
     "agg_grouping_fn" -> ((spark, dir) => {
       val t = Tables(spark, dir)
-      t.orders.cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"),
+      // pre-agg grain before Expand, as in agg_cube
+      val grain = t.orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+      grain.cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(col("cnt")).as("n"),
           grouping(col("o_orderstatus")).cast("long").as("g_status"),
           grouping(col("o_orderpriority")).cast("long").as("g_prio"))
         .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),

@@ -72,10 +72,13 @@ object FunctionQueries4 {
       val t = Tables(spark, dir)
       t.lineitem.createOrReplaceTempView("graft_li_gid")
       spark.sql(
-        """SELECT l_returnflag, l_linestatus,
+        """WITH grain AS (
+          |  SELECT l_returnflag, l_linestatus, count(*) AS cnt
+          |  FROM graft_li_gid GROUP BY 1, 2)
+          |SELECT l_returnflag, l_linestatus,
           |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-          |  count(*) AS n
-          |FROM graft_li_gid GROUP BY CUBE(l_returnflag, l_linestatus)
+          |  sum(cnt) AS n
+          |FROM grain GROUP BY CUBE(l_returnflag, l_linestatus)
           |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
     }),
 
