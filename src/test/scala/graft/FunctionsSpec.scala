@@ -87,7 +87,8 @@ class FunctionsSpec extends SparkSpec {
     GraftFunctions.register(spark)
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val out = docs.selectExpr("fnv_hash(text) AS h", "fingerprint64(text) AS fp",
-      "simhash64(split(lower(text), ' ')) AS sh")
+      "simhash64(split(lower(text), ' ')) AS sh",
+      "zorder64(doc_id, n_chars) AS zk")
     assert(out.count() > 0)
     // interpreted vs codegen agreement
     val cg = out.orderBy("h").limit(5).collect()

@@ -67,7 +67,8 @@ class PlanAuditSpec extends SparkSpec {
     // the brief's codegen rule: hot expressions must not fall out of
     // WholeStageCodegen (a non-codegen Expression in the scan path
     // de-vectorizes the whole stage at 100 TB)
-    Seq("q01_pricing_summary", "q06_forecast_revenue", "fn_fnv_hash", "text_fingerprint")
+    Seq("q01_pricing_summary", "q06_forecast_revenue", "fn_fnv_hash", "text_fingerprint",
+      "pipe_chunking", "ds_q49_return_rank", "layout_zorder")
       .foreach { name =>
         val df = SparkEntry.queries(name)(spark, sf0001)
         df.collect() // AQE only annotates codegen spans in the FINAL plan
