@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.Encoders
 
 /** Structured Streaming surface (SURVEY.md §2 T1–T3). The reference
@@ -187,6 +187,42 @@ object Streams {
       if (s == null) Iterator.empty
       else Iterator.single(SessionOut(user, s.n, s.last - s.start))
     }
+  }
+
+  case class UserTotal(user_id: Long, total_events: Long)
+
+  /** T13: `StatefulProcessorWithInitialState` — the migration path for
+    * stateful jobs: per-key state is BOOTSTRAPPED from a batch relation
+    * (e.g. historical totals computed by the batch engine) before the
+    * first micro-batch, then maintained incrementally. This is how a
+    * 100 TB backfill hands off to the streaming tail without
+    * reprocessing history. */
+  class BootstrappedCounter extends StatefulProcessorWithInitialState[Long, Event, UserTotal, Long] {
+    @transient private var total: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      total = getHandle.getValueState[Long]("total", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInitialState(user: Long, initial: Long,
+        timers: TimerValues): Unit =
+      total.update(initial)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[UserTotal] = {
+      val n = (if (total.exists()) total.get() else 0L) + rows.size
+      total.update(n)
+      Iterator.single(UserTotal(user, n))
+    }
+  }
+
+  /** T13 pipeline: stream counts seeded from a batch (user, total) set. */
+  def bootstrappedCounts(events: Dataset[Event],
+      initial: Dataset[(Long, Long)]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new BootstrappedCounter(),
+        TimeMode.None(), OutputMode.Update(),
+        initial.groupByKey(_._1).mapValues(_._2))
   }
 
   /** T12 pipeline: watermarked events through [[IdleSessionProcessor]]. */

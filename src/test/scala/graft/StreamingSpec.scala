@@ -204,6 +204,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("T13: initial state bootstraps per-user totals before the first batch") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val init = Seq((1L, 100L), (2L, 7L)).toDS()
+    val in = MemoryStream[Event]
+    val q = Streams.bootstrappedCounts(in.toDS(), init)
+      .writeStream.format("memory").queryName("t13_out").outputMode("update").start()
+    try {
+      in.addData(
+        Event(1, ts(0), 1, "view", 1.0), Event(2, ts(1), 1, "view", 2.0),
+        Event(3, ts(2), 3, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("t13_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("total_events"))).toSet
+      assert(rows.contains((1L, 102L)), s"bootstrap+stream mismatch: $rows") // 100 + 2
+      assert(rows.contains((3L, 1L)), s"unseeded user mismatch: $rows")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("T2: stateful sessionization closes a session after the gap") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Event]
