@@ -34,8 +34,11 @@ object Bench {
     "q15_top_supplier", "q16_supplier_count", "q17_small_quantity",
     "q18_large_volume", "q19_discount_revenue", "q21_multi_supplier_orders",
     "q22_dormant_customers", "ds_q59_yoy_nation", "ds_q67_rollup_topn",
-    "dedup_minhash_lsh", "sim_lsh_topk", "corpus_clean", "text_quality",
-    "asof_join_events", "events_sessionize", "win_topn_per_group")
+    "ds_q49_return_rank", "ds_q23_frequent_items",
+    "dedup_minhash_lsh", "dedup_cluster_cc", "sim_lsh_topk",
+    "sim_quantize_int8", "corpus_clean", "text_quality", "pipe_chunking",
+    "stats_table", "asof_join_events", "events_sessionize",
+    "win_topn_per_group", "layout_zorder")
 
   private def fmt(v: Double): String = "%.3f".format(v)
 
