@@ -216,6 +216,22 @@ object FunctionQueries4 {
           .as("uuid_v4_shape"))
     }),
 
+    // F32: try_* ANSI-safety family — NULL-on-failure casts, division
+    // and element access (the safe-mode twins of the reference's
+    // error-returning casts). DuckDB mirrors via TRY_CAST, NULLIF-guarded
+    // division, and its natively NULL-on-out-of-bounds list index.
+    "fn_try" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.orders.filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          expr("try_cast(o_orderpriority AS INT)").as("bad_int"),
+          expr("try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)").as("good_int"),
+          expr("try_divide(o_totalprice, o_custkey % 3)").as("maybe_div"),
+          expr("try_element_at(split(o_orderpriority, '-'), 2)").as("second_tok"),
+          expr("try_element_at(split(o_orderpriority, '-'), 5)").as("oob_tok"))
+        .orderBy("o_orderkey")
+    }),
+
     // F26: leftover date/time builtins. months_between is mirrored in
     // the oracle by its published rule (whole months when days match,
     // else +(d1-d2)/31, rounded to 8); next_day by ISO-dow arithmetic.
@@ -243,6 +259,15 @@ object FunctionQueries4 {
          |  CAST(damerau_levenshtein(c_name, $duckMangle) AS BIGINT) AS dl_mangled,
          |  CAST(damerau_levenshtein(c_name, reverse(c_name)) AS BIGINT) AS dl_rev
          |FROM customer WHERE c_custkey < 500 ORDER BY c_custkey""".stripMargin,
+
+    "fn_try" ->
+      """SELECT o_orderkey,
+        |  TRY_CAST(o_orderpriority AS INT) AS bad_int,
+        |  TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS good_int,
+        |  o_totalprice / NULLIF(o_custkey % 3, 0) AS maybe_div,
+        |  string_split(o_orderpriority, '-')[2] AS second_tok,
+        |  string_split(o_orderpriority, '-')[5] AS oob_tok
+        |FROM orders WHERE o_orderkey < 500 ORDER BY 1""".stripMargin,
 
     "agg_filter" ->
       """SELECT l_returnflag,

@@ -115,6 +115,23 @@ object WindowQueries {
         .orderBy("o_orderstatus", "o_orderkey")
     }),
 
+    // W9b: time-based RANGE frame (INTERVAL preceding) — the trailing-
+    // window analytic Impala expresses with RANGE BETWEEN over dates.
+    // Frame membership is set-based (date arithmetic), and the framed
+    // sum goes through exact decimals, so results are engine-identical.
+    "win_range_interval" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.orders.filter(col("o_orderkey") < 3000).createOrReplaceTempView("graft_ord_ri")
+      spark.sql("""
+        SELECT o_orderkey, o_orderstatus, CAST(o_orderdate AS DATE) AS od,
+          count(*) OVER w AS n_trailing_30d,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE) AS rev_trailing_30d
+        FROM graft_ord_ri
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY CAST(o_orderdate AS DATE)
+                     RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+        ORDER BY o_orderstatus, od, o_orderkey""")
+    }),
+
     // W10: nth_value with a full-partition frame.
     "win_nth_value" -> ((spark, dir) => {
       val t = Tables(spark, dir)
@@ -229,5 +246,14 @@ object WindowQueries {
         |    RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_within_10k_below
         |FROM orders WHERE o_orderdate >= TIMESTAMP '2001-07-01'
         |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+
+    "win_range_interval" ->
+      """SELECT o_orderkey, o_orderstatus, CAST(o_orderdate AS DATE) AS od,
+        |  count(*) OVER w AS n_trailing_30d,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE) AS rev_trailing_30d
+        |FROM orders WHERE o_orderkey < 3000
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY CAST(o_orderdate AS DATE)
+        |             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderstatus, od, o_orderkey""".stripMargin,
   )
 }
