@@ -153,6 +153,25 @@ object FunctionQueries {
         .orderBy("event_id")
     }),
 
+    // F8b: structured JSON beyond path extraction — schema'd parse
+    // (from_json → struct), serialization round-trip (to_json), array
+    // length and key enumeration over a per-row synthesized document.
+    "fn_json2" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val doc = concat(lit("{\"id\": "), col("event_id"),
+        lit(", \"tags\": [\"x\", \"y\", \"z\"], \"nested\": {\"a\": "),
+        col("user_id"), lit("}}"))
+      t.events.filter(col("event_id") < 300)
+        .select(col("event_id"), doc.as("doc"),
+          expr("from_json(props, 'k INT').k").cast("long").as("k_struct"),
+          to_json(expr("from_json(props, 'k INT')")).as("rt"))
+        .select(col("event_id"), col("k_struct"), col("rt"),
+          json_array_length(get_json_object(col("doc"), "$.tags")).cast("long").as("n_tags"),
+          get_json_object(col("doc"), "$.nested.a").cast("long").as("nested_a"),
+          array_join(json_object_keys(col("doc")), ",").as("keys_csv"))
+        .orderBy("event_id")
+    }),
+
     // F9: bit ops.
     "fn_bitops" -> ((spark, dir) => {
       val t = Tables(spark, dir)
@@ -245,6 +264,19 @@ object FunctionQueries {
     "fn_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events WHERE event_id < 500 ORDER BY 1""".stripMargin,
+
+    "fn_json2" ->
+      """WITH d AS (
+        |  SELECT event_id, props,
+        |    '{"id": ' || event_id || ', "tags": ["x", "y", "z"], "nested": {"a": ' || user_id || '}}' AS doc
+        |  FROM events WHERE event_id < 300)
+        |SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
+        |  '{"k":' || CAST(json_extract_string(props, '$.k') AS BIGINT) || '}' AS rt,
+        |  CAST(json_array_length(doc, '$.tags') AS BIGINT) AS n_tags,
+        |  CAST(json_extract_string(doc, '$.nested.a') AS BIGINT) AS nested_a,
+        |  array_to_string(json_keys(doc), ',') AS keys_csv
+        |FROM d ORDER BY event_id""".stripMargin,
 
     "fn_bitops" ->
       """SELECT c_custkey,
