@@ -119,6 +119,34 @@ class SourcesSpec extends SparkSpec {
     assert(z < s * 0.7, s"zorder mean partkey span $z not narrower than shuffled $s")
   }
 
+  test("S11: malformed CSV rows — PERMISSIVE captures, DROPMALFORMED skips") {
+    // Impala scans tolerate bad rows and surface them as warnings/error
+    // rows (hdfs-scan-node error handling); Spark's twin is the CSV
+    // parse-mode contract, pinned here for both modes.
+    val dir = Files.createTempDirectory("graft_badcsv").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/data.csv"),
+      "1,alpha,10.5\n2,beta,not_a_number\n3,gamma,30.25\n".getBytes("UTF-8"))
+    val schema = new StructType()
+      .add("id", LongType).add("name", StringType).add("v", DoubleType)
+      .add("_corrupt", StringType)
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(dir).cache()
+    assert(permissive.count() == 3)
+    val bad = permissive.filter(col("_corrupt").isNotNull).collect()
+    assert(bad.length == 1 && bad.head.getAs[Long]("id") == 2)
+    permissive.unpersist()
+    val dropped = spark.read.schema(new StructType()
+        .add("id", LongType).add("name", StringType).add("v", DoubleType))
+      .option("mode", "DROPMALFORMED").csv(dir)
+    // Trap: count() prunes all columns, so the bad double is never
+    // parsed and NOTHING drops (count=3). Malformation is only
+    // detected for columns the query actually reads — select v.
+    val rows = dropped.select("id", "v").collect()
+    assert(rows.length == 2, s"expected bad row dropped, got ${rows.length}")
+    assert(rows.map(_.getDouble(1)).sum == 40.75)
+  }
+
   test("S2: ORC round trip") {
     val dir = tmp()
     li.limit(100).write.mode(SaveMode.Overwrite).orc(dir)
