@@ -96,6 +96,9 @@ object FunctionQueries2 {
           map_contains_key(col("m"), 2).as("has2"),
           size(map_concat(col("m"), map(lit(99), lit(0.0)))).cast("long").as("n_plus_sentinel"),
           expr("aggregate(map_values(m), CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("qty_sum"),
+          // higher-order map fns: rescaled-value fold + key-predicate filter
+          expr("aggregate(map_values(transform_values(m, (k, v) -> v * 2.0)), CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("qty_sum_x2"),
+          expr("size(map_filter(m, (k, v) -> k <= 3))").cast("long").as("n_low_keys"),
           array_join(transform(map_keys(col("m")), x => x.cast("string")), ",").as("keys_csv"))
         .orderBy("l_orderkey")
     }),
@@ -379,6 +382,8 @@ object FunctionQueries2 {
         |  list_contains(ks, 2) AS has2,
         |  CAST(len(ks) + 1 AS BIGINT) AS n_plus_sentinel,
         |  list_sum(vs) AS qty_sum,
+        |  list_sum([v * 2.0 for v in vs]) AS qty_sum_x2,
+        |  CAST(len(list_filter(ks, k -> k <= 3)) AS BIGINT) AS n_low_keys,
         |  array_to_string(ks, ',') AS keys_csv
         |FROM g ORDER BY 1""".stripMargin,
 
