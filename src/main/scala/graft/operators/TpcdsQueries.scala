@@ -447,6 +447,54 @@ object TpcdsQueries {
         .orderBy("channel", "qty_rank", "amt_rank", "item")
     }),
 
+    // DS21 (q36 shape): gross-margin ROLLUP ranked WITHIN each grouping
+    // level — `lochierarchy = grouping(a)+grouping(b)` partitions the
+    // rank window, the construct combination nothing else in the suite
+    // reaches. Fact is pre-aggregated at the (type, brand) grain per
+    // §5.9 before the rollup's Expand.
+    "ds_q36_margin_rank" -> ((spark, dir) => {
+      views(spark, dir)
+      spark.sql("""
+        WITH grain AS (
+          SELECT p_type, p_brand,
+            SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS rev,
+            SUM(CAST(l_quantity * 10.0 AS DECIMAL(38,6))) AS cost
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1, 2),
+        m AS (
+          SELECT p_type, p_brand,
+            round(CAST(SUM(rev) - SUM(cost) AS DOUBLE) / CAST(SUM(rev) AS DOUBLE), 6) AS margin,
+            CAST(grouping(p_type) + grouping(p_brand) AS BIGINT) AS lochierarchy
+          FROM grain GROUP BY ROLLUP(p_type, p_brand))
+        SELECT lochierarchy, p_type, p_brand, margin,
+          CAST(rank() OVER (
+            PARTITION BY lochierarchy,
+                         CASE WHEN lochierarchy = 1 THEN NULL ELSE p_type END
+            ORDER BY margin, p_brand ASC NULLS FIRST, p_type ASC NULLS FIRST) AS BIGINT) AS rk
+        FROM m
+        ORDER BY lochierarchy DESC, p_type ASC NULLS FIRST, rk
+        LIMIT 200""")
+    }),
+
+    // DS22 (q93 shape): returns-adjusted revenue — per-order adjustment
+    // relation LEFT JOINed back onto orders, net = gross − coalesce(adj).
+    "ds_q93_net_after_returns" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val adj = t.lineitem.filter(col("l_returnflag") === "R")
+        .groupBy(col("l_orderkey").as("a_orderkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("returned_amt"))
+      t.orders
+        .join(adj, col("o_orderkey") === col("a_orderkey"), "left")
+        .groupBy(col("o_custkey"))
+        .agg(dsum(col("o_totalprice")).as("gross"),
+          dsum(coalesce(col("returned_amt"), lit(0.0))).as("returned"))
+        .withColumn("net", round(col("gross") - col("returned"), 4))
+        .filter(col("returned") > 0)
+        .select(col("o_custkey"), round(col("gross"), 4).as("gross"),
+          round(col("returned"), 4).as("returned"), col("net"))
+        .orderBy(col("net").desc, col("o_custkey")).limit(100)
+    }),
+
     // DS19 (q31 shape): quarter-over-quarter revenue growth per nation.
     // The classic form self-joins the quarterly aggregate once per
     // period pair; here lead() over the (nation) partition reads the
@@ -813,6 +861,43 @@ object TpcdsQueries {
         |FROM ranked
         |WHERE qty_rank <= 10 OR amt_rank <= 10
         |ORDER BY channel, qty_rank, amt_rank, item""".stripMargin,
+
+    "ds_q36_margin_rank" ->
+      """WITH grain AS (
+        |  SELECT p_type, p_brand,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS rev,
+        |    SUM(CAST(l_quantity * 10.0 AS DECIMAL(38,6))) AS cost
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT p_type, p_brand,
+        |    round(CAST(SUM(rev) - SUM(cost) AS DOUBLE) / CAST(SUM(rev) AS DOUBLE), 6) AS margin,
+        |    CAST(grouping(p_type) + grouping(p_brand) AS BIGINT) AS lochierarchy
+        |  FROM grain GROUP BY ROLLUP(p_type, p_brand))
+        |SELECT lochierarchy, p_type, p_brand, margin,
+        |  CAST(rank() OVER (
+        |    PARTITION BY lochierarchy,
+        |                 CASE WHEN lochierarchy = 1 THEN NULL ELSE p_type END
+        |    ORDER BY margin, p_brand ASC NULLS FIRST, p_type ASC NULLS FIRST) AS BIGINT) AS rk
+        |FROM m
+        |ORDER BY lochierarchy DESC, p_type ASC NULLS FIRST, rk
+        |LIMIT 200""".stripMargin,
+
+    "ds_q93_net_after_returns" ->
+      """WITH adj AS (
+        |  SELECT l_orderkey AS a_orderkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS returned_amt
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+        |c AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS gross,
+        |    CAST(SUM(CAST(coalesce(returned_amt, 0.0) AS DECIMAL(38,6))) AS DOUBLE) AS returned
+        |  FROM orders LEFT JOIN adj ON o_orderkey = a_orderkey
+        |  GROUP BY 1)
+        |SELECT o_custkey, round(gross, 4) AS gross, round(returned, 4) AS returned,
+        |       round(gross - returned, 4) AS net
+        |FROM c WHERE returned > 0
+        |ORDER BY net DESC, o_custkey LIMIT 100""".stripMargin,
 
     "ds_q31_qoq_growth" ->
       """WITH q AS (
