@@ -120,6 +120,24 @@ object EventQueries {
         .na.fill(0L)
         .orderBy("user_id")
     }),
+
+    // E8: time-to-conversion — each purchase paired with the user's most
+    // recent preceding view via a running conditional max over the
+    // per-user shuffle (the single-pass alternative to an as-of
+    // self-join: one shuffle, no second scan of events).
+    "events_time_to_convert" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val w = Window.partitionBy("user_id").orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.events
+        .select(col("event_id"), col("user_id"), col("event_type"), sec.as("s"))
+        .withColumn("last_view_s",
+          max(when(col("event_type") === "view", col("s"))).over(w))
+        .filter(col("event_type") === "purchase" && col("last_view_s").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          (col("s") - col("last_view_s")).as("latency_s"))
+        .orderBy("event_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -188,5 +206,20 @@ object EventQueries {
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
         |FROM events WHERE user_id < 50 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_time_to_convert" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, event_type, s,
+        |    max(CASE WHEN event_type = 'view' THEN s END) OVER (
+        |      PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_s
+        |  FROM e)
+        |SELECT event_id, user_id, s - last_view_s AS latency_s
+        |FROM w WHERE event_type = 'purchase' AND last_view_s IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
   )
 }
