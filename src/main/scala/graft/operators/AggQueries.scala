@@ -93,6 +93,44 @@ object AggQueries {
            |ORDER BY l_returnflag, l_linestatus""".stripMargin)
     }),
 
+    // A12: equi-DEPTH histogram via ntile — the oracle-exact complement
+    // to the reservoir `agg_histogram` (rows-only): bucket membership
+    // is a deterministic function of the (price, orderkey) total order,
+    // so min/max/count per bucket hash-match across engines.
+    "agg_equidepth_hist" -> ((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      t.orders.filter(col("o_orderkey") < 20000)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          ntile(8).over(w).cast("long").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy("bucket")
+    }),
+
+    // A13: NOT IN vs NOT EXISTS null semantics — the classic silent-
+    // wrong-answer minefield, pinned: a NULL in the NOT IN subquery
+    // annihilates every row (three-valued logic), while NOT EXISTS
+    // keeps its anti-join behavior. Both engines must agree on both
+    // counts.
+    "agg_not_in_null" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.customer.createOrReplaceTempView("graft_cust_nin")
+      t.supplier.createOrReplaceTempView("graft_supp_nin")
+      spark.sql("""
+        SELECT
+          (SELECT count(*) FROM graft_cust_nin
+           WHERE c_nationkey NOT IN
+             (SELECT s_nationkey FROM graft_supp_nin
+              UNION ALL SELECT CAST(NULL AS BIGINT))) AS n_not_in_with_null,
+          (SELECT count(*) FROM graft_cust_nin c
+           WHERE NOT EXISTS (SELECT 1 FROM graft_supp_nin s
+                             WHERE s.s_nationkey = c.c_nationkey)) AS n_not_exists""")
+    }),
+
     // A6: moment stats from exact sums (engine-portable stddev/var).
     // Squares are summed at DECIMAL(38,0): the rounded-to-integer square
     // sum stays below 2^53, so its double cast is exact in any engine
@@ -343,6 +381,25 @@ object AggQueries {
         |  coalesce(c_nationkey, -1) AS nk, count(*) AS n
         |FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
         |ORDER BY 1, 2""".stripMargin,
+
+    "agg_equidepth_hist" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CAST(ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket
+        |  FROM orders WHERE o_orderkey < 20000)
+        |SELECT bucket, count(*) AS n,
+        |  round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "agg_not_in_null" ->
+      """SELECT
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_nationkey NOT IN
+        |     (SELECT s_nationkey FROM supplier
+        |      UNION ALL SELECT CAST(NULL AS BIGINT))) AS n_not_in_with_null,
+        |  (SELECT count(*) FROM customer c
+        |   WHERE NOT EXISTS (SELECT 1 FROM supplier s
+        |                     WHERE s.s_nationkey = c.c_nationkey)) AS n_not_exists""".stripMargin,
 
     "agg_group_by_all" ->
       s"""SELECT l_returnflag, l_linestatus,
