@@ -182,6 +182,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  /** A global ORDER BY must plan a sample-based range exchange feeding
+    * per-partition sorts (Impala's parallel sort: sort-node.cc fed by
+    * an exchange) — never a single-partition global sort. TopN must
+    * instead collapse to TakeOrderedAndProject (no full sort at all). */
+  test("global sort plans a range exchange; TopN collapses to TakeOrderedAndProject") {
+    val t = Tables(spark, sf0001)
+    // executedPlan: exchanges are inserted by EnsureRequirements, after
+    // sparkPlan
+    val sorted = t.lineitem.orderBy(col("l_extendedprice"))
+    val plan = sorted.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      s"global sort lacks range exchange:\n${plan.take(800)}")
+    val topn = t.lineitem.orderBy(col("l_extendedprice")).limit(10)
+    val topPlan = topn.queryExecution.executedPlan.toString
+    assert(topPlan.contains("TakeOrderedAndProject"),
+      s"TopN did not collapse:\n${topPlan.take(800)}")
+  }
+
   /** Impala exposes per-join distribution control (STRAIGHT_JOIN plus
     * the +broadcast / +shuffle plan hints — fe/.../planner/
     * DistributedPlanner.java); Spark's twin is the join-strategy hint
