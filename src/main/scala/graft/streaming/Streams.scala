@@ -234,6 +234,15 @@ object Streams {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** T14: Complete-mode ranked aggregate — the one output mode where
+    * streaming allows a global ORDER BY (the full result is re-emitted
+    * per batch, so the sort is well-defined). State is the aggregate
+    * itself; no watermark needed. */
+  def topTypesComplete(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .orderBy(col("n").desc, col("event_type"))
+
   /** T3: drop duplicate event_ids arriving within the watermark. */
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")

@@ -227,6 +227,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("T14: complete mode re-emits the full ranked aggregate each batch") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.topTypesComplete(in.toDF())
+      .writeStream.format("memory").queryName("t14_out").outputMode("complete").start()
+    try {
+      in.addData(Event(1, ts(0), 1, "view", 1.0), Event(2, ts(1), 2, "view", 2.0),
+        Event(3, ts(2), 1, "click", 4.0))
+      q.processAllAvailable()
+      in.addData(Event(4, ts(3), 3, "click", 8.0), Event(5, ts(4), 3, "click", 16.0))
+      q.processAllAvailable()
+      // complete mode: table holds ONLY the latest full result
+      val rows = spark.table("t14_out").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"), r.getAs[Double]("total_value")))
+      assert(rows.length == 2, s"expected full re-emit of 2 groups, got ${rows.toSeq}")
+      assert(rows.head == ("click", 3L, 28.0), s"rank order wrong: ${rows.toSeq}")
+      assert(rows(1) == ("view", 2L, 3.0))
+    } finally q.stop()
+  }
+
   test("T2: stateful sessionization closes a session after the gap") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Event]
