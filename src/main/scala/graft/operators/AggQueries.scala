@@ -314,6 +314,20 @@ object AggQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // A9b: SQL-standard inverse-distribution functions — discrete
+    // (WITHIN GROUP first-value-at-cume_dist≥p) vs continuous
+    // (interpolated), pinned against each other across engines.
+    "agg_percentile_disc" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.lineitem.createOrReplaceTempView("graft_li_pd")
+      spark.sql("""
+        SELECT l_returnflag,
+          percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS med_disc,
+          round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 4) AS med_cont,
+          percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90_disc
+        FROM graft_li_pd GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+
     // A11: count(*) vs count(col) vs count(distinct) null semantics.
     "agg_count_semantics" -> ((spark, dir) => {
       val t = Tables(spark, dir)
@@ -381,6 +395,13 @@ object AggQueries {
         |  coalesce(c_nationkey, -1) AS nk, count(*) AS n
         |FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
         |ORDER BY 1, 2""".stripMargin,
+
+    "agg_percentile_disc" ->
+      """SELECT l_returnflag,
+        |  quantile_disc(l_quantity, 0.5) AS med_disc,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS med_cont,
+        |  quantile_disc(l_quantity, 0.9) AS p90_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_equidepth_hist" ->
       """WITH b AS (

@@ -103,6 +103,28 @@ object FunctionQueries2 {
         .orderBy("l_orderkey")
     }),
 
+    // F13c: array set algebra — union/intersect/except (distinct
+    // semantics), position, repeat+flatten, max/min. Same deduped
+    // per-order line-number base as fn_map_types.
+    "fn_array_ops" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.lineitem.filter(col("l_orderkey") < 300)
+        .groupBy("l_orderkey", "l_linenumber").agg(count(lit(1)).as("c"))
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("all_ln"),
+          sort_array(collect_list(when(col("l_linenumber") % 2 === 0, col("l_linenumber")))).as("evens"),
+          sort_array(collect_list(when(col("l_linenumber") % 2 === 1, col("l_linenumber")))).as("odds"))
+        .select(col("l_orderkey"),
+          size(array_union(col("evens"), col("odds"))).cast("long").as("n_union"),
+          size(array_intersect(col("all_ln"), col("evens"))).cast("long").as("n_inter"),
+          size(array_except(col("all_ln"), col("evens"))).cast("long").as("n_except"),
+          array_position(col("all_ln"), 3).as("pos3"),
+          size(flatten(array_repeat(col("evens"), 2))).cast("long").as("n_flat"),
+          array_max(col("all_ln")).cast("long").as("ln_max"),
+          array_min(col("all_ln")).cast("long").as("ln_min"))
+        .orderBy("l_orderkey")
+    }),
+
     // DECIMAL arithmetic (the reference's DECIMAL(p,s) engine —
     // be/src/exprs/decimal-operators-ir.cc): exact add/multiply on
     // decimal-cast money, final cast to double for engine-portable
@@ -366,6 +388,26 @@ object FunctionQueries2 {
         |FROM (SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS lines
         |      FROM lineitem WHERE l_orderkey < 300 GROUP BY 1)
         |ORDER BY 1""".stripMargin,
+
+    "fn_array_ops" ->
+      """WITH g AS (
+        |  SELECT l_orderkey,
+        |         list(DISTINCT l_linenumber ORDER BY l_linenumber) AS all_ln
+        |  FROM lineitem WHERE l_orderkey < 300 GROUP BY 1),
+        |s AS (
+        |  SELECT l_orderkey, all_ln,
+        |         [x for x in all_ln if x % 2 = 0] AS evens,
+        |         [x for x in all_ln if x % 2 = 1] AS odds
+        |  FROM g)
+        |SELECT l_orderkey,
+        |  CAST(len(list_distinct(list_concat(evens, odds))) AS BIGINT) AS n_union,
+        |  CAST(len(evens) AS BIGINT) AS n_inter,
+        |  CAST(len(odds) AS BIGINT) AS n_except,
+        |  CAST(coalesce(list_position(all_ln, 3), 0) AS BIGINT) AS pos3,
+        |  CAST(2 * len(evens) AS BIGINT) AS n_flat,
+        |  CAST(list_max(all_ln) AS BIGINT) AS ln_max,
+        |  CAST(list_min(all_ln) AS BIGINT) AS ln_min
+        |FROM s ORDER BY 1""".stripMargin,
 
     "fn_map_types" ->
       """WITH pl AS (
