@@ -227,6 +227,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("T15: data later than the watermark is dropped from closed append windows") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.tumblingCounts(in.toDF())
+      .writeStream.format("memory").queryName("t15_out").outputMode("append").start()
+    try {
+      in.addData(Event(1, ts(0), 1, "view", 1.0), Event(2, ts(5), 1, "view", 2.0))
+      q.processAllAvailable()
+      // advance watermark far past the [0,60) window's end
+      in.addData(Event(3, ts(120), 2, "view", 3.0))
+      q.processAllAvailable()
+      in.addData(Event(4, ts(125), 2, "view", 4.0))
+      q.processAllAvailable()
+      val hour0 = ts(0).getTime - (ts(0).getTime % 3600000L) // window() aligns to the hour
+      val n0 = spark.table("t15_out").collect()
+        .find(_.getAs[java.sql.Timestamp]("win_start").getTime == hour0)
+        .map(_.getAs[Long]("n"))
+      assert(n0.contains(2L), s"window [0,60) should have closed with n=2, got $n0")
+      // a LATE event inside the long-closed window must be dropped
+      in.addData(Event(5, ts(30), 1, "view", 5.0))
+      q.processAllAvailable()
+      val after = spark.table("t15_out").collect()
+        .filter(_.getAs[java.sql.Timestamp]("win_start").getTime == hour0)
+      assert(after.length == 1 && after.head.getAs[Long]("n") == 2L,
+        s"late event re-opened a closed window: ${after.toSeq}")
+    } finally q.stop()
+  }
+
   test("T14: complete mode re-emits the full ranked aggregate each batch") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Event]
