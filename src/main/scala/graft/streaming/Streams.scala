@@ -61,6 +61,27 @@ object Streams {
         col("view_ts"), col("view_value"))
   }
 
+  /** T16: stream-stream LEFT OUTER interval join — purchases with or
+    * without a preceding view. Unmatched left rows CANNOT emit until
+    * the watermark proves no matching view can still arrive, so the
+    * null-extended output is watermark-delayed by construction (the
+    * semantics that distinguish outer from inner stream joins). */
+  def viewPurchaseLeftJoin(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("value").as("view_value"))
+      .withWatermark("view_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("buy_ts"), col("event_id").as("buy_id"))
+      .withWatermark("buy_ts", "10 minutes")
+    purchases.join(views,
+      col("view_ts") <= col("buy_ts") &&
+        col("view_ts") >= col("buy_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("v_user") === col("user_id"),
+      "left_outer")
+      .select(col("user_id"), col("buy_id"), col("buy_ts"), col("view_ts"), col("view_value"))
+  }
+
   /** T8: native session windows (`session_window`) — the declarative
     * twin of the flatMapGroupsWithState sessionizer in [[sessionize]]:
     * Spark merges overlapping per-event gap windows in the state store. */

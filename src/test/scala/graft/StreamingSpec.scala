@@ -109,6 +109,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T16: stream-stream left outer join emits unmatched purchases after the watermark") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.viewPurchaseLeftJoin(in.toDF(), windowMinutes = 30)
+      .writeStream.format("memory").queryName("t16_out").outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, ts(0), 1, "view", 1.5),       // matches user 1's buy
+        Event(2, ts(20), 1, "purchase", 9.0),  // matched purchase
+        Event(3, ts(25), 2, "purchase", 8.0))  // user 2: NO view → null side
+      q.processAllAvailable()
+      // the query watermark is the MIN across both sides' watermark
+      // nodes, so BOTH the view and purchase streams need far-future
+      // events before user 2's unmatched row can be declared matchless
+      in.addData(Event(9, ts(300), 9, "view", 0.0), Event(11, ts(300), 8, "purchase", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(10, ts(301), 9, "view", 0.0), Event(12, ts(301), 8, "purchase", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("t16_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("buy_id"), r.isNullAt(4)))
+      assert(rows.contains((1L, 2L, false)), s"matched join row missing: ${rows.toSeq}")
+      assert(rows.contains((2L, 3L, true)),
+        s"unmatched purchase not emitted with null view side: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("T8: native session_window groups events by inactivity gap") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Event]
