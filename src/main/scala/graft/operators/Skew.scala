@@ -36,11 +36,35 @@ object Skew {
       saltedCountSum(t.events, "event_type", col("value"), col("event_id"), 16)
         .orderBy("event_type")
     }),
+
+    // J4: key-skew diagnostic — the report a 100 TB pipeline runs
+    // BEFORE choosing salting/AQE settings: per-key cardinality stats
+    // plus the max/mean skew factor and the share held by the hottest
+    // key. Two cheap aggregations (key counts → scalar moments).
+    "skew_report" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val counts = t.events.groupBy("user_id").agg(count(lit(1)).as("n"))
+      counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_key_rows"),
+        round(max(col("n")) / (sum(col("n")) / count(lit(1))), 4).as("skew_factor"),
+        round(max(col("n")).cast("double") / sum(col("n")), 6).as("top_key_share"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
     "skew_salted_agg" ->
       s"""SELECT event_type, count(*) AS n, ${sqlSum("value")} AS total
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+        |SELECT count(*) AS n_keys,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(max(n) AS BIGINT) AS max_key_rows,
+        |  round(max(n) / (sum(n) / count(*)), 4) AS skew_factor,
+        |  round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_key_share
+        |FROM c""".stripMargin,
   )
 }

@@ -182,6 +182,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  /** The third AQE leg (after skew split and join re-plan): a shuffle
+    * whose output is far smaller than shuffle.partitions must be
+    * COALESCED at runtime, so the same partitioning config serves
+    * sf0.001 tests and 100 TB runs without retuning. */
+  test("AQE coalesces a small aggregate's shuffle partitions at runtime") {
+    val t = Tables(spark, sf0001)
+    val df = t.nation.groupBy("n_regionkey")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    df.collect() // final adaptive plan only
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+      s"no runtime partition coalescing in final plan:\n${plan.take(900)}")
+  }
+
   /** A global ORDER BY must plan a sample-based range exchange feeding
     * per-partition sorts (Impala's parallel sort: sort-node.cc fed by
     * an exchange) — never a single-partition global sort. TopN must
