@@ -40,7 +40,10 @@ object Bench {
     "stats_table", "asof_join_events", "events_sessionize",
     "win_topn_per_group", "layout_zorder")
 
-  private def fmt(v: Double): String = "%.3f".format(v)
+  // Locale.ROOT: the default-locale format would emit comma decimals
+  // ("1,234") under e.g. a de_DE JVM, corrupting the JSON contract.
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -92,22 +92,36 @@ object IcebergImpl {
     if (s.numChars() <= w) s else s.substring(0, w)
 }
 
-/** `iceberg_bucket(v, n) -> int` over BIGINT or STRING input. */
+/** `iceberg_bucket(v, n) -> int` over BIGINT or STRING input. The spec
+  * (and the reference's validation) requires n > 0: a foldable
+  * non-positive n fails analysis with a clear message; a runtime
+  * non-positive n yields NULL rather than a raw ArithmeticException or
+  * a negative bucket. */
 case class IcebergBucket(left: Expression, right: Expression)
     extends BinaryExpression {
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if ((left.dataType == LongType || left.dataType == StringType) && right.dataType == IntegerType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"iceberg_bucket expects (bigint|string, int), got (${left.dataType}, ${right.dataType})")
+    if (!((left.dataType == LongType || left.dataType == StringType) && right.dataType == IntegerType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"iceberg_bucket expects (bigint|string, int), got (${left.dataType}, ${right.dataType})")
+    else if (right.foldable && {
+        val n = right.eval(); n != null && n.asInstanceOf[Int] <= 0 })
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"iceberg_bucket: bucket count must be positive, got ${right.eval()}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
   override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
   private lazy val isString = left.dataType == StringType
-  override def nullSafeEval(v: Any, n: Any): Any =
-    if (isString) IcebergImpl.bucketString(v.asInstanceOf[UTF8String], n.asInstanceOf[Int])
-    else IcebergImpl.bucketLong(v.asInstanceOf[Long], n.asInstanceOf[Int])
+  override def nullSafeEval(v: Any, n: Any): Any = {
+    val nn = n.asInstanceOf[Int]
+    if (nn <= 0) null
+    else if (isString) IcebergImpl.bucketString(v.asInstanceOf[UTF8String], nn)
+    else IcebergImpl.bucketLong(v.asInstanceOf[Long], nn)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val fn = if (isString) "bucketString" else "bucketLong"
-    defineCodeGen(ctx, ev, (v, n) => s"graft.functions.IcebergImpl.$fn($v, $n)")
+    nullSafeCodeGen(ctx, ev, (v, n) =>
+      s"""if ($n <= 0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.IcebergImpl.$fn($v, $n); }""".stripMargin)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): IcebergBucket =
     copy(left = l, right = r)
@@ -115,24 +129,38 @@ case class IcebergBucket(left: Expression, right: Expression)
 }
 
 /** `iceberg_truncate(v, w)` over BIGINT (floor-to-width) or STRING
-  * (code-point prefix) input; result type follows the input. */
+  * (code-point prefix) input; result type follows the input. The spec
+  * requires w > 0: a foldable non-positive width fails analysis; a
+  * runtime non-positive width yields NULL (no raw division-by-zero). */
 case class IcebergTruncate(left: Expression, right: Expression)
     extends BinaryExpression {
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if ((left.dataType == LongType || left.dataType == StringType) && right.dataType == LongType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"iceberg_truncate expects (bigint|string, bigint), got (${left.dataType}, ${right.dataType})")
+    if (!((left.dataType == LongType || left.dataType == StringType) && right.dataType == LongType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"iceberg_truncate expects (bigint|string, bigint), got (${left.dataType}, ${right.dataType})")
+    else if (right.foldable && {
+        val w = right.eval(); w != null && w.asInstanceOf[Long] <= 0L })
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"iceberg_truncate: width must be positive, got ${right.eval()}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
   override def dataType: DataType = left.dataType
+  override def nullable: Boolean = true
   private lazy val isString = left.dataType == StringType
-  override def nullSafeEval(v: Any, w: Any): Any =
-    if (isString) IcebergImpl.truncateString(v.asInstanceOf[UTF8String], w.asInstanceOf[Long].toInt)
-    else IcebergImpl.truncateLong(v.asInstanceOf[Long], w.asInstanceOf[Long])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    if (isString)
-      defineCodeGen(ctx, ev, (v, w) => s"graft.functions.IcebergImpl.truncateString($v, (int) $w)")
+  override def nullSafeEval(v: Any, w: Any): Any = {
+    val ww = w.asInstanceOf[Long]
+    if (ww <= 0L) null
+    else if (isString) IcebergImpl.truncateString(v.asInstanceOf[UTF8String], ww.toInt)
+    else IcebergImpl.truncateLong(v.asInstanceOf[Long], ww)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val call = if (isString)
+      (v: String, w: String) => s"graft.functions.IcebergImpl.truncateString($v, (int) $w)"
     else
-      defineCodeGen(ctx, ev, (v, w) => s"graft.functions.IcebergImpl.truncateLong($v, $w)")
+      (v: String, w: String) => s"graft.functions.IcebergImpl.truncateLong($v, $w)"
+    nullSafeCodeGen(ctx, ev, (v, w) =>
+      s"""if ($w <= 0L) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${call(v, w)}; }""".stripMargin)
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): IcebergTruncate =
     copy(left = l, right = r)
   override def prettyName: String = "iceberg_truncate"

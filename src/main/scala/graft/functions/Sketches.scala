@@ -55,6 +55,35 @@ object KllQuantile {
 
   def countOf(bytes: Array[Byte]): Long =
     KllDoublesSketch.heapify(Memory.wrap(bytes)).getN
+
+  // Estimate-extraction backing for the rest of the reference's ds_kll
+  // block (impala_functions.py ds_kll_rank / ds_kll_n /
+  // ds_kll_cdf_as_string / ds_kll_pmf_as_string /
+  // ds_kll_quantiles_as_string). Spark-idiomatic shape: the variadic
+  // "..._as_string" forms become array-in/array-out expressions —
+  // compose with array_join for the string rendering. All run on
+  // post-aggregation rows (one per group), never in the scan.
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  /** Normalized rank of `v` in [0,1] (INCLUSIVE criteria, the library
+    * default the reference wraps). */
+  def rankOf(bytes: Array[Byte], v: Double): Double =
+    KllDoublesSketch.heapify(Memory.wrap(bytes)).getRank(v)
+
+  /** CDF at the given split points: n+1 values, last is always 1.0. */
+  def cdfAt(bytes: Array[Byte], splits: ArrayData): ArrayData =
+    new GenericArrayData(
+      KllDoublesSketch.heapify(Memory.wrap(bytes)).getCDF(splits.toDoubleArray()))
+
+  /** PMF mass between consecutive split points: n+1 values, sums to 1. */
+  def pmfAt(bytes: Array[Byte], splits: ArrayData): ArrayData =
+    new GenericArrayData(
+      KllDoublesSketch.heapify(Memory.wrap(bytes)).getPMF(splits.toDoubleArray()))
+
+  /** Quantile estimates at the given normalized ranks. */
+  def quantilesAt(bytes: Array[Byte], ranks: ArrayData): ArrayData =
+    new GenericArrayData(
+      KllDoublesSketch.heapify(Memory.wrap(bytes)).getQuantiles(ranks.toDoubleArray()))
 }
 
 // ---- Theta sketches (distinct-count set algebra) ---------------------
@@ -186,6 +215,70 @@ case class KllQuantileAt(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): KllQuantileAt =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "kll_quantile"
+}
+
+/** `kll_rank(sketch, v) -> double` — normalized rank of v (ds_kll_rank). */
+case class KllRankOf(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(b: Any, v: Any): Any =
+    KllQuantile.rankOf(b.asInstanceOf[Array[Byte]], v.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, v) => s"graft.functions.KllQuantile.rankOf($b, $v)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KllRankOf =
+    copy(left = l, right = r)
+  override def prettyName: String = "kll_rank"
+}
+
+/** `kll_n(sketch) -> bigint` — stream length (ds_kll_n). */
+case class KllN(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(b: Any): Any = KllQuantile.countOf(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.KllQuantile.countOf($b)")
+  override protected def withNewChildInternal(newChild: Expression): KllN = copy(child = newChild)
+  override def prettyName: String = "kll_n"
+}
+
+/** Shared shape for the array-in/array-out KLL estimate extractors
+  * (ds_kll_cdf / ds_kll_pmf / ds_kll_quantiles, array form). */
+abstract class KllArrayEst extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType,
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false))
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  protected def call: String
+  override def nullSafeEval(b: Any, sp: Any): Any = call match {
+    case "cdfAt" => KllQuantile.cdfAt(b.asInstanceOf[Array[Byte]],
+      sp.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    case "pmfAt" => KllQuantile.pmfAt(b.asInstanceOf[Array[Byte]],
+      sp.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    case "quantilesAt" => KllQuantile.quantilesAt(b.asInstanceOf[Array[Byte]],
+      sp.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, sp) => s"graft.functions.KllQuantile.$call($b, $sp)")
+}
+
+case class KllCdf(left: Expression, right: Expression) extends KllArrayEst {
+  override protected def call = "cdfAt"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KllCdf = copy(l, r)
+  override def prettyName: String = "kll_cdf"
+}
+
+case class KllPmf(left: Expression, right: Expression) extends KllArrayEst {
+  override protected def call = "pmfAt"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KllPmf = copy(l, r)
+  override def prettyName: String = "kll_pmf"
+}
+
+case class KllQuantiles(left: Expression, right: Expression) extends KllArrayEst {
+  override protected def call = "quantilesAt"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KllQuantiles = copy(l, r)
+  override def prettyName: String = "kll_quantiles"
 }
 
 // ---- CPC sketches (compressed probabilistic counting) ----------------

@@ -15,11 +15,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * whole-stage code calls them directly.
   *
   * Semantics notes (pinned by fuzz against the DuckDB oracle, 5000 pairs):
-  * - both-empty inputs → 0.0 similarity (the oracle's convention);
+  * - both-empty inputs → 1.0 similarity, matching the reference's
+  *   JaroSimilarity short-cut (s1len==0 && s2len==0 → 1.0); one-empty →
+  *   0.0. DuckDB returns 0.0 for both-empty — a documented deviation
+  *   from that oracle, which fn_strdist avoids by using non-empty
+  *   inputs. Unlike the reference we accept inputs >255 chars instead
+  *   of erroring (a deliberate relaxation; Spark strings are unbounded).
   * - Jaro-Winkler boost: prefix ≤ 4, scaling 0.1, applied only when the
   *   base Jaro exceeds 0.7;
-  * - damerau_levenshtein is the FULL variant (distant transpositions
-  *   allowed: dl("CA","ABC") = 2), not restricted OSA.
+  * - damerau_levenshtein is restricted OSA (optimal string alignment,
+  *   each substring transposed at most once: dl("CA","ABC") = 3),
+  *   matching the reference's DamerauLevenshtein; the FULL
+  *   Lowrance-Wagner variant (distant transpositions allowed:
+  *   dl("CA","ABC") = 2, DuckDB's convention) is exposed separately as
+  *   damerau_levenshtein_full.
   * - distances operate on UTF-16 code units (ASCII-equivalent for the
   *   corpus data; supplementary-plane text would count surrogates).
   */
@@ -31,6 +40,7 @@ object StrDistImpl {
     val s2 = u2.toString
     val l1 = s1.length
     val l2 = s2.length
+    if (l1 == 0 && l2 == 0) return 1.0
     if (l1 == 0 || l2 == 0) return 0.0
     val window = math.max(0, math.max(l1, l2) / 2 - 1)
     val m1 = new Array[Boolean](l1)
@@ -79,10 +89,50 @@ object StrDistImpl {
     j + l * 0.1 * (1.0 - j)
   }
 
-  /** Full Damerau-Levenshtein distance (Lowrance-Wagner): insert, delete,
-    * substitute, and transposition of two characters at any distance.
-    * O(|a|·|b|) time, O(|a|·|b|) space — per-row strings, not corpora. */
+  /** Restricted Damerau-Levenshtein (OSA — optimal string alignment):
+    * insert, delete, substitute, and transposition of ADJACENT chars,
+    * each substring edited at most once. This is the reference engine's
+    * recurrence (no alphabet table, three-row DP), so same-named SQL
+    * returns the same distances. O(|a|·|b|) time, O(|b|) space. */
   def damerauLevenshtein(ua: UTF8String, ub: UTF8String): Int = {
+    val a = ua.toString
+    val b = ub.toString
+    val la = a.length
+    val lb = b.length
+    if (la == 0) return lb
+    if (lb == 0) return la
+    var prev2 = new Array[Int](lb + 1) // d(i-2, *)
+    var prev = new Array[Int](lb + 1)  // d(i-1, *)
+    var cur = new Array[Int](lb + 1)   // d(i,   *)
+    var j = 0
+    while (j <= lb) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= la) {
+      cur(0) = i
+      j = 1
+      while (j <= lb) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        var best = prev(j - 1) + cost
+        if (prev(j) + 1 < best) best = prev(j) + 1
+        if (cur(j - 1) + 1 < best) best = cur(j - 1) + 1
+        if (i > 1 && j > 1 && a.charAt(i - 1) == b.charAt(j - 2) &&
+            a.charAt(i - 2) == b.charAt(j - 1) && prev2(j - 2) + 1 < best)
+          best = prev2(j - 2) + 1
+        cur(j) = best
+        j += 1
+      }
+      val t = prev2; prev2 = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(lb)
+  }
+
+  /** Full Damerau-Levenshtein distance (Lowrance-Wagner): insert, delete,
+    * substitute, and transposition of two characters at any distance —
+    * DuckDB's damerau_levenshtein convention, exposed as
+    * damerau_levenshtein_full. O(|a|·|b|) time and space — per-row
+    * strings, not corpora. */
+  def damerauLevenshteinFull(ua: UTF8String, ub: UTF8String): Int = {
     val a = ua.toString
     val b = ub.toString
     val la = a.length
@@ -149,7 +199,7 @@ case class JaroWinklerSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "jaro_winkler_sim"
 }
 
-/** `damerau_levenshtein(s1, s2) -> int`. */
+/** `damerau_levenshtein(s1, s2) -> int` — restricted OSA, reference parity. */
 case class DamerauLevenshtein(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes = Seq(StringType, StringType)
@@ -161,4 +211,19 @@ case class DamerauLevenshtein(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DamerauLevenshtein =
     copy(left = l, right = r)
   override def prettyName: String = "damerau_levenshtein"
+}
+
+/** `damerau_levenshtein_full(s1, s2) -> int` — unrestricted
+  * Lowrance-Wagner (DuckDB's convention). */
+case class DamerauLevenshteinFull(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType, StringType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    StrDistImpl.damerauLevenshteinFull(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.StrDistImpl.damerauLevenshteinFull($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DamerauLevenshteinFull =
+    copy(left = l, right = r)
+  override def prettyName: String = "damerau_levenshtein_full"
 }

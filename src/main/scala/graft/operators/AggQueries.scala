@@ -215,6 +215,33 @@ object AggQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // Rest of the reference's ds_kll block (impala_functions.py:1043-56
+    // ds_kll_rank / ds_kll_n / ds_kll_cdf_as_string / ds_kll_pmf_as_string
+    // / ds_kll_quantiles_as_string): rank/n/cdf/pmf/quantiles estimate
+    // extraction over the same built sketch. Arrays render via
+    // array_join — the Spark-idiomatic form of the "_as_string" variadics.
+    // Sketch compaction is randomized → rows-only; SketchSpec bounds
+    // each estimate against exact values.
+    "agg_kll_rank" -> ((spark, dir) => {
+      GraftFunctions.register(spark)
+      val t = Tables(spark, dir)
+      val splits = array(lit(50000.0), lit(150000.0), lit(300000.0))
+      t.orders.groupBy("o_orderstatus")
+        .agg(KllQuantile.sketch(col("o_totalprice")).as("sk"),
+          count(lit(1)).as("n_exact"))
+        .select(col("o_orderstatus"),
+          round(call_function("kll_rank", col("sk"), lit(150000.0)), 4).as("rank_150k"),
+          call_function("kll_n", col("sk")).as("n_sketch"),
+          array_join(transform(call_function("kll_cdf", col("sk"), splits),
+            v => round(v, 4)), ",").as("cdf"),
+          array_join(transform(call_function("kll_pmf", col("sk"), splits),
+            v => round(v, 4)), ",").as("pmf"),
+          array_join(transform(call_function("kll_quantiles", col("sk"),
+            array(lit(0.25), lit(0.5), lit(0.75))), v => round(v, 2)), ",").as("quartiles"),
+          col("n_exact"))
+        .orderBy("o_orderstatus")
+    }),
+
     // sample()/histogram()/sampled_ndv() parity (BuiltinsDb.java:1020,
     // 1040,1179): bounded reservoir per group, seeded — partition-order
     // dependent like any distributed reservoir → rows-only + specs.

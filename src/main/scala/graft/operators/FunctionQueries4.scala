@@ -38,7 +38,13 @@ object FunctionQueries4 {
   val queries: Map[String, Q] = Map(
     // F22: string-distance family over c_name and deterministic mangles
     // (digit-substitution for a prefix-preserving Jaro-Winkler case,
-    // reversal for a transposition-heavy Damerau case).
+    // reversal for a transposition-heavy Damerau case). dl_mangled uses
+    // the OSA damerau_levenshtein (reference parity): on a
+    // substitution-only mangle OSA and the full variant agree, so
+    // DuckDB's (full-variant) builtin still oracles it; dl_rev, where
+    // distant transpositions matter, uses damerau_levenshtein_full —
+    // DuckDB's convention. OSA's divergent cases are pinned in
+    // FunctionsSpec instead (no DuckDB OSA builtin to oracle against).
     "fn_strdist" -> ((spark, dir) => {
       GraftFunctions.register(spark)
       val t = Tables(spark, dir)
@@ -48,7 +54,7 @@ object FunctionQueries4 {
           round(lit(1.0) - call_function("jaro_sim", col("c_name"), mangle), 6).as("jaro_dist"),
           round(call_function("jaro_winkler_sim", col("c_name"), mangle), 6).as("jw_sim"),
           call_function("damerau_levenshtein", col("c_name"), mangle).cast("long").as("dl_mangled"),
-          call_function("damerau_levenshtein", col("c_name"), reverse(col("c_name"))).cast("long").as("dl_rev"))
+          call_function("damerau_levenshtein_full", col("c_name"), reverse(col("c_name"))).cast("long").as("dl_rev"))
         .orderBy("c_custkey")
     }),
 

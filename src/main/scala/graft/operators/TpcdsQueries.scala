@@ -274,18 +274,21 @@ object TpcdsQueries {
           JOIN nation ON c_nationkey = n_nationkey
           WHERE year(o_orderdate) IN (1996, 1997)
           GROUP BY 1, 2, 3),
-        totals AS (
-          SELECT yr, mo, CAST(SUM(CAST(rev AS DECIMAL(38,6))) AS DOUBLE) AS tot
-          FROM monthly GROUP BY 1, 2),
+        -- Spark inlines non-recursive WITH, so a totals CTE re-executes
+        -- the whole 4-way fact join; the month total as a window over
+        -- monthly shares the rank's (yr, mo) partitioning — one scan,
+        -- one shuffle, no second join.
         ranked AS (
           SELECT m.*, CAST(row_number() OVER (
-              PARTITION BY m.yr, m.mo ORDER BY m.rev DESC, m.n_name) AS BIGINT) AS rk
+              PARTITION BY m.yr, m.mo ORDER BY m.rev DESC, m.n_name) AS BIGINT) AS rk,
+            CAST(SUM(CAST(m.rev AS DECIMAL(38,6))) OVER (
+              PARTITION BY m.yr, m.mo) AS DOUBLE) AS tot
           FROM monthly m)
-        SELECT r.yr, r.mo, r.rk, r.n_name,
-               round(r.rev, 4) AS rev, round(r.rev / t.tot, 6) AS share
-        FROM ranked r JOIN totals t ON r.yr = t.yr AND r.mo = t.mo
-        WHERE r.rk <= 3
-        ORDER BY r.yr, r.mo, r.rk""")
+        SELECT yr, mo, rk, n_name,
+               round(rev, 4) AS rev, round(rev / tot, 6) AS share
+        FROM ranked
+        WHERE rk <= 3
+        ORDER BY yr, mo, rk""")
     }),
 
     // DS12: EXCEPT/INTERSECT-heavy set logic (q10a/q35 family).

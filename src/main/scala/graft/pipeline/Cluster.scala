@@ -17,9 +17,12 @@ import graft.Tables
   * propagation alone needs diameter rounds (a 10⁶-long chain at 100 TB
   * would mean 10⁶ shuffles); the shortcut halves remaining path lengths,
   * so convergence is O(log n) rounds of a constant number of shuffles.
-  * There is no per-node driver work and no collect of node data; the
-  * one action per round (change count) is the unavoidable cost of any
-  * iterative fixpoint — GraphX pays the same.
+  * There is no per-node driver work and no collect of node data. Each
+  * round runs exactly ONE job: the materialization that caches next
+  * round's labels also counts moved labels into an accumulator, so
+  * convergence detection costs no separate action — the unavoidable
+  * price of an iterative fixpoint (one action per round) is paid once,
+  * not twice.
   */
 object Cluster {
 
@@ -30,8 +33,23 @@ object Cluster {
     *         includes every endpoint (callers union isolated nodes).
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
     val Seq(srcC, dstC) = edges.columns.take(2).toSeq
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Reliable-checkpoint gate for real clusters: cached-only lineage
+    // truncation blocks recovery if an executor holding the blocks dies,
+    // so a deployment sets spark.graft.checkpointDir (or the
+    // SPARK_GRAFT_CHECKPOINT_DIR env) to an HDFS/object-store path and
+    // each round's labels are written there. Local mode leaves it unset.
+    val chkDir = spark.conf.getOption("spark.graft.checkpointDir")
+      .orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR"))
+    chkDir.foreach { d => if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d) }
+    val labelSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("label", LongType, nullable = false)))
     val sym = edges.select(col(srcC).cast("long").as("a"), col(dstC).cast("long").as("b"))
       .union(edges.select(col(dstC).cast("long").as("a"), col(srcC).cast("long").as("b")))
       .distinct()
@@ -39,37 +57,52 @@ object Cluster {
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(lvl)
+    var prevRdd: org.apache.spark.rdd.RDD[Row] = null
     var iter = 0
     var changed = 1L
     while (iter < maxIters && changed > 0) {
-      // 1. closed neighborhood: own label ∪ labels flowing over edges
+      // 1. closed neighborhood: own label ∪ labels flowing over edges.
+      // The self rows carry the previous label in `own` (exactly one
+      // self row per id), so the convergence count needs no extra join.
       val viaEdges = sym.join(labels.withColumnRenamed("id", "a"), "a")
-        .select(col("b").as("id"), col("label"))
-      val hop = viaEdges.union(labels)
-        .groupBy("id").agg(min(col("label")).as("label"))
+        .select(col("b").as("id"), col("label"), lit(null).cast("long").as("own"))
+      val self = labels.withColumn("own", col("label"))
+      val hop = viaEdges.union(self).groupBy("id")
+        .agg(min(col("label")).as("label"), max(col("own")).as("old"))
       // 2. pointer jump: label := label(label). Labels always point
       // within the component (they only ever arrive over edges), so the
       // shortcut is safe; it is what turns O(diameter) into O(log n).
-      // The eager localCheckpoint truncates the logical plan each
-      // round — hop appears twice in the join, so without truncation
-      // the plan tree doubles per iteration (2^rounds nodes: at sf0.1
-      // the accumulated plan string passed 2 GB and OOM'd the driver).
-      // The createDataFrame re-wrap then drops the checkpoint's stale
-      // constraint set (its originalConstraints reference pre-checkpoint
-      // attribute ids, which crashes Union constraint rewriting when the
-      // result re-enters next round's viaEdges.union). On a
-      // multi-executor deployment with lineage-based recovery concerns,
-      // swap for setCheckpointDir + checkpoint.
-      val chk = hop.alias("x")
+      val jumped = hop.alias("x")
         .join(hop.select(col("id").as("label"), col("label").as("ll")).alias("y"),
           Seq("label"), "left")
-        .select(col("x.id").as("id"), least(col("label"), col("ll")).as("label"))
-        .localCheckpoint(true)
-      val next = chk.sparkSession.createDataFrame(chk.rdd, chk.schema)
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
+        .select(col("x.id").as("id"), least(col("label"), col("ll")).as("label"),
+          col("x.old").as("old"))
+      // 3. materialize ONE job per round: the map counts moved labels
+      // into an accumulator while producing next round's rows, replacing
+      // the former two-job shape (eager localCheckpoint + a separate
+      // join-and-count convergence action). Task retries can only
+      // over-count the accumulator, never report 0 when labels moved, so
+      // the convergence test (changed == 0) stays sound. The RDD round
+      // trip also truncates the logical plan — `hop` appears twice in
+      // the jump join, so without truncation the plan doubles per round
+      // (2^rounds nodes: at sf0.1 the plan string passed 2 GB and OOM'd
+      // the driver).
+      val acc = sc.longAccumulator(s"cc_moved_round_$iter")
+      val rdd = jumped.rdd.mapPartitions { it =>
+        it.map { r =>
+          val lbl = r.getLong(1)
+          if (r.isNullAt(2) || r.getLong(2) != lbl) acc.add(1L)
+          Row(r.getLong(0), lbl)
+        }
+      }
+      rdd.persist(lvl)
+      if (chkDir.isDefined) rdd.checkpoint() // written from the persisted blocks
+      rdd.foreach(_ => ()) // the round's single action
+      changed = acc.value
       labels.unpersist(false)
-      labels = next
+      if (prevRdd != null) prevRdd.unpersist(false)
+      prevRdd = rdd
+      labels = spark.createDataFrame(rdd, labelSchema)
       iter += 1
     }
     sym.unpersist(false)

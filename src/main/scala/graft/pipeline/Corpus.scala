@@ -43,12 +43,21 @@ object Corpus {
       .filter(lenOk && wordsOk && stopOk && langOk)
     if (!nearDup) gated
     else {
+      // `gated` feeds BOTH the candidate generator and the anti-join
+      // probe side; without a persist the dedup window + quality gates
+      // execute twice (the minhash cache inside Dedup only covers the
+      // shingle projection). Slot-replacing persist, same discipline as
+      // Dedup: a long-lived session never pins more than the last call.
+      val g = Dedup.cacheReplacing(gated, gatedSlot)
       // drop the higher-id doc of every verified near-dup pair
-      val drop = Dedup.minhashCandidates(gated, minJaccard = 0.6)
+      val drop = Dedup.minhashCandidates(g, minJaccard = 0.6)
         .select(col("doc_b").as("doc_id")).distinct()
-      gated.join(drop, Seq("doc_id"), "left_anti")
+      g.join(drop, Seq("doc_id"), "left_anti")
     }
   }
+
+  private val gatedSlot =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   type Q = (SparkSession, String) => DataFrame
 

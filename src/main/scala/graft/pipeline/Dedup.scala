@@ -19,7 +19,7 @@ object Dedup {
     * what keeps the pair stages from recomputing the feature pipeline,
     * but a long-lived session running many dedup calls must not pin
     * every historical cache — each new call releases the previous one. */
-  private def cacheReplacing(df: DataFrame,
+  private[pipeline] def cacheReplacing(df: DataFrame,
       slot: java.util.concurrent.atomic.AtomicReference[DataFrame]): DataFrame = {
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val old = slot.getAndSet(cached)

@@ -60,6 +60,16 @@ object GraftFunctions {
       arity("rhp_bucket", 2)(es => RhpBucket(es(0), es(1)))),
     ("kll_quantile", info("kll_quantile", "kll_quantile(sketch, rank) - quantile estimate from a KLL sketch"),
       arity("kll_quantile", 2)(es => KllQuantileAt(es(0), es(1)))),
+    ("kll_rank", info("kll_rank", "kll_rank(sketch, v) - normalized rank of v in a KLL sketch"),
+      arity("kll_rank", 2)(es => KllRankOf(es(0), es(1)))),
+    ("kll_n", info("kll_n", "kll_n(sketch) - stream length of a KLL sketch"),
+      arity("kll_n", 1)(es => KllN(es.head))),
+    ("kll_cdf", info("kll_cdf", "kll_cdf(sketch, splits) - CDF estimates at split points"),
+      arity("kll_cdf", 2)(es => KllCdf(es(0), es(1)))),
+    ("kll_pmf", info("kll_pmf", "kll_pmf(sketch, splits) - PMF mass between split points"),
+      arity("kll_pmf", 2)(es => KllPmf(es(0), es(1)))),
+    ("kll_quantiles", info("kll_quantiles", "kll_quantiles(sketch, ranks) - quantile estimates at ranks"),
+      arity("kll_quantiles", 2)(es => KllQuantiles(es(0), es(1)))),
     ("theta_estimate", info("theta_estimate", "theta_estimate(sketch) - distinct estimate from a theta sketch"),
       arity("theta_estimate", 1)(es => ThetaEstimate(es.head))),
     ("theta_union_est", info("theta_union_est", "theta_union_est(a, b) - distinct estimate of A ∪ B"),
@@ -80,8 +90,10 @@ object GraftFunctions {
       arity("jaro_sim", 2)(es => JaroSimilarity(es(0), es(1)))),
     ("jaro_winkler_sim", info("jaro_winkler_sim", "jaro_winkler_sim(s1, s2) - Jaro-Winkler similarity"),
       arity("jaro_winkler_sim", 2)(es => JaroWinklerSimilarity(es(0), es(1)))),
-    ("damerau_levenshtein", info("damerau_levenshtein", "damerau_levenshtein(s1, s2) - full Damerau-Levenshtein distance"),
+    ("damerau_levenshtein", info("damerau_levenshtein", "damerau_levenshtein(s1, s2) - restricted (OSA) Damerau-Levenshtein distance, reference parity"),
       arity("damerau_levenshtein", 2)(es => DamerauLevenshtein(es(0), es(1)))),
+    ("damerau_levenshtein_full", info("damerau_levenshtein_full", "damerau_levenshtein_full(s1, s2) - unrestricted Lowrance-Wagner Damerau-Levenshtein distance"),
+      arity("damerau_levenshtein_full", 2)(es => DamerauLevenshteinFull(es(0), es(1)))),
     ("zorder64", info("zorder64", "zorder64(a, b) - 64-bit Morton (Z-order) clustering key"),
       arity("zorder64", 2)(es => ZOrder64(es(0), es(1)))),
     ("sniff_format", info("sniff_format", "sniff_format(bin) - container format from magic numbers"),

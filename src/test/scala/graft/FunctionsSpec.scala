@@ -121,7 +121,7 @@ class FunctionsSpec extends SparkSpec {
   test("GraftExtensions registers all functions via injection points") {
     // unit-level: the extension applies builders without touching a live session
     val names = GraftFunctions.all.map(_._1).toSet
-    assert(names == Set("fnv_hash", "murmur_hash", "simhash64", "fingerprint64", "minhash_sig", "hashed_shingles", "jaccard_sorted", "cosine_sim", "rhp_bucket", "kll_quantile", "theta_estimate", "theta_union_est", "theta_intersect_est", "theta_anotb_est", "sniff_format", "byte_entropy", "byte_histogram16", "jaro_sim", "jaro_winkler_sim", "damerau_levenshtein", "cpc_estimate", "cpc_union_est", "iceberg_bucket", "iceberg_truncate", "zorder64"))
+    assert(names == Set("fnv_hash", "murmur_hash", "simhash64", "fingerprint64", "minhash_sig", "hashed_shingles", "jaccard_sorted", "cosine_sim", "rhp_bucket", "kll_quantile", "kll_rank", "kll_n", "kll_cdf", "kll_pmf", "kll_quantiles", "theta_estimate", "theta_union_est", "theta_intersect_est", "theta_anotb_est", "sniff_format", "byte_entropy", "byte_histogram16", "jaro_sim", "jaro_winkler_sim", "damerau_levenshtein", "damerau_levenshtein_full", "cpc_estimate", "cpc_union_est", "iceberg_bucket", "iceberg_truncate", "zorder64"))
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
@@ -167,6 +167,24 @@ class FunctionsSpec extends SparkSpec {
     assert(IcebergImpl.truncateString(UTF8String.fromString("ab"), 5).toString == "ab")
   }
 
+  test("iceberg transforms reject non-positive bucket count / width") {
+    graft.plans.GraftFunctions.register(spark)
+    // foldable non-positive n/w → analysis-time failure, clear message
+    for (q <- Seq("SELECT iceberg_bucket(34L, 0)", "SELECT iceberg_bucket(34L, -3)",
+                  "SELECT iceberg_truncate(17L, 0L)", "SELECT iceberg_truncate(17L, -5L)")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(q).collect())
+      assert(e.getMessage.contains("must be positive"), s"$q: ${e.getMessage}")
+    }
+    // runtime (non-foldable) non-positive → NULL, not ArithmeticException
+    import spark.implicits._
+    val rows = Seq((34L, 0, 0L), (34L, 16, 10L), (34L, -2, -1L)).toDF("v", "n", "w")
+      .selectExpr("iceberg_bucket(v, n) AS b", "iceberg_truncate(v, w) AS t")
+      .collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(rows(1).getInt(0) == 2017239379 % 16 && rows(1).getLong(1) == 30L)
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
+  }
+
   test("string distances match the published algorithm vectors") {
     def u(s: String) = UTF8String.fromString(s)
     // Winkler's canonical example: jaro(MARTHA, MARHTA) = 17/18,
@@ -179,14 +197,26 @@ class FunctionsSpec extends SparkSpec {
     // no boost below the 0.7 threshold
     val lowJ = StrDistImpl.jaro(u("abcdef"), u("badcfe"))
     if (lowJ <= 0.7) assert(StrDistImpl.jaroWinkler(u("abcdef"), u("badcfe")) == lowJ)
-    // oracle-engine empty conventions
-    assert(StrDistImpl.jaro(u(""), u("")) == 0.0 && StrDistImpl.jaro(u("a"), u("")) == 0.0)
-    // FULL Damerau-Levenshtein: CA→ABC is 2 (transpose then insert),
-    // where restricted OSA would say 3
-    assert(StrDistImpl.damerauLevenshtein(u("CA"), u("ABC")) == 2)
+    // empty conventions: both-empty = 1.0 (reference parity), one-empty = 0.0
+    assert(StrDistImpl.jaro(u(""), u("")) == 1.0 && StrDistImpl.jaro(u("a"), u("")) == 0.0)
+    assert(StrDistImpl.jaroWinkler(u(""), u("")) == 1.0)
+    // damerau_levenshtein is restricted OSA (reference parity):
+    // CA→ABC = 3 — the transposed "AC" substring cannot be edited again
+    assert(StrDistImpl.damerauLevenshtein(u("CA"), u("ABC")) == 3)
     assert(StrDistImpl.damerauLevenshtein(u("kitten"), u("sitting")) == 3)
     assert(StrDistImpl.damerauLevenshtein(u("ab"), u("ba")) == 1)
     assert(StrDistImpl.damerauLevenshtein(u(""), u("abc")) == 3)
     assert(StrDistImpl.damerauLevenshtein(u("same"), u("same")) == 0)
+    // OSA counts an adjacent transposition as one edit (vs Levenshtein 2)
+    assert(StrDistImpl.damerauLevenshtein(u("abcdef"), u("abcdfe")) == 1)
+    // FULL Lowrance-Wagner: distant transpositions allowed, CA→ABC = 2
+    // (transpose then insert) — DuckDB's convention
+    assert(StrDistImpl.damerauLevenshteinFull(u("CA"), u("ABC")) == 2)
+    assert(StrDistImpl.damerauLevenshteinFull(u("kitten"), u("sitting")) == 3)
+    assert(StrDistImpl.damerauLevenshteinFull(u("ab"), u("ba")) == 1)
+    // OSA ≥ full everywhere; equal when no composed transposition helps
+    for ((x, y) <- Seq(("abcd", "acbd"), ("spark", "sprak"), ("graft", "tfarg")))
+      assert(StrDistImpl.damerauLevenshtein(u(x), u(y)) >=
+        StrDistImpl.damerauLevenshteinFull(u(x), u(y)))
   }
 }

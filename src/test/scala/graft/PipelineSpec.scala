@@ -250,6 +250,26 @@ class PipelineSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("connected components: reliable-checkpoint path writes per-round labels") {
+    import graft.pipeline.Cluster
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_chk").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L)).toDF("a", "b")
+      val got = Cluster.connectedComponents(edges).collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 9L, 10L -> 9L))
+      // the gate actually engaged: checkpoint files exist under the dir
+      def countFiles(f: java.io.File): Int =
+        if (f.isFile) 1 else Option(f.listFiles).map(_.map(countFiles).sum).getOrElse(0)
+      assert(countFiles(new java.io.File(dir)) > 0,
+        s"no checkpoint files written under $dir")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("connected components: near-dup pairs from minhash cluster transitively") {
     import graft.pipeline.Cluster
     val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet green hills near the old stone bridge"

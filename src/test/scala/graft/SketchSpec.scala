@@ -22,6 +22,38 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(out.getAs[Double]("p90") - n * 0.9) <= n * 0.03, out.toString)
   }
 
+  test("KLL rank/n/cdf/pmf/quantiles stay within the k=200 rank-error bound") {
+    GraftFunctions.register(spark)
+    val n = 20000
+    val df = (1 to n).map(_.toDouble).toDF("x").repartition(8)
+    val out = df.agg(KllQuantile.sketch($"x").as("sk"))
+      .select(
+        call_function("kll_rank", $"sk", lit(n * 0.3)).as("rank30"),
+        call_function("kll_n", $"sk").as("nn"),
+        call_function("kll_cdf", $"sk",
+          array(lit(n * 0.25), lit(n * 0.75))).as("cdf"),
+        call_function("kll_pmf", $"sk",
+          array(lit(n * 0.25), lit(n * 0.75))).as("pmf"),
+        call_function("kll_quantiles", $"sk",
+          array(lit(0.1), lit(0.5), lit(0.9))).as("qs"))
+      .collect().head
+    // n is exact regardless of compaction
+    assert(out.getAs[Long]("nn") == n)
+    // rank of the 30th-percentile value ≈ 0.3 (k=200 ≈ 1.65% err; allow 3%)
+    assert(math.abs(out.getAs[Double]("rank30") - 0.3) <= 0.03, out.toString)
+    // CDF at [P25, P75] → [~.25, ~.75, 1.0]; PMF over same splits sums to 1
+    val cdf = out.getAs[scala.collection.Seq[Double]]("cdf")
+    assert(cdf.length == 3 && math.abs(cdf(0) - 0.25) <= 0.03 &&
+      math.abs(cdf(1) - 0.75) <= 0.03 && cdf(2) == 1.0, out.toString)
+    val pmf = out.getAs[scala.collection.Seq[Double]]("pmf")
+    assert(pmf.length == 3 && math.abs(pmf.sum - 1.0) < 1e-9 &&
+      math.abs(pmf(1) - 0.5) <= 0.06, out.toString)
+    // quantiles at [.1, .5, .9] land within rank error of the exacts
+    val qs = out.getAs[scala.collection.Seq[Double]]("qs")
+    for ((q, r) <- qs.zip(Seq(0.1, 0.5, 0.9)))
+      assert(math.abs(q - n * r) <= n * 0.03, out.toString)
+  }
+
   test("KLL sketch build/merge round-trips through serialization") {
     val df = (1 to 5000).map(i => (i % 4, i.toDouble)).toDF("g", "x").repartition(8)
     val rows = df.groupBy("g").agg(KllQuantile.sketch($"x").as("sk")).collect()
