@@ -34,7 +34,8 @@ object SparkEntry {
       graft.pipeline.Dedup.queries ++ graft.pipeline.Similarity.queries ++
       graft.pipeline.TextAnalysis.queries ++ graft.pipeline.Corpus.queries ++
       graft.pipeline.Multimodal.queries ++ graft.pipeline.Splits.queries ++ graft.pipeline.Curation.queries ++
-      graft.pipeline.Cluster.queries ++ AsOfJoin.queries ++ BandJoin.queries
+      graft.pipeline.Cluster.queries ++ AsOfJoin.queries ++ BandJoin.queries ++
+      graft.sources.NestedParquet.queries ++ graft.sources.AvroQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -46,5 +47,6 @@ object SparkEntry {
       graft.pipeline.Dedup.oracles ++ graft.pipeline.Similarity.oracles ++
       graft.pipeline.TextAnalysis.oracles ++ graft.pipeline.Corpus.oracles ++
       graft.pipeline.Multimodal.oracles ++ graft.pipeline.Splits.oracles ++ graft.pipeline.Curation.oracles ++
-      graft.pipeline.Cluster.oracles ++ AsOfJoin.oracles ++ BandJoin.oracles
+      graft.pipeline.Cluster.oracles ++ AsOfJoin.oracles ++ BandJoin.oracles ++
+      graft.sources.NestedParquet.oracles ++ graft.sources.AvroQueries.oracles
 }

@@ -222,6 +222,68 @@ object FunctionQueries4 {
           .as("uuid_v4_shape"))
     }),
 
+    // F33: the remaining one-line registry aliases from the reference's
+    // builtin list (impala_functions.py): unhex, btrim/ltrim/rtrim with
+    // a trim-set, tan/asin/acos/atan, millisecond + ms/µs interval
+    // arithmetic (ns stays out of scope — Spark timestamps are µs),
+    // date_part, adddate/subdate (date_add/date_sub), strleft/strright
+    // (left/right), decode() as its null-safe-CASE expansion (<=> is
+    // Impala decode's NULL-matches-NULL rule), istrue/isfalse and
+    // nullvalue/nonnullvalue as IS (NOT) TRUE / IS (NOT) NULL. sha1 has
+    // no DuckDB twin → pinned by RFC 3174 vectors in FunctionsSpec;
+    // current_date/current_timestamp are env-dependent → fn_env.
+    "fn_leftovers" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.orders.createOrReplaceTempView("graft_orders_lo")
+      spark.sql(
+        """SELECT o_orderkey,
+          |  upper(hex(unhex(hex(o_orderpriority)))) AS uh,
+          |  TRIM(BOTH '0123456789-' FROM o_orderpriority) AS bt,
+          |  TRIM(LEADING '0123456789-' FROM o_orderpriority) AS lt,
+          |  TRIM(TRAILING 'TNEGRU' FROM o_orderpriority) AS rt,
+          |  round(tan((o_orderkey % 100) / 100.0), 8) AS tan_x,
+          |  round(asin((o_orderkey % 100) / 100.0), 8) AS asin_x,
+          |  round(acos((o_orderkey % 100) / 100.0), 8) AS acos_x,
+          |  round(atan((o_orderkey % 100) / 100.0), 8) AS atan_x,
+          |  (unix_micros(CAST(timestampadd(MILLISECOND, o_orderkey % 1000, o_orderdate) AS TIMESTAMP)) % 1000000) DIV 1000 AS msec,
+          |  unix_micros(CAST(timestampadd(MICROSECOND, o_orderkey % 1000000, o_orderdate) AS TIMESTAMP)) AS us_added,
+          |  CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+          |  CAST(date_part('month', o_orderdate) AS BIGINT) AS mo,
+          |  date_add(CAST(o_orderdate AS DATE), 5) AS d_add,
+          |  date_sub(CAST(o_orderdate AS DATE), 5) AS d_sub,
+          |  left(o_orderpriority, 3) AS sl,
+          |  right(o_orderpriority, 3) AS sr,
+          |  CASE WHEN nullif(o_orderstatus, 'O') <=> NULL THEN 'open'
+          |       WHEN nullif(o_orderstatus, 'O') <=> 'F' THEN 'filled'
+          |       ELSE 'other' END AS dec_status,
+          |  ((o_totalprice > 150000) IS TRUE) AS is_t,
+          |  ((o_totalprice > 150000) IS FALSE) AS is_f,
+          |  (NULLIF(o_orderstatus, 'O') IS NULL) AS nv,
+          |  (NULLIF(o_orderstatus, 'O') IS NOT NULL) AS nnv
+          |FROM graft_orders_lo WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // F34: UTF-8 string-mode dialect pin. The reference is byte-
+    // semantic by default and char-semantic under utf8_mode=1
+    // (impala_functions.py: utf8_length/upper_utf8/...); Spark operates
+    // char-semantic NATIVELY — i.e. Spark's length/substring/upper ARE
+    // the reference's *_utf8 forms, and octet_length is its default
+    // byte-wise length. This query pins both sides over genuinely
+    // multi-byte rows (the zh documents make chars ≠ bytes), so a user
+    // porting Impala SQL sees the exact dialect mapping, oracle-checked.
+    "fn_utf8_mode" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.documents.filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("n_chars_sem"),
+          octet_length(col("text")).cast("long").as("n_bytes_sem"),
+          (octet_length(col("text")) > length(col("text"))).as("is_multibyte"),
+          length(substring(col("text"), 1, 10)).cast("long").as("sub10_chars"),
+          octet_length(substring(col("text"), 1, 10)).cast("long").as("sub10_bytes"),
+          upper(substring(col("text"), 1, 8)).as("up8"))
+        .orderBy("doc_id")
+    }),
+
     // F32: try_* ANSI-safety family — NULL-on-failure casts, division
     // and element access (the safe-mode twins of the reference's
     // error-returning casts). DuckDB mirrors via TRY_CAST, NULLIF-guarded
@@ -265,6 +327,45 @@ object FunctionQueries4 {
          |  CAST(damerau_levenshtein(c_name, $duckMangle) AS BIGINT) AS dl_mangled,
          |  CAST(damerau_levenshtein(c_name, reverse(c_name)) AS BIGINT) AS dl_rev
          |FROM customer WHERE c_custkey < 500 ORDER BY c_custkey""".stripMargin,
+
+    "fn_leftovers" ->
+      """SELECT o_orderkey,
+        |  upper(to_hex(unhex(to_hex(o_orderpriority)))) AS uh,
+        |  trim(o_orderpriority, '0123456789-') AS bt,
+        |  ltrim(o_orderpriority, '0123456789-') AS lt,
+        |  rtrim(o_orderpriority, 'TNEGRU') AS rt,
+        |  round(tan((o_orderkey % 100) / 100.0), 8) AS tan_x,
+        |  round(asin((o_orderkey % 100) / 100.0), 8) AS asin_x,
+        |  round(acos((o_orderkey % 100) / 100.0), 8) AS acos_x,
+        |  round(atan((o_orderkey % 100) / 100.0), 8) AS atan_x,
+        |  (epoch_us(o_orderdate + (o_orderkey % 1000) * INTERVAL 1 MILLISECOND) % 1000000) // 1000 AS msec,
+        |  epoch_us(o_orderdate + (o_orderkey % 1000000) * INTERVAL 1 MICROSECOND) AS us_added,
+        |  date_part('year', o_orderdate) AS yr,
+        |  date_part('month', o_orderdate) AS mo,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 5 DAY AS DATE) AS d_add,
+        |  CAST(CAST(o_orderdate AS DATE) - INTERVAL 5 DAY AS DATE) AS d_sub,
+        |  left(o_orderpriority, 3) AS sl,
+        |  right(o_orderpriority, 3) AS sr,
+        |  CASE WHEN nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL THEN 'open'
+        |       WHEN nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM 'F' THEN 'filled'
+        |       ELSE 'other' END AS dec_status,
+        |  ((o_totalprice > 150000) IS TRUE) AS is_t,
+        |  ((o_totalprice > 150000) IS FALSE) AS is_f,
+        |  (NULLIF(o_orderstatus, 'O') IS NULL) AS nv,
+        |  (NULLIF(o_orderstatus, 'O') IS NOT NULL) AS nnv
+        |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin,
+
+    // DuckDB: length() is chars, strlen() is bytes; substring is
+    // char-based — the same char-native dialect Spark uses.
+    "fn_utf8_mode" ->
+      """SELECT doc_id, lang,
+        |  length(text) AS n_chars_sem,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes_sem,
+        |  (strlen(text) > length(text)) AS is_multibyte,
+        |  length(substring(text, 1, 10)) AS sub10_chars,
+        |  CAST(strlen(substring(text, 1, 10)) AS BIGINT) AS sub10_bytes,
+        |  upper(substring(text, 1, 8)) AS up8
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
 
     "fn_try" ->
       """SELECT o_orderkey,

@@ -124,11 +124,64 @@ object TpchQueries2 {
         .agg(countDistinct(col("l_orderkey")).as("n_orders"))
         .orderBy(col("n_orders").desc, col("n_name"))
     }),
+
+    // q20 (potential part promotion): suppliers holding excess stock of
+    // 'small%' parts — the correlated-subquery-over-(part,supplier)
+    // shape. The testdata ships NO partsupp table, so one is
+    // synthesized with the TPC-H spec's own supplier-assignment
+    // formula — supplier_i(p) = (p + i·(S/4 + (p−1)/S)) mod S for
+    // i∈0..3 (4 suppliers per part, spread over the key space) — and a
+    // deterministic availqty; both engines derive the identical
+    // relation from part ⋈ supplier-count, so the oracle stays exact.
+    // In production partsupp is a stored table and the CTE disappears.
+    "q20_potential_promotion" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.part.createOrReplaceTempView("part")
+      t.supplier.createOrReplaceTempView("supplier")
+      t.lineitem.createOrReplaceTempView("lineitem")
+      spark.sql(
+        """WITH ps AS (
+          |  SELECT p_partkey AS ps_partkey,
+          |    (p_partkey + i.i * (s.n DIV 4 + (p_partkey - 1) DIV s.n)) % s.n AS ps_suppkey,
+          |    (p_partkey * 47 + i.i * 31) % 9999 + 1 AS ps_availqty
+          |  FROM part
+          |  CROSS JOIN (SELECT count(*) AS n FROM supplier) s
+          |  LATERAL VIEW explode(sequence(0, 3)) i AS i
+          |  WHERE p_name LIKE 'small%')
+          |SELECT s_suppkey, s_name FROM supplier
+          |WHERE s_suppkey IN (
+          |  SELECT ps_suppkey FROM ps
+          |  WHERE ps_availqty > (
+          |    SELECT 0.5 * sum(l_quantity) FROM lineitem
+          |    WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          |      AND l_shipdate >= TIMESTAMP '1996-01-01'
+          |      AND l_shipdate <  TIMESTAMP '1997-01-01'))
+          |ORDER BY s_suppkey""".stripMargin)
+    }),
   )
 
   private val revSql = "l_extendedprice * (1.0 - l_discount)"
 
   val oracles: Map[String, String] = Map(
+    "q20_potential_promotion" ->
+      """WITH ps AS (
+        |  SELECT p_partkey AS ps_partkey,
+        |    (p_partkey + i.i * (s.n // 4 + (p_partkey - 1) // s.n)) % s.n AS ps_suppkey,
+        |    (p_partkey * 47 + i.i * 31) % 9999 + 1 AS ps_availqty
+        |  FROM part
+        |  CROSS JOIN (SELECT count(*) AS n FROM supplier) s
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i
+        |  WHERE p_name LIKE 'small%')
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT ps_suppkey FROM ps
+        |  WHERE ps_availqty > (
+        |    SELECT 0.5 * sum(l_quantity) FROM lineitem
+        |    WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |      AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |      AND l_shipdate <  TIMESTAMP '1997-01-01'))
+        |ORDER BY s_suppkey""".stripMargin,
+
     "q08_market_share" ->
       s"""SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
          |  ${sqlSum(s"CASE WHEN n2.n_name = 'NATION_3' THEN $revSql ELSE 0.0 END")} /

@@ -6,10 +6,11 @@ import graft.functions.HashImpl
 
 /** Multimodal column plumbing (SURVEY.md §2 P13): media payloads ride as
   * opaque `binary` columns next to typed metadata, and feature extraction
-  * runs as partition-local batch decode. The real Spark-side machinery —
+  * runs as partition-local batch decode. The Spark-side machinery —
   * schema, encoders, batch shape, partition preservation — is genuine;
-  * only the codec call is stubbed (this container ships no image/audio
-  * libs), clearly marked below.
+  * the IMAGE modality decodes for real through javax.imageio (PNG/JPEG/
+  * GIF/BMP ship in the JDK); audio and video remain stubbed (no codec
+  * libs in this container), clearly marked below.
   */
 object Multimodal {
 
@@ -30,22 +31,95 @@ object Multimodal {
         (col("n_chars") % 480).cast("int").as("height"),
         lit(16000).as("sampleRateHz")).as("meta"))
 
-  /** === STUB DECODE ===
-    * A real deployment decodes the payload with an image/audio codec
-    * (per-batch, vectorized — the JVM analogue of a pandas-batched UDF).
-    * Deterministic fake: feature[i] = unit-scaled bits of
-    * fnv64(payload ++ [i]). Same payload → same features, any executor. */
+  /** REAL image decode via javax.imageio (in the JDK — no external
+    * codec needed for PNG/JPEG/GIF/BMP). Features: [width, height,
+    * mean R, mean G, mean B (unit-scaled), 4-bin luminance histogram],
+    * zero-padded/truncated to `dim`. Returns None when the payload is
+    * not a decodable image (caller falls back to the stub so a corrupt
+    * file degrades instead of failing the job — the triage pass P17
+    * flags those upstream). */
+  private[graft] def decodeImage(payload: Array[Byte], dim: Int): Option[Array[Float]] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      val lum = new Array[Long](4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+          sr += r; sg += g; sb += b
+          lum(math.min(3, ((r * 299 + g * 587 + b * 114) / 1000) / 64)) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      val base = Array[Float](w.toFloat, h.toFloat,
+        sr / n / 255f, sg / n / 255f, sb / n / 255f,
+        lum(0) / n, lum(1) / n, lum(2) / n, lum(3) / n)
+      Some(java.util.Arrays.copyOf(base, dim))
+    }
+  }
+
+  /** === STUB DECODE (audio/video only) ===
+    * A real deployment decodes these with an audio/video codec
+    * (per-batch, vectorized — the JVM analogue of a pandas-batched UDF);
+    * none ships in this container. Deterministic fake: feature[i] =
+    * unit-scaled bits of fnv64(payload ++ [i]). Same payload → same
+    * features, any executor. */
+  private def stubFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+    val f = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      val h = HashImpl.fnv64(payload :+ i.toByte)
+      f(i) = (h.toDouble / 9.223372036854776e18).toFloat
+      i += 1
+    }
+    f
+  }
+
   private def decodeBatch(batch: Seq[MediaItem], dim: Int): Seq[MediaFeatures] =
     batch.map { m =>
-      val f = new Array[Float](dim)
-      var i = 0
-      while (i < dim) {
-        val h = HashImpl.fnv64(m.payload :+ i.toByte)
-        f(i) = (h.toDouble / 9.223372036854776e18).toFloat
-        i += 1
+      val feats = m.modality match {
+        case "image" => decodeImage(m.payload, dim).getOrElse(stubFeatures(m.payload, dim))
+        case _ => stubFeatures(m.payload, dim) // STUB: no audio/video codec here
       }
-      MediaFeatures(m.id, m.modality, dim, f)
+      MediaFeatures(m.id, m.modality, dim, feats)
     }
+
+  /** Deterministic tiny PNG: a w×h image whose pixels derive from
+    * splitmix64(seed, x, y), encoded through the REAL PNG encoder —
+    * gives every 'image' row a genuine decodable payload. */
+  def pngPayload(seed: Long, w: Int = 4, h: Int = 4): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (HashImpl.splitmix64(seed * 31L + y * w + x) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Media table whose image rows carry REAL PNG payloads (encoded on
+    * the executors, partition-local); audio/video keep the synthetic
+    * bytes their stub consumes. */
+  def mediaWithRealImages(spark: SparkSession, docs: DataFrame): Dataset[MediaItem] = {
+    import spark.implicits._
+    mediaFromDocuments(docs).as[MediaItem].mapPartitions(_.map { m =>
+      if (m.modality == "image") m.copy(payload = pngPayload(m.id)) else m
+    })
+  }
 
   /** Partition-local batched feature extraction. `mapPartitions` +
     * `grouped(batchSize)` mirrors the arrow-batch shape of a vectorized
@@ -123,6 +197,25 @@ object Multimodal {
     "mm_frame_sample" -> ((spark, dir) => {
       frameSamplePlan(graft.Tables(spark, dir).documents.filter(col("doc_id") < 500))
         .orderBy("id", "frame_idx")
+    }),
+    // P13 real path: encode genuine PNGs on the executors, decode them
+    // back through javax.imageio, extract pixel statistics. PNG encode/
+    // decode is not SQL-expressible → rows-only; PipelineSpec pins the
+    // statistics of a hand-built 2×2 image. lum_total must be 1.0 on
+    // every row (the luminance histogram is a distribution).
+    "mm_image_decode" -> ((spark, dir) => {
+      val docs = graft.Tables(spark, dir).documents.filter(col("doc_id") < 300)
+      extractFeatures(mediaWithRealImages(spark, docs), dim = 9).toDF()
+        .filter(col("modality") === "image")
+        .select(col("id"),
+          element_at(col("features"), 1).cast("long").as("w"),
+          element_at(col("features"), 2).cast("long").as("h"),
+          round(element_at(col("features"), 3), 4).as("mean_r"),
+          round(element_at(col("features"), 4), 4).as("mean_g"),
+          round(element_at(col("features"), 5), 4).as("mean_b"),
+          round(element_at(col("features"), 6) + element_at(col("features"), 7) +
+            element_at(col("features"), 8) + element_at(col("features"), 9), 2).as("lum_total"))
+        .orderBy("id")
     }),
   )
 

@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Nested complex types stored IN parquet — arrays of structs and maps
+  * as physical columns, read back and unnested (SURVEY.md §2 S12). The
+  * reference scans parquet collection types natively
+  * (apache-impala-4.1.0/be/src/exec/parquet/hdfs-parquet-scanner.cc
+  * collection readers; path resolution in
+  * fe/src/main/java/org/apache/impala/analysis/Path.java) and
+  * correlates them back to the parent row — the `SELECT ... FROM t,
+  * t.items` shape. In Spark the same semantics are the parquet
+  * writer/reader's nested groups plus `explode` (correlated unnest);
+  * nested-schema pruning keeps a projection of one struct field from
+  * dragging the whole collection off disk (asserted in SourcesSpec).
+  *
+  * The query is an end-to-end round trip: build per-order line-item
+  * collections, WRITE them to parquet, read the file back, unnest. The
+  * DuckDB oracle reads THE SAME FILE — an independent parquet
+  * implementation decoding our nested layout — so a hash match verifies
+  * the physical file format, not just the in-session values.
+  */
+object NestedParquet {
+
+  /** Fixed path contract with the oracle SQL (a static string — it
+    * cannot interpolate the session's temp dir). */
+  val path = "/tmp/graft_nested_parquet"
+
+  /** lineitem rolled up to one row per order: items as a sorted
+    * array<struct>, per-returnflag counts as a map<string,bigint>. Both
+    * aggregations shuffle on the same key, so the join is co-located. */
+  def buildNested(li: DataFrame): DataFrame = {
+    val items = li.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(
+        col("l_linenumber"), col("l_partkey"), col("l_quantity")))).as("items"))
+    val flags = li.groupBy(col("l_orderkey"), col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("l_orderkey"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("l_returnflag"), col("cnt"))))).as("flags"))
+    items.join(flags, Seq("l_orderkey"))
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "src_nested_parquet" -> ((spark, dir) => {
+      buildNested(Tables(spark, dir).lineitem)
+        .write.mode("overwrite").parquet(path)
+      val back = spark.read.parquet(path)
+      // correlated unnest: each item row re-joined with its parent's
+      // scalars + a map lookup; the l_orderkey filter pushes down to
+      // the nested file's row groups
+      back.filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), size(col("items")).cast("long").as("n_items"),
+          explode(col("items")).as("item"),
+          element_at(col("flags"), "N").as("flag_n"))
+        .select(col("l_orderkey"), col("n_items"),
+          col("item.l_linenumber"), col("item.l_partkey"), col("item.l_quantity"),
+          col("flag_n"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // DuckDB reads the Spark-written nested file directly: unnest the
+    // struct array recursively (flattens fields under their own names),
+    // list-extract the map value ([] -> NULL for absent keys, matching
+    // element_at).
+    "src_nested_parquet" ->
+      s"""SELECT * FROM (
+         |  SELECT l_orderkey, CAST(len(items) AS BIGINT) AS n_items,
+         |         unnest(items, recursive := true),
+         |         flags['N'][1] AS flag_n
+         |  FROM read_parquet('$path/*.parquet')
+         |  WHERE l_orderkey < 2000)
+         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin,
+  )
+}

@@ -167,6 +167,17 @@ class FunctionsSpec extends SparkSpec {
     assert(IcebergImpl.truncateString(UTF8String.fromString("ab"), 5).toString == "ab")
   }
 
+  test("sha1 matches the RFC 3174 test vectors (no DuckDB twin to oracle)") {
+    val r = spark.sql(
+      """SELECT sha1('abc') AS a, sha1('') AS e,
+        |  sha1('abcdbcdecdefdefgefghfghighijhijkijkljklmklmnlmnomnopnopq') AS l,
+        |  unhex('XYZ') AS bad_hex""".stripMargin).collect().head
+    assert(r.getString(0) == "a9993e364706816aba3e25717850c26c9cd0d89d")
+    assert(r.getString(1) == "da39a3ee5e6b4b0d3255bfef95601890afd80709")
+    assert(r.getString(2) == "84983e441c3bd26ebaae4aa1f95129e5e54670f1")
+    assert(r.isNullAt(3)) // invalid hex -> NULL, not an error
+  }
+
   test("iceberg transforms reject non-positive bucket count / width") {
     graft.plans.GraftFunctions.register(spark)
     // foldable non-positive n/w → analysis-time failure, clear message

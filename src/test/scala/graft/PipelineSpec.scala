@@ -332,4 +332,31 @@ class PipelineSpec extends SparkSpec {
     val ds = media.as[Multimodal.MediaItem]
     assert(Multimodal.extractFeatures(ds, 8).rdd.getNumPartitions == ds.rdd.getNumPartitions)
   }
+
+  test("multimodal: real PNG decode recovers pinned pixel statistics") {
+    import Multimodal.{MediaItem, MediaMeta}
+    // hand-built 2×2: red, green, blue, white — known means and
+    // luminance bins (76→bin1, 149→bin2, 29→bin0, 255→bin3)
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val png = out.toByteArray
+    val f = Multimodal.decodeImage(png, 16).get
+    assert(f(0) == 2f && f(1) == 2f)
+    assert(f(2) == 0.5f && f(3) == 0.5f && f(4) == 0.5f) // (255+255)/4/255
+    assert(f(5) == 0.25f && f(6) == 0.25f && f(7) == 0.25f && f(8) == 0.25f)
+    assert((9 until 16).forall(f(_) == 0f)) // zero padding to dim
+    // same values through the distributed Dataset path
+    val ds = Seq(MediaItem(1L, "image", png, MediaMeta(2, 2, 0))).toDS()
+    val feats = Multimodal.extractFeatures(ds, dim = 9).collect().head
+    assert(feats.features.toSeq == f.take(9).toSeq)
+    // pngPayload round trip: generator output is decodable and sized right
+    val gen = Multimodal.decodeImage(Multimodal.pngPayload(42L, 4, 4), 9).get
+    assert(gen(0) == 4f && gen(1) == 4f)
+    // corrupt payload degrades to the stub instead of failing the task
+    val bad = Seq(MediaItem(2L, "image", Array[Byte](1, 2, 3), MediaMeta(0, 0, 0))).toDS()
+    assert(Multimodal.extractFeatures(bad, dim = 4).collect().head.features.length == 4)
+  }
 }

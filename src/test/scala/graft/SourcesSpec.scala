@@ -27,6 +27,71 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() == li.filter(col("l_returnflag") === "R").count())
   }
 
+  test("S12: nested complex types round-trip parquet; struct-field pruning reaches the scan") {
+    import graft.sources.NestedParquet
+    val dir = tmp()
+    val nested = NestedParquet.buildNested(li)
+    nested.write.mode(SaveMode.Overwrite).parquet(dir)
+    val back = spark.read.parquet(dir)
+    // schema survived: array<struct<...>> + map<string,bigint>
+    val items = back.schema("items").dataType.asInstanceOf[ArrayType]
+    assert(items.elementType.asInstanceOf[StructType].fieldNames.toSeq ==
+      Seq("l_linenumber", "l_partkey", "l_quantity"))
+    assert(back.schema("flags").dataType == MapType(StringType, LongType, valueContainsNull = false)
+      || back.schema("flags").dataType.isInstanceOf[MapType])
+    // correlated unnest returns exactly the source rows
+    assert(back.select(explode(col("items"))).count() == li.count())
+    // nested-schema pruning: projecting ONE struct field must not drag
+    // the other collection fields (or the map) off disk
+    val pruned = back.select(col("l_orderkey"), col("items.l_quantity"))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    val readSchema = scan.substring(scan.indexOf("ReadSchema"))
+    assert(readSchema.contains("l_quantity"), readSchema)
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("flags"), readSchema)
+    // map semantics: absent key -> null, present key -> count
+    val flagRows = back.select(element_at(col("flags"), "ZZ").as("absent")).limit(5).collect()
+    assert(flagRows.forall(_.isNullAt(0)))
+  }
+
+  test("S13: Avro round trip preserves every supported type; pruning reaches the reader schema") {
+    import graft.sources.{AvroIO, AvroSource}
+    import java.sql.{Date, Timestamp}
+    val dir = tmp() + "/avro"
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, 7, 2.5, 1.5f, true, "héllo",
+          Array[Byte](1, 2, 3), Timestamp.valueOf("2024-03-01 10:20:30.123456"),
+          Date.valueOf("2024-03-01")),
+        org.apache.spark.sql.Row(2L, null, null, null, null, null, null, null, null)),
+      StructType(Seq(
+        StructField("l", LongType, nullable = false), StructField("i", IntegerType),
+        StructField("d", DoubleType), StructField("f", FloatType),
+        StructField("b", BooleanType), StructField("s", StringType),
+        StructField("bin", BinaryType), StructField("ts", TimestampType),
+        StructField("dt", DateType))))
+    AvroIO.write(df, dir)
+    val back = spark.read.format("graft.sources.AvroSource").load(dir)
+    assert(back.schema.fieldNames.toSeq == df.schema.fieldNames.toSeq)
+    assert(back.schema.fields.map(_.dataType).toSeq == df.schema.fields.map(_.dataType).toSeq)
+    val rows = back.orderBy("l").collect()
+    assert(rows.length == 2)
+    val r = rows.head
+    assert(r.getLong(0) == 1L && r.getInt(1) == 7 && r.getDouble(2) == 2.5 &&
+      r.getFloat(3) == 1.5f && r.getBoolean(4) && r.getString(5) == "héllo")
+    assert(r.getAs[Array[Byte]]("bin").toSeq == Seq[Byte](1, 2, 3))
+    assert(r.getAs[Timestamp]("ts") == Timestamp.valueOf("2024-03-01 10:20:30.123456"))
+    assert(r.getAs[Date]("dt") == Date.valueOf("2024-03-01"))
+    assert((1 to 8).forall(rows(1).isNullAt))
+    // column pruning reaches the Avro reader schema (scan description
+    // lists only the projected columns)
+    val prunedPlan = back.select("s").queryExecution.executedPlan
+      .collectLeaves().head.toString
+    assert(prunedPlan.contains("cols=s"), prunedPlan)
+    // events-shaped bigger write: one container per input partition
+    val files = AvroSource.listFiles(dir)
+    assert(files.nonEmpty && files.forall(_.getName.endsWith(".avro")))
+  }
+
   test("S8: dynamic partition pruning injects a runtime filter from the dim side") {
     // Impala parity: partition-key runtime filters
     // (apache-impala-4.1.0/be/src/runtime/runtime-filter.h) — Spark's
