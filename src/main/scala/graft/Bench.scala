@@ -38,7 +38,8 @@ object Bench {
     "dedup_minhash_lsh", "dedup_cluster_cc", "sim_lsh_topk",
     "sim_quantize_int8", "corpus_clean", "text_quality", "pipe_chunking",
     "stats_table", "asof_join_events", "events_sessionize",
-    "win_topn_per_group", "layout_zorder")
+    "win_topn_per_group", "layout_zorder",
+    "src_nested_parquet", "src_avro_roundtrip")
 
   // Locale.ROOT: the default-locale format would emit comma decimals
   // ("1,234") under e.g. a de_DE JVM, corrupting the JSON contract.

@@ -263,6 +263,37 @@ object FunctionQueries4 {
           |FROM graft_orders_lo WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // F35: the remaining interval-unit arithmetic family
+    // (hours/days/minutes/seconds/weeks/years add/sub — ms/µs live in
+    // fn_leftovers), trunc(ts, unit) for quarter/week/hour, nvl/ifnull,
+    // ceiling, fmod (C fmod = `%` on doubles in both engines),
+    // power, date_cmp (sign of day diff), and the
+    // utc_to_unix_micros / unix_micros_to_utc_timestamp pair.
+    "fn_datetime6" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.orders.createOrReplaceTempView("graft_orders_dt6")
+      spark.sql(
+        """SELECT o_orderkey,
+          |  unix_micros(CAST(timestampadd(HOUR, o_orderkey % 24, o_orderdate) AS TIMESTAMP)) AS hrs_add,
+          |  unix_micros(CAST(timestampadd(DAY, -(o_orderkey % 28), o_orderdate) AS TIMESTAMP)) AS days_sub,
+          |  unix_micros(CAST(timestampadd(MINUTE, o_orderkey % 60, o_orderdate) AS TIMESTAMP)) AS mins_add,
+          |  unix_micros(CAST(timestampadd(SECOND, -(o_orderkey % 3600), o_orderdate) AS TIMESTAMP)) AS secs_sub,
+          |  unix_micros(CAST(timestampadd(WEEK, o_orderkey % 5, o_orderdate) AS TIMESTAMP)) AS weeks_add,
+          |  unix_micros(CAST(timestampadd(YEAR, -(o_orderkey % 3), o_orderdate) AS TIMESTAMP)) AS years_sub,
+          |  unix_micros(CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP)) AS trunc_q,
+          |  unix_micros(CAST(date_trunc('week', o_orderdate) AS TIMESTAMP)) AS trunc_w,
+          |  unix_micros(CAST(date_trunc('hour', o_orderdate) AS TIMESTAMP)) AS trunc_h,
+          |  nvl(nullif(o_orderstatus, 'O'), 'none') AS nvl_status,
+          |  ifnull(nullif(o_orderpriority, '1-URGENT'), 'urgent') AS ifnull_prio,
+          |  CAST(ceiling(o_totalprice) AS BIGINT) AS ceil_price,
+          |  round(o_totalprice % 7.5, 6) AS fmod_price,
+          |  round(power(o_orderkey % 9 + 1, 2.0), 4) AS pow_k,
+          |  CAST(sign(datediff(CAST(o_orderdate AS DATE), DATE '1996-06-15')) AS BIGINT) AS date_cmp,
+          |  unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS utc_to_us,
+          |  date_format(timestamp_micros(unix_micros(CAST(o_orderdate AS TIMESTAMP))), 'yyyy-MM-dd HH:mm:ss') AS us_to_ts
+          |FROM graft_orders_dt6 WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // F34: UTF-8 string-mode dialect pin. The reference is byte-
     // semantic by default and char-semantic under utf8_mode=1
     // (impala_functions.py: utf8_length/upper_utf8/...); Spark operates
@@ -353,6 +384,27 @@ object FunctionQueries4 {
         |  ((o_totalprice > 150000) IS FALSE) AS is_f,
         |  (NULLIF(o_orderstatus, 'O') IS NULL) AS nv,
         |  (NULLIF(o_orderstatus, 'O') IS NOT NULL) AS nnv
+        |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin,
+
+    "fn_datetime6" ->
+      """SELECT o_orderkey,
+        |  epoch_us(o_orderdate + (o_orderkey % 24) * INTERVAL 1 HOUR) AS hrs_add,
+        |  epoch_us(o_orderdate - (o_orderkey % 28) * INTERVAL 1 DAY) AS days_sub,
+        |  epoch_us(o_orderdate + (o_orderkey % 60) * INTERVAL 1 MINUTE) AS mins_add,
+        |  epoch_us(o_orderdate - (o_orderkey % 3600) * INTERVAL 1 SECOND) AS secs_sub,
+        |  epoch_us(o_orderdate + (o_orderkey % 5) * INTERVAL 1 WEEK) AS weeks_add,
+        |  epoch_us(o_orderdate - (o_orderkey % 3) * INTERVAL 1 YEAR) AS years_sub,
+        |  epoch_us(date_trunc('quarter', o_orderdate)) AS trunc_q,
+        |  epoch_us(date_trunc('week', o_orderdate)) AS trunc_w,
+        |  epoch_us(date_trunc('hour', o_orderdate)) AS trunc_h,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'none') AS nvl_status,
+        |  coalesce(nullif(o_orderpriority, '1-URGENT'), 'urgent') AS ifnull_prio,
+        |  CAST(ceiling(o_totalprice) AS BIGINT) AS ceil_price,
+        |  round(o_totalprice % 7.5, 6) AS fmod_price,
+        |  round(power(o_orderkey % 9 + 1, 2.0), 4) AS pow_k,
+        |  CAST(sign(date_diff('day', DATE '1996-06-15', CAST(o_orderdate AS DATE))) AS BIGINT) AS date_cmp,
+        |  epoch_us(o_orderdate) AS utc_to_us,
+        |  strftime(make_timestamp(epoch_us(o_orderdate)), '%Y-%m-%d %H:%M:%S') AS us_to_ts
         |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin,
 
     // DuckDB: length() is chars, strlen() is bytes; substring is

@@ -72,6 +72,10 @@ object Cluster {
       // 2. pointer jump: label := label(label). Labels always point
       // within the component (they only ever arrive over edges), so the
       // shortcut is safe; it is what turns O(diameter) into O(log n).
+      // (A double jump — jump(jump(hop)) — was measured at sf0.1 and
+      // REGRESSED 4.6→6.0 s: the extra self-join per round costs more
+      // than the saved rounds at these graph sizes; rounds are already
+      // few and the per-round constant, not the round count, dominates.)
       val jumped = hop.alias("x")
         .join(hop.select(col("id").as("label"), col("label").as("ll")).alias("y"),
           Seq("label"), "left")

@@ -29,19 +29,22 @@ object NestedParquet {
   val path = "/tmp/graft_nested_parquet"
 
   /** lineitem rolled up to one row per order: items as a sorted
-    * array<struct>, per-returnflag counts as a map<string,bigint>. Both
-    * aggregations shuffle on the same key, so the join is co-located. */
-  def buildNested(li: DataFrame): DataFrame = {
-    val items = li.groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_list(struct(
-        col("l_linenumber"), col("l_partkey"), col("l_quantity")))).as("items"))
-    val flags = li.groupBy(col("l_orderkey"), col("l_returnflag"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("l_orderkey"))
-      .agg(map_from_entries(sort_array(collect_list(
-        struct(col("l_returnflag"), col("cnt"))))).as("flags"))
-    items.join(flags, Seq("l_orderkey"))
-  }
+    * array<struct>, per-returnflag counts as a map<string,bigint>. ONE
+    * shuffle: both collections come out of a single groupBy — the flag
+    * counts are folded from the per-order flag list with higher-order
+    * functions (orders have ≤7 lines, so the per-row fold is O(1)) —
+    * instead of a second aggregate + join on the same key. */
+  def buildNested(li: DataFrame): DataFrame =
+    li.groupBy(col("l_orderkey"))
+      .agg(
+        sort_array(collect_list(struct(
+          col("l_linenumber"), col("l_partkey"), col("l_quantity")))).as("items"),
+        collect_list(col("l_returnflag")).as("flag_list"))
+      .select(col("l_orderkey"), col("items"),
+        map_from_entries(transform(
+          array_sort(array_distinct(col("flag_list"))),
+          f => struct(f, size(filter(col("flag_list"), x => x === f)).cast("long"))))
+          .as("flags"))
 
   type Q = (SparkSession, String) => DataFrame
 
