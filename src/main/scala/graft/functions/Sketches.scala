@@ -154,6 +154,60 @@ object ThetaOps {
     d.setA(heap(a)); d.notB(heap(b))
     d.getResult(true).getEstimate
   }
+
+  // Sketch-RETURNING set operations — the reference's ds_theta_union_f /
+  // ds_theta_intersect_f / ds_theta_exclude forms (serialized sketch
+  // out, so results compose into further set algebra before a final
+  // estimate): the wire format a multi-stage rollup ships between jobs.
+  def unionF(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val u = SetOperation.builder().buildUnion()
+    u.union(heap(a)); u.union(heap(b))
+    u.getResult.toByteArray
+  }
+
+  def intersectF(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val i = SetOperation.builder().buildIntersection()
+    i.intersect(heap(a)); i.intersect(heap(b))
+    i.getResult.toByteArray
+  }
+
+  def excludeF(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val d = SetOperation.builder().buildANotB()
+    d.setA(heap(a)); d.notB(heap(b))
+    d.getResult(true).toByteArray
+  }
+}
+
+/** Shared shape for the sketch-returning theta set operations. */
+abstract class ThetaBinaryF extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  protected def call: String
+  override def nullSafeEval(a: Any, b: Any): Any = call match {
+    case "unionF" => ThetaOps.unionF(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    case "intersectF" => ThetaOps.intersectF(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    case "excludeF" => ThetaOps.excludeF(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ThetaOps.$call($a, $b)")
+}
+
+case class ThetaUnionF(left: Expression, right: Expression) extends ThetaBinaryF {
+  override protected def call = "unionF"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ThetaUnionF = copy(l, r)
+  override def prettyName: String = "theta_union_f"
+}
+
+case class ThetaIntersectF(left: Expression, right: Expression) extends ThetaBinaryF {
+  override protected def call = "intersectF"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ThetaIntersectF = copy(l, r)
+  override def prettyName: String = "theta_intersect_f"
+}
+
+case class ThetaExcludeF(left: Expression, right: Expression) extends ThetaBinaryF {
+  override protected def call = "excludeF"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ThetaExcludeF = copy(l, r)
+  override def prettyName: String = "theta_exclude_f"
 }
 
 /** Scalar estimate extraction over serialized theta sketches — each

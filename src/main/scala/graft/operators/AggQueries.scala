@@ -177,7 +177,12 @@ object AggQueries {
     "agg_hll_sketch" -> ((spark, dir) => {
       val t = Tables(spark, dir)
       t.orders.groupBy("o_orderstatus")
-        .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").as("est_customers"))
+        .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+        .select(col("o_orderstatus"),
+          expr("hll_sketch_estimate(sk)").as("est_customers"),
+          // ds_hll_union_f parity: merge two serialized sketches, then
+          // estimate (self-union — the estimate must be unchanged)
+          expr("hll_sketch_estimate(hll_union(sk, sk))").as("est_self_union"))
         .orderBy("o_orderstatus")
     }),
 
@@ -325,7 +330,19 @@ object AggQueries {
           round(call_function("theta_estimate", col("sk_b")), 1).as("est_b"),
           round(call_function("theta_union_est", col("sk_a"), col("sk_b")), 1).as("est_union"),
           round(call_function("theta_intersect_est", col("sk_a"), col("sk_b")), 1).as("est_intersect"),
-          round(call_function("theta_anotb_est", col("sk_a"), col("sk_b")), 1).as("est_anotb"))
+          round(call_function("theta_anotb_est", col("sk_a"), col("sk_b")), 1).as("est_anotb"),
+          // sketch-RETURNING forms (ds_theta_*_f / ds_theta_exclude)
+          // composed: estimate(op_f(a,b)) — and a two-stage composition
+          // (A∪B)\B == A\B proving the wire format round-trips through
+          // further set algebra. Exact mode → same oracle columns.
+          round(call_function("theta_estimate",
+            call_function("theta_union_f", col("sk_a"), col("sk_b"))), 1).as("est_union_f"),
+          round(call_function("theta_estimate",
+            call_function("theta_intersect_f", col("sk_a"), col("sk_b"))), 1).as("est_intersect_f"),
+          round(call_function("theta_estimate",
+            call_function("theta_exclude_f",
+              call_function("theta_union_f", col("sk_a"), col("sk_b")), col("sk_b"))), 1)
+            .as("est_composed_anotb"))
         .orderBy("status_a", "status_b")
     }),
 
@@ -401,7 +418,17 @@ object AggQueries {
         |  round(CAST((SELECT count(*) FROM
         |     (SELECT o_custkey FROM s WHERE o_orderstatus = a.o_orderstatus
         |      EXCEPT
-        |      SELECT o_custkey FROM s WHERE o_orderstatus = b.o_orderstatus)) AS DOUBLE), 1) AS est_anotb
+        |      SELECT o_custkey FROM s WHERE o_orderstatus = b.o_orderstatus)) AS DOUBLE), 1) AS est_anotb,
+        |  round(CAST((SELECT count(DISTINCT o_custkey) FROM orders
+        |     WHERE o_orderstatus IN (a.o_orderstatus, b.o_orderstatus)) AS DOUBLE), 1) AS est_union_f,
+        |  round(CAST((SELECT count(*) FROM
+        |     (SELECT o_custkey FROM s WHERE o_orderstatus = a.o_orderstatus
+        |      INTERSECT
+        |      SELECT o_custkey FROM s WHERE o_orderstatus = b.o_orderstatus)) AS DOUBLE), 1) AS est_intersect_f,
+        |  round(CAST((SELECT count(*) FROM
+        |     (SELECT o_custkey FROM s WHERE o_orderstatus = a.o_orderstatus
+        |      EXCEPT
+        |      SELECT o_custkey FROM s WHERE o_orderstatus = b.o_orderstatus)) AS DOUBLE), 1) AS est_composed_anotb
         |FROM d a JOIN d b ON a.o_orderstatus < b.o_orderstatus
         |ORDER BY 1, 2""".stripMargin,
     "agg_multi_distinct" ->

@@ -78,6 +78,12 @@ object GraftFunctions {
       arity("theta_intersect_est", 2)(es => ThetaIntersectEst(es(0), es(1)))),
     ("theta_anotb_est", info("theta_anotb_est", "theta_anotb_est(a, b) - distinct estimate of A \\ B"),
       arity("theta_anotb_est", 2)(es => ThetaANotBEst(es(0), es(1)))),
+    ("theta_union_f", info("theta_union_f", "theta_union_f(a, b) - serialized union sketch of A ∪ B"),
+      arity("theta_union_f", 2)(es => ThetaUnionF(es(0), es(1)))),
+    ("theta_intersect_f", info("theta_intersect_f", "theta_intersect_f(a, b) - serialized intersection sketch of A ∩ B"),
+      arity("theta_intersect_f", 2)(es => ThetaIntersectF(es(0), es(1)))),
+    ("theta_exclude_f", info("theta_exclude_f", "theta_exclude_f(a, b) - serialized sketch of A \\ B"),
+      arity("theta_exclude_f", 2)(es => ThetaExcludeF(es(0), es(1)))),
     ("iceberg_bucket", info("iceberg_bucket", "iceberg_bucket(v, n) - Iceberg bucket partition transform"),
       arity("iceberg_bucket", 2)(es => IcebergBucket(es(0), es(1)))),
     ("iceberg_truncate", info("iceberg_truncate", "iceberg_truncate(v, w) - Iceberg truncate partition transform"),
