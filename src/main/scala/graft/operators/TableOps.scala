@@ -28,6 +28,11 @@ object TableOps {
   val queries: Map[String, Q] = Map(
     // M1: one-pass per-column table stats over orders. Numeric min/max
     // go through DECIMAL(18,2) so both engines render identical strings.
+    // Formulation note: the single .agg with 4 countDistincts plans as
+    // ONE scan + Expand ×5 (each input row replicated per distinct
+    // group) — Impala's COMPUTE STATS child-query batching. The
+    // 4-independent-aggregates UNION alternative re-scans per column;
+    // at 100 TB the single scan wins (I/O-bound), so Expand stays.
     "stats_table" -> ((spark, dir) => {
       val t = Tables(spark, dir)
       val a = t.orders.agg(

@@ -167,6 +167,38 @@ class FunctionsSpec extends SparkSpec {
     assert(IcebergImpl.truncateString(UTF8String.fromString("ab"), 5).toString == "ab")
   }
 
+  test("string-distance invariants hold under fuzz (OSA vs full vs Levenshtein)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.Parameters
+    def u(s: String) = UTF8String.fromString(s)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val gs = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    val prop = Prop.forAll(gs, gs) { (a, b) =>
+      val full = StrDistImpl.damerauLevenshteinFull(u(a), u(b))
+      val osa = StrDistImpl.damerauLevenshtein(u(a), u(b))
+      val l = lev(a, b)
+      // full ≤ OSA ≤ Levenshtein; symmetry; identity; length lower bound
+      full <= osa && osa <= l &&
+        osa == StrDistImpl.damerauLevenshtein(u(b), u(a)) &&
+        full == StrDistImpl.damerauLevenshteinFull(u(b), u(a)) &&
+        StrDistImpl.damerauLevenshtein(u(a), u(a)) == 0 &&
+        osa >= math.abs(a.length - b.length) &&
+        // jaro is symmetric, in [0,1], 1 iff equal strings
+        { val j = StrDistImpl.jaro(u(a), u(b))
+          j >= 0.0 && j <= 1.0 && j == StrDistImpl.jaro(u(b), u(a)) &&
+            ((a != b) || j == 1.0) }
+    }
+    val res = org.scalacheck.Test.check(
+      Parameters.default.withMinSuccessfulTests(2000), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("sha1 matches the RFC 3174 test vectors (no DuckDB twin to oracle)") {
     val r = spark.sql(
       """SELECT sha1('abc') AS a, sha1('') AS e,

@@ -148,6 +148,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(bad.isEmpty, s"non-equi join in contamination plan: $bad")
   }
 
+  test("q20: correlated subquery decorrelates to aggregate joins — no per-row subquery, no cartesian blowup") {
+    val df = SparkEntry.queries("q20_potential_promotion")(spark, sf0001)
+    val plan = df.queryExecution.sparkPlan
+    // Catalyst must rewrite the correlated scalar subquery into an
+    // aggregate + join (RewriteCorrelatedScalarSubquery); a surviving
+    // per-row subquery would execute lineitem once per (part, supplier)
+    val scalarSubs = df.queryExecution.optimizedPlan.collect {
+      case p if p.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalarSubquery])) => p
+    }
+    assert(scalarSubs.isEmpty, s"correlated subquery not decorrelated:\n${df.queryExecution.optimizedPlan}")
+    // the only nested-loop join allowed is the 1-row supplier-count
+    // broadcast (the synthesized-partsupp scaffold), never a fact table
+    val nlJoins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(nlJoins.forall(!_.toString.contains("lineitem")),
+      s"fact-side nested-loop join in q20 plan: $nlJoins")
+  }
+
+  test("src_nested_parquet: orderkey filter pushes down to the nested file's scan") {
+    import graft.sources.NestedParquet
+    // materialize the nested file, then audit the read-back plan
+    val df = SparkEntry.queries("src_nested_parquet")(spark, sf0001)
+    df.limit(1).collect()
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec if s.relation.location.rootPaths.exists(
+        _.toString.contains("graft_nested_parquet")) => s.metadata.toString + s.toString
+    }
+    assert(scans.nonEmpty, "no scan over the nested file found")
+    assert(scans.exists(s => s.contains("PushedFilters") && s.contains("l_orderkey")),
+      s"l_orderkey predicate not pushed to the nested parquet scan:\n${scans.head.take(800)}")
+  }
+
   /** The 100 TB skew story (SURVEY §5.8) must be more than a config
     * line: build a join where one key holds ~10% of the left side,
     * lower the AQE skew thresholds to match test-data volume, and
