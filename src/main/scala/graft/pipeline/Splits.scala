@@ -32,12 +32,43 @@ object Splits {
   def stratified(docs: DataFrame, fractions: Map[String, Double], seed: Long): DataFrame =
     docs.stat.sampleBy("lang", fractions, seed)
 
+  /** P29 mixture sampling — the data-mixing step of a training run:
+    * given target proportions per stratum (lang), downsample each
+    * stratum so the OUTPUT matches the target mixture at the largest
+    * size the corpus supports (M* = min over strata of n_l / p_l; the
+    * binding stratum keeps 100%). Membership is a pure function of
+    * doc_id (Knuth multiplicative hash, exact integer arithmetic any
+    * engine can replay), so the sample is reproducible under
+    * re-partitioning and incrementally stable — and oracle-exact.
+    * Scale shape: one aggregate over the stratum column (5 rows out),
+    * broadcast back onto the fact scan; the corpus itself is never
+    * shuffled. */
+  def mixture(docs: DataFrame, weights: Seq[(String, Double)]): DataFrame = {
+    val w = docs.sparkSession.createDataFrame(weights).toDF("lang", "p")
+    val n = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val mStar = n.join(w, "lang")
+      .agg(min(col("n_lang").cast("double") / col("p")).as("m_star"))
+    val keep = n.join(w, "lang").crossJoin(broadcast(mStar))
+      .select(col("lang"),
+        least(lit(1.0), col("p") * col("m_star") / col("n_lang").cast("double")).as("keep_frac"))
+    val u = (col("doc_id") * lit(2654435761L)) % lit(4294967296L) / lit(4294967296.0)
+    docs.join(broadcast(keep), Seq("lang"))
+      .filter(u < col("keep_frac"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     // P19: oracle-exact — the assignment is pure md5 arithmetic.
     "split_train_test" -> ((spark, dir) => {
       trainTest(Tables(spark, dir).documents).orderBy("doc_id")
+    }),
+    // P29: oracle-exact — counts, thresholds, and membership are pure
+    // arithmetic both engines replay bit-identically.
+    "pipe_mixture" -> ((spark, dir) => {
+      val target = Seq("en" -> 0.5, "de" -> 0.2, "fr" -> 0.15, "es" -> 0.1, "zh" -> 0.05)
+      mixture(Tables(spark, dir).documents, target)
+        .select("doc_id", "lang").orderBy("doc_id")
     }),
     // P20: sampling is seeded but engine-specific → rows-only; the
     // spec asserts per-stratum bounds and determinism. Aggregated so
@@ -60,5 +91,18 @@ object Splits {
         |          + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 204
         |       THEN 'train' ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pipe_mixture" ->
+      """WITH w AS (
+        |  SELECT * FROM (VALUES ('en', 0.5), ('de', 0.2), ('fr', 0.15),
+        |                        ('es', 0.1), ('zh', 0.05)) AS t(lang, p)),
+        |n AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+        |m AS (SELECT min(CAST(n_lang AS DOUBLE) / p) AS m_star FROM n JOIN w USING (lang)),
+        |k AS (SELECT lang, least(1.0, p * m_star / CAST(n_lang AS DOUBLE)) AS keep_frac
+        |      FROM n JOIN w USING (lang) CROSS JOIN m)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN k USING (lang)
+        |WHERE ((d.doc_id * 2654435761) % 4294967296) / 4294967296.0 < keep_frac
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }

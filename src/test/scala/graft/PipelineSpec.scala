@@ -333,6 +333,32 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.extractFeatures(ds, 8).rdd.getNumPartitions == ds.rdd.getNumPartitions)
   }
 
+  test("mixture sampling hits the target proportions and is repartition-stable") {
+    import graft.pipeline.Splits
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val target = Seq("en" -> 0.5, "de" -> 0.2, "fr" -> 0.15, "es" -> 0.1, "zh" -> 0.05)
+    val out = Splits.mixture(docs, target)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    // each stratum within 20% relative of its target share (Bernoulli
+    // noise at sf0.001 sizes; the hash is uniform, not exact-count)
+    for ((lang, p) <- target if counts.contains(lang)) {
+      val share = counts(lang) / total
+      assert(math.abs(share - p) / p < 0.2, s"$lang share $share vs target $p ($counts)")
+    }
+    // membership is a pure function of doc_id: identical under repartition
+    val a = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Splits.mixture(docs.repartition(13), target)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+    // the binding stratum (smallest n/p) keeps all its rows
+    val nByLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val binding = target.minBy { case (l, p) => nByLang.getOrElse(l, 0L) / p }._1
+    assert(counts(binding) == nByLang(binding), s"binding stratum $binding was downsampled")
+  }
+
   test("multimodal: real PNG decode recovers pinned pixel statistics") {
     import Multimodal.{MediaItem, MediaMeta}
     // hand-built 2×2: red, green, blue, white — known means and
