@@ -23,9 +23,51 @@ import graft.Tables
   */
 object TableOps {
 
+  /** M4: small-file compaction — the table-maintenance pass every
+    * streaming/incremental parquet lake needs (each micro-batch or
+    * task writes a file; thousands of small files kill scan planning
+    * and NameNode/liststatus time). Sizes the output file count from
+    * the ACTUAL input bytes (ceil(bytes / targetFileBytes)) and
+    * round-robins rows into exactly that many files. Returns the
+    * re-read compacted relation; file-count/size assertions live in
+    * SourcesSpec. The Iceberg analogue is rewrite_data_files; Impala
+    * users run INSERT OVERWRITE ... SELECT for the same effect. */
+  def compactFiles(spark: SparkSession, inDir: String, outDir: String,
+                   targetFileBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    val in = new org.apache.hadoop.fs.Path(inDir)
+    val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(in).filter(_.isFile)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inDir)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+    spark.read.parquet(outDir)
+  }
+
+  private val compactIn = "/tmp/graft_compact_in"
+  private val compactOut = "/tmp/graft_compact_out"
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // M4 end-to-end: shatter documents into 64 tiny files, compact,
+    // and aggregate the re-read table — the oracle computes the same
+    // aggregate from the ORIGINAL parquet, so a hash match proves the
+    // compaction pass lost/duplicated nothing. (File-count and
+    // target-size behavior is asserted in SourcesSpec — env-specific,
+    // not oracle-able.)
+    "m4_compact_small_files" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.documents.repartition(64).write.mode("overwrite").parquet(compactIn)
+      val compacted = compactFiles(spark, compactIn, compactOut, 32L * 1024 * 1024)
+      compacted.groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("doc_id")).as("nd"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    }),
     // M1: one-pass per-column table stats over orders. Numeric min/max
     // go through DECIMAL(18,2) so both engines render identical strings.
     // Formulation note: the single .agg with 4 countDistincts plans as
@@ -103,6 +145,13 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // over the ORIGINAL table — equality proves the compaction round trip
+    "m4_compact_small_files" ->
+      """SELECT lang, count(*) AS n, count(DISTINCT doc_id) AS nd,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     "stats_table" ->
       """WITH a AS (SELECT
         |  count(*) AS n,

@@ -92,6 +92,29 @@ class SourcesSpec extends SparkSpec {
     assert(files.nonEmpty && files.forall(_.getName.endsWith(".avro")))
   }
 
+  test("M4: compaction merges small files to the byte-sized target count, losslessly") {
+    import graft.operators.TableOps
+    val in = tmp() + "/shattered"
+    val out = tmp() + "/compacted"
+    li.repartition(32).write.mode(SaveMode.Overwrite).parquet(in)
+    def parquetFiles(d: String) =
+      new java.io.File(d).listFiles.filter(_.getName.endsWith(".parquet"))
+    val inFiles = parquetFiles(in)
+    assert(inFiles.length == 32)
+    val totalBytes = inFiles.map(_.length).sum
+    val target = math.max(1L, totalBytes / 4) // aim for ~4 output files
+    val compacted = TableOps.compactFiles(spark, in, out, target)
+    val outFiles = parquetFiles(out)
+    val expected = ((totalBytes + target - 1) / target).toInt
+    assert(outFiles.length == expected, s"got ${outFiles.length}, want $expected")
+    assert(outFiles.length < inFiles.length)
+    // lossless: same rows (counts and a content checksum)
+    assert(compacted.count() == li.count())
+    val sumIn = li.agg(sum(col("l_orderkey") * col("l_linenumber"))).collect().head.get(0)
+    val sumOut = compacted.agg(sum(col("l_orderkey") * col("l_linenumber"))).collect().head.get(0)
+    assert(sumIn == sumOut)
+  }
+
   test("S8: dynamic partition pruning injects a runtime filter from the dim side") {
     // Impala parity: partition-key runtime filters
     // (apache-impala-4.1.0/be/src/runtime/runtime-filter.h) — Spark's
