@@ -30,6 +30,12 @@ for p in glob.glob(f"{sf}/*.parquet"):
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+# File-reading oracles pin the driver's verification SF (sf0.01) in
+# their path; when checking another SF locally, rebase the path onto
+# the SF under test so the oracle reads the file Verify just wrote.
+sf_name = os.path.basename(sf.rstrip("/"))
+if sf_name != "sf0.01":
+    oracle = {k: v.replace("_sf0.01/", f"_{sf_name}/") for k, v in oracle.items()}
 results = {}
 for name in sorted(oracle):
     sql = oracle[name]

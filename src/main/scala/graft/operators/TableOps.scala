@@ -45,8 +45,11 @@ object TableOps {
     spark.read.parquet(outDir)
   }
 
-  private val compactIn = "/tmp/graft_compact_in"
-  private val compactOut = "/tmp/graft_compact_out"
+  // SF-suffixed so runs at different scale factors never collide
+  private def compactIn(dir: String) =
+    s"/tmp/graft_compact_in_${new java.io.File(dir).getName}"
+  private def compactOut(dir: String) =
+    s"/tmp/graft_compact_out_${new java.io.File(dir).getName}"
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -59,8 +62,8 @@ object TableOps {
     // not oracle-able.)
     "m4_compact_small_files" -> ((spark, dir) => {
       val t = Tables(spark, dir)
-      t.documents.repartition(64).write.mode("overwrite").parquet(compactIn)
-      val compacted = compactFiles(spark, compactIn, compactOut, 32L * 1024 * 1024)
+      t.documents.repartition(64).write.mode("overwrite").parquet(compactIn(dir))
+      val compacted = compactFiles(spark, compactIn(dir), compactOut(dir), 32L * 1024 * 1024)
       compacted.groupBy("lang")
         .agg(count(lit(1)).as("n"),
           countDistinct(col("doc_id")).as("nd"),

@@ -237,15 +237,17 @@ object AvroQueries {
   import org.apache.spark.sql.functions._
   import graft.operators.Exact
 
-  val path = "/tmp/graft_avro_events"
+  /** SF-suffixed so runs at different scale factors never collide. */
+  def path(dir: String): String =
+    s"/tmp/graft_avro_events_${new java.io.File(dir).getName}"
 
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "src_avro_roundtrip" -> ((spark, dir) => {
       val ev = graft.Tables(spark, dir).events
-      AvroIO.write(ev, path)
-      val back = spark.read.format("graft.sources.AvroSource").load(path)
+      AvroIO.write(ev, path(dir))
+      val back = spark.read.format("graft.sources.AvroSource").load(path(dir))
       back.groupBy("event_type").agg(
           count(lit(1)).as("n"),
           min(col("event_id")).as("min_id"),

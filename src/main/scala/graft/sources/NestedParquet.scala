@@ -24,9 +24,13 @@ import graft.Tables
   */
 object NestedParquet {
 
-  /** Fixed path contract with the oracle SQL (a static string — it
-    * cannot interpolate the session's temp dir). */
-  val path = "/tmp/graft_nested_parquet"
+  /** Path contract with the oracle SQL. The suffix is the SF directory
+    * name so a bench run at one scale factor can never overwrite the
+    * file between a verify run at another and its DuckDB compare; the
+    * oracle (a static string) pins the driver's contractual
+    * verification scale, sf0.01. */
+  def path(dir: String): String =
+    s"/tmp/graft_nested_parquet_${new java.io.File(dir).getName}"
 
   /** lineitem rolled up to one row per order: items as a sorted
     * array<struct>, per-returnflag counts as a map<string,bigint>. ONE
@@ -51,8 +55,8 @@ object NestedParquet {
   val queries: Map[String, Q] = Map(
     "src_nested_parquet" -> ((spark, dir) => {
       buildNested(Tables(spark, dir).lineitem)
-        .write.mode("overwrite").parquet(path)
-      val back = spark.read.parquet(path)
+        .write.mode("overwrite").parquet(path(dir))
+      val back = spark.read.parquet(path(dir))
       // correlated unnest: each item row re-joined with its parent's
       // scalars + a map lookup; the l_orderkey filter pushes down to
       // the nested file's row groups
@@ -77,7 +81,7 @@ object NestedParquet {
          |  SELECT l_orderkey, CAST(len(items) AS BIGINT) AS n_items,
          |         unnest(items, recursive := true),
          |         flags['N'][1] AS flag_n
-         |  FROM read_parquet('$path/*.parquet')
+         |  FROM read_parquet('${path("sf0.01")}/*.parquet')
          |  WHERE l_orderkey < 2000)
          |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin,
   )
