@@ -83,6 +83,19 @@ object Bench {
           None
         }
       }
+      // Cache hygiene BETWEEN queries (iterations of one query share
+      // warm cache — persist() is part of that query's plan): without
+      // this, every persisted subtree (corpus gate, q49 aggregate) and
+      // the CC fixpoint's label RDDs pile up across ~200 queries × 3
+      // iterations, and storage-vs-execution memory contention slows
+      // every query that runs after them. Root cause of the round-4
+      // driver regressions: dedup_minhash_lsh, ds_cte_chain, ds_q14,
+      // ds_q23, ds_q49 all sort alphabetically AFTER the two queries
+      // that introduced persists in round 4. catalog.clearCache()
+      // only drops SQL-cached plans; raw RDD persists need the
+      // getPersistentRDDs sweep.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       val median =
         if (times.isEmpty) None else Some(times.sorted.apply(times.length / 2))
       (name, median, times.length)

@@ -420,12 +420,25 @@ object TpcdsQueries {
     }),
 
     // DS17 (q49 shape): worst return ratios per channel — quantity-based
-    // and amount-based ranks computed in two windows over the same
-    // per-(channel, item) aggregate, keep anything top-10 on either
-    // axis. Both rank orders include the item key, so the rank is a
-    // total order and engine-deterministic.
+    // and amount-based ranks over the same per-(channel, item)
+    // aggregate, keep anything top-10 on either axis. Both rank orders
+    // include the item key, so the rank is a total order and
+    // engine-deterministic.
+    //
+    // Scale shape: `rank() OVER (PARTITION BY channel ...)` is a
+    // scale-killer here because channel (l_linestatus) has 2–3 distinct
+    // values — every window partition is ONE task sorting all ~|part|
+    // aggregate rows, no matter how many executors exist. Instead:
+    // (1) bounded top-10 heaps per (channel, axis) via a typed TopK
+    //     Aggregator (partial agg: each map partition ships ≤ 10 rows),
+    // (2) exact ranks for the ≤ 20 candidates per channel by counting
+    //     rows that sort before each candidate in one broadcast-join
+    //     pass over the persisted aggregate. The ordering includes the
+    //     unique item key, so rank() == 1 + count(rows before) exactly.
+    // No window, no single-partition sort; the fact is scanned once
+    // (the oracle keeps the window form, proving equivalence).
     "ds_q49_return_rank" -> ((spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TopK.topk
       val t = Tables(spark, dir)
       val isR = col("l_returnflag") === "R"
       val base = t.lineitem
@@ -437,15 +450,30 @@ object TpcdsQueries {
           dsum(rev).as("tot_amt"))
         .withColumn("qty_ratio", col("ret_qty") / col("tot_qty"))
         .withColumn("amt_ratio", col("ret_amt") / col("tot_amt"))
-      val wq = Window.partitionBy("channel").orderBy(col("qty_ratio").desc, col("item"))
-      val wa = Window.partitionBy("channel").orderBy(col("amt_ratio").desc, col("item"))
-      base
-        .withColumn("qty_rank", rank().over(wq).cast("long"))
-        .withColumn("amt_rank", rank().over(wa).cast("long"))
+        .select("channel", "item", "qty_ratio", "amt_ratio")
+        .persist() // bounded by |item|·|channel| — the aggregate, not the fact
+      val cands = base.groupBy("channel")
+        .agg(topk(col("qty_ratio"), col("item"), 10).as("qc"),
+          topk(col("amt_ratio"), col("item"), 10).as("ac"))
+        .select(col("channel").as("cchannel"),
+          explode(array_union(col("qc.key"), col("ac.key"))).as("citem"))
+      // candidate ratio values come from one cheap probe of the cached agg
+      val candFull = base.join(broadcast(cands),
+          col("channel") === col("cchannel") && col("item") === col("citem"))
+        .select(col("channel").as("cchannel"), col("item").as("citem"),
+          col("qty_ratio").as("cqty"), col("amt_ratio").as("camt"))
+      val beforeQty = col("qty_ratio") > col("cqty") ||
+        (col("qty_ratio") === col("cqty") && col("item") < col("citem"))
+      val beforeAmt = col("amt_ratio") > col("camt") ||
+        (col("amt_ratio") === col("camt") && col("item") < col("citem"))
+      base.join(broadcast(candFull), col("channel") === col("cchannel"))
+        .groupBy(col("cchannel"), col("citem"), col("cqty"), col("camt"))
+        .agg((sum(when(beforeQty, 1L).otherwise(0L)) + 1L).as("qty_rank"),
+          (sum(when(beforeAmt, 1L).otherwise(0L)) + 1L).as("amt_rank"))
         .filter(col("qty_rank") <= 10 || col("amt_rank") <= 10)
-        .select(col("channel"), col("item"),
-          round(col("qty_ratio"), 6).as("qty_ratio"),
-          round(col("amt_ratio"), 6).as("amt_ratio"),
+        .select(col("cchannel").as("channel"), col("citem").as("item"),
+          round(col("cqty"), 6).as("qty_ratio"),
+          round(col("camt"), 6).as("amt_ratio"),
           col("qty_rank"), col("amt_rank"))
         .orderBy("channel", "qty_rank", "amt_rank", "item")
     }),
@@ -543,29 +571,43 @@ object TpcdsQueries {
     }),
 
     // DS18 (q14 shape): cross-channel items — partkeys sold under ALL
-    // THREE priority channels (INTERSECT chain), then 1997 brand revenue
-    // restricted to those items via an IN-subquery (planned as a
-    // shuffled semi-join; AQE may demote it to broadcast when small).
+    // THREE priority channels, then 1997 brand revenue restricted to
+    // those items via an IN-subquery (planned as a shuffled semi-join;
+    // AQE may demote it to broadcast when small).
+    //
+    // Scale shape: the literal TPC-DS form is a 3-way INTERSECT — three
+    // separate lineitem⋈orders joins plus two set-op shuffles, so the
+    // fact is scanned 4× (incl. the main query). "Sold under all three
+    // priorities" is a predicate on the per-partkey priority SET, so
+    // one lineitem⋈orders pass + GROUP BY l_partkey with three bool_or
+    // flags computes the identical cut: one fact shuffle instead of
+    // three joins + two INTERSECT shuffles (the oracle keeps the
+    // INTERSECT form, proving equivalence).
     "ds_q14_cross_items" -> ((spark, dir) => {
       views(spark, dir)
       spark.sql("""
         WITH cross_items AS (
-          SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-          WHERE o_orderpriority = '1-URGENT'
-          INTERSECT
-          SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-          WHERE o_orderpriority = '2-HIGH'
-          INTERSECT
-          SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-          WHERE o_orderpriority = '3-MEDIUM')
+          SELECT l_partkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+          GROUP BY l_partkey
+          HAVING bool_or(o_orderpriority = '1-URGENT')
+             AND bool_or(o_orderpriority = '2-HIGH')
+             AND bool_or(o_orderpriority = '3-MEDIUM'))
         SELECT p_brand,
                CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
                count(*) AS n_lines
         FROM lineitem
-        JOIN part ON l_partkey = p_partkey
+        -- inner join against (part ⋈ cut) instead of `l_partkey IN cut`:
+        -- p_partkey is unique and the cut is DISTINCT by construction,
+        -- so this is the same semi filter — but referenced ONCE, which
+        -- stops Catalyst's semi-join pushdown from replicating the cut
+        -- aggregate onto both join sides (observed: 3 fact scans).
+        JOIN (SELECT p_partkey, p_brand
+              FROM part JOIN cross_items ON p_partkey = l_partkey) pc
+          ON l_partkey = pc.p_partkey
         JOIN orders ON l_orderkey = o_orderkey
         WHERE year(o_orderdate) = 1997
-          AND l_partkey IN (SELECT l_partkey FROM cross_items)
         GROUP BY p_brand
         ORDER BY revenue DESC, p_brand LIMIT 100""")
     }),

@@ -250,6 +250,41 @@ class PlanAuditSpec extends SparkSpec {
       s"TopN did not collapse:\n${topPlan.take(800)}")
   }
 
+  /** q49's rank windows partitioned by channel (2–3 distinct values)
+    * would serialize the whole aggregate onto 2–3 tasks at any cluster
+    * size. The rewrite computes top-10 per axis with a bounded TopK
+    * Aggregator + a candidate-rank pass — the plan must contain NO
+    * window operator at all, and only one lineitem scan. */
+  test("ds_q49_return_rank: no window exec, single fact scan (low-cardinality partition fix)") {
+    val df = SparkEntry.queries("ds_q49_return_rank")(spark, sf0001)
+    val wins = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.nodeName
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w.nodeName
+    }
+    assert(wins.isEmpty, s"window operator survived the TopK rewrite: $wins")
+    val factScans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths.exists(
+        _.getName.startsWith("lineitem")) => f
+    }
+    // the fact feeds ONE persisted aggregate (InMemoryRelation), so no
+    // raw lineitem file scan may survive in the downstream plan more
+    // than once (0 when the cached copy is already materialized)
+    assert(factScans.size <= 1,
+      s"expected ≤ 1 lineitem scan (persisted aggregate reused), got ${factScans.size}")
+  }
+
+  /** q14's literal INTERSECT chain scans the fact 4× (3 joins + main).
+    * The conditional-aggregation rewrite must leave exactly 2 lineitem
+    * scans: the bool_or priority cut and the 1997 main query. */
+  test("ds_q14_cross_items: conditional-agg cut keeps fact scans at 2, not 4") {
+    val df = SparkEntry.queries("ds_q14_cross_items")(spark, sf0001)
+    val factScans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths.exists(
+        _.getName.startsWith("lineitem")) => f
+    }
+    assert(factScans.size <= 2, s"expected ≤ 2 lineitem scans, got ${factScans.size}")
+  }
+
   /** Impala exposes per-join distribution control (STRAIGHT_JOIN plus
     * the +broadcast / +shuffle plan hints — fe/.../planner/
     * DistributedPlanner.java); Spark's twin is the join-strategy hint
