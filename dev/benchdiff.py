@@ -1,66 +1,66 @@
 #!/usr/bin/env python3
-"""Dev-only bench comparator: diffs a builder-local bench_full.json
-against the driver's BENCH_r{N}.json artifact per query and flags
-divergence beyond a threshold (default 3x), so a local narrative can
-never silently drift from the driver's numbers again (round-3 lesson).
-NOT part of the shipped library.
+"""Dev-only bench comparator. Two modes:
 
-Usage: python3 dev/benchdiff.py [local_bench.json] [driver_BENCH.json] [--ratio 3.0]
-Defaults: ./bench_full.json vs the highest-numbered ./BENCH_r*.json.
+1. artifact-vs-artifact (the round-over-round regression gate):
+       python3 dev/benchdiff.py                  # two highest BENCH_r*.json
+       python3 dev/benchdiff.py BENCH_r03.json BENCH_r04.json
+   Flags per-query moves >= --ratio (default 2x) between driver rounds,
+   so a regression like round 4's dedup_minhash_lsh 1.2->4.0s is caught
+   by tooling, not by the judge.
+
+2. local-vs-driver (narrative honesty — round-3 lesson):
+       python3 dev/benchdiff.py bench_full.json BENCH_r04.json --ratio 3
+   A local claim ("6.4->1.1s") must reproduce in the driver artifact
+   before SURVEY may quote it.
+
+Driver artifacts only carry the ~34 headline queries on stdout; the
+comparison is over the intersection. NOT part of the shipped library.
 """
-import sys, os, json, glob, re
+import argparse, glob, json, re, sys
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
-ratio = 3.0
-for a in sys.argv[1:]:
-    if a.startswith("--ratio"):
-        ratio = float(a.split("=", 1)[1]) if "=" in a else float(sys.argv[sys.argv.index(a) + 1])
+ap = argparse.ArgumentParser()
+ap.add_argument("a", nargs="?", help="older bench json (default: second-highest BENCH_r*.json)")
+ap.add_argument("b", nargs="?", help="newer bench json (default: highest BENCH_r*.json)")
+ap.add_argument("--ratio", type=float, default=2.0, help="flag moves >= this factor")
+ap.add_argument("--min-sec", type=float, default=0.5, help="ignore queries faster than this on both sides")
+args = ap.parse_args()
 
-local_path = args[0] if len(args) > 0 else "bench_full.json"
-if len(args) > 1:
-    driver_path = args[1]
-else:
+if args.a is None or args.b is None:
     cands = sorted(glob.glob("BENCH_r*.json"))
-    if not cands:
-        print("no BENCH_r*.json found"); sys.exit(1)
-    driver_path = cands[-1]
+    if len(cands) < 2:
+        print("need two BENCH_r*.json artifacts (or pass paths)"); sys.exit(1)
+    args.a, args.b = (args.a or cands[-2]), (args.b or cands[-1])
 
 def load_queries(path):
     d = json.load(open(path))
-    if "queries" in d:
+    if "queries" in d and isinstance(d["queries"], dict):
         return d["queries"], d.get("value")
-    # driver artifact: the JSON line may be wrapped ({"tail": ...}) or parsed
-    if d.get("parsed"):
-        p = d["parsed"]
-        return p.get("queries", {}), p.get("value")
-    m = re.findall(r'\{"metric".*', d.get("tail", ""))
-    if m:
+    p = d.get("parsed")
+    if not p:
+        m = re.findall(r'\{"metric".*', d.get("tail", ""))
+        if not m:
+            print(f"cannot find a queries map in {path}"); sys.exit(1)
         p = json.loads(m[-1])
-        return p.get("queries", {}), p.get("value")
-    print(f"cannot find a queries map in {path}"); sys.exit(1)
+    return p.get("queries", {}), p.get("value")
 
-lq, ltot = load_queries(local_path)
-dq, dtot = load_queries(driver_path)
+aq, atot = load_queries(args.a)
+bq, btot = load_queries(args.b)
 
-common = sorted(set(lq) & set(dq))
-only_driver = sorted(set(dq) - set(lq))
+common = sorted(set(aq) & set(bq))
 flagged = []
 for q in common:
-    a, b = lq[q], dq[q]
-    if min(a, b) <= 0:
+    x, y = aq[q], bq[q]
+    if min(x, y) <= 0 or max(x, y) < args.min_sec:
         continue
-    r = max(a, b) / min(a, b)
-    if r >= ratio and max(a, b) >= 0.5:  # ignore sub-500ms jitter
-        flagged.append((r, q, a, b))
+    r = max(x, y) / min(x, y)
+    if r >= args.ratio:
+        flagged.append((r, q, x, y))
 
-print(f"local  {local_path}: total={ltot}s over {len(lq)} queries")
-print(f"driver {driver_path}: total={dtot}s over {len(dq)} queries")
-if only_driver:
-    print(f"driver-only queries (not in local run): {', '.join(only_driver[:10])}"
-          + (" ..." if len(only_driver) > 10 else ""))
-for r, q, a, b in sorted(flagged, reverse=True):
-    direction = "local SLOWER" if a > b else "driver slower (co-tenant? plan?)"
-    print(f"XX {q}: local {a:.2f}s vs driver {b:.2f}s ({r:.1f}x — {direction})")
+print(f"A {args.a}: total={atot}s ({len(aq)} queries)")
+print(f"B {args.b}: total={btot}s ({len(bq)} queries), {len(common)} common")
+for r, q, x, y in sorted(flagged, reverse=True):
+    direction = "REGRESSED" if y > x else "improved"
+    print(f"{'XX' if y > x else 'ok'} {q}: {x:.2f}s -> {y:.2f}s ({r:.1f}x {direction})")
 if not flagged:
-    print(f"no per-query divergence >= {ratio}x (ignoring <0.5s)")
-sys.exit(1 if any(a > b for _, _, a, b in flagged) else 0)
+    print(f"no per-query move >= {args.ratio}x (ignoring <{args.min_sec}s)")
+sys.exit(1 if any(y > x for _, _, x, y in flagged) else 0)

@@ -34,7 +34,8 @@ object Bench {
     "q15_top_supplier", "q16_supplier_count", "q17_small_quantity",
     "q18_large_volume", "q19_discount_revenue", "q21_multi_supplier_orders",
     "q22_dormant_customers", "ds_q59_yoy_nation", "ds_q67_rollup_topn",
-    "ds_q49_return_rank", "ds_q23_frequent_items",
+    "ds_q49_return_rank", "ds_q23_frequent_items", "ds_q14_cross_items",
+    "ds_cte_chain", "corpus_clean_neardup", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_cluster_cc", "sim_lsh_topk",
     "sim_quantize_int8", "corpus_clean", "text_quality", "pipe_chunking",
     "stats_table", "asof_join_events", "events_sessionize",
