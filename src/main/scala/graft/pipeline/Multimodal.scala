@@ -9,8 +9,10 @@ import graft.functions.HashImpl
   * runs as partition-local batch decode. The Spark-side machinery —
   * schema, encoders, batch shape, partition preservation — is genuine;
   * the IMAGE modality decodes for real through javax.imageio (PNG/JPEG/
-  * GIF/BMP ship in the JDK); audio and video remain stubbed (no codec
-  * libs in this container), clearly marked below.
+  * GIF/BMP ship in the JDK) and the AUDIO modality through
+  * javax.sound.sampled (WAV/PCM and AIFF ship in the JDK); only video
+  * remains stubbed (the JDK bundles no video codec), clearly marked
+  * below.
   */
 object Multimodal {
 
@@ -39,7 +41,13 @@ object Multimodal {
     * file degrades instead of failing the job — the triage pass P17
     * flags those upstream). */
   private[graft] def decodeImage(payload: Array[Byte], dim: Int): Option[Array[Float]] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    // Try, not a null check: ImageIO.read returns null only for
+    // UNRECOGNIZED formats — a payload with valid PNG/JPEG magic but a
+    // corrupt body THROWS IOException, which must also degrade to the
+    // stub instead of failing the task.
+    val img = scala.util.Try(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      .toOption.flatMap(Option(_)).orNull
     if (img == null) None
     else {
       val w = img.getWidth
@@ -66,12 +74,80 @@ object Multimodal {
     }
   }
 
-  /** === STUB DECODE (audio/video only) ===
-    * A real deployment decodes these with an audio/video codec
-    * (per-batch, vectorized — the JVM analogue of a pandas-batched UDF);
-    * none ships in this container. Deterministic fake: feature[i] =
-    * unit-scaled bits of fnv64(payload ++ [i]). Same payload → same
-    * features, any executor. */
+  /** REAL audio decode via javax.sound.sampled (in the JDK — WAV/PCM
+    * and AIFF need no external codec). Features: [sample rate (Hz),
+    * channels, frame count, duration (s), RMS, peak, zero-crossing
+    * rate, mean] over unit-scaled 16-bit samples, zero-padded/truncated
+    * to `dim`. Returns None when the payload is not decodable audio
+    * (wrong magic, corrupt body, or a non-16-bit encoding) — the caller
+    * falls back to the stub so a bad file degrades instead of failing
+    * the job, same contract as [[decodeImage]]. */
+  private[graft] def decodeAudio(payload: Array[Byte], dim: Int): Option[Array[Float]] =
+    scala.util.Try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 &&
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"only 16-bit signed PCM decoded, got $fmt")
+        val bytes = in.readAllBytes()
+        val n = bytes.length / 2
+        var i = 0
+        var sum = 0.0; var sumSq = 0.0; var peak = 0.0; var zc = 0L; var prev = 0
+        while (i < n) {
+          val lo = if (fmt.isBigEndian) bytes(2 * i + 1) else bytes(2 * i)
+          val hi = if (fmt.isBigEndian) bytes(2 * i) else bytes(2 * i + 1)
+          val s = ((hi << 8) | (lo & 0xff)).toShort.toInt
+          val v = s / 32768.0
+          sum += v; sumSq += v * v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          if (i > 0 && ((s >= 0) != (prev >= 0))) zc += 1
+          prev = s
+          i += 1
+        }
+        val frames = n / math.max(1, fmt.getChannels)
+        val base = Array[Float](
+          fmt.getSampleRate,
+          fmt.getChannels.toFloat,
+          frames.toFloat,
+          (frames / fmt.getSampleRate.toDouble).toFloat,
+          if (n == 0) 0f else math.sqrt(sumSq / n).toFloat,
+          peak.toFloat,
+          if (n == 0) 0f else (zc.toDouble / n).toFloat,
+          if (n == 0) 0f else (sum / n).toFloat)
+        java.util.Arrays.copyOf(base, dim)
+      } finally in.close()
+    }.toOption
+
+  /** Deterministic tiny WAV: `nSamples` of 16-bit mono PCM noise derived
+    * from splitmix64(seed, i), written through the REAL WAVE encoder —
+    * gives every 'audio' row a genuine decodable payload (the audio twin
+    * of [[pngPayload]]). */
+  def wavPayload(seed: Long, nSamples: Int = 160, rateHz: Int = 16000): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = (HashImpl.splitmix64(seed * 1000003L + i) % 32768L).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rateHz.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** === STUB DECODE (video only) ===
+    * A real deployment decodes video with a codec library (per-batch,
+    * vectorized — the JVM analogue of a pandas-batched UDF); the JDK
+    * bundles none. Deterministic fake: feature[i] = unit-scaled bits of
+    * fnv64(payload ++ [i]). Same payload → same features, any executor.
+    * Also the degradation target for corrupt image/audio payloads. */
   private def stubFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
     val f = new Array[Float](dim)
     var i = 0
@@ -87,7 +163,8 @@ object Multimodal {
     batch.map { m =>
       val feats = m.modality match {
         case "image" => decodeImage(m.payload, dim).getOrElse(stubFeatures(m.payload, dim))
-        case _ => stubFeatures(m.payload, dim) // STUB: no audio/video codec here
+        case "audio" => decodeAudio(m.payload, dim).getOrElse(stubFeatures(m.payload, dim))
+        case _ => stubFeatures(m.payload, dim) // STUB: no video codec in the JDK
       }
       MediaFeatures(m.id, m.modality, dim, feats)
     }
@@ -111,13 +188,17 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Media table whose image rows carry REAL PNG payloads (encoded on
-    * the executors, partition-local); audio/video keep the synthetic
-    * bytes their stub consumes. */
+  /** Media table whose image rows carry REAL PNG payloads and audio rows
+    * REAL WAV payloads (both encoded on the executors, partition-local);
+    * video keeps the synthetic bytes its stub consumes. */
   def mediaWithRealImages(spark: SparkSession, docs: DataFrame): Dataset[MediaItem] = {
     import spark.implicits._
     mediaFromDocuments(docs).as[MediaItem].mapPartitions(_.map { m =>
-      if (m.modality == "image") m.copy(payload = pngPayload(m.id)) else m
+      m.modality match {
+        case "image" => m.copy(payload = pngPayload(m.id))
+        case "audio" => m.copy(payload = wavPayload(m.id))
+        case _ => m
+      }
     })
   }
 
@@ -215,6 +296,23 @@ object Multimodal {
           round(element_at(col("features"), 5), 4).as("mean_b"),
           round(element_at(col("features"), 6) + element_at(col("features"), 7) +
             element_at(col("features"), 8) + element_at(col("features"), 9), 2).as("lum_total"))
+        .orderBy("id")
+    }),
+    // P13 audio path: encode genuine WAV/PCM on the executors, decode
+    // back through javax.sound.sampled, extract signal statistics.
+    // WAVE encode/decode is not SQL-expressible → rows-only;
+    // PipelineSpec pins the statistics of a hand-built 4-sample WAV.
+    "mm_audio_decode" -> ((spark, dir) => {
+      val docs = graft.Tables(spark, dir).documents.filter(col("doc_id") < 300)
+      extractFeatures(mediaWithRealImages(spark, docs), dim = 8).toDF()
+        .filter(col("modality") === "audio")
+        .select(col("id"),
+          element_at(col("features"), 1).cast("long").as("rate_hz"),
+          element_at(col("features"), 2).cast("long").as("channels"),
+          element_at(col("features"), 3).cast("long").as("n_frames"),
+          round(element_at(col("features"), 5), 4).as("rms"),
+          round(element_at(col("features"), 6), 4).as("peak"),
+          round(element_at(col("features"), 7), 4).as("zcr"))
         .orderBy("id")
     }),
   )

@@ -384,5 +384,44 @@ class PipelineSpec extends SparkSpec {
     // corrupt payload degrades to the stub instead of failing the task
     val bad = Seq(MediaItem(2L, "image", Array[Byte](1, 2, 3), MediaMeta(0, 0, 0))).toDS()
     assert(Multimodal.extractFeatures(bad, dim = 4).collect().head.features.length == 4)
+    // valid PNG magic + corrupt body THROWS inside ImageIO (not null);
+    // must still degrade to the stub, not fail the task
+    val truncated = png.take(24) ++ Array[Byte](9, 9, 9, 9)
+    val badBody = Seq(MediaItem(3L, "image", truncated, MediaMeta(0, 0, 0))).toDS()
+    assert(Multimodal.extractFeatures(badBody, dim = 4).collect().head.features.length == 4)
+  }
+
+  test("multimodal: real WAV decode recovers pinned signal statistics") {
+    import Multimodal.{MediaItem, MediaMeta}
+    // hand-built 4-sample mono PCM16 @ 8kHz: [0, 16384, -16384, 0]
+    // → rms = sqrt((0 + .25 + .25 + 0)/4) = sqrt(.125), peak = .5,
+    //   zero crossings: 16384→-16384 and -16384→0 ⇒ zcr = 2/4
+    val pcm = Array[Short](0, 16384, -16384, 0)
+    val bytes = new Array[Byte](8)
+    pcm.zipWithIndex.foreach { case (s, i) =>
+      bytes(2 * i) = (s & 0xff).toByte; bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, 4L)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val f = Multimodal.decodeAudio(out.toByteArray, 8).get
+    assert(f(0) == 8000f && f(1) == 1f && f(2) == 4f) // rate, channels, frames
+    assert(f(3) == 4f / 8000f)                        // duration
+    assert(math.abs(f(4) - math.sqrt(0.125)) < 1e-6)  // rms
+    assert(f(5) == 0.5f)                              // peak
+    assert(f(6) == 0.5f && f(7) == 0f)                // zcr, mean
+    // wavPayload round trip through the distributed Dataset path
+    val ds = Seq(MediaItem(7L, "audio", Multimodal.wavPayload(7L, 160, 16000),
+      MediaMeta(0, 0, 16000))).toDS()
+    val feats = Multimodal.extractFeatures(ds, dim = 8).collect().head
+    assert(feats.features(0) == 16000f && feats.features(2) == 160f)
+    // corrupt-body WAV (valid RIFF/WAVE magic, truncated) degrades to
+    // the stub instead of failing the task
+    val corrupt = out.toByteArray.take(30)
+    val bad = Seq(MediaItem(8L, "audio", corrupt, MediaMeta(0, 0, 0))).toDS()
+    assert(Multimodal.extractFeatures(bad, dim = 4).collect().head.features.length == 4)
   }
 }
