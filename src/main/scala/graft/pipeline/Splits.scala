@@ -51,10 +51,23 @@ object Splits {
     val keep = n.join(w, "lang").crossJoin(broadcast(mStar))
       .select(col("lang"),
         least(lit(1.0), col("p") * col("m_star") / col("n_lang").cast("double")).as("keep_frac"))
-    val u = (col("doc_id") * lit(2654435761L)) % lit(4294967296L) / lit(4294967296.0)
     docs.join(broadcast(keep), Seq("lang"))
-      .filter(u < col("keep_frac"))
+      .filter(membershipU < col("keep_frac"))
   }
+
+  /** Knuth multiplicative membership hash, u ∈ [0, 1). The product is
+    * taken in DECIMAL(38,0): `doc_id * 2654435761` in BIGINT silently
+    * wraps negative for doc_id ≳ 3.47e9 (Spark) or raises an overflow
+    * error (DuckDB) — at 100 TB corpus sizes those ids exist, and a
+    * wrapped-negative u would make every such row unconditionally pass
+    * the `u < keep_frac` filter, silently skewing the mixture. The
+    * doc_id is first reduced mod 2^32 (the product only matters mod
+    * 2^32), keeping the decimal multiply within 2^64 — exact in both
+    * engines, and bit-identical to the old formula wherever the old one
+    * didn't overflow. */
+  private[graft] def membershipU =
+    expr("CAST(CAST(doc_id % 4294967296 AS DECIMAL(38,0)) * 2654435761 % 4294967296 AS DOUBLE)") /
+      lit(4294967296.0)
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -102,7 +115,8 @@ object Splits {
         |      FROM n JOIN w USING (lang) CROSS JOIN m)
         |SELECT d.doc_id, d.lang
         |FROM documents d JOIN k USING (lang)
-        |WHERE ((d.doc_id * 2654435761) % 4294967296) / 4294967296.0 < keep_frac
+        |WHERE CAST(CAST(d.doc_id % 4294967296 AS DECIMAL(38,0)) * 2654435761 % 4294967296 AS DOUBLE)
+        |      / 4294967296.0 < keep_frac
         |ORDER BY d.doc_id""".stripMargin,
   )
 }

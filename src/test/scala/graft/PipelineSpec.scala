@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Similarity, Splits, TextAnalysis}
 
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
@@ -357,6 +357,21 @@ class PipelineSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val binding = target.minBy { case (l, p) => nByLang.getOrElse(l, 0L) / p }._1
     assert(counts(binding) == nByLang(binding), s"binding stratum $binding was downsampled")
+  }
+
+  test("mixture membership hash stays in [0,1) for doc_id beyond the BIGINT-overflow bound") {
+    // doc_id * 2654435761 wraps Long negative from doc_id ~ 3.47e9;
+    // the decimal-reduced form must keep u well-defined up there
+    val huge = spark.range(1000).selectExpr("id + CAST(8589934592 AS BIGINT) AS doc_id") // 2^33
+    val us = huge.select(Splits.membershipU.as("u")).collect().map(_.getDouble(0))
+    assert(us.forall(u => u >= 0.0 && u < 1.0), s"u out of range: ${us.filter(u => u < 0 || u >= 1).take(3).mkString(",")}")
+    assert(us.distinct.length > 900, "membership hash lost uniformity at large ids")
+    // and below the bound it is bit-identical to the historical formula
+    val small = spark.range(1000).selectExpr("id * 7919 AS doc_id")
+    val both = small.select(Splits.membershipU.as("u"),
+      (expr("CAST(doc_id * 2654435761 % 4294967296 AS DOUBLE)") / lit(4294967296.0)).as("v"))
+      .collect()
+    assert(both.forall(r => r.getDouble(0) == r.getDouble(1)))
   }
 
   test("multimodal: real PNG decode recovers pinned pixel statistics") {
