@@ -335,6 +335,92 @@ case class KllQuantiles(left: Expression, right: Expression) extends KllArrayEst
   override def prettyName: String = "kll_quantiles"
 }
 
+// ---- sketch-to-string surfaces (ds_*_stringify / bounds-as-string) ---
+
+/** Static backing for the reference's sketch-rendering builtins
+  * (impala_functions.py `ds_hll_estimate_bounds_as_string`,
+  * `ds_hll/cpc/theta/kll_stringify`; be/src/exprs/
+  * datasketches-functions-ir.cc). Semantic deltas, pinned in
+  * SketchSpec: bounds render with 2 fixed decimals (the reference
+  * inherits C++ stringstream 6-significant-digit default), and
+  * stringify returns the datasketches-java summary (same content
+  * as the C++ library's, different layout). */
+object SketchStr {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
+  /** "estimate,lower,upper" at kappa std deviations (kappa ∈ 1..3;
+    * reference default kappa = 2 — datasketches-common.h:50). */
+  def hllBounds(bytes: Array[Byte], kappa: Int): UTF8String = {
+    require(kappa >= 1 && kappa <= 3, s"Kappa must be 1, 2 or 3, got $kappa")
+    val sk = org.apache.datasketches.hll.HllSketch.heapify(Memory.wrap(bytes))
+    UTF8String.fromString(
+      s"${fmt(sk.getEstimate)},${fmt(sk.getLowerBound(kappa))},${fmt(sk.getUpperBound(kappa))}")
+  }
+
+  def hllStr(bytes: Array[Byte]): UTF8String = UTF8String.fromString(
+    org.apache.datasketches.hll.HllSketch.heapify(Memory.wrap(bytes)).toString)
+  def cpcStr(bytes: Array[Byte]): UTF8String = UTF8String.fromString(
+    org.apache.datasketches.cpc.CpcSketch.heapify(Memory.wrap(bytes)).toString)
+  def thetaStr(bytes: Array[Byte]): UTF8String = UTF8String.fromString(
+    org.apache.datasketches.theta.Sketches.heapifySketch(Memory.wrap(bytes)).toString)
+  def kllStr(bytes: Array[Byte]): UTF8String = UTF8String.fromString(
+    KllDoublesSketch.heapify(Memory.wrap(bytes)).toString)
+}
+
+/** `hll_bounds(sketch, kappa) -> 'est,lo,hi'` (ds_hll_estimate_bounds_as_string). */
+case class HllBoundsStr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType, org.apache.spark.sql.types.IntegerType)
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullSafeEval(b: Any, k: Any): Any =
+    SketchStr.hllBounds(b.asInstanceOf[Array[Byte]], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, k) => s"graft.functions.SketchStr.hllBounds($b, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HllBoundsStr =
+    copy(left = l, right = r)
+  override def prettyName: String = "hll_bounds"
+}
+
+/** Shared shape for the four `ds_*_stringify` summary renderers. */
+abstract class SketchStringify
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  protected def call: String
+  override def nullSafeEval(b: Any): Any = call match {
+    case "hllStr" => SketchStr.hllStr(b.asInstanceOf[Array[Byte]])
+    case "cpcStr" => SketchStr.cpcStr(b.asInstanceOf[Array[Byte]])
+    case "thetaStr" => SketchStr.thetaStr(b.asInstanceOf[Array[Byte]])
+    case "kllStr" => SketchStr.kllStr(b.asInstanceOf[Array[Byte]])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.SketchStr.$call($b)")
+}
+
+case class HllStringify(child: Expression) extends SketchStringify {
+  override protected def call = "hllStr"
+  override protected def withNewChildInternal(c: Expression): HllStringify = copy(child = c)
+  override def prettyName: String = "hll_stringify"
+}
+case class CpcStringify(child: Expression) extends SketchStringify {
+  override protected def call = "cpcStr"
+  override protected def withNewChildInternal(c: Expression): CpcStringify = copy(child = c)
+  override def prettyName: String = "cpc_stringify"
+}
+case class ThetaStringify(child: Expression) extends SketchStringify {
+  override protected def call = "thetaStr"
+  override protected def withNewChildInternal(c: Expression): ThetaStringify = copy(child = c)
+  override def prettyName: String = "theta_stringify"
+}
+case class KllStringify(child: Expression) extends SketchStringify {
+  override protected def call = "kllStr"
+  override protected def withNewChildInternal(c: Expression): KllStringify = copy(child = c)
+  override def prettyName: String = "kll_stringify"
+}
+
 // ---- CPC sketches (compressed probabilistic counting) ----------------
 
 /** CPC distinct-count sketches — the reference's `ds_cpc_sketch`/

@@ -247,6 +247,38 @@ object AggQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // Sketch string renderers (impala_functions.py ds_hll_estimate_
+    // bounds_as_string + ds_hll/cpc/theta/kll_stringify — be/src/exprs/
+    // datasketches-functions-ir.cc:49,102,131,337). Summary layout is
+    // library-specific → rows-only; SketchSpec pins that the bounds
+    // string parses to lo ≤ est ≤ hi and brackets the exact count, and
+    // that each stringify names its sketch family. The boolean columns
+    // here keep the CHECK structural (parse + ordering), not layout-
+    // dependent.
+    "agg_sketch_str" -> ((spark, dir) => {
+      GraftFunctions.register(spark)
+      val t = Tables(spark, dir)
+      t.orders.groupBy("o_orderstatus")
+        .agg(expr("hll_sketch_agg(o_custkey)").as("hll"),
+          KllQuantile.sketch(col("o_totalprice")).as("kll"),
+          graft.functions.ThetaOps.sketch(col("o_custkey")).as("theta"),
+          graft.functions.CpcOps.sketch(col("o_custkey")).as("cpc"),
+          countDistinct(col("o_custkey")).as("nd_exact"))
+        .select(col("o_orderstatus"),
+          call_function("hll_bounds", col("hll"), lit(2)).as("hll_bounds"),
+          (element_at(split(call_function("hll_bounds", col("hll"), lit(2)), ","), 2).cast("double") <=
+            element_at(split(call_function("hll_bounds", col("hll"), lit(2)), ","), 1).cast("double") &&
+            element_at(split(call_function("hll_bounds", col("hll"), lit(2)), ","), 1).cast("double") <=
+              element_at(split(call_function("hll_bounds", col("hll"), lit(2)), ","), 3).cast("double"))
+            .as("bounds_ordered"),
+          call_function("hll_stringify", col("hll")).contains("HLL").as("hll_str_ok"),
+          call_function("cpc_stringify", col("cpc")).contains("CPC").as("cpc_str_ok"),
+          (length(call_function("theta_stringify", col("theta"))) > 0).as("theta_str_ok"),
+          call_function("kll_stringify", col("kll")).contains("Kll").as("kll_str_ok"),
+          col("nd_exact"))
+        .orderBy("o_orderstatus")
+    }),
+
     // sample()/histogram()/sampled_ndv() parity (BuiltinsDb.java:1020,
     // 1040,1179): bounded reservoir per group, seeded — partition-order
     // dependent like any distributed reservoir → rows-only + specs.

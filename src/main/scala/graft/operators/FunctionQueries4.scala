@@ -219,7 +219,15 @@ object FunctionQueries4 {
         // uuid() is per-row random (reference: impala_functions.py
         // 'uuid'); assert shape, not value — RFC-4122 v4 layout.
         expr("uuid()").rlike("^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$")
-          .as("uuid_v4_shape"))
+          .as("uuid_v4_shape"),
+        // utc_timestamp() (impala_functions.py:248): wall-clock in UTC —
+        // value is run-dependent, so assert shape + sanity (after the
+        // library's own build year). Session tz is pinned UTC in the
+        // driver contract, making current_timestamp the UTC clock; the
+        // explicit to_utc_timestamp(.., current_timezone()) form keeps
+        // the expression correct under any session tz.
+        expr("to_utc_timestamp(current_timestamp(), current_timezone())")
+          .cast("date").geq(lit("2024-01-01")).as("utc_ts_sane"))
     }),
 
     // F33: the remaining one-line registry aliases from the reference's
@@ -343,6 +351,28 @@ object FunctionQueries4 {
           date_format(col("o_orderdate"), "MMMM").as("mname"),
           date_add(col("o_orderdate").cast("date"), 14).as("plus2w"),
           add_months(col("o_orderdate").cast("date"), 3).as("plus_q"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Registry datetime aliases (impala_functions.py:254,256,266 —
+    // timestamp-functions-ir.cc:525,598,176): timestamp_cmp is the
+    // -1/0/1 three-way compare (NULL if either side is), int_months_
+    // between truncates months_between toward zero (static_cast<int>),
+    // from_timestamp(ts, fmt) renders with a format pattern —
+    // date_format is the Spark twin (the Impala pattern dialect maps
+    // 'yyyy-MM-dd HH:mm:ss' unchanged).
+    "fn_datetime7" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val pivot = lit("1996-06-15").cast("timestamp")
+      t.orders.filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          when(col("o_orderdate") > pivot, 1)
+            .when(col("o_orderdate") < pivot, -1)
+            .otherwise(when(col("o_orderdate").isNull, lit(null)).otherwise(0))
+            .cast("long").as("ts_cmp"),
+          months_between(col("o_orderdate"), pivot).cast("int").cast("long").as("int_mb"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("from_ts"),
+          date_format(col("o_orderdate"), "EEEE").as("from_ts_day"))
         .orderBy("o_orderkey")
     }),
   )
@@ -516,6 +546,18 @@ object FunctionQueries4 {
         |  monthname(o_orderdate) AS mname,
         |  CAST(o_orderdate + INTERVAL 14 DAY AS DATE) AS plus2w,
         |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_q
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+
+    "fn_datetime7" ->
+      """SELECT o_orderkey,
+        |  CAST(CASE WHEN o_orderdate > TIMESTAMP '1996-06-15' THEN 1
+        |            WHEN o_orderdate < TIMESTAMP '1996-06-15' THEN -1
+        |            ELSE 0 END AS BIGINT) AS ts_cmp,
+        |  CAST(trunc(round((EXTRACT(YEAR FROM o_orderdate) - 1996) * 12 + (EXTRACT(MONTH FROM o_orderdate) - 6)
+        |    + CASE WHEN EXTRACT(DAY FROM o_orderdate) = 15 THEN 0.0
+        |           ELSE (EXTRACT(DAY FROM o_orderdate) - 15) / 31.0 END, 8)) AS BIGINT) AS int_mb,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS from_ts,
+        |  strftime(o_orderdate, '%A') AS from_ts_day
         |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
   )
 }

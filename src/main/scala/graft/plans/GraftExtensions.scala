@@ -84,6 +84,16 @@ object GraftFunctions {
       arity("theta_intersect_f", 2)(es => ThetaIntersectF(es(0), es(1)))),
     ("theta_exclude_f", info("theta_exclude_f", "theta_exclude_f(a, b) - serialized sketch of A \\ B"),
       arity("theta_exclude_f", 2)(es => ThetaExcludeF(es(0), es(1)))),
+    ("hll_bounds", info("hll_bounds", "hll_bounds(sketch, kappa) - 'est,lo,hi' bounds string of an HLL sketch"),
+      arity("hll_bounds", 2)(es => HllBoundsStr(es(0), es(1)))),
+    ("hll_stringify", info("hll_stringify", "hll_stringify(sketch) - HLL sketch summary string"),
+      arity("hll_stringify", 1)(es => HllStringify(es.head))),
+    ("cpc_stringify", info("cpc_stringify", "cpc_stringify(sketch) - CPC sketch summary string"),
+      arity("cpc_stringify", 1)(es => CpcStringify(es.head))),
+    ("theta_stringify", info("theta_stringify", "theta_stringify(sketch) - theta sketch summary string"),
+      arity("theta_stringify", 1)(es => ThetaStringify(es.head))),
+    ("kll_stringify", info("kll_stringify", "kll_stringify(sketch) - KLL sketch summary string"),
+      arity("kll_stringify", 1)(es => KllStringify(es.head))),
     ("iceberg_bucket", info("iceberg_bucket", "iceberg_bucket(v, n) - Iceberg bucket partition transform"),
       arity("iceberg_bucket", 2)(es => IcebergBucket(es(0), es(1)))),
     ("iceberg_truncate", info("iceberg_truncate", "iceberg_truncate(v, w) - Iceberg truncate partition transform"),

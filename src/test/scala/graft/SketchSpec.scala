@@ -157,4 +157,35 @@ class SketchSpec extends SparkSpec {
     val selfU = CpcOps.unionEst(pair(0), pair(0))
     assert(math.abs(selfU - ests(0)) / ests(0) < 0.01, s"$selfU vs ${ests(0)}")
   }
+
+  test("sketch stringify: hll_bounds brackets the exact count; summaries name their family") {
+    import graft.functions.{CpcOps, KllQuantile, ThetaOps}
+    GraftFunctions.register(spark)
+    val df = (1 to 10000).map(i => (i % 1500).toLong).toDF("x").repartition(8)
+    val row = df.agg(
+      expr("hll_sketch_agg(x)").as("hll"),
+      KllQuantile.sketch($"x".cast("double")).as("kll"),
+      ThetaOps.sketch($"x").as("theta"),
+      CpcOps.sketch($"x").as("cpc")).select(
+      call_function("hll_bounds", $"hll", lit(1)).as("b1"),
+      call_function("hll_bounds", $"hll", lit(3)).as("b3"),
+      call_function("hll_stringify", $"hll").as("hs"),
+      call_function("cpc_stringify", $"cpc").as("cs"),
+      call_function("theta_stringify", $"theta").as("ts"),
+      call_function("kll_stringify", $"kll").as("ks")).collect().head
+    def parse(s: String): Array[Double] = s.split(",").map(_.toDouble)
+    val Array(e1, lo1, hi1) = parse(row.getString(0))
+    val Array(e3, lo3, hi3) = parse(row.getString(1))
+    assert(lo1 <= e1 && e1 <= hi1 && lo3 <= e3 && e3 <= hi3)
+    assert(lo3 <= lo1 && hi1 <= hi3, "kappa=3 interval must contain kappa=1's")
+    assert(lo3 <= 1500.0 && 1500.0 <= hi3, s"exact 1500 outside [$lo3,$hi3]")
+    assert(row.getString(2).contains("HLL") && row.getString(3).contains("CPC"))
+    assert(row.getString(4).nonEmpty && row.getString(5).contains("Kll"))
+    // reference rejects kappa outside 1..3 (datasketches-functions-ir.cc:57)
+    val bad = intercept[Exception] {
+      df.agg(expr("hll_sketch_agg(x)").as("h"))
+        .select(call_function("hll_bounds", $"h", lit(4))).collect()
+    }
+    assert(bad.getMessage != null)
+  }
 }
