@@ -375,6 +375,29 @@ object FunctionQueries4 {
           date_format(col("o_orderdate"), "EEEE").as("from_ts_day"))
         .orderBy("o_orderkey")
     }),
+
+    // Regexp DIALECT pin. The reference compiles patterns with RE2
+    // (be/src/exprs/string-functions-ir.cc:874 CompileRegex), which
+    // REJECTS backreferences and lookaround at compile time; Spark
+    // compiles java.util.regex, which accepts them. This query pins the
+    // delta the way fn_utf8_mode pins string semantics: each Java-only
+    // construct (backreference '(.)\1', lookahead '(?=…)', lookbehind
+    // '(?<=…)') is mirrored in the oracle by an RE2-expressible rewrite
+    // (adjacent-char scan / capture groups) — DuckDB runs RE2 too, so a
+    // literal mirror would error exactly like Impala. The last two
+    // columns pin the agreement surface ('\w', '(?i)') where both
+    // dialects coincide.
+    "fn_regexp_dialect" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.part.filter(col("p_partkey") < 500)
+        .select(col("p_partkey"),
+          col("p_name").rlike("(.)\\1").as("has_doubled_char"),
+          regexp_extract(col("p_name"), "^[a-z]+(?=\\s)", 0).as("first_word_la"),
+          regexp_extract(col("p_name"), "(?<=\\s)[a-z]+$", 0).as("last_word_lb"),
+          col("p_name").rlike("^\\w+\\s\\w+$").as("two_words"),
+          regexp_replace(col("p_name"), "(?i)WIDGET", "W").as("ci_replace"))
+        .orderBy("p_partkey")
+    }),
   )
 
   private val duckMangle = "translate(c_name, '0123456789', 'OIZEASGTBQ')"
@@ -559,5 +582,16 @@ object FunctionQueries4 {
         |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS from_ts,
         |  strftime(o_orderdate, '%A') AS from_ts_day
         |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+
+    "fn_regexp_dialect" ->
+      """SELECT p_partkey,
+        |  coalesce(list_contains(
+        |    [p_name[i+1:i+1] = p_name[i:i] for i in range(1, strlen(p_name))], true), false)
+        |    AS has_doubled_char,
+        |  regexp_extract(p_name, '^([a-z]+)\s', 1) AS first_word_la,
+        |  regexp_extract(p_name, '\s([a-z]+)$', 1) AS last_word_lb,
+        |  regexp_matches(p_name, '^\w+\s\w+$') AS two_words,
+        |  regexp_replace(p_name, 'WIDGET', 'W', 'gi') AS ci_replace
+        |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin,
   )
 }
