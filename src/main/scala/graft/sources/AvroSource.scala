@@ -26,12 +26,16 @@ import scala.jdk.CollectionConverters._
   * SURVEY note writing Avro off as unavailable was wrong and is
   * retracted by this source).
   *
-  * Read path: DataSource V2, one InputPartition per .avro container
-  * file, with COLUMN PRUNING pushed into Avro itself — the pruned Spark
-  * schema becomes the Avro *reader schema*, so skipped fields are never
-  * decoded (Avro schema-resolution projection, the same mechanism the
-  * reference's scanner uses). At 100 TB the unit of parallelism is the
-  * file; writers that need finer splits write more, smaller containers.
+  * Read path: DataSource V2 with COLUMN PRUNING pushed into Avro itself
+  * — the pruned Spark schema becomes the Avro *reader schema*, so
+  * skipped fields are never decoded (Avro schema-resolution projection,
+  * the same mechanism the reference's scanner uses). Large containers
+  * are SPLIT on Avro's 16-byte sync markers into byte ranges (default
+  * 64 MiB, `split_bytes` option): each partition seeks to the first
+  * block after its range start and reads until past its range end —
+  * exactly the reference scanner's split protocol
+  * (hdfs-avro-scanner.cc block/sync handling), so one huge container
+  * still fans out across executors at 100 TB.
   *
   * Type mapping (both directions): long/int/double/float/boolean/string/
   * bytes, plus TimestampType <-> long logicalType timestamp-micros
@@ -60,11 +64,16 @@ class AvroSource extends TableProvider {
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new AvroTable(properties.get("path"), schema)
+                        properties: util.Map[String, String]): Table = {
+    val split = Option(properties.get("split_bytes")).map(_.toLong)
+      .getOrElse(AvroSource.DefaultSplitBytes)
+    new AvroTable(properties.get("path"), schema, split)
+  }
 }
 
 object AvroSource {
+  val DefaultSplitBytes: Long = 64L * 1024 * 1024
+
   def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
     require(p != null, "graft.sources.AvroSource requires .load(path)")
@@ -73,62 +82,85 @@ object AvroSource {
 
   /** Deterministic (name-sorted) listing so partition planning is
     * stable across runs. */
-  def listFiles(path: String): Seq[org.apache.hadoop.fs.Path] = {
+  def listFiles(path: String): Seq[org.apache.hadoop.fs.Path] =
+    listStatus(path).map(_.getPath)
+
+  def listStatus(path: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     fs.listStatus(p).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
-      .map(_.getPath).sortBy(_.getName)
+      .sortBy(_.getPath.getName)
   }
 }
 
-class AvroTable(path: String, schema: StructType) extends Table with SupportsRead {
+class AvroTable(path: String, schema: StructType, splitBytes: Long)
+    extends Table with SupportsRead {
   override def name(): String = s"graft_avro($path)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroScanBuilder(path, schema)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val split = Option(options.get("split_bytes")).map(_.toLong).getOrElse(splitBytes)
+    new AvroScanBuilder(path, schema, split)
+  }
 }
 
-class AvroScanBuilder(path: String, full: StructType)
+class AvroScanBuilder(path: String, full: StructType, splitBytes: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var pruned: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit = pruned = requiredSchema
-  override def build(): Scan = new AvroScan(path, pruned)
+  override def build(): Scan = new AvroScan(path, pruned, splitBytes)
 }
 
-case class AvroInputPartition(file: String) extends InputPartition
+/** One byte range of one container; [start, end) in the sync-marker
+  * protocol — read blocks whose first sync AFTER `start` begins before
+  * `end` (DataFileReader.sync/pastSync). Ranges tile the file, so every
+  * block lands in exactly one partition. */
+case class AvroInputPartition(file: String, start: Long, end: Long) extends InputPartition
 
-class AvroScan(path: String, pruned: StructType) extends Scan with Batch {
+class AvroScan(path: String, pruned: StructType, splitBytes: Long) extends Scan with Batch {
   override def readSchema(): StructType = pruned
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_avro $path cols=${pruned.fieldNames.mkString(",")}"
-  override def planInputPartitions(): Array[InputPartition] =
-    AvroSource.listFiles(path).map(f => AvroInputPartition(f.toString)).toArray
+    s"graft_avro $path cols=${pruned.fieldNames.mkString(",")} split=$splitBytes"
+  override def planInputPartitions(): Array[InputPartition] = {
+    require(splitBytes > 0, s"split_bytes must be positive, got $splitBytes")
+    AvroSource.listStatus(path).flatMap { st =>
+      val len = st.getLen
+      val f = st.getPath.toString
+      (0L until math.max(1L, (len + splitBytes - 1) / splitBytes))
+        .map(i => AvroInputPartition(f, i * splitBytes, math.min(len, (i + 1) * splitBytes)))
+    }.toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(AvroConvert.toAvroSchema(pruned).toString, pruned)
+    new AvroReaderFactory(pruned)
 }
 
-class AvroReaderFactory(readerSchemaJson: String, pruned: StructType)
-    extends PartitionReaderFactory {
+class AvroReaderFactory(pruned: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[AvroInputPartition].file
+    val p = partition.asInstanceOf[AvroInputPartition]
     new PartitionReader[InternalRow] {
       // executor-local Configuration: file:// and default-FS reads need
       // no driver-side settings; cluster deployments get core-site.xml
       // from the executor classpath like any Hadoop client
       private val conf = new org.apache.hadoop.conf.Configuration()
-      private val readerSchema = new Schema.Parser().parse(readerSchemaJson)
-      // reader-schema projection: Avro decodes only the pruned fields
+      private val datumReader = new GenericDatumReader[GenericRecord]()
       private val reader = new DataFileReader[GenericRecord](
-        new FsInput(new org.apache.hadoop.fs.Path(file), conf),
-        new GenericDatumReader[GenericRecord](null, readerSchema))
+        new FsInput(new org.apache.hadoop.fs.Path(p.file), conf), datumReader)
+      // Reader-schema projection AFTER open: the pruned reader schema
+      // reuses the WRITER's record name/namespace, so Avro's name-based
+      // schema resolution accepts containers from any writer, not just
+      // AvroIO's 'graft_record' (field names still must match).
+      datumReader.setExpected(
+        AvroConvert.toAvroSchemaNamed(pruned, reader.getSchema))
+      // seek to the first sync marker after the range start; blocks
+      // before it belong to the previous partition
+      reader.sync(p.start)
       private var rec: GenericRecord = _
       override def next(): Boolean = {
-        val has = reader.hasNext
+        val has = reader.hasNext && !reader.pastSync(p.end)
         if (has) rec = reader.next()
         has
       }
@@ -169,6 +201,16 @@ object AvroConvert {
       new Schema.Field(f.name, sch, null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
     }
     Schema.createRecord("graft_record", null, "graft", false, fields.toSeq.asJava)
+  }
+
+  /** Same conversion, but named after an existing (writer) schema so
+    * Avro's name-based resolution accepts the projection regardless of
+    * which writer produced the container. */
+  def toAvroSchemaNamed(st: StructType, like: Schema): Schema = {
+    val base = toAvroSchema(st)
+    Schema.createRecord(like.getName, null, like.getNamespace, false,
+      base.getFields.asScala.map(f =>
+        new Schema.Field(f.name, f.schema, f.doc, f.defaultVal)).asJava)
   }
 
   def toSparkSchema(s: Schema): StructType = {
@@ -214,13 +256,20 @@ object AvroConvert {
     case other => other // Long / Int / Double / Float / Boolean
   }
 
-  /** External Row value -> Avro generic value (writer side). */
+  /** External Row value -> Avro generic value (writer side). Handles
+    * both datetime externals: java.sql.Timestamp/Date (default) AND
+    * java.time.Instant/LocalDate (spark.sql.datetime.java8API.enabled),
+    * so the writer works under either session config. */
   def toAvro(v: Any): AnyRef = v match {
     case null => null
     case s: String => s
     case ts: java.sql.Timestamp =>
       java.lang.Long.valueOf(ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L)
+    case i: java.time.Instant =>
+      java.lang.Long.valueOf(
+        Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L))
     case d: java.sql.Date => java.lang.Integer.valueOf(d.toLocalDate.toEpochDay.toInt)
+    case d: java.time.LocalDate => java.lang.Integer.valueOf(d.toEpochDay.toInt)
     case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
     case other => other.asInstanceOf[AnyRef] // boxed primitives
   }
@@ -278,7 +327,7 @@ object AvroIO {
     * through the Hadoop FileSystem API (file://, HDFS, or object store
     * alike). The deflate codec keeps containers splittable-by-file and
     * ~3x smaller on text-heavy columns. */
-  def write(df: DataFrame, path: String): Unit = {
+  def write(df: DataFrame, path: String, syncIntervalBytes: Int = 0): Unit = {
     val sparkSchema = df.schema
     val avroJson = AvroConvert.toAvroSchema(sparkSchema).toString
     val sc = df.sparkSession.sparkContext
@@ -294,6 +343,9 @@ object AvroIO {
       val writer = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema))
       writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+      // smaller sync interval → more blocks → finer read-side splits
+      // (0 keeps the library default, ~64 KiB per block)
+      if (syncIntervalBytes > 0) writer.setSyncInterval(syncIntervalBytes)
       writer.create(schema, stream)
       var n = 0L
       rows.foreach { row =>

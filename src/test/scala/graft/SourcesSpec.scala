@@ -92,6 +92,33 @@ class SourcesSpec extends SparkSpec {
     assert(files.nonEmpty && files.forall(_.getName.endsWith(".avro")))
   }
 
+  test("S13b: a multi-block Avro container splits on sync markers into >1 partition, losslessly") {
+    import graft.sources.AvroIO
+    val dir = tmp() + "/avro_split"
+    // ONE container (coalesce(1)) with many small blocks: 2000 rows of
+    // ~128B INCOMPRESSIBLE text (md5 hex — constant padding would
+    // deflate below one split) at a 4 KiB sync interval → dozens of
+    // sync points
+    val df = spark.range(2000).selectExpr("id",
+      "repeat(md5(cast(id AS string)), 4) AS pad")
+    AvroIO.write(df.coalesce(1), dir, syncIntervalBytes = 4096)
+    assert(graft.sources.AvroSource.listFiles(dir).size == 1, "expected a single container")
+    val back = spark.read.format("graft.sources.AvroSource")
+      .option("split_bytes", "8192").load(dir)
+    // the single huge container fans out across multiple partitions...
+    assert(back.rdd.getNumPartitions > 1,
+      s"expected >1 split partition, got ${back.rdd.getNumPartitions}")
+    // ...and the range-tiled sync protocol loses/duplicates nothing
+    assert(back.count() == 2000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).collect().head.getLong(0)
+      == (0L until 2000L).sum)
+    // a range that starts past the last sync yields an empty partition,
+    // not an error (tail tiling)
+    val one = spark.read.format("graft.sources.AvroSource")
+      .option("split_bytes", s"${Long.MaxValue / 4}").load(dir)
+    assert(one.rdd.getNumPartitions == 1 && one.count() == 2000)
+  }
+
   test("M4: compaction merges small files to the byte-sized target count, losslessly") {
     import graft.operators.TableOps
     val in = tmp() + "/shattered"
