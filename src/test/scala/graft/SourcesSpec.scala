@@ -143,6 +143,30 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("S15: RCFile round trip with sync splits, pruned column ids, and the \\N null sentinel") {
+    import graft.sources.RcIO
+    val dir = tmp() + "/rcfile"
+    val df = spark.range(3000).selectExpr(
+      "CAST(id AS string) AS k",
+      "CASE WHEN id % 7 = 0 THEN NULL ELSE repeat(md5(CAST(id AS string)), 2) END AS payload",
+      "CAST(id % 13 AS string) AS bucket")
+    // 16 KiB row groups → many sync points in one container
+    RcIO.write(df.coalesce(1), dir, rowGroupBytes = 16384)
+    val back = spark.read.format("graft.sources.RcFileSource")
+      .option("split_bytes", "32768").load(dir)
+    assert(back.rdd.getNumPartitions > 1,
+      s"expected >1 split partition, got ${back.rdd.getNumPartitions}")
+    assert(back.count() == 3000)
+    assert(back.filter(col("payload").isNull).count() == (0 until 3000).count(_ % 7 == 0))
+    assert(back.select(org.apache.spark.sql.functions.sum(col("k").cast("long")))
+      .collect().head.getLong(0) == (0L until 3000L).sum)
+    // pruning reaches the reader: scan description lists only projected
+    // columns (the READ_COLUMN_IDS skip path)
+    val prunedPlan = back.select("bucket").queryExecution.executedPlan
+      .collectLeaves().head.toString
+    assert(prunedPlan.contains("cols=bucket"), prunedPlan)
+  }
+
   test("M4: compaction merges small files to the byte-sized target count, losslessly") {
     import graft.operators.TableOps
     val in = tmp() + "/shattered"
