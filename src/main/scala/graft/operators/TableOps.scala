@@ -110,6 +110,36 @@ object TableOps {
         .orderBy("col_name")
     }),
 
+    // M1b — the reference's ACTUAL COMPUTE STATS semantics: NDV comes
+    // from ndv() (HLL), not an exact DISTINCT
+    // (fe/src/.../analysis/ComputeStatsStmt.java builds per-column
+    // ndv() aggregates). This is also the 100 TB-right plan: the exact
+    // variant above plans 4 count(DISTINCT) through a 4× Expand of the
+    // fact, while HLL sketches keep ONE pass, ONE partial-aggregated
+    // scan, no expand. Approx by design → rows-only; the spec bounds
+    // each estimate against the exact variant (HLL++ at rsd 0.05).
+    "stats_table_ndv" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val a = t.orders.agg(
+        count(lit(1)).as("n"),
+        count(col("o_orderstatus")).as("nn_status"),
+        approx_count_distinct(col("o_orderstatus")).as("ndv_status"),
+        count(col("o_orderpriority")).as("nn_prio"),
+        approx_count_distinct(col("o_orderpriority")).as("ndv_prio"),
+        count(col("o_custkey")).as("nn_cust"),
+        approx_count_distinct(col("o_custkey")).as("ndv_cust"),
+        count(col("o_totalprice")).as("nn_price"),
+        approx_count_distinct(col("o_totalprice")).as("ndv_price"))
+      a.select(expr(
+        """stack(4,
+          |  'o_orderstatus',   n, n - nn_status, ndv_status,
+          |  'o_orderpriority', n, n - nn_prio,   ndv_prio,
+          |  'o_custkey',       n, n - nn_cust,   ndv_cust,
+          |  'o_totalprice',    n, n - nn_price,  ndv_price
+          |) AS (col_name, n_rows, n_nulls, ndv)""".stripMargin))
+        .orderBy("col_name")
+    }),
+
     // M2: upsert + delete merge. Keys are bounded for verify-output
     // size only; the plan is scale-free (shuffle on the merge key).
     "merge_upsert" -> ((spark, dir) => {

@@ -167,6 +167,25 @@ class SourcesSpec extends SparkSpec {
     assert(prunedPlan.contains("cols=bucket"), prunedPlan)
   }
 
+  test("M1b: HLL COMPUTE STATS matches the exact variant within rsd, with no Expand in its plan") {
+    val exact = SparkEntry.queries("stats_table")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approxDf = SparkEntry.queries("stats_table_ndv")(spark, sf0001)
+    val approx = approxDf.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (c, nd) =>
+      assert(math.abs(approx(c) - nd) <= math.max(2.0, 0.15 * nd),
+        s"$c: hll ${approx(c)} vs exact $nd")
+    }
+    // the point of the HLL form: one scan, no Expand (the exact
+    // 4×count-DISTINCT plan multiplies the fact 4× through Expand)
+    val plan = approxDf.queryExecution.sparkPlan.toString
+    assert(!plan.contains("Expand"), s"HLL stats plan still expands:\n${plan.take(600)}")
+    val exactPlan = SparkEntry.queries("stats_table")(spark, sf0001)
+      .queryExecution.sparkPlan.toString
+    assert(exactPlan.contains("Expand"), "exact variant no longer expands — update this contrast test")
+  }
+
   test("M4: compaction merges small files to the byte-sized target count, losslessly") {
     import graft.operators.TableOps
     val in = tmp() + "/shattered"
