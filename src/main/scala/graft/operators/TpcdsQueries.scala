@@ -570,6 +570,38 @@ object TpcdsQueries {
         GROUP BY 1 ORDER BY 1""")
     }),
 
+    // DS23 (q76/q71 shape): channel-union rollup — three tagged slices
+    // of the fact UNION ALL'd, then one shared aggregate over
+    // (channel, year). The union does NOT re-scan: all three slices
+    // carry disjoint predicates over the same scan columns, and the
+    // per-slice projections are pushed below the Union so partial
+    // aggregation runs once over the unioned stream (one fact pass per
+    // slice is the TPC-DS plan too — the shape's point is the shared
+    // post-union aggregate, not slice fusion).
+    "ds_q76_channel_union" -> ((spark, dir) => {
+      views(spark, dir)
+      spark.sql(s"""
+        SELECT channel, CAST(yr AS BIGINT) AS yr,
+               ${sqlSum("ext")} AS revenue, count(*) AS n_lines
+        FROM (
+          SELECT 'returned' AS channel, year(o_orderdate) AS yr,
+                 l_extendedprice * (1.0 - l_discount) AS ext
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_returnflag = 'R'
+          UNION ALL
+          SELECT 'urgent_open', year(o_orderdate),
+                 l_extendedprice * (1.0 - l_discount)
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_returnflag <> 'R' AND o_orderpriority = '1-URGENT'
+          UNION ALL
+          SELECT 'normal', year(o_orderdate),
+                 l_extendedprice * (1.0 - l_discount)
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_returnflag <> 'R' AND o_orderpriority <> '1-URGENT')
+        GROUP BY channel, yr
+        ORDER BY channel, yr""")
+    }),
+
     // DS18 (q14 shape): cross-channel items — partkeys sold under ALL
     // THREE priority channels, then 1997 brand revenue restricted to
     // those items via an IN-subquery (planned as a shuffled semi-join;
@@ -975,6 +1007,27 @@ object TpcdsQueries {
         |WHERE l_partkey IN (SELECT l_partkey FROM freq)
         |  AND o_custkey IN (SELECT o_custkey FROM big_cust)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ds_q76_channel_union" ->
+      s"""SELECT channel, CAST(yr AS BIGINT) AS yr,
+         |       ${sqlSum("ext")} AS revenue, count(*) AS n_lines
+         |FROM (
+         |  SELECT 'returned' AS channel, year(o_orderdate) AS yr,
+         |         l_extendedprice * (1.0 - l_discount) AS ext
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE l_returnflag = 'R'
+         |  UNION ALL
+         |  SELECT 'urgent_open', year(o_orderdate),
+         |         l_extendedprice * (1.0 - l_discount)
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE l_returnflag <> 'R' AND o_orderpriority = '1-URGENT'
+         |  UNION ALL
+         |  SELECT 'normal', year(o_orderdate),
+         |         l_extendedprice * (1.0 - l_discount)
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE l_returnflag <> 'R' AND o_orderpriority <> '1-URGENT') u
+         |GROUP BY channel, yr
+         |ORDER BY channel, yr""".stripMargin,
 
     "ds_q14_cross_items" ->
       """WITH cross_items AS (
