@@ -571,33 +571,27 @@ object TpcdsQueries {
     }),
 
     // DS23 (q76/q71 shape): channel-union rollup — three tagged slices
-    // of the fact UNION ALL'd, then one shared aggregate over
-    // (channel, year). The union does NOT re-scan: all three slices
-    // carry disjoint predicates over the same scan columns, and the
-    // per-slice projections are pushed below the Union so partial
-    // aggregation runs once over the unioned stream (one fact pass per
-    // slice is the TPC-DS plan too — the shape's point is the shared
-    // post-union aggregate, not slice fusion).
+    // of the fact feeding one shared aggregate over (channel, year).
+    //
+    // Scale shape: the literal TPC-DS form UNION ALLs three
+    // fact-dimension joins — 3 fact scans + 3 join shuffles. Because
+    // the three slice predicates are DISJOINT and EXHAUSTIVE over the
+    // same scan, the channel tag is a row-local CASE: ONE
+    // lineitem⋈orders pass, one partial-aggregated shuffle (the oracle
+    // keeps the literal UNION ALL form, proving equivalence — same
+    // treatment as ds_q14's INTERSECT).
     "ds_q76_channel_union" -> ((spark, dir) => {
       views(spark, dir)
       spark.sql(s"""
         SELECT channel, CAST(yr AS BIGINT) AS yr,
                ${sqlSum("ext")} AS revenue, count(*) AS n_lines
         FROM (
-          SELECT 'returned' AS channel, year(o_orderdate) AS yr,
+          SELECT CASE WHEN l_returnflag = 'R' THEN 'returned'
+                      WHEN o_orderpriority = '1-URGENT' THEN 'urgent_open'
+                      ELSE 'normal' END AS channel,
+                 year(o_orderdate) AS yr,
                  l_extendedprice * (1.0 - l_discount) AS ext
-          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-          WHERE l_returnflag = 'R'
-          UNION ALL
-          SELECT 'urgent_open', year(o_orderdate),
-                 l_extendedprice * (1.0 - l_discount)
-          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-          WHERE l_returnflag <> 'R' AND o_orderpriority = '1-URGENT'
-          UNION ALL
-          SELECT 'normal', year(o_orderdate),
-                 l_extendedprice * (1.0 - l_discount)
-          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-          WHERE l_returnflag <> 'R' AND o_orderpriority <> '1-URGENT')
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
         GROUP BY channel, yr
         ORDER BY channel, yr""")
     }),

@@ -273,6 +273,17 @@ class PlanAuditSpec extends SparkSpec {
       s"expected ≤ 1 lineitem scan (persisted aggregate reused), got ${factScans.size}")
   }
 
+  /** q76's literal channel-UNION form is 3 fact joins; the disjoint
+    * slice predicates collapse to one CASE-tagged pass. */
+  test("ds_q76_channel_union: single fact scan, not one per channel slice") {
+    val df = SparkEntry.queries("ds_q76_channel_union")(spark, sf0001)
+    val factScans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths.exists(
+        _.getName.startsWith("lineitem")) => f
+    }
+    assert(factScans.size == 1, s"expected 1 lineitem scan, got ${factScans.size}")
+  }
+
   /** q14's literal INTERSECT chain scans the fact 4× (3 joins + main).
     * The conditional-aggregation rewrite must leave exactly 2 lineitem
     * scans: the bool_or priority cut and the 1997 main query. */
