@@ -70,6 +70,34 @@ object Corpus {
       clean(Tables(spark, dir).documents, nearDup = true)
         .select("doc_id").orderBy("doc_id")
     }),
+
+    // P30: the WHOLE training-data path as one composed job — clean
+    // (exact dedup + quality + language gates) → decontaminate
+    // (drop the carved-out benchmark docs and every doc sharing an
+    // 8-gram with them; gram equi-join, never doc×doc) → mixture-sample
+    // to target language proportions (pure-function membership) →
+    // overlapping chunking → per-language corpus stats. Every stage is
+    // scan-bound, bucket-bound, or a broadcast of a 5-row aggregate;
+    // composing them adds exactly one extra shuffle (the chunk→lang
+    // re-join on doc_id). Oracle-exact end-to-end: DuckDB replays the
+    // same five stages on the same parquet.
+    "pipe_end_to_end" -> ((spark, dir) => {
+      val docs = Tables(spark, dir).documents
+      val cleaned = clean(docs)
+      val contaminated = Curation.contamination(docs)
+      val decont = cleaned
+        .filter(col("doc_id") % 97 =!= 0) // the carved-out benchmark rows
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      val target = Seq("en" -> 0.5, "de" -> 0.2, "fr" -> 0.15, "es" -> 0.1, "zh" -> 0.05)
+      val mixed = Splits.mixture(decont, target)
+      val chunks = Curation.chunkDocuments(mixed)
+      chunks.join(mixed.select("doc_id", "lang"), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy("lang")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -91,5 +119,56 @@ object Corpus {
         |  AND CAST(n_stop AS DOUBLE) / n_words <= 0.5
         |  AND lang IN ('en', 'de', 'fr', 'es', 'zh')
         |ORDER BY doc_id""".stripMargin,
+
+    "pipe_end_to_end" ->
+      """WITH deduped AS (
+        |  SELECT doc_id, text, lang FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |feat AS (
+        |  SELECT doc_id, lang, text, length(text) AS len,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |         w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop
+        |  FROM deduped),
+        |cleaned AS (
+        |  SELECT doc_id, lang, text FROM feat
+        |  WHERE len >= 60 AND n_words >= 10
+        |    AND CAST(n_stop AS DOUBLE) / n_words <= 0.5
+        |    AND lang IN ('en', 'de', 'fr', 'es', 'zh')),
+        |wsrc AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |okg AS (SELECT * FROM wsrc WHERE len(ws) >= 8),
+        |bench AS (
+        |  SELECT DISTINCT list_aggregate(ws[1:8], 'string_agg', ' ') AS g
+        |  FROM okg WHERE doc_id % 97 = 0),
+        |grams AS (
+        |  SELECT doc_id,
+        |         unnest([list_aggregate(ws[i:i+7], 'string_agg', ' ') for i in generate_series(1, len(ws) - 7)]) AS g
+        |  FROM okg WHERE doc_id % 97 <> 0),
+        |contaminated AS (SELECT DISTINCT doc_id FROM grams JOIN bench USING (g)),
+        |decont AS (
+        |  SELECT * FROM cleaned
+        |  WHERE doc_id % 97 <> 0
+        |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |n AS (SELECT lang, count(*) AS n_lang FROM decont GROUP BY lang),
+        |wts AS (SELECT * FROM (VALUES ('en', 0.5), ('de', 0.2), ('fr', 0.15),
+        |                              ('es', 0.1), ('zh', 0.05)) AS t(lang, p)),
+        |m AS (SELECT min(CAST(n_lang AS DOUBLE) / p) AS m_star FROM n JOIN wts USING (lang)),
+        |k AS (SELECT lang, least(1.0, p * m_star / CAST(n_lang AS DOUBLE)) AS keep_frac
+        |      FROM n JOIN wts USING (lang) CROSS JOIN m),
+        |mixed AS (
+        |  SELECT d.doc_id, d.lang, d.text FROM decont d JOIN k USING (lang)
+        |  WHERE CAST(CAST(d.doc_id % 4294967296 AS DECIMAL(38,0)) * 2654435761 % 4294967296 AS DOUBLE)
+        |        / 4294967296.0 < keep_frac),
+        |cw AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS ws FROM mixed
+        |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 1),
+        |chunks AS (
+        |  SELECT doc_id, lang, ws, unnest(generate_series(0, len(ws) - 1, 6)) AS start FROM cw)
+        |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+        |  CAST(SUM(len(ws[start + 1 : start + 8])) AS BIGINT) AS sum_tokens
+        |FROM chunks GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }
