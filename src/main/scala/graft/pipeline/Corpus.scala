@@ -78,9 +78,10 @@ object Corpus {
     // to target language proportions (pure-function membership) →
     // overlapping chunking → per-language corpus stats. Every stage is
     // scan-bound, bucket-bound, or a broadcast of a 5-row aggregate;
-    // composing them adds exactly one extra shuffle (the chunk→lang
-    // re-join on doc_id). Oracle-exact end-to-end: DuckDB replays the
-    // same five stages on the same parquet.
+    // the composition adds NO shuffle of its own (chunking carries
+    // lang, so the final stats aggregate is the only new exchange).
+    // Oracle-exact end-to-end: DuckDB replays the same five stages on
+    // the same parquet.
     "pipe_end_to_end" -> ((spark, dir) => {
       val docs = Tables(spark, dir).documents
       val cleaned = clean(docs)
@@ -96,9 +97,9 @@ object Corpus {
       val mixed = Splits.mixture(decont, target)
       // chunk inline with lang CARRIED (Curation.chunkDocuments drops
       // it): a chunk→lang rejoin on doc_id would re-execute the whole
-      // clean→decontaminate→mixture upstream a second time (measured
-      // 4.6 s before the carry + persist fixes, 2.1 s after, sf0.1) — chunking is a row-local explode, so
-      // keeping the column is free
+      // clean→decontaminate→mixture upstream a second time. Chunking
+      // is a row-local explode, so keeping the column is free
+      // (4.6 s before the carry + persist fixes, 2.1 s after, sf0.1).
       mixed.select(col("doc_id"), col("lang"), Dedup.tokens(col("text")).as("w"))
         .filter(size(col("w")) >= 1)
         .select(col("doc_id"), col("lang"),
