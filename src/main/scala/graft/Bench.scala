@@ -35,7 +35,7 @@ object Bench {
     "q18_large_volume", "q19_discount_revenue", "q21_multi_supplier_orders",
     "q22_dormant_customers", "ds_q59_yoy_nation", "ds_q67_rollup_topn",
     "ds_q49_return_rank", "ds_q23_frequent_items", "ds_q14_cross_items",
-    "ds_cte_chain", "corpus_clean_neardup", "dedup_ngram_jaccard",
+    "ds_cte_chain", "ds_except_set", "corpus_clean_neardup", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_cluster_cc", "sim_lsh_topk",
     "sim_quantize_int8", "corpus_clean", "text_quality", "pipe_chunking",
     "stats_table", "asof_join_events", "events_sessionize",
@@ -94,24 +94,38 @@ object Bench {
       // ds_q23, ds_q49 all sort alphabetically AFTER the two queries
       // that introduced persists in round 4. catalog.clearCache()
       // only drops SQL-cached plans; raw RDD persists need the
-      // getPersistentRDDs sweep.
+      // getPersistentRDDs sweep. blocking = true: async removal lets a
+      // predecessor's storage reclaim stay in flight into the NEXT
+      // query's timed iterations (the round-5 residual-slowness
+      // suspect) — the sweep itself is untimed, so paying the wait here
+      // costs nothing and makes each query's start state deterministic.
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       val median =
         if (times.isEmpty) None else Some(times.sorted.apply(times.length / 2))
-      (name, median, times.length)
+      (name, median, times)
     }
     val failed = runs.collect { case (n, None, _) => n }
-    val flaky = runs.collect { case (n, Some(_), ok) if ok < iters => n }
+    val flaky = runs.collect { case (n, Some(_), ts) if ts.length < iters => n }
     val ok = runs.collect { case (n, Some(t), _) => n -> t }
     val total = ok.map(_._2).sum
     def mapJson(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     def listJson(names: Seq[String]): String =
       names.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Per-iteration times (in run order) for every query: a slow median
+    // with iter1 slow / iter2-3 fast is a cold-state signature (cache,
+    // file listing, JIT); all-iterations-slow is sustained plan cost.
+    // The round-4/5 local-vs-driver divergence on ds_cte_chain was
+    // undiagnosable from a median alone — this makes the artifact
+    // self-explaining.
+    val iterJson = runs.collect { case (n, _, ts) if ts.nonEmpty =>
+      "\"" + n + "\":" + ts.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${mapJson(ok)},""" +
-        s""""ok_iters":${ok.map { case (k, _) => "\"" + k + "\":" + runs.find(_._1 == k).get._3 }.mkString("{", ",", "}")},""" +
+        s""""iter_times":$iterJson,""" +
+        s""""ok_iters":${ok.map { case (k, _) => "\"" + k + "\":" + runs.find(_._1 == k).get._3.length }.mkString("{", ",", "}")},""" +
         s""""failed":${listJson(failed)},"flaky":${listJson(flaky)},"iters":$iters,"cpus":"$cpus","sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       full.getBytes("UTF-8"))

@@ -26,6 +26,8 @@ object TpcdsQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+  private val q49Slot =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame](null)
 
   /** Temp views for the SQL-expressed (CTE/set-op) members. */
   private def views(spark: SparkSession, dir: String): Unit = {
@@ -294,14 +296,28 @@ object TpcdsQueries {
     // DS12: EXCEPT/INTERSECT-heavy set logic (q10a/q35 family).
     "ds_except_set" -> ((spark, dir) => {
       views(spark, dir)
+      // Scale shape (the ds_q76 treatment): the literal EXCEPT/INTERSECT
+      // form scans orders twice and customer twice, each EXCEPT planning
+      // its own distinct + anti-join shuffle — 4 fact scans and 5
+      // exchanges of key traffic at 100 TB. Both EXCEPTs compare a table
+      // to ITSELF on the same key, so each collapses to ONE scan with
+      // CASE-tagged flags: group orders by custkey once (HAVING picks
+      // "seen 1996, never urgent"); customer's key is unique, so its
+      // EXCEPT is a plain conjunctive filter with no shuffle at all. The
+      // INTERSECT of two already-distinct sets is an equi-join (AQE
+      // broadcasts the filtered customer side). One orders scan + one
+      // grouping shuffle total; answer proven identical by the oracle,
+      // which keeps the literal set-op SQL.
       spark.sql("""
-        (SELECT o_custkey AS c FROM orders WHERE year(o_orderdate) = 1996
-         EXCEPT
-         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
-        INTERSECT
-        (SELECT c_custkey FROM customer WHERE c_acctbal > 0
-         EXCEPT
-         SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+        WITH o AS (
+          SELECT o_custkey AS c FROM orders
+          GROUP BY o_custkey
+          HAVING max(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) = 1
+             AND max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) = 0),
+        cust AS (
+          SELECT c_custkey AS c FROM customer
+          WHERE c_acctbal > 0 AND c_mktsegment <> 'MACHINERY')
+        SELECT o.c FROM o JOIN cust ON o.c = cust.c
         ORDER BY c""")
     }),
 
@@ -451,7 +467,9 @@ object TpcdsQueries {
         .withColumn("qty_ratio", col("ret_qty") / col("tot_qty"))
         .withColumn("amt_ratio", col("ret_amt") / col("tot_amt"))
         .select("channel", "item", "qty_ratio", "amt_ratio")
-        .persist() // bounded by |item|·|channel| — the aggregate, not the fact
+        // bounded by |item|·|channel| — the aggregate, not the fact;
+        // slot-replacing so repeated calls never accumulate pinned RDDs
+        .transform(graft.CacheSlot.replace(_, q49Slot))
       val cands = base.groupBy("channel")
         .agg(topk(col("qty_ratio"), col("item"), 10).as("qc"),
           topk(col("amt_ratio"), col("item"), 10).as("ac"))

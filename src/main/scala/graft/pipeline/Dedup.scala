@@ -20,12 +20,8 @@ object Dedup {
     * but a long-lived session running many dedup calls must not pin
     * every historical cache — each new call releases the previous one. */
   private[pipeline] def cacheReplacing(df: DataFrame,
-      slot: java.util.concurrent.atomic.AtomicReference[DataFrame]): DataFrame = {
-    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val old = slot.getAndSet(cached)
-    if ((old ne null) && (old ne cached)) old.unpersist(false)
-    cached
-  }
+      slot: java.util.concurrent.atomic.AtomicReference[DataFrame]): DataFrame =
+    graft.CacheSlot.replace(df, slot)
   private val minhashSlot = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
   private val ngramSlot = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 

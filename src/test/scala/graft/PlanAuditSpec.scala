@@ -273,6 +273,29 @@ class PlanAuditSpec extends SparkSpec {
       s"expected ≤ 1 lineitem scan (persisted aggregate reused), got ${factScans.size}")
   }
 
+  /** The q49 persist is slot-replacing (CacheSlot): repeated calls in a
+    * long-lived session must not accumulate pinned RDDs — and the
+    * repeat-same-plan case must KEEP its cache (CacheSlot's sameResult
+    * guard; without it the second call's no-op persist + unpersist
+    * drops the shared entry and runs uncached). */
+  test("ds_q49_return_rank: repeated calls neither leak persisted RDDs nor lose the cache") {
+    def run(): Long = {
+      SparkEntry.queries("ds_q49_return_rank")(spark, sf0001).count()
+      spark.sparkContext.getPersistentRDDs.size.toLong
+    }
+    val afterFirst = run()
+    val afterSecond = run()
+    assert(afterSecond <= afterFirst,
+      s"persisted RDD count grew across calls: $afterFirst -> $afterSecond")
+    // cache retained for the identical plan: the aggregate subtree is
+    // served from InMemoryRelation on the repeat call
+    val df = SparkEntry.queries("ds_q49_return_rank")(spark, sf0001)
+    val mem = df.queryExecution.sparkPlan.collect {
+      case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
+    }
+    assert(mem.nonEmpty, "repeat call lost the persisted aggregate (uncached plan)")
+  }
+
   /** q76's literal channel-UNION form is 3 fact joins; the disjoint
     * slice predicates collapse to one CASE-tagged pass. */
   test("ds_q76_channel_union: single fact scan, not one per channel slice") {
@@ -318,5 +341,33 @@ class PlanAuditSpec extends SparkSpec {
         case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }.isDefined,
         "merge hint ignored")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  /** Window-cardinality rule (§5.11): an unpartitioned Window moves ALL
+    * rows to one task — a scale-killer unless its input is bounded by
+    * construction. Exactly two queries are allowed to plan one, each
+    * with a proof of bounded input:
+    *   - agg_equidepth_hist: input filtered to o_orderkey < 20000
+    *     before the global ntile (AggQueries.scala)
+    *   - sim_ivf_topk: the global window seeds centroids over ≤ cells
+    *     rows (Similarity.scala)
+    * Every other query in the registry must partition every window (or
+    * use the bounded TopK aggregator instead — the ds_q49 treatment).
+    * This closes the round-5 "WindowExec: No Partition Defined" tail:
+    * the allowed set is enumerated here, so a NEW offender fails CI
+    * instead of scrolling past as a warning. */
+  test("only the two documented bounded-input queries plan an unpartitioned window") {
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val allowed = Set("agg_equidepth_hist", "sim_ivf_topk")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val df = fn(spark, sf0001)
+      val global = df.queryExecution.optimizedPlan.collectWithSubqueries {
+        case w: Window if w.partitionSpec.isEmpty => w
+      }
+      if (global.nonEmpty) Some(name) else None
+    }
+    assert(offenders.toSet == allowed,
+      s"undocumented global windows: ${offenders.toSet -- allowed}; " +
+        s"stale allowance: ${allowed -- offenders.toSet}")
   }
 }
