@@ -35,7 +35,8 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.queries ++ graft.pipeline.Corpus.queries ++
       graft.pipeline.Multimodal.queries ++ graft.pipeline.Splits.queries ++ graft.pipeline.Curation.queries ++
       graft.pipeline.Cluster.queries ++ AsOfJoin.queries ++ BandJoin.queries ++
-      graft.sources.NestedParquet.queries ++ graft.sources.AvroQueries.queries ++ graft.sources.SequenceQueries.queries ++ graft.sources.RcFileQueries.queries
+      graft.sources.NestedParquet.queries ++ graft.sources.AvroQueries.queries ++ graft.sources.SequenceQueries.queries ++ graft.sources.RcFileQueries.queries ++
+      graft.sources.IcebergQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -48,5 +49,6 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.oracles ++ graft.pipeline.Corpus.oracles ++
       graft.pipeline.Multimodal.oracles ++ graft.pipeline.Splits.oracles ++ graft.pipeline.Curation.oracles ++
       graft.pipeline.Cluster.oracles ++ AsOfJoin.oracles ++ BandJoin.oracles ++
-      graft.sources.NestedParquet.oracles ++ graft.sources.AvroQueries.oracles ++ graft.sources.SequenceQueries.oracles ++ graft.sources.RcFileQueries.oracles
+      graft.sources.NestedParquet.oracles ++ graft.sources.AvroQueries.oracles ++ graft.sources.SequenceQueries.oracles ++ graft.sources.RcFileQueries.oracles ++
+      graft.sources.IcebergQueries.oracles
 }
