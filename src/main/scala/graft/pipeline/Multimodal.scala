@@ -7,12 +7,14 @@ import graft.functions.HashImpl
 /** Multimodal column plumbing (SURVEY.md §2 P13): media payloads ride as
   * opaque `binary` columns next to typed metadata, and feature extraction
   * runs as partition-local batch decode. The Spark-side machinery —
-  * schema, encoders, batch shape, partition preservation — is genuine;
-  * the IMAGE modality decodes for real through javax.imageio (PNG/JPEG/
-  * GIF/BMP ship in the JDK) and the AUDIO modality through
-  * javax.sound.sampled (WAV/PCM and AIFF ship in the JDK); only video
-  * remains stubbed (the JDK bundles no video codec), clearly marked
-  * below.
+  * schema, encoders, batch shape, partition preservation — is genuine,
+  * and so are all three modalities: IMAGE decodes through javax.imageio
+  * (PNG/JPEG/GIF/BMP ship in the JDK), AUDIO through javax.sound.sampled
+  * (WAV/PCM and AIFF ship in the JDK), and VIDEO as MJPEG-in-AVI — a
+  * RIFF container walk (the same chunk protocol as WAV) whose '00dc'
+  * frame chunks are plain JPEGs, each decoded by javax.imageio. A codec
+  * the JDK genuinely lacks (H.264 etc.) degrades to the deterministic
+  * fallback features, same contract as a corrupt image payload.
   */
 object Multimodal {
 
@@ -142,12 +144,149 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** === STUB DECODE (video only) ===
-    * A real deployment decodes video with a codec library (per-batch,
-    * vectorized — the JVM analogue of a pandas-batched UDF); the JDK
-    * bundles none. Deterministic fake: feature[i] = unit-scaled bits of
-    * fnv64(payload ++ [i]). Same payload → same features, any executor.
-    * Also the degradation target for corrupt image/audio payloads. */
+  // ---- video: MJPEG-in-AVI via RIFF walk + javax.imageio -------------
+
+  private def u32le(v: Long): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def readU32le(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "ISO-8859-1")
+
+  /** One deterministic JPEG frame: pixels from splitmix64(seed, f, x, y)
+    * through the REAL JPEG encoder. */
+  private def jpegFrame(seed: Long, frame: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (HashImpl.splitmix64(seed * 131071L + frame * 16384L + y * w + x) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** Deterministic tiny MJPEG-in-AVI: a spec-shaped RIFF('AVI ') with
+    * hdrl (avih + one 'vids'/'MJPG' stream) and a movi LIST whose
+    * '00dc' chunks are real JPEGs — the video twin of [[pngPayload]] /
+    * [[wavPayload]]. Any MJPEG-capable player decodes these bytes. */
+  def aviPayload(seed: Long, nFrames: Int = 4, w: Int = 16, h: Int = 16,
+                 fps: Int = 25): Array[Byte] = {
+    def cc(s: String) = s.getBytes("ISO-8859-1")
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      cc(id) ++ u32le(data.length.toLong) ++ data ++ pad
+    }
+    def list(kind: String, data: Array[Byte]): Array[Byte] =
+      cc("LIST") ++ u32le(data.length + 4L) ++ cc(kind) ++ data
+    val frames = (0 until nFrames).map(f => jpegFrame(seed, f, w, h))
+    // avih: 14 little-endian u32s (56 bytes)
+    val avih = chunk("avih",
+      u32le(1000000L / fps) ++ u32le(0) ++ u32le(0) ++ u32le(0x10) /* HASINDEX off, flags */ ++
+        u32le(nFrames.toLong) ++ u32le(0) ++ u32le(1) ++ u32le(0) ++
+        u32le(w.toLong) ++ u32le(h.toLong) ++ u32le(0) ++ u32le(0) ++ u32le(0) ++ u32le(0))
+    // strh: 'vids'/'MJPG', rate/scale = fps/1
+    val strh = chunk("strh",
+      cc("vids") ++ cc("MJPG") ++ u32le(0) ++ u32le(0) ++ u32le(0) ++
+        u32le(1) ++ u32le(fps.toLong) ++ u32le(0) ++ u32le(nFrames.toLong) ++
+        u32le(frames.map(_.length).max.toLong) ++ u32le(0xffffffffL) ++ u32le(0) ++
+        Array[Byte](0, 0, 0, 0, (w & 0xff).toByte, (w >> 8).toByte,
+          (h & 0xff).toByte, (h >> 8).toByte))
+    // strf: BITMAPINFOHEADER with biCompression 'MJPG'
+    val strf = chunk("strf",
+      u32le(40) ++ u32le(w.toLong) ++ u32le(h.toLong) ++
+        Array[Byte](1, 0, 24, 0) ++ cc("MJPG") ++ u32le(w.toLong * h * 3) ++
+        u32le(0) ++ u32le(0) ++ u32le(0) ++ u32le(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = cc("AVI ") ++ hdrl ++ movi
+    cc("RIFF") ++ u32le(body.length.toLong) ++ body
+  }
+
+  /** REAL video decode: RIFF/AVI chunk walk (header metadata from avih,
+    * frame payloads from the movi LIST's 00dc/00db chunks), each frame
+    * through javax.imageio's JPEG decoder. Features: [frame count,
+    * width, height, fps, mean luminance, motion (mean |Δ luminance|
+    * between consecutive frames), mean R, mean G, mean B] — luminance
+    * unit-scaled. Returns None for anything that is not a decodable
+    * MJPEG AVI (wrong magic, truncated chunks, non-JPEG frames): the
+    * caller degrades to the fallback, same contract as [[decodeImage]]. */
+  private[graft] def decodeVideo(payload: Array[Byte], dim: Int): Option[Array[Float]] =
+    scala.util.Try {
+      require(payload.length >= 12 && fourcc(payload, 0) == "RIFF" &&
+        fourcc(payload, 8) == "AVI ", "not a RIFF/AVI container")
+      var usPerFrame = 0L; var width = 0L; var height = 0L
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      // chunk walk: [id][u32 size][data, even-padded]; LIST chunks nest
+      def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+        var pos = from
+        while (pos + 8 <= to) {
+          val id = fourcc(payload, pos)
+          val size = readU32le(payload, pos + 4).toInt
+          val dataStart = pos + 8
+          id match {
+            case "LIST" =>
+              val kind = fourcc(payload, dataStart)
+              walk(dataStart + 4, dataStart + size, inMovi || kind == "movi")
+            case "avih" =>
+              usPerFrame = readU32le(payload, dataStart)
+              width = readU32le(payload, dataStart + 32)
+              height = readU32le(payload, dataStart + 36)
+            case "00dc" | "00db" if inMovi && size > 0 =>
+              frames += java.util.Arrays.copyOfRange(payload, dataStart, dataStart + size)
+            case _ => ()
+          }
+          pos = dataStart + size + (size & 1) // chunks are even-aligned
+        }
+      }
+      walk(12, payload.length, inMovi = false)
+      require(frames.nonEmpty, "no movi frames")
+      var sr = 0.0; var sg = 0.0; var sb = 0.0
+      var lumSum = 0.0; var motion = 0.0; var prevLum = Double.NaN
+      var decoded = 0
+      frames.foreach { f =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+        require(img != null, "undecodable frame")
+        val w = img.getWidth; val h = img.getHeight
+        var fr = 0L; var fg = 0L; var fb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            fr += (p >> 16) & 0xff; fg += (p >> 8) & 0xff; fb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toDouble * h * 255.0
+        val lum = (fr * 299L + fg * 587L + fb * 114L) / 1000.0 / n
+        sr += fr / n; sg += fg / n; sb += fb / n
+        lumSum += lum
+        if (!prevLum.isNaN) motion += math.abs(lum - prevLum)
+        prevLum = lum
+        decoded += 1
+      }
+      val fps = if (usPerFrame > 0) 1e6 / usPerFrame else 0.0
+      val base = Array[Float](decoded.toFloat, width.toFloat, height.toFloat,
+        fps.toFloat, (lumSum / decoded).toFloat,
+        (if (decoded > 1) motion / (decoded - 1) else 0.0).toFloat,
+        (sr / decoded).toFloat, (sg / decoded).toFloat, (sb / decoded).toFloat)
+      java.util.Arrays.copyOf(base, dim)
+    }.toOption
+
+  /** Deterministic fallback for payloads NO JDK codec can decode (e.g.
+    * H.264 video) and the degradation target for corrupt image/audio/
+    * video payloads: feature[i] = unit-scaled bits of
+    * fnv64(payload ++ [i]). Same payload → same features, any executor. */
   private def stubFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
     val f = new Array[Float](dim)
     var i = 0
@@ -164,7 +303,8 @@ object Multimodal {
       val feats = m.modality match {
         case "image" => decodeImage(m.payload, dim).getOrElse(stubFeatures(m.payload, dim))
         case "audio" => decodeAudio(m.payload, dim).getOrElse(stubFeatures(m.payload, dim))
-        case _ => stubFeatures(m.payload, dim) // STUB: no video codec in the JDK
+        case "video" => decodeVideo(m.payload, dim).getOrElse(stubFeatures(m.payload, dim))
+        case _ => stubFeatures(m.payload, dim)
       }
       MediaFeatures(m.id, m.modality, dim, feats)
     }
@@ -188,15 +328,16 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Media table whose image rows carry REAL PNG payloads and audio rows
-    * REAL WAV payloads (both encoded on the executors, partition-local);
-    * video keeps the synthetic bytes its stub consumes. */
+  /** Media table whose image rows carry REAL PNG payloads, audio rows
+    * REAL WAV payloads, and video rows REAL MJPEG-AVI payloads (all
+    * encoded on the executors, partition-local). */
   def mediaWithRealImages(spark: SparkSession, docs: DataFrame): Dataset[MediaItem] = {
     import spark.implicits._
     mediaFromDocuments(docs).as[MediaItem].mapPartitions(_.map { m =>
       m.modality match {
         case "image" => m.copy(payload = pngPayload(m.id))
         case "audio" => m.copy(payload = wavPayload(m.id))
+        case "video" => m.copy(payload = aviPayload(m.id, nFrames = 3, w = 8, h = 8))
         case _ => m
       }
     })
@@ -313,6 +454,25 @@ object Multimodal {
           round(element_at(col("features"), 5), 4).as("rms"),
           round(element_at(col("features"), 6), 4).as("peak"),
           round(element_at(col("features"), 7), 4).as("zcr"))
+        .orderBy("id")
+    }),
+    // P13 video path: encode genuine MJPEG-AVI containers on the
+    // executors, decode back through the RIFF walk + javax.imageio per
+    // frame. Container metadata (n_frames/w/h/fps) is bit-exact; pixel
+    // statistics are JPEG-lossy, so only container fields are selected
+    // here (PipelineSpec pins the pixel stats of a hand-built
+    // solid-color AVI with tolerance). Rows-only: no SQL codec.
+    "mm_video_decode" -> ((spark, dir) => {
+      val docs = graft.Tables(spark, dir).documents.filter(col("doc_id") < 300)
+      extractFeatures(mediaWithRealImages(spark, docs), dim = 9).toDF()
+        .filter(col("modality") === "video")
+        .select(col("id"),
+          element_at(col("features"), 1).cast("long").as("n_frames"),
+          element_at(col("features"), 2).cast("long").as("w"),
+          element_at(col("features"), 3).cast("long").as("h"),
+          element_at(col("features"), 4).cast("long").as("fps"),
+          (element_at(col("features"), 5) > 0f && element_at(col("features"), 5) < 1f)
+            .as("lum_in_unit_range"))
         .orderBy("id")
     }),
   )

@@ -439,4 +439,43 @@ class PipelineSpec extends SparkSpec {
     val bad = Seq(MediaItem(8L, "audio", corrupt, MediaMeta(0, 0, 0))).toDS()
     assert(Multimodal.extractFeatures(bad, dim = 4).collect().head.features.length == 4)
   }
+
+  test("multimodal: real MJPEG-AVI decode recovers pinned container + pixel stats") {
+    import Multimodal.{MediaItem, MediaMeta}
+    // hand-built container, independent of aviPayload's builders: RIFF/
+    // AVI with an avih (16×16 @ 25fps) and two solid-color JPEG frames
+    // (mid-gray 128 then white 255) — solid colors survive JPEG's DCT
+    // near-exactly, so luminance and motion pin within tolerance
+    def u32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String) = s.getBytes("ISO-8859-1")
+    def chunk(id: String, d: Array[Byte]) =
+      cc(id) ++ u32(d.length.toLong) ++ d ++ (if (d.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(kind: String, d: Array[Byte]) = cc("LIST") ++ u32(d.length + 4L) ++ cc(kind) ++ d
+    def solidJpeg(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, rgb)
+      val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", o); o.toByteArray
+    }
+    val avih = chunk("avih", u32(40000L) ++ Array.fill(7)(u32(0L)).flatten ++
+      u32(16L) ++ u32(16L) ++ u32(0L) ++ u32(0L) ++ u32(0L) ++ u32(0L))
+    val movi = list("movi", chunk("00dc", solidJpeg(0x808080)) ++ chunk("00dc", solidJpeg(0xffffff)))
+    val body = cc("AVI ") ++ list("hdrl", avih) ++ movi
+    val avi = cc("RIFF") ++ u32(body.length.toLong) ++ body
+    val f = Multimodal.decodeVideo(avi, 9).get
+    assert(f(0) == 2f && f(1) == 16f && f(2) == 16f && f(3) == 25f)
+    assert(math.abs(f(4) - (128.0 / 255 + 1.0) / 2) < 0.02) // mean luminance
+    assert(math.abs(f(5) - (1.0 - 128.0 / 255)) < 0.03)     // motion |Δlum|
+    assert(math.abs(f(6) - f(7)) < 0.02 && math.abs(f(7) - f(8)) < 0.02) // gray: R≈G≈B
+    // aviPayload round trip through the distributed Dataset path
+    val ds = Seq(MediaItem(9L, "video", Multimodal.aviPayload(9L, nFrames = 3, w = 8, h = 8),
+      MediaMeta(8, 8, 0))).toDS()
+    val feats = Multimodal.extractFeatures(ds, dim = 9).collect().head
+    assert(feats.features(0) == 3f && feats.features(1) == 8f && feats.features(3) == 25f)
+    // corrupt payload (bad magic / truncated movi) degrades to the
+    // fallback instead of failing the task
+    val bad = Seq(MediaItem(10L, "video", avi.take(40), MediaMeta(0, 0, 0))).toDS()
+    assert(Multimodal.extractFeatures(bad, dim = 4).collect().head.features.length == 4)
+  }
 }
