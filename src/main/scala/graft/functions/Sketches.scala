@@ -340,16 +340,31 @@ case class KllQuantiles(left: Expression, right: Expression) extends KllArrayEst
 /** Static backing for the reference's sketch-rendering builtins
   * (impala_functions.py `ds_hll_estimate_bounds_as_string`,
   * `ds_hll/cpc/theta/kll_stringify`; be/src/exprs/
-  * datasketches-functions-ir.cc). Semantic deltas, pinned in
-  * SketchSpec: bounds render with 2 fixed decimals (the reference
-  * inherits C++ stringstream 6-significant-digit default), and
+  * datasketches-functions-ir.cc). Bounds render exactly as the
+  * reference's C++ stringstream does — default precision 6
+  * significant digits with %g trailing-zero stripping (pinned on
+  * known values in SketchSpec). Remaining delta, also pinned:
   * stringify returns the datasketches-java summary (same content
   * as the C++ library's, different layout). */
 object SketchStr {
   import org.apache.spark.unsafe.types.UTF8String
 
-  private def fmt(v: Double): String =
-    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+  /** C++ `ostream << double` parity: 6 significant digits, %g style,
+    * trailing zeros (and a bare trailing '.') stripped from the
+    * mantissa — "1234.57", "100000", "0.5", "1.23457e+06". */
+  private def fmt(v: Double): String = {
+    val g = String.format(java.util.Locale.ROOT, "%.6g", Double.box(v))
+    val (mant, exp) = g.indexOf('e') match {
+      case -1 => (g, "")
+      case i => (g.substring(0, i), g.substring(i))
+    }
+    var m = mant
+    if (m.contains('.')) {
+      m = m.reverse.dropWhile(_ == '0').reverse
+      if (m.endsWith(".")) m = m.dropRight(1)
+    }
+    m + exp
+  }
 
   /** "estimate,lower,upper" at kappa std deviations (kappa ∈ 1..3;
     * reference default kappa = 2 — datasketches-common.h:50). */

@@ -573,7 +573,8 @@ object FunctionQueries4 {
 
     "fn_datetime7" ->
       """SELECT o_orderkey,
-        |  CAST(CASE WHEN o_orderdate > TIMESTAMP '1996-06-15' THEN 1
+        |  CAST(CASE WHEN o_orderdate IS NULL THEN NULL
+        |            WHEN o_orderdate > TIMESTAMP '1996-06-15' THEN 1
         |            WHEN o_orderdate < TIMESTAMP '1996-06-15' THEN -1
         |            ELSE 0 END AS BIGINT) AS ts_cmp,
         |  CAST(trunc(round((EXTRACT(YEAR FROM o_orderdate) - 1996) * 12 + (EXTRACT(MONTH FROM o_orderdate) - 6)

@@ -118,8 +118,11 @@ class RcReaderFactory(prunedIds: Seq[Int]) extends PartitionReaderFactory {
       override def get(): InternalRow =
         InternalRow.fromSeq(prunedIds.map { i =>
           val ref = row.get(i)
-          val s = UTF8String.fromBytes(ref.getData, ref.getStart, ref.getLength)
-          if (s.toString == "\\N") null else s
+          // null sentinel test on the raw bytes — no per-cell String
+          // allocation on the hot read path
+          val d = ref.getData; val st = ref.getStart
+          if (ref.getLength == 2 && d(st) == '\\' && d(st + 1) == 'N') null
+          else UTF8String.fromBytes(d, st, ref.getLength)
         })
       override def close(): Unit = reader.close()
     }

@@ -181,10 +181,21 @@ object SequenceQueries {
   val queries: Map[String, Q] = Map(
     "src_seqfile_roundtrip" -> ((spark, dir) => {
       val docs = graft.Tables(spark, dir).documents
+      // Field-packing contract: ^A-delimited, like Hive's default
+      // textfile SerDe. concat_ws silently DROPS null arguments (which
+      // would shift every later field on read-back), so each field is
+      // coalesced to '' — null and empty collapse, the same lossy
+      // convention as Hive delimited text. An embedded ^A would also
+      // shift fields: only `text` could carry one, and it sits LAST so
+      // getItem(0..2) stay aligned; a production packer would escape
+      // (Hive's '\001' escaping) — documented, not needed for the
+      // driver-generated prose this exercises.
       val kv = docs.select(
         col("doc_id").cast("string").as("key"),
-        concat_ws("\u0001", col("lang"), col("source"),
-          col("n_chars").cast("string"), col("text")).as("value"))
+        concat_ws("\u0001",
+          coalesce(col("lang"), lit("")), coalesce(col("source"), lit("")),
+          coalesce(col("n_chars").cast("string"), lit("")),
+          coalesce(col("text"), lit(""))).as("value"))
       SequenceIO.write(kv, path(dir))
       val back = spark.read.format("graft.sources.SequenceSource").load(path(dir))
       back.select(col("key").cast("long").as("doc_id"),

@@ -181,6 +181,15 @@ class SketchSpec extends SparkSpec {
     assert(lo3 <= 1500.0 && 1500.0 <= hi3, s"exact 1500 outside [$lo3,$hi3]")
     assert(row.getString(2).contains("HLL") && row.getString(3).contains("CPC"))
     assert(row.getString(4).nonEmpty && row.getString(5).contains("Kll"))
+    // bounds strings use C++ default-ostream rendering (6 significant
+    // digits, %g trailing-zero strip) — the reference's exact layout:
+    // no fixed decimal tail like "1500.00", no dangling "100000."
+    Seq(row.getString(0), row.getString(1)).flatMap(_.split(",")).foreach { tok =>
+      assert(!tok.endsWith("."), s"dangling decimal point: $tok")
+      assert(!tok.matches(""".*\.\d*0$"""), s"unstripped trailing zero: $tok")
+      val digits = tok.takeWhile(c => c != 'e' && c != 'E').replaceAll("[^0-9]", "")
+      assert(digits.dropWhile(_ == '0').length <= 6, s"more than 6 sig digits: $tok")
+    }
     // reference rejects kappa outside 1..3 (datasketches-functions-ir.cc:57)
     val bad = intercept[Exception] {
       df.agg(expr("hll_sketch_agg(x)").as("h"))
