@@ -44,6 +44,13 @@ import scala.jdk.CollectionConverters._
   *                                              tuple + stats
   *   data files (parquet)                    -> rows
   *
+  * Snapshots are first-class: `IcebergWrite.append` commits a new
+  * snapshot (new data files + manifests + manifest-list carrying the
+  * parent's manifests forward, next metadata version, snapshot log
+  * intact) and the reader time-travels with
+  * `.option("snapshot_id", N)` — the v1 spec's snapshot-isolation
+  * model, exercised in SourcesSpec S16b.
+  *
   * Scan planning is DRIVER-side metadata work, exactly as in Iceberg
   * itself: an equality predicate on a partition SOURCE column is mapped
   * through the table's transform (bucket[N] via the murmur3 of
@@ -115,8 +122,11 @@ object IcebergMeta {
   case class TableMeta(schema: StructType, fieldIds: Seq[Int], spec: Seq[PartField],
                        manifestList: String, snapshotId: Long)
 
-  /** Parse metadata/vN.metadata.json (version from version-hint.text). */
-  def load(tableDir: String, conf: Configuration): TableMeta = {
+  /** Parse metadata/vN.metadata.json (version from version-hint.text).
+    * `snapshotId` selects a historical snapshot (time travel); default
+    * is the table's current one. */
+  def load(tableDir: String, conf: Configuration,
+           snapshotId: Option[Long] = None): TableMeta = {
     val fs = new Path(tableDir).getFileSystem(conf)
     val hint = new Path(tableDir, "metadata/version-hint.text")
     val v = readSmall(fs, hint).trim.toInt
@@ -131,10 +141,10 @@ object IcebergMeta {
       PartField(p.get("name").asText, p.get("transform").asText,
         p.get("source-id").asInt, p.get("field-id").asInt)
     }
-    val snapId = meta.get("current-snapshot-id").asLong
+    val snapId = snapshotId.getOrElse(meta.get("current-snapshot-id").asLong)
     val snap = meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong == snapId)
-      .getOrElse(sys.error(s"graft iceberg: current-snapshot-id $snapId not in snapshots"))
+      .getOrElse(sys.error(s"graft iceberg: snapshot $snapId not in snapshot log"))
     TableMeta(schema, ids, spec, snap.get("manifest-list").asText, snapId)
   }
 
@@ -198,13 +208,88 @@ object IcebergWrite {
     * the same division of labor as Iceberg's Spark writer. One manifest
     * per partition value keeps manifest-list summaries selective. */
   def write(df: DataFrame, tableDir: String, bucketCol: String, nBuckets: Int): Unit = {
-    val spark = df.sparkSession
-    graft.plans.GraftFunctions.register(spark)
-    val conf = spark.sparkContext.hadoopConfiguration
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val root = new Path(tableDir)
     val fs = root.getFileSystem(conf)
     if (fs.exists(root)) fs.delete(root, true)
-    val srcField = df.schema(bucketCol)
+    fs.mkdirs(new Path(tableDir, "metadata"))
+    val spec = Seq(PartField(s"${bucketCol}_bucket", s"bucket[$nBuckets]",
+      sourceId = df.schema.fieldIndex(bucketCol) + 1, fieldId = 1000))
+    val snapshotId = 1L
+    val manifests = writeDataAndManifests(df, tableDir, "data", bucketCol, nBuckets,
+      spec, snapshotId)
+    val listPath = writeManifestList(fs, tableDir, snapshotId, Nil, manifests)
+    val schemaJson = df.schema.fields.zipWithIndex.map { case (f, i) =>
+      s"""{"id":${i + 1},"name":"${f.name}","required":${!f.nullable},"type":"${toIceberg(f.dataType)}"}"""
+    }.mkString("[", ",", "]")
+    val snapJson =
+      s"""{"snapshot-id":$snapshotId,"timestamp-ms":${System.currentTimeMillis()},
+         |"summary":{"operation":"append"},"manifest-list":"${listPath.toUri.getPath}"}""".stripMargin
+    val metaJson =
+      s"""{"format-version":1,"table-uuid":"graft-${tableDir.hashCode.toHexString}",
+         |"location":"$tableDir","last-updated-ms":${System.currentTimeMillis()},
+         |"last-column-id":${df.schema.length},
+         |"schema":{"type":"struct","fields":$schemaJson},
+         |"partition-spec":[{"name":"${spec.head.name}","transform":"${spec.head.transform}",
+         |"source-id":${spec.head.sourceId},"field-id":${spec.head.fieldId}}],
+         |"default-spec-id":0,"properties":{},
+         |"current-snapshot-id":$snapshotId,
+         |"snapshots":[$snapJson]}""".stripMargin
+    writeSmall(fs, new Path(tableDir, "metadata/v1.metadata.json"), metaJson)
+    writeSmall(fs, new Path(tableDir, "metadata/version-hint.text"), "1")
+  }
+
+  /** Append `df` as a NEW snapshot (Iceberg's snapshot-isolation commit):
+    * new data files under data-s<id>/, new manifests, a new manifest
+    * list carrying the previous snapshot's manifests as `existing` plus
+    * the new ones as `added`, and a v<N+1>.metadata.json whose snapshot
+    * log keeps every earlier snapshot readable (time travel via the
+    * reader's `snapshot_id` option). Readers that loaded vN keep a
+    * consistent view — nothing under the old snapshot is touched. */
+  def append(df: DataFrame, tableDir: String): Unit = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val fs = new Path(tableDir).getFileSystem(conf)
+    val v = readSmall(fs, new Path(tableDir, "metadata/version-hint.text")).trim.toInt
+    val metaNode = mapper.readTree(
+      readSmall(fs, new Path(tableDir, s"metadata/v$v.metadata.json")))
+    val meta = load(tableDir, conf)
+    require(df.schema.fieldNames.sameElements(meta.schema.fieldNames),
+      s"graft iceberg append: schema mismatch ${df.schema.fieldNames.mkString(",")} vs ${meta.schema.fieldNames.mkString(",")}")
+    val pf = meta.spec.head
+    val bucketCol = meta.schema.fieldNames(pf.sourceId - 1)
+    val snapshotId = meta.snapshotId + 1
+    val manifests = writeDataAndManifests(df, tableDir, s"data-s$snapshotId",
+      bucketCol, pf.param, meta.spec, snapshotId)
+    // previous snapshot's manifest-list entries carry over as-is
+    // (their files become `existing` in spirit; the v1 counts fields
+    // are advisory — the reader unions all listed manifests)
+    val prevEntries = readListRecords(meta.manifestList, conf)
+    val listPath = writeManifestList(fs, tableDir, snapshotId, prevEntries, manifests)
+    val oldSnaps = metaNode.get("snapshots").elements().asScala
+      .map(n => mapper.writeValueAsString(n)).mkString(",")
+    val snapJson =
+      s"""{"snapshot-id":$snapshotId,"timestamp-ms":${System.currentTimeMillis()},"parent-snapshot-id":${meta.snapshotId},"summary":{"operation":"append"},"manifest-list":"${listPath.toUri.getPath}"}"""
+    val metaJson = {
+      val node = metaNode.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      node.put("current-snapshot-id", snapshotId)
+      node.put("last-updated-ms", System.currentTimeMillis())
+      node.set[JsonNode]("snapshots",
+        mapper.readTree(s"[$oldSnaps,$snapJson]"))
+      mapper.writeValueAsString(node)
+    }
+    writeSmall(fs, new Path(tableDir, s"metadata/v${v + 1}.metadata.json"), metaJson)
+    writeSmall(fs, new Path(tableDir, "metadata/version-hint.text"), (v + 1).toString)
+  }
+
+  /** Spark-parquet write partitioned by the transform value + one Avro
+    * manifest per partition value. Returns (manifestPath, pv, nFiles). */
+  private def writeDataAndManifests(df: DataFrame, tableDir: String, dataSubdir: String,
+      bucketCol: String, nBuckets: Int, spec: Seq[PartField],
+      snapshotId: Long): Seq[(Path, Int, Int)] = {
+    val spark = df.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(tableDir).getFileSystem(conf)
     require(df.filter(org.apache.spark.sql.functions.col(bucketCol).isNull).isEmpty,
       s"graft iceberg: null in partition source column $bucketCol")
     // data files: Spark parquet write partitioned by the TRANSFORMED
@@ -212,20 +297,15 @@ object IcebergWrite {
     // is not identity), matching the spec.
     import org.apache.spark.sql.functions._
     df.withColumn("_pv", call_function("iceberg_bucket", col(bucketCol), lit(nBuckets)))
-      .write.partitionBy("_pv").parquet(s"$tableDir/data")
-    val spec = Seq(PartField(s"${bucketCol}_bucket", s"bucket[$nBuckets]",
-      sourceId = df.schema.fieldIndex(bucketCol) + 1, fieldId = 1000))
-    val srcTypes = Map(spec.head.sourceId -> srcField.dataType)
+      .write.partitionBy("_pv").parquet(s"$tableDir/$dataSubdir")
+    val srcTypes = Map(spec.head.sourceId -> df.schema(bucketCol).dataType)
     val entrySchema = manifestEntrySchema(spec, srcTypes)
-    val snapshotId = 1L
-    // one manifest per partition value, from the _pv=N directories
-    val partDirs = fs.listStatus(new Path(s"$tableDir/data")).filter(_.isDirectory)
-      .sortBy(_.getPath.getName)
-    fs.mkdirs(new Path(tableDir, "metadata"))
-    val manifests = partDirs.map { d =>
+    val partDirs = fs.listStatus(new Path(s"$tableDir/$dataSubdir"))
+      .filter(_.isDirectory).sortBy(_.getPath.getName)
+    partDirs.toSeq.map { d =>
       val pv = d.getPath.getName.stripPrefix("_pv=").toInt
       val files = fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".parquet"))
-      val mPath = new Path(tableDir, s"metadata/manifest-$pv.avro")
+      val mPath = new Path(tableDir, s"metadata/manifest-s$snapshotId-$pv.avro")
       val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](entrySchema))
       w.create(entrySchema, fs.create(mPath, true))
       files.foreach { f =>
@@ -249,13 +329,19 @@ object IcebergWrite {
       w.close()
       (mPath, pv, files.length)
     }
-    // manifest list with per-partition-field summaries (the level-1
-    // pruning index)
+  }
+
+  /** Manifest list = carried-over records from the parent snapshot +
+    * one record per new manifest, each with field_summary bounds (the
+    * level-1 pruning index). */
+  private def writeManifestList(fs: FileSystem, tableDir: String, snapshotId: Long,
+      carryOver: Seq[GenericRecord], added: Seq[(Path, Int, Int)]): Path = {
     val listSchema = manifestListSchema
     val listPath = new Path(tableDir, s"metadata/snap-$snapshotId.avro")
     val lw = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](listSchema))
     lw.create(listSchema, fs.create(listPath, true))
-    manifests.foreach { case (mPath, pv, nFiles) =>
+    carryOver.foreach(lw.append)
+    added.foreach { case (mPath, pv, nFiles) =>
       val sum = new GenericData.Record(
         listSchema.getField("partitions").schema().getTypes.get(1).getElementType)
       sum.put("contains_null", false)
@@ -273,22 +359,19 @@ object IcebergWrite {
       lw.append(rec)
     }
     lw.close()
-    val schemaJson = df.schema.fields.zipWithIndex.map { case (f, i) =>
-      s"""{"id":${i + 1},"name":"${f.name}","required":${!f.nullable},"type":"${toIceberg(f.dataType)}"}"""
-    }.mkString("[", ",", "]")
-    val metaJson =
-      s"""{"format-version":1,"table-uuid":"graft-${tableDir.hashCode.toHexString}",
-         |"location":"$tableDir","last-updated-ms":${System.currentTimeMillis()},
-         |"last-column-id":${df.schema.length},
-         |"schema":{"type":"struct","fields":$schemaJson},
-         |"partition-spec":[{"name":"${spec.head.name}","transform":"${spec.head.transform}",
-         |"source-id":${spec.head.sourceId},"field-id":${spec.head.fieldId}}],
-         |"default-spec-id":0,"properties":{},
-         |"current-snapshot-id":$snapshotId,
-         |"snapshots":[{"snapshot-id":$snapshotId,"timestamp-ms":${System.currentTimeMillis()},
-         |"summary":{"operation":"append"},"manifest-list":"${listPath.toUri.getPath}"}]}""".stripMargin
-    writeSmall(fs, new Path(tableDir, "metadata/v1.metadata.json"), metaJson)
-    writeSmall(fs, new Path(tableDir, "metadata/version-hint.text"), "1")
+    listPath
+  }
+
+  private def readListRecords(listPath: String, conf: Configuration): Seq[GenericRecord] = {
+    val in = new FsInput(new Path(listPath), conf)
+    val r = new DataFileReader[GenericRecord](in,
+      new GenericDatumReader[GenericRecord](manifestListSchema))
+    try r.iterator().asScala.toList finally r.close()
+  }
+
+  private def readSmall(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
   }
 
   private def writeSmall(fs: FileSystem, p: Path, s: String): Unit = {
@@ -305,9 +388,9 @@ object IcebergRead {
   /** The two-level pruned data-file list for an optional equality
     * predicate on a partition source column. This is THE Iceberg scan
     * plan: everything after it is plain parquet reading. */
-  def planFiles(tableDir: String, conf: Configuration,
-                eq: Option[(String, Any)]): Seq[DataFileEntry] = {
-    val meta = load(tableDir, conf)
+  def planFiles(tableDir: String, conf: Configuration, eq: Option[(String, Any)],
+                snapshotId: Option[Long] = None): Seq[DataFileEntry] = {
+    val meta = load(tableDir, conf, snapshotId)
     val fs = new Path(tableDir).getFileSystem(conf)
     // predicate -> expected partition tuple value, via the transform
     val want: Option[(PartField, Any)] = eq.flatMap { case (colName, value) =>
@@ -386,8 +469,9 @@ object IcebergRead {
     * pushdown all apply). Prefer this in query plans; the DSv2 Group
     * reader below is the self-contained format-conformance path. */
   def toDataFrame(spark: org.apache.spark.sql.SparkSession, tableDir: String,
-                  eq: Option[(String, Any)] = None): DataFrame = {
-    val files = planFiles(tableDir, spark.sparkContext.hadoopConfiguration, eq)
+                  eq: Option[(String, Any)] = None,
+                  snapshotId: Option[Long] = None): DataFrame = {
+    val files = planFiles(tableDir, spark.sparkContext.hadoopConfiguration, eq, snapshotId)
     require(files.nonEmpty, s"graft iceberg: no data files at $tableDir for $eq")
     spark.read.parquet(files.map(_.path): _*)
   }
@@ -407,19 +491,21 @@ class IcebergSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new IcebergDsv2Table(properties.get("path"), schema)
+    new IcebergDsv2Table(properties.get("path"), schema,
+      Option(properties.get("snapshot_id")).map(_.toLong))
 }
 
-class IcebergDsv2Table(path: String, schema: StructType) extends Table with SupportsRead {
+class IcebergDsv2Table(path: String, schema: StructType, snapshotId: Option[Long])
+    extends Table with SupportsRead {
   override def name(): String = s"graft-iceberg($path)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new IcebergScanBuilder(path, schema)
+    new IcebergScanBuilder(path, schema, snapshotId)
 }
 
-class IcebergScanBuilder(path: String, fullSchema: StructType)
+class IcebergScanBuilder(path: String, fullSchema: StructType, snapshotId: Option[Long])
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
   private var pruneEq: Option[(String, Any)] = None
@@ -443,19 +529,21 @@ class IcebergScanBuilder(path: String, fullSchema: StructType)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new IcebergScan(path, required, pruneEq)
+  override def build(): Scan = new IcebergScan(path, required, pruneEq, snapshotId)
 }
 
-class IcebergScan(path: String, required: StructType, eq: Option[(String, Any)])
+class IcebergScan(path: String, required: StructType, eq: Option[(String, Any)],
+                  snapshotId: Option[Long])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-iceberg $path pruneEq=$eq cols=${required.fieldNames.mkString(",")}"
+    s"graft-iceberg $path snap=${snapshotId.getOrElse("current")} pruneEq=$eq " +
+      s"cols=${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
-    IcebergRead.planFiles(path, conf, eq)
+    IcebergRead.planFiles(path, conf, eq, snapshotId)
       .map(f => IcebergInputPartition(f.path): InputPartition).toArray
   }
 

@@ -202,6 +202,40 @@ class SourcesSpec extends SparkSpec {
     assert(viaParquet.count() == 1)
   }
 
+  test("S16b: Iceberg append commits a new snapshot; snapshot_id reads time-travel") {
+    import graft.sources.{IcebergRead, IcebergWrite}
+    val dir = tmp() + "/iceberg_snap"
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val first = docs.filter(col("doc_id") < 400)
+    val second = docs.filter(col("doc_id") >= 400)
+    IcebergWrite.write(first, dir, "doc_id", 8)
+    IcebergWrite.append(second, dir)
+    val fmt = "graft.sources.IcebergSource"
+    // current snapshot = union of both commits
+    assert(spark.read.format(fmt).load(dir).count() == docs.count())
+    // time travel to snapshot 1 = exactly the first commit, unchanged
+    val snap1 = spark.read.format(fmt).option("snapshot_id", "1").load(dir)
+    assert(snap1.count() == first.count())
+    assert(snap1.agg(sum(col("doc_id"))).collect().head ==
+      first.agg(sum(col("doc_id"))).collect().head)
+    // bucket pruning still holds across the merged manifest list:
+    // both snapshots' files for the probe bucket, nothing else
+    val conf = spark.sparkContext.hadoopConfiguration
+    val all = IcebergRead.planFiles(dir, conf, None)
+    val pruned = IcebergRead.planFiles(dir, conf, Some(("doc_id", 450L)))
+    val b = graft.functions.IcebergImpl.bucketLong(450L, 8)
+    assert(pruned.nonEmpty && pruned.size < all.size)
+    assert(pruned.forall(_.path.contains(s"_pv=$b")))
+    // snapshot-scoped pruned read: snapshot 1 has no doc_id 450
+    assert(IcebergRead.planFiles(dir, conf, Some(("doc_id", 450L)), Some(1L))
+      .forall(_.path.contains("/data/")), "snapshot-1 plan leaked appended files")
+    val probe1 = spark.read.format(fmt).option("snapshot_id", "1").load(dir)
+      .filter(col("doc_id") === 450L)
+    assert(probe1.count() == 0)
+    val probeCur = spark.read.format(fmt).load(dir).filter(col("doc_id") === 450L)
+    assert(probeCur.count() == 1)
+  }
+
   test("M1b: HLL COMPUTE STATS matches the exact variant within rsd, with no Expand in its plan") {
     val exact = SparkEntry.queries("stats_table")(spark, sf0001).collect()
       .map(r => r.getString(0) -> r.getLong(3)).toMap
