@@ -40,7 +40,7 @@ object Bench {
     "sim_quantize_int8", "corpus_clean", "text_quality", "pipe_chunking",
     "stats_table", "asof_join_events", "events_sessionize",
     "win_topn_per_group", "layout_zorder",
-    "src_nested_parquet", "src_avro_roundtrip")
+    "src_nested_parquet", "src_avro_roundtrip", "src_iceberg_roundtrip")
 
   // Locale.ROOT: the default-locale format would emit comma decimals
   // ("1,234") under e.g. a de_DE JVM, corrupting the JSON contract.

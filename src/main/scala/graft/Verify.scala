@@ -29,8 +29,10 @@ object Verify {
       }
       // same cache hygiene as Bench: drop each query's persisted
       // subtrees/RDDs so ~200 queries don't accumulate storage blocks
+      // (blocking, so reclaim can't overlap the next query — same
+      // determinism rationale as Bench's sweep)
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -112,11 +112,19 @@ object IcebergMeta {
   def bytesToInt(b: Array[Byte]): Int =
     java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
 
-  /** One partition field of the table's spec. */
+  def longToBytes(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+  def bytesToLong(b: Array[Byte]): Long =
+    java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+
+  /** One partition field of the table's spec. Transforms supported:
+    * bucket[N] (murmur3), truncate[W] (floor / prefix), identity. */
   case class PartField(name: String, transform: String, sourceId: Int, fieldId: Int) {
     /** bucket[N] -> N; truncate[W] -> W. */
     def param: Int = transform.dropWhile(_ != '[').stripPrefix("[").stripSuffix("]").toInt
     def isBucket: Boolean = transform.startsWith("bucket[")
+    def isTruncate: Boolean = transform.startsWith("truncate[")
+    def isIdentity: Boolean = transform == "identity"
   }
 
   case class TableMeta(schema: StructType, fieldIds: Seq[Int], spec: Seq[PartField],
@@ -207,17 +215,28 @@ object IcebergWrite {
     * assembled driver-side from the file listing + parquet footers —
     * the same division of labor as Iceberg's Spark writer. One manifest
     * per partition value keeps manifest-list summaries selective. */
-  def write(df: DataFrame, tableDir: String, bucketCol: String, nBuckets: Int): Unit = {
+  def write(df: DataFrame, tableDir: String, bucketCol: String, nBuckets: Int): Unit =
+    write(df, tableDir, bucketCol, s"bucket[$nBuckets]")
+
+  /** General form: `transform` is any of the spec's value transforms
+    * this source supports — "bucket[N]", "truncate[W]", "identity".
+    * Identity/truncate on a long or (simple, fs-safe) string column is
+    * the common real-world layout (date/tenant partitioning); bucket
+    * spreads a high-cardinality key. */
+  def write(df: DataFrame, tableDir: String, sourceCol: String, transform: String): Unit = {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val root = new Path(tableDir)
     val fs = root.getFileSystem(conf)
     if (fs.exists(root)) fs.delete(root, true)
     fs.mkdirs(new Path(tableDir, "metadata"))
-    val spec = Seq(PartField(s"${bucketCol}_bucket", s"bucket[$nBuckets]",
-      sourceId = df.schema.fieldIndex(bucketCol) + 1, fieldId = 1000))
+    val suffix = transform.takeWhile(_ != '[') match {
+      case "identity" => ""
+      case kind => "_" + kind
+    }
+    val spec = Seq(PartField(s"$sourceCol$suffix", transform,
+      sourceId = df.schema.fieldIndex(sourceCol) + 1, fieldId = 1000))
     val snapshotId = 1L
-    val manifests = writeDataAndManifests(df, tableDir, "data", bucketCol, nBuckets,
-      spec, snapshotId)
+    val manifests = writeDataAndManifests(df, tableDir, "data", sourceCol, spec, snapshotId)
     val listPath = writeManifestList(fs, tableDir, snapshotId, Nil, manifests)
     val schemaJson = df.schema.fields.zipWithIndex.map { case (f, i) =>
       s"""{"id":${i + 1},"name":"${f.name}","required":${!f.nullable},"type":"${toIceberg(f.dataType)}"}"""
@@ -256,10 +275,10 @@ object IcebergWrite {
     require(df.schema.fieldNames.sameElements(meta.schema.fieldNames),
       s"graft iceberg append: schema mismatch ${df.schema.fieldNames.mkString(",")} vs ${meta.schema.fieldNames.mkString(",")}")
     val pf = meta.spec.head
-    val bucketCol = meta.schema.fieldNames(pf.sourceId - 1)
+    val sourceCol = meta.schema.fieldNames(pf.sourceId - 1)
     val snapshotId = meta.snapshotId + 1
     val manifests = writeDataAndManifests(df, tableDir, s"data-s$snapshotId",
-      bucketCol, pf.param, meta.spec, snapshotId)
+      sourceCol, meta.spec, snapshotId)
     // previous snapshot's manifest-list entries carry over as-is
     // (their files become `existing` in spirit; the v1 counts fields
     // are advisory — the reader unions all listed manifests)
@@ -284,26 +303,43 @@ object IcebergWrite {
   /** Spark-parquet write partitioned by the transform value + one Avro
     * manifest per partition value. Returns (manifestPath, pv, nFiles). */
   private def writeDataAndManifests(df: DataFrame, tableDir: String, dataSubdir: String,
-      bucketCol: String, nBuckets: Int, spec: Seq[PartField],
-      snapshotId: Long): Seq[(Path, Int, Int)] = {
+      sourceCol: String, spec: Seq[PartField],
+      snapshotId: Long): Seq[(Path, Any, Int)] = {
     val spark = df.sparkSession
     graft.plans.GraftFunctions.register(spark)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(tableDir).getFileSystem(conf)
-    require(df.filter(org.apache.spark.sql.functions.col(bucketCol).isNull).isEmpty,
-      s"graft iceberg: null in partition source column $bucketCol")
+    require(df.filter(org.apache.spark.sql.functions.col(sourceCol).isNull).isEmpty,
+      s"graft iceberg: null in partition source column $sourceCol")
+    val pf = spec.head
     // data files: Spark parquet write partitioned by the TRANSFORMED
-    // value; the source column itself stays in the data files (bucket
-    // is not identity), matching the spec.
+    // value, materialized as a `_pv` copy so partitionBy drops only
+    // the copy — the source column itself stays in every data file
+    // regardless of transform (for identity too, where pv == source).
     import org.apache.spark.sql.functions._
-    df.withColumn("_pv", call_function("iceberg_bucket", col(bucketCol), lit(nBuckets)))
+    val pvCol =
+      if (pf.isBucket) call_function("iceberg_bucket", col(sourceCol), lit(pf.param))
+      else if (pf.isTruncate) call_function("iceberg_truncate", col(sourceCol), lit(pf.param.toLong))
+      else col(sourceCol)
+    df.withColumn("_pv", pvCol)
       .write.partitionBy("_pv").parquet(s"$tableDir/$dataSubdir")
-    val srcTypes = Map(spec.head.sourceId -> df.schema(bucketCol).dataType)
+    val srcType = df.schema(sourceCol).dataType
+    val srcTypes = Map(pf.sourceId -> srcType)
     val entrySchema = manifestEntrySchema(spec, srcTypes)
+    // directory name -> typed partition value (int for bucket; the
+    // source type for truncate/identity)
+    def parsePv(s: String): Any =
+      if (pf.isBucket) s.toInt
+      else srcType match {
+        case LongType => s.toLong
+        case IntegerType => s.toInt
+        case StringType => s
+        case other => sys.error(s"graft iceberg: unsupported partition type $other")
+      }
     val partDirs = fs.listStatus(new Path(s"$tableDir/$dataSubdir"))
       .filter(_.isDirectory).sortBy(_.getPath.getName)
     partDirs.toSeq.map { d =>
-      val pv = d.getPath.getName.stripPrefix("_pv=").toInt
+      val pv = parsePv(d.getPath.getName.stripPrefix("_pv="))
       val files = fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".parquet"))
       val mPath = new Path(tableDir, s"metadata/manifest-s$snapshotId-$pv.avro")
       val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](entrySchema))
@@ -334,8 +370,17 @@ object IcebergWrite {
   /** Manifest list = carried-over records from the parent snapshot +
     * one record per new manifest, each with field_summary bounds (the
     * level-1 pruning index). */
+  /** Single-value binary per the spec's Appendix D (int/long LE,
+    * string UTF-8). */
+  private def pvBytes(pv: Any): Array[Byte] = pv match {
+    case i: Int => intToBytes(i)
+    case l: Long => longToBytes(l)
+    case s: String => s.getBytes("UTF-8")
+    case other => sys.error(s"graft iceberg: unsupported partition value $other")
+  }
+
   private def writeManifestList(fs: FileSystem, tableDir: String, snapshotId: Long,
-      carryOver: Seq[GenericRecord], added: Seq[(Path, Int, Int)]): Path = {
+      carryOver: Seq[GenericRecord], added: Seq[(Path, Any, Int)]): Path = {
     val listSchema = manifestListSchema
     val listPath = new Path(tableDir, s"metadata/snap-$snapshotId.avro")
     val lw = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](listSchema))
@@ -345,8 +390,8 @@ object IcebergWrite {
       val sum = new GenericData.Record(
         listSchema.getField("partitions").schema().getTypes.get(1).getElementType)
       sum.put("contains_null", false)
-      sum.put("lower_bound", java.nio.ByteBuffer.wrap(intToBytes(pv)))
-      sum.put("upper_bound", java.nio.ByteBuffer.wrap(intToBytes(pv)))
+      sum.put("lower_bound", java.nio.ByteBuffer.wrap(pvBytes(pv)))
+      sum.put("upper_bound", java.nio.ByteBuffer.wrap(pvBytes(pv)))
       val rec = new GenericData.Record(listSchema)
       rec.put("manifest_path", mPath.toUri.getPath)
       rec.put("manifest_length", fs.getFileStatus(mPath).getLen)
@@ -393,16 +438,22 @@ object IcebergRead {
     val meta = load(tableDir, conf, snapshotId)
     val fs = new Path(tableDir).getFileSystem(conf)
     // predicate -> expected partition tuple value, via the transform
+    import graft.functions.IcebergImpl
     val want: Option[(PartField, Any)] = eq.flatMap { case (colName, value) =>
       meta.spec.find(p => meta.schema.fieldNames(p.sourceId - 1) == colName).map { p =>
         val pv: Any =
           if (p.isBucket) value match {
-            case l: Long => graft.functions.IcebergImpl.bucketLong(l, p.param)
-            case i: Int => graft.functions.IcebergImpl.bucketLong(i.toLong, p.param)
-            case s: String => graft.functions.IcebergImpl.bucketString(
-              UTF8String.fromString(s), p.param)
+            case l: Long => IcebergImpl.bucketLong(l, p.param)
+            case i: Int => IcebergImpl.bucketLong(i.toLong, p.param)
+            case s: String => IcebergImpl.bucketString(UTF8String.fromString(s), p.param)
             case other => sys.error(s"graft iceberg: unsupported bucket probe $other")
-          } else value
+          } else if (p.isTruncate) value match {
+            case l: Long => IcebergImpl.truncateLong(l, p.param.toLong)
+            case i: Int => IcebergImpl.truncateLong(i.toLong, p.param.toLong)
+            case s: String => IcebergImpl.truncateString(
+              UTF8String.fromString(s), p.param).toString
+            case other => sys.error(s"graft iceberg: unsupported truncate probe $other")
+          } else value // identity
         (p, pv)
       }
     }
@@ -411,21 +462,32 @@ object IcebergRead {
       new GenericDatumReader[GenericRecord]())
     val manifestPaths = try {
       listReader.iterator().asScala.filter { m =>
-        want match {
-          case Some((pf, pv: Int)) if pf.isBucket =>
-            // level-1 prune: field_summary bounds of the first (only)
-            // partition field
-            val parts = m.get("partitions")
-            parts == null || {
-              val sums = parts.asInstanceOf[java.util.List[GenericRecord]]
-              sums.isEmpty || {
-                val s = sums.get(0)
-                def b(n: String): Option[Int] = Option(s.get(n))
-                  .map(bb => bytesToInt(toBytes(bb)))
-                b("lower_bound").forall(_ <= pv) && b("upper_bound").forall(_ >= pv)
+        // level-1 prune: field_summary bounds of the first (only)
+        // partition field, decoded per the probe value's width (int =
+        // bucket, long = truncate/identity on bigint); string bounds
+        // are written but not range-compared — manifest-level pruning
+        // for strings falls through to the per-file tuple check.
+        val checkBounds: Option[(Array[Byte], Array[Byte]) => Boolean] = want.flatMap {
+          case (_, pv: Int) =>
+            Some((lo: Array[Byte], hi: Array[Byte]) =>
+              bytesToInt(lo) <= pv && bytesToInt(hi) >= pv)
+          case (_, pv: Long) =>
+            Some((lo: Array[Byte], hi: Array[Byte]) =>
+              bytesToLong(lo) <= pv && bytesToLong(hi) >= pv)
+          case _ => None
+        }
+        checkBounds.forall { check =>
+          val parts = m.get("partitions")
+          parts == null || {
+            val sums = parts.asInstanceOf[java.util.List[GenericRecord]]
+            sums.isEmpty || {
+              val s = sums.get(0)
+              (Option(s.get("lower_bound")), Option(s.get("upper_bound"))) match {
+                case (Some(lo), Some(hi)) => check(toBytes(lo), toBytes(hi))
+                case _ => true
               }
             }
-          case _ => true
+          }
         }
       }.map(_.get("manifest_path").toString).toList
     } finally listReader.close()

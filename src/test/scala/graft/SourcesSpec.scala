@@ -236,6 +236,35 @@ class SourcesSpec extends SparkSpec {
     assert(probeCur.count() == 1)
   }
 
+  test("S16c: Iceberg identity and truncate partition transforms prune like bucket") {
+    import graft.sources.{IcebergRead, IcebergWrite}
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fmt = "graft.sources.IcebergSource"
+    // identity on lang (5 partitions): THE common real-world layout
+    val idDir = tmp() + "/iceberg_identity"
+    IcebergWrite.write(docs, idDir, "lang", "identity")
+    assert(spark.read.format(fmt).load(idDir).count() == docs.count())
+    val dePlan = IcebergRead.planFiles(idDir, conf, Some(("lang", "de")))
+    assert(dePlan.nonEmpty &&
+      dePlan.size < IcebergRead.planFiles(idDir, conf, None).size)
+    assert(dePlan.forall(_.path.contains("_pv=de")))
+    val de = spark.read.format(fmt).load(idDir).filter(col("lang") === "de")
+    assert(de.count() == docs.filter(col("lang") === "de").count())
+    assert(de.rdd.getNumPartitions == dePlan.size)
+    // truncate[100] on doc_id (0..499 -> 5 partitions); long-typed
+    // bounds drive the manifest-list prune
+    val trDir = tmp() + "/iceberg_trunc"
+    IcebergWrite.write(docs, trDir, "doc_id", "truncate[100]")
+    assert(spark.read.format(fmt).load(trDir).count() == docs.count())
+    val p250 = IcebergRead.planFiles(trDir, conf, Some(("doc_id", 250L)))
+    assert(p250.nonEmpty &&
+      p250.size < IcebergRead.planFiles(trDir, conf, None).size)
+    assert(p250.forall(_.path.contains("_pv=200")))
+    val probe = spark.read.format(fmt).load(trDir).filter(col("doc_id") === 250L)
+    assert(probe.count() == 1)
+  }
+
   test("M1b: HLL COMPUTE STATS matches the exact variant within rsd, with no Expand in its plan") {
     val exact = SparkEntry.queries("stats_table")(spark, sf0001).collect()
       .map(r => r.getString(0) -> r.getLong(3)).toMap
