@@ -118,13 +118,21 @@ object IcebergMeta {
     java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
 
   /** One partition field of the table's spec. Transforms supported:
-    * bucket[N] (murmur3), truncate[W] (floor / prefix), identity. */
+    * bucket[N] (murmur3), truncate[W] (floor / prefix), identity, and
+    * the temporal family year/month/day on DATE columns (the
+    * reference's full transform set minus hour — IcebergPartition
+    * Transform.java enumerates HOUR/DAY/MONTH/YEAR/BUCKET/TRUNCATE;
+    * hour needs a timestamp source, which this reader's parquet
+    * decode does not cover — documented, fail-loud). Temporal partition
+    * values follow the spec: years/months since 1970 / days since
+    * epoch, all int. */
   case class PartField(name: String, transform: String, sourceId: Int, fieldId: Int) {
     /** bucket[N] -> N; truncate[W] -> W. */
     def param: Int = transform.dropWhile(_ != '[').stripPrefix("[").stripSuffix("]").toInt
     def isBucket: Boolean = transform.startsWith("bucket[")
     def isTruncate: Boolean = transform.startsWith("truncate[")
     def isIdentity: Boolean = transform == "identity"
+    def isTemporal: Boolean = transform == "year" || transform == "month" || transform == "day"
   }
 
   case class TableMeta(schema: StructType, fieldIds: Seq[Int], spec: Seq[PartField],
@@ -184,10 +192,11 @@ object IcebergMeta {
     * data_file) for the given partition tuple shape. */
   def manifestEntrySchema(spec: Seq[PartField], sourceTypes: Map[Int, DataType]): Schema = {
     val pFields = spec.map { p =>
-      val t = if (p.isBucket) "\"int\"" else sourceTypes(p.sourceId) match {
+      val t = if (p.isBucket || p.isTemporal) "\"int\"" else sourceTypes(p.sourceId) match {
         case LongType => "\"long\""
         case IntegerType => "\"int\""
         case StringType => "\"string\""
+        case DateType => "\"int\"" // identity on date: days since epoch
         case other => sys.error(s"graft iceberg: unsupported partition type $other")
       }
       s"""{"name":"${p.name}","type":["null",$t],"default":null,"field-id":${p.fieldId}}"""
@@ -317,10 +326,17 @@ object IcebergWrite {
     // the copy — the source column itself stays in every data file
     // regardless of transform (for identity too, where pv == source).
     import org.apache.spark.sql.functions._
-    val pvCol =
-      if (pf.isBucket) call_function("iceberg_bucket", col(sourceCol), lit(pf.param))
-      else if (pf.isTruncate) call_function("iceberg_truncate", col(sourceCol), lit(pf.param.toLong))
-      else col(sourceCol)
+    val pvCol = pf.transform match {
+      case t if pf.isBucket => call_function("iceberg_bucket", col(sourceCol), lit(pf.param))
+      case t if pf.isTruncate =>
+        call_function("iceberg_truncate", col(sourceCol), lit(pf.param.toLong))
+      // spec temporal transforms: int offsets from the 1970 epoch
+      case "year" => (year(col(sourceCol)) - lit(1970)).cast("int")
+      case "month" =>
+        ((year(col(sourceCol)) - lit(1970)) * lit(12) + month(col(sourceCol)) - lit(1)).cast("int")
+      case "day" => datediff(col(sourceCol), to_date(lit("1970-01-01"))).cast("int")
+      case _ => col(sourceCol) // identity
+    }
     df.withColumn("_pv", pvCol)
       .write.partitionBy("_pv").parquet(s"$tableDir/$dataSubdir")
     val srcType = df.schema(sourceCol).dataType
@@ -329,11 +345,12 @@ object IcebergWrite {
     // directory name -> typed partition value (int for bucket; the
     // source type for truncate/identity)
     def parsePv(s: String): Any =
-      if (pf.isBucket) s.toInt
+      if (pf.isBucket || pf.isTemporal) s.toInt
       else srcType match {
         case LongType => s.toLong
         case IntegerType => s.toInt
         case StringType => s
+        case DateType => java.time.LocalDate.parse(s).toEpochDay.toInt
         case other => sys.error(s"graft iceberg: unsupported partition type $other")
       }
     val partDirs = fs.listStatus(new Path(s"$tableDir/$dataSubdir"))
@@ -453,7 +470,22 @@ object IcebergRead {
             case s: String => IcebergImpl.truncateString(
               UTF8String.fromString(s), p.param).toString
             case other => sys.error(s"graft iceberg: unsupported truncate probe $other")
-          } else value // identity
+          } else if (p.isTemporal) {
+            val ld = value match {
+              case d: java.sql.Date => d.toLocalDate
+              case d: java.time.LocalDate => d
+              case other => sys.error(s"graft iceberg: temporal probe needs a date, got $other")
+            }
+            p.transform match {
+              case "year" => ld.getYear - 1970
+              case "month" => (ld.getYear - 1970) * 12 + ld.getMonthValue - 1
+              case "day" => ld.toEpochDay.toInt
+            }
+          } else value match { // identity
+            case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+            case d: java.time.LocalDate => d.toEpochDay.toInt
+            case v => v
+          }
         (p, pv)
       }
     }
