@@ -54,8 +54,9 @@ import scala.jdk.CollectionConverters._
   * Scan planning is DRIVER-side metadata work, exactly as in Iceberg
   * itself: an equality predicate on a partition SOURCE column is mapped
   * through the table's transform (bucket[N] via the murmur3 of
-  * graft.functions.IcebergImpl — the same bytes the spec fixes — or
-  * identity) and pruned TWICE: manifest-list level against the
+  * graft.functions.IcebergImpl — the same bytes the spec fixes —
+  * truncate[W], identity, or year/month/day) and pruned TWICE:
+  * manifest-list level against the
   * field_summary lower/upper bounds, then manifest level against each
   * file's partition tuple. A 1-of-N-buckets probe therefore opens one
   * manifest and reads 1/N of the data files; at 100 TB that is the
@@ -72,7 +73,7 @@ import scala.jdk.CollectionConverters._
   * This reader is the format-conformance path; a planner that wants
   * Spark's vectorized parquet exec can take `IcebergRead.planFiles`
   * (the same pruned list) and hand it to `spark.read.parquet` — both
-  * paths are exercised by IcebergSpec.
+  * paths are exercised by SourcesSpec S16–S16d.
   *
   * Types: long/int/double/boolean/string/date (the testdata surface +
   * one of each width class); anything else fails loudly at schema
