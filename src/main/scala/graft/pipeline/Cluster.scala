@@ -28,6 +28,28 @@ object Cluster {
 
   /** Connected components of an undirected edge list.
     *
+    * Runs in two phases. Phase 0 (round 6) CONTRACTS the graph without
+    * any label rounds: edges are range-partitioned by source id and
+    * each partition runs an in-memory union-find over its local edges
+    * (one `mapPartitions`, no driver data). Every node maps to a local
+    * root (the min id of its local component); a node seen in several
+    * partitions stitches its local roots together, so the residual
+    * graph the iterative phase must solve has one node per local
+    * component and one edge per border node — for graphs with id
+    * locality (doc-id chains, temporal neighbors) that is orders of
+    * magnitude smaller than the input, and for adversarially random
+    * graphs it degrades gracefully to the uncontracted size. This is
+    * the local-contraction step of the MapReduce-CC literature
+    * (Kiveris et al.'s "large-star" locality idea applied
+    * partition-wise); per-partition memory is bounded by the
+    * partition's own edge set, the same bound the shuffle already
+    * imposes.
+    *
+    * Phase 1 is min-label propagation with pointer jumping over the
+    * CONTRACTED graph (details below); node labels then come back via
+    * one broadcast-sized join, with isolated local roots (components
+    * entirely inside one partition) short-circuiting to themselves.
+    *
     * @param edges two-column DataFrame (src, dst), any long-typed ids
     * @return (id, cluster_id) with cluster_id = min id in the component;
     *         includes every endpoint (callers union isolated nodes).
@@ -53,8 +75,51 @@ object Cluster {
     val sym = edges.select(col(srcC).cast("long").as("a"), col(dstC).cast("long").as("b"))
       .union(edges.select(col(dstC).cast("long").as("a"), col(srcC).cast("long").as("b")))
       .distinct()
+    // ---- Phase 0: partition-local contraction (no label rounds) ----
+    // Range partitioning by source id gives id-adjacent edges (chains,
+    // temporal neighbors) a chance to land together; the union-find
+    // then collapses each partition's subgraph in one pass. Output:
+    // every node of the partition labeled with its LOCAL root = min id
+    // of its local component (min-root unions make the root the min).
+    val localRdd = sym.repartitionByRange(col("a")).rdd.mapPartitions { it =>
+      val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      def find(x0: Long): Long = {
+        var r = x0
+        while (parent.get(r).longValue() != r) r = parent.get(r).longValue()
+        var c = x0 // path compression
+        while (c != r) { val n = parent.get(c).longValue(); parent.put(c, r); c = n }
+        r
+      }
+      it.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      parent.keySet().forEach(k => out += Row(k.longValue(), find(k.longValue())))
+      out.iterator
+    }
+    val local = spark.createDataFrame(localRdd, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("lroot", LongType, nullable = false))))
+    // ONE aggregation yields both the node -> root map and the residual
+    // graph: a node seen in several partitions proves its local roots
+    // are one component, so roots sharing a node become edges. A node's
+    // distinct lroots is bounded by the partition count, never by data.
+    val grouped = local.groupBy("id")
+      .agg(min(col("lroot")).as("root"), collect_set(col("lroot")).as("lroots"))
       .persist(lvl)
-    var labels = sym.select(col("a").as("id")).distinct()
+    val cEdges = grouped.filter(size(col("lroots")) > 1)
+      .select(col("root").as("a"), explode(col("lroots")).as("b"))
+      .filter(col("a") =!= col("b"))
+    // ---- Phase 1: label propagation over the CONTRACTED graph ----
+    val symC = cEdges
+      .union(cEdges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(lvl)
+    var labels = symC.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(lvl)
     var prevRdd: org.apache.spark.rdd.RDD[Row] = null
@@ -64,7 +129,7 @@ object Cluster {
       // 1. closed neighborhood: own label ∪ labels flowing over edges.
       // The self rows carry the previous label in `own` (exactly one
       // self row per id), so the convergence count needs no extra join.
-      val viaEdges = sym.join(labels.withColumnRenamed("id", "a"), "a")
+      val viaEdges = symC.join(labels.withColumnRenamed("id", "a"), "a")
         .select(col("b").as("id"), col("label"), lit(null).cast("long").as("own"))
       val self = labels.withColumn("own", col("label"))
       val hop = viaEdges.union(self).groupBy("id")
@@ -109,11 +174,30 @@ object Cluster {
       labels = spark.createDataFrame(rdd, labelSchema)
       iter += 1
     }
-    sym.unpersist(false)
     // A silent partial fixpoint would yield plausible-but-wrong clusters.
     require(changed == 0,
       s"connectedComponents did not converge in $maxIters rounds ($changed labels still moving)")
-    labels.withColumnRenamed("label", "cluster_id")
+    // ---- join node labels back through their local roots ----
+    // Isolated roots (components entirely inside one partition) never
+    // entered the contracted graph: their root IS the component min —
+    // coalesce short-circuits them.
+    val joined = grouped.select(col("id"), col("root"))
+      .join(labels.select(col("id").as("root"), col("label")), Seq("root"), "left")
+      .select(col("id"), coalesce(col("label"), col("root")).as("label"))
+    // materialize the result so every upstream persist can be released
+    // before returning (the same no-leak discipline as the loop rounds);
+    // the reliable-checkpoint gate covers the FINAL labels too — with
+    // full phase-0 contraction the loop may never checkpoint anything,
+    // and the long lineage to truncate is this join's
+    val outRdd = joined.rdd.map(r => Row(r.getLong(0), r.getLong(1)))
+    outRdd.persist(lvl)
+    if (chkDir.isDefined) outRdd.checkpoint()
+    outRdd.foreach(_ => ())
+    grouped.unpersist(false)
+    symC.unpersist(false)
+    labels.unpersist(false)
+    if (prevRdd != null) prevRdd.unpersist(false)
+    spark.createDataFrame(outRdd, labelSchema).withColumnRenamed("label", "cluster_id")
   }
 
   type Q = (SparkSession, String) => DataFrame
