@@ -84,7 +84,8 @@ import scala.jdk.CollectionConverters._
 object IcebergMeta {
   val mapper = new ObjectMapper()
 
-  /** Iceberg type name <-> Spark. */
+  /** Iceberg type name <-> Spark. Spark's TimestampType is
+    * session-tz-adjusted micros = the spec's timestamptz. */
   def toSpark(t: String): DataType = t match {
     case "long" => LongType
     case "int" => IntegerType
@@ -92,6 +93,7 @@ object IcebergMeta {
     case "boolean" => BooleanType
     case "string" => StringType
     case "date" => DateType
+    case "timestamptz" | "timestamp" => TimestampType
     case other => sys.error(s"graft iceberg: unsupported type '$other'")
   }
 
@@ -102,6 +104,7 @@ object IcebergMeta {
     case BooleanType => "boolean"
     case StringType => "string"
     case DateType => "date"
+    case TimestampType => "timestamptz"
     case other => sys.error(s"graft iceberg: unsupported type $other")
   }
 
@@ -120,20 +123,20 @@ object IcebergMeta {
 
   /** One partition field of the table's spec. Transforms supported:
     * bucket[N] (murmur3), truncate[W] (floor / prefix), identity, and
-    * the temporal family year/month/day on DATE columns (the
-    * reference's full transform set minus hour — IcebergPartition
-    * Transform.java enumerates HOUR/DAY/MONTH/YEAR/BUCKET/TRUNCATE;
-    * hour needs a timestamp source, which this reader's parquet
-    * decode does not cover — documented, fail-loud). Temporal partition
-    * values follow the spec: years/months since 1970 / days since
-    * epoch, all int. */
+    * the full temporal family — year/month/day on DATE columns, hour
+    * on TIMESTAMP columns — i.e. every transform the reference
+    * enumerates (IcebergPartitionTransform.java:
+    * HOUR/DAY/MONTH/YEAR/BUCKET/TRUNCATE + identity). Temporal
+    * partition values follow the spec: years/months since 1970, days/
+    * hours since epoch, all int. */
   case class PartField(name: String, transform: String, sourceId: Int, fieldId: Int) {
     /** bucket[N] -> N; truncate[W] -> W. */
     def param: Int = transform.dropWhile(_ != '[').stripPrefix("[").stripSuffix("]").toInt
     def isBucket: Boolean = transform.startsWith("bucket[")
     def isTruncate: Boolean = transform.startsWith("truncate[")
     def isIdentity: Boolean = transform == "identity"
-    def isTemporal: Boolean = transform == "year" || transform == "month" || transform == "day"
+    def isTemporal: Boolean =
+      transform == "year" || transform == "month" || transform == "day" || transform == "hour"
   }
 
   case class TableMeta(schema: StructType, fieldIds: Seq[Int], spec: Seq[PartField],
@@ -336,10 +339,23 @@ object IcebergWrite {
       case "month" =>
         ((year(col(sourceCol)) - lit(1970)) * lit(12) + month(col(sourceCol)) - lit(1)).cast("int")
       case "day" => datediff(col(sourceCol), to_date(lit("1970-01-01"))).cast("int")
+      // hours since epoch; CAST(ts AS LONG) is epoch seconds, floor
+      // keeps pre-1970 values spec-correct
+      case "hour" => floor(col(sourceCol).cast("long") / lit(3600)).cast("int")
       case _ => col(sourceCol) // identity
     }
-    df.withColumn("_pv", pvCol)
+    // The spec REQUIRES int64 micros for timestamps (INT96 is not a
+    // legal Iceberg physical type); Spark 4 still defaults to INT96,
+    // so pin the writer conf for this write and restore after.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try df.withColumn("_pv", pvCol)
       .write.partitionBy("_pv").parquet(s"$tableDir/$dataSubdir")
+    finally prevTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
     val srcType = df.schema(sourceCol).dataType
     val srcTypes = Map(pf.sourceId -> srcType)
     val entrySchema = manifestEntrySchema(spec, srcTypes)
@@ -471,6 +487,13 @@ object IcebergRead {
             case s: String => IcebergImpl.truncateString(
               UTF8String.fromString(s), p.param).toString
             case other => sys.error(s"graft iceberg: unsupported truncate probe $other")
+          } else if (p.transform == "hour") {
+            val secs = value match {
+              case t: java.sql.Timestamp => Math.floorDiv(t.getTime, 1000L)
+              case i: java.time.Instant => i.getEpochSecond
+              case other => sys.error(s"graft iceberg: hour probe needs a timestamp, got $other")
+            }
+            Math.floorDiv(secs, 3600L).toInt
           } else if (p.isTemporal) {
             val ld = value match {
               case d: java.sql.Date => d.toLocalDate
@@ -676,6 +699,8 @@ class IcebergPartitionReader(file: String, required: StructType)
           case BooleanType => s"optional boolean ${f.name};"
           case StringType => s"optional binary ${f.name} (UTF8);"
           case DateType => s"optional int32 ${f.name} (DATE);"
+          // writer pins int64 micros (spec physical type for timestamps)
+          case TimestampType => s"optional int64 ${f.name};"
           case other => sys.error(s"graft iceberg: unsupported read type $other")
         }
       }.mkString(" ")
@@ -700,7 +725,7 @@ class IcebergPartitionReader(file: String, required: StructType)
       row(i) =
         if (current.getFieldRepetitionCount(i) == 0) null
         else required.fields(i).dataType match {
-          case LongType => current.getLong(i, 0)
+          case LongType | TimestampType => current.getLong(i, 0) // ts: micros
           case IntegerType | DateType => current.getInteger(i, 0)
           case DoubleType => current.getDouble(i, 0)
           case BooleanType => current.getBoolean(i, 0)

@@ -265,7 +265,7 @@ class SourcesSpec extends SparkSpec {
     assert(probe.count() == 1)
   }
 
-  test("S16d: Iceberg temporal transforms partition DATE columns per the spec (months since 1970)") {
+  test("S16d: Iceberg temporal transforms — year/month/day on DATE, hour on TIMESTAMP (spec epoch offsets)") {
     import graft.sources.{IcebergRead, IcebergWrite}
     val conf = spark.sparkContext.hadoopConfiguration
     val fmt = "graft.sources.IcebergSource"
@@ -287,6 +287,28 @@ class SourcesSpec extends SparkSpec {
     val probe = spark.read.format(fmt).load(dir).filter(col("o_date") === probeDate)
     assert(probe.rdd.getNumPartitions == pruned.size)
     assert(probe.count() == orders.filter(col("o_date") === probeDate).count())
+    // hour transform on a TIMESTAMP column (writer pins the spec's
+    // int64-micros physical type; INT96 is not legal Iceberg). Spread
+    // orders across hours so the prune is selective.
+    val tsOrders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderkey"),
+        (col("o_orderdate") + expr("make_interval(0, 0, 0, 0, CAST(o_orderkey % 24 AS INT), 0, 0)"))
+          .cast("timestamp").as("o_ts"),
+        col("o_totalprice"))
+    val hDir = tmp() + "/iceberg_hour"
+    IcebergWrite.write(tsOrders, hDir, "o_ts", "hour")
+    val back = spark.read.format(fmt).load(hDir)
+    assert(back.count() == tsOrders.count())
+    // timestamps survive micros round trip exactly
+    assert(back.agg(max(col("o_ts"))).collect().head.getTimestamp(0) ==
+      tsOrders.agg(max(col("o_ts"))).collect().head.getTimestamp(0))
+    val probeTs = tsOrders.agg(max(col("o_ts"))).collect().head.getTimestamp(0)
+    val hPruned = IcebergRead.planFiles(hDir, conf, Some(("o_ts", probeTs)))
+    assert(hPruned.nonEmpty &&
+      hPruned.size < IcebergRead.planFiles(hDir, conf, None).size)
+    val hProbe = spark.read.format(fmt).load(hDir).filter(col("o_ts") === probeTs)
+    assert(hProbe.rdd.getNumPartitions == hPruned.size)
+    assert(hProbe.count() == tsOrders.filter(col("o_ts") === probeTs).count())
   }
 
   test("M1b: HLL COMPUTE STATS matches the exact variant within rsd, with no Expand in its plan") {
