@@ -61,13 +61,43 @@ object Similarity {
 
   /** IVF (inverted-file) ANN — the other classic scale path next to
     * LSH: a small coarse quantizer (k-means-lite centroids, Lloyd
-    * iterations as pure DataFrame ops — assignment via broadcast
-    * centroid cross-score + max_by, re-estimation via the VectorAvg
-    * typed Aggregator), corpus bucketed by nearest cell, probes scan
-    * only their nProbe nearest cells. Per-probe work drops from n to
-    * ~n·nProbe/cells. Centroids are O(cells·dim) — bounded, so the
-    * broadcast is scale-safe. Approximate: neighbors hiding in
-    * unprobed cells are missed. */
+    * iterations as pure DataFrame ops), corpus bucketed by nearest
+    * cell, probes scan only their nProbe nearest cells. Per-probe work
+    * drops from n to ~n·nProbe/cells. Centroids are O(cells·dim) —
+    * bounded, so the broadcast is scale-safe. Assignment is ROW-LOCAL:
+    * the centroid set folds into one array<struct<cell,cvec>> row,
+    * broadcast to every corpus partition, and each row computes its
+    * argmax cell with a higher-order `aggregate` (the quantizeInt8
+    * pattern) — zero corpus-wide exchanges per assignment, where a
+    * crossJoin + groupBy(vec_id) argmax would shuffle the full corpus
+    * once per Lloyd iteration plus once for the final index. At 100 TB
+    * of embeddings that difference is the index build. Approximate:
+    * neighbors hiding in unprobed cells are missed. */
+
+  /** Bounded centroid frame (cell, cvec) → ONE row holding the cells
+    * sorted by cell id (ascending, so argmax ties resolve to the lowest
+    * cell — max_by(cell, struct(cos, -cell)) parity). The global
+    * collect_list aggregate shuffles ≤ `cells` rows, not the corpus. */
+  private def centArray(c: DataFrame): DataFrame =
+    c.agg(array_sort(collect_list(struct(col("cell"), col("cvec")))).as("cents"))
+
+  /** Nearest-cell assignment: corpus ⨯ broadcast(single-row centroid
+    * array), argmax computed per row. No shuffle touches the corpus —
+    * audited by PlanAuditSpec (the streamed side of the join is
+    * Exchange-free). Strict `>` keeps the first (lowest) cell on ties
+    * because the array is sorted by cell. */
+  private[graft] def assignCells(corpus: DataFrame, cent: DataFrame): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    corpus.crossJoin(broadcast(centArray(cent)))
+      .select(col("vec_id"), col("embedding"),
+        expr(
+          """aggregate(
+            |  transform(cents, s -> named_struct(
+            |    'cos', cosine_sim(embedding, s.cvec), 'cell', s.cell)),
+            |  named_struct('cos', CAST(-1e9 AS DOUBLE), 'cell', CAST(-1 AS BIGINT)),
+            |  (acc, x) -> IF(x.cos > acc.cos, x, acc)).cell""".stripMargin).as("cell"))
+  }
+
   def ivfTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
               k: Int, cells: Int = 16, nProbe: Int = 4, lloydIters: Int = 1): DataFrame = {
     require(nProbe <= cells, s"ivfTopK: nProbe ($nProbe) must be <= cells ($cells)")
@@ -78,26 +108,27 @@ object Similarity {
     var cent = corpus.orderBy("vec_id").limit(cells)
       .select((row_number().over(Window.orderBy("vec_id")) - 1).cast("long").as("cell"),
         col("embedding").as("cvec"))
-    def assign(c: DataFrame): DataFrame = corpus
-      .crossJoin(broadcast(c))
-      .select(col("vec_id"), col("cell"), cosine(col("embedding"), col("cvec")).as("cos"))
-      .groupBy("vec_id")
-      .agg(max_by(col("cell"), struct(col("cos"), -col("cell"))).as("cell"))
+    // Lloyd re-estimation: assignment carries the embedding through, so
+    // the per-cell mean is ONE bounded shuffle (≤ cells groups, partial
+    // aggregation map-side) with no join back to the corpus.
     var i = 0
     while (i < lloydIters) {
-      cent = assign(cent).join(corpus, "vec_id")
+      cent = assignCells(corpus, cent)
         .groupBy("cell").agg(VectorAvg.of(col("embedding")).as("cvec"))
       i += 1
     }
-    val indexed = assign(cent).join(corpus, "vec_id")
+    val indexed = assignCells(corpus, cent)
       .select(col("cell"), col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-    val probes = queries.crossJoin(broadcast(cent))
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("cell"),
-        cosine(col("embedding"), col("cvec")).as("ccos"))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell"))))
-      .filter(col("crk") <= nProbe)
-      .select("q_id", "q_vec", "cell")
+    // Probe cells row-locally too: score all centroids per query row,
+    // sort (negated cos → descending, cell breaks ties low-first),
+    // keep nProbe, explode. No per-query window needed.
+    val probes = queries.crossJoin(broadcast(centArray(cent)))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        explode(expr(
+          s"""slice(
+             |  array_sort(transform(cents, s -> named_struct(
+             |    'neg_cos', -cosine_sim(embedding, s.cvec), 'cell', s.cell))),
+             |  1, $nProbe)""".stripMargin).getField("cell")).as("cell"))
     val scored = probes.join(indexed, Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .dropDuplicates("q_id", "c_id")

@@ -370,4 +370,40 @@ class PlanAuditSpec extends SparkSpec {
       s"undocumented global windows: ${offenders.toSet -- allowed}; " +
         s"stale allowance: ${allowed -- offenders.toSet}")
   }
+
+  /** IVF cell assignment must be shuffle-free on the corpus side
+    * (round-6 verdict #2): the centroid set is folded into ONE
+    * broadcast row and the argmax computed row-locally, so the path
+    * from the embeddings scan to the join carries no Exchange. A
+    * crossJoin + groupBy(vec_id) regression would reintroduce a
+    * full-corpus shuffle per Lloyd iteration and fail here. */
+  test("IVF centroid assignment keeps the corpus side exchange-free") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val emb = Tables(spark, sf0001).embeddings
+    val cent = emb.orderBy("vec_id").limit(4)
+      .select((org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
+        .cast("long").as("cell"), col("embedding").as("cvec"))
+    val assigned = graft.pipeline.Similarity.assignCells(emb, cent)
+    val plan = assigned.queryExecution.sparkPlan
+    val join = plan.collectFirst { case j: BroadcastNestedLoopJoinExec => j }
+    assert(join.isDefined, s"expected broadcast join in assignment plan:\n$plan")
+    val streamed = join.get.buildSide match {
+      case BuildRight => join.get.left
+      case BuildLeft => join.get.right
+    }
+    val shuffles = streamed.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"corpus side of IVF assignment shuffles:\n$streamed")
+    // and NOTHING above the join shuffles either (the argmax is a
+    // per-row projection, not an aggregate)
+    val above = plan.collect { case e: ShuffleExchangeExec => e }
+    val centShuffles = join.get.buildSide match {
+      case BuildRight => join.get.right.collect { case e: ShuffleExchangeExec => e }
+      case BuildLeft => join.get.left.collect { case e: ShuffleExchangeExec => e }
+    }
+    assert(above.size == centShuffles.size,
+      s"exchange above the assignment join (corpus-wide shuffle):\n$plan")
+  }
 }
