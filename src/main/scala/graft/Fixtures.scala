@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-query bench fixtures and /tmp hygiene (round-6 verdict #1/#6,
+  * ADVICE #4).
+  *
+  * Two problems with one mechanism:
+  *
+  * 1. Fixture writes inside timed iterations. src_nested_parquet and
+  *    the Iceberg table are INPUT fixtures — the measured plan is the
+  *    read path — but building them lazily put the one-time write
+  *    inside bench iteration 1 (Iceberg) or inside EVERY iteration
+  *    (nested parquet, whose re-write each iteration left rising
+  *    writeback debt: driver iterations [8.1, 8.6, 15.4 s]).
+  *    [[prepare]] builds them UNTIMED before a query's iterations.
+  *
+  * 2. Accumulated /tmp writeback. 211 queries × 3 iterations leave
+  *    ~1 GB of written parquet/avro/rcfile/seqfile state in /tmp whose
+  *    page-cache writeback bleeds into whichever queries run next
+  *    (the whole src_* alphabetical neighborhood showed inflated first
+  *    iterations in BENCH_r06). [[cleanup]] deletes each query's dirs
+  *    right after its iterations — deleting dirty pages also cancels
+  *    their pending writeback.
+  *
+  * Bench calls both; Verify calls NEITHER — the DuckDB oracle reads
+  * some of these files after the Verify process exits, and Verify's
+  * builders write their own fixtures (first call per JVM overwrites,
+  * so a verify run never reads a stale file from an older code
+  * version).
+  */
+object Fixtures {
+  type Hook = (SparkSession, String) => Unit
+
+  /** Untimed pre-build of write-once query inputs. */
+  val prepare: Map[String, Hook] = Map(
+    "src_nested_parquet" -> ((s, d) => { sources.NestedParquet.ensureFile(s, d); () }),
+    "src_iceberg_roundtrip" -> ((s, d) => { sources.IcebergQueries.ensureTable(s, d); () }),
+    "src_iceberg_prune" -> ((s, d) => { sources.IcebergQueries.ensureTable(s, d); () }),
+  )
+
+  private def rm(spark: SparkSession, paths: String*): Unit = paths.foreach { p =>
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+  }
+
+  /** Post-query deletion of everything the query wrote to /tmp. Queries
+    * with a write-once memo also drop it, so a later query (or the
+    * other Iceberg query) rebuilds rather than reading a deleted path. */
+  val cleanup: Map[String, Hook] = Map(
+    "m4_compact_small_files" ->
+      ((s, d) => rm(s, operators.TableOps.compactIn(d), operators.TableOps.compactOut(d))),
+    "src_nested_parquet" ->
+      ((s, d) => { sources.NestedParquet.invalidate(d); rm(s, sources.NestedParquet.path(d)) }),
+    "src_rcfile_roundtrip" -> ((s, d) => rm(s, sources.RcFileQueries.path(d))),
+    "src_seqfile_roundtrip" -> ((s, d) => rm(s, sources.SequenceQueries.path(d))),
+    "src_avro_roundtrip" -> ((s, d) => rm(s, sources.AvroQueries.path(d))),
+    "src_iceberg_roundtrip" ->
+      ((s, d) => { sources.IcebergQueries.invalidate(d); rm(s, sources.IcebergQueries.path(d)) }),
+    "src_iceberg_prune" ->
+      ((s, d) => { sources.IcebergQueries.invalidate(d); rm(s, sources.IcebergQueries.path(d)) }),
+  )
+}

@@ -45,10 +45,11 @@ object TableOps {
     spark.read.parquet(outDir)
   }
 
-  // SF-suffixed so runs at different scale factors never collide
-  private def compactIn(dir: String) =
+  // SF-suffixed so runs at different scale factors never collide;
+  // private[graft] so Fixtures can delete them after the bench query
+  private[graft] def compactIn(dir: String) =
     s"/tmp/graft_compact_in_${new java.io.File(dir).getName}"
-  private def compactOut(dir: String) =
+  private[graft] def compactOut(dir: String) =
     s"/tmp/graft_compact_out_${new java.io.File(dir).getName}"
 
   type Q = (SparkSession, String) => DataFrame

@@ -762,6 +762,10 @@ object IcebergQueries {
     })
     p
   }
+  /** Bench cleanup hook: after deleting the table dir, the memo must go
+    * too, or a later iceberg query in the same JVM would read a path
+    * the cleanup removed. */
+  private[graft] def invalidate(dir: String): Unit = written.remove(path(dir))
 
   type Q = (SparkSession, String) => DataFrame
 
