@@ -66,6 +66,14 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // ContextCleaner reclaims broadcast blocks and SHUFFLE FILES only
+      // when driver GC collects their references — on a 128 GiB heap GC
+      // is rare and the default periodicGC.interval (30 min) is longer
+      // than the whole bench, so 211 queries x 3 iterations of shuffle
+      // state piled up on /tmp disk (the round-6 sustained slowdowns in
+      // the late-alphabet q*/src_* region). A 1-minute forced GC keeps
+      // the cleaner draining throughout the run.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

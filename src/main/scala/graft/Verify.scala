@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same rationale as Bench: keep ContextCleaner draining broadcast
+      // and shuffle state across ~200 queries (default 30 min never fires)
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -141,6 +141,42 @@ object TableOps {
         .orderBy("col_name")
     }),
 
+    // M1c — COMPUTE INCREMENTAL STATS parity: the reference's
+    // incremental path (apache-impala-4.1.0/fe/src/main/java/org/
+    // apache/impala/analysis/ComputeStatsStmt.java, the isIncremental_
+    // branch) computes per-PARTITION stats whose NDV state is a
+    // mergeable sketch, so re-statting one newly-ingested partition
+    // updates table-level stats without rescanning the others. Twin:
+    // per-partition (year of o_orderdate stands in for the partition
+    // key) counts + DataSketches HLL sketches, then a merge view that
+    // unions the partition sketches into the TABLE row — the merge is
+    // over |partitions| sketch blobs, never the fact. Approx by design
+    // -> rows-only; SourcesSpec asserts the merged estimates match the
+    // M1b whole-table numbers and the partition rows sum exactly.
+    "stats_table_incremental" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val perPart = t.orders
+        .groupBy(year(col("o_orderdate")).cast("long").as("p_year"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("o_custkey")).as("nn_cust"),
+          hll_sketch_agg(col("o_custkey")).as("cust_hll"),
+          hll_sketch_agg(col("o_orderpriority")).as("prio_hll"))
+      val merged = perPart.agg(
+        sum("n_rows").as("n_rows"),
+        sum("nn_cust").as("nn_cust"),
+        hll_sketch_estimate(hll_union_agg(col("cust_hll"))).as("ndv_cust"),
+        hll_sketch_estimate(hll_union_agg(col("prio_hll"))).as("ndv_prio"))
+      perPart
+        .select(col("p_year").cast("string").as("partition"),
+          col("n_rows"), col("nn_cust"),
+          hll_sketch_estimate(col("cust_hll")).as("ndv_cust"),
+          hll_sketch_estimate(col("prio_hll")).as("ndv_prio"))
+        .unionByName(merged.select(lit("TABLE").as("partition"),
+          col("n_rows"), col("nn_cust"), col("ndv_cust"), col("ndv_prio")))
+        .orderBy("partition")
+    }),
+
     // M2: upsert + delete merge. Keys are bounded for verify-output
     // size only; the plan is scale-free (shuffle on the merge key).
     "merge_upsert" -> ((spark, dir) => {

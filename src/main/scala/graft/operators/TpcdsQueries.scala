@@ -315,8 +315,11 @@ object TpcdsQueries {
           HAVING max(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) = 1
              AND max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) = 0),
         cust AS (
+          -- IS DISTINCT FROM, not <>: EXCEPT retains NULL-segment rows,
+          -- so the filter rewrite must too (<> drops them) — equivalent
+          -- on arbitrary data, not just this generator's (ADVICE r6)
           SELECT c_custkey AS c FROM customer
-          WHERE c_acctbal > 0 AND c_mktsegment <> 'MACHINERY')
+          WHERE c_acctbal > 0 AND c_mktsegment IS DISTINCT FROM 'MACHINERY')
         SELECT o.c FROM o JOIN cust ON o.c = cust.c
         ORDER BY c""")
     }),

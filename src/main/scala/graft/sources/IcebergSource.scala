@@ -240,7 +240,19 @@ object IcebergWrite {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val root = new Path(tableDir)
     val fs = root.getFileSystem(conf)
-    if (fs.exists(root)) fs.delete(root, true)
+    // create-or-replace guard: only replace a directory that IS an
+    // Iceberg table we (or iceberg-core) wrote — a version-hint or
+    // metadata dir marks it. Refusing to clobber an arbitrary existing
+    // directory keeps a mistyped tableDir from silently destroying
+    // unrelated data (ADVICE r6).
+    if (fs.exists(root)) {
+      val looksIceberg = fs.exists(new Path(tableDir, "metadata/version-hint.text")) ||
+        fs.exists(new Path(tableDir, "metadata"))
+      require(looksIceberg,
+        s"graft iceberg: refusing to replace non-Iceberg directory $tableDir " +
+          "(no metadata/ marker); delete it explicitly first")
+      fs.delete(root, true)
+    }
     fs.mkdirs(new Path(tableDir, "metadata"))
     val suffix = transform.takeWhile(_ != '[') match {
       case "identity" => ""
@@ -256,7 +268,7 @@ object IcebergWrite {
     }.mkString("[", ",", "]")
     val snapJson =
       s"""{"snapshot-id":$snapshotId,"timestamp-ms":${System.currentTimeMillis()},
-         |"summary":{"operation":"append"},"manifest-list":"${listPath.toUri.getPath}"}""".stripMargin
+         |"summary":{"operation":"append"},"manifest-list":"${fs.makeQualified(listPath)}"}""".stripMargin
     val metaJson =
       s"""{"format-version":1,"table-uuid":"graft-${tableDir.hashCode.toHexString}",
          |"location":"$tableDir","last-updated-ms":${System.currentTimeMillis()},
@@ -300,7 +312,7 @@ object IcebergWrite {
     val oldSnaps = metaNode.get("snapshots").elements().asScala
       .map(n => mapper.writeValueAsString(n)).mkString(",")
     val snapJson =
-      s"""{"snapshot-id":$snapshotId,"timestamp-ms":${System.currentTimeMillis()},"parent-snapshot-id":${meta.snapshotId},"summary":{"operation":"append"},"manifest-list":"${listPath.toUri.getPath}"}"""
+      s"""{"snapshot-id":$snapshotId,"timestamp-ms":${System.currentTimeMillis()},"parent-snapshot-id":${meta.snapshotId},"summary":{"operation":"append"},"manifest-list":"${fs.makeQualified(listPath)}"}"""
     val metaJson = {
       val node = metaNode.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       node.put("current-snapshot-id", snapshotId)
@@ -385,7 +397,7 @@ object IcebergWrite {
           .getField("partition").schema())
         part.put(0, pv)
         val dataFile = new GenericData.Record(entrySchema.getField("data_file").schema())
-        dataFile.put("file_path", f.getPath.toUri.getPath)
+        dataFile.put("file_path", f.getPath.toString)
         dataFile.put("file_format", "PARQUET")
         dataFile.put("partition", part)
         dataFile.put("record_count", nRows)
@@ -427,7 +439,7 @@ object IcebergWrite {
       sum.put("lower_bound", java.nio.ByteBuffer.wrap(pvBytes(pv)))
       sum.put("upper_bound", java.nio.ByteBuffer.wrap(pvBytes(pv)))
       val rec = new GenericData.Record(listSchema)
-      rec.put("manifest_path", mPath.toUri.getPath)
+      rec.put("manifest_path", fs.makeQualified(mPath).toString)
       rec.put("manifest_length", fs.getFileStatus(mPath).getLen)
       rec.put("partition_spec_id", 0)
       rec.put("added_snapshot_id", snapshotId)
@@ -519,17 +531,24 @@ object IcebergRead {
     val manifestPaths = try {
       listReader.iterator().asScala.filter { m =>
         // level-1 prune: field_summary bounds of the first (only)
-        // partition field, decoded per the probe value's width (int =
-        // bucket, long = truncate/identity on bigint); string bounds
-        // are written but not range-compared — manifest-level pruning
-        // for strings falls through to the per-file tuple check.
+        // partition field. Bounds are decoded by their STORED byte
+        // length (4 -> int, 8 -> long), never by the probe value's
+        // runtime class: an Int probe against 8-byte bounds (identity/
+        // truncate on a bigint column via the direct planFiles API)
+        // would otherwise compare only the low 4 LE bytes and silently
+        // false-prune; the inverse mismatch threw BufferUnderflow.
+        // Unknown widths (string bounds) skip the range compare —
+        // pruning falls through to the per-file tuple check.
+        def boundVal(b: Array[Byte]): Option[Long] = b.length match {
+          case 4 => Some(bytesToInt(b).toLong)
+          case 8 => Some(bytesToLong(b))
+          case _ => None
+        }
+        def mkCheck(p: Long): (Array[Byte], Array[Byte]) => Boolean =
+          (lo, hi) => boundVal(lo).forall(_ <= p) && boundVal(hi).forall(_ >= p)
         val checkBounds: Option[(Array[Byte], Array[Byte]) => Boolean] = want.flatMap {
-          case (_, pv: Int) =>
-            Some((lo: Array[Byte], hi: Array[Byte]) =>
-              bytesToInt(lo) <= pv && bytesToInt(hi) >= pv)
-          case (_, pv: Long) =>
-            Some((lo: Array[Byte], hi: Array[Byte]) =>
-              bytesToLong(lo) <= pv && bytesToLong(hi) >= pv)
+          case (_, pv: Int) => Some(mkCheck(pv.toLong))
+          case (_, pv: Long) => Some(mkCheck(pv))
           case _ => None
         }
         checkBounds.forall { check =>
@@ -666,24 +685,41 @@ class IcebergScan(path: String, required: StructType, eq: Option[(String, Any)],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new IcebergReaderFactory(required)
+    new IcebergReaderFactory(required, new SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
+}
+
+/** Java-serialization carrier for the DRIVER's Hadoop configuration —
+  * executor-side readers previously built a fresh `new Configuration()`
+  * and lost every session setting (filesystem impls, credentials,
+  * io tunables), which silently pinned the source to the default local
+  * filesystem (ADVICE r6). Configuration is Writable, not
+  * Serializable, hence the manual hooks. */
+class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject(); value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject(); value = new Configuration(false); value.readFields(in)
+  }
 }
 
 case class IcebergInputPartition(file: String) extends InputPartition
 
-class IcebergReaderFactory(required: StructType)
+class IcebergReaderFactory(required: StructType, conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[IcebergInputPartition].file
-    new IcebergPartitionReader(file, required)
+    new IcebergPartitionReader(file, required, conf)
   }
 }
 
 /** Per-file parquet Group reader with the pruned schema pushed into
   * the parquet projection. */
-class IcebergPartitionReader(file: String, required: StructType)
+class IcebergPartitionReader(file: String, required: StructType,
+                             base: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
-  private val conf = new Configuration()
+  private val conf = new Configuration(base.value)
   // empty projection (e.g. count(*)) still needs one column to drive
   // row iteration; emit empty rows from it
   private val emptyProjection = required.isEmpty

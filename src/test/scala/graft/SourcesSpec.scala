@@ -330,6 +330,32 @@ class SourcesSpec extends SparkSpec {
     assert(exactPlan.contains("Expand"), "exact variant no longer expands — update this contrast test")
   }
 
+  test("M1c: incremental per-partition stats merge to the whole-table numbers") {
+    val rows = SparkEntry.queries("stats_table_incremental")(spark, sf0001).collect()
+    val (tableRows, partRows) = rows.partition(_.getString(0) == "TABLE")
+    assert(tableRows.length == 1 && partRows.nonEmpty)
+    val table = tableRows.head
+    // partition row counts sum EXACTLY to the merged table row
+    assert(partRows.map(_.getLong(1)).sum == table.getLong(1))
+    assert(partRows.map(_.getLong(2)).sum == table.getLong(2))
+    // merged HLL ndv matches the exact whole-table distinct within rsd
+    val t = Tables(spark, sf0001)
+    val exact = t.orders.agg(
+      countDistinct(col("o_custkey")), countDistinct(col("o_orderpriority")))
+      .collect().head
+    assert(math.abs(table.getLong(3) - exact.getLong(0)) <=
+      math.max(2.0, 0.15 * exact.getLong(0)),
+      s"merged cust ndv ${table.getLong(3)} vs exact ${exact.getLong(0)}")
+    assert(math.abs(table.getLong(4) - exact.getLong(1)) <=
+      math.max(2.0, 0.15 * exact.getLong(1)),
+      s"merged prio ndv ${table.getLong(4)} vs exact ${exact.getLong(1)}")
+    // the incremental property: a partition's ndv never exceeds the
+    // merged table ndv (sketch union is monotone)
+    partRows.foreach { p =>
+      assert(p.getLong(3) <= table.getLong(3) + 2, s"partition ${p.getString(0)}")
+    }
+  }
+
   test("M4: compaction merges small files to the byte-sized target count, losslessly") {
     import graft.operators.TableOps
     val in = tmp() + "/shattered"
