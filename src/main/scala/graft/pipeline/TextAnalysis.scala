@@ -74,6 +74,43 @@ object TextAnalysis {
       call_function("simhash64", words(col("text"))).as("simhash"))
   }
 
+  /** P31: language-model quality scoring, CCNet-style — the standard
+    * corpus-filtering signal a rule-based quality score (P10) can't
+    * give: docs whose token distribution diverges from the corpus get
+    * high cross-entropy (boilerplate, gibberish, wrong-language text).
+    * CCNet uses a pretrained KenLM; self-contained twin: an add-alpha
+    * unigram LM TRAINED ON THE CORPUS ITSELF with a bounded top-V
+    * vocabulary (everything else is OOV mass).
+    *
+    * Scale shape (the IVF-assignment pattern): training is one
+    * vocabulary-bounded groupBy + a global TopN; the vocab folds into
+    * ONE map row (O(V) bytes) crossJoin-broadcast to every partition;
+    * each doc computes -mean ln P(w) with a sequential higher-order
+    * fold over its own tokens. ZERO corpus-wide shuffles — at 100 TB
+    * the scoring pass is scan-bound, exactly like P9–P12. */
+  def lmScore(docs: DataFrame, vocabSize: Int = 100, alpha: Double = 0.5): DataFrame = {
+    val toks = filter(words(col("text")), w => length(w) > 0)
+    val tokDocs = docs.select(col("doc_id"), toks.as("toks"))
+    val vocab = tokDocs.select(explode(col("toks")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word")).limit(vocabSize)
+    // denominator uses the FULL corpus token count (OOV included) plus
+    // alpha*(V+1) smoothing mass — one single-row aggregate
+    val totals = tokDocs.agg(sum(size(col("toks"))).cast("double").as("t_total"))
+    val vrow = vocab
+      .agg(map_from_entries(array_sort(collect_list(struct(col("word"), col("c"))))).as("vmap"))
+      .crossJoin(totals)
+    val denom = s"(t_total + $alpha * ${vocabSize + 1})"
+    tokDocs.crossJoin(broadcast(vrow))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+        expr(
+          s"""aggregate(toks, CAST(0.0 AS DOUBLE),
+             |  (acc, w) -> acc - ln((coalesce(CAST(vmap[w] AS DOUBLE), 0.0) + $alpha) / $denom))"""
+            .stripMargin).as("nll_sum"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("nll_sum") / greatest(col("n_tok"), lit(1L)), 4).as("ce"))
+  }
+
   // ---- queries()/oracle entries -------------------------------------
 
   type Q = (SparkSession, String) => DataFrame
@@ -92,6 +129,8 @@ object TextAnalysis {
     // vocabulary. Counts are lower bounds and merge-order dependent →
     // rows-only; the guarantee (every word with freq > n/(k+1) present)
     // is asserted in PipelineSpec.
+    "text_lm_perplexity" -> ((spark, dir) =>
+      lmScore(Tables(spark, dir).documents).orderBy("doc_id")),
     "text_heavy_hitters" -> ((spark, dir) => {
       import graft.functions.HeavyHitters
       val t = Tables(spark, dir)
@@ -145,5 +184,29 @@ object TextAnalysis {
          |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_re_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
     // text_fingerprint: custom exprs → rows-only + spec.
+
+    // DuckDB mirrors the whole LM: same tokenization, same top-100
+    // vocab (count desc, word tie-break), same add-0.5 smoothing over
+    // t_total + 0.5*101. Per-doc sums run in different orders in the
+    // two engines (fold vs hash-agg) — round(,4) absorbs the ~1e-13
+    // double-association noise.
+    "text_lm_perplexity" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter($wsSql, w -> len(w) > 0) AS toks
+         |  FROM documents),
+         |flat AS (SELECT doc_id, unnest(toks) AS word FROM tok),
+         |vocab AS (
+         |  SELECT word, count(*) AS c FROM flat
+         |  GROUP BY word ORDER BY c DESC, word LIMIT 100),
+         |tot AS (SELECT CAST(sum(len(toks)) AS DOUBLE) AS t_total FROM tok),
+         |scored AS (
+         |  SELECT f.doc_id,
+         |    -ln((coalesce(CAST(v.c AS DOUBLE), 0.0) + 0.5) / (tot.t_total + 0.5 * 101)) AS nll
+         |  FROM flat f LEFT JOIN vocab v USING (word) CROSS JOIN tot),
+         |agg AS (SELECT doc_id, sum(nll) AS nll_sum FROM scored GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tok,
+         |  round(coalesce(a.nll_sum, 0.0) / greatest(len(t.toks), 1), 4) AS ce
+         |FROM tok t LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
   )
 }

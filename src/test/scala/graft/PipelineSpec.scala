@@ -115,6 +115,33 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.1, s"recall=$recall")
   }
 
+  test("LM perplexity: corpus-typical docs score lower cross-entropy than gibberish") {
+    // train-on-self: 8 docs of common words + 1 gibberish doc. The LM
+    // must rank the gibberish doc's cross-entropy strictly highest, and
+    // common-word docs must sit below the OOV floor -ln(alpha/denom).
+    val docs = docsDf(
+      (1L, "the cat sat on the mat and the dog sat too", "s1"),
+      (2L, "the dog ran to the cat and the mat", "s1"),
+      (3L, "a cat and a dog sat on a mat", "s1"),
+      (4L, "the cat and the dog ran on the mat", "s1"),
+      (5L, "the mat sat under the cat and the dog", "s1"),
+      (6L, "a dog ran to a cat on a mat", "s1"),
+      (7L, "the cat ran and the dog sat", "s1"),
+      (8L, "xqzv wfjk pzlm qvtx zzyw", "junk"))
+    val scored = TextAnalysis.lmScore(docs, vocabSize = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ce")).toMap
+    assert(scored.size == 8)
+    val junkCe = scored(8L)
+    scored.filterNot(_._1 == 8L).foreach { case (id, ce) =>
+      assert(ce < junkCe, s"doc $id ce=$ce not below gibberish ce=$junkCe")
+    }
+    // scoring is row-local: no shuffle may touch the corpus between the
+    // docs scan and the per-doc fold (same audit shape as IVF assign)
+    val plan = TextAnalysis.lmScore(docs, vocabSize = 10)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
   test("cosinePairs: candidates from LSH buckets, subset of exact pairs, no cartesian") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val pairs = Similarity.cosinePairs(spark, emb, 0.3)

@@ -263,6 +263,20 @@ class SourcesSpec extends SparkSpec {
     assert(p250.forall(_.path.contains("_pv=200")))
     val probe = spark.read.format(fmt).load(trDir).filter(col("doc_id") === 250L)
     assert(probe.count() == 1)
+    // width-mismatch regression (ADVICE r6): manifest-list bounds must
+    // decode by their STORED byte width, not the probe's runtime class.
+    // identity on an INT column (4-byte bounds) probed with a Long used
+    // to throw BufferUnderflow; the inverse (Int probe vs 8-byte long
+    // bounds) silently compared only the low 4 LE bytes. Both widths of
+    // the same probe must prune identically.
+    val wdir = tmp() + "/iceberg_idint"
+    IcebergWrite.write(docs.withColumn("ki", (col("doc_id") % 5).cast("int")),
+      wdir, "ki", "identity")
+    val pL = IcebergRead.planFiles(wdir, conf, Some(("ki", 3L)))
+    val pI = IcebergRead.planFiles(wdir, conf, Some(("ki", 3)))
+    assert(pL.nonEmpty && pL.map(_.path).toSet == pI.map(_.path).toSet,
+      "Long and Int probes against int identity bounds prune differently")
+    assert(pL.size < IcebergRead.planFiles(wdir, conf, None).size)
   }
 
   test("S16d: Iceberg temporal transforms — year/month/day on DATE, hour on TIMESTAMP (spec epoch offsets)") {
