@@ -658,9 +658,103 @@ object TpcdsQueries {
         GROUP BY p_brand
         ORDER BY revenue DESC, p_brand LIMIT 100""")
     }),
+    // DS26 (q10/q35 shape, r7): customer profile gated by a CONJUNCTION
+    // of a plain EXISTS and a DISJUNCTION of two more EXISTS. The OR of
+    // correlated EXISTS cannot be two semi-joins — Catalyst plans each
+    // disjunct as an ExistenceJoin emitting a boolean, then filters the
+    // disjunction: the one subquery plan form the rest of the suite
+    // never produces. Scale shape: every subquery is an equi-join on
+    // o_custkey (shuffle-partitionable); nothing correlates per-row.
+    "ds_q35_exists_profile" -> ((spark, dir) => {
+      views(spark, dir)
+      spark.sql(s"""
+        SELECT c_nationkey, c_mktsegment,
+               count(*) AS n_cust,
+               ${sqlSum("c_acctbal")} AS sum_bal
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND year(o_orderdate) = 1997)
+          AND (EXISTS (SELECT 1 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                       WHERE o_custkey = c_custkey AND l_returnflag = 'R')
+               OR EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'))
+        GROUP BY c_nationkey, c_mktsegment
+        ORDER BY c_nationkey, c_mktsegment""")
+    }),
+
+    // DS27 (q58 shape, r7): items whose revenue is BALANCED across the
+    // three disjoint channels — each channel within [0.5, 1.5]× the
+    // cross-channel mean.
+    //
+    // Scale shape: the literal TPC-DS form aggregates each channel
+    // separately and 3-way-joins on item — 3 fact scans + 4 shuffles.
+    // The channels partition ONE scan, so three conditional sums over a
+    // single lineitem⋈orders pass compute the identical pivot in one
+    // fact shuffle; absence from a channel surfaces as NULL exactly
+    // where the literal form's inner join drops the item (the oracle
+    // keeps the literal three-agg join, proving equivalence).
+    "ds_q58_channel_share" -> ((spark, dir) => {
+      views(spark, dir)
+      spark.sql(s"""
+        WITH ch AS (
+          SELECT l_partkey,
+                 CASE WHEN l_returnflag = 'R' THEN 'returned'
+                      WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
+                      ELSE 'normal' END AS channel,
+                 l_extendedprice * (1.0 - l_discount) AS ext
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        agg AS (
+          SELECT l_partkey,
+                 ${sqlSum("CASE WHEN channel = 'returned' THEN ext END")} AS r_rev,
+                 ${sqlSum("CASE WHEN channel = 'urgent' THEN ext END")} AS u_rev,
+                 ${sqlSum("CASE WHEN channel = 'normal' THEN ext END")} AS n_rev
+          FROM ch GROUP BY l_partkey)
+        SELECT l_partkey, r_rev, u_rev, n_rev
+        FROM agg
+        WHERE r_rev IS NOT NULL AND u_rev IS NOT NULL AND n_rev IS NOT NULL
+          AND r_rev BETWEEN 0.5 * (r_rev + u_rev + n_rev) / 3 AND 1.5 * (r_rev + u_rev + n_rev) / 3
+          AND u_rev BETWEEN 0.5 * (r_rev + u_rev + n_rev) / 3 AND 1.5 * (r_rev + u_rev + n_rev) / 3
+          AND n_rev BETWEEN 0.5 * (r_rev + u_rev + n_rev) / 3 AND 1.5 * (r_rev + u_rev + n_rev) / 3
+        ORDER BY l_partkey""")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "ds_q35_exists_profile" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |       count(*) AS n_cust,
+        |       CAST(SUM(CAST((c_acctbal) AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND year(o_orderdate) = 1997)
+        |  AND (EXISTS (SELECT 1 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |               WHERE o_custkey = c_custkey AND l_returnflag = 'R')
+        |       OR EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'))
+        |GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    // literal q58 form: three per-channel aggregates inner-joined on the
+    // item — proves the single-pass conditional-sum rewrite equivalent
+    "ds_q58_channel_share" ->
+      """WITH ch AS (
+        |  SELECT l_partkey,
+        |         CASE WHEN l_returnflag = 'R' THEN 'returned'
+        |              WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
+        |              ELSE 'normal' END AS channel,
+        |         l_extendedprice * (1.0 - l_discount) AS ext
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |r AS (SELECT l_partkey, CAST(SUM(CAST((ext) AS DECIMAL(38,6))) AS DOUBLE) AS r_rev
+        |      FROM ch WHERE channel = 'returned' GROUP BY l_partkey),
+        |u AS (SELECT l_partkey, CAST(SUM(CAST((ext) AS DECIMAL(38,6))) AS DOUBLE) AS u_rev
+        |      FROM ch WHERE channel = 'urgent' GROUP BY l_partkey),
+        |n AS (SELECT l_partkey, CAST(SUM(CAST((ext) AS DECIMAL(38,6))) AS DOUBLE) AS n_rev
+        |      FROM ch WHERE channel = 'normal' GROUP BY l_partkey)
+        |SELECT l_partkey, r_rev, u_rev, n_rev
+        |FROM r JOIN u USING (l_partkey) JOIN n USING (l_partkey)
+        |WHERE r_rev BETWEEN 0.5 * (r_rev + u_rev + n_rev) / 3 AND 1.5 * (r_rev + u_rev + n_rev) / 3
+        |  AND u_rev BETWEEN 0.5 * (r_rev + u_rev + n_rev) / 3 AND 1.5 * (r_rev + u_rev + n_rev) / 3
+        |  AND n_rev BETWEEN 0.5 * (r_rev + u_rev + n_rev) / 3 AND 1.5 * (r_rev + u_rev + n_rev) / 3
+        |ORDER BY l_partkey""".stripMargin,
     "ds_q3_brand_rev" ->
       s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, p_brand,
          |  ${sqlSum("l_extendedprice")} AS sum_agg

@@ -192,7 +192,33 @@ object Dedup {
         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-    // minhash/simhash/ngram: no SQL oracle (xxhash64 / custom exprs) →
+    // minhash/simhash: no SQL oracle (the candidate set depends on
+    // xxhash64 minhash signatures / the custom simhash expression) →
     // rows-only driver check + ScalaTest property specs.
+
+    // ngram jaccard IS oracle-able: hashing shingles is
+    // Jaccard-invariant (|A∩B|/|A∪B| is the same over xxhash64 images
+    // as over the raw shingle strings, modulo 2^-64 collisions), so
+    // DuckDB replays the whole pipeline in string space — tokenize,
+    // 3-word shingles with the short-doc fallback, distinct, per-source
+    // pair join, inclusion–exclusion union size.
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |         regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, doc_id,
+        |    list_distinct(CASE WHEN len(w) >= 3
+        |      THEN [array_to_string(w[i+1:i+3], ' ') for i in range(len(w) - 2)]
+        |      ELSE [array_to_string(w, ' ')] END) AS sh
+        |  FROM t),
+        |p AS (
+        |  SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+        |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT source, doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.05
+        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 200""".stripMargin,
   )
 }

@@ -166,14 +166,60 @@ object Similarity {
       .filter(col("cos") >= minCos)
   }
 
+  /** Embedding-cosine near-duplicate DEDUP (SURVEY.md §2 P32) — the
+    * embedding-space member of the dedup family (P1–P5 work in token
+    * space; this one catches paraphrases that share meaning but few
+    * shingles). Candidates come from the same multi-table
+    * random-hyperplane buckets as [[lshTopK]], GLOBAL (no label key —
+    * near-dups must be found across labels); each candidate pair is
+    * verified cosine >= minCos; verified pairs become edges and
+    * [[Cluster.connectedComponents]] transitively closes them so every
+    * near-dup group keeps exactly one representative, the min vec_id.
+    * Scale shape: candidate generation is a bucket equi-join (never
+    * all-pairs), CC contracts partition-locally before its O(log n)
+    * fixpoint, and the label join-back touches only edge endpoints.
+    * Approximate like all LSH: a pair colliding in no table is missed.
+    */
+  def embedDedup(spark: SparkSession, emb: DataFrame, minCos: Double,
+                 tables: Int = 4, bitsPerTable: Int = 6): DataFrame = {
+    require(tables * bitsPerTable <= 64,
+      s"embedDedup: tables*bitsPerTable must fit one 64-bit signature (got ${tables * bitsPerTable})")
+    GraftFunctions.register(spark)
+    def side(idAs: String, vecAs: String): DataFrame = {
+      val sig = call_function("rhp_bucket", col("embedding"), lit(tables * bitsPerTable))
+      emb.select(col("vec_id").as(idAs), col("embedding").as(vecAs), sig.as("sig"))
+        .select(col(idAs), col(vecAs),
+          posexplode(array((0 until tables).map(t =>
+            shiftrightunsigned(col("sig"), t * bitsPerTable)
+              .bitwiseAND(lit((1 << bitsPerTable) - 1))): _*)).as(Seq("tbl", "bucket")))
+    }
+    val edges = side("vec_a", "e_a").join(side("vec_b", "e_b"), Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b") // a pair may collide in several tables — verify once
+      .filter(cosine(col("e_a"), col("e_b")) >= minCos)
+      .select(col("vec_a"), col("vec_b"))
+    val clusters = Cluster.connectedComponents(edges)
+      .withColumnRenamed("id", "vec_id")
+    emb.join(clusters, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .withColumn("keep", col("cluster_id") === col("vec_id"))
+  }
+
   /** Element-wise centroid per label via posexplode + exact avg —
-    * distributed long-form (no collect, no driver loop). */
+    * distributed long-form (no collect, no driver loop). The 6-decimal
+    * rounding is floor(x·1e6 + 0.5)/1e6, NOT round(): the exact decimal
+    * mean can land on a `…5` tie at the 7th digit (sum/200 does at
+    * sf0.1), where Spark's BigDecimal HALF_UP and DuckDB's double
+    * rounding disagree by one ulp — the floor formula is plain double
+    * arithmetic, bit-identical in both engines (the quantizeInt8
+    * pattern). */
   def labelCentroids(emb: DataFrame): DataFrame = {
     import graft.operators.Exact
     emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("label", "pos")
       .agg(Exact.davg(col("v").cast("double")).as("c"))
-      .select(col("label"), col("pos"), round(col("c"), 6).as("c"))
+      .select(col("label"), col("pos"), (floor(col("c") * 1e6 + 0.5) / 1e6).as("c"))
   }
 
   /** Symmetric int8 quantization of the embedding column — the 4×
@@ -224,6 +270,9 @@ object Similarity {
     "sim_label_centroid" -> ((spark, dir) => {
       labelCentroids(Tables(spark, dir).embeddings).orderBy("label", "pos")
     }),
+    "dedup_embed_cosine" -> ((spark, dir) => {
+      embedDedup(spark, Tables(spark, dir).embeddings, 0.3).orderBy("vec_id")
+    }),
     "sim_quantize_int8" -> ((spark, dir) => {
       quantizeInt8(Tables(spark, dir).embeddings).orderBy("vec_id")
     }),
@@ -244,8 +293,23 @@ object Similarity {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 10)
         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
-    // lsh/cosine_pairs/centroid: custom exprs / float-avg — rows-only +
-    // ScalaTest specs (lsh recall asserted against brute force there).
+    // lsh/cosine_pairs/embed_dedup: which pairs LSH *finds* depends on
+    // the custom rhp_bucket signature — not SQL-replayable; rows-only +
+    // ScalaTest specs (recall asserted against brute force there).
+
+    // Exact decimal avg (Exact.davg) is engine-portable, and DuckDB's
+    // zipped unnests replay posexplode: pos from range(len) is 0-based
+    // like posexplode, cast back to INT to match Spark's pos type.
+    "sim_label_centroid" ->
+      """WITH e AS (
+        |  SELECT label,
+        |         unnest(range(len(embedding))) AS pos,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS v
+        |  FROM embeddings)
+        |SELECT label, CAST(pos AS INTEGER) AS pos,
+        |  floor(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(v) * 1000000 + 0.5)
+        |    / 1000000 AS c
+        |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
     "sim_quantize_int8" ->
       """WITH s AS (

@@ -142,6 +142,39 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  test("embedDedup: planted duplicates collapse to one kept representative per cluster") {
+    // sf0.001 embeddings + exact copies of vecs 0..4 under new ids:
+    // cos(copy, original) = 1 >= tau, so each copy must land in its
+    // original's cluster with keep=false (the original has the lower id
+    // and is the cluster min). Untouched vectors keep themselves unless
+    // they near-dup something organically — keep iff cluster_id==vec_id
+    // must hold for EVERY row either way.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "label", "embedding")
+    val maxId = emb.agg(max($"vec_id")).as[Long].head()
+    val copies = emb.filter($"vec_id" < 5)
+      .select(($"vec_id" + lit(maxId + 1)).as("vec_id"), $"label", $"embedding")
+    val out = Similarity.embedDedup(spark, emb.union(copies), 0.9).collect()
+    assert(out.length == emb.count() + 5)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("keep") == (r.getAs[Long]("cluster_id") == r.getAs[Long]("vec_id")))
+    }
+    val byId = out.map(r => r.getAs[Long]("vec_id") ->
+      (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep"))).toMap
+    (0L until 5L).foreach { i =>
+      val (origCluster, _) = byId(i)
+      val (copyCluster, copyKeep) = byId(maxId + 1 + i)
+      assert(copyCluster == origCluster, s"copy of $i not in original's cluster")
+      assert(!copyKeep, s"copy of $i kept despite duplicating vec $i")
+    }
+    // exactly one kept representative per cluster, and it is the min id
+    out.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, rows) =>
+      val kept = rows.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("vec_id"))
+      assert(kept.sameElements(Array(cid)), s"cluster $cid kept ${kept.toList}")
+      assert(rows.map(_.getAs[Long]("vec_id")).min == cid)
+    }
+  }
+
   test("cosinePairs: candidates from LSH buckets, subset of exact pairs, no cartesian") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val pairs = Similarity.cosinePairs(spark, emb, 0.3)
