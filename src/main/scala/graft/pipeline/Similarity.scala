@@ -182,6 +182,20 @@ object Similarity {
     */
   def embedDedup(spark: SparkSession, emb: DataFrame, minCos: Double,
                  tables: Int = 4, bitsPerTable: Int = 6): DataFrame = {
+    val clusters = Cluster.connectedComponents(
+      embedDedupEdges(spark, emb, minCos, tables, bitsPerTable))
+      .withColumnRenamed("id", "vec_id")
+    emb.join(clusters, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .withColumn("keep", col("cluster_id") === col("vec_id"))
+  }
+
+  /** Verified near-dup edge list for [[embedDedup]] — exposed so the
+    * plan audit can assert the candidate join is a bucket equi-join
+    * (no cartesian) independent of the CC fixpoint that consumes it. */
+  private[graft] def embedDedupEdges(spark: SparkSession, emb: DataFrame, minCos: Double,
+                                     tables: Int = 4, bitsPerTable: Int = 6): DataFrame = {
     require(tables * bitsPerTable <= 64,
       s"embedDedup: tables*bitsPerTable must fit one 64-bit signature (got ${tables * bitsPerTable})")
     GraftFunctions.register(spark)
@@ -193,17 +207,11 @@ object Similarity {
             shiftrightunsigned(col("sig"), t * bitsPerTable)
               .bitwiseAND(lit((1 << bitsPerTable) - 1))): _*)).as(Seq("tbl", "bucket")))
     }
-    val edges = side("vec_a", "e_a").join(side("vec_b", "e_b"), Seq("tbl", "bucket"))
+    side("vec_a", "e_a").join(side("vec_b", "e_b"), Seq("tbl", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .dropDuplicates("vec_a", "vec_b") // a pair may collide in several tables — verify once
       .filter(cosine(col("e_a"), col("e_b")) >= minCos)
       .select(col("vec_a"), col("vec_b"))
-    val clusters = Cluster.connectedComponents(edges)
-      .withColumnRenamed("id", "vec_id")
-    emb.join(clusters, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("label"),
-        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
-      .withColumn("keep", col("cluster_id") === col("vec_id"))
   }
 
   /** Element-wise centroid per label via posexplode + exact avg —

@@ -261,7 +261,8 @@ object IcebergWrite {
     val spec = Seq(PartField(s"$sourceCol$suffix", transform,
       sourceId = df.schema.fieldIndex(sourceCol) + 1, fieldId = 1000))
     val snapshotId = 1L
-    val manifests = writeDataAndManifests(df, tableDir, "data", sourceCol, spec, snapshotId)
+    val manifests = writeDataAndManifests(df, tableDir, "data", sourceCol, spec, snapshotId,
+      fieldIds = 1 to df.schema.length)
     val listPath = writeManifestList(fs, tableDir, snapshotId, Nil, manifests)
     val schemaJson = df.schema.fields.zipWithIndex.map { case (f, i) =>
       s"""{"id":${i + 1},"name":"${f.name}","required":${!f.nullable},"type":"${toIceberg(f.dataType)}"}"""
@@ -303,7 +304,7 @@ object IcebergWrite {
     val sourceCol = meta.schema.fieldNames(pf.sourceId - 1)
     val snapshotId = meta.snapshotId + 1
     val manifests = writeDataAndManifests(df, tableDir, s"data-s$snapshotId",
-      sourceCol, meta.spec, snapshotId)
+      sourceCol, meta.spec, snapshotId, fieldIds = meta.fieldIds)
     // previous snapshot's manifest-list entries carry over as-is
     // (their files become `existing` in spirit; the v1 counts fields
     // are advisory — the reader unions all listed manifests)
@@ -325,11 +326,69 @@ object IcebergWrite {
     writeSmall(fs, new Path(tableDir, "metadata/version-hint.text"), (v + 1).toString)
   }
 
+  /** Column RENAME — schema evolution as a pure metadata commit per
+    * the spec: the field keeps its id, only the name in the current
+    * schema changes, and NO data file is touched. Existing files keep
+    * the old column name in their parquet schema; readers resolve it
+    * through the field-id the files carry (the whole point of ids —
+    * name-based resolution would either miss the column or, worse,
+    * resurrect a dropped-then-re-added name). Readers that loaded the
+    * previous metadata version keep their consistent view. */
+  def renameColumn(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+                   oldName: String, newName: String): Unit =
+    evolveSchema(spark, tableDir) { node =>
+      val fields = node.get("schema").get("fields")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      val names = fields.elements().asScala.map(_.get("name").asText).toSeq
+      require(names.contains(oldName), s"graft iceberg rename: no column $oldName (have $names)")
+      require(!names.contains(newName), s"graft iceberg rename: $newName already exists")
+      fields.elements().asScala.foreach {
+        case f: com.fasterxml.jackson.databind.node.ObjectNode
+          if f.get("name").asText == oldName => f.put("name", newName)
+        case _ =>
+      }
+    }
+
+  /** Column ADD — appends an optional field under a NEVER-reused id
+    * (last-column-id + 1, which the commit also bumps). Existing data
+    * files simply lack the id, so readers surface NULL for old rows —
+    * no rewrite, no backfill. */
+  def addColumn(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+                name: String, icebergType: String): Unit =
+    evolveSchema(spark, tableDir) { node =>
+      val fields = node.get("schema").get("fields")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      require(!fields.elements().asScala.exists(_.get("name").asText == name),
+        s"graft iceberg add: column $name already exists")
+      val id = node.get("last-column-id").asInt + 1
+      node.put("last-column-id", id)
+      fields.add(mapper.readTree(
+        s"""{"id":$id,"name":"$name","required":false,"type":"$icebergType"}"""))
+    }
+
+  /** Shared metadata-commit machinery for schema evolution: load vN,
+    * mutate the metadata tree, write v(N+1) + version-hint. Snapshots
+    * and manifests are untouched — that is what makes evolution O(1)
+    * at any table size. */
+  private def evolveSchema(spark: org.apache.spark.sql.SparkSession, tableDir: String)(
+      mutate: com.fasterxml.jackson.databind.node.ObjectNode => Unit): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(tableDir).getFileSystem(conf)
+    val v = readSmall(fs, new Path(tableDir, "metadata/version-hint.text")).trim.toInt
+    val node = mapper.readTree(readSmall(fs, new Path(tableDir, s"metadata/v$v.metadata.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    mutate(node)
+    node.put("last-updated-ms", System.currentTimeMillis())
+    writeSmall(fs, new Path(tableDir, s"metadata/v${v + 1}.metadata.json"),
+      mapper.writeValueAsString(node))
+    writeSmall(fs, new Path(tableDir, "metadata/version-hint.text"), (v + 1).toString)
+  }
+
   /** Spark-parquet write partitioned by the transform value + one Avro
     * manifest per partition value. Returns (manifestPath, pv, nFiles). */
   private def writeDataAndManifests(df: DataFrame, tableDir: String, dataSubdir: String,
       sourceCol: String, spec: Seq[PartField],
-      snapshotId: Long): Seq[(Path, Any, Int)] = {
+      snapshotId: Long, fieldIds: Seq[Int]): Seq[(Path, Any, Int)] = {
     val spark = df.sparkSession
     graft.plans.GraftFunctions.register(spark)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -356,17 +415,36 @@ object IcebergWrite {
       case "hour" => floor(col(sourceCol).cast("long") / lit(3600)).cast("int")
       case _ => col(sourceCol) // identity
     }
+    // The spec REQUIRES data files to carry the table schema's
+    // field-ids in the parquet metadata — that is the indirection that
+    // makes column rename/add evolution a pure metadata commit.
+    // Spark's writer emits them from `parquet.field.id` field metadata
+    // when fieldId.write is enabled.
+    import org.apache.spark.sql.types.MetadataBuilder
+    val withIds = df.select(df.schema.fields.zip(fieldIds).map { case (f, id) =>
+      col(f.name).as(f.name,
+        new MetadataBuilder().putLong("parquet.field.id", id.toLong).build())
+    }.toIndexedSeq: _*)
     // The spec REQUIRES int64 micros for timestamps (INT96 is not a
     // legal Iceberg physical type); Spark 4 still defaults to INT96,
     // so pin the writer conf for this write and restore after.
     val tsKey = "spark.sql.parquet.outputTimestampType"
+    val idKey = "spark.sql.parquet.fieldId.write.enabled"
     val prevTs = spark.conf.getOption(tsKey)
+    val prevId = spark.conf.getOption(idKey)
     spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try df.withColumn("_pv", pvCol)
+    spark.conf.set(idKey, "true")
+    try withIds.withColumn("_pv", pvCol)
       .write.partitionBy("_pv").parquet(s"$tableDir/$dataSubdir")
-    finally prevTs match {
-      case Some(v) => spark.conf.set(tsKey, v)
-      case None => spark.conf.unset(tsKey)
+    finally {
+      prevTs match {
+        case Some(v) => spark.conf.set(tsKey, v)
+        case None => spark.conf.unset(tsKey)
+      }
+      prevId match {
+        case Some(v) => spark.conf.set(idKey, v)
+        case None => spark.conf.unset(idKey)
+      }
     }
     val srcType = df.schema(sourceCol).dataType
     val srcTypes = Map(pf.sourceId -> srcType)
@@ -608,9 +686,23 @@ object IcebergRead {
   def toDataFrame(spark: org.apache.spark.sql.SparkSession, tableDir: String,
                   eq: Option[(String, Any)] = None,
                   snapshotId: Option[Long] = None): DataFrame = {
-    val files = planFiles(tableDir, spark.sparkContext.hadoopConfiguration, eq, snapshotId)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = planFiles(tableDir, conf, eq, snapshotId)
     require(files.nonEmpty, s"graft iceberg: no data files at $tableDir for $eq")
-    spark.read.parquet(files.map(_.path): _*)
+    // Read with the CURRENT table schema carrying each field's id as
+    // `parquet.field.id` metadata, and field-id resolution enabled:
+    // Spark then matches parquet columns by id, not name — which is
+    // what makes renamed columns resolve in pre-rename data files and
+    // added columns surface as NULL. (The conf only changes behavior
+    // for requested fields that CARRY an id, so leaving it set is
+    // inert for every other parquet read in the session.)
+    val meta = IcebergMeta.load(tableDir, conf, snapshotId)
+    val withIds = StructType(meta.schema.fields.zip(meta.fieldIds).map { case (f, id) =>
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong).build())
+    })
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    spark.read.schema(withIds).parquet(files.map(_.path): _*)
   }
 }
 
@@ -684,9 +776,16 @@ class IcebergScan(path: String, required: StructType, eq: Option[(String, Any)],
       .map(f => IcebergInputPartition(f.path): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new IcebergReaderFactory(required, new SerializableHadoopConf(
-      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+    // current-schema name -> field-id map: executors resolve each data
+    // file's columns by id (rename evolution), falling back to name for
+    // id-less legacy files, surfacing NULL for columns newer than the
+    // file (add evolution).
+    val meta = IcebergMeta.load(path, conf)
+    val idByName = meta.schema.fieldNames.zip(meta.fieldIds).toMap
+    new IcebergReaderFactory(required, idByName, new SerializableHadoopConf(conf))
+  }
 }
 
 /** Java-serialization carrier for the DRIVER's Hadoop configuration —
@@ -706,43 +805,77 @@ class SerializableHadoopConf(@transient var value: Configuration) extends Serial
 
 case class IcebergInputPartition(file: String) extends InputPartition
 
-class IcebergReaderFactory(required: StructType, conf: SerializableHadoopConf)
+class IcebergReaderFactory(required: StructType, idByName: Map[String, Int],
+                           conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[IcebergInputPartition].file
-    new IcebergPartitionReader(file, required, conf)
+    new IcebergPartitionReader(file, required, idByName, conf)
   }
 }
 
 /** Per-file parquet Group reader with the pruned schema pushed into
-  * the parquet projection. */
+  * the parquet projection. Columns resolve by FIELD-ID against the
+  * file's own parquet schema (the spec's schema-evolution contract):
+  * a renamed table column still finds its data under the file's old
+  * name, a column added after the file was written reads as NULL, and
+  * id-less legacy files fall back to name matching. */
 class IcebergPartitionReader(file: String, required: StructType,
+                             idByName: Map[String, Int],
                              base: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
   private val conf = new Configuration(base.value)
   // empty projection (e.g. count(*)) still needs one column to drive
   // row iteration; emit empty rows from it
   private val emptyProjection = required.isEmpty
+  // srcIdx(i): position of required column i within the projected
+  // group, or -1 when the file predates the column (NULL).
+  private val srcIdx = new Array[Int](required.length)
   init()
   private def init(): Unit = {
-    val proj = if (emptyProjection) None else Some(required)
-    proj.foreach { s =>
-      val cols = s.fields.map { f =>
-        f.dataType match {
-          case LongType => s"optional int64 ${f.name};"
-          case IntegerType => s"optional int32 ${f.name};"
-          case DoubleType => s"optional double ${f.name};"
-          case BooleanType => s"optional boolean ${f.name};"
-          case StringType => s"optional binary ${f.name} (UTF8);"
-          case DateType => s"optional int32 ${f.name} (DATE);"
-          // writer pins int64 micros (spec physical type for timestamps)
-          case TimestampType => s"optional int64 ${f.name};"
-          case other => sys.error(s"graft iceberg: unsupported read type $other")
-        }
-      }.mkString(" ")
-      conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-        s"message graft_projection { $cols }")
+    if (emptyProjection) return
+    // file schema: one footer read; columns carry the writer's ids
+    val footer = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+    val fileFields =
+      try footer.getFooter.getFileMetaData.getSchema.getFields.asScala.toSeq
+      finally footer.close()
+    def resolve(name: String): Option[String] = {
+      val byId = for {
+        id <- idByName.get(name)
+        c <- fileFields.find(c => c.getId != null && c.getId.intValue == id)
+      } yield c.getName
+      byId.orElse(fileFields.find(_.getName == name).map(_.getName))
     }
+    val cols = scala.collection.mutable.ArrayBuffer.empty[String]
+    required.fields.zipWithIndex.foreach { case (f, i) =>
+      resolve(f.name) match {
+        case None => srcIdx(i) = -1
+        case Some(fileName) =>
+          srcIdx(i) = cols.length
+          cols += (f.dataType match {
+            case LongType => s"optional int64 $fileName;"
+            case IntegerType => s"optional int32 $fileName;"
+            case DoubleType => s"optional double $fileName;"
+            case BooleanType => s"optional boolean $fileName;"
+            case StringType => s"optional binary $fileName (UTF8);"
+            case DateType => s"optional int32 $fileName (DATE);"
+            // writer pins int64 micros (spec physical type for timestamps)
+            case TimestampType => s"optional int64 $fileName;"
+            case other => sys.error(s"graft iceberg: unsupported read type $other")
+          })
+      }
+    }
+    // all-missing projection (every required column newer than the
+    // file): keep ONE file column so the reader still iterates rows.
+    // The sentinel must mirror the file's OWN primitive type — parquet
+    // checkContains rejects a type mismatch even for a never-read column.
+    val body = if (cols.isEmpty) {
+      srcIdx.indices.foreach(srcIdx(_) = -1)
+      val p = fileFields.head.asPrimitiveType()
+      s"optional ${p.getPrimitiveTypeName.name.toLowerCase} ${p.getName};"
+    } else cols.mkString(" ")
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      s"message graft_projection { $body }")
   }
   private val reader = org.apache.parquet.hadoop.ParquetReader
     .builder(new GroupReadSupport(), new Path(file)).withConf(conf).build()
@@ -758,14 +891,15 @@ class IcebergPartitionReader(file: String, required: StructType,
     val row = new Array[Any](required.length)
     var i = 0
     while (i < required.length) {
+      val src = srcIdx(i)
       row(i) =
-        if (current.getFieldRepetitionCount(i) == 0) null
+        if (src < 0 || current.getFieldRepetitionCount(src) == 0) null
         else required.fields(i).dataType match {
-          case LongType | TimestampType => current.getLong(i, 0) // ts: micros
-          case IntegerType | DateType => current.getInteger(i, 0)
-          case DoubleType => current.getDouble(i, 0)
-          case BooleanType => current.getBoolean(i, 0)
-          case StringType => UTF8String.fromBytes(current.getBinary(i, 0).getBytes)
+          case LongType | TimestampType => current.getLong(src, 0) // ts: micros
+          case IntegerType | DateType => current.getInteger(src, 0)
+          case DoubleType => current.getDouble(src, 0)
+          case BooleanType => current.getBoolean(src, 0)
+          case StringType => UTF8String.fromBytes(current.getBinary(src, 0).getBytes)
         }
       i += 1
     }

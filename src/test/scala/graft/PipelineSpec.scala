@@ -197,6 +197,26 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.1, s"recall=$recall (${got.length}/${exact.length})")
   }
 
+  test("embedDedup edges: bucket equi-join, no cartesian, every edge is a real near-dup") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val edges = Similarity.embedDedupEdges(spark, emb, 0.3)
+    val plan = edges.queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan.take(1200))
+    // soundness: every emitted edge really has cosine >= threshold
+    // (completeness is approximate by design — LSH may miss pairs)
+    val e = edges.as[(Long, Long)].collect()
+    val byId = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    e.foreach { case (x, y) =>
+      assert(x < y, s"unordered edge ($x,$y)")
+      assert(cos(byId(x), byId(y)) >= 0.3 - 1e-9, s"edge ($x,$y) below threshold")
+    }
+  }
+
   test("Misra-Gries heavy hitters: guarantee holds against exact counts") {
     import graft.functions.HeavyHitters
     val k = 10

@@ -325,6 +325,54 @@ class SourcesSpec extends SparkSpec {
     assert(hProbe.count() == tsOrders.filter(col("o_ts") === probeTs).count())
   }
 
+  test("S16e: Iceberg schema evolution — rename resolves via field-ids in old files, add surfaces NULL") {
+    import graft.sources.{IcebergRead, IcebergWrite}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fmt = "graft.sources.IcebergSource"
+    val dir = tmp() + "/iceberg_evolve"
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val first = docs.filter(col("doc_id") < 400)
+    IcebergWrite.write(first, dir, "doc_id", 8)
+    val baseSum = first.agg(sum(col("n_chars"))).collect().head.getLong(0)
+    // RENAME a data column and the PARTITION SOURCE column — pure
+    // metadata commits; the data files still carry the old names
+    IcebergWrite.renameColumn(spark, dir, "n_chars", "char_count")
+    IcebergWrite.renameColumn(spark, dir, "doc_id", "document_id")
+    val back = spark.read.format(fmt).load(dir)
+    assert(back.columns.contains("char_count") && !back.columns.contains("n_chars"))
+    assert(back.columns.contains("document_id") && !back.columns.contains("doc_id"))
+    // values resolve through field-ids (the files' parquet schema says
+    // n_chars/doc_id; only the ids connect them to the new names)
+    assert(back.agg(sum(col("char_count"))).collect().head.getLong(0) == baseSum)
+    // partition pruning follows the rename: the probe uses the NEW
+    // source-column name, the spec's source-id indirection finds it
+    val all = IcebergRead.planFiles(dir, conf, None)
+    val pruned = IcebergRead.planFiles(dir, conf, Some(("document_id", 42L)))
+    assert(pruned.nonEmpty && pruned.size < all.size)
+    assert(back.filter(col("document_id") === 42L).count() == 1)
+    // the vectorized path resolves ids too (Spark's fieldId.read)
+    val viaParquet = IcebergRead.toDataFrame(spark, dir, Some(("document_id", 42L)))
+    assert(viaParquet.filter(col("document_id") === 42L).count() == 1)
+    assert(viaParquet.agg(sum(col("char_count"))).collect().head.getLong(0) > 0)
+    // APPEND after the rename: new files carry the new names, same ids;
+    // a read spanning old-name and new-name files still resolves all
+    val second = docs.filter(col("doc_id") >= 400)
+      .withColumnRenamed("doc_id", "document_id")
+      .withColumnRenamed("n_chars", "char_count")
+    IcebergWrite.append(second, dir)
+    val merged = spark.read.format(fmt).load(dir)
+    assert(merged.count() == docs.count())
+    assert(merged.agg(sum(col("char_count"))).collect().head.getLong(0) ==
+      docs.agg(sum(col("n_chars"))).collect().head.getLong(0))
+    // ADD a column: old files predate its id -> NULL everywhere, row
+    // count unchanged, and writing it never touched a data file
+    IcebergWrite.addColumn(spark, dir, "quality_score", "long")
+    val withAdd = spark.read.format(fmt).load(dir)
+    assert(withAdd.columns.contains("quality_score"))
+    assert(withAdd.filter(col("quality_score").isNotNull).count() == 0)
+    assert(withAdd.count() == docs.count())
+  }
+
   test("M1b: HLL COMPUTE STATS matches the exact variant within rsd, with no Expand in its plan") {
     val exact = SparkEntry.queries("stats_table")(spark, sf0001).collect()
       .map(r => r.getString(0) -> r.getLong(3)).toMap
