@@ -139,8 +139,16 @@ object IcebergMeta {
       transform == "year" || transform == "month" || transform == "day" || transform == "hour"
   }
 
+  /** `spec` is the table's DEFAULT (current-write) spec; `specs` maps
+    * every spec-id the table has ever had to its fields — manifests
+    * written under an older layout are interpreted (and pruned) under
+    * THEIR spec, the heart of partition-spec evolution. */
   case class TableMeta(schema: StructType, fieldIds: Seq[Int], spec: Seq[PartField],
-                       manifestList: String, snapshotId: Long)
+                       manifestList: String, snapshotId: Long,
+                       specs: Map[Int, Seq[PartField]] = Map.empty,
+                       defaultSpecId: Int = 0) {
+    def specById(id: Int): Seq[PartField] = specs.getOrElse(id, spec)
+  }
 
   /** Parse metadata/vN.metadata.json (version from version-hint.text).
     * `snapshotId` selects a historical snapshot (time travel); default
@@ -157,15 +165,25 @@ object IcebergMeta {
         nullable = !f.get("required").asBoolean)
     })
     val ids = fields.map(_.get("id").asInt)
-    val spec = meta.get("partition-spec").elements().asScala.toSeq.map { p =>
-      PartField(p.get("name").asText, p.get("transform").asText,
-        p.get("source-id").asInt, p.get("field-id").asInt)
+    def parseFields(node: JsonNode): Seq[PartField] =
+      node.elements().asScala.toSeq.map { p =>
+        PartField(p.get("name").asText, p.get("transform").asText,
+          p.get("source-id").asInt, p.get("field-id").asInt)
+      }
+    // "partition-specs" (spec-id keyed, written since spec evolution
+    // landed) with the single legacy "partition-spec" as the fallback
+    val specs: Map[Int, Seq[PartField]] = Option(meta.get("partition-specs")) match {
+      case Some(arr) => arr.elements().asScala.map(s =>
+        s.get("spec-id").asInt -> parseFields(s.get("fields"))).toMap
+      case None => Map(0 -> parseFields(meta.get("partition-spec")))
     }
+    val defaultSpecId = Option(meta.get("default-spec-id")).map(_.asInt).getOrElse(0)
     val snapId = snapshotId.getOrElse(meta.get("current-snapshot-id").asLong)
     val snap = meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong == snapId)
       .getOrElse(sys.error(s"graft iceberg: snapshot $snapId not in snapshot log"))
-    TableMeta(schema, ids, spec, snap.get("manifest-list").asText, snapId)
+    TableMeta(schema, ids, specs(defaultSpecId), snap.get("manifest-list").asText, snapId,
+      specs, defaultSpecId)
   }
 
   private def readSmall(fs: FileSystem, p: Path): String = {
@@ -277,6 +295,10 @@ object IcebergWrite {
          |"schema":{"type":"struct","fields":$schemaJson},
          |"partition-spec":[{"name":"${spec.head.name}","transform":"${spec.head.transform}",
          |"source-id":${spec.head.sourceId},"field-id":${spec.head.fieldId}}],
+         |"partition-specs":[{"spec-id":0,"fields":[{"name":"${spec.head.name}",
+         |"transform":"${spec.head.transform}","source-id":${spec.head.sourceId},
+         |"field-id":${spec.head.fieldId}}]}],
+         |"last-partition-id":${spec.head.fieldId},
          |"default-spec-id":0,"properties":{},
          |"current-snapshot-id":$snapshotId,
          |"snapshots":[$snapJson]}""".stripMargin
@@ -307,9 +329,11 @@ object IcebergWrite {
       sourceCol, meta.spec, snapshotId, fieldIds = meta.fieldIds)
     // previous snapshot's manifest-list entries carry over as-is
     // (their files become `existing` in spirit; the v1 counts fields
-    // are advisory — the reader unions all listed manifests)
+    // are advisory — the reader unions all listed manifests). They keep
+    // their own partition_spec_id; new manifests get the DEFAULT spec's.
     val prevEntries = readListRecords(meta.manifestList, conf)
-    val listPath = writeManifestList(fs, tableDir, snapshotId, prevEntries, manifests)
+    val listPath = writeManifestList(fs, tableDir, snapshotId, prevEntries, manifests,
+      specId = meta.defaultSpecId)
     val oldSnaps = metaNode.get("snapshots").elements().asScala
       .map(n => mapper.writeValueAsString(n)).mkString(",")
     val snapJson =
@@ -364,6 +388,51 @@ object IcebergWrite {
       node.put("last-column-id", id)
       fields.add(mapper.readTree(
         s"""{"id":$id,"name":"$name","required":false,"type":"$icebergType"}"""))
+    }
+
+  /** PARTITION-SPEC evolution — re-layout the table going forward as a
+    * pure metadata commit: a new spec (next spec-id, fresh partition
+    * field-id) becomes the default for FUTURE writes, while every
+    * existing manifest keeps its own spec-id and is pruned under the
+    * layout it was actually written with. No data file moves — the
+    * 100 TB difference between "repartition the table" (a full rewrite)
+    * and "new data lands in the new layout". Probes on the old layout's
+    * source column still prune old manifests; probes on the new one
+    * prune new manifests; either way unprunable manifests are scanned,
+    * never dropped, so results stay exact. */
+  def evolveSpec(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+                 sourceCol: String, transform: String): Unit =
+    evolveSchema(spark, tableDir) { node =>
+      val names = node.get("schema").get("fields").elements().asScala
+        .map(_.get("name").asText).toIndexedSeq
+      require(names.contains(sourceCol),
+        s"graft iceberg evolveSpec: no column $sourceCol (have $names)")
+      // ensure the spec-id-keyed list exists (tables created before
+      // spec evolution carry only the legacy single "partition-spec")
+      if (node.get("partition-specs") == null) {
+        val legacy = node.get("partition-spec")
+        node.set[JsonNode]("partition-specs", mapper.readTree(
+          s"""[{"spec-id":0,"fields":${mapper.writeValueAsString(legacy)}}]"""))
+        val maxPid = legacy.elements().asScala.map(_.get("field-id").asInt).max
+        node.put("last-partition-id", maxPid)
+      }
+      val specsNode = node.get("partition-specs")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      val specId = specsNode.elements().asScala.map(_.get("spec-id").asInt).max + 1
+      val pid = node.get("last-partition-id").asInt + 1
+      node.put("last-partition-id", pid)
+      val suffix = transform.takeWhile(_ != '[') match {
+        case "identity" => ""
+        case kind => "_" + kind
+      }
+      val fieldJson =
+        s"""{"name":"$sourceCol$suffix","transform":"$transform",
+           |"source-id":${names.indexOf(sourceCol) + 1},"field-id":$pid}""".stripMargin
+      specsNode.add(mapper.readTree(
+        s"""{"spec-id":$specId,"fields":[$fieldJson]}"""))
+      node.put("default-spec-id", specId)
+      // keep the legacy field in sync for pre-evolution readers
+      node.set[JsonNode]("partition-spec", mapper.readTree(s"[$fieldJson]"))
     }
 
   /** Shared metadata-commit machinery for schema evolution: load vN,
@@ -504,7 +573,8 @@ object IcebergWrite {
   }
 
   private def writeManifestList(fs: FileSystem, tableDir: String, snapshotId: Long,
-      carryOver: Seq[GenericRecord], added: Seq[(Path, Any, Int)]): Path = {
+      carryOver: Seq[GenericRecord], added: Seq[(Path, Any, Int)],
+      specId: Int = 0): Path = {
     val listSchema = manifestListSchema
     val listPath = new Path(tableDir, s"metadata/snap-$snapshotId.avro")
     val lw = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](listSchema))
@@ -519,7 +589,7 @@ object IcebergWrite {
       val rec = new GenericData.Record(listSchema)
       rec.put("manifest_path", fs.makeQualified(mPath).toString)
       rec.put("manifest_length", fs.getFileStatus(mPath).getLen)
-      rec.put("partition_spec_id", 0)
+      rec.put("partition_spec_id", specId)
       rec.put("added_snapshot_id", snapshotId)
       rec.put("added_data_files_count", nFiles)
       rec.put("existing_data_files_count", 0)
@@ -561,10 +631,15 @@ object IcebergRead {
                 snapshotId: Option[Long] = None): Seq[DataFileEntry] = {
     val meta = load(tableDir, conf, snapshotId)
     val fs = new Path(tableDir).getFileSystem(conf)
-    // predicate -> expected partition tuple value, via the transform
+    // predicate -> expected partition tuple value, via the transform.
+    // Computed PER SPEC: after partition-spec evolution each manifest
+    // is pruned under the layout it was written with; a spec that does
+    // not partition on the probe column yields None there (its
+    // manifests are scanned, not dropped — correctness over pruning).
     import graft.functions.IcebergImpl
-    val want: Option[(PartField, Any)] = eq.flatMap { case (colName, value) =>
-      meta.spec.find(p => meta.schema.fieldNames(p.sourceId - 1) == colName).map { p =>
+    def wantFor(spec: Seq[PartField]): Option[(PartField, Any)] =
+      eq.flatMap { case (colName, value) =>
+      spec.find(p => meta.schema.fieldNames(p.sourceId - 1) == colName).map { p =>
         val pv: Any =
           if (p.isBucket) value match {
             case l: Long => IcebergImpl.bucketLong(l, p.param)
@@ -603,11 +678,16 @@ object IcebergRead {
         (p, pv)
       }
     }
+    // one want per spec-id the table has ever had
+    val wantBySpec: Map[Int, Option[(PartField, Any)]] =
+      meta.specs.map { case (id, s) => id -> wantFor(s) }
     val listIn = new FsInput(new Path(meta.manifestList), conf)
     val listReader = new DataFileReader[GenericRecord](listIn,
       new GenericDatumReader[GenericRecord]())
     val manifestPaths = try {
       listReader.iterator().asScala.filter { m =>
+        val want = wantBySpec.getOrElse(
+          m.get("partition_spec_id").asInstanceOf[Int], wantFor(meta.spec))
         // level-1 prune: field_summary bounds of the first (only)
         // partition field. Bounds are decoded by their STORED byte
         // length (4 -> int, 8 -> long), never by the probe value's
@@ -642,9 +722,11 @@ object IcebergRead {
             }
           }
         }
-      }.map(_.get("manifest_path").toString).toList
+      }.map(m => (m.get("manifest_path").toString,
+        m.get("partition_spec_id").asInstanceOf[Int])).toList
     } finally listReader.close()
-    manifestPaths.flatMap { mp =>
+    manifestPaths.flatMap { case (mp, specId) =>
+      val want = wantBySpec.getOrElse(specId, wantFor(meta.spec))
       val in = new FsInput(new Path(mp), conf)
       val r = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
       try {
@@ -654,7 +736,8 @@ object IcebergRead {
             val df = e.get("data_file").asInstanceOf[GenericRecord]
             val keep = want.forall { case (pf, pv) =>
               val tuple = df.get("partition").asInstanceOf[GenericRecord]
-              val actual = tuple.get(pf.name)
+              val actual = if (tuple.getSchema.getField(pf.name) == null) null
+                           else tuple.get(pf.name)
               actual == null || normalize(actual) == normalize(pv)
             }
             if (keep) Some(DataFileEntry(df.get("file_path").toString,
@@ -743,7 +826,11 @@ class IcebergScanBuilder(path: String, fullSchema: StructType, snapshotId: Optio
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val meta = IcebergMeta.load(path,
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
-    val sourceCols = meta.spec.map(p => meta.schema.fieldNames(p.sourceId - 1)).toSet
+    // union over ALL specs: after spec evolution a probe on either the
+    // old or the new layout's source column prunes that layout's
+    // manifests (planFiles keys the check by each manifest's spec-id)
+    val sourceCols = meta.specs.values.flatten
+      .map(p => meta.schema.fieldNames(p.sourceId - 1)).toSet
     pruneEq = filters.collectFirst {
       case EqualTo(a, v) if sourceCols.contains(a) => (a, v)
     }

@@ -373,6 +373,51 @@ class SourcesSpec extends SparkSpec {
     assert(withAdd.count() == docs.count())
   }
 
+  test("S16f: Iceberg partition-spec evolution — old manifests prune under their own spec, no data rewrite") {
+    import graft.sources.{IcebergRead, IcebergWrite}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fmt = "graft.sources.IcebergSource"
+    val dir = tmp() + "/iceberg_spec_evolve"
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val first = docs.filter(col("doc_id") < 400)
+    val second = docs.filter(col("doc_id") >= 400)
+    IcebergWrite.write(first, dir, "doc_id", 8) // spec 0: bucket[8] on doc_id
+    val dataFilesBefore = IcebergRead.planFiles(dir, conf, None).map(_.path).toSet
+    // re-layout going forward: identity on lang — a pure metadata commit
+    IcebergWrite.evolveSpec(spark, dir, "lang", "identity")
+    // no data file was touched by the evolution itself
+    assert(IcebergRead.planFiles(dir, conf, None).map(_.path).toSet == dataFilesBefore)
+    IcebergWrite.append(second, dir) // lands under spec 1
+    val merged = spark.read.format(fmt).load(dir)
+    assert(merged.count() == docs.count())
+    assert(merged.agg(sum(col("n_chars"))).collect().head.getLong(0) ==
+      docs.agg(sum(col("n_chars"))).collect().head.getLong(0))
+    val all = IcebergRead.planFiles(dir, conf, None)
+    // probe on the NEW layout's column: spec-1 files prune to one lang
+    // partition, spec-0 files (bucket on doc_id) are all kept — never
+    // dropped, so the result stays exact
+    val lang = docs.select(col("lang")).distinct().limit(1).collect().head.getString(0)
+    val langPruned = IcebergRead.planFiles(dir, conf, Some(("lang", lang)))
+    assert(langPruned.size < all.size)
+    assert(dataFilesBefore.subsetOf(langPruned.map(_.path).toSet))
+    assert(spark.read.format(fmt).load(dir).filter(col("lang") === lang).count() ==
+      docs.filter(col("lang") === lang).count())
+    // probe on the OLD layout's column: spec-0 files prune to one
+    // bucket, every spec-1 file is kept
+    val idPruned = IcebergRead.planFiles(dir, conf, Some(("doc_id", 42L)))
+    assert(idPruned.size < all.size)
+    val spec1Files = all.map(_.path).toSet -- dataFilesBefore
+    assert(spec1Files.subsetOf(idPruned.map(_.path).toSet))
+    assert(spark.read.format(fmt).load(dir).filter(col("doc_id") === 42L).count() == 1)
+    // a second evolution stacks: truncate[200] on doc_id becomes spec 2
+    IcebergWrite.evolveSpec(spark, dir, "doc_id", "truncate[200]")
+    IcebergWrite.append(
+      docs.filter(lit(false)), dir) // empty append just exercises the new default
+    val meta = graft.sources.IcebergMeta.load(dir, conf)
+    assert(meta.specs.keySet == Set(0, 1, 2) && meta.defaultSpecId == 2)
+    assert(spark.read.format(fmt).load(dir).count() == docs.count())
+  }
+
   test("M1b: HLL COMPUTE STATS matches the exact variant within rsd, with no Expand in its plan") {
     val exact = SparkEntry.queries("stats_table")(spark, sf0001).collect()
       .map(r => r.getString(0) -> r.getLong(3)).toMap
