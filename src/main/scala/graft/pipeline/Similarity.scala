@@ -138,6 +138,115 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
+  /** Product-quantization ANN (PQ with asymmetric-distance scoring, the
+    * published ADC scan): embeddings are normalized row-locally, split
+    * into `subspaces` subvectors, and each subvector is replaced by the
+    * id of its nearest codebook centroid — so a 64-dim float vector
+    * (256 B) becomes `subspaces` small ints (8 B at M=8), the memory/IO
+    * lever that makes exhaustive scans feasible at 100 TB. Queries
+    * score candidates through a per-query lookup table (distance from
+    * the query's subvector to every centroid) — scoring is table adds,
+    * never float-vector math.
+    *
+    * Scale shape mirrors the IVF lessons: codebooks train on a BOUNDED
+    * deterministic sample (the standard practice — PQ training needs a
+    * learning set, not the corpus), so every training shuffle is
+    * sample-sized; corpus encoding is ROW-LOCAL against the broadcast
+    * codebook (nested higher-order argmin, zero corpus exchanges); the
+    * ADC scan joins the bounded query set by broadcast. On normalized
+    * vectors squared L2 is 2−2·cos, so ascending distance ranks like
+    * descending cosine and recall is measured against the exact cosine
+    * top-k. Approximate: quantization error can swap near-ties. */
+  def pqTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+             k: Int, subspaces: Int = 8, codes: Int = 32,
+             trainSample: Int = 2048, lloydIters: Int = 2): DataFrame = {
+    GraftFunctions.register(spark)
+    import graft.functions.VectorAvg
+    require(trainSample >= codes,
+      s"pqTopK: trainSample ($trainSample) must cover the codebook ($codes)")
+    val M = subspaces; val K = codes
+    // row-local L2 normalization; sd = subvector width
+    def normalized(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs),
+        expr(
+          """transform(embedding, x -> CAST(x AS DOUBLE) /
+            |  greatest(sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),
+            |    (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), 1e-12))""".stripMargin
+        ).as("nvec"))
+    // --- training: bounded sample -> long form (vec_id, m, sv) ---
+    val sample = normalized(corpus.orderBy("vec_id").limit(trainSample), "vec_id")
+      .select(col("vec_id"), explode(sequence(lit(0), lit(M - 1))).as("m"), col("nvec"))
+      .select(col("vec_id"), col("m"),
+        // float subvectors: VectorAvg (the Lloyd mean) is float-typed
+        expr(s"transform(slice(nvec, m * (size(nvec) DIV $M) + 1, size(nvec) DIV $M)," +
+          " x -> CAST(x AS FLOAT))").as("sv"))
+    // seeds: per subspace, the K lowest vec_ids' subvectors
+    val seedW = Window.partitionBy("m").orderBy("vec_id")
+    var cb = sample.withColumn("rn", row_number().over(seedW))
+      .filter(col("rn") <= K)
+      .select(col("m"), (col("rn") - 1).as("code"), col("sv").as("cvec"))
+    // one-row broadcast codebook, sorted (m, code) so struct index = m*K + code
+    def cbRow(c: DataFrame): DataFrame =
+      c.agg(array_sort(collect_list(struct(col("m"), col("code"), col("cvec")))).as("cb"))
+    // nearest code for (m, sv) rows, row-local argmin over the broadcast
+    def assignSample(s: DataFrame, c: DataFrame): DataFrame =
+      s.crossJoin(broadcast(cbRow(c)))
+        .select(col("vec_id"), col("m"), col("sv"),
+          expr(
+            """aggregate(
+              |  transform(filter(cb, e -> e.m = m), e -> named_struct(
+              |    'd', aggregate(zip_with(sv, e.cvec, (x, y) -> (x - y) * (x - y)),
+              |                   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v),
+              |    'code', e.code)),
+              |  named_struct('d', CAST(1e30 AS DOUBLE), 'code', -1),
+              |  (acc, x) -> IF(x.d < acc.d, x, acc)).code""".stripMargin).as("code"))
+    var i = 0
+    while (i < lloydIters) { // Lloyd on the sample: shuffle <= sample*M rows
+      val means = assignSample(sample, cb)
+        .groupBy("m", "code").agg(VectorAvg.of(col("sv")).as("mean"))
+      // keep the codebook DENSE: a dead code (no assignments this
+      // round) retains its previous centroid — ADC scoring indexes the
+      // sorted codebook positionally as m*K + code, so a dropped row
+      // would silently misalign every lookup after it
+      cb = cb.join(means, Seq("m", "code"), "left")
+        .select(col("m"), col("code"), coalesce(col("mean"), col("cvec")).as("cvec"))
+      i += 1
+    }
+    // --- encode the FULL corpus: all M codes in one row-local pass ---
+    val encoded = normalized(corpus, "c_id").crossJoin(broadcast(cbRow(cb)))
+      .select(col("c_id"),
+        expr(
+          s"""transform(sequence(0, ${M - 1}), m ->
+             |  aggregate(
+             |    transform(filter(cb, e -> e.m = m), e -> named_struct(
+             |      'd', aggregate(zip_with(slice(nvec, m * (size(nvec) DIV $M) + 1,
+             |                                    size(nvec) DIV $M),
+             |                              e.cvec, (x, y) -> (x - y) * (x - y)),
+             |                     CAST(0.0 AS DOUBLE), (acc, v) -> acc + v),
+             |      'code', e.code)),
+             |    named_struct('d', CAST(1e30 AS DOUBLE), 'code', -1),
+             |    (acc, x) -> IF(x.d < acc.d, x, acc)).code)""".stripMargin).as("pq_codes"))
+    // --- ADC: per-query distance table over the broadcast codebook ---
+    val qTabs = normalized(queries, "q_id").crossJoin(broadcast(cbRow(cb)))
+      .select(col("q_id"),
+        expr(
+          s"""transform(cb, e ->
+             |  aggregate(zip_with(slice(nvec, e.m * (size(nvec) DIV $M) + 1,
+             |                           size(nvec) DIV $M),
+             |                     e.cvec, (x, y) -> (x - y) * (x - y)),
+             |            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))""".stripMargin).as("dtab"))
+    // scan: score = sum of M table lookups; ascending L2^2 = descending cos
+    val scored = encoded.crossJoin(broadcast(qTabs))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(expr(
+          s"""aggregate(transform(sequence(0, ${M - 1}), m ->
+             |  element_at(dtab, m * $K + element_at(pq_codes, m + 1) + 1)),
+             |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin), 6).as("dist"))
+    val w = Window.partitionBy("q_id").orderBy(col("dist").asc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+  }
+
   /** Near-duplicate pairs by cosine threshold. Candidates come from an
     * equi-join on (label, lsh table, bucket) using the same
     * random-hyperplane signatures as [[lshTopK]] — label alone is NOT a
@@ -270,6 +379,11 @@ object Similarity {
       val emb = Tables(spark, dir).embeddings
       ivfTopK(spark, emb.filter(col("vec_id") < 10), emb, 5)
         .select("q_id", "c_id", "cos", "rk").orderBy("q_id", "rk")
+    }),
+    "sim_pq_topk" -> ((spark, dir) => {
+      val emb = Tables(spark, dir).embeddings
+      pqTopK(spark, emb.filter(col("vec_id") < 10), emb, 5)
+        .select("q_id", "c_id", "dist", "rk").orderBy("q_id", "rk")
     }),
     "sim_cosine_pairs" -> ((spark, dir) => {
       cosinePairs(spark, Tables(spark, dir).embeddings, 0.3)

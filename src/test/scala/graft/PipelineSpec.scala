@@ -115,6 +115,29 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.1, s"recall=$recall")
   }
 
+  test("PQ top-k: ADC ranking recalls brute-force neighbors; encode plan is corpus-shuffle-free") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(spark, queries, emb, 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(spark, queries, emb, 5)
+    val got = pq.select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    // exactly k results per query, deterministic ranking
+    val perQ = pq.groupBy("q_id").count().as[(Long, Long)].collect().toMap
+    assert(perQ.size == 10 && perQ.values.forall(_ == 5L))
+    // a misaligned ADC table (dead-code codebook hole) would surface as
+    // null distances — every score must be a real lookup sum
+    assert(pq.filter($"dist".isNull).count() == 0)
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall=$recall") // quantized scan, not exact — but usable
+    // the corpus-side encode is row-local: between the embeddings scan
+    // and the broadcast-join there must be NO Exchange (the IVF lesson)
+    val plan = pq.queryExecution.sparkPlan.toString
+    val corpusScans = "Scan parquet".r.findAllIn(plan).size
+    assert(corpusScans >= 1, plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("LM perplexity: corpus-typical docs score lower cross-entropy than gibberish") {
     // train-on-self: 8 docs of common words + 1 gibberish doc. The LM
     // must rank the gibberish doc's cross-entropy strictly highest, and
