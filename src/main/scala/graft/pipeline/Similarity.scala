@@ -165,44 +165,32 @@ object Similarity {
     require(trainSample >= codes,
       s"pqTopK: trainSample ($trainSample) must cover the codebook ($codes)")
     val M = subspaces; val K = codes
-    // row-local L2 normalization; sd = subvector width
-    def normalized(df: DataFrame, idAs: String): DataFrame =
-      df.select(col("vec_id").as(idAs),
-        expr(
-          """transform(embedding, x -> CAST(x AS DOUBLE) /
-            |  greatest(sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),
-            |    (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), 1e-12))""".stripMargin
-        ).as("nvec"))
-    // --- training: bounded sample -> long form (vec_id, m, sv) ---
-    val sample = normalized(corpus.orderBy("vec_id").limit(trainSample), "vec_id")
-      .select(col("vec_id"), explode(sequence(lit(0), lit(M - 1))).as("m"), col("nvec"))
-      .select(col("vec_id"), col("m"),
-        // float subvectors: VectorAvg (the Lloyd mean) is float-typed
-        expr(s"transform(slice(nvec, m * (size(nvec) DIV $M) + 1, size(nvec) DIV $M)," +
-          " x -> CAST(x AS FLOAT))").as("sv"))
+    // --- training: bounded normalized sample, all expressions codegen
+    // (no higher-order lambdas anywhere — they are interpreted per
+    // element and dominated the build time before the pq_* exprs) ---
+    val sample = corpus.orderBy("vec_id").limit(trainSample)
+      .select(col("vec_id"), call_function("l2_normalize", col("embedding")).as("nv"))
+    val svExpr = expr(s"slice(nv, m * (size(nv) DIV $M) + 1, size(nv) DIV $M)")
     // seeds: per subspace, the K lowest vec_ids' subvectors
     val seedW = Window.partitionBy("m").orderBy("vec_id")
-    var cb = sample.withColumn("rn", row_number().over(seedW))
+    var cb = sample
+      .select(col("vec_id"), explode(sequence(lit(0), lit(M - 1))).as("m"), col("nv"))
+      .withColumn("rn", row_number().over(seedW))
       .filter(col("rn") <= K)
-      .select(col("m"), (col("rn") - 1).as("code"), col("sv").as("cvec"))
+      .select(col("m"), (col("rn") - 1).as("code"), svExpr.as("cvec"))
     // one-row broadcast codebook, sorted (m, code) so struct index = m*K + code
     def cbRow(c: DataFrame): DataFrame =
       c.agg(array_sort(collect_list(struct(col("m"), col("code"), col("cvec")))).as("cb"))
-    // nearest code for (m, sv) rows, row-local argmin over the broadcast
-    def assignSample(s: DataFrame, c: DataFrame): DataFrame =
-      s.crossJoin(broadcast(cbRow(c)))
-        .select(col("vec_id"), col("m"), col("sv"),
-          expr(
-            """aggregate(
-              |  transform(filter(cb, e -> e.m = m), e -> named_struct(
-              |    'd', aggregate(zip_with(sv, e.cvec, (x, y) -> (x - y) * (x - y)),
-              |                   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v),
-              |    'code', e.code)),
-              |  named_struct('d', CAST(1e30 AS DOUBLE), 'code', -1),
-              |  (acc, x) -> IF(x.d < acc.d, x, acc)).code""".stripMargin).as("code"))
     var i = 0
     while (i < lloydIters) { // Lloyd on the sample: shuffle <= sample*M rows
-      val means = assignSample(sample, cb)
+      // assignment reuses the compiled pq_encode on the wide row (the
+      // input is already unit-norm; re-normalizing is a no-op), then
+      // explodes codes positionally: position IS the subspace
+      val means = sample.crossJoin(broadcast(cbRow(cb)))
+        .select(col("nv"),
+          posexplode(call_function("pq_encode", col("nv"), col("cb"), lit(K)))
+            .as(Seq("m", "code")))
+        .select(col("m"), col("code"), svExpr.as("sv"))
         .groupBy("m", "code").agg(VectorAvg.of(col("sv")).as("mean"))
       // keep the codebook DENSE: a dead code (no assignments this
       // round) retains its previous centroid — ADC scoring indexes the
@@ -212,37 +200,22 @@ object Similarity {
         .select(col("m"), col("code"), coalesce(col("mean"), col("cvec")).as("cvec"))
       i += 1
     }
-    // --- encode the FULL corpus: all M codes in one row-local pass ---
-    val encoded = normalized(corpus, "c_id").crossJoin(broadcast(cbRow(cb)))
-      .select(col("c_id"),
-        expr(
-          s"""transform(sequence(0, ${M - 1}), m ->
-             |  aggregate(
-             |    transform(filter(cb, e -> e.m = m), e -> named_struct(
-             |      'd', aggregate(zip_with(slice(nvec, m * (size(nvec) DIV $M) + 1,
-             |                                    size(nvec) DIV $M),
-             |                              e.cvec, (x, y) -> (x - y) * (x - y)),
-             |                     CAST(0.0 AS DOUBLE), (acc, v) -> acc + v),
-             |      'code', e.code)),
-             |    named_struct('d', CAST(1e30 AS DOUBLE), 'code', -1),
-             |    (acc, x) -> IF(x.d < acc.d, x, acc)).code)""".stripMargin).as("pq_codes"))
+    // --- encode the FULL corpus: all M codes in one compiled row-local
+    // pass (pq_encode normalizes + argmins in a codegen expression —
+    // Spark's higher-order lambdas are interpreted per element, which
+    // made this exact plan ~2000 interpreted calls per corpus row) ---
+    val encoded = corpus.crossJoin(broadcast(cbRow(cb)))
+      .select(col("vec_id").as("c_id"),
+        call_function("pq_encode", col("embedding"), col("cb"), lit(K)).as("pq_codes"))
     // --- ADC: per-query distance table over the broadcast codebook ---
-    val qTabs = normalized(queries, "q_id").crossJoin(broadcast(cbRow(cb)))
-      .select(col("q_id"),
-        expr(
-          s"""transform(cb, e ->
-             |  aggregate(zip_with(slice(nvec, e.m * (size(nvec) DIV $M) + 1,
-             |                           size(nvec) DIV $M),
-             |                     e.cvec, (x, y) -> (x - y) * (x - y)),
-             |            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))""".stripMargin).as("dtab"))
+    val qTabs = queries.crossJoin(broadcast(cbRow(cb)))
+      .select(col("vec_id").as("q_id"),
+        call_function("pq_dtab", col("embedding"), col("cb"), lit(K)).as("dtab"))
     // scan: score = sum of M table lookups; ascending L2^2 = descending cos
     val scored = encoded.crossJoin(broadcast(qTabs))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        round(expr(
-          s"""aggregate(transform(sequence(0, ${M - 1}), m ->
-             |  element_at(dtab, m * $K + element_at(pq_codes, m + 1) + 1)),
-             |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin), 6).as("dist"))
+        round(call_function("pq_adc_score", col("pq_codes"), col("dtab"), lit(K)), 6).as("dist"))
     val w = Window.partitionBy("q_id").orderBy(col("dist").asc, col("c_id"))
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }

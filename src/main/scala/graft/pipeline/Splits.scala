@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -28,9 +28,18 @@ object Splits {
       when(bucket < trainBuckets, "train").otherwise("test").as("split"))
   }
 
-  /** sample_stratified: per-stratum Bernoulli rates (sampleBy). */
-  def stratified(docs: DataFrame, fractions: Map[String, Double], seed: Long): DataFrame =
-    docs.stat.sampleBy("lang", fractions, seed)
+  /** sample_stratified (P20): per-stratum Bernoulli rates via the SAME
+    * pure doc_id membership hash as [[mixture]], with the seed folded
+    * in mod 2^32 so different seeds draw different (still
+    * deterministic) samples. Replaces `sampleBy`, whose per-partition
+    * RNG re-draws the sample whenever the corpus repartitions — at
+    * 100 TB that makes the "same" sample unreproducible across runs;
+    * the hash is repartition-stable, incrementally stable, and exact
+    * integer arithmetic any engine replays (oracle-exact since r7). */
+  def stratified(docs: DataFrame, fractions: Map[String, Double], seed: Long): DataFrame = {
+    val f = typedlit(fractions)
+    docs.filter(membershipU(seed) < coalesce(element_at(f, col("lang")), lit(0.0)))
+  }
 
   /** P29 mixture sampling — the data-mixing step of a training run:
     * given target proportions per stratum (lang), downsample each
@@ -65,8 +74,15 @@ object Splits {
     * 2^32), keeping the decimal multiply within 2^64 — exact in both
     * engines, and bit-identical to the old formula wherever the old one
     * didn't overflow. */
-  private[graft] def membershipU =
-    expr("CAST(CAST(doc_id % 4294967296 AS DECIMAL(38,0)) * 2654435761 % 4294967296 AS DOUBLE)") /
+  private[graft] def membershipU: Column = membershipU(0L)
+
+  /** Seeded variant: the seed shifts the id stream mod 2^32 before the
+    * multiply — (x % m + s) stays under 2^33, so the sum is exact in
+    * BIGINT and the decimal product stays within 2^64 as before.
+    * Seed 0 is bit-identical to the unseeded form. */
+  private[graft] def membershipU(seed: Long): Column =
+    expr(s"CAST(CAST((doc_id % 4294967296 + ${java.lang.Long.remainderUnsigned(seed, 4294967296L)}) % 4294967296" +
+      " AS DECIMAL(38,0)) * 2654435761 % 4294967296 AS DOUBLE)") /
       lit(4294967296.0)
 
   type Q = (SparkSession, String) => DataFrame
@@ -83,8 +99,8 @@ object Splits {
       mixture(Tables(spark, dir).documents, target)
         .select("doc_id", "lang").orderBy("doc_id")
     }),
-    // P20: sampling is seeded but engine-specific → rows-only; the
-    // spec asserts per-stratum bounds and determinism. Aggregated so
+    // P20: oracle-exact since r7 — membership is the seeded Knuth
+    // hash, pure integer arithmetic in both engines. Aggregated so
     // the row count is stable for the driver's rows>0 smoke.
     "sample_stratified" -> ((spark, dir) => {
       val t = Tables(spark, dir)
@@ -118,5 +134,17 @@ object Splits {
         |WHERE CAST(CAST(d.doc_id % 4294967296 AS DECIMAL(38,0)) * 2654435761 % 4294967296 AS DOUBLE)
         |      / 4294967296.0 < keep_frac
         |ORDER BY d.doc_id""".stripMargin,
+
+    // seeded Knuth membership (seed 42 folded in mod 2^32) — the same
+    // exact-integer replay as pipe_mixture
+    "sample_stratified" ->
+      """WITH f AS (
+        |  SELECT * FROM (VALUES ('en', 0.5), ('de', 0.25), ('fr', 0.25),
+        |                        ('es', 0.25), ('zh', 0.25)) AS t(lang, p))
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_sampled
+        |FROM documents d JOIN f USING (lang)
+        |WHERE CAST(CAST((d.doc_id % 4294967296 + 42) % 4294967296 AS DECIMAL(38,0))
+        |        * 2654435761 % 4294967296 AS DOUBLE) / 4294967296.0 < p
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
   )
 }

@@ -112,6 +112,14 @@ object GraftFunctions {
       arity("damerau_levenshtein_full", 2)(es => DamerauLevenshteinFull(es(0), es(1)))),
     ("zorder64", info("zorder64", "zorder64(a, b) - 64-bit Morton (Z-order) clustering key"),
       arity("zorder64", 2)(es => ZOrder64(es(0), es(1)))),
+    ("l2_normalize", info("l2_normalize", "l2_normalize(vec) - unit-norm float vector"),
+      arity("l2_normalize", 1)(es => L2Normalize(es.head))),
+    ("pq_encode", info("pq_encode", "pq_encode(vec, codebook, K) - product-quantization codes"),
+      arity("pq_encode", 3)(es => PqEncode(es(0), es(1), es(2)))),
+    ("pq_dtab", info("pq_dtab", "pq_dtab(vec, codebook, K) - per-query ADC distance table"),
+      arity("pq_dtab", 3)(es => PqDtab(es(0), es(1), es(2)))),
+    ("pq_adc_score", info("pq_adc_score", "pq_adc_score(codes, dtab, K) - ADC table-lookup distance"),
+      arity("pq_adc_score", 3)(es => PqAdcScore(es(0), es(1), es(2)))),
     ("sniff_format", info("sniff_format", "sniff_format(bin) - container format from magic numbers"),
       arity("sniff_format", 1)(es => SniffFormat(es.head))),
     ("byte_entropy", info("byte_entropy", "byte_entropy(bin) - Shannon entropy in bits/byte"),

@@ -406,6 +406,14 @@ class PipelineSpec extends SparkSpec {
     // fixed seed + same plan → same sample
     assert(s1.collect().map(_.getAs[Long]("doc_id")).sorted.toSeq ==
       Splits.stratified(docs, fr, seed = 7L).collect().map(_.getAs[Long]("doc_id")).sorted.toSeq)
+    // membership is a pure function of doc_id — REPARTITION-stable
+    // (sampleBy's per-partition RNG failed this; the Knuth hash holds)
+    assert(s1.collect().map(_.getAs[Long]("doc_id")).sorted.toSeq ==
+      Splits.stratified(docs.repartition(13), fr, seed = 7L)
+        .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq)
+    // a different seed draws a different sample
+    assert(s1.collect().map(_.getAs[Long]("doc_id")).toSet !=
+      Splits.stratified(docs, fr, seed = 8L).collect().map(_.getAs[Long]("doc_id")).toSet)
   }
 
   test("train/test split is a pure function of doc_id with ~80/20 mass") {
