@@ -117,8 +117,9 @@ object FunctionQueries {
     }),
 
     // F6b: the reference's fnv_hash() builtin as our custom codegen
-    // expression, exercised through the SQL registry (rows-only: no
-    // DuckDB equivalent).
+    // expression, exercised through the SQL registry. Oracle-exact:
+    // DuckDB replays FNV-1/murmur2-64A/fingerprint64 bit-for-bit via
+    // generated HUGEINT arithmetic (DuckHashSql).
     "fn_fnv_hash" -> ((spark, dir) => {
       GraftFunctions.register(spark)
       val t = Tables(spark, dir)
@@ -250,6 +251,13 @@ object FunctionQueries {
     "fn_hash" ->
       """SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256
         |FROM customer WHERE c_custkey < 200 ORDER BY 1""".stripMargin,
+
+    "fn_fnv_hash" ->
+      s"""SELECT c_custkey,
+         |  ${DuckHashSql.fnv64("c_name", "length(c_name)")} AS name_fnv,
+         |  ${DuckHashSql.murmur2_64("c_name", "length(c_name)")} AS name_murmur,
+         |  ${DuckHashSql.fingerprint64("c_name", "length(c_name)")} AS name_fp
+         |FROM customer WHERE c_custkey < 200 ORDER BY 1""".stripMargin,
 
     "fn_cast" ->
       """SELECT c_custkey,

@@ -160,9 +160,10 @@ object FunctionQueries4 {
     }),
 
     // F28: Iceberg bucket partition transform (murmur3_x86_32 per the
-    // public Iceberg spec; seed 0, little-endian widened ints). No
-    // oracle engine implements this hash → rows-only; FunctionsSpec
-    // pins the spec's published vectors.
+    // public Iceberg spec; seed 0, little-endian widened ints).
+    // Oracle-exact: DuckDB replays murmur3_32 via generated HUGEINT
+    // arithmetic (DuckHashSql); FunctionsSpec additionally pins the
+    // spec's published vectors.
     "fn_iceberg_bucket" -> ((spark, dir) => {
       GraftFunctions.register(spark)
       val t = Tables(spark, dir)
@@ -551,6 +552,12 @@ object FunctionQueries4 {
         |  round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 4) AS self_dot,
         |  round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 5) AS sum_elems
         |FROM embeddings WHERE vec_id < 300 ORDER BY vec_id""".stripMargin,
+
+    "fn_iceberg_bucket" ->
+      s"""SELECT c_custkey,
+         |  ${DuckHashSql.icebergBucketLong("c_custkey", 16)} AS b_key16,
+         |  ${DuckHashSql.icebergBucketStr("c_name", "length(c_name)", 32)} AS b_name32
+         |FROM customer WHERE c_custkey < 500 ORDER BY c_custkey""".stripMargin,
 
     "fn_iceberg_truncate" ->
       """SELECT c_custkey,

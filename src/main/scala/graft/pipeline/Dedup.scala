@@ -192,9 +192,17 @@ object Dedup {
         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-    // minhash/simhash: no SQL oracle (the candidate set depends on
-    // xxhash64 minhash signatures / the custom simhash expression) →
-    // rows-only driver check + ScalaTest property specs.
+    // minhash: no SQL oracle (the candidate set depends on xxhash64
+    // minhash signatures) → rows-only driver check + property specs.
+
+    // simhash IS oracle-able: DuckDB replays per-token FNV-1 bit votes
+    // via generated HUGEINT arithmetic (DuckHashSql.simhash64U).
+    "dedup_simhash" -> {
+      import graft.operators.DuckHashSql._
+      s"""WITH s AS (SELECT doc_id, ${simhash64U(tokensSql("text"))} AS sigu FROM documents)
+         |SELECT doc_id, ${toSignedBigint("sigu")} AS simhash, (sigu >> 52)::BIGINT AS bucket
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
 
     // ngram jaccard IS oracle-able: hashing shingles is
     // Jaccard-invariant (|A∩B|/|A∪B| is the same over xxhash64 images

@@ -146,6 +146,15 @@ object TextAnalysis {
   private val wsSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
 
   val oracles: Map[String, String] = Map(
+    // winnowing fingerprint + simhash replayed bit-for-bit in DuckDB
+    // via generated HUGEINT arithmetic (DuckHashSql).
+    "text_fingerprint" -> {
+      import graft.operators.DuckHashSql._
+      s"""WITH s AS (SELECT doc_id, text, ${simhash64U(tokensSql("text"))} AS sigu FROM documents)
+         |SELECT doc_id, ${fingerprint64("text", "length(text)")} AS fp64,
+         |  ${toSignedBigint("sigu")} AS simhash
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
     "text_langid" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang,
