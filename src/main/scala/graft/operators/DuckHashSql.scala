@@ -36,10 +36,14 @@ object DuckHashSql {
   private def toSigned(e: String): String =
     let(e, "sv", s"(CASE WHEN sv >= 9223372036854775808::HUGEINT THEN sv - $U64 ELSE sv END)::BIGINT")
 
-  /** `v * 0xc6a4a7935bd1e995 mod 2^64` via split mulmod; `v` must be a
-    * bound identifier (it is referenced twice). */
+  /** `v * c mod 2^64` via split mulmod (`(v_hi*c mod 2^32)<<32 +
+    * v_lo*c`, every intermediate < 2^97); `v` must be a bound
+    * identifier (it is referenced twice), `c` a constant < 2^64. */
+  private def mulC(v: String, c: String): String =
+    s"((($v >> 32) * $c::HUGEINT) % $M32) * $M32 + ($v & 4294967295::HUGEINT) * $c::HUGEINT"
+
   private def mulP(v: String): String =
-    s"(((($v >> 32) * $P64) % $M32) * $M32 + ($v & 4294967295::HUGEINT) * $P64) % $U64"
+    s"(${mulC(v, "14313749767032793493")}) % $U64"
 
   /** unsigned-2^64 HUGEINT expr -> signed BIGINT, public for callers
     * that compute a shared unsigned state in a CTE and project several
@@ -151,4 +155,111 @@ object DuckHashSql {
     val h2 = let(h1, "lh", let(s"(($v)::HUGEINT // $M32)", "lc", mm32Block("lh", "lc")))
     s"((${mm32Fmix(h2, "8")} % 2147483648::HUGEINT) % $buckets::HUGEINT)::INT"
   }
+
+  // ---- splitmix64 / XXH64 / the minhash-LSH candidate pipeline ------
+
+  /** signed BIGINT expr -> unsigned 2^64 HUGEINT (two's complement). */
+  private def toUnsigned(e: String): String =
+    let(e, "uv", s"(CASE WHEN uv < 0 THEN uv::HUGEINT + $U64 ELSE uv::HUGEINT END)")
+
+  /** splitmix64 finalizer (HashImpl.splitmix64) over unsigned expr `x`. */
+  private def splitmix64(x: String): String =
+    let(s"(($x) + 11400714819323198485::HUGEINT) % $U64", "z0",
+      let("xor(z0, z0 >> 30)", "z1",
+        let(s"(${mulC("z1", "13787848793156543929")}) % $U64", "z2",
+          let("xor(z2, z2 >> 27)", "z3",
+            let(s"(${mulC("z3", "10723151780598845931")}) % $U64", "z4", "xor(z4, z4 >> 31)")))))
+
+  // XXH64 primes (public xxHash spec; Spark's XXH64 implements the same)
+  private val X1 = "11400714785074694791"
+  private val X2 = "14029467366897019727"
+  private val X3 = "1609587929392839161"
+  private val X4 = "9650029242287828579"
+  private val X5 = "2870177450012600261"
+
+  private def rotl64(v: String, r: Int): String =
+    s"((($v << $r) % $U64) + ($v >> ${64 - r}))"
+
+  private def xxhFmix(h: String): String =
+    let(s"xor($h, $h >> 33)", "f1",
+      let(s"(${mulC("f1", X2)}) % $U64", "f2",
+        let("xor(f2, f2 >> 29)", "f3",
+          let(s"(${mulC("f3", X3)}) % $U64", "f4", "xor(f4, f4 >> 32)"))))
+
+  /** XXH64 of one int field with `seed` (Spark XXH64.hashInt). `i` must
+    * be a small non-negative constant/expr. */
+  private def xxh64Int(i: String, seed: String): String =
+    let(s"(($seed) + $X5::HUGEINT + 4) % $U64", "a0",
+      let(s"xor(a0, (($i)::HUGEINT * $X1::HUGEINT) % $U64)", "a1",
+        let(rotl64("a1", 23), "a2",
+          let(s"(${mulC("a2", X2)}) % $U64", "a3",
+            let(s"(a3 + $X3::HUGEINT) % $U64", "a4", xxhFmix("a4"))))))
+
+  /** XXH64 of one long field with `seed` (Spark XXH64.hashLong);
+    * `l` is the unsigned 2^64 view of the long's bits. */
+  private def xxh64Long(l: String, seed: String): String =
+    let(s"(($seed) + $X5::HUGEINT + 8) % $U64", "b0",
+      let(l, "bl",
+        let(s"(${mulC("bl", X2)}) % $U64", "b1",
+          let(rotl64("b1", 31), "b2",
+            let(s"(${mulC("b2", X1)}) % $U64", "b3",
+              let("xor(b0, b3)", "b4",
+                let(rotl64("b4", 27), "b5",
+                  let(s"(${mulC("b5", X1)}) % $U64", "b6",
+                    let(s"(b6 + $X4::HUGEINT) % $U64", "b7", xxhFmix("b7"))))))))))
+
+  /** HashImpl.hashedShingles(text, k): token FNV hashes -> each run of
+    * k chained through splitmix64 -> distinct. Unsigned HUGEINT list
+    * (order: first-occurrence, which jaccard/minhash don't depend on). */
+  private def hashedShinglesU(text: String, k: Int): String = {
+    val tokh = s"list_transform(${tokensSql(text)}, tw -> ${fnv64U("tw", "length(tw)")})"
+    val chain = s"list_reduce(list_prepend(0::HUGEINT, " +
+      s"list_transform(range(0, kk), sm -> th[sj+sm])), (sa, sx) -> ${splitmix64("xor(sa, sx)")})"
+    let(tokh, "th",
+      let(s"least($k, len(th))", "kk",
+        s"list_distinct(list_transform(range(1, len(th)-kk+2), sj -> $chain))"))
+  }
+
+  /** The minhash-LSH candidate CTE chain (HashImpl.minhashSig semantics:
+    * perm p takes the SIGNED min of splitmix64(v xor p*goldenGamma);
+    * band hash = Spark xxhash64(band, sig[2b], sig[2b+1]), seed 42).
+    * Appends CTEs `msh(doc_id, su)` (unsigned shingle sets) and
+    * `mpairs(doc_a, doc_b)` (distinct band-collision candidates) over
+    * relation `rel(doc_id, text)`. Parameters pinned to
+    * Dedup.minhashCandidates defaults: k=3, 8 bands x 2 rows, bucket
+    * cap 1000 on the ascending-sorted id list. */
+  def minhashCtes(rel: String, k: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): String = {
+    val perms = bands * rowsPerBand
+    val golden = BigInt("9e3779b97f4a7c15", 16)
+    val sigEntries = (0 until perms).map { p =>
+      val c = (golden * p).mod(BigInt(2).pow(64))
+      s"list_min(list_transform(su, mv -> ${toSigned(splitmix64(s"xor(mv, $c::HUGEINT)"))}))"
+    }.mkString(", ")
+    val bandStructs = (0 until bands).map { b =>
+      val s0 = xxh64Int(b.toString, "42::HUGEINT")
+      val s1 = xxh64Long(toUnsigned(s"sg[${b * rowsPerBand + 1}]"), s0)
+      val s2 = xxh64Long(toUnsigned(s"sg[${b * rowsPerBand + 2}]"), s1)
+      s"{'band': $b, 'bh': ${toSigned(s2)}}"
+    }.mkString(", ")
+    s"""msh AS (
+       |  SELECT doc_id, ${hashedShinglesU("text", k)} AS su FROM $rel
+       |), msig AS (
+       |  SELECT doc_id, [$sigEntries] AS sg FROM msh
+       |), mbands AS (
+       |  SELECT doc_id, unnest([$bandStructs]) AS u FROM msig
+       |), mbuckets AS (
+       |  SELECT u.band, u.bh, list_sort(list(doc_id))[1:1000] AS ids
+       |  FROM mbands GROUP BY u.band, u.bh HAVING count(*) > 1
+       |), mpairs AS (
+       |  SELECT DISTINCT p[1] AS doc_a, p[2] AS doc_b
+       |  FROM (SELECT unnest(flatten(list_transform(range(1, len(ids)), pi ->
+       |         list_transform(ids[pi+1:], px -> [ids[pi], px])))) AS p FROM mbuckets)
+       |)""".stripMargin
+  }
+
+  /** Exact Jaccard of two distinct shingle-set columns, rounded to 4
+    * places like the Spark side. */
+  def jaccardSql(a: String, b: String): String =
+    s"round(len(list_intersect($a, $b))::DOUBLE / " +
+      s"(len($a) + len($b) - len(list_intersect($a, $b))), 4)"
 }

@@ -134,6 +134,36 @@ object Corpus {
         |  AND lang IN ('en', 'de', 'fr', 'es', 'zh')
         |ORDER BY doc_id""".stripMargin,
 
+    // same clean gates, then the minhash-LSH near-dup pass replayed
+    // bit-for-bit (DuckHashSql.minhashCtes): drop the higher-id doc of
+    // every verified >= 0.6-Jaccard pair, like Corpus.clean(nearDup).
+    "corpus_clean_neardup" -> {
+      import graft.operators.DuckHashSql._
+      s"""WITH deduped AS (
+         |  SELECT doc_id, text, lang FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM documents) WHERE rn = 1),
+         |feat AS (
+         |  SELECT doc_id, lang, text, length(text) AS len,
+         |    CAST(len(regexp_split_to_array(trim(lower(text)), '${"\\s+"}')) AS BIGINT) AS n_words,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '${"\\s+"}'),
+         |         w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop
+         |  FROM deduped),
+         |gated AS (
+         |  SELECT doc_id, text FROM feat
+         |  WHERE len >= 60 AND n_words >= 10
+         |    AND CAST(n_stop AS DOUBLE) / n_words <= 0.5
+         |    AND lang IN ('en', 'de', 'fr', 'es', 'zh')),
+         |${minhashCtes("gated")},
+         |drops AS (
+         |  SELECT DISTINCT doc_b AS doc_id
+         |  FROM mpairs JOIN msh a ON mpairs.doc_a = a.doc_id
+         |              JOIN msh b ON mpairs.doc_b = b.doc_id
+         |  WHERE ${jaccardSql("a.su", "b.su")} >= 0.6)
+         |SELECT doc_id FROM gated
+         |WHERE doc_id NOT IN (SELECT doc_id FROM drops) ORDER BY doc_id""".stripMargin
+    },
+
     "pipe_end_to_end" ->
       """WITH deduped AS (
         |  SELECT doc_id, text, lang FROM (

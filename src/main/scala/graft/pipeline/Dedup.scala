@@ -192,8 +192,20 @@ object Dedup {
         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-    // minhash: no SQL oracle (the candidate set depends on xxhash64
-    // minhash signatures) → rows-only driver check + property specs.
+    // minhash IS oracle-able: DuckDB replays the whole candidate
+    // pipeline bit-for-bit — FNV token hashes, splitmix64 shingle
+    // chains and permutations, Spark-xxhash64 band hashes — via
+    // generated HUGEINT arithmetic (DuckHashSql.minhashCtes).
+    "dedup_minhash_lsh" -> {
+      import graft.operators.DuckHashSql._
+      s"""WITH ${minhashCtes("documents")}
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b, ${jaccardSql("a.su", "b.su")} AS jaccard
+         |  FROM mpairs JOIN msh a ON mpairs.doc_a = a.doc_id
+         |              JOIN msh b ON mpairs.doc_b = b.doc_id)
+         |WHERE jaccard >= 0.1
+         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 200""".stripMargin
+    },
 
     // simhash IS oracle-able: DuckDB replays per-token FNV-1 bit votes
     // via generated HUGEINT arithmetic (DuckHashSql.simhash64U).
