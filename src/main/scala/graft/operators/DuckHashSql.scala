@@ -262,4 +262,59 @@ object DuckHashSql {
   def jaccardSql(a: String, b: String): String =
     s"round(len(list_intersect($a, $b))::DOUBLE / " +
       s"(len($a) + len($b) - len(list_intersect($a, $b))), 4)"
+
+  // ---- RHP-LSH signatures + exact cosine ----------------------------
+
+  /** VectorImpl.rhpSignature replayed over embedding col `e`: the
+    * hyperplane components are pure constants (splitmix64 of
+    * p*1000003+i), so instead of replaying splitmix per term (150x
+    * slower in DuckDB's expression interpreter) the generator bakes the
+    * signed longs into a literal `planes x dim` matrix and the SQL only
+    * does the dot-product folds. gaussianish's 9.223372036854776e18
+    * divisor parses to exactly 2^63 as a double, so `/ 2^63` matches
+    * bit-for-bit. Pinned to `dim` (the testdata embedding width):
+    * longer vectors would index past the literal matrix and null out.
+    */
+  def rhpSigSql(e: String, planes: Int = 24, dim: Int = 64): String = {
+    val g = (0 until planes).map { p =>
+      (0 until dim).map(i => graft.functions.HashImpl.splitmix64(p * 1000003L + i))
+    }
+    val gLit = g.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val acc = s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($e)+1), " +
+      s"ri -> (($e)[ri])::DOUBLE * ((gm[rp][ri])::DOUBLE / 9223372036854775808.0))), (ra, rx) -> ra + rx)"
+    let(gLit, "gm",
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(range(1, ${planes + 1}), " +
+        s"rp -> CASE WHEN $acc > 0 THEN (1::BIGINT << (rp-1)) ELSE 0::BIGINT END)), (sa, sx) -> sa + sx)")
+  }
+
+  /** VectorImpl.cosine replayed with the same left-to-right double
+    * accumulation (dot/nx/ny in one pass, then dot/(sqrt*sqrt)) — bit
+    * -identical, so it is safe for UNROUNDED threshold comparisons
+    * (list_cosine_similarity's internal op order is unspecified). */
+  def cosineExactSql(a: String, b: String): String = {
+    val elems = s"list_transform(range(1, len($a)+1), ci -> " +
+      s"{'d': (($a)[ci])::DOUBLE * (($b)[ci])::DOUBLE, " +
+      s"'x': (($a)[ci])::DOUBLE * (($a)[ci])::DOUBLE, " +
+      s"'y': (($b)[ci])::DOUBLE * (($b)[ci])::DOUBLE})"
+    val red = s"list_reduce(list_prepend({'d': 0.0::DOUBLE, 'x': 0.0::DOUBLE, 'y': 0.0::DOUBLE}, " +
+      s"$elems), (cs, ce) -> {'d': cs.d + ce.d, 'x': cs.x + ce.x, 'y': cs.y + ce.y})"
+    let(red, "cz", "CASE WHEN cz.x = 0.0 OR cz.y = 0.0 THEN 0.0 ELSE cz.d / (sqrt(cz.x) * sqrt(cz.y)) END")
+  }
+
+  /** The multi-table RHP bucket CTE chain shared by the LSH queries:
+    * `rsig(…, sig)` then `rbkt(…, tbl, bucket)` — 4 tables x 6 bits
+    * sliced off one 24-plane signature, like Similarity's `buckets`.
+    * `extraCols` ride along (e.g. label, embedding). */
+  def rhpBucketCtes(rel: String, extraCols: Seq[String]): String = {
+    val cols = (Seq("vec_id") ++ extraCols).mkString(", ")
+    s"""rsig AS (
+       |  SELECT $cols, ${rhpSigSql("embedding")} AS sig FROM $rel
+       |), rbkt0 AS (
+       |  SELECT $cols,
+       |    unnest(list_transform(range(0,4), t -> {'tbl': t, 'bucket': (sig >> (t*6)) & 63})) AS u
+       |  FROM rsig
+       |), rbkt AS (
+       |  SELECT $cols, u.tbl AS tbl, u.bucket AS bucket FROM rbkt0
+       |)""".stripMargin
+  }
 }

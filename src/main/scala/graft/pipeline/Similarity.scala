@@ -388,9 +388,72 @@ object Similarity {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 10)
         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
-    // lsh/cosine_pairs/embed_dedup: which pairs LSH *finds* depends on
-    // the custom rhp_bucket signature — not SQL-replayable; rows-only +
-    // ScalaTest specs (recall asserted against brute force there).
+    // lsh/cosine_pairs/embed_dedup: the rhp_bucket signature IS
+    // SQL-replayable — hyperplane components are splitmix64 constants,
+    // baked into a literal matrix (DuckHashSql.rhpSigSql), and the
+    // cosine fold order is replicated exactly (cosineExactSql), so the
+    // candidate sets match bit-for-bit.
+    "sim_lsh_topk" -> {
+      import graft.operators.DuckHashSql._
+      s"""WITH ${rhpBucketCtes("embeddings", Seq("embedding"))},
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+         |  FROM rbkt q JOIN rbkt c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |    AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10),
+         |scored AS (
+         |  SELECT q_id, c_id, round(${cosineExactSql("q.embedding", "c.embedding")}, 6) AS cos
+         |  FROM cand JOIN embeddings q ON cand.q_id = q.vec_id
+         |            JOIN embeddings c ON cand.c_id = c.vec_id)
+         |SELECT q_id, c_id, cos, rk FROM (
+         |  SELECT q_id, c_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+         |  FROM scored)
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+    },
+    "sim_cosine_pairs" -> {
+      import graft.operators.DuckHashSql._
+      s"""WITH ${rhpBucketCtes("embeddings", Seq("label", "embedding"))},
+         |cand AS (
+         |  SELECT DISTINCT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM rbkt a JOIN rbkt b ON a.label = b.label AND a.tbl = b.tbl
+         |    AND a.bucket = b.bucket
+         |  WHERE a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT cand.label, vec_a, vec_b,
+         |    round(${cosineExactSql("a.embedding", "b.embedding")}, 6) AS cos
+         |  FROM cand JOIN embeddings a ON cand.vec_a = a.vec_id
+         |            JOIN embeddings b ON cand.vec_b = b.vec_id)
+         |SELECT label, vec_a, vec_b, cos FROM scored WHERE cos >= 0.3
+         |ORDER BY cos DESC, vec_a, vec_b LIMIT 200""".stripMargin
+    },
+    // same candidates globally (no label key), unrounded >= 0.3 edge
+    // verification, then connected components as a recursive
+    // reachability CTE (min reachable id = cluster id).
+    "dedup_embed_cosine" -> {
+      import graft.operators.DuckHashSql._
+      s"""WITH ${rhpBucketCtes("embeddings", Seq("embedding"))},
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+         |  FROM rbkt a JOIN rbkt b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |  WHERE a.vec_id < b.vec_id),
+         |edges AS (
+         |  SELECT va, vb
+         |  FROM cand JOIN embeddings a ON cand.va = a.vec_id
+         |            JOIN embeddings b ON cand.vb = b.vec_id
+         |  WHERE ${cosineExactSql("a.embedding", "b.embedding")} >= 0.3),
+         |sym AS (SELECT va AS s, vb AS d FROM edges UNION SELECT vb, va FROM edges),
+         |rch AS (
+         |  WITH RECURSIVE r(id, m) AS (
+         |    SELECT s, s FROM sym
+         |    UNION
+         |    SELECT sym.s, r.m FROM r JOIN sym ON r.id = sym.d)
+         |  SELECT id, min(m) AS cluster_id FROM r GROUP BY id)
+         |SELECT e.vec_id, e.label, coalesce(rch.cluster_id, e.vec_id) AS cluster_id,
+         |  coalesce(rch.cluster_id, e.vec_id) = e.vec_id AS keep
+         |FROM embeddings e LEFT JOIN rch ON e.vec_id = rch.id
+         |ORDER BY e.vec_id""".stripMargin
+    },
 
     // Exact decimal avg (Exact.davg) is engine-portable, and DuckDB's
     // zipped unnests replay posexplode: pos from range(len) is 0-based
