@@ -411,8 +411,10 @@ object Multimodal {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
-    // rows-only: entropy/histogram have no DuckDB per-row equivalent;
-    // MultimodalSpec pins exact values on known payloads.
+    // oracle-exact: DuckDB parses payload bytes out of hex(BLOB), the
+    // magic-number CASE mirrors BinImpl.sniffFormat, and entropy folds
+    // -= p*log2(p) over histogram() keys (sorted ascending, like the
+    // 0..255 bin walk). MultimodalSpec additionally pins exact values.
     "mm_binary_features" -> ((spark, dir) => {
       binaryFeatures(spark, graft.Tables(spark, dir).documents.filter(col("doc_id") < 500))
     }),
@@ -478,6 +480,59 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // byte-level triage replay: payload reconstructed per modality
+    // (magic || text bytes), bytes recovered from hex(payload) pairs,
+    // sniff as the same magic CASE, entropy as the ordered fold
+    // h -= p*log2(p) over histogram()'s ascending keys (identical to
+    // BinImpl.byteEntropy's 0..255 walk over nonzero bins).
+    "mm_binary_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN doc_id % 3 + 1 = 1 THEN 'image'
+        |         WHEN doc_id % 3 + 1 = 2 THEN 'audio' ELSE 'video' END AS modality,
+        |    CASE WHEN doc_id % 3 + 1 = 1 THEN '\x89PNG\x0D\x0A\x1A\x0A'::BLOB || encode(text)
+        |         WHEN doc_id % 3 + 1 = 2 THEN 'RIFF0000WAVE'::BLOB || encode(text)
+        |         ELSE encode(text) END AS payload
+        |  FROM documents WHERE doc_id < 500),
+        |h AS (
+        |  SELECT id, modality, hex(payload) AS hx,
+        |         octet_length(payload)::BIGINT AS n FROM m),
+        |b AS (
+        |  SELECT id, modality, hx, n,
+        |    list_transform(range(0, n), bi ->
+        |      (strpos('0123456789ABCDEF', hx[2*bi+1]) - 1) * 16 +
+        |       strpos('0123456789ABCDEF', hx[2*bi+2]) - 1) AS byl
+        |  FROM h),
+        |hist AS (
+        |  SELECT id, any_value(modality) AS modality, any_value(hx) AS hx,
+        |         any_value(n) AS n, histogram(x.bv) AS hm,
+        |         sum(CASE WHEN x.bv >= 96 AND x.bv <= 111 THEN 1 ELSE 0 END)::DOUBLE AS c6
+        |  FROM b, LATERAL (SELECT unnest(byl) AS bv) x GROUP BY id)
+        |SELECT id, modality,
+        |  CASE
+        |    WHEN substr(hx, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+        |    WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'
+        |    WHEN substr(hx, 1, 8) = '47494638' THEN 'gif'
+        |    WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645' THEN 'wav'
+        |    WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '41564920' THEN 'avi'
+        |    WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57454250' THEN 'webp'
+        |    WHEN substr(hx, 9, 8) = '66747970' THEN 'mp4'
+        |    WHEN substr(hx, 1, 6) = '494433' OR substr(hx, 1, 4) = 'FFFB' THEN 'mp3'
+        |    WHEN substr(hx, 1, 8) = '1A45DFA3' THEN 'mkv'
+        |    WHEN substr(hx, 1, 8) = '4F676753' THEN 'ogg'
+        |    WHEN substr(hx, 1, 8) = '664C6143' THEN 'flac'
+        |    WHEN substr(hx, 1, 8) = '25504446' THEN 'pdf'
+        |    WHEN substr(hx, 1, 8) = '504B0304' THEN 'zip'
+        |    WHEN substr(hx, 1, 4) = '1F8B' THEN 'gzip'
+        |    ELSE 'unknown' END AS format,
+        |  round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+        |      list_zip(map_keys(hm), map_values(hm)), kv ->
+        |        (kv[2]::DOUBLE / n) * (log(kv[2]::DOUBLE / n) / log(2.0)))),
+        |    (ea, ex) -> ea - ex), 4) AS entropy,
+        |  n AS n_bytes,
+        |  round(c6 / n, 4) AS hist_ascii_6x
+        |FROM hist ORDER BY id""".stripMargin,
+
     // payload is the UTF-8 text bytes → strlen (DuckDB byte length)
     // mirrors length(binary); modality 'video' ⇔ doc_id % 3 = 2.
     "mm_frame_sample" ->
