@@ -111,6 +111,60 @@ object TextAnalysis {
         round(col("nll_sum") / greatest(col("n_tok"), lit(1L)), 4).as("ce"))
   }
 
+  /** P34: discriminative quality classifier — the third member of the
+    * quality family (P10 rule gates, P31 LM perplexity, P34 learned).
+    * Production pipelines (CCNet, LLaMA) train a linear classifier
+    * (fasttext) on weak labels and filter on its score; self-contained
+    * twin: a Rocchio / nearest-centroid classifier in hashed-token
+    * space, trained on THIS corpus with the P10-style rule gates as the
+    * weak labels — the standard weak-supervision bootstrap.
+    *
+    * Scale shape (the P31 pattern): training is one groupBy bounded by
+    * the feature dimension (D=4096 rows out of the shuffle), the weight
+    * vector folds into ONE map row crossJoin-broadcast everywhere, and
+    * scoring is a row-local integer fold over each doc's own buckets —
+    * zero corpus-wide shuffles.
+    *
+    * Numerics are integer-exact end to end so the result is identical
+    * under any shuffle order AND in the DuckDB oracle: per-doc tf
+    * contribution is iv = 1e6 DIV n_tok (integer), the class-balanced
+    * weight w_j = B*sum_good(iv) - G*sum_bad(iv) is a sum of longs, the
+    * per-doc raw score is a long sum of w over token buckets, and ONE
+    * long->double conversion at the end produces the reported score.
+    * (|w| <= n_docs^2 * 1e7 bounds the long at the demo corpus sizes; a
+    * 1e9-doc deployment would drop the G*B class balancing into double
+    * averages and lose the exact oracle, not the algorithm.) */
+  def qualityClassifier(spark: SparkSession, docs: DataFrame, dim: Int = 4096): DataFrame = {
+    GraftFunctions.register(spark)
+    val ws = words(col("text"))
+    val base = docs.select(col("doc_id"), length(col("text")).cast("long").as("len"),
+      ws.as("toks"), size(ws).cast("long").as("n_tok"),
+      countIn(ws, Seq("the", "a")).as("n_stop"))
+      .withColumn("good",
+        col("len") >= 60 && col("n_tok") >= 10 &&
+          col("n_stop").cast("double") / col("n_tok") <= 0.5)
+      .withColumn("iv", expr("1000000 DIV n_tok"))
+      .withColumn("buckets",
+        expr(s"transform(toks, t -> pmod(fnv_hash(t), ${dim}L))"))
+    val counts = base.agg(
+      sum(when(col("good"), 1L).otherwise(0L)).as("n_good"),
+      sum(when(!col("good"), 1L).otherwise(0L)).as("n_bad"))
+    val train = base.select(col("good"), col("iv"), explode(col("buckets")).as("b"))
+      .crossJoin(broadcast(counts))
+      .groupBy("b")
+      .agg(sum(when(col("good"), greatest(col("n_bad"), lit(1L)) * col("iv"))
+        .otherwise(-greatest(col("n_good"), lit(1L)) * col("iv"))).as("w"))
+    val wrow = train.agg(
+      map_from_entries(array_sort(collect_list(struct(col("b"), col("w"))))).as("wmap"))
+    base.crossJoin(broadcast(wrow))
+      .select(col("doc_id"), col("iv"),
+        expr("aggregate(buckets, CAST(0 AS BIGINT), (acc, b) -> acc + coalesce(wmap[b], CAST(0 AS BIGINT)))")
+          .as("raw"))
+      .select(col("doc_id"),
+        round(col("raw").cast("double") * col("iv").cast("double") / 1.0e12, 6).as("score"),
+        (col("raw") > 0L).as("keep"))
+  }
+
   // ---- queries()/oracle entries -------------------------------------
 
   type Q = (SparkSession, String) => DataFrame
@@ -131,6 +185,8 @@ object TextAnalysis {
     // is asserted in PipelineSpec.
     "text_lm_perplexity" -> ((spark, dir) =>
       lmScore(Tables(spark, dir).documents).orderBy("doc_id")),
+    "text_quality_classifier" -> ((spark, dir) =>
+      qualityClassifier(spark, Tables(spark, dir).documents).orderBy("doc_id")),
     "text_heavy_hitters" -> ((spark, dir) => {
       import graft.functions.HeavyHitters
       val t = Tables(spark, dir)
@@ -146,6 +202,41 @@ object TextAnalysis {
   private val wsSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
 
   val oracles: Map[String, String] = Map(
+    // integer-exact end to end (long tf units, long weights, long raw
+    // scores, one double conversion at the end), so DuckDB replays it
+    // with plain GROUP BY sums — only the bucket ids need the FNV
+    // replay (DuckHashSql.fnv64).
+    "text_quality_classifier" -> {
+      import graft.operators.DuckHashSql
+      val bucket = s"((((${DuckHashSql.fnv64("t", "length(t)")}) % 4096) + 4096) % 4096)"
+      s"""WITH feat AS (
+         |  SELECT doc_id, length(text) AS len,
+         |    regexp_split_to_array(trim(lower(text)), '${"\\s+"}') AS toks
+         |  FROM documents),
+         |lab AS (
+         |  SELECT doc_id, toks, len(toks)::BIGINT AS n_tok,
+         |    (len >= 60 AND len(toks) >= 10 AND
+         |     CAST(len(list_filter(toks, w -> w = 'the' OR w = 'a')) AS DOUBLE)
+         |       / len(toks) <= 0.5) AS good,
+         |    1000000 // len(toks) AS iv,
+         |    list_transform(toks, t -> $bucket) AS bl
+         |  FROM feat),
+         |counts AS (
+         |  SELECT sum(CASE WHEN good THEN 1 ELSE 0 END)::BIGINT AS n_good,
+         |         sum(CASE WHEN NOT good THEN 1 ELSE 0 END)::BIGINT AS n_bad FROM lab),
+         |train AS (
+         |  SELECT b, sum(CASE WHEN good THEN greatest(n_bad, 1) * iv
+         |                     ELSE -greatest(n_good, 1) * iv END)::BIGINT AS w
+         |  FROM (SELECT good, iv, unnest(bl) AS b FROM lab), counts
+         |  GROUP BY b),
+         |scored AS (
+         |  SELECT doc_id, iv, sum(coalesce(w, 0))::BIGINT AS raw
+         |  FROM (SELECT doc_id, iv, unnest(bl) AS b FROM lab) u
+         |  LEFT JOIN train ON u.b = train.b
+         |  GROUP BY doc_id, iv)
+         |SELECT doc_id, round(raw::DOUBLE * iv::DOUBLE / 1e12, 6) AS score, raw > 0 AS keep
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
     // winnowing fingerprint + simhash replayed bit-for-bit in DuckDB
     // via generated HUGEINT arithmetic (DuckHashSql).
     "text_fingerprint" -> {

@@ -165,6 +165,35 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  test("quality classifier: separates the weak-label classes, repartition-stable, broadcast-scored") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val out = TextAnalysis.qualityClassifier(spark, docs)
+    val rows = out.collect().map(r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[Double]("score"), r.getAs[Boolean]("keep"))).toMap
+    assert(rows.size == docs.count())
+    // the Rocchio weights are built FROM the weak labels, so the mean
+    // score over weak-good docs must exceed the mean over weak-bad
+    val ws = split(trim(lower(col("text"))), "\\s+")
+    val lab = docs.select(col("doc_id"),
+      (length(col("text")) >= 60 && size(ws) >= 10 &&
+        size(filter(ws, w => w === "the" || w === "a")).cast("double") / size(ws) <= 0.5).as("good"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("good")).toMap
+    val (goodScores, badScores) = rows.toSeq.partition(kv => lab(kv._1))
+    assert(goodScores.nonEmpty && badScores.nonEmpty)
+    def mean(xs: Seq[(Long, (Double, Boolean))]) = xs.map(_._2._1).sum / xs.size
+    assert(mean(goodScores) > mean(badScores),
+      s"no separation: good=${mean(goodScores)} bad=${mean(badScores)}")
+    // integer-exact scoring => identical under any partitioning
+    val re = TextAnalysis.qualityClassifier(spark, docs.repartition(7))
+      .collect().map(r =>
+        r.getAs[Long]("doc_id") -> (r.getAs[Double]("score"), r.getAs[Boolean]("keep"))).toMap
+    assert(re == rows)
+    // scoring is row-local against the ONE broadcast weight row — the
+    // corpus is not shuffled between scan and fold (P31's audit shape)
+    val plan = out.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
   test("embedDedup: planted duplicates collapse to one kept representative per cluster") {
     // sf0.001 embeddings + exact copies of vecs 0..4 under new ids:
     // cos(copy, original) = 1 >= tau, so each copy must land in its
