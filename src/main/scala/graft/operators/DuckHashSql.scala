@@ -301,6 +301,61 @@ object DuckHashSql {
     let(red, "cz", "CASE WHEN cz.x = 0.0 OR cz.y = 0.0 THEN 0.0 ELSE cz.d / (sqrt(cz.x) * sqrt(cz.y)) END")
   }
 
+  /** Full XXH64 of a STRING expr (Spark's single-arg xxhash64, seed
+    * 42 by default) — the complete public xxHash64 algorithm including
+    * the 4-accumulator >= 32-byte path, 8/4/1-byte tails and the
+    * avalanche, over ascii-recovered bytes. Every fold keeps uniform
+    * element types (lane values, not offsets) because list_reduce
+    * requires accumulator type == element type. */
+  def xxh64StrSql(s: String, seed: Long = 42L): String = {
+    val n = "length(xs)"
+    def lane8(o: String) = s"list_reduce(list_prepend(0::HUGEINT, list_transform(range(0,8), " +
+      s"lb -> ascii(xs[($o)+lb])::HUGEINT << (8*lb))), (la,lx) -> la+lx)"
+    def lane4(o: String) = s"list_reduce(list_prepend(0::HUGEINT, list_transform(range(0,4), " +
+      s"lb -> ascii(xs[($o)+lb])::HUGEINT << (8*lb))), (la,lx) -> la+lx)"
+    def round(acc: String, lane: String) =
+      let(lane, "rl", let(s"($acc + (${mulC("rl", X2)}) % $U64) % $U64", "rs",
+        let(rotl64("rs", 31), "rr", s"(${mulC("rr", X1)}) % $U64")))
+    val stripeElems = s"list_transform(range(0, ($n)//32), si -> " +
+      s"{'a': ${lane8("1 + si*32")}, 'b': ${lane8("1 + si*32 + 8")}, " +
+      s"'c': ${lane8("1 + si*32 + 16")}, 'd': ${lane8("1 + si*32 + 24")}})"
+    val stripeStep = s"{'a': ${round("st.a", "se.a")}, 'b': ${round("st.b", "se.b")}, " +
+      s"'c': ${round("st.c", "se.c")}, 'd': ${round("st.d", "se.d")}}"
+    val init = s"{'a': ($seed::HUGEINT + $X1::HUGEINT + $X2::HUGEINT) % $U64, " +
+      s"'b': ($seed::HUGEINT + $X2::HUGEINT) % $U64, 'c': $seed::HUGEINT, " +
+      s"'d': ($seed::HUGEINT + $U64 - $X1::HUGEINT) % $U64}"
+    val stripes = s"list_reduce(list_prepend($init, $stripeElems), (st, se) -> $stripeStep)"
+    def merge(h: String, v: String) =
+      let(v, "mv", let(h, "mh",
+        let(s"xor(mh, ${round("0::HUGEINT", "mv")})", "mx",
+          s"((${mulC("mx", X1)}) % $U64 + $X4::HUGEINT) % $U64")))
+    val big = let(stripes, "sf",
+      let(s"(${rotl64("sf.a", 1)} + ${rotl64("sf.b", 7)} + ${rotl64("sf.c", 12)} + ${rotl64("sf.d", 18)}) % $U64", "h0",
+        let(merge("h0", "sf.a"), "h1",
+          let(merge("h1", "sf.b"), "h2",
+            let(merge("h2", "sf.c"), "h3", merge("h3", "sf.d"))))))
+    val hInit = s"(CASE WHEN ($n) >= 32 THEN $big ELSE ($seed::HUGEINT + $X5::HUGEINT) % $U64 END)"
+    val withLen = s"(($hInit + ($n)::HUGEINT) % $U64)"
+    val t8Step = let(round("0::HUGEINT", "tle"), "tk",
+      let("xor(th, tk)", "tx", let(rotl64("tx", 27), "tr",
+        s"((${mulC("tr", X1)}) % $U64 + $X4::HUGEINT) % $U64")))
+    val t8 = s"list_reduce(list_prepend($withLen, list_transform(range(0, (($n) % 32) // 8), " +
+      s"ti -> ${lane8(s"1 + (($n)//32)*32 + ti*8")})), (th, tle) -> $t8Step)"
+    val t4Body = let(s"xor(t4h, (${mulC("l4", X1)}) % $U64)", "f4x",
+      let(rotl64("f4x", 23), "f4r", s"((${mulC("f4r", X2)}) % $U64 + $X3::HUGEINT) % $U64"))
+    val t4 = let(t8, "t4h",
+      s"CASE WHEN ($n) % 8 >= 4 THEN ${let(lane4(s"1 + (($n)//8)*8"), "l4", t4Body)} ELSE t4h END")
+    val bStep = let(s"xor(bh, (${mulC("bb", X5)}) % $U64)", "bx",
+      let(rotl64("bx", 11), "br", s"(${mulC("br", X1)}) % $U64"))
+    val tb = s"list_reduce(list_prepend($t4, list_transform(range(0, ($n) % 4), " +
+      s"bi -> ascii(xs[1 + (($n)//4)*4 + bi])::HUGEINT)), (bh, bb) -> $bStep)"
+    val fin = let(tb, "g1", let("xor(g1, g1 >> 33)", "g2",
+      let(s"(${mulC("g2", X2)}) % $U64", "g3",
+        let("xor(g3, g3 >> 29)", "g4",
+          let(s"(${mulC("g4", X3)}) % $U64", "g5", "xor(g5, g5 >> 32)")))))
+    let(s, "xs", toSigned(fin))
+  }
+
   /** The multi-table RHP bucket CTE chain shared by the LSH queries:
     * `rsig(…, sig)` then `rbkt(…, tbl, bucket)` — 4 tables x 6 bits
     * sliced off one 24-plane signature, like Similarity's `buckets`.

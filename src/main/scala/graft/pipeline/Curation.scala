@@ -109,6 +109,47 @@ object Curation {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** P35: exact-substring dedup — the ExactSubstr operator of Lee et
+    * al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better") re-expressed Spark-first at k-token granularity: any
+    * k-token window occurring more than once corpus-wide keeps only its
+    * globally-first occurrence (ordered by doc_id, then position);
+    * every other occurrence becomes a drop span, overlapping spans
+    * merge implicitly through the per-token coverage test, and each doc
+    * is rebuilt from its surviving tokens. Catches the cross-document
+    * boilerplate (headers, licenses, templates) that document-level
+    * dedup (P1/P2) and near-dup (P3–P5) both miss.
+    *
+    * Scale shape: grams explode per row and shuffle ONCE on the gram
+    * key (the contamination pattern — never doc×doc); the rank-over-
+    * gram window is bounded by each gram's own occurrence count; drop
+    * spans come back as ONE bounded list per affected doc; rebuild is
+    * row-local. The paper's suffix array finds duplicates of ANY
+    * length >= 50 tokens; the fixed-k gram formulation trades that
+    * generality for a single-shuffle distributed plan (a run of >= k
+    * duplicated tokens is still fully removed — its k-windows all
+    * collide). */
+  def exactSubstrDedup(docs: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withW = docs.select(col("doc_id"), words(col("text")).as("w"))
+    val grams = withW.filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(w) - ${k - 1}), i -> xxhash64(concat_ws(' ', slice(w, i, $k))))"))
+        .as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("g"))
+    val firstWin = Window.partitionBy("g").orderBy("doc_id", "pos")
+    val drops = grams.withColumn("rn", row_number().over(firstWin))
+      .filter(col("rn") > 1)
+      .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("dps"))
+    withW.join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w"), col("dps"),
+        expr(s"filter(sequence(1, size(w)), j -> dps IS NULL OR NOT exists(dps, p -> p <= j AND j < p + $k))")
+          .as("keep_idx"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"),
+        size(col("keep_idx")).cast("long").as("n_kept"),
+        expr("concat_ws(' ', transform(keep_idx, j -> element_at(w, j)))").as("clean_text"))
+  }
+
   val queries: Map[String, Q] = Map(
     "pipe_pii_scrub" -> ((spark, dir) => {
       val t = Tables(spark, dir)
@@ -126,9 +167,42 @@ object Curation {
       packSequences(Tables(spark, dir).documents).orderBy("doc_id")),
     "pipe_chunking" -> ((spark, dir) =>
       chunkDocuments(Tables(spark, dir).documents).orderBy("doc_id", "chunk_idx")),
+    "pipe_exact_substr" -> ((spark, dir) =>
+      exactSubstrDedup(Tables(spark, dir).documents).orderBy("doc_id")),
   )
 
   val oracles: Map[String, String] = Map(
+    // full replay: gram fingerprints via the complete XXH64 string
+    // algorithm (DuckHashSql.xxh64StrSql — Spark's xxhash64, seed 42),
+    // global first-occurrence rank, per-token span-coverage rebuild.
+    "pipe_exact_substr" -> {
+      import graft.operators.DuckHashSql
+      s"""WITH ww AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '${"\\s+"}') AS w
+         |  FROM documents),
+         |gsrc AS (
+         |  SELECT doc_id, w, unnest(range(1, len(w) - 8)) AS gi
+         |  FROM ww WHERE len(w) >= 10),
+         |grams AS (
+         |  SELECT doc_id, gi::BIGINT AS pos,
+         |    ${DuckHashSql.xxh64StrSql("array_to_string(w[gi:gi+9], ' ')")} AS g
+         |  FROM gsrc),
+         |rnk AS (
+         |  SELECT doc_id, pos, row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+         |  FROM grams),
+         |drops AS (
+         |  SELECT doc_id, list_sort(list(pos)) AS dps FROM rnk WHERE rn > 1 GROUP BY doc_id),
+         |fin AS (
+         |  SELECT ww.doc_id, w,
+         |    CASE WHEN dps IS NULL THEN range(1, len(w)+1)
+         |         ELSE list_filter(range(1, len(w)+1), j ->
+         |                len(list_filter(dps, p -> p <= j AND j < p + 10)) = 0) END AS keep_idx
+         |  FROM ww LEFT JOIN drops ON ww.doc_id = drops.doc_id)
+         |SELECT doc_id, len(w)::BIGINT AS n_tok, len(keep_idx)::BIGINT AS n_kept,
+         |  coalesce(array_to_string(list_transform(keep_idx, j -> w[j]), ' '), '') AS clean_text
+         |FROM fin ORDER BY doc_id""".stripMargin
+    },
+
     "pipe_pii_scrub" ->
       """WITH src AS (
         |  SELECT c_custkey,

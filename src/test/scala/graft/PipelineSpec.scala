@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Multimodal, Similarity, Splits, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, Splits, TextAnalysis}
 
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
@@ -163,6 +163,26 @@ class PipelineSpec extends SparkSpec {
     val plan = TextAnalysis.lmScore(docs, vocabSize = 10)
       .queryExecution.sparkPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
+  test("exact-substring dedup: later occurrences drop, first survives, short docs untouched") {
+    val dup = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"  // exactly k=10 tokens
+    val dup2 = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val docs = docsDf(
+      (1L, s"unique opening words here then $dup", "s1"),          // first occurrence — keeps all
+      (2L, s"totally different start yet $dup and a tail", "s1"),  // later occurrence — loses the 10
+      (3L, s"$dup2 $dup2", "s1"),                                  // within-doc repeat — second copy drops
+      (4L, "short doc below gram size", "s2"))                     // < k tokens — untouched
+    val out = Curation.exactSubstrDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Long]("n_kept"), r.getAs[String]("clean_text"))).toMap
+    assert(out(1L)._1 == out(1L)._2, s"first occurrence must keep everything: ${out(1L)}")
+    assert(out(2L)._2 == out(2L)._1 - 10, s"doc 2 must lose exactly the duplicated 10-gram: ${out(2L)}")
+    assert(!out(2L)._3.contains("alpha") && out(2L)._3.startsWith("totally different start yet"))
+    // doc 3: the gram at pos 11 duplicates pos 1; the straddling grams
+    // (pos 2..10) occur once each, so exactly the second copy drops
+    assert(out(3L) == ((20L, 10L, dup2)), s"within-doc repeat: ${out(3L)}")
+    assert(out(4L)._1 == out(4L)._2 && out(4L)._3 == "short doc below gram size")
   }
 
   test("quality classifier: separates the weak-label classes, repartition-stable, broadcast-scored") {
