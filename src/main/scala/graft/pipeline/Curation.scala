@@ -150,6 +150,76 @@ object Curation {
         expr("concat_ws(' ', transform(keep_idx, j -> element_at(w, j)))").as("clean_text"))
   }
 
+  /** P36: DSIR — Data Selection via Importance Resampling (Xie et al.
+    * 2023): select raw-corpus documents that look like a target
+    * distribution by importance weight under two bag-of-hashed-ngrams
+    * models. Features are hashed uni+bigrams (the paper's
+    * construction); the target model trains on weak-label "good" docs
+    * (the P34 rule gates — the same bootstrap production pipelines use
+    * when no curated target corpus is at hand), the raw model on the
+    * whole corpus; each doc's log importance weight is the sum of its
+    * features' log-probability ratios, and the operator keeps the
+    * top-k (the paper's deterministic top-k variant; Gumbel-noised
+    * resampling differs only by adding a seeded perturbation to the
+    * same ranking key).
+    *
+    * Numerics are integer-exact after ONE quantization: the per-bucket
+    * log-ratio λ_b = floor((ln(p̂_b) − ln(q̂_b))·scale + 0.5) is the
+    * only double step (computed once per bucket, never per doc), every
+    * per-doc score is a long sum of λ over the doc's own features, and
+    * the top-k cut is on (score, doc_id) — so the selected set is
+    * identical under any shuffle order and fully DuckDB-replayable.
+    *
+    * Scale shape (the P31/P34 pattern): training is one groupBy
+    * bounded by the feature dimension (D rows out of the shuffle); the
+    * λ vector folds into ONE map row crossJoin-broadcast everywhere;
+    * scoring is a row-local fold; the global top-k threshold is a
+    * TakeOrderedAndProject (per-partition top-k, k rows to the driver
+    * stage) broadcast back as one row. Zero corpus-wide shuffles. */
+  def dsirSelect(spark: SparkSession, docs: DataFrame, k: Int = 100,
+                 dim: Int = 1024, alpha: Double = 0.5, scale: Long = 10000L): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val ws = words(col("text"))
+    val base = docs.select(col("doc_id"), length(col("text")).cast("long").as("len"),
+        filter(ws, w => length(w) > 0).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("good",
+        col("len") >= 60 && col("n_tok") >= 10 &&
+          size(filter(col("toks"), w => w === "the" || w === "a")).cast("double") /
+            col("n_tok") <= 0.5)
+      .withColumn("buckets", expr(
+        s"""concat(
+           |  transform(toks, t -> pmod(fnv_hash(t), ${dim}L)),
+           |  CASE WHEN size(toks) >= 2 THEN
+           |    transform(sequence(1, size(toks) - 1),
+           |      i -> pmod(fnv_hash(concat_ws(' ', element_at(toks, i), element_at(toks, i + 1))), ${dim}L))
+           |  ELSE CAST(array() AS ARRAY<BIGINT>) END)""".stripMargin))
+    val counts = base.select(col("good"), explode(col("buckets")).as("b"))
+      .groupBy("b").agg(
+        sum(when(col("good"), 1L).otherwise(0L)).as("cp"),
+        count(lit(1)).as("cq"))
+    val totals = counts.agg(sum("cp").as("tp"), sum("cq").as("tq"))
+    val lam = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor((log((col("cp") + alpha) / (col("tp") + alpha * dim))
+             - log((col("cq") + alpha) / (col("tq") + alpha * dim))) * scale + 0.5)
+          .cast("long").as("lam"))
+    val wrow = lam.agg(
+      map_from_entries(array_sort(collect_list(struct(col("b"), col("lam"))))).as("lmap"))
+    val scored = base.crossJoin(broadcast(wrow))
+      .select(col("doc_id"),
+        expr("aggregate(buckets, CAST(0 AS BIGINT), (acc, b) -> acc + coalesce(lmap[b], CAST(0 AS BIGINT)))")
+          .as("score_fp"))
+    val kth = scored.orderBy(col("score_fp").desc, col("doc_id")).limit(k)
+      .orderBy(col("score_fp"), col("doc_id").desc).limit(1)
+      .select(col("score_fp").as("thr_s"), col("doc_id").as("thr_d"))
+    scored.crossJoin(broadcast(kth))
+      .select(col("doc_id"), col("score_fp"),
+        round(col("score_fp").cast("double") / scale, 4).as("logw"),
+        (col("score_fp") > col("thr_s") ||
+          (col("score_fp") === col("thr_s") && col("doc_id") <= col("thr_d"))).as("selected"))
+  }
+
   val queries: Map[String, Q] = Map(
     "pipe_pii_scrub" -> ((spark, dir) => {
       val t = Tables(spark, dir)
@@ -169,9 +239,58 @@ object Curation {
       chunkDocuments(Tables(spark, dir).documents).orderBy("doc_id", "chunk_idx")),
     "pipe_exact_substr" -> ((spark, dir) =>
       exactSubstrDedup(Tables(spark, dir).documents).orderBy("doc_id")),
+    "pipe_dsir_select" -> ((spark, dir) =>
+      dsirSelect(spark, Tables(spark, dir).documents).orderBy("doc_id")),
   )
 
   val oracles: Map[String, String] = Map(
+    // full replay: FNV-hashed uni+bigram buckets, conditional counts,
+    // the one floored log-ratio quantization per bucket, integer score
+    // sums, rank-based top-k — numerically identical because every
+    // per-doc quantity is a long (DuckHashSql.fnv64 replays the hash).
+    "pipe_dsir_select" -> {
+      import graft.operators.DuckHashSql
+      val bucket = s"((((${DuckHashSql.fnv64("t", "length(t)")}) % 1024) + 1024) % 1024)"
+      s"""WITH tok AS (
+         |  SELECT doc_id, length(text) AS len,
+         |    list_filter(regexp_split_to_array(trim(lower(text)), '${"\\s+"}'), w -> len(w) > 0) AS toks
+         |  FROM documents),
+         |lab AS (
+         |  SELECT doc_id, toks,
+         |    (len >= 60 AND len(toks) >= 10 AND
+         |     CAST(len(list_filter(toks, w -> w = 'the' OR w = 'a')) AS DOUBLE)
+         |       / len(toks) <= 0.5) AS good
+         |  FROM tok),
+         |grams AS (
+         |  SELECT doc_id, good, unnest(toks) AS t FROM lab
+         |  UNION ALL
+         |  SELECT doc_id, good, unnest(CASE WHEN len(toks) >= 2
+         |    THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+         |    ELSE []::VARCHAR[] END) AS t FROM lab),
+         |feat AS (SELECT doc_id, good, $bucket AS b FROM grams),
+         |counts AS (
+         |  SELECT b, sum(CASE WHEN good THEN 1 ELSE 0 END)::BIGINT AS cp,
+         |         count(*)::BIGINT AS cq
+         |  FROM feat GROUP BY b),
+         |tot AS (SELECT sum(cp)::BIGINT AS tp, sum(cq)::BIGINT AS tq FROM counts),
+         |lam AS (
+         |  SELECT b, CAST(floor((ln((cp + 0.5) / (tp + 0.5 * 1024))
+         |                      - ln((cq + 0.5) / (tq + 0.5 * 1024))) * 10000 + 0.5) AS BIGINT) AS lam
+         |  FROM counts, tot),
+         |sc AS (
+         |  SELECT f.doc_id, sum(l.lam)::BIGINT AS score_fp
+         |  FROM feat f JOIN lam l USING (b) GROUP BY f.doc_id),
+         |scored AS (
+         |  SELECT lab.doc_id, coalesce(sc.score_fp, 0)::BIGINT AS score_fp
+         |  FROM lab LEFT JOIN sc ON lab.doc_id = sc.doc_id),
+         |rk AS (
+         |  SELECT doc_id, score_fp,
+         |    row_number() OVER (ORDER BY score_fp DESC, doc_id) AS rn
+         |  FROM scored)
+         |SELECT doc_id, score_fp, round(score_fp / 10000.0, 4) AS logw, rn <= 100 AS selected
+         |FROM rk ORDER BY doc_id""".stripMargin
+    },
+
     // full replay: gram fingerprints via the complete XXH64 string
     // algorithm (DuckHashSql.xxh64StrSql — Spark's xxhash64, seed 42),
     // global first-occurrence rank, per-token span-coverage rebuild.

@@ -185,6 +185,42 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L)._1 == out(4L)._2 && out(4L)._3 == "short doc below gram size")
   }
 
+  test("DSIR selection: exactly k kept, target-like docs outrank, repartition-stable, broadcast-scored") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val out = Curation.dsirSelect(spark, docs, k = 50)
+    val rows = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("score_fp"), r.getAs[Boolean]("selected"))).toMap
+    assert(rows.size == docs.count())
+    assert(rows.values.count(_._2) == 50, "top-k cut must keep exactly k docs")
+    // selected = the top-k of the (score, doc_id) order — no selected
+    // doc may rank below an unselected one
+    val minSel = rows.collect { case (id, (s, true)) => (s, -id) }.min
+    val maxUnsel = rows.collect { case (id, (s, false)) => (s, -id) }.max
+    assert(minSel._1 > maxUnsel._1 ||
+      (minSel._1 == maxUnsel._1 && -minSel._2 < -maxUnsel._2))
+    // importance weights train TOWARD the weak-label target, so the
+    // mean score over weak-good docs must exceed the mean over weak-bad
+    val ws = split(trim(lower(col("text"))), "\\s+")
+    val lab = docs.select(col("doc_id"),
+      (length(col("text")) >= 60 && size(ws) >= 10 &&
+        size(filter(ws, w => w === "the" || w === "a")).cast("double") / size(ws) <= 0.5).as("good"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("good")).toMap
+    val (g, b) = rows.toSeq.partition(kv => lab(kv._1))
+    assert(g.nonEmpty && b.nonEmpty)
+    def mean(xs: Seq[(Long, (Long, Boolean))]) = xs.map(_._2._1.toDouble).sum / xs.size
+    assert(mean(g) > mean(b), s"no separation: good=${mean(g)} bad=${mean(b)}")
+    // integer-exact scoring + (score, doc_id) cut => identical under
+    // any partitioning
+    val re = Curation.dsirSelect(spark, docs.repartition(7), k = 50)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("score_fp"), r.getAs[Boolean]("selected"))).toMap
+    assert(re == rows)
+    // scoring is row-local against broadcast rows — the corpus is never
+    // shuffled between scan and fold (P31/P34 audit shape)
+    val plan = out.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
   test("quality classifier: separates the weak-label classes, repartition-stable, broadcast-scored") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val out = TextAnalysis.qualityClassifier(spark, docs)
