@@ -296,6 +296,66 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"))
   }
 
+  /** P37: SemDeDup — semantic deduplication by cluster-then-prune
+    * (Abbas et al. 2023): k-means-cluster the embeddings with the same
+    * coarse quantizer as [[ivfTopK]], compare pairs only WITHIN a
+    * cluster, connect pairs with cosine >= eps into duplicate groups,
+    * and keep ONE representative per group — the member LEAST similar
+    * to its cluster centroid (the paper's choice: pruning toward
+    * low-centroid-similarity keeps the diverse outliers and drops the
+    * redundant core). Complements [[embedDedup]] (P32): LSH buckets
+    * catch pairs that agree on random hyperplanes; SemDeDup scopes the
+    * quadratic verification to semantically coherent regions, which is
+    * what makes ε as low as "same meaning" affordable.
+    *
+    * Scale shape: centroid training and assignment are the IVF path
+    * (bounded broadcast, row-local argmax, zero corpus exchanges); the
+    * pair join is an equi-join on the cell key, so per-cell work is
+    * bounded by that cell's own population — the paper runs cluster
+    * counts proportional to corpus size (110k clusters for LAION) to
+    * keep cells small, and `cells` is that knob here; duplicate groups
+    * close transitively through [[Cluster.connectedComponents]]
+    * (partition-local contraction first). Approximate: near-dups split
+    * across two cells are missed — the price of never comparing across
+    * clusters. Float centroids make results sample-dependent → rows-only
+    * + property specs, like IVF/PQ. */
+  def semanticDedup(spark: SparkSession, emb: DataFrame, eps: Double,
+                    cells: Int = 16, lloydIters: Int = 1): DataFrame = {
+    GraftFunctions.register(spark)
+    import graft.functions.VectorAvg
+    var cent = emb.orderBy("vec_id").limit(cells)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1).cast("long").as("cell"),
+        col("embedding").as("cvec"))
+    var i = 0
+    while (i < lloydIters) {
+      cent = assignCells(emb, cent)
+        .groupBy("cell").agg(VectorAvg.of(col("embedding")).as("cvec"))
+      i += 1
+    }
+    val assigned = assignCells(emb, cent)
+      .join(broadcast(cent), Seq("cell"))
+      .select(col("cell"), col("vec_id"), col("embedding"),
+        round(cosine(col("embedding"), col("cvec")), 6).as("ccos"))
+    val edges = assigned.select(col("cell"), col("vec_id").as("vec_a"), col("embedding").as("e_a"))
+      .join(assigned.select(col("cell"), col("vec_id").as("vec_b"), col("embedding").as("e_b")),
+        Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(round(cosine(col("e_a"), col("e_b")), 6) >= eps)
+      .select(col("vec_a"), col("vec_b"))
+    val comp = Cluster.connectedComponents(edges).withColumnRenamed("id", "vec_id")
+    val labeled = assigned.join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("ccos"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+    // representative = min (ccos, vec_id) struct — lexicographic, so
+    // equal-ccos ties (exact duplicate vectors) resolve to the lowest id
+    val reps = labeled.groupBy("cluster_id")
+      .agg(min(struct(col("ccos"), col("vec_id"))).as("m"))
+      .select(col("cluster_id"), col("m.vec_id").as("rep"))
+    labeled.join(reps, Seq("cluster_id"))
+      .select(col("vec_id"), col("cell"), col("cluster_id"), col("ccos"),
+        (col("vec_id") === col("rep")).as("keep"))
+  }
+
   /** Element-wise centroid per label via posexplode + exact avg —
     * distributed long-form (no collect, no driver loop). The 6-decimal
     * rounding is floor(x·1e6 + 0.5)/1e6, NOT round(): the exact decimal
@@ -370,6 +430,12 @@ object Similarity {
     }),
     "sim_quantize_int8" -> ((spark, dir) => {
       quantizeInt8(Tables(spark, dir).embeddings).orderBy("vec_id")
+    }),
+    // float k-means centroids → sample-dependent clusters: rows-only +
+    // PipelineSpec properties (planted-duplicate collapse, rep choice,
+    // equi-join plan audit), the IVF/PQ precedent.
+    "dedup_semantic" -> ((spark, dir) => {
+      semanticDedup(spark, Tables(spark, dir).embeddings, 0.3).orderBy("vec_id")
     }),
   )
 

@@ -283,6 +283,38 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup: planted duplicates collapse in-cell, diverse rep kept, equi-join only") {
+    // exact copies of vecs 0..4: identical embeddings assign to the
+    // same cell, cos(copy, orig) = 1 >= eps, and the (ccos, vec_id)
+    // rep rule keeps the ORIGINAL (equal ccos -> lower id wins)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "label", "embedding")
+    val maxId = emb.agg(max($"vec_id")).as[Long].head()
+    val copies = emb.filter($"vec_id" < 5)
+      .select(($"vec_id" + lit(maxId + 1)).as("vec_id"), $"label", $"embedding")
+    val out = Similarity.semanticDedup(spark, emb.union(copies), 0.95)
+    val plan = out.queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    val rows = out.collect()
+    assert(rows.length == emb.count() + 5)
+    val byId = rows.map(r => r.getAs[Long]("vec_id") ->
+      (r.getAs[Long]("cluster_id"), r.getAs[Double]("ccos"), r.getAs[Boolean]("keep"))).toMap
+    (0L until 5L).foreach { i =>
+      val (origCluster, origCcos, _) = byId(i)
+      val (copyCluster, copyCcos, copyKeep) = byId(maxId + 1 + i)
+      assert(copyCluster == origCluster, s"copy of $i not grouped with original")
+      assert(copyCcos == origCcos)
+      assert(!copyKeep, s"copy of $i kept over the lower-id original")
+    }
+    // exactly one representative per duplicate group, and it is the
+    // group's (ccos, vec_id) minimum — the paper's diversity-keeping rule
+    rows.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, rs) =>
+      val kept = rs.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("vec_id"))
+      val expect = rs.map(r => (r.getAs[Double]("ccos"), r.getAs[Long]("vec_id"))).min._2
+      assert(kept.sameElements(Array(expect)), s"cluster $cid kept ${kept.toList}, want $expect")
+    }
+  }
+
   test("cosinePairs: candidates from LSH buckets, subset of exact pairs, no cartesian") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val pairs = Similarity.cosinePairs(spark, emb, 0.3)
