@@ -33,7 +33,7 @@ object SparkEntry {
       TableOps.queries ++ EventQueries.queries ++
       graft.pipeline.Dedup.queries ++ graft.pipeline.Similarity.queries ++
       graft.pipeline.TextAnalysis.queries ++ graft.pipeline.Corpus.queries ++
-      graft.pipeline.Multimodal.queries ++ graft.pipeline.Splits.queries ++ graft.pipeline.Curation.queries ++
+      graft.pipeline.Multimodal.queries ++ graft.pipeline.Splits.queries ++ graft.pipeline.Curation.queries ++ graft.pipeline.Tokenizer.queries ++
       graft.pipeline.Cluster.queries ++ AsOfJoin.queries ++ BandJoin.queries ++
       graft.sources.NestedParquet.queries ++ graft.sources.AvroQueries.queries ++ graft.sources.SequenceQueries.queries ++ graft.sources.RcFileQueries.queries ++
       graft.sources.IcebergQueries.queries
@@ -47,7 +47,7 @@ object SparkEntry {
       TableOps.oracles ++ EventQueries.oracles ++
       graft.pipeline.Dedup.oracles ++ graft.pipeline.Similarity.oracles ++
       graft.pipeline.TextAnalysis.oracles ++ graft.pipeline.Corpus.oracles ++
-      graft.pipeline.Multimodal.oracles ++ graft.pipeline.Splits.oracles ++ graft.pipeline.Curation.oracles ++
+      graft.pipeline.Multimodal.oracles ++ graft.pipeline.Splits.oracles ++ graft.pipeline.Curation.oracles ++ graft.pipeline.Tokenizer.oracles ++
       graft.pipeline.Cluster.oracles ++ AsOfJoin.oracles ++ BandJoin.oracles ++
       graft.sources.NestedParquet.oracles ++ graft.sources.AvroQueries.oracles ++ graft.sources.SequenceQueries.oracles ++ graft.sources.RcFileQueries.oracles ++
       graft.sources.IcebergQueries.oracles

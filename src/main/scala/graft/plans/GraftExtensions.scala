@@ -116,6 +116,8 @@ object GraftFunctions {
       arity("l2_normalize", 1)(es => L2Normalize(es.head))),
     ("pq_encode", info("pq_encode", "pq_encode(vec, codebook, K) - product-quantization codes"),
       arity("pq_encode", 3)(es => PqEncode(es(0), es(1), es(2)))),
+    ("bpe_encode", info("bpe_encode", "bpe_encode(word, merges) - BPE tokens under rank-ordered merges"),
+      arity("bpe_encode", 2)(es => BpeEncode(es(0), es(1)))),
     ("pq_dtab", info("pq_dtab", "pq_dtab(vec, codebook, K) - per-query ADC distance table"),
       arity("pq_dtab", 3)(es => PqDtab(es(0), es(1), es(2)))),
     ("pq_adc_score", info("pq_adc_score", "pq_adc_score(codes, dtab, K) - ADC table-lookup distance"),

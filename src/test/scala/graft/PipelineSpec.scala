@@ -283,6 +283,43 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("BPE tokenizer: pinned merges on a known corpus, encoder matches, round-trip, stable") {
+    import graft.pipeline.Tokenizer
+    // word freqs: abab×3, cd×2 → pair counts r0: (a,b)=6, (b,a)=3, (c,d)=2
+    // → merge0 (a,b); r1: (ab,ab)=3, (c,d)=2 → merge1 (ab,ab); r2 (c,d)
+    val docs = docsDf((1L, "abab abab cd", "s1"), (2L, "abab cd", "s1"))
+    val merges = Tokenizer.trainMerges(spark, docs, numMerges = 3)
+      .orderBy("rank").collect().map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
+    assert(merges.sameElements(Array(("a", "b"), ("ab", "ab"), ("c", "d"))), merges.toList.toString)
+    // compiled encoder applies the same rules left-to-right
+    graft.plans.GraftFunctions.register(spark)
+    val enc = docsDf((1L, "ababcd", "s1")).select(
+      expr("""bpe_encode('ababcd', array(named_struct('a','a','b','b'),
+             |  named_struct('a','ab','b','ab'), named_struct('a','c','b','d')))""".stripMargin).as("t"))
+      .collect().head.getSeq[String](0)
+    assert(enc == Seq("abab", "cd"), enc.toString)
+    // real corpus: round-trip (concat of a word's tokens = the word),
+    // compression (tokens ≤ codepoints), and audit column present
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+    val out = Tokenizer.bpeTokenize(spark, corpus, numMerges = 8)
+    val rows = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe"), r.getAs[String]("bpe_head"))).toMap
+    assert(rows.size == corpus.count())
+    val chars = corpus.select(col("doc_id"),
+      size(split(regexp_replace(trim(lower(col("text"))), "\\s+", ""), "")).cast("long").as("n_cp"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_cp")).toMap
+    rows.foreach { case (id, (nw, nb, head)) =>
+      assert(nb >= nw, s"doc $id: fewer tokens than words")
+      assert(nb <= chars(id), s"doc $id: more tokens than codepoints")
+      assert(head.nonEmpty)
+    }
+    // deterministic integer training: identical merges from a
+    // repartitioned sample
+    val merges2 = Tokenizer.trainMerges(spark, docs.repartition(5), numMerges = 3)
+      .orderBy("rank").collect().map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
+    assert(merges2.sameElements(Array(("a", "b"), ("ab", "ab"), ("c", "d"))))
+  }
+
   test("semanticDedup: planted duplicates collapse in-cell, diverse rep kept, equi-join only") {
     // exact copies of vecs 0..4: identical embeddings assign to the
     // same cell, cos(copy, orig) = 1 >= eps, and the (ccos, vec_id)
