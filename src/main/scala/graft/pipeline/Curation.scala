@@ -105,6 +105,40 @@ object Curation {
         size(col("ck")).cast("long").as("n_tokens"),
         concat_ws(" ", col("ck")).as("chunk_text"))
 
+  /** P39: per-source frequency cap (the C4/FineWeb "domain cap"): keep
+    * at most `k` documents per source, preferring higher quality — the
+    * anti-spam curation step that stops one domain from dominating the
+    * training mixture. Quality is an integer alpha-ratio score in basis
+    * points ((n_alpha·10000) DIV n_chars), so the per-source ranking is
+    * fully deterministic under the (q_fp desc, doc_id) tie-break and
+    * DuckDB-replayable.
+    *
+    * Scale shape: a salted two-phase top-k. Phase 1 ranks within
+    * (source, doc_id % salt) and discards everything ranked > k there —
+    * a doc outside its salt bucket's top-k cannot be in the source's
+    * top-k — so the phase-2 per-source window sees at most salt·k rows
+    * no matter how skewed the domain (the exact failure mode domain
+    * caps exist for: ONE spam domain holding 10% of a 100 TB crawl
+    * would otherwise serialize into a single window partition). The
+    * corpus shuffles once on (source, salt); survivors (≤ |sources|·k
+    * rows) broadcast-join back so every doc carries its verdict. */
+  def sourceCap(docs: DataFrame, k: Int = 50, salt: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = docs.select(col("doc_id"), col("source"),
+      expr("""(CAST(length(regexp_replace(lower(text), '[^a-z]', '')) AS BIGINT) * 10000)
+             |  DIV greatest(length(text), 1)""".stripMargin).as("q_fp"))
+    val w1 = Window.partitionBy(col("source"), pmod(col("doc_id"), lit(salt.toLong)))
+      .orderBy(col("q_fp").desc, col("doc_id"))
+    val cand = q.withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= k).drop("rn1")
+    val w2 = Window.partitionBy("source").orderBy(col("q_fp").desc, col("doc_id"))
+    val kept = cand.withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("rn").cast("long").as("src_rank"))
+    q.join(broadcast(kept), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("q_fp"),
+        col("src_rank"), col("src_rank").isNotNull.as("kept"))
+  }
+
   // ---- queries()/oracle entries -------------------------------------
 
   type Q = (SparkSession, String) => DataFrame
@@ -241,6 +275,8 @@ object Curation {
       exactSubstrDedup(Tables(spark, dir).documents).orderBy("doc_id")),
     "pipe_dsir_select" -> ((spark, dir) =>
       dsirSelect(spark, Tables(spark, dir).documents).orderBy("doc_id")),
+    "pipe_source_cap" -> ((spark, dir) =>
+      sourceCap(Tables(spark, dir).documents).orderBy("doc_id")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -321,6 +357,24 @@ object Curation {
          |  coalesce(array_to_string(list_transform(keep_idx, j -> w[j]), ' '), '') AS clean_text
          |FROM fin ORDER BY doc_id""".stripMargin
     },
+
+    // the salted prefilter is semantically transparent (it only drops
+    // rows that cannot be in the source top-k), so the oracle is the
+    // plain single-window form.
+    "pipe_source_cap" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) * 10000)
+        |      // greatest(length(text), 1) AS q_fp
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, q_fp,
+        |    row_number() OVER (PARTITION BY source ORDER BY q_fp DESC, doc_id) AS rn
+        |  FROM q)
+        |SELECT doc_id, source, q_fp,
+        |  CASE WHEN rn <= 50 THEN CAST(rn AS BIGINT) END AS src_rank,
+        |  rn <= 50 AS kept
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "pipe_pii_scrub" ->
       """WITH src AS (

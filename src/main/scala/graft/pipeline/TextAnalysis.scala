@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{CacheSlot, Tables}
 import graft.plans.GraftFunctions
 
 /** Text analysis for training-data pipelines (SURVEY.md §2 P9–P12):
@@ -165,6 +165,98 @@ object TextAnalysis {
         (col("raw") > 0L).as("keep"))
   }
 
+  /** P40: CCNet-style perplexity bucketing (Wenzek et al. 2020) — the
+    * selection step CCNet runs after language ID: score every document
+    * under a language model trained on a TARGET corpus (CCNet uses
+    * Wikipedia; here the weak-label "good" docs, the same bootstrap the
+    * P34 classifier and P36 DSIR use), then split the corpus into
+    * head / middle / tail perplexity thirds. Head ≈ target-like text,
+    * tail ≈ noise; pipelines train on head+middle or reweight by
+    * bucket.
+    *
+    * The model is a smoothed bigram LM over hashed buckets: per-bigram
+    * cost = ln(cu(h(w1)) + αD) − ln(cb(h(w1 w2)) + α), clamped at 0
+    * (hash collisions can push the ratio past probability 1). Numerics
+    * follow the P36 recipe — each per-bucket log term is quantized ONCE
+    * (floor(ln·scale + 0.5) as long, never per doc), per-doc NLL is a
+    * long sum, and the per-token score is integer division — so scores
+    * are shuffle-order-independent and DuckDB replays them exactly.
+    * Bucket thresholds are the n/3 and 2n/3 order statistics of the
+    * quantized score, computed from the score HISTOGRAM (bounded: the
+    * score domain is quantized), folded in one row — no corpus-wide
+    * sort, no unpartitioned window.
+    *
+    * Scale shape: training groupBys are bounded by the 2·D bucket
+    * domain; both cost maps fold into ONE broadcast row; scoring is a
+    * row-local fold; the histogram shuffle carries one row per distinct
+    * score; thresholds broadcast back as one row. Zero corpus-wide
+    * shuffles. */
+  private val pplSlot = new java.util.concurrent.atomic.AtomicReference[DataFrame]
+
+  def perplexityBuckets(spark: SparkSession, docs: DataFrame, dim: Int = 1024,
+                        alpha: Double = 0.5, scale: Long = 10000L): DataFrame = {
+    GraftFunctions.register(spark)
+    val ws = words(col("text"))
+    val a0 = math.floor(math.log(alpha) * scale + 0.5).toLong
+    val b0 = math.floor(math.log(alpha * dim) * scale + 0.5).toLong
+    val base = docs.select(col("doc_id"), length(col("text")).cast("long").as("len"),
+        filter(ws, w => length(w) > 0).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .filter(col("n_tok") >= 2)
+      .withColumn("good",
+        col("len") >= 60 && col("n_tok") >= 10 &&
+          size(filter(col("toks"), w => w === "the" || w === "a")).cast("double") /
+            col("n_tok") <= 0.5)
+      .withColumn("hu", expr(
+        s"transform(slice(toks, 1, size(toks) - 1), t -> pmod(fnv_hash(t), ${dim}L))"))
+      .withColumn("hb", expr(
+        s"""transform(sequence(1, size(toks) - 1),
+           |  i -> pmod(fnv_hash(concat_ws(' ', element_at(toks, i), element_at(toks, i + 1))), ${dim}L))""".stripMargin))
+    // unigram and bigram counts in ONE tagged aggregation (one training
+    // scan, one bucket-bounded shuffle), folded into both cost maps in
+    // one pass over the <= 2·dim count rows
+    val counts = base.filter(col("good")).select(explode(concat(
+        expr("transform(hu, b -> named_struct('t', 0, 'b', b))"),
+        expr("transform(hb, b -> named_struct('t', 1, 'b', b))"))).as("f"))
+      .groupBy(col("f.t").as("t"), col("f.b").as("b")).agg(count(lit(1)).as("c"))
+    val wrow = counts.agg(
+      map_from_entries(array_sort(collect_list(when(col("t") === 0,
+        struct(col("b"), floor(log(col("c") + alpha * dim) * scale + 0.5).cast("long")))))).as("bmap"),
+      map_from_entries(array_sort(collect_list(when(col("t") === 1,
+        struct(col("b"), floor(log(col("c") + alpha) * scale + 0.5).cast("long")))))).as("amap"))
+    // scored feeds BOTH the threshold histogram and the final output —
+    // persist it (3 longs per doc, far smaller than the corpus) so the
+    // tokenize+hash+fold scan runs once, slot-replaced per §5.12
+    val scored = CacheSlot.replace(base.crossJoin(broadcast(wrow))
+      .select(col("doc_id"), (col("n_tok") - 1).as("n_big"),
+        expr(
+          s"""CAST(aggregate(sequence(1, CAST(n_tok AS INT) - 1), CAST(0 AS BIGINT),
+             |  (acc, i) -> acc + greatest(
+             |    coalesce(bmap[element_at(hu, i)], ${b0}L) -
+             |    coalesce(amap[element_at(hb, i)], ${a0}L), CAST(0 AS BIGINT))) AS BIGINT)""".stripMargin)
+          .as("nll_fp"))
+      .withColumn("ppl_bp", expr(s"(nll_fp * 10000) DIV (${scale}L * n_big)")),
+      pplSlot)
+    val thr = scored.groupBy("ppl_bp").agg(count(lit(1)).as("cnt"))
+      .agg(sort_array(collect_list(struct(col("ppl_bp").as("p"), col("cnt").as("c")))).as("hs"))
+      .select(expr(
+        """aggregate(hs,
+          |  named_struct('cum', CAST(0 AS BIGINT),
+          |    'n1', (aggregate(hs, CAST(0 AS BIGINT), (a, h) -> a + h.c) + 2) DIV 3,
+          |    'n2', (2 * aggregate(hs, CAST(0 AS BIGINT), (a, h) -> a + h.c) + 2) DIV 3,
+          |    't1', CAST(NULL AS BIGINT), 't2', CAST(NULL AS BIGINT)),
+          |  (acc, h) -> named_struct('cum', acc.cum + h.c, 'n1', acc.n1, 'n2', acc.n2,
+          |    't1', IF(acc.t1 IS NULL AND acc.cum + h.c >= acc.n1, h.p, acc.t1),
+          |    't2', IF(acc.t2 IS NULL AND acc.cum + h.c >= acc.n2, h.p, acc.t2)),
+          |  acc -> named_struct('t1', acc.t1, 't2', acc.t2))""".stripMargin).as("t"))
+      .select(col("t.t1").as("t1"), col("t.t2").as("t2"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_big"), col("nll_fp"), col("ppl_bp"),
+        when(col("ppl_bp") <= col("t1"), "head")
+          .when(col("ppl_bp") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   // ---- queries()/oracle entries -------------------------------------
 
   type Q = (SparkSession, String) => DataFrame
@@ -187,6 +279,8 @@ object TextAnalysis {
       lmScore(Tables(spark, dir).documents).orderBy("doc_id")),
     "text_quality_classifier" -> ((spark, dir) =>
       qualityClassifier(spark, Tables(spark, dir).documents).orderBy("doc_id")),
+    "text_ppl_buckets" -> ((spark, dir) =>
+      perplexityBuckets(spark, Tables(spark, dir).documents).orderBy("doc_id")),
     "text_heavy_hitters" -> ((spark, dir) => {
       import graft.functions.HeavyHitters
       val t = Tables(spark, dir)
@@ -236,6 +330,59 @@ object TextAnalysis {
          |  GROUP BY doc_id, iv)
          |SELECT doc_id, round(raw::DOUBLE * iv::DOUBLE / 1e12, 6) AS score, raw > 0 AS keep
          |FROM scored ORDER BY doc_id""".stripMargin
+    },
+    // full replay of the CCNet bucketing: FNV-hashed unigram/bigram
+    // buckets, good-only training counts, one floored ln-quantization
+    // per bucket (ulp noise absorbed by the 1e4 grid, the P36
+    // precedent), clamped long cost sums, integer per-token score, and
+    // histogram-derived n/3 / 2n/3 thresholds.
+    "text_ppl_buckets" -> {
+      import graft.operators.DuckHashSql
+      val a0 = math.floor(math.log(0.5) * 10000 + 0.5).toLong
+      val b0 = math.floor(math.log(0.5 * 1024) * 10000 + 0.5).toLong
+      val bucket = (e: String) =>
+        s"((((${DuckHashSql.fnv64(e, s"length($e)")}) % 1024) + 1024) % 1024)"
+      s"""WITH tok AS (
+         |  SELECT doc_id, length(text) AS len,
+         |    list_filter(regexp_split_to_array(trim(lower(text)), '${"\\s+"}'), w -> len(w) > 0) AS toks
+         |  FROM documents),
+         |base AS (
+         |  SELECT doc_id, toks, len(toks)::BIGINT AS n_tok,
+         |    (len >= 60 AND len(toks) >= 10 AND
+         |     CAST(len(list_filter(toks, w -> w = 'the' OR w = 'a')) AS DOUBLE)
+         |       / len(toks) <= 0.5) AS good
+         |  FROM tok WHERE len(toks) >= 2),
+         |big0 AS (
+         |  SELECT doc_id, good, toks[i] AS u, toks[i] || ' ' || toks[i+1] AS bg
+         |  FROM (SELECT doc_id, good, toks, unnest(range(1, len(toks))) AS i FROM base)),
+         |big AS (
+         |  SELECT doc_id, good, ${bucket("u")} AS hu, ${bucket("bg")} AS hb FROM big0),
+         |bm AS (
+         |  SELECT hu AS b, CAST(floor(ln(count(*) + 512.0) * 10000 + 0.5) AS BIGINT) AS v
+         |  FROM big WHERE good GROUP BY hu),
+         |am AS (
+         |  SELECT hb AS b, CAST(floor(ln(count(*) + 0.5) * 10000 + 0.5) AS BIGINT) AS v
+         |  FROM big WHERE good GROUP BY hb),
+         |sc AS (
+         |  SELECT big.doc_id,
+         |    sum(greatest(coalesce(bm.v, $b0) - coalesce(am.v, $a0), 0))::BIGINT AS nll_fp
+         |  FROM big LEFT JOIN bm ON big.hu = bm.b LEFT JOIN am ON big.hb = am.b
+         |  GROUP BY big.doc_id),
+         |scored AS (
+         |  SELECT b.doc_id, (b.n_tok - 1)::BIGINT AS n_big, s.nll_fp,
+         |    (s.nll_fp * 10000) // (10000 * (b.n_tok - 1)) AS ppl_bp
+         |  FROM base b JOIN sc s USING (doc_id)),
+         |tot AS (SELECT count(*)::BIGINT AS n FROM scored),
+         |hist AS (SELECT ppl_bp, count(*)::BIGINT AS c FROM scored GROUP BY ppl_bp),
+         |cum AS (SELECT ppl_bp, CAST(sum(c) OVER (ORDER BY ppl_bp) AS BIGINT) AS cum FROM hist),
+         |thr AS (
+         |  SELECT min(CASE WHEN cum >= (n + 2) // 3 THEN ppl_bp END) AS t1,
+         |         min(CASE WHEN cum >= (2 * n + 2) // 3 THEN ppl_bp END) AS t2
+         |  FROM cum, tot)
+         |SELECT doc_id, n_big, nll_fp, ppl_bp,
+         |  CASE WHEN ppl_bp <= t1 THEN 'head'
+         |       WHEN ppl_bp <= t2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM scored, thr ORDER BY doc_id""".stripMargin
     },
     // winnowing fingerprint + simhash replayed bit-for-bit in DuckDB
     // via generated HUGEINT arithmetic (DuckHashSql).

@@ -320,6 +320,58 @@ class PipelineSpec extends SparkSpec {
     assert(merges2.sameElements(Array(("a", "b"), ("ab", "ab"), ("c", "d"))))
   }
 
+  test("sourceCap: at most k kept per source by quality rank, tie-break on doc_id, salt-transparent") {
+    // source A: docs 1/4/6 tie at q_fp = 12*10000 DIV 14 = 8571 -> doc_id
+    // breaks the tie; 2/5 at 4285; 3 at 0. k=2 keeps exactly {1, 4}.
+    val docs = docsDf(
+      (1L, "aaaa bbbb cccc", "A"), (2L, "aa11 bb22 cc33", "A"),
+      (3L, "1111 2222 3333", "A"), (4L, "aaaa bbbb dddd", "A"),
+      (5L, "a1a1 b2b2 c3c3", "A"), (6L, "aaaa aaaa aaaa", "A"),
+      (7L, "hello world", "B"))
+    val out = Curation.sourceCap(docs, k = 2, salt = 4)
+      .orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.getAs[java.lang.Long]("src_rank")).map(_.toLong), r.getAs[Boolean]("kept"))).toMap
+    assert(out(1L) == (Some(1L), true) && out(4L) == (Some(2L), true))
+    assert(Seq(2L, 3L, 5L, 6L).forall(id => out(id) == (None, false)))
+    assert(out(7L) == (Some(1L), true)) // under-capacity source keeps all
+    // the salted prefilter is semantically transparent: degenerate
+    // salt=1 (single bucket = plain window) gives the identical verdict
+    val one = Curation.sourceCap(docs.repartition(5), k = 2, salt = 1)
+      .orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.getAs[java.lang.Long]("src_rank")).map(_.toLong), r.getAs[Boolean]("kept"))).toMap
+    assert(one == out)
+  }
+
+  test("perplexityBuckets: target-like docs score below gibberish, buckets ordered, stable") {
+    val pat = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val good = s"$pat $pat" // 20 tokens, >= 60 chars, no stopwords -> trains the LM
+    val docs = docsDf(
+      (1L, good, "s"), (2L, good, "s"), (3L, good, "s"),
+      (4L, "alpha beta gamma delta epsilon zeta", "s"), // seen bigrams, not in training (< 60 chars)
+      (5L, "zz1 qq2 xx3 yy4 ww5", "s"),                 // unseen bigrams
+      (6L, "mm7 nn8 oo9 pp0 rr1", "s"))
+    val out = TextAnalysis.perplexityBuckets(spark, docs).orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("ppl_bp"), r.getAs[String]("bucket"))).toMap
+    assert(out.size == 6)
+    // every pattern doc scores strictly below every gibberish doc
+    for (p <- Seq(1L, 2L, 3L, 4L); g <- Seq(5L, 6L))
+      assert(out(p)._1 < out(g)._1, s"doc $p vs $g: $out")
+    assert(Seq(5L, 6L).forall(id => out(id)._2 == "tail"))
+    assert(out(1L)._2 == "head")
+    // bucket assignment is monotone in the score
+    val rank = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    for (a <- out.values; b <- out.values if a._1 < b._1)
+      assert(rank(a._2) <= rank(b._2), s"$a vs $b")
+    // integer pipeline -> identical output under any partitioning
+    val re = TextAnalysis.perplexityBuckets(spark, docs.repartition(7)).orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("ppl_bp"), r.getAs[String]("bucket"))).toMap
+    assert(re == out)
+  }
+
   test("semanticDedup: planted duplicates collapse in-cell, diverse rep kept, equi-join only") {
     // exact copies of vecs 0..4: identical embeddings assign to the
     // same cell, cos(copy, orig) = 1 >= eps, and the (ccos, vec_id)
