@@ -257,6 +257,54 @@ object TextAnalysis {
           .otherwise("tail").as("bucket"))
   }
 
+  /** P41: tf-idf keyword extraction — top-k terms per document by
+    * tf·idf, the classic signal for topic tagging, per-domain content
+    * profiling, and building doc-level keyword indexes over a training
+    * corpus. idf is quantized ONCE per term (floor(ln((n+1)/(df+1))·1e4
+    * + 0.5) as long — the P36 recipe), scores are long products, and
+    * the per-doc cut is (score desc, term asc) — deterministic and
+    * DuckDB-replayable.
+    *
+    * Scale shape: per-doc term frequencies are computed ROW-LOCALLY
+    * (sort the token array once, O(n log n), then run-length the
+    * sorted runs) — the corpus token stream is never shuffled for tf.
+    * df is one vocabulary-bounded aggregation (map-side partials
+    * bound each partition's contribution by its own vocab), and idf
+    * attaches via an equi-join on the term — NOT a broadcast map,
+    * because a 100 TB corpus's vocabulary does not fit on one
+    * executor. The final top-k is a per-doc collect bounded by the
+    * doc's own distinct-term count. */
+  def tfidfTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+    val ws = words(col("text"))
+    val base = docs.select(col("doc_id"), filter(ws, w => length(w) > 0).as("toks"))
+      .filter(size(col("toks")) >= 1)
+    val tf = base
+      .withColumn("sorted", array_sort(col("toks")))
+      .withColumn("starts", expr(
+        "filter(sequence(1, size(sorted)), i -> i = 1 OR element_at(sorted, i) <> element_at(sorted, i - 1))"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(starts)), j -> named_struct(
+          |  'term', element_at(sorted, element_at(starts, j)),
+          |  'tf', CAST(IF(j < size(starts), element_at(starts, j + 1), size(sorted) + 1)
+          |             - element_at(starts, j) AS BIGINT)))""".stripMargin)).as("e"))
+      .select(col("doc_id"), col("e.term").as("term"), col("e.tf").as("tf"))
+    val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nrow = base.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfx, Seq("term"))
+      .crossJoin(broadcast(nrow))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf") * floor(log((col("n") + 1.0) / (col("df") + 1.0)) * 10000 + 0.5).cast("long"))
+          .as("score_fp"))
+    scored.groupBy("doc_id")
+      .agg(expr(s"""slice(array_sort(collect_list(named_struct(
+        |  'ns', -score_fp, 'term', term, 'tf', tf, 'df', df, 'score_fp', score_fp))), 1, $k)""".stripMargin)
+        .as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("p", "e")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("rk"),
+        col("e.term").as("term"), col("e.tf").as("tf"), col("e.df").as("df"),
+        col("e.score_fp").as("score_fp"))
+  }
+
   // ---- queries()/oracle entries -------------------------------------
 
   type Q = (SparkSession, String) => DataFrame
@@ -281,6 +329,8 @@ object TextAnalysis {
       qualityClassifier(spark, Tables(spark, dir).documents).orderBy("doc_id")),
     "text_ppl_buckets" -> ((spark, dir) =>
       perplexityBuckets(spark, Tables(spark, dir).documents).orderBy("doc_id")),
+    "text_tfidf_terms" -> ((spark, dir) =>
+      tfidfTerms(Tables(spark, dir).documents).orderBy("doc_id", "rk")),
     "text_heavy_hitters" -> ((spark, dir) => {
       import graft.functions.HeavyHitters
       val t = Tables(spark, dir)
@@ -331,6 +381,30 @@ object TextAnalysis {
          |SELECT doc_id, round(raw::DOUBLE * iv::DOUBLE / 1e12, 6) AS score, raw > 0 AS keep
          |FROM scored ORDER BY doc_id""".stripMargin
     },
+    // full replay: per-doc term counts, df, the one floored ln
+    // quantization per term, long tf·idf products, (score desc, term)
+    // per-doc top-k. The Spark side's row-local run-length tf and
+    // equi-join idf are semantically plain GROUP BYs to the oracle.
+    "text_tfidf_terms" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter($wsSql, w -> len(w) > 0) AS toks
+         |  FROM documents),
+         |base AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 1),
+         |tf AS (
+         |  SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS t FROM base) GROUP BY doc_id, t),
+         |dfx AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+         |tot AS (SELECT count(*)::BIGINT AS n FROM base),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+         |    tf.tf * CAST(floor(ln((n + 1.0) / (dfx.df + 1.0)) * 10000 + 0.5) AS BIGINT) AS score_fp
+         |  FROM tf JOIN dfx USING (term) CROSS JOIN tot),
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_fp DESC, term) AS rk
+         |  FROM sc)
+         |SELECT doc_id, rk::BIGINT AS rk, term, tf, df, score_fp
+         |FROM rk WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
+
     // full replay of the CCNet bucketing: FNV-hashed unigram/bigram
     // buckets, good-only training counts, one floored ln-quantization
     // per bucket (ulp noise absorbed by the 1e4 grid, the P36

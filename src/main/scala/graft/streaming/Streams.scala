@@ -264,6 +264,29 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .orderBy(col("n").desc, col("event_type"))
 
+  /** T17: streaming corpus ingest — the streaming twin of the P15
+    * batch cleaner (pipeline/Corpus.scala): per-row quality gates
+    * (length + token floor, the weak-label recipe), EXACT content
+    * dedup within the watermark horizon, then a windowed per-language
+    * admission audit. Two stateful operators chain in one query
+    * (Spark 4 multi-stateful append support); both states are bounded
+    * by the watermark — dedup keys expire with it, windows close with
+    * it — so the pipeline runs indefinitely at ingest scale, and state
+    * is shuffle-partitioned by content hash / (window, lang). */
+  case class Doc(doc_id: Long, ts: Timestamp, text: String, lang: String)
+
+  def ingestClean(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_tok", size(split(trim(lower(col("text"))), "\\s+")).cast("long"))
+      .filter(length(col("text")) >= 20 && col("n_tok") >= 3)
+      .withColumn("h", md5(col("text").cast("binary")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("h")
+      .groupBy(window(col("ts"), "1 hour"), col("lang"))
+      .agg(count(lit(1)).as("n_admitted"), sum(col("n_tok")).as("n_tokens"))
+      .select(col("window.start").as("win_start"), col("lang"),
+        col("n_admitted"), col("n_tokens"))
+
   /** T3: drop duplicate event_ids arriving within the watermark. */
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")

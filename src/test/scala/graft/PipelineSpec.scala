@@ -372,6 +372,31 @@ class PipelineSpec extends SparkSpec {
     assert(re == out)
   }
 
+  test("tfidfTerms: run-length tf matches, rare terms outrank common, ties on term, stable") {
+    // "rare" appears once in doc 1 only (df=1); "common" in all 3 docs
+    // (df=3 -> idf_fp = floor(ln(4/4)*1e4+0.5) = 0 -> score 0)
+    val docs = docsDf(
+      (1L, "common rare common zeta zeta zeta", "s"),
+      (2L, "common beta beta", "s"),
+      (3L, "common gamma", "s"))
+    val out = TextAnalysis.tfidfTerms(docs, k = 3).orderBy("doc_id", "rk").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rk")) ->
+        (r.getAs[String]("term"), r.getAs[Long]("tf"), r.getAs[Long]("df"), r.getAs[Long]("score_fp")))
+      .toMap
+    val idf1 = math.floor(math.log(4.0 / 2.0) * 10000 + 0.5).toLong // df=1
+    assert(out((1L, 1L)) == ("zeta", 3L, 1L, 3 * idf1))  // tf=3 run-length over the sorted array
+    assert(out((1L, 2L)) == ("rare", 1L, 1L, idf1))
+    assert(out((1L, 3L)) == ("common", 2L, 3L, 0L))      // idf(df=n) = ln(1) = 0
+    assert(out((3L, 1L)) == ("gamma", 1L, 1L, idf1))
+    assert(out((3L, 2L)) == ("common", 1L, 3L, 0L))
+    // deterministic under partitioning
+    val re = TextAnalysis.tfidfTerms(docs.repartition(5), k = 3).orderBy("doc_id", "rk").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rk")) ->
+        (r.getAs[String]("term"), r.getAs[Long]("tf"), r.getAs[Long]("df"), r.getAs[Long]("score_fp")))
+      .toMap
+    assert(re == out)
+  }
+
   test("semanticDedup: planted duplicates collapse in-cell, diverse rep kept, equi-join only") {
     // exact copies of vecs 0..4: identical embeddings assign to the
     // same cell, cos(copy, orig) = 1 >= eps, and the (ccos, vec_id)

@@ -41,6 +41,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T17: streaming ingest cleaner gates, dedups within watermark, audits per window") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Streams.Doc]
+    val q = Streams.ingestClean(in.toDF())
+      .writeStream.format("memory").queryName("t17_out").outputMode("append").start()
+    try {
+      val good = "alpha beta gamma delta epsilon" // 5 tokens, 30 chars
+      in.addData(
+        Streams.Doc(1, ts(0), good, "en"),
+        Streams.Doc(2, ts(1), good, "en"),    // exact duplicate content -> dropped
+        Streams.Doc(3, ts(2), "short", "en"), // gated: under the length floor
+        Streams.Doc(4, ts(3), good + " zeta", "fr"))
+      q.processAllAvailable()
+      // minute-80 doc pushes the watermark to 70 >= 60: window [0, 60) closes
+      in.addData(Streams.Doc(9, ts(80), good + " omega extra", "en"))
+      q.processAllAvailable()
+      val out = spark.table("t17_out").collect()
+        .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_admitted"), r.getAs[Long]("n_tokens")))
+      assert(out.contains(("en", 1L, 5L)), out.toList.toString) // dup + gated row excluded
+      assert(out.contains(("fr", 1L, 6L)))
+    } finally q.stop()
+  }
+
   test("T4: sliding windows count events into overlapping windows") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Event]
