@@ -14,12 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * the PQ encode was 6.5× slower that way, §5 rule 13).
   *
   * Merge semantics are the classic left-to-right non-overlapping pass
-  * per rank (Sennrich et al. 2016). The trainer's SQL fold
-  * (`(acc, x) -> IF last(acc)=a AND x=b THEN replace-last ELSE append`)
-  * produces identical output: after a merge the trailing symbol becomes
-  * `a+b`, which can never equal `a` again (b is non-empty), so the fold
-  * can't re-merge what the scan wouldn't — asserted by the
-  * trainer-vs-encoder cross-check in PipelineSpec.
+  * per rank (Sennrich et al. 2016) — the SAME pass [[BpeTrain]] applies
+  * during training, so encoding a training word under the learned table
+  * reproduces its training-time segmentation exactly (asserted by the
+  * trainer-vs-encoder cross-check in PipelineSpec).
   */
 object BpeImpl {
   /** Greedy BPE encode: split `word` into codepoint symbols, then apply
@@ -56,6 +54,51 @@ object BpeImpl {
     var k = 0
     while (k < syms.size) { arr(k) = UTF8String.fromString(syms.get(k)); k += 1 }
     ArrayData.toArrayData(arr)
+  }
+}
+
+/** Classic BPE training (Sennrich et al. 2016) over a bounded
+  * (word, freq) sample: `numMerges` rounds of count-adjacent-pairs →
+  * argmax (count desc, then (a, b) lexicographic) → one left-to-right
+  * merge pass per word. Runs as a single executor task
+  * (pipeline/Tokenizer.trainMerges): training is inherently sequential
+  * in rank and the sample is bounded, so one task IS the scale-correct
+  * plan — parallelizing 16 rounds over 256 docs only buys 32 job
+  * launches. Pair counts are sums and the tie-break is total, so the
+  * result is independent of input iteration order. */
+object BpeTrain {
+  def train(wordFreqs: Array[(String, Long)], numMerges: Int): Array[(String, String)] = {
+    var words: Array[(Array[String], Long)] = wordFreqs.map { case (w, f) =>
+      val syms = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        syms += w.substring(i, i + n); i += n
+      }
+      (syms.toArray, f)
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var r = 0
+    while (r < numMerges) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      for ((syms, f) <- words; j <- 0 until syms.length - 1)
+        counts.updateWith((syms(j), syms(j + 1)))(c => Some(c.getOrElse(0L) + f))
+      if (counts.isEmpty) return out.toArray // every word is one symbol
+      val (a, b) = counts.toSeq.minBy { case ((pa, pb), c) => (-c, pa, pb) }._1
+      out += ((a, b))
+      words = words.map { case (syms, f) =>
+        val buf = scala.collection.mutable.ArrayBuffer[String]()
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+            buf += a + b; j += 2
+          } else { buf += syms(j); j += 1 }
+        }
+        (buf.toArray, f)
+      }
+      r += 1
+    }
+    out.toArray
   }
 }
 

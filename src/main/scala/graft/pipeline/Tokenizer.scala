@@ -30,51 +30,30 @@ object Tokenizer {
   private def words(text: Column): Column = split(trim(lower(text)), "\\s+")
 
   /** Learn `numMerges` BPE merges from the first `sampleDocs` docs.
-    * Returns (rank, a, b) — rank-ordered merge rules. Each round: count
-    * adjacent symbol pairs weighted by word frequency, take the most
-    * frequent (ties: lexicographic), rewrite the sample's symbol
-    * sequences with it. The rewrite fold is equivalent to the encoder's
-    * left-to-right scan (see graft.functions.BpeImpl doc). */
+    * Returns (rank, a, b) — rank-ordered merge rules. The sample's
+    * word-frequency table reduces distributed (explode + groupBy,
+    * sample-sized); the iterative argmax-and-rewrite loop itself runs
+    * as ONE executor task over that bounded table
+    * ([[graft.functions.BpeTrain]]) — BPE training is sequential in
+    * rank, so a DataFrame round per merge only buys 2 job launches per
+    * rank (the original form spent 16 rounds × ~100 ms of launch +
+    * localCheckpoint overhead on 256 docs). Pair counts are sums and
+    * the (count desc, lexicographic) tie-break is total, so the merge
+    * table is identical under any partitioning (spec-asserted). */
   def trainMerges(spark: SparkSession, docs: DataFrame,
                   numMerges: Int = 16, sampleDocs: Int = 256): DataFrame = {
-    // eager localCheckpoint per round: wf_r's plan references best_{r-1}
-    // which references wf_{r-1} — without lineage truncation the
-    // LOGICAL plan doubles every round (2^numMerges nodes; at 16 rounds
-    // Spark OOMs building the plan STRING). Checkpoint state is
-    // sample-sized and recomputable, so the local (executor-block)
-    // variant is the right tool — no reliable-checkpoint gate needed,
-    // unlike the corpus-sized CC labels (Cluster.scala).
-    var wf = docs.orderBy("doc_id").limit(sampleDocs)
+    import spark.implicits._
+    docs.orderBy("doc_id").limit(sampleDocs)
       .select(explode(words(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
-      .select(expr("regexp_extract_all(word, '.', 0)").as("w"), col("freq"))
-      .localCheckpoint(true)
-    var merges: DataFrame = null
-    var r = 0
-    while (r < numMerges) {
-      val best = wf.filter(size(col("w")) >= 2)
-        .select(col("freq"), explode(expr(
-          """transform(sequence(1, size(w) - 1),
-            |  j -> named_struct('a', element_at(w, j), 'b', element_at(w, j + 1)))""".stripMargin)).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("freq")).as("c"))
-        .orderBy(col("c").desc, col("a"), col("b")).limit(1)
-        .select(lit(r.toLong).as("rank"), col("a"), col("b"))
-        .localCheckpoint(true)
-      merges = if (merges == null) best else merges.unionAll(best)
-      // apply the winning merge to every sample word (fold ≡ scan: the
-      // merged symbol a+b can never re-match a, b is non-empty)
-      wf = wf.crossJoin(broadcast(best))
-        .select(expr(
-          """aggregate(w, CAST(array() AS ARRAY<STRING>),
-            |  (acc, x) -> IF(size(acc) > 0 AND element_at(acc, size(acc)) = a AND x = b,
-            |    concat(slice(acc, 1, size(acc) - 1), array(concat(a, b))),
-            |    concat(acc, array(x))))""".stripMargin).as("w"), col("freq"))
-        .localCheckpoint(true)
-      r += 1
-    }
-    merges
+      .as[(String, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        graft.functions.BpeTrain.train(it.toArray, numMerges)
+          .iterator.zipWithIndex.map { case ((a, b), r) => (r.toLong, a, b) }
+      }
+      .toDF("rank", "a", "b")
   }
 
   /** Tokenize the corpus with merges trained on its own sample: per doc,
