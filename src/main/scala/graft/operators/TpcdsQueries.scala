@@ -693,6 +693,70 @@ object TpcdsQueries {
     // fact shuffle; absence from a channel surfaces as NULL exactly
     // where the literal form's inner join drops the item (the oracle
     // keeps the literal three-agg join, proving equivalence).
+    // DS q29/q17/q25 family shape: buy → return → buy-again fact
+    // chain. Customers who RETURNED a part and later purchased the
+    // same part again: three fact passes chained on the bounded
+    // (custkey, partkey) grain — the first pass pre-aggregates to that
+    // grain (min return date), so the chain joins aggregated partials,
+    // never fact×fact on a non-key.
+    "ds_q29_repeat_return" -> ((spark, dir) => {
+      views(spark, dir)
+      spark.sql(s"""
+        WITH ret AS (
+          SELECT o_custkey AS ck, l_partkey AS pk, min(o_orderdate) AS first_ret
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_returnflag = 'R'
+          GROUP BY o_custkey, l_partkey),
+        rebuy AS (
+          SELECT ck, pk, count(*) AS n_rebuy, ${sqlSum("l_quantity")} AS rebuy_qty
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               JOIN ret ON o_custkey = ck AND l_partkey = pk
+          WHERE l_returnflag <> 'R' AND o_orderdate > first_ret
+          GROUP BY ck, pk)
+        SELECT n_name, p_brand,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(n_rebuy) AS BIGINT) AS n_rebuys,
+               ${sqlSum("rebuy_qty")} AS rebuy_qty
+        FROM rebuy
+          JOIN customer ON c_custkey = ck
+          JOIN nation ON n_nationkey = c_nationkey
+          JOIN part ON p_partkey = pk
+        GROUP BY n_name, p_brand
+        ORDER BY n_name, p_brand""")
+    }),
+
+    // DS q78 shape: per-(year, item) cross-channel quantity ratio over
+    // sales NOT coupled with a return — the return set joins back
+    // LEFT ... IS NULL (the q78 anti-join), DISTINCT'd first because
+    // (orderkey, linenumber) is not unique in the synthetic lineitem.
+    // The share is floor-of-double-division in basis points: IEEE
+    // division and floor are bit-identical across engines, unlike
+    // round()'s half-up/half-even conventions.
+    "ds_q78_channel_ratio" -> ((spark, dir) => {
+      views(spark, dir)
+      spark.sql(s"""
+        WITH ret AS (
+          SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag = 'R'),
+        s AS (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, l_partkey AS pk,
+                 CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS web,
+                 l_quantity AS qty
+          FROM lineitem l JOIN orders ON l.l_orderkey = o_orderkey
+          LEFT JOIN ret r ON l.l_orderkey = r.l_orderkey AND l.l_linenumber = r.l_linenumber
+          WHERE r.l_orderkey IS NULL),
+        agg AS (
+          SELECT yr, pk,
+            ${sqlSum("CASE WHEN web = 1 THEN qty END")} AS ws_qty,
+            ${sqlSum("CASE WHEN web = 0 THEN qty END")} AS ss_qty
+          FROM s GROUP BY yr, pk)
+        SELECT yr, pk, ws_qty, ss_qty,
+          CAST(floor(ws_qty * 10000 / (ws_qty + ss_qty)) AS BIGINT) AS web_share_bp
+        FROM agg
+        WHERE ws_qty IS NOT NULL AND ss_qty IS NOT NULL
+        ORDER BY web_share_bp DESC, yr, pk
+        LIMIT 100""")
+    }),
+
     "ds_q58_channel_share" -> ((spark, dir) => {
       views(spark, dir)
       spark.sql(s"""
@@ -733,6 +797,52 @@ object TpcdsQueries {
         |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'))
         |GROUP BY c_nationkey, c_mktsegment
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "ds_q29_repeat_return" ->
+      """WITH ret AS (
+        |  SELECT o_custkey AS ck, l_partkey AS pk, min(o_orderdate) AS first_ret
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY o_custkey, l_partkey),
+        |rebuy AS (
+        |  SELECT ck, pk, count(*) AS n_rebuy,
+        |         CAST(SUM(CAST((l_quantity) AS DECIMAL(38,6))) AS DOUBLE) AS rebuy_qty
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |       JOIN ret ON o_custkey = ck AND l_partkey = pk
+        |  WHERE l_returnflag <> 'R' AND o_orderdate > first_ret
+        |  GROUP BY ck, pk)
+        |SELECT n_name, p_brand,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(n_rebuy) AS BIGINT) AS n_rebuys,
+        |       CAST(SUM(CAST((rebuy_qty) AS DECIMAL(38,6))) AS DOUBLE) AS rebuy_qty
+        |FROM rebuy
+        |  JOIN customer ON c_custkey = ck
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  JOIN part ON p_partkey = pk
+        |GROUP BY n_name, p_brand
+        |ORDER BY n_name, p_brand""".stripMargin,
+
+    "ds_q78_channel_ratio" ->
+      """WITH ret AS (
+        |  SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag = 'R'),
+        |s AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, l_partkey AS pk,
+        |         CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS web,
+        |         l_quantity AS qty
+        |  FROM lineitem l JOIN orders ON l.l_orderkey = o_orderkey
+        |  LEFT JOIN ret r ON l.l_orderkey = r.l_orderkey AND l.l_linenumber = r.l_linenumber
+        |  WHERE r.l_orderkey IS NULL),
+        |agg AS (
+        |  SELECT yr, pk,
+        |    CAST(SUM(CAST((CASE WHEN web = 1 THEN qty END) AS DECIMAL(38,6))) AS DOUBLE) AS ws_qty,
+        |    CAST(SUM(CAST((CASE WHEN web = 0 THEN qty END) AS DECIMAL(38,6))) AS DOUBLE) AS ss_qty
+        |  FROM s GROUP BY yr, pk)
+        |SELECT yr, pk, ws_qty, ss_qty,
+        |  CAST(floor(ws_qty * 10000 / (ws_qty + ss_qty)) AS BIGINT) AS web_share_bp
+        |FROM agg
+        |WHERE ws_qty IS NOT NULL AND ss_qty IS NOT NULL
+        |ORDER BY web_share_bp DESC, yr, pk
+        |LIMIT 100""".stripMargin,
+
     // literal q58 form: three per-channel aggregates inner-joined on the
     // item — proves the single-pass conditional-sum rewrite equivalent
     "ds_q58_channel_share" ->

@@ -210,6 +210,11 @@ object Curation {
     * scoring is a row-local fold; the global top-k threshold is a
     * TakeOrderedAndProject (per-partition top-k, k rows to the driver
     * stage) broadcast back as one row. Zero corpus-wide shuffles. */
+  private val dsirCountsSlot =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]
+  private val dsirScoredSlot =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]
+
   def dsirSelect(spark: SparkSession, docs: DataFrame, k: Int = 100,
                  dim: Int = 1024, alpha: Double = 0.5, scale: Long = 10000L): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
@@ -228,10 +233,16 @@ object Curation {
            |    transform(sequence(1, size(toks) - 1),
            |      i -> pmod(fnv_hash(concat_ws(' ', element_at(toks, i), element_at(toks, i + 1))), ${dim}L))
            |  ELSE CAST(array() AS ARRAY<BIGINT>) END)""".stripMargin))
-    val counts = base.select(col("good"), explode(col("buckets")).as("b"))
-      .groupBy("b").agg(
-        sum(when(col("good"), 1L).otherwise(0L)).as("cp"),
-        count(lit(1)).as("cq"))
+    // counts is re-read by totals, lam and (through them) wrow — without
+    // a cache each of those plans re-runs the corpus-wide tokenize+hash
+    // training scan (6 corpus scans total; 16 s at sf0.1). The cached
+    // relation is bounded by the D-bucket domain.
+    val counts = graft.CacheSlot.replace(
+      base.select(col("good"), explode(col("buckets")).as("b"))
+        .groupBy("b").agg(
+          sum(when(col("good"), 1L).otherwise(0L)).as("cp"),
+          count(lit(1)).as("cq")),
+      dsirCountsSlot)
     val totals = counts.agg(sum("cp").as("tp"), sum("cq").as("tq"))
     val lam = counts.crossJoin(broadcast(totals))
       .select(col("b"),
@@ -240,10 +251,14 @@ object Curation {
           .cast("long").as("lam"))
     val wrow = lam.agg(
       map_from_entries(array_sort(collect_list(struct(col("b"), col("lam"))))).as("lmap"))
-    val scored = base.crossJoin(broadcast(wrow))
-      .select(col("doc_id"),
-        expr("aggregate(buckets, CAST(0 AS BIGINT), (acc, b) -> acc + coalesce(lmap[b], CAST(0 AS BIGINT)))")
-          .as("score_fp"))
+    // scored feeds both the top-k threshold and the final output —
+    // cache the 2-longs-per-doc relation so the scoring scan runs once
+    val scored = graft.CacheSlot.replace(
+      base.crossJoin(broadcast(wrow))
+        .select(col("doc_id"),
+          expr("aggregate(buckets, CAST(0 AS BIGINT), (acc, b) -> acc + coalesce(lmap[b], CAST(0 AS BIGINT)))")
+            .as("score_fp")),
+      dsirScoredSlot)
     val kth = scored.orderBy(col("score_fp").desc, col("doc_id")).limit(k)
       .orderBy(col("score_fp"), col("doc_id").desc).limit(1)
       .select(col("score_fp").as("thr_s"), col("doc_id").as("thr_d"))

@@ -287,6 +287,35 @@ object Streams {
       .select(col("window.start").as("win_start"), col("lang"),
         col("n_admitted"), col("n_tokens"))
 
+  /** T18: streaming Iceberg ingestion — `foreachBatch` committing one
+    * Iceberg SNAPSHOT per micro-batch through the S16 writer
+    * (sources/IcebergSource): the first batch creates the table, every
+    * later batch appends atomically (data files + manifests + new
+    * metadata version, version-hint flipped last), so downstream batch
+    * readers get snapshot isolation, per-batch time travel
+    * (`snapshot_id` = batch ordinal) and metadata-level pruning over a
+    * continuously ingesting table — the standard streaming→lakehouse
+    * handoff. Batch-id idempotence note: a replayed micro-batch would
+    * re-append; exactly-once needs the batch-id recorded in the commit
+    * (summary map), left as the documented at-least-once contract. */
+  def icebergSink(docs: DataFrame, tableDir: String, bucketCol: String,
+                  nBuckets: Int = 4): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch { (batch0: DataFrame, _: Long) =>
+      if (!batch0.isEmpty) {
+        // micro-batch schemas flip nullability between the first and
+        // later executions; pin every batch to nullable so the table
+        // schema and all data files agree (parquet required vs
+        // optional). Dataset.to() keeps the original nullability, so
+        // rebuild from the row RDD with the relaxed schema.
+        val batch = batch0.sparkSession.createDataFrame(batch0.rdd,
+          org.apache.spark.sql.types.StructType(batch0.schema.map(_.copy(nullable = true))))
+        val p = new org.apache.hadoop.fs.Path(tableDir, "metadata/version-hint.text")
+        val fs = p.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) graft.sources.IcebergWrite.append(batch, tableDir)
+        else graft.sources.IcebergWrite.write(batch, tableDir, bucketCol, nBuckets)
+      }
+    }
+
   /** T3: drop duplicate event_ids arriving within the watermark. */
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")

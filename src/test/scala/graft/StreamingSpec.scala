@@ -64,6 +64,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T18: streaming Iceberg sink commits one snapshot per batch, time travel per batch") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_t18_iceberg").toString + "/tbl"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_t18_ckpt").toString
+    val in = MemoryStream[Streams.Doc]
+    val q = Streams.icebergSink(in.toDF(), dir, "doc_id")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData(Streams.Doc(1, ts(0), "one", "en"), Streams.Doc(2, ts(1), "two", "en"))
+      q.processAllAvailable()
+      in.addData(Streams.Doc(3, ts(2), "three", "fr"))
+      q.processAllAvailable()
+      val all = spark.read.format("graft.sources.IcebergSource").load(dir)
+      assert(all.count() == 3)
+      // snapshot 1 = first micro-batch only (time travel across batches)
+      val s1 = spark.read.format("graft.sources.IcebergSource")
+        .option("snapshot_id", "1").load(dir)
+      assert(s1.select("doc_id").collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 2L)))
+    } finally q.stop()
+  }
+
   test("T4: sliding windows count events into overlapping windows") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Event]
