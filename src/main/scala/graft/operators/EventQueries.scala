@@ -17,9 +17,10 @@ object EventQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  // events.ts is TIMESTAMP(NANOS) parquet, read as bigint nanoseconds
-  // (spark.sql.legacy.parquet.nanosAsLong). Integer div to whole seconds —
-  // double division would lose precision at 1e18 magnitudes.
+  // events.ts is bigint nanoseconds — Tables.events normalizes both
+  // on-disk encodings (int64-nanos and timestamp-micros) to that
+  // contract. Integer div to whole seconds — double division would
+  // lose precision at 1e18 magnitudes.
   private val sec = expr("ts div 1000000000")
 
   val queries: Map[String, Q] = Map(

@@ -38,7 +38,7 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("custom AsOfJoinExec physical operator agrees with the composed as-of join") {
-    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    val ev = graft.Tables(spark, sf0001).events
       .select(col("user_id"), expr("ts div 1000000000").as("sec"),
         col("event_id"), col("event_type"), col("value"))
     val left = ev.filter(col("event_type") === "purchase")
