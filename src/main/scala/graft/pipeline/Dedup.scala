@@ -24,6 +24,7 @@ object Dedup {
     graft.CacheSlot.replace(df, slot)
   private val minhashSlot = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
   private val ngramSlot = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private val incrSlot = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
@@ -126,6 +127,58 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** P43: incremental-ingest near-dup gate — dedup a NEW batch of
+    * documents against the EXISTING corpus, the shape every production
+    * pipeline actually runs (data arrives in increments; re-deduping
+    * 100 TB from scratch per ingest is not an option). The corpus
+    * contributes only its banded minhash index — at scale that index is
+    * a persisted table bucketed by (band, bh), maintained by appending
+    * each accepted batch's bands — so an ingest shuffles ONLY the new
+    * batch plus an equi-join against the index; the corpus itself is
+    * never re-read. Exact-Jaccard verification then touches only the
+    * candidate corpus rows. Same banding math as minhashCandidates, so
+    * the DuckDB replay machinery (DuckHashSql.minhashCtes) oracles this
+    * end-to-end.
+    *
+    * Output: one row per batch doc — is_novel, the kept corpus twin
+    * (min doc_id among verified matches), best Jaccard, match count. */
+  def incrementalLshGate(docs: DataFrame, isNew: Column, bands: Int = 8,
+                         rowsPerBand: Int = 2, minJaccard: Double = 0.1): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val perms = bands * rowsPerBand
+    // In this bounded demo both sides' shingles derive inline from one
+    // scan; in production the !isNew side is read from the index table.
+    val sh = cacheReplacing(
+      docs.select(col("doc_id"), isNew.as("is_new"),
+        hashedShingles(col("text")).as("sh")), incrSlot)
+    val banded = sh
+      .select(col("doc_id"), col("is_new"), minhashSig(col("sh"), perms).as("sig"))
+      .select(col("doc_id"), col("is_new"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64((lit(b) +: (b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => element_at(col("sig"), i + 1))): _*)): _*)).as(Seq("band", "bh")))
+    val newB = banded.filter(col("is_new"))
+      .select(col("doc_id").as("doc_new"), col("band"), col("bh"))
+    val idxB = banded.filter(!col("is_new"))
+      .select(col("doc_id").as("doc_old"), col("band"), col("bh"))
+    val cand = newB.join(idxB, Seq("band", "bh"))
+      .select("doc_new", "doc_old").distinct()
+    val ver = cand
+      .join(sh.select(col("doc_id").as("doc_new"), col("sh").as("sh_n")), Seq("doc_new"))
+      .join(sh.select(col("doc_id").as("doc_old"), col("sh").as("sh_o")), Seq("doc_old"))
+      .select(col("doc_new"), col("doc_old"),
+        round(jaccard(col("sh_n"), col("sh_o")), 4).as("j"))
+      .filter(col("j") >= minJaccard)
+    val hits = ver.groupBy("doc_new").agg(
+      min(col("doc_old")).as("dup_of"),
+      max(col("j")).as("best_jaccard"),
+      count(lit(1)).as("n_matches"))
+    docs.filter(isNew).select(col("doc_id"))
+      .join(hits, col("doc_id") === col("doc_new"), "left")
+      .select(col("doc_id"), col("dup_of").isNull.as("is_novel"), col("dup_of"),
+        col("best_jaccard"), coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+  }
+
   /** SimHash per doc (custom codegen expression) + a 12-bit prefix
     * bucket — Hamming-close docs collide in the bucket at scale. */
   def simhashBuckets(spark: SparkSession, docs: DataFrame): DataFrame = {
@@ -176,6 +229,11 @@ object Dedup {
     "dedup_simhash" -> ((spark, dir) => {
       simhashBuckets(spark, Tables(spark, dir).documents).orderBy("doc_id")
     }),
+    // Every 5th doc plays the incoming batch; the rest are the corpus.
+    "dedup_incremental_lsh" -> ((spark, dir) => {
+      incrementalLshGate(Tables(spark, dir).documents,
+        pmod(col("doc_id"), lit(5)) === 0).orderBy("doc_id")
+    }),
     "dedup_ngram_jaccard" -> ((spark, dir) => {
       ngramJaccardPairs(Tables(spark, dir).documents, 0.05)
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(200)
@@ -205,6 +263,32 @@ object Dedup {
          |              JOIN msh b ON mpairs.doc_b = b.doc_id)
          |WHERE jaccard >= 0.1
          |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 200""".stripMargin
+    },
+
+    // The incremental gate reuses the vetted minhash replay: mbands
+    // carries every doc's band hashes, so the batch-vs-corpus candidate
+    // join is a side-constrained self-join over it (the unused
+    // mbuckets/mpairs CTEs are dead code DuckDB never evaluates).
+    "dedup_incremental_lsh" -> {
+      import graft.operators.DuckHashSql._
+      s"""WITH ${minhashCtes("documents")},
+         |icand AS (
+         |  SELECT DISTINCT nb.doc_id AS doc_new, ob.doc_id AS doc_old
+         |  FROM mbands nb JOIN mbands ob
+         |    ON nb.u.band = ob.u.band AND nb.u.bh = ob.u.bh
+         |  WHERE nb.doc_id % 5 = 0 AND ob.doc_id % 5 <> 0),
+         |iver AS (
+         |  SELECT doc_new, doc_old, ${jaccardSql("a.su", "b.su")} AS j
+         |  FROM icand JOIN msh a ON icand.doc_new = a.doc_id
+         |             JOIN msh b ON icand.doc_old = b.doc_id),
+         |ihits AS (
+         |  SELECT doc_new, min(doc_old) AS dup_of, max(j) AS best_jaccard,
+         |         CAST(count(*) AS BIGINT) AS n_matches
+         |  FROM iver WHERE j >= 0.1 GROUP BY doc_new)
+         |SELECT d.doc_id, h.dup_of IS NULL AS is_novel, h.dup_of,
+         |  h.best_jaccard, coalesce(h.n_matches, 0) AS n_matches
+         |FROM documents d LEFT JOIN ihits h ON d.doc_id = h.doc_new
+         |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin
     },
 
     // simhash IS oracle-able: DuckDB replays per-token FNV-1 bit votes

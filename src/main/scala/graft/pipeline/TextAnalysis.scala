@@ -305,6 +305,59 @@ object TextAnalysis {
         col("e.score_fp").as("score_fp"))
   }
 
+  /** P42: the published Gopher document-quality ruleset (Rae et al.
+    * 2021, §A1.1) as per-rule verdicts + a combined keep flag. Every
+    * rule is evaluated in INTEGER space (`10*symbols <= words`, never
+    * `symbols/words <= 0.1`): ratio thresholds on doubles are
+    * engine-dependent at the boundary, integer comparisons are exact in
+    * any engine — which is what makes this row-exact against the DuckDB
+    * oracle. Per-row column algebra only: scan-bound, embarrassingly
+    * parallel at 100 TB.
+    *
+    * Rules: word count in [50, 100000]; mean word length in [3, 10];
+    * symbol-to-word ratio ('#' and '...') <= 0.1; >= 80% of words
+    * contain an alphabetic char; < 90% of lines bullet-led; < 30% of
+    * lines ellipsis-ended; >= 2 distinct members of the 8-stopword set.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    val w = words(text)
+    val lines = split(text, "\n")
+    val nWords = size(w).cast("long")
+    // words() partitions the non-space text, so sum(word lengths) ==
+    // count of non-space chars — one regexp instead of a lambda fold.
+    val sumWordLen = length(regexp_replace(text, "\\s", "")).cast("long")
+    val nAlphaWords = size(filter(w, x => x.rlike("[a-z]"))).cast("long")
+    val stopSet = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStopKinds =
+      stopSet.map(s => when(array_contains(w, s), 1L).otherwise(lit(0L))).reduce(_ + _)
+    val nHash = (length(text) - length(translate(text, "#", ""))).cast("long")
+    val nEllipsis =
+      ((length(text) - length(expr("replace(text, '...', '')"))) / 3).cast("long")
+    val nLines = size(lines).cast("long")
+    val bulletLed = Seq("• ", "- ", "* ")
+    val nBullet = size(filter(lines, l =>
+      bulletLed.map(p => ltrim(l).startsWith(p)).reduce(_ || _))).cast("long")
+    val nEllLine = size(filter(lines, l => rtrim(l).endsWith("..."))).cast("long")
+    docs.select(col("doc_id"), nWords.as("n_words"), sumWordLen.as("sum_word_len"),
+        nAlphaWords.as("n_alpha_words"), nStopKinds.as("n_stop_kinds"),
+        (nHash + nEllipsis).as("n_symbols"), nLines.as("n_lines"),
+        nBullet.as("n_bullet_lines"), nEllLine.as("n_ellipsis_lines"))
+      .withColumn("r_word_count", col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("r_mean_word_len",
+        col("sum_word_len") >= col("n_words") * 3 &&
+          col("sum_word_len") <= col("n_words") * 10)
+      .withColumn("r_symbol_ratio", col("n_symbols") * 10 <= col("n_words"))
+      .withColumn("r_alpha_words", col("n_alpha_words") * 5 >= col("n_words") * 4)
+      .withColumn("r_bullet", col("n_bullet_lines") * 10 < col("n_lines") * 9)
+      .withColumn("r_ellipsis", col("n_ellipsis_lines") * 10 < col("n_lines") * 3)
+      .withColumn("r_stop_words", col("n_stop_kinds") >= 2)
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") && col("r_symbol_ratio") &&
+          col("r_alpha_words") && col("r_bullet") && col("r_ellipsis") &&
+          col("r_stop_words"))
+  }
+
   // ---- queries()/oracle entries -------------------------------------
 
   type Q = (SparkSession, String) => DataFrame
@@ -331,6 +384,8 @@ object TextAnalysis {
       perplexityBuckets(spark, Tables(spark, dir).documents).orderBy("doc_id")),
     "text_tfidf_terms" -> ((spark, dir) =>
       tfidfTerms(Tables(spark, dir).documents).orderBy("doc_id", "rk")),
+    "text_gopher_rules" -> ((spark, dir) =>
+      gopherRules(Tables(spark, dir).documents).orderBy("doc_id")),
     "text_heavy_hitters" -> ((spark, dir) => {
       import graft.functions.HeavyHitters
       val t = Tables(spark, dir)
@@ -529,5 +584,43 @@ object TextAnalysis {
          |  round(coalesce(a.nll_sum, 0.0) / greatest(len(t.toks), 1), 4) AS ce
          |FROM tok t LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // Gopher rules are integer-exact by construction (no ratio ever
+    // materializes as a double), so DuckDB mirrors every count and
+    // comparison literally. DuckDB permits lateral alias references in
+    // one SELECT, so the rule columns feed `keep` directly.
+    "text_gopher_rules" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    CAST(len($wsSql) AS BIGINT) AS n_words,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS sum_word_len,
+         |    CAST(len(list_filter($wsSql, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+         |    CAST(list_contains($wsSql, 'the')::INT + list_contains($wsSql, 'be')::INT +
+         |         list_contains($wsSql, 'to')::INT + list_contains($wsSql, 'of')::INT +
+         |         list_contains($wsSql, 'and')::INT + list_contains($wsSql, 'that')::INT +
+         |         list_contains($wsSql, 'have')::INT + list_contains($wsSql, 'with')::INT
+         |         AS BIGINT) AS n_stop_kinds,
+         |    CAST(length(text) - length(replace(text, '#', ''))
+         |         + (length(text) - length(replace(text, '...', ''))) // 3
+         |         AS BIGINT) AS n_symbols,
+         |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(string_split(text, chr(10)), l ->
+         |      starts_with(ltrim(l), '• ') OR starts_with(ltrim(l), '- ') OR
+         |      starts_with(ltrim(l), '* '))) AS BIGINT) AS n_bullet_lines,
+         |    CAST(len(list_filter(string_split(text, chr(10)), l ->
+         |      ends_with(rtrim(l), '...'))) AS BIGINT) AS n_ellipsis_lines
+         |  FROM documents)
+         |SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_stop_kinds,
+         |  n_symbols, n_lines, n_bullet_lines, n_ellipsis_lines,
+         |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+         |  (sum_word_len >= n_words * 3 AND sum_word_len <= n_words * 10) AS r_mean_word_len,
+         |  (n_symbols * 10 <= n_words) AS r_symbol_ratio,
+         |  (n_alpha_words * 5 >= n_words * 4) AS r_alpha_words,
+         |  (n_bullet_lines * 10 < n_lines * 9) AS r_bullet,
+         |  (n_ellipsis_lines * 10 < n_lines * 3) AS r_ellipsis,
+         |  (n_stop_kinds >= 2) AS r_stop_words,
+         |  (r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_alpha_words
+         |   AND r_bullet AND r_ellipsis AND r_stop_words) AS keep
+         |FROM g ORDER BY doc_id""".stripMargin,
   )
 }

@@ -820,4 +820,57 @@ class PipelineSpec extends SparkSpec {
     val bad = Seq(MediaItem(10L, "video", avi.take(40), MediaMeta(0, 0, 0))).toDS()
     assert(Multimodal.extractFeatures(bad, dim = 4).collect().head.features.length == 4)
   }
+
+  test("gopher rules: each rule flips at its published integer-exact boundary") {
+    def rules(id: Long, text: String) =
+      TextAnalysis.gopherRules(docsDf((id, text, "s1"))).collect().head
+    // 50 words, mean len in [3,10], two stopword kinds, clean — keeps
+    val good = rules(1L, "the of " + Seq.fill(48)("word").mkString(" "))
+    assert(good.getAs[Boolean]("keep"), s"expected keep: $good")
+    // 49 words: word-count lower bound is inclusive at 50
+    assert(!rules(2L, "the of " + Seq.fill(47)("word").mkString(" "))
+      .getAs[Boolean]("r_word_count"))
+    // mean word length exactly 3.0 passes (inclusive); one char fewer fails
+    val atMean = rules(3L, Seq.fill(50)("abc").mkString(" "))
+    assert(atMean.getAs[Boolean]("r_mean_word_len"))
+    val below = rules(4L, "of " + Seq.fill(49)("abc").mkString(" "))
+    assert(below.getAs[Long]("sum_word_len") == 149L)
+    assert(!below.getAs[Boolean]("r_mean_word_len"))
+    // 6 '#' symbols among 56 words: 60 > 56 fails the 0.1 ratio
+    val sym = rules(5L, "the of " + Seq.fill(48)("word").mkString(" ") + " # # # # # #")
+    assert(sym.getAs[Long]("n_symbols") == 6L && !sym.getAs[Boolean]("r_symbol_ratio"))
+    // 40 alpha words + 11 numeric: 40*5 < 51*4 fails the 80% bound
+    val alpha = rules(6L, (Seq.fill(40)("word") ++ Seq.fill(11)("123")).mkString(" "))
+    assert(!alpha.getAs[Boolean]("r_alpha_words"))
+    // 9 of 10 lines bullet-led: 90 !< 90 fails; 3 of 10 ellipsis-ended: 30 !< 30 fails
+    val lines = (Seq.fill(9)("- item") :+ "plain").mkString("\n")
+    assert(!rules(7L, lines).getAs[Boolean]("r_bullet"))
+    val ell = (Seq.fill(3)("trailing...") ++ Seq.fill(7)("plain")).mkString("\n")
+    assert(!rules(8L, ell).getAs[Boolean]("r_ellipsis"))
+    // one stopword kind only
+    assert(!rules(9L, "the " + Seq.fill(50)("word").mkString(" "))
+      .getAs[Boolean]("r_stop_words"))
+  }
+
+  test("incremental LSH gate: exact twin flagged against corpus, novel passes, equi-join only") {
+    // corpus docs use disjoint vocabularies -> cross-doc jaccard 0, so
+    // the only verified match for the planted twin is its original
+    val corpus = (0L until 40L).map(i =>
+      (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f", "s1"))
+    val twin = (100L, corpus(7)._2, "s1")          // exact copy of doc 7
+    val novel = (101L, "zq1 zq2 zq3 zq4 zq5 zq6", "s1")
+    val docs = docsDf((corpus :+ twin :+ novel): _*)
+    val gate = Dedup.incrementalLshGate(docs, col("doc_id") >= 100L)
+    val plan = gate.queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(1200))
+    val rows = gate.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.keySet == Set(100L, 101L)) // one verdict per batch doc, corpus untouched
+    val t = rows(100L)
+    assert(!t.getAs[Boolean]("is_novel") && t.getAs[Long]("dup_of") == 7L &&
+      t.getAs[Double]("best_jaccard") == 1.0 && t.getAs[Long]("n_matches") == 1L)
+    val n = rows(101L)
+    assert(n.getAs[Boolean]("is_novel") && n.isNullAt(n.fieldIndex("dup_of")) &&
+      n.getAs[Long]("n_matches") == 0L)
+  }
 }
