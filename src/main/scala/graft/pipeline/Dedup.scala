@@ -127,6 +127,17 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** (band, bh) explode of a minhash signature derived from shingle
+    * column `shCol` — the one banding implementation shared by the
+    * batch (P43) and streaming (T19) incremental gates, so their band
+    * keys are joinable against the same persisted index. */
+  def bandExplode(df: DataFrame, shCol: String, bands: Int, rowsPerBand: Int): DataFrame =
+    df.withColumn("sig", minhashSig(col(shCol), bands * rowsPerBand))
+      .select(df.columns.map(col) :+
+        posexplode(array((0 until bands).map(b =>
+          xxhash64((lit(b) +: (b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => element_at(col("sig"), i + 1))): _*)): _*)).as(Seq("band", "bh")): _*)
+
   /** P43: incremental-ingest near-dup gate — dedup a NEW batch of
     * documents against the EXISTING corpus, the shape every production
     * pipeline actually runs (data arrives in increments; re-deduping
@@ -145,18 +156,12 @@ object Dedup {
   def incrementalLshGate(docs: DataFrame, isNew: Column, bands: Int = 8,
                          rowsPerBand: Int = 2, minJaccard: Double = 0.1): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    val perms = bands * rowsPerBand
     // In this bounded demo both sides' shingles derive inline from one
     // scan; in production the !isNew side is read from the index table.
     val sh = cacheReplacing(
       docs.select(col("doc_id"), isNew.as("is_new"),
         hashedShingles(col("text")).as("sh")), incrSlot)
-    val banded = sh
-      .select(col("doc_id"), col("is_new"), minhashSig(col("sh"), perms).as("sig"))
-      .select(col("doc_id"), col("is_new"),
-        posexplode(array((0 until bands).map(b =>
-          xxhash64((lit(b) +: (b * rowsPerBand until (b + 1) * rowsPerBand)
-            .map(i => element_at(col("sig"), i + 1))): _*)): _*)).as(Seq("band", "bh")))
+    val banded = bandExplode(sh, "sh", bands, rowsPerBand).drop("sh")
     val newB = banded.filter(col("is_new"))
       .select(col("doc_id").as("doc_new"), col("band"), col("bh"))
     val idxB = banded.filter(!col("is_new"))

@@ -287,6 +287,38 @@ object Streams {
       .select(col("window.start").as("win_start"), col("lang"),
         col("n_admitted"), col("n_tokens"))
 
+  /** T19: streaming incremental near-dup gate — the streaming twin of
+    * the P43 batch gate (pipeline/Dedup.incrementalLshGate). Arriving
+    * docs shingle and band ROW-LOCALLY through the same minhash math
+    * (Dedup.bandExplode, so the band keys are joinable against the
+    * same persisted index), then STREAM-STATIC equi-join against the
+    * corpus's banded index — at scale the (band, bh)-bucketed index
+    * table every accepted batch appends to. Stream-static inner joins
+    * are STATELESS on the stream side, so the gate runs at ingest rate
+    * with no state growth; the one stateful operator is the
+    * within-watermark dedup collapsing multi-band hits of the same
+    * (arriving doc, corpus twin) pair to a single verdict row. Emits
+    * verified near-dup hits (doc_id, ts, doc_old, jaccard); arriving
+    * docs with no hit are novel — admission downstream is an anti-join
+    * against this reject stream. */
+  def neardupGate(docs: DataFrame, corpus: DataFrame, bands: Int = 8,
+                  rowsPerBand: Int = 2, minJaccard: Double = 0.1): DataFrame = {
+    import graft.pipeline.Dedup
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val idx = Dedup.bandExplode(
+      corpus.select(col("doc_id").as("doc_old"),
+        Dedup.hashedShingles(col("text")).as("sh_o")), "sh_o", bands, rowsPerBand)
+    val arriving = Dedup.bandExplode(
+      docs.withWatermark("ts", "10 minutes")
+        .select(col("doc_id"), col("ts"),
+          Dedup.hashedShingles(col("text")).as("sh_n")), "sh_n", bands, rowsPerBand)
+    arriving.join(idx, Seq("band", "bh"))
+      .select(col("doc_id"), col("ts"), col("doc_old"),
+        round(Dedup.jaccard(col("sh_n"), col("sh_o")), 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .dropDuplicatesWithinWatermark("doc_id", "doc_old")
+  }
+
   /** T18: streaming Iceberg ingestion — `foreachBatch` committing one
     * Iceberg SNAPSHOT per micro-batch through the S16 writer
     * (sources/IcebergSource): the first batch creates the table, every

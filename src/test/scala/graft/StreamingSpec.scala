@@ -85,6 +85,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T19: streaming near-dup gate flags the corpus twin once, novel docs pass silently") {
+    implicit val ctx = spark.sqlContext
+    // disjoint corpus vocabularies -> the planted twin's only verified
+    // match is its original (same fixture as the P43 batch-gate spec)
+    val corpus = (0L until 40L).map(i =>
+      (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f")).toDF("doc_id", "text")
+    val in = MemoryStream[Streams.Doc]
+    val q = Streams.neardupGate(in.toDF(), corpus)
+      .writeStream.format("memory").queryName("t19_out").outputMode("append").start()
+    try {
+      in.addData(
+        Streams.Doc(100, ts(0), "w7a w7b w7c w7d w7e w7f", "en"), // exact twin of corpus 7
+        Streams.Doc(101, ts(1), "zq1 zq2 zq3 zq4 zq5 zq6", "en")) // novel
+      q.processAllAvailable()
+      val out = spark.table("t19_out").collect()
+      // multi-band hits of the same pair collapse to ONE verdict row
+      assert(out.length == 1, out.toList.toString)
+      val r = out.head
+      assert(r.getAs[Long]("doc_id") == 100L && r.getAs[Long]("doc_old") == 7L &&
+        r.getAs[Double]("jaccard") == 1.0)
+    } finally q.stop()
+  }
+
   test("T4: sliding windows count events into overlapping windows") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Event]
