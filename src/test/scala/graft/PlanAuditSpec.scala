@@ -373,6 +373,42 @@ class PlanAuditSpec extends SparkSpec {
         s"stale allowance: ${allowed -- offenders.toSet}")
   }
 
+  /** Suite-wide non-equi-join gate: a CartesianProduct or
+    * BroadcastNestedLoopJoin anywhere in a query plan is a 100 TB
+    * scale bug unless one side is provably bounded (a constant,
+    * centroid, sample, or config relation — never corpus-sized).
+    * Every allowance below must name its bounded side; the assert is
+    * two-way, so a stale allowance fails too. */
+  test("no unbounded cartesian/nested-loop joins anywhere in the query inventory") {
+    val allowed = Set(
+      // the CROSS JOIN relational operator itself (R7): 5-row region side
+      "join_cross",
+      // scalar-subquery shapes: the nested-loop side is a 1-row global
+      // aggregate (avg/total threshold) broadcast to the fact side
+      "q02_min_cost_supplier", "q11_important_stock", "q20_potential_promotion",
+      "q22_dormant_customers", "agg_theta_overlap", "ds_q88_multi_count",
+      // 1-row model/config broadcasts: trained weights, BPE merge table,
+      // mixture spec, df totals — each folds to ONE broadcast row
+      "pipe_dsir_select", "pipe_mixture", "pipe_end_to_end", "pipe_bpe_tokenize",
+      "text_lm_perplexity", "text_quality_classifier", "text_ppl_buckets",
+      "text_tfidf_terms",
+      // bounded centroid/codebook sides: <= cells (16) or codebook (<= 256)
+      // rows broadcast against the corpus; assignment itself is row-local
+      "sim_ivf_topk", "sim_pq_topk", "dedup_semantic",
+      // documented bounded-query brute-force baseline (SURVEY P7)
+      "sim_brute_topk")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val bad = fn(spark, sf0001).queryExecution.sparkPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j.nodeName
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j.nodeName
+      }
+      if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.toSet == allowed,
+      s"undocumented non-equi joins: ${offenders.toSet -- allowed}; " +
+        s"stale allowance: ${allowed -- offenders.toSet}")
+  }
+
   /** IVF cell assignment must be shuffle-free on the corpus side
     * (round-6 verdict #2): the centroid set is folded into ONE
     * broadcast row and the argmax computed row-locally, so the path
