@@ -16,6 +16,13 @@ import graft.plans.GraftFunctions
   */
 object Similarity {
 
+  // Slot-replacing persists (§5 rule 12) for the multi-consumer
+  // subtrees below: semanticDedup's assignment (feeds both edge sides,
+  // the label join and the rep choice — 5 recomputes of the scan +
+  // centroid argmax without it) and embedDedup's bucketed signatures.
+  private val semSlot = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private val embedSlot = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   def cosine(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
   /** Brute-force top-k neighbors for each query vector. */
@@ -281,14 +288,18 @@ object Similarity {
     require(tables * bitsPerTable <= 64,
       s"embedDedup: tables*bitsPerTable must fit one 64-bit signature (got ${tables * bitsPerTable})")
     GraftFunctions.register(spark)
-    def side(idAs: String, vecAs: String): DataFrame = {
+    // one bucketed-signature computation, consumed by both join sides
+    val bucketed = Dedup.cacheReplacing({
       val sig = call_function("rhp_bucket", col("embedding"), lit(tables * bitsPerTable))
-      emb.select(col("vec_id").as(idAs), col("embedding").as(vecAs), sig.as("sig"))
-        .select(col(idAs), col(vecAs),
+      emb.select(col("vec_id"), col("embedding"), sig.as("sig"))
+        .select(col("vec_id"), col("embedding"),
           posexplode(array((0 until tables).map(t =>
             shiftrightunsigned(col("sig"), t * bitsPerTable)
               .bitwiseAND(lit((1 << bitsPerTable) - 1))): _*)).as(Seq("tbl", "bucket")))
-    }
+    }, embedSlot)
+    def side(idAs: String, vecAs: String): DataFrame =
+      bucketed.select(col("vec_id").as(idAs), col("embedding").as(vecAs),
+        col("tbl"), col("bucket"))
     side("vec_a", "e_a").join(side("vec_b", "e_b"), Seq("tbl", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .dropDuplicates("vec_a", "vec_b") // a pair may collide in several tables — verify once
@@ -332,10 +343,11 @@ object Similarity {
         .groupBy("cell").agg(VectorAvg.of(col("embedding")).as("cvec"))
       i += 1
     }
-    val assigned = assignCells(emb, cent)
-      .join(broadcast(cent), Seq("cell"))
-      .select(col("cell"), col("vec_id"), col("embedding"),
-        round(cosine(col("embedding"), col("cvec")), 6).as("ccos"))
+    val assigned = Dedup.cacheReplacing(
+      assignCells(emb, cent)
+        .join(broadcast(cent), Seq("cell"))
+        .select(col("cell"), col("vec_id"), col("embedding"),
+          round(cosine(col("embedding"), col("cvec")), 6).as("ccos")), semSlot)
     val edges = assigned.select(col("cell"), col("vec_id").as("vec_a"), col("embedding").as("e_a"))
       .join(assigned.select(col("cell"), col("vec_id").as("vec_b"), col("embedding").as("e_b")),
         Seq("cell"))
