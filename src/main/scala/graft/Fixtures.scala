@@ -37,6 +37,7 @@ object Fixtures {
     "src_nested_parquet" -> ((s, d) => { sources.NestedParquet.ensureFile(s, d); () }),
     "src_iceberg_roundtrip" -> ((s, d) => { sources.IcebergQueries.ensureTable(s, d); () }),
     "src_iceberg_prune" -> ((s, d) => { sources.IcebergQueries.ensureTable(s, d); () }),
+    "sim_ivf_persisted" -> ((s, d) => { pipeline.Similarity.ensureIvfIndex(s, d); () }),
   )
 
   private def rm(spark: SparkSession, paths: String*): Unit = paths.foreach { p =>
@@ -59,5 +60,8 @@ object Fixtures {
       ((s, d) => { sources.IcebergQueries.invalidate(d); rm(s, sources.IcebergQueries.path(d)) }),
     "src_iceberg_prune" ->
       ((s, d) => { sources.IcebergQueries.invalidate(d); rm(s, sources.IcebergQueries.path(d)) }),
+    "sim_ivf_persisted" ->
+      ((s, d) => { pipeline.Similarity.invalidateIvfIndex(d)
+        rm(s, pipeline.Similarity.ivfIndexPath(d)) }),
   )
 }

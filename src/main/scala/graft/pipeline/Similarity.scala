@@ -145,6 +145,91 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
+  // ---- P44: persisted IVF index (build once, serve many) -----------
+
+  /** Index location, keyed by the SF dir name (the NestedParquet.path
+    * contract: runs at different SFs never clobber each other). */
+  def ivfIndexPath(dir: String): String =
+    s"/tmp/graft_ivf_index_${new java.io.File(dir).getName}"
+
+  private val indexBuilt = new scala.collection.concurrent.TrieMap[String, Boolean]()
+
+  /** Write-once memo per JVM (the IcebergQueries.ensureTable pattern):
+    * Verify builds the index on first use; Bench pre-builds it UNTIMED
+    * via Fixtures.prepare and invalidates on cleanup. */
+  def ensureIvfIndex(spark: SparkSession, dir: String): String = {
+    val p = ivfIndexPath(dir)
+    indexBuilt.getOrElseUpdate(p, {
+      ivfIndexWrite(spark, Tables(spark, dir).embeddings, p); true
+    })
+    p
+  }
+  private[graft] def invalidateIvfIndex(dir: String): Unit =
+    indexBuilt.remove(ivfIndexPath(dir))
+
+  /** P44: the IVF index as TABLES — the build-once/serve-many split
+    * [[ivfTopK]] (which rebuilds its index per call) deliberately
+    * skips. Two parquet relations:
+    *
+    *   indexDir/centroids  (cell, cvec)          — bounded (= cells rows)
+    *   indexDir/postings   partitionBy(cell): (vec_id, embedding, cell)
+    *
+    * Postings are HIVE-PARTITIONED by cell, so serving reads only the
+    * probed cells' directories — partition pruning does at the file
+    * level what ivfTopK's cell equi-join does at the shuffle level,
+    * and at 100 TB "read nProbe/cells of the corpus" IS the index.
+    * Training and assignment reuse the ivfTopK path: bounded centroid
+    * shuffles, row-local argmax, zero corpus-wide exchanges; the
+    * corpus is written once, re-shuffled never (partitionBy hashes
+    * rows to their cell directory during the write). */
+  def ivfIndexWrite(spark: SparkSession, corpus: DataFrame, indexDir: String,
+                    cells: Int = 16, lloydIters: Int = 1): Unit = {
+    GraftFunctions.register(spark)
+    import graft.functions.VectorAvg
+    var cent = corpus.orderBy("vec_id").limit(cells)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1).cast("long").as("cell"),
+        col("embedding").as("cvec"))
+    var i = 0
+    while (i < lloydIters) {
+      cent = assignCells(corpus, cent)
+        .groupBy("cell").agg(VectorAvg.of(col("embedding")).as("cvec"))
+      i += 1
+    }
+    cent.select("cell", "cvec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    assignCells(corpus, cent)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/postings")
+  }
+
+  /** Serve top-k from a persisted index: probe cells chosen row-locally
+    * against the broadcast centroid table, then ONE equi-join on cell
+    * against the partitioned postings — the selective query-side
+    * predicate lets dynamic partition pruning drop unprobed cell
+    * directories at scan time (asserted by PipelineSpec). */
+  def ivfIndexQuery(spark: SparkSession, indexDir: String, queries: DataFrame,
+                    k: Int, nProbe: Int = 4): DataFrame = {
+    GraftFunctions.register(spark)
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val postings = spark.read.parquet(s"$indexDir/postings")
+    val probes = queries.crossJoin(broadcast(centArray(cent)))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        explode(expr(
+          s"""slice(
+             |  array_sort(transform(cents, s -> named_struct(
+             |    'neg_cos', -cosine_sim(embedding, s.cvec), 'cell', s.cell))),
+             |  1, $nProbe)""".stripMargin).getField("cell")).as("cell"))
+    val scored = probes
+      .join(postings.select(col("cell"), col("vec_id").as("c_id"),
+        col("embedding").as("c_vec")), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .dropDuplicates("q_id", "c_id")
+      .select(col("q_id"), col("c_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+  }
+
   /** Product-quantization ANN (PQ with asymmetric-distance scoring, the
     * published ADC scan): embeddings are normalized row-locally, split
     * into `subspaces` subvectors, and each subvector is replaced by the
@@ -423,6 +508,14 @@ object Similarity {
     "sim_ivf_topk" -> ((spark, dir) => {
       val emb = Tables(spark, dir).embeddings
       ivfTopK(spark, emb.filter(col("vec_id") < 10), emb, 5)
+        .select("q_id", "c_id", "cos", "rk").orderBy("q_id", "rk")
+    }),
+    // float centroids -> rows-only (the IVF/PQ precedent); recall and
+    // partition-pruning are asserted in PipelineSpec.
+    "sim_ivf_persisted" -> ((spark, dir) => {
+      val p = ensureIvfIndex(spark, dir)
+      ivfIndexQuery(spark, p,
+        Tables(spark, dir).embeddings.filter(col("vec_id") < 10), 5)
         .select("q_id", "c_id", "cos", "rk").orderBy("q_id", "rk")
     }),
     "sim_pq_topk" -> ((spark, dir) => {

@@ -115,6 +115,34 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.1, s"recall=$recall")
   }
 
+  test("persisted IVF index: serving matches inline IVF, postings scan is partition-pruned") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    try {
+      Similarity.ivfIndexWrite(spark, emb, dir)
+      // postings laid out one directory per cell — the serving-time
+      // pruning unit; partitionBy must not have re-shuffled rows away
+      // from their assigned cell
+      val cellDirs = new java.io.File(s"$dir/postings").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      assert(cellDirs.length > 1 && cellDirs.length <= 16, cellDirs.length.toString)
+      val served = Similarity.ivfIndexQuery(spark, dir, queries, 5)
+      val got = served.select("q_id", "c_id").as[(Long, Long)].collect().toSet
+      // identical parameters, identical seeding -> the persisted path
+      // must return exactly the inline path's neighbors
+      val inline = Similarity.ivfTopK(spark, queries, emb, 5)
+        .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+      assert(got == inline, s"persisted != inline: ${(got -- inline) ++ (inline -- got)}")
+      // the probed-cells join must prune postings PARTITIONS at scan
+      // time (dynamic partition pruning), not read every cell directory
+      val plan = served.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(2500))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("PQ top-k: ADC ranking recalls brute-force neighbors; encode plan is corpus-shuffle-free") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 10)
