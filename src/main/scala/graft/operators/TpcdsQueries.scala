@@ -208,6 +208,51 @@ object TpcdsQueries {
         .orderBy("n_name", "mo")
     }),
 
+    // DS (q47/q57 shape): monthly brand revenue vs the brand's yearly
+    // average — rows deviating > 5% from their average, with the
+    // neighboring months attached (lag/lead) and a per-brand deviation
+    // rank. ONE fact shuffle to the (brand, mo) grain; both windows
+    // (whole-partition avg, ordered lag/lead) reuse the same brand
+    // hash partitioning. Engine-portable numerics: the window average
+    // re-casts the decimal-sourced msum double back to DECIMAL(38,6)
+    // (exact — the double is the image of a 6-scale decimal), sums
+    // exactly, and divides in double.
+    "ds_q47_moving_avg" -> ((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val t = Tables(spark, dir)
+      val m = t.lineitem
+        .join(t.orders.filter(year(col("o_orderdate")) === 1996),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"),
+          month(col("o_orderdate")).cast("long").as("mo"))
+        .agg(dsum(rev).as("msum"))
+      val wB = Window.partitionBy("brand")
+      val wS = Window.partitionBy("brand").orderBy("mo")
+      val scored = m
+        .withColumn("avg_m",
+          sum(col("msum").cast(DecimalType(38, 6))).over(wB).cast("double") /
+            count(lit(1)).over(wB))
+        .withColumn("psum", lag(col("msum"), 1).over(wS))
+        .withColumn("nsum", lead(col("msum"), 1).over(wS))
+        .filter(col("avg_m") > 0 && abs(col("msum") - col("avg_m")) / col("avg_m") > 0.05)
+      // floor(x·1e4+0.5)/1e4, NOT round(): avg_m = sum/12 lands on
+      // 5th-decimal ties where Spark's BigDecimal HALF_UP and DuckDB's
+      // double rounding disagree by one ulp (sf0.1 Brand#17/mo4 did) —
+      // the floor formula is plain double arithmetic, bit-identical
+      def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        floor(c * 1e4 + 0.5) / 1e4
+      scored
+        .withColumn("dev_rank", row_number().over(
+          Window.partitionBy("brand")
+            .orderBy(abs(col("msum") - col("avg_m")).desc, col("mo"))).cast("long"))
+        .select(col("brand"), col("mo"), r4(col("msum")).as("msum"),
+          r4(col("avg_m")).as("avg_m"), r4(col("psum")).as("psum"),
+          r4(col("nsum")).as("nsum"), col("dev_rank"))
+        .orderBy("brand", "mo")
+    }),
+
     // DS10 (q68 shape): high-value basket detail — per-order price/tax
     // totals for urgent orders, buyer detail, biggest first.
     "ds_q68_order_detail" -> ((spark, dir) => {
@@ -963,6 +1008,34 @@ object TpcdsQueries {
          |FROM sales JOIN avgs ON p_brand = b
          |WHERE abs(sum_sales - avg_q_sales) / avg_q_sales > 0.1
          |ORDER BY p_brand, yq""".stripMargin,
+
+    // window avg mirrors the Spark recipe exactly: decimal re-cast of
+    // the decimal-sourced double, exact window sum, double division
+    "ds_q47_moving_avg" ->
+      s"""WITH m AS (
+         |  SELECT p_brand AS brand, CAST(month(o_orderdate) AS BIGINT) AS mo,
+         |    ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS msum
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |                JOIN part ON l_partkey = p_partkey
+         |  WHERE year(o_orderdate) = 1996
+         |  GROUP BY 1, 2),
+         |w AS (
+         |  SELECT brand, mo, msum,
+         |    CAST(SUM(CAST(msum AS DECIMAL(38,6))) OVER wb AS DOUBLE)
+         |      / COUNT(*) OVER wb AS avg_m,
+         |    lag(msum) OVER ws AS psum, lead(msum) OVER ws AS nsum
+         |  FROM m
+         |  WINDOW wb AS (PARTITION BY brand), ws AS (PARTITION BY brand ORDER BY mo)),
+         |f AS (
+         |  SELECT * FROM w WHERE avg_m > 0 AND abs(msum - avg_m) / avg_m > 0.05)
+         |SELECT brand, mo,
+         |  floor(msum * 1e4 + 0.5) / 1e4 AS msum,
+         |  floor(avg_m * 1e4 + 0.5) / 1e4 AS avg_m,
+         |  floor(psum * 1e4 + 0.5) / 1e4 AS psum,
+         |  floor(nsum * 1e4 + 0.5) / 1e4 AS nsum,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY brand ORDER BY abs(msum - avg_m) DESC, mo) AS BIGINT) AS dev_rank
+         |FROM f ORDER BY brand, mo""".stripMargin,
 
     "ds_q59_yoy_nation" ->
       s"""WITH y1 AS (

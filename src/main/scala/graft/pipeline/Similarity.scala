@@ -202,6 +202,22 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/postings")
   }
 
+  /** Incremental index maintenance: append a new batch WITHOUT touching
+    * existing postings — new vectors assign to the EXISTING centroids
+    * row-locally and their rows land as new files inside the cell
+    * directories (`append` + `partitionBy` never rewrites a partition).
+    * This is the ANN twin of the P43 ingest gate: per batch the work is
+    * batch-sized, never corpus-sized. Centroid drift under sustained
+    * ingest is the documented rebuild trigger (the IVF literature's
+    * re-train cadence), not something append papers over. */
+  def ivfIndexAppend(spark: SparkSession, indexDir: String, newVecs: DataFrame): Unit = {
+    GraftFunctions.register(spark)
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    assignCells(newVecs, cent)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/postings")
+  }
+
   /** Serve top-k from a persisted index: probe cells chosen row-locally
     * against the broadcast centroid table, then ONE equi-join on cell
     * against the partitioned postings — the selective query-side

@@ -138,6 +138,16 @@ class PipelineSpec extends SparkSpec {
       // time (dynamic partition pruning), not read every cell directory
       val plan = served.queryExecution.executedPlan.toString
       assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(2500))
+      // incremental append: an exact twin of query vector 0 lands in
+      // vector 0's own probe cell, so it must surface as the new top-1
+      // (cos 1.0 beats every distinct neighbor; id tie-break n/a)
+      val twin = emb.filter($"vec_id" === 0L)
+        .select(lit(900000L).as("vec_id"), $"embedding", $"label")
+      Similarity.ivfIndexAppend(spark, dir, twin)
+      val after = Similarity.ivfIndexQuery(spark, dir, queries, 5)
+        .filter($"q_id" === 0L && $"rk" === 1L)
+        .select("c_id", "cos").as[(Long, Double)].collect()
+      assert(after.sameElements(Array((900000L, 1.0))), after.toList.toString)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
