@@ -224,7 +224,9 @@ object TpcdsQueries {
       val m = t.lineitem
         .join(t.orders.filter(year(col("o_orderdate")) === 1996),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        // no broadcast hint: part grows with SF (the q09 round-1
+        // lesson) — AQE broadcasts while it fits, shuffles when not
+        .join(t.part, col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand").as("brand"),
           month(col("o_orderdate")).cast("long").as("mo"))
         .agg(dsum(rev).as("msum"))
