@@ -42,7 +42,9 @@ object Bench {
     "ds_q49_return_rank", "ds_q23_frequent_items", "ds_q14_cross_items",
     "ds_cte_chain", "ds_except_set", "ds_q4_growth_ratio",
     "corpus_clean_neardup", "dedup_ngram_jaccard", "dedup_embed_cosine",
-    "dedup_minhash_lsh", "dedup_cluster_cc", "sim_lsh_topk", "sim_ivf_topk", "sim_pq_topk",
+    "dedup_minhash_lsh", "dedup_cluster_cc", "dedup_semantic",
+    "dedup_incremental_lsh", "text_gopher_rules", "ds_q47_moving_avg",
+    "sim_lsh_topk", "sim_ivf_topk", "sim_ivf_persisted", "sim_pq_topk",
     "sim_quantize_int8", "corpus_clean", "text_quality", "pipe_chunking",
     "stats_table", "asof_join_events", "events_sessionize",
     "win_topn_per_group", "layout_zorder",
