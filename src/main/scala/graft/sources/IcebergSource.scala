@@ -249,12 +249,26 @@ object IcebergWrite {
   def write(df: DataFrame, tableDir: String, bucketCol: String, nBuckets: Int): Unit =
     write(df, tableDir, bucketCol, s"bucket[$nBuckets]")
 
+  def write(df: DataFrame, tableDir: String, bucketCol: String, nBuckets: Int,
+            summary: Map[String, String]): Unit =
+    write(df, tableDir, bucketCol, s"bucket[$nBuckets]", summary)
+
+  /** Extra snapshot-summary entries rendered after the mandatory
+    * "operation" key — the spec's summary map is the documented place
+    * for commit provenance (the streaming sink stores its batch id
+    * here, the same device iceberg-core's Spark sink uses for
+    * exactly-once). Keys/values must be JSON-string-safe. */
+  private def summaryJson(extra: Map[String, String]): String =
+    (""""operation":"append"""" +:
+      extra.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":"$v"""" }).mkString(",")
+
   /** General form: `transform` is any of the spec's value transforms
     * this source supports — "bucket[N]", "truncate[W]", "identity".
     * Identity/truncate on a long or (simple, fs-safe) string column is
     * the common real-world layout (date/tenant partitioning); bucket
     * spreads a high-cardinality key. */
-  def write(df: DataFrame, tableDir: String, sourceCol: String, transform: String): Unit = {
+  def write(df: DataFrame, tableDir: String, sourceCol: String, transform: String,
+            summary: Map[String, String] = Map.empty): Unit = {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val root = new Path(tableDir)
     val fs = root.getFileSystem(conf)
@@ -287,7 +301,7 @@ object IcebergWrite {
     }.mkString("[", ",", "]")
     val snapJson =
       s"""{"snapshot-id":$snapshotId,"timestamp-ms":${System.currentTimeMillis()},
-         |"summary":{"operation":"append"},"manifest-list":"${fs.makeQualified(listPath)}"}""".stripMargin
+         |"summary":{${summaryJson(summary)}},"manifest-list":"${fs.makeQualified(listPath)}"}""".stripMargin
     val metaJson =
       s"""{"format-version":1,"table-uuid":"graft-${tableDir.hashCode.toHexString}",
          |"location":"$tableDir","last-updated-ms":${System.currentTimeMillis()},
@@ -313,7 +327,8 @@ object IcebergWrite {
     * log keeps every earlier snapshot readable (time travel via the
     * reader's `snapshot_id` option). Readers that loaded vN keep a
     * consistent view — nothing under the old snapshot is touched. */
-  def append(df: DataFrame, tableDir: String): Unit = {
+  def append(df: DataFrame, tableDir: String,
+             summary: Map[String, String] = Map.empty): Unit = {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val fs = new Path(tableDir).getFileSystem(conf)
     val v = readSmall(fs, new Path(tableDir, "metadata/version-hint.text")).trim.toInt
@@ -337,7 +352,7 @@ object IcebergWrite {
     val oldSnaps = metaNode.get("snapshots").elements().asScala
       .map(n => mapper.writeValueAsString(n)).mkString(",")
     val snapJson =
-      s"""{"snapshot-id":$snapshotId,"timestamp-ms":${System.currentTimeMillis()},"parent-snapshot-id":${meta.snapshotId},"summary":{"operation":"append"},"manifest-list":"${fs.makeQualified(listPath)}"}"""
+      s"""{"snapshot-id":$snapshotId,"timestamp-ms":${System.currentTimeMillis()},"parent-snapshot-id":${meta.snapshotId},"summary":{${summaryJson(summary)}},"manifest-list":"${fs.makeQualified(listPath)}"}"""
     val metaJson = {
       val node = metaNode.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       node.put("current-snapshot-id", snapshotId)
@@ -348,6 +363,26 @@ object IcebergWrite {
     }
     writeSmall(fs, new Path(tableDir, s"metadata/v${v + 1}.metadata.json"), metaJson)
     writeSmall(fs, new Path(tableDir, "metadata/version-hint.text"), (v + 1).toString)
+  }
+
+  /** Largest long value stored under `key` across ALL snapshots'
+    * summary maps (None if no snapshot carries it). The exactly-once
+    * streaming sink asks this for "streaming-batch-id" before
+    * committing: batch ids are monotone, so a replayed micro-batch
+    * (id <= max committed) is detected without any external state —
+    * the table IS the commit log. */
+  def lastSummaryLong(tableDir: String, conf: org.apache.hadoop.conf.Configuration,
+                      key: String): Option[Long] = {
+    val fs = new Path(tableDir).getFileSystem(conf)
+    val hint = new Path(tableDir, "metadata/version-hint.text")
+    if (!fs.exists(hint)) return None
+    val v = readSmall(fs, hint).trim.toInt
+    val metaNode = mapper.readTree(
+      readSmall(fs, new Path(tableDir, s"metadata/v$v.metadata.json")))
+    val vals = metaNode.get("snapshots").elements().asScala.flatMap { s =>
+      Option(s.get("summary")).flatMap(sm => Option(sm.get(key))).map(_.asText.toLong)
+    }.toSeq
+    if (vals.isEmpty) None else Some(vals.max)
   }
 
   /** Column RENAME — schema evolution as a pure metadata commit per

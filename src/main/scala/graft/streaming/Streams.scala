@@ -327,26 +327,42 @@ object Streams {
     * readers get snapshot isolation, per-batch time travel
     * (`snapshot_id` = batch ordinal) and metadata-level pruning over a
     * continuously ingesting table — the standard streaming→lakehouse
-    * handoff. Batch-id idempotence note: a replayed micro-batch would
-    * re-append; exactly-once needs the batch-id recorded in the commit
-    * (summary map), left as the documented at-least-once contract. */
+    * handoff. EXACTLY-ONCE (round 7): every commit records its
+    * micro-batch id in the snapshot summary ("streaming-batch-id"),
+    * and a batch whose id is <= the table's max committed id is a
+    * replay (foreachBatch re-runs after failure recovery) and is
+    * SKIPPED — the table itself is the commit log, no external state.
+    * Same device iceberg-core's own Spark sink uses. */
   def icebergSink(docs: DataFrame, tableDir: String, bucketCol: String,
                   nBuckets: Int = 4): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    docs.writeStream.outputMode("append").foreachBatch { (batch0: DataFrame, _: Long) =>
-      if (!batch0.isEmpty) {
-        // micro-batch schemas flip nullability between the first and
-        // later executions; pin every batch to nullable so the table
-        // schema and all data files agree (parquet required vs
-        // optional). Dataset.to() keeps the original nullability, so
-        // rebuild from the row RDD with the relaxed schema.
-        val batch = batch0.sparkSession.createDataFrame(batch0.rdd,
-          org.apache.spark.sql.types.StructType(batch0.schema.map(_.copy(nullable = true))))
-        val p = new org.apache.hadoop.fs.Path(tableDir, "metadata/version-hint.text")
-        val fs = p.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) graft.sources.IcebergWrite.append(batch, tableDir)
-        else graft.sources.IcebergWrite.write(batch, tableDir, bucketCol, nBuckets)
-      }
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        icebergCommitBatch(batch, batchId, tableDir, bucketCol, nBuckets)
     }
+
+  /** The sink's idempotent commit step, exposed so the replay contract
+    * is directly testable: committing the same batchId twice must
+    * leave the table unchanged. */
+  def icebergCommitBatch(batch0: DataFrame, batchId: Long, tableDir: String,
+                         bucketCol: String, nBuckets: Int = 4): Unit = {
+    if (batch0.isEmpty) return
+    val conf = batch0.sparkSession.sparkContext.hadoopConfiguration
+    val committed = graft.sources.IcebergWrite
+      .lastSummaryLong(tableDir, conf, "streaming-batch-id")
+    if (committed.exists(batchId <= _)) return // replayed micro-batch
+    // micro-batch schemas flip nullability between the first and
+    // later executions; pin every batch to nullable so the table
+    // schema and all data files agree (parquet required vs
+    // optional). Dataset.to() keeps the original nullability, so
+    // rebuild from the row RDD with the relaxed schema.
+    val batch = batch0.sparkSession.createDataFrame(batch0.rdd,
+      org.apache.spark.sql.types.StructType(batch0.schema.map(_.copy(nullable = true))))
+    val summary = Map("streaming-batch-id" -> batchId.toString)
+    val p = new org.apache.hadoop.fs.Path(tableDir, "metadata/version-hint.text")
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) graft.sources.IcebergWrite.append(batch, tableDir, summary)
+    else graft.sources.IcebergWrite.write(batch, tableDir, bucketCol, nBuckets, summary)
+  }
 
   /** T3: drop duplicate event_ids arriving within the watermark. */
   def dedupEvents(events: DataFrame): DataFrame =

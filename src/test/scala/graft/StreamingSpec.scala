@@ -82,6 +82,14 @@ class StreamingSpec extends SparkSpec {
       val s1 = spark.read.format("graft.sources.IcebergSource")
         .option("snapshot_id", "1").load(dir)
       assert(s1.select("doc_id").collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 2L)))
+      // exactly-once: replaying an already-committed micro-batch id is
+      // a no-op (the snapshot summary is the commit log) — a NEW id
+      // still commits
+      val replay = Seq(Streams.Doc(4, ts(3), "dup", "en")).toDF()
+      Streams.icebergCommitBatch(replay, batchId = 1L, dir, "doc_id")
+      assert(spark.read.format("graft.sources.IcebergSource").load(dir).count() == 3)
+      Streams.icebergCommitBatch(replay, batchId = 2L, dir, "doc_id")
+      assert(spark.read.format("graft.sources.IcebergSource").load(dir).count() == 4)
     } finally q.stop()
   }
 
