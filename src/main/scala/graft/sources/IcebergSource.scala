@@ -365,6 +365,56 @@ object IcebergWrite {
     writeSmall(fs, new Path(tableDir, "metadata/version-hint.text"), (v + 1).toString)
   }
 
+  /** S16g: snapshot EXPIRY — the retention-maintenance commit every
+    * long-lived table needs: unbounded snapshot history means
+    * unbounded metadata and undeletable data files. Keeps the newest
+    * `keepLast` snapshots (always including the current one, which is
+    * the newest by construction), drops the rest from the snapshot
+    * log, and deletes exactly the files referenced ONLY by expired
+    * snapshots: the referenced-set DIFFERENCE (expired ∖ kept), never
+    * a timestamp heuristic — with pure appends every data file of an
+    * old snapshot is still listed by the newer manifest lists and is
+    * therefore retained; what goes is the expired snapshots' own
+    * manifest lists (+ any manifests/data no kept snapshot lists).
+    * Time travel to an expired id fails fast; readers of kept
+    * snapshots are untouched. Returns the number of expired
+    * snapshots. */
+  def expireSnapshots(tableDir: String, conf: org.apache.hadoop.conf.Configuration,
+                      keepLast: Int): Int = {
+    require(keepLast >= 1, s"graft iceberg expire: keepLast must be >= 1 (got $keepLast)")
+    val fs = new Path(tableDir).getFileSystem(conf)
+    val v = readSmall(fs, new Path(tableDir, "metadata/version-hint.text")).trim.toInt
+    val metaNode = mapper.readTree(
+      readSmall(fs, new Path(tableDir, s"metadata/v$v.metadata.json")))
+    val snaps = metaNode.get("snapshots").elements().asScala.toList
+    if (snaps.length <= keepLast) return 0
+    val (expired, kept) = snaps.splitAt(snaps.length - keepLast)
+    // referenced set = manifest list + manifests + data files, per side
+    def refs(snapNodes: Seq[JsonNode]): Set[String] = snapNodes.flatMap { s =>
+      val listPath = s.get("manifest-list").asText
+      val manifests = readListRecords(listPath, conf).map(_.get("manifest_path").toString)
+      val data = manifests.flatMap { mp =>
+        val in = new FsInput(new Path(mp), conf)
+        val r = new DataFileReader[GenericRecord](in,
+          new GenericDatumReader[GenericRecord]())
+        try r.iterator().asScala.map(e =>
+          e.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString).toList
+        finally r.close()
+      }
+      listPath +: (manifests ++ data)
+    }.toSet
+    val doomed = refs(expired) -- refs(kept)
+    doomed.foreach(p => fs.delete(new Path(p), false)) // paths are stored fully qualified
+    val node = metaNode.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.put("last-updated-ms", System.currentTimeMillis())
+    node.set[JsonNode]("snapshots",
+      mapper.readTree(kept.map(mapper.writeValueAsString).mkString("[", ",", "]")))
+    writeSmall(fs, new Path(tableDir, s"metadata/v${v + 1}.metadata.json"),
+      mapper.writeValueAsString(node))
+    writeSmall(fs, new Path(tableDir, "metadata/version-hint.text"), (v + 1).toString)
+    expired.length
+  }
+
   /** Largest long value stored under `key` across ALL snapshots'
     * summary maps (None if no snapshot carries it). The exactly-once
     * streaming sink asks this for "streaming-batch-id" before

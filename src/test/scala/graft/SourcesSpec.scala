@@ -202,6 +202,35 @@ class SourcesSpec extends SparkSpec {
     assert(viaParquet.count() == 1)
   }
 
+  test("S16g: snapshot expiry keeps readers whole and deletes only unreferenced files") {
+    import graft.sources.IcebergWrite
+    val dir = tmp() + "/iceberg_expire"
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    IcebergWrite.write(docs.filter(col("doc_id") < 200), dir, "doc_id", 8)
+    IcebergWrite.append(docs.filter(col("doc_id") >= 200 && col("doc_id") < 400), dir)
+    IcebergWrite.append(docs.filter(col("doc_id") >= 400), dir)
+    val fmt = "graft.sources.IcebergSource"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val total = spark.read.format(fmt).load(dir).count()
+    assert(IcebergWrite.expireSnapshots(dir, conf, keepLast = 2) == 1)
+    // the expired snapshot's own manifest list IS unreferenced -> gone
+    assert(!new java.io.File(s"$dir/metadata/snap-1.avro").exists())
+    assert(new java.io.File(s"$dir/metadata/snap-2.avro").exists())
+    // current read unchanged: append-carried data files are referenced
+    // by the kept manifest lists, so the difference-set deletion must
+    // not have touched ANY of them
+    assert(spark.read.format(fmt).load(dir).count() == total)
+    // the surviving historical snapshot still time-travels
+    assert(spark.read.format(fmt).option("snapshot_id", "2").load(dir).count() ==
+      docs.filter(col("doc_id") < 400).count())
+    // the expired snapshot is gone from the log -> fails fast
+    intercept[Exception] {
+      spark.read.format(fmt).option("snapshot_id", "1").load(dir).count()
+    }
+    // expiring again with the same retention is a no-op
+    assert(IcebergWrite.expireSnapshots(dir, conf, keepLast = 2) == 0)
+  }
+
   test("S16b: Iceberg append commits a new snapshot; snapshot_id reads time-travel") {
     import graft.sources.{IcebergRead, IcebergWrite}
     val dir = tmp() + "/iceberg_snap"
