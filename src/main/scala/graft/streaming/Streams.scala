@@ -287,6 +287,26 @@ object Streams {
       .select(col("window.start").as("win_start"), col("lang"),
         col("n_admitted"), col("n_tokens"))
 
+  /** T20: streaming windowed quantile monitoring — a KLL sketch as the
+    * windowed aggregation state: per-(hour, event_type) p50/p95 of
+    * `value` in update mode, the standard latency-SLO monitor. The
+    * sketch is MERGEABLE, so map-side partial aggregation and the
+    * state store's incremental merges compose without losing the
+    * sketch's rank-error guarantee — the same property that makes it
+    * work across 1000 executors makes it work across micro-batches;
+    * state per (window, type) is one bounded sketch (~KB at k=200),
+    * and the watermark expires whole windows. */
+  def windowedQuantiles(events: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(events.sparkSession)
+    import graft.functions.KllQuantile
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(KllQuantile.sketch(col("value")).as("sk"), count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"),
+        call_function("kll_quantile", col("sk"), lit(0.5)).as("p50"),
+        call_function("kll_quantile", col("sk"), lit(0.95)).as("p95"))
+  }
+
   /** T19: streaming incremental near-dup gate — the streaming twin of
     * the P43 batch gate (pipeline/Dedup.incrementalLshGate). Arriving
     * docs shingle and band ROW-LOCALLY through the same minhash math

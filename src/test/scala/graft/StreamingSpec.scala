@@ -93,6 +93,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T20: streaming windowed KLL quantiles track the window's value distribution") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.windowedQuantiles(in.toDF())
+      .writeStream.format("memory").queryName("t20_out").outputMode("update").start()
+    try {
+      // values 1..100 in one hour window: p50 ~ 50, p95 ~ 95 (k=200 is
+      // EXACT below ~200 values — assert tight, not fuzzy)
+      // base ts is 22:13:20 (not hour-aligned): keep offsets < 40 min
+      // so every event lands in the same [22:00, 23:00) window
+      in.addData((1 to 100).map(i => Event(i.toLong, ts(i % 40), 1, "view", i.toDouble)): _*)
+      q.processAllAvailable()
+      val r = spark.table("t20_out")
+        .filter($"event_type" === "view").orderBy($"n".desc).collect().head
+      assert(r.getAs[Long]("n") == 100L)
+      val p50 = r.getAs[Double]("p50"); val p95 = r.getAs[Double]("p95")
+      assert(p50 >= 49.0 && p50 <= 52.0, s"p50=$p50")
+      assert(p95 >= 94.0 && p95 <= 97.0, s"p95=$p95")
+    } finally q.stop()
+  }
+
   test("T19: streaming near-dup gate flags the corpus twin once, novel docs pass silently") {
     implicit val ctx = spark.sqlContext
     // disjoint corpus vocabularies -> the planted twin's only verified
