@@ -38,6 +38,7 @@ object Fixtures {
     "src_iceberg_roundtrip" -> ((s, d) => { sources.IcebergQueries.ensureTable(s, d); () }),
     "src_iceberg_prune" -> ((s, d) => { sources.IcebergQueries.ensureTable(s, d); () }),
     "sim_ivf_persisted" -> ((s, d) => { pipeline.Similarity.ensureIvfIndex(s, d); () }),
+    "dedup_incremental_indexed" -> ((s, d) => { pipeline.Dedup.ensureLshIndex(s, d); () }),
   )
 
   private def rm(spark: SparkSession, paths: String*): Unit = paths.foreach { p =>
@@ -63,5 +64,8 @@ object Fixtures {
     "sim_ivf_persisted" ->
       ((s, d) => { pipeline.Similarity.invalidateIvfIndex(d)
         rm(s, pipeline.Similarity.ivfIndexPath(d)) }),
+    "dedup_incremental_indexed" ->
+      ((s, d) => { pipeline.Dedup.invalidateLshIndex(d)
+        rm(s, pipeline.Dedup.lshIndexPath(d)) }),
   )
 }

@@ -184,6 +184,69 @@ object Dedup {
         col("best_jaccard"), coalesce(col("n_matches"), lit(0L)).as("n_matches"))
   }
 
+  // ---- P43b: the persisted band index the gate's doc promises ------
+
+  /** Materialize the corpus's near-dup index as TWO parquet tables —
+    * `indexDir/bands` (doc_id, band, bh) and `indexDir/shingles`
+    * (doc_id, sh) — so ingests stop recomputing corpus features
+    * entirely: the gate's candidate join reads `bands`, its verify
+    * join reads only the candidate rows of `shingles`. Build cost is
+    * one corpus scan; each accepted batch maintains the index by
+    * APPENDING its own rows ([[lshIndexAppend]]) — the full loop a
+    * production pipeline runs, with the corpus never re-read. */
+  def lshIndexWrite(docs: DataFrame, indexDir: String,
+                    bands: Int = 8, rowsPerBand: Int = 2): Unit = {
+    GraftFunctions.register(docs.sparkSession)
+    val sh = docs.select(col("doc_id"), hashedShingles(col("text")).as("sh"))
+    sh.write.mode("overwrite").parquet(s"$indexDir/shingles")
+    bandExplode(sh, "sh", bands, rowsPerBand).drop("sh")
+      .write.mode("overwrite").parquet(s"$indexDir/bands")
+  }
+
+  /** Append an accepted batch's bands + shingles to the index. */
+  def lshIndexAppend(docs: DataFrame, indexDir: String,
+                     bands: Int = 8, rowsPerBand: Int = 2): Unit = {
+    GraftFunctions.register(docs.sparkSession)
+    val sh = docs.select(col("doc_id"), hashedShingles(col("text")).as("sh"))
+    sh.write.mode("append").parquet(s"$indexDir/shingles")
+    bandExplode(sh, "sh", bands, rowsPerBand).drop("sh")
+      .write.mode("append").parquet(s"$indexDir/bands")
+  }
+
+  /** [[incrementalLshGate]] against a PERSISTED index: identical
+    * verdict contract, but the corpus side comes from the index tables
+    * — batch features compute row-locally, the candidate join touches
+    * `bands`, the verify join touches only candidate `shingles` rows.
+    * Band math is [[bandExplode]] on both paths, so verdicts are
+    * exactly the inline gate's (spec-pinned). */
+  def incrementalLshGateIndexed(spark: SparkSession, indexDir: String, batch: DataFrame,
+                                bands: Int = 8, rowsPerBand: Int = 2,
+                                minJaccard: Double = 0.1): DataFrame = {
+    GraftFunctions.register(spark)
+    val batchSh = batch.select(col("doc_id"), hashedShingles(col("text")).as("sh"))
+    val newB = bandExplode(batchSh, "sh", bands, rowsPerBand)
+      .select(col("doc_id").as("doc_new"), col("band"), col("bh"))
+    val idxB = spark.read.parquet(s"$indexDir/bands")
+      .select(col("doc_id").as("doc_old"), col("band"), col("bh"))
+    val cand = newB.join(idxB, Seq("band", "bh"))
+      .select("doc_new", "doc_old").distinct()
+    val ver = cand
+      .join(batchSh.select(col("doc_id").as("doc_new"), col("sh").as("sh_n")), Seq("doc_new"))
+      .join(spark.read.parquet(s"$indexDir/shingles")
+        .select(col("doc_id").as("doc_old"), col("sh").as("sh_o")), Seq("doc_old"))
+      .select(col("doc_new"), col("doc_old"),
+        round(jaccard(col("sh_n"), col("sh_o")), 4).as("j"))
+      .filter(col("j") >= minJaccard)
+    val hits = ver.groupBy("doc_new").agg(
+      min(col("doc_old")).as("dup_of"),
+      max(col("j")).as("best_jaccard"),
+      count(lit(1)).as("n_matches"))
+    batch.select(col("doc_id"))
+      .join(hits, col("doc_id") === col("doc_new"), "left")
+      .select(col("doc_id"), col("dup_of").isNull.as("is_novel"), col("dup_of"),
+        col("best_jaccard"), coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+  }
+
   /** SimHash per doc (custom codegen expression) + a 12-bit prefix
     * bucket — Hamming-close docs collide in the bucket at scale. */
   def simhashBuckets(spark: SparkSession, docs: DataFrame): DataFrame = {
@@ -215,6 +278,24 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Index location + write-once memo for the registry query (the
+    * IcebergQueries.ensureTable pattern: Verify builds on first use,
+    * Bench pre-builds untimed via Fixtures). */
+  def lshIndexPath(dir: String): String =
+    s"/tmp/graft_lsh_index_${new java.io.File(dir).getName}"
+  private val lshIdxBuilt = new scala.collection.concurrent.TrieMap[String, Boolean]()
+  def ensureLshIndex(spark: SparkSession, dir: String): String = {
+    val p = lshIndexPath(dir)
+    lshIdxBuilt.getOrElseUpdate(p, {
+      lshIndexWrite(Tables(spark, dir).documents
+        .filter(pmod(col("doc_id"), lit(5)) =!= 0), p)
+      true
+    })
+    p
+  }
+  private[graft] def invalidateLshIndex(dir: String): Unit =
+    lshIdxBuilt.remove(lshIndexPath(dir))
+
   // ---- queries()/oracle entries -------------------------------------
 
   type Q = (SparkSession, String) => DataFrame
@@ -239,11 +320,41 @@ object Dedup {
       incrementalLshGate(Tables(spark, dir).documents,
         pmod(col("doc_id"), lit(5)) === 0).orderBy("doc_id")
     }),
+    // Same gate served from the PERSISTED index tables (P43b): the
+    // verdict math is identical, so it shares the inline gate's oracle.
+    "dedup_incremental_indexed" -> ((spark, dir) => {
+      val p = ensureLshIndex(spark, dir)
+      incrementalLshGateIndexed(spark, p,
+        Tables(spark, dir).documents.filter(pmod(col("doc_id"), lit(5)) === 0))
+        .orderBy("doc_id")
+    }),
     "dedup_ngram_jaccard" -> ((spark, dir) => {
       ngramJaccardPairs(Tables(spark, dir).documents, 0.05)
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(200)
     }),
   )
+
+  private lazy val incrementalOracle: String = {
+    import graft.operators.DuckHashSql._
+    s"""WITH ${minhashCtes("documents")},
+       |icand AS (
+       |  SELECT DISTINCT nb.doc_id AS doc_new, ob.doc_id AS doc_old
+       |  FROM mbands nb JOIN mbands ob
+       |    ON nb.u.band = ob.u.band AND nb.u.bh = ob.u.bh
+       |  WHERE nb.doc_id % 5 = 0 AND ob.doc_id % 5 <> 0),
+       |iver AS (
+       |  SELECT doc_new, doc_old, ${jaccardSql("a.su", "b.su")} AS j
+       |  FROM icand JOIN msh a ON icand.doc_new = a.doc_id
+       |             JOIN msh b ON icand.doc_old = b.doc_id),
+       |ihits AS (
+       |  SELECT doc_new, min(doc_old) AS dup_of, max(j) AS best_jaccard,
+       |         CAST(count(*) AS BIGINT) AS n_matches
+       |  FROM iver WHERE j >= 0.1 GROUP BY doc_new)
+       |SELECT d.doc_id, h.dup_of IS NULL AS is_novel, h.dup_of,
+       |  h.best_jaccard, coalesce(h.n_matches, 0) AS n_matches
+       |FROM documents d LEFT JOIN ihits h ON d.doc_id = h.doc_new
+       |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -274,27 +385,10 @@ object Dedup {
     // carries every doc's band hashes, so the batch-vs-corpus candidate
     // join is a side-constrained self-join over it (the unused
     // mbuckets/mpairs CTEs are dead code DuckDB never evaluates).
-    "dedup_incremental_lsh" -> {
-      import graft.operators.DuckHashSql._
-      s"""WITH ${minhashCtes("documents")},
-         |icand AS (
-         |  SELECT DISTINCT nb.doc_id AS doc_new, ob.doc_id AS doc_old
-         |  FROM mbands nb JOIN mbands ob
-         |    ON nb.u.band = ob.u.band AND nb.u.bh = ob.u.bh
-         |  WHERE nb.doc_id % 5 = 0 AND ob.doc_id % 5 <> 0),
-         |iver AS (
-         |  SELECT doc_new, doc_old, ${jaccardSql("a.su", "b.su")} AS j
-         |  FROM icand JOIN msh a ON icand.doc_new = a.doc_id
-         |             JOIN msh b ON icand.doc_old = b.doc_id),
-         |ihits AS (
-         |  SELECT doc_new, min(doc_old) AS dup_of, max(j) AS best_jaccard,
-         |         CAST(count(*) AS BIGINT) AS n_matches
-         |  FROM iver WHERE j >= 0.1 GROUP BY doc_new)
-         |SELECT d.doc_id, h.dup_of IS NULL AS is_novel, h.dup_of,
-         |  h.best_jaccard, coalesce(h.n_matches, 0) AS n_matches
-         |FROM documents d LEFT JOIN ihits h ON d.doc_id = h.doc_new
-         |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin
-    },
+    // The indexed variant (P43b) computes the same verdicts from the
+    // persisted tables — one oracle text serves both keys.
+    "dedup_incremental_indexed" -> incrementalOracle,
+    "dedup_incremental_lsh" -> incrementalOracle,
 
     // simhash IS oracle-able: DuckDB replays per-token FNV-1 bit votes
     // via generated HUGEINT arithmetic (DuckHashSql.simhash64U).

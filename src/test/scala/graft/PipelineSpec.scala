@@ -890,6 +890,37 @@ class PipelineSpec extends SparkSpec {
       .getAs[Boolean]("r_stop_words"))
   }
 
+  test("persisted LSH index: indexed gate verdicts == inline, append closes the ingest loop") {
+    val corpus = (0L until 40L).map(i =>
+      (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f", "s1"))
+    val docs = docsDf(corpus: _*)
+    val batch = docsDf(
+      (100L, corpus(7)._2, "s1"),                 // exact twin of corpus 7
+      (101L, "zq1 zq2 zq3 zq4 zq5 zq6", "s1"))    // novel
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
+    try {
+      Dedup.lshIndexWrite(docs, dir)
+      def verdicts(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id", "is_novel", "dup_of")
+          .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("is_novel"),
+            if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      val indexed = verdicts(Dedup.incrementalLshGateIndexed(spark, dir, batch))
+      val inline = verdicts(Dedup.incrementalLshGate(
+        docsDf((corpus :+ (100L, corpus(7)._2, "s1") :+
+          (101L, "zq1 zq2 zq3 zq4 zq5 zq6", "s1")): _*), col("doc_id") >= 100L))
+      assert(indexed == inline, s"indexed=$indexed inline=$inline")
+      // ingest loop: append the admitted (novel) doc, then a re-arrival
+      // of the same novel text must now be flagged dup-of-101
+      Dedup.lshIndexAppend(batch.filter(col("doc_id") === 101L), dir)
+      val rearrival = docsDf((200L, "zq1 zq2 zq3 zq4 zq5 zq6", "s1"))
+      val again = Dedup.incrementalLshGateIndexed(spark, dir, rearrival).collect().head
+      assert(!again.getAs[Boolean]("is_novel") && again.getAs[Long]("dup_of") == 101L &&
+        again.getAs[Double]("best_jaccard") == 1.0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("incremental LSH gate: exact twin flagged against corpus, novel passes, equi-join only") {
     // corpus docs use disjoint vocabularies -> cross-doc jaccard 0, so
     // the only verified match for the planted twin is its original
