@@ -148,9 +148,15 @@ object Similarity {
   // ---- P44: persisted IVF index (build once, serve many) -----------
 
   /** Index location, keyed by the SF dir name (the NestedParquet.path
-    * contract: runs at different SFs never clobber each other). */
-  def ivfIndexPath(dir: String): String =
-    s"/tmp/graft_ivf_index_${new java.io.File(dir).getName}"
+    * contract: runs at different SFs never clobber each other) PLUS
+    * the absolute dir's hash and the JVM pid, so concurrent JVMs or
+    * same-named checkouts never share — and so never race — one
+    * /tmp index directory (ADVICE r7). */
+  def ivfIndexPath(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    s"/tmp/graft_ivf_index_${new java.io.File(dir).getName}_" +
+      s"${abs.hashCode.toHexString}_p${ProcessHandle.current().pid()}"
+  }
 
   private val indexBuilt = new scala.collection.concurrent.TrieMap[String, Boolean]()
 

@@ -316,8 +316,10 @@ object TextAnalysis {
     *
     * Rules: word count in [50, 100000]; mean word length in [3, 10];
     * symbol-to-word ratio ('#' and '...') <= 0.1; >= 80% of words
-    * contain an alphabetic char; < 90% of lines bullet-led; < 30% of
-    * lines ellipsis-ended; >= 2 distinct members of the 8-stopword set.
+    * contain an alphabetic char; <= 90% of lines bullet-led; <= 30% of
+    * lines ellipsis-ended (Rae et al. A1.1 removes only documents with
+    * MORE than 90%/30%, so exactly-at-threshold is kept); >= 2 distinct
+    * members of the 8-stopword set.
     */
   def gopherRules(docs: DataFrame): DataFrame = {
     val text = col("text")
@@ -349,8 +351,8 @@ object TextAnalysis {
           col("sum_word_len") <= col("n_words") * 10)
       .withColumn("r_symbol_ratio", col("n_symbols") * 10 <= col("n_words"))
       .withColumn("r_alpha_words", col("n_alpha_words") * 5 >= col("n_words") * 4)
-      .withColumn("r_bullet", col("n_bullet_lines") * 10 < col("n_lines") * 9)
-      .withColumn("r_ellipsis", col("n_ellipsis_lines") * 10 < col("n_lines") * 3)
+      .withColumn("r_bullet", col("n_bullet_lines") * 10 <= col("n_lines") * 9)
+      .withColumn("r_ellipsis", col("n_ellipsis_lines") * 10 <= col("n_lines") * 3)
       .withColumn("r_stop_words", col("n_stop_kinds") >= 2)
       .withColumn("keep",
         col("r_word_count") && col("r_mean_word_len") && col("r_symbol_ratio") &&
@@ -616,8 +618,8 @@ object TextAnalysis {
          |  (sum_word_len >= n_words * 3 AND sum_word_len <= n_words * 10) AS r_mean_word_len,
          |  (n_symbols * 10 <= n_words) AS r_symbol_ratio,
          |  (n_alpha_words * 5 >= n_words * 4) AS r_alpha_words,
-         |  (n_bullet_lines * 10 < n_lines * 9) AS r_bullet,
-         |  (n_ellipsis_lines * 10 < n_lines * 3) AS r_ellipsis,
+         |  (n_bullet_lines * 10 <= n_lines * 9) AS r_bullet,
+         |  (n_ellipsis_lines * 10 <= n_lines * 3) AS r_ellipsis,
          |  (n_stop_kinds >= 2) AS r_stop_words,
          |  (r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_alpha_words
          |   AND r_bullet AND r_ellipsis AND r_stop_words) AS keep

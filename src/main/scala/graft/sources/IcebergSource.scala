@@ -404,7 +404,13 @@ object IcebergWrite {
       listPath +: (manifests ++ data)
     }.toSet
     val doomed = refs(expired) -- refs(kept)
-    doomed.foreach(p => fs.delete(new Path(p), false)) // paths are stored fully qualified
+    // COMMIT FIRST, DELETE LAST (the RemoveSnapshots ordering): the
+    // trimmed metadata version must be durable before any file it no
+    // longer references is removed. A crash after the commit merely
+    // leaks unreferenced files (retryable, harmless to readers); the
+    // reverse order would leave the still-current metadata pointing at
+    // deleted manifest lists — time travel dies with FileNotFound and
+    // a re-run of expiry throws reading the already-deleted lists.
     val node = metaNode.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     node.put("last-updated-ms", System.currentTimeMillis())
     node.set[JsonNode]("snapshots",
@@ -412,6 +418,8 @@ object IcebergWrite {
     writeSmall(fs, new Path(tableDir, s"metadata/v${v + 1}.metadata.json"),
       mapper.writeValueAsString(node))
     writeSmall(fs, new Path(tableDir, "metadata/version-hint.text"), (v + 1).toString)
+    // best-effort orphan cleanup; paths are stored fully qualified
+    doomed.foreach(p => try fs.delete(new Path(p), false) catch { case _: java.io.IOException => })
     expired.length
   }
 
@@ -431,6 +439,31 @@ object IcebergWrite {
       readSmall(fs, new Path(tableDir, s"metadata/v$v.metadata.json")))
     val vals = metaNode.get("snapshots").elements().asScala.flatMap { s =>
       Option(s.get("summary")).flatMap(sm => Option(sm.get(key))).map(_.asText.toLong)
+    }.toSeq
+    if (vals.isEmpty) None else Some(vals.max)
+  }
+
+  /** Like [[lastSummaryLong]], but restricted to snapshots whose
+    * summary carries `idKey` == `idVal`. The exactly-once streaming
+    * sink scopes its replay check this way: batch ids restart at 0 for
+    * every NEW streaming query, so "batchId <= table max" is only a
+    * replay signal WITHIN one query lineage — a fresh query writing to
+    * an existing table must not have its first batches silently
+    * swallowed by an older query's high-water mark (ADVICE r7). */
+  def lastSummaryLongForId(tableDir: String, conf: org.apache.hadoop.conf.Configuration,
+                           key: String, idKey: String, idVal: String): Option[Long] = {
+    val fs = new Path(tableDir).getFileSystem(conf)
+    val hint = new Path(tableDir, "metadata/version-hint.text")
+    if (!fs.exists(hint)) return None
+    val v = readSmall(fs, hint).trim.toInt
+    val metaNode = mapper.readTree(
+      readSmall(fs, new Path(tableDir, s"metadata/v$v.metadata.json")))
+    val vals = metaNode.get("snapshots").elements().asScala.flatMap { s =>
+      Option(s.get("summary")).flatMap { sm =>
+        if (Option(sm.get(idKey)).exists(_.asText == idVal))
+          Option(sm.get(key)).map(_.asText.toLong)
+        else None
+      }
     }.toSeq
     if (vals.isEmpty) None else Some(vals.max)
   }

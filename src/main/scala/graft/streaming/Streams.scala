@@ -347,12 +347,18 @@ object Streams {
     * readers get snapshot isolation, per-batch time travel
     * (`snapshot_id` = batch ordinal) and metadata-level pruning over a
     * continuously ingesting table — the standard streaming→lakehouse
-    * handoff. EXACTLY-ONCE (round 7): every commit records its
-    * micro-batch id in the snapshot summary ("streaming-batch-id"),
-    * and a batch whose id is <= the table's max committed id is a
-    * replay (foreachBatch re-runs after failure recovery) and is
-    * SKIPPED — the table itself is the commit log, no external state.
-    * Same device iceberg-core's own Spark sink uses. */
+    * handoff. EXACTLY-ONCE (round 7, query-scoped round 8): every
+    * commit records its micro-batch id AND its streaming query id
+    * (Spark's checkpoint-stable id, read from the driver-thread local
+    * property StreamExecution.QUERY_ID_KEY) in the snapshot summary,
+    * and a batch is a replay (foreachBatch re-runs after failure
+    * recovery) only when the SAME query's max committed id already
+    * covers it — the table itself is the commit log, no external
+    * state. Scoping by query id matters: batch ids restart at 0 for a
+    * NEW query (fresh checkpoint) writing to an existing table, and an
+    * id-only check would silently drop every batch until the new query
+    * outran the old table max. Same device iceberg-core's own Spark
+    * sink uses (query id + epoch id in the snapshot summary). */
   def icebergSink(docs: DataFrame, tableDir: String, bucketCol: String,
                   nBuckets: Int = 4): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
@@ -367,9 +373,15 @@ object Streams {
                          bucketCol: String, nBuckets: Int = 4): Unit = {
     if (batch0.isEmpty) return
     val conf = batch0.sparkSession.sparkContext.hadoopConfiguration
-    val committed = graft.sources.IcebergWrite
-      .lastSummaryLong(tableDir, conf, "streaming-batch-id")
-    if (committed.exists(batchId <= _)) return // replayed micro-batch
+    // foreachBatch runs on the query's driver thread, where Spark sets
+    // the query id as a SparkContext local property; direct (non-query)
+    // callers — the replay-contract spec — share one "unattached" lineage.
+    val queryId = Option(batch0.sparkSession.sparkContext.getLocalProperty(
+      org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY))
+      .getOrElse("unattached")
+    val committed = graft.sources.IcebergWrite.lastSummaryLongForId(
+      tableDir, conf, "streaming-batch-id", "streaming-query-id", queryId)
+    if (committed.exists(batchId <= _)) return // replayed micro-batch (same query)
     // micro-batch schemas flip nullability between the first and
     // later executions; pin every batch to nullable so the table
     // schema and all data files agree (parquet required vs
@@ -377,7 +389,8 @@ object Streams {
     // rebuild from the row RDD with the relaxed schema.
     val batch = batch0.sparkSession.createDataFrame(batch0.rdd,
       org.apache.spark.sql.types.StructType(batch0.schema.map(_.copy(nullable = true))))
-    val summary = Map("streaming-batch-id" -> batchId.toString)
+    val summary = Map("streaming-batch-id" -> batchId.toString,
+      "streaming-query-id" -> queryId)
     val p = new org.apache.hadoop.fs.Path(tableDir, "metadata/version-hint.text")
     val fs = p.getFileSystem(conf)
     if (fs.exists(p)) graft.sources.IcebergWrite.append(batch, tableDir, summary)

@@ -82,14 +82,30 @@ class StreamingSpec extends SparkSpec {
       val s1 = spark.read.format("graft.sources.IcebergSource")
         .option("snapshot_id", "1").load(dir)
       assert(s1.select("doc_id").collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 2L)))
-      // exactly-once: replaying an already-committed micro-batch id is
-      // a no-op (the snapshot summary is the commit log) — a NEW id
-      // still commits
+      // exactly-once: replaying an already-committed micro-batch id of
+      // the SAME query is a no-op (the snapshot summary is the commit
+      // log) — a NEW id still commits. The replay check is scoped to
+      // the query id, so the direct calls impersonate the running
+      // query's lineage via the driver-thread local property.
+      val qidKey = org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY
       val replay = Seq(Streams.Doc(4, ts(3), "dup", "en")).toDF()
-      Streams.icebergCommitBatch(replay, batchId = 1L, dir, "doc_id")
-      assert(spark.read.format("graft.sources.IcebergSource").load(dir).count() == 3)
-      Streams.icebergCommitBatch(replay, batchId = 2L, dir, "doc_id")
-      assert(spark.read.format("graft.sources.IcebergSource").load(dir).count() == 4)
+      try {
+        spark.sparkContext.setLocalProperty(qidKey, q.id.toString)
+        Streams.icebergCommitBatch(replay, batchId = 1L, dir, "doc_id")
+        assert(spark.read.format("graft.sources.IcebergSource").load(dir).count() == 3)
+        Streams.icebergCommitBatch(replay, batchId = 2L, dir, "doc_id")
+        assert(spark.read.format("graft.sources.IcebergSource").load(dir).count() == 4)
+        // a DIFFERENT query (fresh checkpoint ⇒ batch ids restart at 0)
+        // writing to the same table is NOT a replay: an id-only check
+        // would silently drop its first batches (ADVICE r7)
+        spark.sparkContext.setLocalProperty(qidKey, "00000000-new-query")
+        val fresh = Seq(Streams.Doc(5, ts(4), "from-new-query", "en")).toDF()
+        Streams.icebergCommitBatch(fresh, batchId = 0L, dir, "doc_id")
+        assert(spark.read.format("graft.sources.IcebergSource").load(dir).count() == 5)
+        // ...and the new query's own replays still skip
+        Streams.icebergCommitBatch(fresh, batchId = 0L, dir, "doc_id")
+        assert(spark.read.format("graft.sources.IcebergSource").load(dir).count() == 5)
+      } finally spark.sparkContext.setLocalProperty(qidKey, null)
     } finally q.stop()
   }
 
