@@ -227,8 +227,13 @@ object DuckHashSql {
     * `mpairs(doc_a, doc_b)` (distinct band-collision candidates) over
     * relation `rel(doc_id, text)`. Parameters pinned to
     * Dedup.minhashCandidates defaults: k=3, 8 bands x 2 rows, bucket
-    * cap 1000 on the ascending-sorted id list. */
-  def minhashCtes(rel: String, k: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): String = {
+    * cap 1000 on the ascending-sorted id list. `groupCols` (e.g.
+    * Seq("source")) scopes banding the way Dedup.ngramJaccardPairs
+    * does: the columns ride along msh→msig→mbands, buckets group by
+    * (groupCols, band, bh) — so candidates only form within a group —
+    * and mpairs carries them. */
+  def minhashCtes(rel: String, k: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+                  groupCols: Seq[String] = Nil): String = {
     val perms = bands * rowsPerBand
     val golden = BigInt("9e3779b97f4a7c15", 16)
     val sigEntries = (0 until perms).map { p =>
@@ -241,18 +246,20 @@ object DuckHashSql {
       val s2 = xxh64Long(toUnsigned(s"sg[${b * rowsPerBand + 2}]"), s1)
       s"{'band': $b, 'bh': ${toSigned(s2)}}"
     }.mkString(", ")
+    val g = if (groupCols.isEmpty) "" else groupCols.mkString("", ", ", ", ")
+    val gGroup = if (groupCols.isEmpty) "" else groupCols.mkString(", ") + ", "
     s"""msh AS (
-       |  SELECT doc_id, ${hashedShinglesU("text", k)} AS su FROM $rel
+       |  SELECT ${g}doc_id, ${hashedShinglesU("text", k)} AS su FROM $rel
        |), msig AS (
-       |  SELECT doc_id, [$sigEntries] AS sg FROM msh
+       |  SELECT ${g}doc_id, [$sigEntries] AS sg FROM msh
        |), mbands AS (
-       |  SELECT doc_id, unnest([$bandStructs]) AS u FROM msig
+       |  SELECT ${g}doc_id, unnest([$bandStructs]) AS u FROM msig
        |), mbuckets AS (
-       |  SELECT u.band, u.bh, list_sort(list(doc_id))[1:1000] AS ids
-       |  FROM mbands GROUP BY u.band, u.bh HAVING count(*) > 1
+       |  SELECT ${g}u.band, u.bh, list_sort(list(doc_id))[1:1000] AS ids
+       |  FROM mbands GROUP BY ${gGroup}u.band, u.bh HAVING count(*) > 1
        |), mpairs AS (
-       |  SELECT DISTINCT p[1] AS doc_a, p[2] AS doc_b
-       |  FROM (SELECT unnest(flatten(list_transform(range(1, len(ids)), pi ->
+       |  SELECT DISTINCT ${g}p[1] AS doc_a, p[2] AS doc_b
+       |  FROM (SELECT ${g}unnest(flatten(list_transform(range(1, len(ids)), pi ->
        |         list_transform(ids[pi+1:], px -> [ids[pi], px])))) AS p FROM mbuckets)
        |)""".stripMargin
   }

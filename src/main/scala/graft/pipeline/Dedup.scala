@@ -7,11 +7,12 @@ import graft.plans.GraftFunctions
 
 /** Deduplication operators for large-scale text corpora (SURVEY.md §2
   * P1–P5). The scale discipline: nothing here ever materializes an n²
-  * pair set — candidates always come from an equi-join on a bucket key
-  * (hash group, LSH band, source shard), so at 100 TB each reducer sees
-  * only its bucket. Exact dedup is a hash groupBy; near-dup is
-  * MinHash+LSH banding (Broder 1997) with an exact Jaccard verify on
-  * the candidate pairs only.
+  * pair set — candidates always come from an equi-join on a BOUNDED
+  * bucket key (hash group, LSH band — never an unbounded key like
+  * `source` alone), so at 100 TB each reducer sees only its capped
+  * bucket. Exact dedup is a hash groupBy; near-dup is MinHash+LSH
+  * banding (Broder 1997) with an exact Jaccard verify on the candidate
+  * pairs only.
   */
 object Dedup {
 
@@ -256,23 +257,49 @@ object Dedup {
       .withColumn("bucket", shiftrightunsigned(col("simhash"), 52))
   }
 
-  /** Word-3gram Jaccard pairs, bucketed by `source` so the pair join is
-    * bounded per bucket (the 100 TB path swaps `source` for an LSH band). */
-  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+  /** Word-3gram Jaccard pairs within a `source`, with candidates from
+    * the SAME LSH band machinery as [[minhashCandidates]] (shared
+    * [[bandExplode]] math, banding scoped per source) and an exact
+    * hashed-shingle Jaccard verify on candidates only. Round 8: the
+    * previous all-pairs-within-source join was O(Σ n_source²) pairs —
+    * one spam-heavy domain at 100 TB made it a scale-killer; banding
+    * makes candidate generation an equi-join on (source, band, bh)
+    * whose buckets are capped (observed truncation, like P3's).
+    *
+    * The band prefilter is RECALL-LOSSY by design (Broder 1997): a
+    * same-source pair surfaces only if some band of their minhash
+    * signatures collides — P(candidate) = 1-(1-j^rows)^bands, so
+    * low-Jaccard pairs are mostly not enumerated. Reported pairs carry
+    * their EXACT Jaccard. The DuckDB oracle replays the identical
+    * pipeline (DuckHashSql.minhashCtes with groupCols=source), so the
+    * result stays hash-exact end-to-end. */
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double, bands: Int = 8,
+                        rowsPerBand: Int = 2, maxBucket: Int = 1000): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     val withSh = cacheReplacing(
       docs.select(col("source"), col("doc_id"), hashedShingles(col("text")).as("sh")), ngramSlot)
-    // Replicated-fragment join: a source bucket alone caps parallelism at
-    // |sources| tasks and skews with bucket size. Salting the b-side by
-    // doc_b % slices and exploding the a-side over all slices keeps the
-    // same pair set but gives |sources|×slices evenly-sized tasks; only
-    // the (small) a-side rows are replicated.
-    val slices = 8
-    val a = withSh.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-      explode(array((0 until slices).map(lit): _*)).as("slice"))
-    val b = withSh.select(col("source"), col("doc_id").as("doc_b"), col("sh").as("sh_b"),
-      pmod(col("doc_id"), lit(slices)).as("slice"))
-    a.join(b, Seq("source", "slice")).filter(col("doc_a") < col("doc_b"))
+    val banded = bandExplode(withSh, "sh", bands, rowsPerBand).drop("sh")
+    // Bucket grouping, not a self-join (the minhashCandidates shape):
+    // each (source, band, bh) bucket expands to its in-bucket pairs, so
+    // a bucket is one reducer's work and pathological buckets are capped.
+    val buckets = banded.groupBy("source", "band", "bh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .observe("ngram_jaccard_buckets",
+        count(lit(1)).as("buckets"),
+        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)).as("truncated_buckets"),
+        max(size(col("ids"))).as("max_bucket_size"))
+      .select(col("source"), slice(col("ids"), 1, maxBucket).as("ids"))
+    val pairs = buckets.select(col("source"), explode(flatten(
+        transform(sequence(lit(0), size(col("ids")) - 2),
+          i => transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
+            x => array(element_at(col("ids"), i + lit(1)), x))))).as("p"))
+      .select(col("source"), element_at(col("p"), 1).as("doc_a"),
+        element_at(col("p"), 2).as("doc_b"))
+      .distinct() // a pair may collide in several bands — verify once
+    pairs
+      .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("source"), col("doc_a"), col("doc_b"),
         round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
@@ -280,9 +307,16 @@ object Dedup {
 
   /** Index location + write-once memo for the registry query (the
     * IcebergQueries.ensureTable pattern: Verify builds on first use,
-    * Bench pre-builds untimed via Fixtures). */
-  def lshIndexPath(dir: String): String =
-    s"/tmp/graft_lsh_index_${new java.io.File(dir).getName}"
+    * Bench pre-builds untimed via Fixtures). Keyed by the ABSOLUTE
+    * dir's hash AND the JVM pid, not the basename alone: two
+    * concurrent JVMs (parallel bench+verify) or two checkouts sharing
+    * an SF name must never race one mode("overwrite") write against
+    * the other's reads under a shared /tmp path (ADVICE r7). */
+  def lshIndexPath(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    s"/tmp/graft_lsh_index_${new java.io.File(dir).getName}_" +
+      s"${abs.hashCode.toHexString}_p${ProcessHandle.current().pid()}"
+  }
   private val lshIdxBuilt = new scala.collection.concurrent.TrieMap[String, Boolean]()
   def ensureLshIndex(spark: SparkSession, dir: String): String = {
     val p = lshIndexPath(dir)
@@ -399,29 +433,20 @@ object Dedup {
          |FROM s ORDER BY doc_id""".stripMargin
     },
 
-    // ngram jaccard IS oracle-able: hashing shingles is
-    // Jaccard-invariant (|A∩B|/|A∪B| is the same over xxhash64 images
-    // as over the raw shingle strings, modulo 2^-64 collisions), so
-    // DuckDB replays the whole pipeline in string space — tokenize,
-    // 3-word shingles with the short-doc fallback, distinct, per-source
-    // pair join, inclusion–exclusion union size.
-    "dedup_ngram_jaccard" ->
-      """WITH t AS (
-        |  SELECT source, doc_id,
-        |         regexp_split_to_array(lower(trim(text)), '\s+') AS w
-        |  FROM documents),
-        |s AS (
-        |  SELECT source, doc_id,
-        |    list_distinct(CASE WHEN len(w) >= 3
-        |      THEN [array_to_string(w[i+1:i+3], ' ') for i in range(len(w) - 2)]
-        |      ELSE [array_to_string(w, ' ')] END) AS sh
-        |  FROM t),
-        |p AS (
-        |  SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
-        |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
-        |SELECT source, doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.05
-        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 200""".stripMargin,
+    // ngram jaccard IS oracle-able end-to-end: DuckDB replays the full
+    // per-source LSH candidate pipeline bit-for-bit (FNV shingles,
+    // splitmix64 permutations, xxhash64 bands, banding grouped by
+    // source via minhashCtes groupCols) and the exact hashed-shingle
+    // Jaccard verify — same machinery as dedup_minhash_lsh.
+    "dedup_ngram_jaccard" -> {
+      import graft.operators.DuckHashSql._
+      s"""WITH ${minhashCtes("documents", groupCols = Seq("source"))}
+         |SELECT source, doc_a, doc_b, jaccard FROM (
+         |  SELECT mpairs.source, doc_a, doc_b, ${jaccardSql("a.su", "b.su")} AS jaccard
+         |  FROM mpairs JOIN msh a ON mpairs.doc_a = a.doc_id
+         |              JOIN msh b ON mpairs.doc_b = b.doc_id)
+         |WHERE jaccard >= 0.05
+         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 200""".stripMargin
+    },
   )
 }

@@ -880,11 +880,16 @@ class PipelineSpec extends SparkSpec {
     // 40 alpha words + 11 numeric: 40*5 < 51*4 fails the 80% bound
     val alpha = rules(6L, (Seq.fill(40)("word") ++ Seq.fill(11)("123")).mkString(" "))
     assert(!alpha.getAs[Boolean]("r_alpha_words"))
-    // 9 of 10 lines bullet-led: 90 !< 90 fails; 3 of 10 ellipsis-ended: 30 !< 30 fails
-    val lines = (Seq.fill(9)("- item") :+ "plain").mkString("\n")
-    assert(!rules(7L, lines).getAs[Boolean]("r_bullet"))
-    val ell = (Seq.fill(3)("trailing...") ++ Seq.fill(7)("plain")).mkString("\n")
-    assert(!rules(8L, ell).getAs[Boolean]("r_ellipsis"))
+    // Rae et al. A1.1 removes only MORE than 90%/30%: exactly-at-threshold kept.
+    // 9 of 10 lines bullet-led: 90 <= 90 keeps; 10 of 10: 100 > 90 fails.
+    val atBullet = (Seq.fill(9)("- item") :+ "plain").mkString("\n")
+    assert(rules(7L, atBullet).getAs[Boolean]("r_bullet"))
+    assert(!rules(7L, Seq.fill(10)("- item").mkString("\n")).getAs[Boolean]("r_bullet"))
+    // 3 of 10 ellipsis-ended: 30 <= 30 keeps; 4 of 10: 40 > 30 fails.
+    val atEll = (Seq.fill(3)("trailing...") ++ Seq.fill(7)("plain")).mkString("\n")
+    assert(rules(8L, atEll).getAs[Boolean]("r_ellipsis"))
+    val overEll = (Seq.fill(4)("trailing...") ++ Seq.fill(6)("plain")).mkString("\n")
+    assert(!rules(8L, overEll).getAs[Boolean]("r_ellipsis"))
     // one stopword kind only
     assert(!rules(9L, "the " + Seq.fill(50)("word").mkString(" "))
       .getAs[Boolean]("r_stop_words"))
