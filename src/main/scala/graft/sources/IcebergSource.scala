@@ -211,7 +211,15 @@ object IcebergMeta {
       |]}""".stripMargin)
 
   /** Avro schema of a manifest entry (v1 manifest_entry wrapping
-    * data_file) for the given partition tuple shape. */
+    * data_file) for the given partition tuple shape. Carries the
+    * spec's per-column `lower_bounds`/`upper_bounds` (field-ids
+    * 125/128; map<int, binary> encoded the way Iceberg encodes
+    * non-string-key maps — an array of key/value records with
+    * logicalType "map"): these are the FILE-level pruning index that
+    * lets a selective predicate on a NON-partition column skip files,
+    * the metadata twin of the reference's parquet row-group stats
+    * filtering (apache-impala-4.1.0/be/src/exec/parquet/
+    * hdfs-parquet-scanner.cc). */
   def manifestEntrySchema(spec: Seq[PartField], sourceTypes: Map[Int, DataType]): Schema = {
     val pFields = spec.map { p =>
       val t = if (p.isBucket || p.isTemporal) "\"int\"" else sourceTypes(p.sourceId) match {
@@ -232,7 +240,15 @@ object IcebergMeta {
          |  {"name":"file_format","type":"string","field-id":101},
          |  {"name":"partition","field-id":102,"type":{"type":"record","name":"partition","fields":[$pFields]}},
          |  {"name":"record_count","type":"long","field-id":103},
-         |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+         |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+         |  {"name":"lower_bounds","field-id":125,"default":null,"type":["null",
+         |    {"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[
+         |      {"name":"key","type":"int","field-id":126},
+         |      {"name":"value","type":"bytes","field-id":127}]}}]},
+         |  {"name":"upper_bounds","field-id":128,"default":null,"type":["null",
+         |    {"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[
+         |      {"name":"key","type":"int","field-id":129},
+         |      {"name":"value","type":"bytes","field-id":130}]}}]}
          |]}}]}""".stripMargin)
   }
 }
@@ -657,16 +673,43 @@ object IcebergWrite {
       w.create(entrySchema, fs.create(mPath, true))
       files.foreach { f =>
         val footer = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
-        val nRows = try footer.getRecordCount finally footer.close()
+        val (nRows, blocks) =
+          try (footer.getRecordCount, footer.getFooter.getBlocks.asScala.toSeq)
+          finally footer.close()
         val part = new GenericData.Record(entrySchema.getField("data_file").schema()
           .getField("partition").schema())
         part.put(0, pv)
-        val dataFile = new GenericData.Record(entrySchema.getField("data_file").schema())
+        val dfSchema = entrySchema.getField("data_file").schema()
+        val dataFile = new GenericData.Record(dfSchema)
         dataFile.put("file_path", f.getPath.toString)
         dataFile.put("file_format", "PARQUET")
         dataFile.put("partition", part)
         dataFile.put("record_count", nRows)
         dataFile.put("file_size_in_bytes", f.getLen)
+        // per-column lower/upper bounds from the parquet footer's
+        // row-group statistics (min of mins / max of maxes),
+        // Appendix-D-serialized and keyed by table field-id — the
+        // file-skipping index planFiles prunes on for non-partition
+        // predicates. Columns without usable stats (arrays, nulls-only,
+        // stats dropped by the writer) are simply absent.
+        def kvList(unionField: String, bounds: Seq[(Int, Array[Byte])]): java.util.List[GenericRecord] = {
+          val elemSchema = dfSchema.getField(unionField).schema().getTypes.get(1).getElementType
+          val l = new java.util.ArrayList[GenericRecord](bounds.length)
+          bounds.foreach { case (id, b) =>
+            val kv = new GenericData.Record(elemSchema)
+            kv.put("key", id)
+            kv.put("value", java.nio.ByteBuffer.wrap(b))
+            l.add(kv)
+          }
+          l
+        }
+        val colBounds = df.schema.fields.zip(fieldIds).flatMap { case (fld, id) =>
+          columnStatBounds(blocks, fld.name, fld.dataType).map(bp => (id, bp))
+        }.toSeq
+        if (colBounds.nonEmpty) {
+          dataFile.put("lower_bounds", kvList("lower_bounds", colBounds.map { case (id, (lo, _)) => (id, lo) }))
+          dataFile.put("upper_bounds", kvList("upper_bounds", colBounds.map { case (id, (_, hi)) => (id, hi) }))
+        }
         val entry = new GenericData.Record(entrySchema)
         entry.put("status", 1) // ADDED
         entry.put("snapshot_id", snapshotId)
@@ -675,6 +718,53 @@ object IcebergWrite {
       }
       w.close()
       (mPath, pv, files.length)
+    }
+  }
+
+  /** (lower, upper) Appendix-D bytes for one table column across a
+    * file's row groups — min of row-group mins / max of maxes. None
+    * when any row group lacks a usable statistic for the column (the
+    * safe answer: a file without bounds is never pruned). Types match
+    * the parquet physical stats our own writer produces: int32 for
+    * int/date, int64 for long/timestamp-micros, IEEE bits for
+    * float/double, UTF-8 binary for string. */
+  private def columnStatBounds(
+      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+      name: String, dt: DataType): Option[(Array[Byte], Array[Byte])] = {
+    val stats = blocks.map(_.getColumns.asScala
+      .find(_.getPath.toDotString == name).map(_.getStatistics).orNull)
+    if (stats.isEmpty ||
+        stats.exists(s => s == null || s.isEmpty || !s.hasNonNullValue)) return None
+    def le(n: Int)(fill: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      fill(bb); bb.array()
+    }
+    dt match {
+      case LongType | TimestampType =>
+        val vs = stats.map(s => (s.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+          s.genericGetMax.asInstanceOf[java.lang.Long].longValue))
+        Some((longToBytes(vs.map(_._1).min), longToBytes(vs.map(_._2).max)))
+      case IntegerType | DateType =>
+        val vs = stats.map(s => (s.genericGetMin.asInstanceOf[java.lang.Integer].intValue,
+          s.genericGetMax.asInstanceOf[java.lang.Integer].intValue))
+        Some((intToBytes(vs.map(_._1).min), intToBytes(vs.map(_._2).max)))
+      case DoubleType =>
+        val vs = stats.map(s => (s.genericGetMin.asInstanceOf[java.lang.Double].doubleValue,
+          s.genericGetMax.asInstanceOf[java.lang.Double].doubleValue))
+        Some((le(8)(_.putDouble(vs.map(_._1).min)), le(8)(_.putDouble(vs.map(_._2).max))))
+      case FloatType =>
+        val vs = stats.map(s => (s.genericGetMin.asInstanceOf[java.lang.Float].floatValue,
+          s.genericGetMax.asInstanceOf[java.lang.Float].floatValue))
+        Some((le(4)(_.putFloat(vs.map(_._1).min)), le(4)(_.putFloat(vs.map(_._2).max))))
+      case StringType =>
+        val vs = stats.map { s =>
+          (s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
+            s.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+        }
+        val lo = vs.map(_._1).reduce((a, b) => if (util.Arrays.compareUnsigned(a, b) <= 0) a else b)
+        val hi = vs.map(_._2).reduce((a, b) => if (util.Arrays.compareUnsigned(a, b) >= 0) a else b)
+        Some((lo, hi))
+      case _ => None
     }
   }
 
@@ -742,11 +832,22 @@ object IcebergRead {
 
   case class DataFileEntry(path: String, recordCount: Long)
 
+  /** Inclusive range probe on ANY table column, served by the
+    * data_file `lower_bounds`/`upper_bounds` maps: a file is skipped
+    * when its stored bounds prove the range can't match. Equality is
+    * `ColRange(c, Some(v), Some(v))`. This is the file-level
+    * counterpart of the reference's parquet row-group min/max skipping
+    * (apache-impala-4.1.0/be/src/exec/parquet/hdfs-parquet-scanner.cc)
+    * — the one metadata level partition summaries can't cover: a
+    * selective predicate on a NON-partition column. */
+  case class ColRange(colName: String, lo: Option[Any], hi: Option[Any])
+
   /** The two-level pruned data-file list for an optional equality
     * predicate on a partition source column. This is THE Iceberg scan
     * plan: everything after it is plain parquet reading. */
   def planFiles(tableDir: String, conf: Configuration, eq: Option[(String, Any)],
-                snapshotId: Option[Long] = None): Seq[DataFileEntry] = {
+                snapshotId: Option[Long] = None,
+                ranges: Seq[ColRange] = Nil): Seq[DataFileEntry] = {
     val meta = load(tableDir, conf, snapshotId)
     val fs = new Path(tableDir).getFileSystem(conf)
     // predicate -> expected partition tuple value, via the transform.
@@ -857,7 +958,7 @@ object IcebergRead {
               val actual = if (tuple.getSchema.getField(pf.name) == null) null
                            else tuple.get(pf.name)
               actual == null || normalize(actual) == normalize(pv)
-            }
+            } && ranges.forall(r => fileAdmits(df, r, meta.schema, meta.fieldIds))
             if (keep) Some(DataFileEntry(df.get("file_path").toString,
               df.get("record_count").asInstanceOf[Long]))
             else None
@@ -873,6 +974,80 @@ object IcebergRead {
     case a: Array[Byte] => a
   }
 
+  /** Decode an Appendix-D bound into its comparable form (integer
+    * family → Long, float family → Double, string → String) by the
+    * TABLE column's type — never by the probe's runtime class (the
+    * same false-prune trap the partition-summary decoder documents). */
+  private def decodeBound(b: Array[Byte], dt: DataType): Option[Any] = dt match {
+    case LongType | TimestampType if b.length == 8 => Some(bytesToLong(b))
+    case IntegerType | DateType if b.length == 4 => Some(bytesToInt(b).toLong)
+    case DoubleType if b.length == 8 =>
+      Some(java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getDouble)
+    case FloatType if b.length == 4 =>
+      Some(java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getFloat.toDouble)
+    case StringType => Some(new String(b, "UTF-8"))
+    case _ => None
+  }
+
+  /** Normalize a probe value into the same comparable form; None means
+    * "can't compare safely" and the file is kept. */
+  private def probeVal(v: Any, dt: DataType): Option[Any] = dt match {
+    case LongType => v match {
+      case l: Long => Some(l); case i: Int => Some(i.toLong); case _ => None
+    }
+    case IntegerType => v match {
+      case i: Int => Some(i.toLong); case l: Long => Some(l); case _ => None
+    }
+    case DateType => v match {
+      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+      case d: java.time.LocalDate => Some(d.toEpochDay)
+      case _ => None
+    }
+    case TimestampType => v match {
+      case t: java.sql.Timestamp =>
+        Some(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+      case i: java.time.Instant => Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case _ => None
+    }
+    case DoubleType | FloatType => v match {
+      case d: Double => Some(d); case f: Float => Some(f.toDouble)
+      case i: Int => Some(i.toDouble); case l: Long => Some(l.toDouble); case _ => None
+    }
+    case StringType => v match { case s: String => Some(s); case _ => None }
+    case _ => None
+  }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: String, y: String) => x.compareTo(y)
+    case _ => 0 // incomparable: treated as "can't prune"
+  }
+
+  /** True unless the file's stored column bounds PROVE the range can't
+    * match. Files without bounds (old manifests, unstatted columns)
+    * are always kept — pruning is an optimization, never a filter. */
+  private def fileAdmits(dfRec: GenericRecord, r: ColRange,
+                         schema: StructType, fieldIds: Seq[Int]): Boolean = {
+    val idx = schema.fieldNames.indexOf(r.colName)
+    if (idx < 0) return true
+    val dt = schema.fields(idx).dataType
+    val id = fieldIds(idx)
+    def bound(field: String): Option[Any] =
+      Option(dfRec.get(field)).flatMap { l =>
+        l.asInstanceOf[java.util.List[GenericRecord]].asScala
+          .find(_.get("key").asInstanceOf[java.lang.Integer].intValue == id)
+          .flatMap(kv => decodeBound(toBytes(kv.get("value")), dt))
+      }
+    lazy val fileLo = bound("lower_bounds")
+    lazy val fileHi = bound("upper_bounds")
+    val loOk = (for { p <- r.lo.flatMap(probeVal(_, dt)); fh <- fileHi }
+      yield cmp(fh, p) >= 0).getOrElse(true)
+    val hiOk = (for { p <- r.hi.flatMap(probeVal(_, dt)); fl <- fileLo }
+      yield cmp(fl, p) <= 0).getOrElse(true)
+    loOk && hiOk
+  }
+
   private def normalize(v: Any): Any = v match {
     case u: org.apache.avro.util.Utf8 => u.toString
     case i: java.lang.Integer => i.longValue()
@@ -886,10 +1061,17 @@ object IcebergRead {
     * reader below is the self-contained format-conformance path. */
   def toDataFrame(spark: org.apache.spark.sql.SparkSession, tableDir: String,
                   eq: Option[(String, Any)] = None,
-                  snapshotId: Option[Long] = None): DataFrame = {
+                  snapshotId: Option[Long] = None,
+                  ranges: Seq[ColRange] = Nil): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val files = planFiles(tableDir, conf, eq, snapshotId)
-    require(files.nonEmpty, s"graft iceberg: no data files at $tableDir for $eq")
+    val files = planFiles(tableDir, conf, eq, snapshotId, ranges)
+    // an unpredicated scan of a healthy table always has files; a
+    // predicated one may legitimately prune to zero (empty result)
+    require(files.nonEmpty || eq.nonEmpty || ranges.nonEmpty,
+      s"graft iceberg: no data files at $tableDir")
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        IcebergMeta.load(tableDir, conf, snapshotId).schema)
     // Read with the CURRENT table schema carrying each field's id as
     // `parquet.field.id` metadata, and field-id resolution enabled:
     // Spark then matches parquet columns by id, not name — which is
@@ -939,6 +1121,7 @@ class IcebergScanBuilder(path: String, fullSchema: StructType, snapshotId: Optio
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
   private var pruneEq: Option[(String, Any)] = None
+  private var ranges: Seq[IcebergRead.ColRange] = Nil
   private var pruned: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -952,32 +1135,53 @@ class IcebergScanBuilder(path: String, fullSchema: StructType, snapshotId: Optio
     pruneEq = filters.collectFirst {
       case EqualTo(a, v) if sourceCols.contains(a) => (a, v)
     }
+    // equality/range predicates on ANY table column become file-level
+    // bounds probes (data_file lower/upper bounds) — exclusive bounds
+    // are relaxed to inclusive, which only keeps extra files (the
+    // residual row filter removes their rows)
+    val cols = meta.schema.fieldNames.toSet
+    ranges = filters.toSeq.collect {
+      case EqualTo(a, v) if cols(a) =>
+        IcebergRead.ColRange(a, Some(v), Some(v))
+      case org.apache.spark.sql.sources.GreaterThan(a, v) if cols(a) =>
+        IcebergRead.ColRange(a, Some(v), None)
+      case org.apache.spark.sql.sources.GreaterThanOrEqual(a, v) if cols(a) =>
+        IcebergRead.ColRange(a, Some(v), None)
+      case org.apache.spark.sql.sources.LessThan(a, v) if cols(a) =>
+        IcebergRead.ColRange(a, None, Some(v))
+      case org.apache.spark.sql.sources.LessThanOrEqual(a, v) if cols(a) =>
+        IcebergRead.ColRange(a, None, Some(v))
+    }
     pruned = filters.filter {
-      case EqualTo(a, _) => sourceCols.contains(a)
+      case EqualTo(a, _) => sourceCols.contains(a) || cols(a)
+      case org.apache.spark.sql.sources.GreaterThan(a, _) => cols(a)
+      case org.apache.spark.sql.sources.GreaterThanOrEqual(a, _) => cols(a)
+      case org.apache.spark.sql.sources.LessThan(a, _) => cols(a)
+      case org.apache.spark.sql.sources.LessThanOrEqual(a, _) => cols(a)
       case _ => false
     }
-    filters // bucket is many-to-one: every filter stays residual
+    filters // pruning is file-level only: every filter stays residual
   }
   override def pushedFilters(): Array[Filter] = pruned
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new IcebergScan(path, required, pruneEq, snapshotId)
+  override def build(): Scan = new IcebergScan(path, required, pruneEq, snapshotId, ranges)
 }
 
 class IcebergScan(path: String, required: StructType, eq: Option[(String, Any)],
-                  snapshotId: Option[Long])
+                  snapshotId: Option[Long], ranges: Seq[IcebergRead.ColRange] = Nil)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-iceberg $path snap=${snapshotId.getOrElse("current")} pruneEq=$eq " +
-      s"cols=${required.fieldNames.mkString(",")}"
+      s"boundsPrune=${ranges.mkString(",")} cols=${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
-    IcebergRead.planFiles(path, conf, eq, snapshotId)
+    IcebergRead.planFiles(path, conf, eq, snapshotId, ranges)
       .map(f => IcebergInputPartition(f.path): InputPartition).toArray
   }
 

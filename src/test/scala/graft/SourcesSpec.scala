@@ -308,6 +308,68 @@ class SourcesSpec extends SparkSpec {
     assert(pL.size < IcebergRead.planFiles(wdir, conf, None).size)
   }
 
+  test("S16h: Iceberg per-column bounds skip files on NON-partition predicates") {
+    import graft.sources.{IcebergRead, IcebergWrite}
+    import graft.sources.IcebergRead.ColRange
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fmt = "graft.sources.IcebergSource"
+    val dir = tmp() + "/iceberg_bounds"
+    // 4 identity partitions on grp; v and s are NOT partition columns
+    // but their per-file ranges are disjoint by construction, so the
+    // data_file lower/upper bounds can prove most files irrelevant
+    val rows = for { g <- 1 to 4; i <- 0 until 10 }
+      yield (g.toLong * 1000 + i, g, g.toLong * 100 + i, f"g${g}_row$i%02d")
+    val df0 = spark.createDataFrame(rows).toDF("id", "grp", "v", "s").repartition(1)
+    // nullable schema: the DSv2 Group reader projects optional columns
+    val df = spark.createDataFrame(df0.rdd,
+      org.apache.spark.sql.types.StructType(df0.schema.map(_.copy(nullable = true))))
+    IcebergWrite.write(df, dir, "grp", "identity")
+    val all = IcebergRead.planFiles(dir, conf, None)
+    assert(all.size == 4, s"expected one file per partition, got ${all.size}")
+    // equality on non-partition long column v: only grp=2's file admits 205
+    val eq205 = IcebergRead.planFiles(dir, conf, None,
+      ranges = Seq(ColRange("v", Some(205L), Some(205L))))
+    assert(eq205.size == 1 && eq205.head.path.contains("_pv=2"), eq205.toString)
+    // range probe [150, 399] admits exactly the grp=2 and grp=3 files
+    val range = IcebergRead.planFiles(dir, conf, None,
+      ranges = Seq(ColRange("v", Some(150L), Some(399L))))
+    assert(range.size == 2 && range.forall(f =>
+      f.path.contains("_pv=2") || f.path.contains("_pv=3")), range.toString)
+    // string bounds prune too (UTF-8 byte order)
+    val sEq = IcebergRead.planFiles(dir, conf, None,
+      ranges = Seq(ColRange("s", Some("g3_row05"), Some("g3_row05"))))
+    assert(sEq.size == 1 && sEq.head.path.contains("_pv=3"), sEq.toString)
+    // a probe outside every file's bounds prunes to zero files, and the
+    // vectorized path returns an empty (not failing) result
+    assert(IcebergRead.planFiles(dir, conf, None,
+      ranges = Seq(ColRange("v", Some(9999L), Some(9999L)))).isEmpty)
+    assert(IcebergRead.toDataFrame(spark, dir,
+      ranges = Seq(ColRange("v", Some(9999L), Some(9999L)))).count() == 0)
+    // DSv2: a filter on the non-partition column plans only the
+    // admitted file (one InputPartition) and still lands the exact row
+    val back = spark.read.format(fmt).load(dir)
+    val probe = back.filter(col("v") === 205L)
+    assert(probe.rdd.getNumPartitions == 1, s"expected 1 file, got ${probe.rdd.getNumPartitions}")
+    assert(probe.count() == 1)
+    assert(probe.select("s").collect().head.getString(0) == "g2_row05")
+    // range predicates push the same way
+    val probeRange = back.filter(col("v") >= 150L && col("v") <= 399L)
+    assert(probeRange.rdd.getNumPartitions == 2)
+    assert(probeRange.count() == 20)
+    // appends carry bounds as well: the new batch's file is found by
+    // its own disjoint range, old files stay pruned away
+    val more0 = spark.createDataFrame(
+      (0 until 10).map(i => (5000L + i, 5, 500L + i, f"g5_row$i%02d")))
+      .toDF("id", "grp", "v", "s").repartition(1)
+    val more = spark.createDataFrame(more0.rdd,
+      org.apache.spark.sql.types.StructType(more0.schema.map(_.copy(nullable = true))))
+    IcebergWrite.append(more, dir)
+    val eq505 = IcebergRead.planFiles(dir, conf, None,
+      ranges = Seq(ColRange("v", Some(505L), Some(505L))))
+    assert(eq505.size == 1 && eq505.head.path.contains("data-s2"), eq505.toString)
+    assert(spark.read.format(fmt).load(dir).filter(col("v") === 505L).count() == 1)
+  }
+
   test("S16d: Iceberg temporal transforms — year/month/day on DATE, hour on TIMESTAMP (spec epoch offsets)") {
     import graft.sources.{IcebergRead, IcebergWrite}
     val conf = spark.sparkContext.hadoopConfiguration
