@@ -38,6 +38,7 @@ object Fixtures {
     "src_iceberg_roundtrip" -> ((s, d) => { sources.IcebergQueries.ensureTable(s, d); () }),
     "src_iceberg_prune" -> ((s, d) => { sources.IcebergQueries.ensureTable(s, d); () }),
     "sim_ivf_persisted" -> ((s, d) => { pipeline.Similarity.ensureIvfIndex(s, d); () }),
+    "sim_pq_persisted" -> ((s, d) => { pipeline.Similarity.ensurePqIndex(s, d); () }),
     "dedup_incremental_indexed" -> ((s, d) => { pipeline.Dedup.ensureLshIndex(s, d); () }),
   )
 
@@ -64,6 +65,9 @@ object Fixtures {
     "sim_ivf_persisted" ->
       ((s, d) => { pipeline.Similarity.invalidateIvfIndex(d)
         rm(s, pipeline.Similarity.ivfIndexPath(d)) }),
+    "sim_pq_persisted" ->
+      ((s, d) => { pipeline.Similarity.invalidatePqIndex(d)
+        rm(s, pipeline.Similarity.pqIndexPath(d)) }),
     "dedup_incremental_indexed" ->
       ((s, d) => { pipeline.Dedup.invalidateLshIndex(d)
         rm(s, pipeline.Dedup.lshIndexPath(d)) }),

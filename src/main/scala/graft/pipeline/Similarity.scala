@@ -275,13 +275,31 @@ object Similarity {
              k: Int, subspaces: Int = 8, codes: Int = 32,
              trainSample: Int = 2048, lloydIters: Int = 2): DataFrame = {
     GraftFunctions.register(spark)
+    val K = codes
+    val cb = pqTrainCodebook(corpus, subspaces, K, trainSample, lloydIters)
+    // --- encode the FULL corpus: all M codes in one compiled row-local
+    // pass (pq_encode normalizes + argmins in a codegen expression —
+    // Spark's higher-order lambdas are interpreted per element, which
+    // made this exact plan ~2000 interpreted calls per corpus row) ---
+    val encoded = corpus.crossJoin(broadcast(cbRow(cb)))
+      .select(col("vec_id").as("c_id"),
+        call_function("pq_encode", col("embedding"), col("cb"), lit(K)).as("pq_codes"))
+    pqAdcScan(queries, encoded, cb, K, k)
+  }
+
+  /** PQ codebook training, shared verbatim by the inline [[pqTopK]] and
+    * the persisted [[pqIndexWrite]] so their codebooks are the same
+    * computation: bounded normalized sample, codegen pq_* expressions,
+    * dense-codebook Lloyd (a dead code keeps its previous centroid —
+    * ADC indexes the sorted codebook positionally as m*K + code, so a
+    * dropped row would silently misalign every lookup after it).
+    * Returns (m: int, code: int, cvec). */
+  private def pqTrainCodebook(corpus: DataFrame, subspaces: Int, codes: Int,
+                              trainSample: Int, lloydIters: Int): DataFrame = {
     import graft.functions.VectorAvg
     require(trainSample >= codes,
-      s"pqTopK: trainSample ($trainSample) must cover the codebook ($codes)")
+      s"pq train: trainSample ($trainSample) must cover the codebook ($codes)")
     val M = subspaces; val K = codes
-    // --- training: bounded normalized sample, all expressions codegen
-    // (no higher-order lambdas anywhere — they are interpreted per
-    // element and dominated the build time before the pq_* exprs) ---
     val sample = corpus.orderBy("vec_id").limit(trainSample)
       .select(col("vec_id"), call_function("l2_normalize", col("embedding")).as("nv"))
     val svExpr = expr(s"slice(nv, m * (size(nv) DIV $M) + 1, size(nv) DIV $M)")
@@ -292,9 +310,6 @@ object Similarity {
       .withColumn("rn", row_number().over(seedW))
       .filter(col("rn") <= K)
       .select(col("m"), (col("rn") - 1).as("code"), svExpr.as("cvec"))
-    // one-row broadcast codebook, sorted (m, code) so struct index = m*K + code
-    def cbRow(c: DataFrame): DataFrame =
-      c.agg(array_sort(collect_list(struct(col("m"), col("code"), col("cvec")))).as("cb"))
     var i = 0
     while (i < lloydIters) { // Lloyd on the sample: shuffle <= sample*M rows
       // assignment reuses the compiled pq_encode on the wide row (the
@@ -306,26 +321,27 @@ object Similarity {
             .as(Seq("m", "code")))
         .select(col("m"), col("code"), svExpr.as("sv"))
         .groupBy("m", "code").agg(VectorAvg.of(col("sv")).as("mean"))
-      // keep the codebook DENSE: a dead code (no assignments this
-      // round) retains its previous centroid — ADC scoring indexes the
-      // sorted codebook positionally as m*K + code, so a dropped row
-      // would silently misalign every lookup after it
       cb = cb.join(means, Seq("m", "code"), "left")
         .select(col("m"), col("code"), coalesce(col("mean"), col("cvec")).as("cvec"))
       i += 1
     }
-    // --- encode the FULL corpus: all M codes in one compiled row-local
-    // pass (pq_encode normalizes + argmins in a codegen expression —
-    // Spark's higher-order lambdas are interpreted per element, which
-    // made this exact plan ~2000 interpreted calls per corpus row) ---
-    val encoded = corpus.crossJoin(broadcast(cbRow(cb)))
-      .select(col("vec_id").as("c_id"),
-        call_function("pq_encode", col("embedding"), col("cb"), lit(K)).as("pq_codes"))
-    // --- ADC: per-query distance table over the broadcast codebook ---
+    cb
+  }
+
+  /** One-row broadcast codebook, sorted (m, code) so struct index =
+    * m*K + code. */
+  private def cbRow(c: DataFrame): DataFrame =
+    c.agg(array_sort(collect_list(struct(col("m"), col("code"), col("cvec")))).as("cb"))
+
+  /** The ADC scan shared by inline and persisted serving: per-query
+    * distance table over the broadcast codebook, score = sum of M
+    * table lookups (ascending L2^2 = descending cos on normalized
+    * vectors), bounded query set joined by broadcast. */
+  private def pqAdcScan(queries: DataFrame, encoded: DataFrame, cb: DataFrame,
+                        K: Int, k: Int): DataFrame = {
     val qTabs = queries.crossJoin(broadcast(cbRow(cb)))
       .select(col("vec_id").as("q_id"),
         call_function("pq_dtab", col("embedding"), col("cb"), lit(K)).as("dtab"))
-    // scan: score = sum of M table lookups; ascending L2^2 = descending cos
     val scored = encoded.crossJoin(broadcast(qTabs))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
@@ -333,6 +349,86 @@ object Similarity {
     val w = Window.partitionBy("q_id").orderBy(col("dist").asc, col("c_id"))
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
+
+  // ---- P33b: persisted PQ index (build once, serve many) -----------
+
+  /** Index location: the ivfIndexPath contract (SF-name + absolute-dir
+    * hash + JVM pid — concurrent JVMs never share a /tmp directory). */
+  def pqIndexPath(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    s"/tmp/graft_pq_index_${new java.io.File(dir).getName}_" +
+      s"${abs.hashCode.toHexString}_p${ProcessHandle.current().pid()}"
+  }
+
+  private val pqIdxBuilt = new scala.collection.concurrent.TrieMap[String, Boolean]()
+
+  /** Write-once memo per JVM (the ensureIvfIndex pattern). */
+  def ensurePqIndex(spark: SparkSession, dir: String): String = {
+    val p = pqIndexPath(dir)
+    pqIdxBuilt.getOrElseUpdate(p, {
+      pqIndexWrite(spark, Tables(spark, dir).embeddings, p); true
+    })
+    p
+  }
+  private[graft] def invalidatePqIndex(dir: String): Unit =
+    pqIdxBuilt.remove(pqIndexPath(dir))
+
+  /** P33b: the PQ index as TABLES — [[pqTopK]] retrains codebooks and
+    * re-encodes the corpus per call; a production ADC scan trains and
+    * encodes ONCE and serves many (the build-once/serve-many split P44
+    * gave IVF). Two parquet relations:
+    *
+    *   indexDir/codebook  (m, code, cvec)       — bounded (M*K rows)
+    *   indexDir/pq_codes  (c_id, pq_codes)      — the compressed corpus
+    *
+    * The corpus is encoded against the codebook READ BACK from disk,
+    * so the stored codes are exactly what future appends and queries
+    * will see — no trained-but-unwritten state. At 100 TB the
+    * pq_codes table is the ~32x-smaller scan (M small ints per
+    * vector), which is the entire point of PQ. */
+  def pqIndexWrite(spark: SparkSession, corpus: DataFrame, indexDir: String,
+                   subspaces: Int = 8, codes: Int = 32,
+                   trainSample: Int = 2048, lloydIters: Int = 2): Unit = {
+    GraftFunctions.register(spark)
+    pqTrainCodebook(corpus, subspaces, codes, trainSample, lloydIters)
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
+    val cb = spark.read.parquet(s"$indexDir/codebook")
+    corpus.crossJoin(broadcast(cbRow(cb)))
+      .select(col("vec_id").as("c_id"),
+        call_function("pq_encode", col("embedding"), col("cb"), lit(codes)).as("pq_codes"))
+      .write.mode("overwrite").parquet(s"$indexDir/pq_codes")
+  }
+
+  /** Incremental maintenance: encode a new batch against the FROZEN
+    * codebook and append its codes — per batch the work is batch-sized,
+    * never corpus-sized (the ivfIndexAppend contract). Codebook drift
+    * under sustained ingest is the documented retrain trigger. */
+  def pqIndexAppend(spark: SparkSession, indexDir: String, newVecs: DataFrame): Unit = {
+    GraftFunctions.register(spark)
+    val cb = spark.read.parquet(s"$indexDir/codebook")
+    val K = pqCodesOf(cb)
+    newVecs.crossJoin(broadcast(cbRow(cb)))
+      .select(col("vec_id").as("c_id"),
+        call_function("pq_encode", col("embedding"), col("cb"), lit(K)).as("pq_codes"))
+      .write.mode("append").parquet(s"$indexDir/pq_codes")
+  }
+
+  /** Serve top-k from the persisted tables: the ADC scan reads the
+    * stored codes — identical scoring math to [[pqTopK]] (shared
+    * [[pqAdcScan]]), so persisted == inline ranks when built from the
+    * same corpus (spec-pinned). */
+  def pqIndexQuery(spark: SparkSession, indexDir: String, queries: DataFrame,
+                   k: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    val cb = spark.read.parquet(s"$indexDir/codebook")
+    val encoded = spark.read.parquet(s"$indexDir/pq_codes")
+    pqAdcScan(queries, encoded, cb, pqCodesOf(cb), k)
+  }
+
+  /** K recovered from the bounded codebook table itself (max code + 1)
+    * — the index stays self-describing, no side-channel metadata. */
+  private def pqCodesOf(cb: DataFrame): Int =
+    cb.agg(max(col("code"))).head.getInt(0) + 1
 
   /** Near-duplicate pairs by cosine threshold. Candidates come from an
     * equi-join on (label, lsh table, bucket) using the same
@@ -543,6 +639,14 @@ object Similarity {
     "sim_pq_topk" -> ((spark, dir) => {
       val emb = Tables(spark, dir).embeddings
       pqTopK(spark, emb.filter(col("vec_id") < 10), emb, 5)
+        .select("q_id", "c_id", "dist", "rk").orderBy("q_id", "rk")
+    }),
+    // float codebooks -> rows-only (the IVF/PQ precedent); persisted ==
+    // inline ranks and append-then-query are asserted in PipelineSpec.
+    "sim_pq_persisted" -> ((spark, dir) => {
+      val p = ensurePqIndex(spark, dir)
+      pqIndexQuery(spark, p,
+        Tables(spark, dir).embeddings.filter(col("vec_id") < 10), 5)
         .select("q_id", "c_id", "dist", "rk").orderBy("q_id", "rk")
     }),
     "sim_cosine_pairs" -> ((spark, dir) => {

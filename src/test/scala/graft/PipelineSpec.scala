@@ -176,6 +176,42 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("persisted PQ index: serving matches inline ranks, append finds the new vector") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    try {
+      Similarity.pqIndexWrite(spark, emb, dir)
+      // the codebook table is bounded (M*K rows) and dense: every
+      // (m, code) slot present — a hole would misalign ADC lookups
+      val cb = spark.read.parquet(s"$dir/codebook")
+      assert(cb.count() == 8L * 32L, cb.count().toString)
+      // identical training + shared ADC scan -> the persisted path must
+      // return exactly the inline path's (q_id, c_id, rk) triples
+      val served = Similarity.pqIndexQuery(spark, dir, queries, 5)
+      val got = served.select("q_id", "c_id", "rk").as[(Long, Long, Long)].collect().toSet
+      val inline = Similarity.pqTopK(spark, queries, emb, 5)
+        .select("q_id", "c_id", "rk").as[(Long, Long, Long)].collect().toSet
+      assert(got == inline, s"persisted != inline: ${(got -- inline) ++ (inline -- got)}")
+      // the corpus side of the served scan is the stored codes table
+      // (the bounded query side still reads its own vectors)
+      val servedPlan = served.queryExecution.sparkPlan.toString
+      assert(servedPlan.contains("pq_codes"), servedPlan.take(1200))
+      // append: an exact twin of query vector 0 encodes to vector 0's
+      // own codes against the frozen codebook -> ADC distance 0 beats
+      // every distinct neighbor, new top-1
+      val twin = emb.filter($"vec_id" === 0L)
+        .select(lit(900000L).as("vec_id"), $"embedding", $"label")
+      Similarity.pqIndexAppend(spark, dir, twin)
+      val after = Similarity.pqIndexQuery(spark, dir, queries, 5)
+        .filter($"q_id" === 0L && $"rk" === 1L)
+        .select("c_id").as[Long].collect()
+      assert(after.sameElements(Array(900000L)), after.toList.toString)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("LM perplexity: corpus-typical docs score lower cross-entropy than gibberish") {
     // train-on-self: 8 docs of common words + 1 gibberish doc. The LM
     // must rank the gibberish doc's cross-entropy strictly highest, and

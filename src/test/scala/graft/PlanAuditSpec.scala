@@ -470,7 +470,8 @@ class PlanAuditSpec extends SparkSpec {
       // dedup_semantic's bounded centroid crossJoin sits behind its slot
       // cache — visible again since the walk recurses into
       // InMemoryRelation (round-7 verdict #3).
-      "sim_ivf_topk", "sim_ivf_persisted", "sim_pq_topk", "dedup_semantic",
+      "sim_ivf_topk", "sim_ivf_persisted", "sim_pq_topk", "sim_pq_persisted",
+      "dedup_semantic",
       // documented bounded-query brute-force baseline (SURVEY P7)
       "sim_brute_topk")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
