@@ -76,12 +76,17 @@ object Cluster {
       .union(edges.select(col(dstC).cast("long").as("a"), col(srcC).cast("long").as("b")))
       .distinct()
     // ---- Phase 0: partition-local contraction (no label rounds) ----
-    // Range partitioning by source id gives id-adjacent edges (chains,
-    // temporal neighbors) a chance to land together; the union-find
-    // then collapses each partition's subgraph in one pass. Output:
-    // every node of the partition labeled with its LOCAL root = min id
-    // of its local component (min-root unions make the root the min).
-    val localRdd = sym.repartitionByRange(col("a")).rdd.mapPartitions { it =>
+    // Id-BLOCK partitioning (hash of id DIV 4096) gives id-adjacent
+    // edges (chains, temporal neighbors) the same co-location a range
+    // partition would — a 4096-id block's edges land together, only
+    // block-boundary nodes stitch in phase 1 — WITHOUT
+    // repartitionByRange's extra range-sampling job per call (round 8:
+    // the CC constant is per-round jobs, and the sampler was a whole
+    // hidden pass over the edge list). The union-find then collapses
+    // each partition's subgraph in one pass. Output: every node of the
+    // partition labeled with its LOCAL root = min id of its local
+    // component (min-root unions make the root the min).
+    val localRdd = sym.repartition(expr("a DIV 4096")).rdd.mapPartitions { it =>
       val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
       def find(x0: Long): Long = {
         var r = x0
@@ -124,7 +129,12 @@ object Cluster {
       .persist(lvl)
     var prevRdd: org.apache.spark.rdd.RDD[Row] = null
     var iter = 0
-    var changed = 1L
+    // Empty contracted graph (every component contained in one
+    // partition — common once phase 0 co-locates id blocks): skip the
+    // label loop entirely instead of paying one full round to discover
+    // there is nothing to move. The isEmpty probe reads the already-
+    // persisted symC, so it is one cheap action, not a recompute.
+    var changed = if (symC.isEmpty) 0L else 1L
     while (iter < maxIters && changed > 0) {
       // 1. closed neighborhood: own label ∪ labels flowing over edges.
       // The self rows carry the previous label in `own` (exactly one
@@ -198,6 +208,55 @@ object Cluster {
     labels.unpersist(false)
     if (prevRdd != null) prevRdd.unpersist(false)
     spark.createDataFrame(outRdd, labelSchema).withColumnRenamed("label", "cluster_id")
+  }
+
+  /** Connected components of an edge list whose components are
+    * PROVABLY contained within one `key` group — e.g. SemDeDup's
+    * in-cell pairs, where every edge joins two members of the same
+    * cell, so no component can span cells. That structural guarantee
+    * collapses CC to ONE hash shuffle on the key plus one
+    * partition-local union-find: within a partition union-find IS
+    * exact CC, and since all of a component's edges carry the same key
+    * they land in the same partition (several keys sharing a partition
+    * is harmless — union-find never merges unconnected nodes). No
+    * iterative phase, no convergence question. Per-partition memory is
+    * bounded by its groups' edge sets — the same bound the upstream
+    * in-group pair join already imposes; at 100 TB the group size IS
+    * the knob (SemDeDup's `cells`), exactly as for the pair join
+    * itself. Callers whose edges lack such a key use
+    * [[connectedComponents]].
+    *
+    * @return (id, cluster_id = min id in the component), every endpoint. */
+  def connectedComponentsWithin(edges: DataFrame, keyCol: String,
+                                srcCol: String, dstCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = edges.sparkSession
+    val rdd = edges
+      .select(col(keyCol), col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .repartition(col(keyCol)).rdd.mapPartitions { it =>
+        val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        def find(x0: Long): Long = {
+          var r = x0
+          while (parent.get(r).longValue() != r) r = parent.get(r).longValue()
+          var c = x0 // path compression
+          while (c != r) { val n = parent.get(c).longValue(); parent.put(c, r); c = n }
+          r
+        }
+        it.foreach { row =>
+          val a = row.getLong(1); val b = row.getLong(2)
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        parent.keySet().forEach(k => out += Row(k.longValue(), find(k.longValue())))
+        out.iterator
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("cluster_id", LongType, nullable = false))))
   }
 
   type Q = (SparkSession, String) => DataFrame

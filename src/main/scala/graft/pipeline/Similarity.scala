@@ -556,8 +556,12 @@ object Similarity {
         Seq("cell"))
       .filter(col("vec_a") < col("vec_b"))
       .filter(round(cosine(col("e_a"), col("e_b")), 6) >= eps)
-      .select(col("vec_a"), col("vec_b"))
-    val comp = Cluster.connectedComponents(edges).withColumnRenamed("id", "vec_id")
+      .select(col("cell"), col("vec_a"), col("vec_b"))
+    // edges exist only WITHIN a cell, so no component spans cells: the
+    // one-shuffle within-key union-find replaces the generic iterative
+    // CC (round 8 — identical labels, ~10 fewer jobs per call)
+    val comp = Cluster.connectedComponentsWithin(edges, "cell", "vec_a", "vec_b")
+      .withColumnRenamed("id", "vec_id")
     val labeled = assigned.join(comp, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("ccos"),
         coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
