@@ -1,0 +1,260 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Exact._
+
+/** Round-8 TPC-DS-derived shapes (SURVEY.md §2 DS31–DS35), continuing
+  * the adaptation of apache-impala-4.1.0/testdata/workloads/tpcds/
+  * queries/tpcds-q{5,17,65,75,97}.test onto the driver's star schema.
+  * Shapes this batch adds that the first thirty don't reach:
+  *
+  *  - q5:  a sales∪returns channel union rolled up with profit
+  *         (negative-measure union + ROLLUP over the pre-aggregated
+  *         grain, §5.9 — Expand multiplies a 50-row grain, not 6M
+  *         fact rows);
+  *  - q17: a bought→returned→re-bought three-scan fact chain whose
+  *         OUTPUT is distribution statistics (exact-decimal mean /
+  *         sample stdev / coefficient of variation per brand);
+  *  - q65: a two-level aggregate self-comparison (per (supp,part)
+  *         revenue joined against its per-supplier mean) selecting
+  *         under-performing pairs;
+  *  - q75: a prior-period self-join at (year, part) grain with a
+  *         decline predicate and multi-measure deltas;
+  *  - q97: distinct-pair set overlap between two channels through one
+  *         FULL OUTER join reduced to a single three-counter row.
+  *
+  * Scale discipline unchanged: only fixed-cardinality dims broadcast,
+  * fact↔fact joins shuffle on their keys, every money/qty sum is an
+  * exact DECIMAL(38,6) fold so results are shuffle-order independent.
+  */
+object TpcdsQueries2 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+  private val D = org.apache.spark.sql.types.DecimalType(38, 6)
+
+  val queries: Map[String, Q] = Map(
+    // DS31 (q5 shape): channel activity report. Sales rows contribute
+    // revenue, returned rows contribute a loss; both flow through ONE
+    // union-tagged pass, pre-aggregated at (channel, nation) grain
+    // before the ROLLUP so Expand runs on ≤ 2·25 rows.
+    "ds_q5_channel_rollup" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val base = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .select(
+          when(col("l_linestatus") === "O", "web").otherwise("store").as("channel"),
+          col("n_name"),
+          when(col("l_returnflag") =!= "R", rev).otherwise(lit(0.0)).as("sales"),
+          when(col("l_returnflag") === "R", rev).otherwise(lit(0.0)).as("returns_amt"))
+      val grain = base.groupBy(col("channel"), col("n_name"))
+        .agg(sum(col("sales").cast(D)).as("ss"),
+          sum(col("returns_amt").cast(D)).as("sr"))
+      grain.rollup(col("channel"), col("n_name"))
+        .agg(sum(col("ss")).cast("double").as("sales"),
+          sum(col("sr")).cast("double").as("returns_amt"),
+          (sum(col("ss")) - sum(col("sr"))).cast("double").as("profit"))
+        .select(coalesce(col("channel"), lit("ALL")).as("channel"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("sales"), col("returns_amt"), col("profit"))
+        .orderBy("channel", "nation")
+    }),
+
+    // DS32 (q17 shape): the bought→returned→re-bought chain, reported
+    // as per-brand quantity DISTRIBUTION stats. Mean and stdev are
+    // derived from exact decimal S1/S2 power sums (one double sqrt at
+    // the end), so the hash-aggregation order can't move the result.
+    "ds_q17_stats_chain" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val sold = t.lineitem.filter(col("l_returnflag") =!= "R")
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"),
+          col("l_quantity").as("qty"), col("o_orderdate").as("od"))
+      val returned = t.lineitem.filter(col("l_returnflag") === "R")
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("rck"), col("l_partkey").as("rpk"))
+        .agg(min(col("o_orderdate")).as("first_ret"))
+      val chain = sold
+        .join(returned, col("ck") === col("rck") && col("pk") === col("rpk"))
+        .filter(col("od") > col("first_ret"))
+      chain.join(t.part, col("pk") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum(col("qty").cast(D)).as("s1"),
+          sum((col("qty") * col("qty")).cast(D)).as("s2"))
+        .filter(col("n") >= 3)
+        .select(col("p_brand"), col("n"),
+          (col("s1").cast("double") / col("n").cast("double")).as("mean_qty"),
+          sqrt((col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double") / col("n").cast("double")) /
+            (col("n").cast("double") - 1.0)).as("stdev_qty"))
+        .withColumn("cov_bp",
+          floor(col("stdev_qty") * 10000.0 / col("mean_qty")).cast("long"))
+        .orderBy("p_brand")
+    }),
+
+    // DS33 (q65 shape): under-performing (supplier, part) pairs — pair
+    // revenue at or below half the supplier's mean pair revenue. Two
+    // aggregates over the same grain table; the second is 1 row per
+    // supplier and re-joins by supp key (shuffle, not broadcast: the
+    // supplier axis grows with SF).
+    "ds_q65_cheap_items" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val pairRev = t.lineitem
+        .groupBy(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .agg(sum(rev.cast(D)).as("prev"))
+      val suppAvg = pairRev.groupBy("sk")
+        .agg((sum(col("prev")).cast("double") / count(lit(1))).as("avg_rev"))
+      pairRev
+        .join(suppAvg, "sk")
+        .filter(col("prev").cast("double") <= col("avg_rev") * 0.5)
+        .join(t.supplier, col("sk") === col("s_suppkey"))
+        .join(t.part, col("pk") === col("p_partkey"))
+        .select(col("s_name"), col("p_name"),
+          col("prev").cast("double").as("pair_rev"), col("avg_rev"))
+        .orderBy("s_name", "p_name")
+    }),
+
+    // DS34 (q75 shape): items whose shipped quantity DECLINED year over
+    // year, with quantity and revenue deltas. Self-join of the same
+    // (year, part) aggregate on year-1 — both sides shuffle on pk, the
+    // decline predicate is non-equi but applies post-join.
+    "ds_q75_yoy_decline" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val byYear = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"), col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity").cast(D)).as("qty"), sum(rev.cast(D)).as("amt"))
+      val curr = byYear.select(col("yr"), col("pk"), col("qty").as("cq"), col("amt").as("ca"))
+      val prev = byYear.select((col("yr") + 1).as("yr"), col("pk"),
+        col("qty").as("pq"), col("amt").as("pa"))
+      curr.join(prev, Seq("yr", "pk"))
+        .filter(col("cq") < col("pq"))
+        .select(col("yr"), col("pk"),
+          col("pq").cast("double").as("prev_qty"), col("cq").cast("double").as("curr_qty"),
+          (col("cq") - col("pq")).cast("double").as("qty_delta"),
+          (col("ca") - col("pa")).cast("double").as("amt_delta"))
+        .orderBy(col("qty_delta"), col("yr"), col("pk"))
+        .limit(100)
+    }),
+
+    // DS35 (q97 shape): customer-part purchase-set overlap between the
+    // two line-status channels. DISTINCT pair sets on each side, ONE
+    // full-outer equi-join, reduced to a single three-counter row.
+    "ds_q97_purchase_overlap" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val pairs = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      val web = pairs.filter(col("l_linestatus") === "O")
+        .select(col("o_custkey").as("ck"), col("l_partkey").as("pk")).distinct()
+        .withColumn("w", lit(1))
+      val store = pairs.filter(col("l_linestatus") === "F")
+        .select(col("o_custkey").as("ck"), col("l_partkey").as("pk")).distinct()
+        .withColumn("s", lit(1))
+      web.join(store, Seq("ck", "pk"), "full_outer")
+        .agg(
+          sum(when(col("w").isNotNull && col("s").isNotNull, 1L).otherwise(0L)).as("both_channels"),
+          sum(when(col("w").isNotNull && col("s").isNull, 1L).otherwise(0L)).as("web_only"),
+          sum(when(col("w").isNull && col("s").isNotNull, 1L).otherwise(0L)).as("store_only"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ds_q5_channel_rollup" ->
+      s"""WITH base AS (
+         |  SELECT CASE WHEN l_linestatus = 'O' THEN 'web' ELSE 'store' END AS channel,
+         |         n_name,
+         |         CASE WHEN l_returnflag <> 'R'
+         |              THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS sales,
+         |         CASE WHEN l_returnflag = 'R'
+         |              THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS returns_amt
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey)
+         |SELECT coalesce(channel, 'ALL') AS channel, coalesce(n_name, 'ALL') AS nation,
+         |  ${sqlSum("sales")} AS sales,
+         |  ${sqlSum("returns_amt")} AS returns_amt,
+         |  CAST(SUM(CAST(sales AS DECIMAL(38,6))) - SUM(CAST(returns_amt AS DECIMAL(38,6))) AS DOUBLE) AS profit
+         |FROM base
+         |GROUP BY ROLLUP (channel, n_name)
+         |ORDER BY 1, 2""".stripMargin,
+
+    "ds_q17_stats_chain" ->
+      """WITH sold AS (
+        |  SELECT o_custkey AS ck, l_partkey AS pk, l_quantity AS qty, o_orderdate AS od
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag <> 'R'),
+        |ret AS (
+        |  SELECT o_custkey AS ck, l_partkey AS pk, min(o_orderdate) AS first_ret
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R' GROUP BY 1, 2),
+        |chain AS (
+        |  SELECT sold.pk, sold.qty FROM sold JOIN ret USING (ck, pk)
+        |  WHERE sold.od > ret.first_ret),
+        |agg AS (
+        |  SELECT p_brand, count(*)::BIGINT AS n,
+        |         SUM(CAST(qty AS DECIMAL(38,6))) AS s1,
+        |         SUM(CAST(qty * qty AS DECIMAL(38,6))) AS s2
+        |  FROM chain JOIN part ON pk = p_partkey
+        |  GROUP BY p_brand HAVING count(*) >= 3)
+        |SELECT p_brand, n,
+        |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+        |  sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |       / (CAST(n AS DOUBLE) - 1.0)) AS stdev_qty,
+        |  CAST(floor(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |       / (CAST(n AS DOUBLE) - 1.0)) * 10000.0 / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT) AS cov_bp
+        |FROM agg ORDER BY p_brand""".stripMargin,
+
+    "ds_q65_cheap_items" ->
+      """WITH pair_rev AS (
+        |  SELECT l_suppkey AS sk, l_partkey AS pk,
+        |         SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS prev
+        |  FROM lineitem GROUP BY 1, 2),
+        |sa AS (
+        |  SELECT sk, CAST(SUM(prev) AS DOUBLE) / count(*) AS avg_rev
+        |  FROM pair_rev GROUP BY sk)
+        |SELECT s_name, p_name, CAST(prev AS DOUBLE) AS pair_rev, avg_rev
+        |FROM pair_rev
+        |JOIN sa USING (sk)
+        |JOIN supplier ON sk = s_suppkey
+        |JOIN part ON pk = p_partkey
+        |WHERE CAST(prev AS DOUBLE) <= avg_rev * 0.5
+        |ORDER BY s_name, p_name""".stripMargin,
+
+    "ds_q75_yoy_decline" ->
+      """WITH by_year AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, l_partkey AS pk,
+        |         SUM(CAST(l_quantity AS DECIMAL(38,6))) AS qty,
+        |         SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS amt
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT c.yr, c.pk,
+        |  CAST(p.qty AS DOUBLE) AS prev_qty, CAST(c.qty AS DOUBLE) AS curr_qty,
+        |  CAST(c.qty - p.qty AS DOUBLE) AS qty_delta,
+        |  CAST(c.amt - p.amt AS DOUBLE) AS amt_delta
+        |FROM by_year c JOIN by_year p ON c.yr = p.yr + 1 AND c.pk = p.pk
+        |WHERE c.qty < p.qty
+        |ORDER BY qty_delta, c.yr, c.pk
+        |LIMIT 100""".stripMargin,
+
+    "ds_q97_purchase_overlap" ->
+      """WITH web AS (
+        |  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_linestatus = 'O'),
+        |store AS (
+        |  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_linestatus = 'F')
+        |SELECT
+        |  CAST(sum(CASE WHEN w.ck IS NOT NULL AND s.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both_channels,
+        |  CAST(sum(CASE WHEN w.ck IS NOT NULL AND s.ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS web_only,
+        |  CAST(sum(CASE WHEN w.ck IS NULL AND s.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS store_only
+        |FROM web w FULL OUTER JOIN store s ON w.ck = s.ck AND w.pk = s.pk""".stripMargin,
+  )
+}

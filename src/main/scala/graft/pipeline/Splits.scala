@@ -64,6 +64,52 @@ object Splits {
       .filter(membershipU < col("keep_frac"))
   }
 
+  /** P45b temperature-scaled source mixing (the multilingual-sampling
+    * rule of XLM-R / mC4: Conneau et al. 2020 §3.1, q_l ∝ p_l^α) —
+    * the data-DERIVED companion to [[mixture]], which takes its target
+    * proportions as input. Here the targets come from the corpus
+    * itself: raising per-stratum mass to α < 1 flattens the
+    * distribution so low-resource strata keep a larger relative share.
+    *
+    * Exactness: the one genuinely-floating step (p_l^α over 5 strata)
+    * is quantized to a 1e6 fixed-point grid immediately (the P36/P40
+    * floored-quantization precedent — ulp noise can't survive the
+    * grid), and everything after — share normalization, the budget
+    * targets, per-stratum keep fractions in ppm, and the Knuth-hash
+    * membership comparison — is pure BIGINT/DECIMAL arithmetic both
+    * engines replay bit-for-bit. Membership reuses the repartition-
+    * stable doc_id hash, compared in INTEGER space (k·1e6 <
+    * ppm·2^32), so no double ever decides a row.
+    *
+    * Scale shape: one 5-row aggregate over the stratum column,
+    * broadcast back onto the scan; the corpus itself is never
+    * shuffled. Budget is a fraction (num/den) of the corpus so the
+    * operator is SF-invariant. */
+  def temperatureMix(docs: DataFrame, alpha: Double = 0.3,
+                     budgetNum: Long = 3, budgetDen: Long = 5): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val withTot = counts.crossJoin(broadcast(
+      counts.agg(sum(col("n_lang")).as("n_total"))))
+    // q_fp = round(1e6 · (n_l/N)^α); Z = Σ q_fp; target_l = ⌊B·q_fp/Z⌋;
+    // keep_ppm = min(1e6, ⌊target·1e6/n_l⌋). All BIGINT after the grid.
+    val qfp = withTot.withColumn("q_fp",
+      floor(pow(col("n_lang").cast("double") / col("n_total").cast("double"), alpha)
+        * 1e6 + 0.5).cast("long"))
+    val keep = qfp.crossJoin(broadcast(qfp.agg(sum(col("q_fp")).as("z"))))
+      // `div` (integral division), NOT `/`: Column./ is always double
+      // division in Spark, and a double here would un-exact the grid.
+      .withColumn("budget", expr(s"n_total * $budgetNum div $budgetDen"))
+      .withColumn("target_l", expr("budget * q_fp div z"))
+      .withColumn("keep_ppm",
+        least(lit(1000000L), expr("target_l * 1000000 div n_lang")))
+      .select("lang", "keep_ppm")
+    val kInt = expr(
+      "CAST(CAST((doc_id % 4294967296) AS DECIMAL(38,0)) * 2654435761 % 4294967296 AS BIGINT)")
+    docs.join(broadcast(keep), Seq("lang"))
+      .filter(kInt * 1000000L < col("keep_ppm") * 4294967296L)
+      .select(col("doc_id"), col("lang"), col("keep_ppm"))
+  }
+
   /** Knuth multiplicative membership hash, u ∈ [0, 1). The product is
     * taken in DECIMAL(38,0): `doc_id * 2654435761` in BIGINT silently
     * wraps negative for doc_id ≳ 3.47e9 (Spark) or raises an overflow
@@ -99,6 +145,10 @@ object Splits {
       mixture(Tables(spark, dir).documents, target)
         .select("doc_id", "lang").orderBy("doc_id")
     }),
+    // P45b: oracle-exact — the α-power is grid-quantized per stratum
+    // (5 values), everything downstream is integer arithmetic.
+    "pipe_temperature_mix" -> ((spark, dir) =>
+      temperatureMix(Tables(spark, dir).documents).orderBy("doc_id")),
     // P20: oracle-exact since r7 — membership is the seeded Knuth
     // hash, pure integer arithmetic in both engines. Aggregated so
     // the row count is stable for the driver's rows>0 smoke.
@@ -112,6 +162,30 @@ object Splits {
   )
 
   val oracles: Map[String, String] = Map(
+    // Full replay of the temperature pipeline: DuckDB's power() runs on
+    // the same 5 (n_l, N) pairs, lands on the same 1e6 grid, and every
+    // later step is BIGINT (// is DuckDB's integral division). The
+    // membership product is HUGEINT-exact.
+    "pipe_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT lang, count(*)::BIGINT AS n_lang FROM documents GROUP BY lang),
+        |tot AS (SELECT sum(n_lang)::BIGINT AS n_total FROM counts),
+        |qf AS (
+        |  SELECT lang, n_lang,
+        |    CAST(floor(power(CAST(n_lang AS DOUBLE) / CAST(n_total AS DOUBLE), 0.3)
+        |               * 1e6 + 0.5) AS BIGINT) AS q_fp, n_total
+        |  FROM counts, tot),
+        |z AS (SELECT sum(q_fp)::BIGINT AS z FROM qf),
+        |keepf AS (
+        |  SELECT lang,
+        |    least(1000000,
+        |      ((n_total * 3 // 5) * q_fp // z) * 1000000 // n_lang) AS keep_ppm
+        |  FROM qf, z)
+        |SELECT doc_id, lang, keep_ppm
+        |FROM documents JOIN keepf USING (lang)
+        |WHERE CAST((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)
+        |      * 1000000 < keep_ppm * 4294967296
+        |ORDER BY doc_id""".stripMargin,
     "split_train_test" ->
       """SELECT doc_id,
         |  CAST((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16

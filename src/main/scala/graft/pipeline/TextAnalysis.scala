@@ -360,6 +360,46 @@ object TextAnalysis {
           col("r_stop_words"))
   }
 
+  /** P45: the C4 cleaning ruleset (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning...", §2.2), the companion to P42's
+    * Gopher rules — C4 is LINE-oriented where Gopher is ratio-oriented.
+    * Line filters (a line survives if it ends in a terminal punctuation
+    * mark `.` `!` `?` `"`, has >= 5 whitespace words, and does not
+    * mention "javascript"); page filters (>= 3 sentences counted as
+    * terminal marks in the ORIGINAL text, no "lorem ipsum", no `{`, no
+    * word from the bad-word list — a fixed 3-token stand-in here for
+    * the paper's external blocklist). The paper's remaining rule, exact
+    * three-sentence-span dedup, is the P35 exact-substring operator.
+    *
+    * Everything is counting, membership, and string equality — no
+    * ratios, no doubles — so DuckDB replays every verdict bit-for-bit.
+    * Per-row column algebra only: scan-bound at 100 TB.
+    */
+  def c4Rules(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    val lines = split(text, "\n")
+    val lineWords = (l: Column) => filter(split(trim(l), "\\s+"), w => length(w) > 0)
+    val keptLines = filter(lines, l =>
+      substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"") &&
+        size(lineWords(l)) >= 5 &&
+        !contains(lower(l), lit("javascript")))
+    val w = words(text)
+    val badWords = Seq("badword", "slur", "obscenity")
+    val nSentences =
+      (length(text) - length(translate(text, ".!?", ""))).cast("long")
+    docs.select(col("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        size(keptLines).cast("long").as("n_kept_lines"),
+        nSentences.as("n_sentences"),
+        contains(lower(text), lit("lorem ipsum")).as("has_lorem"),
+        contains(text, lit("{")).as("has_brace"),
+        badWords.map(b => array_contains(w, b)).reduce(_ || _).as("has_badword"),
+        concat_ws("\n", keptLines).as("clean_text"))
+      .withColumn("keep",
+        col("n_sentences") >= 3 && !col("has_lorem") && !col("has_brace") &&
+          !col("has_badword"))
+  }
+
   // ---- queries()/oracle entries -------------------------------------
 
   type Q = (SparkSession, String) => DataFrame
@@ -388,6 +428,8 @@ object TextAnalysis {
       tfidfTerms(Tables(spark, dir).documents).orderBy("doc_id", "rk")),
     "text_gopher_rules" -> ((spark, dir) =>
       gopherRules(Tables(spark, dir).documents).orderBy("doc_id")),
+    "text_c4_rules" -> ((spark, dir) =>
+      c4Rules(Tables(spark, dir).documents).orderBy("doc_id")),
     "text_heavy_hitters" -> ((spark, dir) => {
       import graft.functions.HeavyHitters
       val t = Tables(spark, dir)
@@ -586,6 +628,35 @@ object TextAnalysis {
          |  round(coalesce(a.nll_sum, 0.0) / greatest(len(t.toks), 1), 4) AS ce
          |FROM tok t LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // C4 rules are counting + membership only — no doubles anywhere —
+    // so DuckDB mirrors each verdict and the reassembled clean_text
+    // literally (list_filter over the same line split, joined with the
+    // same separator).
+    "text_c4_rules" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, text,
+         |    string_split(text, chr(10)) AS lines,
+         |    list_filter(string_split(text, chr(10)), l ->
+         |      right(rtrim(l), 1) IN ('.', '!', '?', '"')
+         |      AND len(list_filter(regexp_split_to_array(trim(l), '\\s+'), w -> len(w) > 0)) >= 5
+         |      AND NOT contains(lower(l), 'javascript')) AS kept
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(lines) AS BIGINT) AS n_lines,
+         |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+         |  CAST(length(text) - length(replace(replace(replace(text, '.', ''), '!', ''), '?', '')) AS BIGINT) AS n_sentences,
+         |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+         |  contains(text, '{') AS has_brace,
+         |  (list_contains($wsSql, 'badword') OR list_contains($wsSql, 'slur')
+         |   OR list_contains($wsSql, 'obscenity')) AS has_badword,
+         |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+         |  (length(text) - length(replace(replace(replace(text, '.', ''), '!', ''), '?', '')) >= 3
+         |   AND NOT contains(lower(text), 'lorem ipsum')
+         |   AND NOT contains(text, '{')
+         |   AND NOT (list_contains($wsSql, 'badword') OR list_contains($wsSql, 'slur')
+         |            OR list_contains($wsSql, 'obscenity'))) AS keep
+         |FROM g ORDER BY doc_id""".stripMargin,
 
     // Gopher rules are integer-exact by construction (no ratio ever
     // materializes as a double), so DuckDB mirrors every count and

@@ -307,6 +307,26 @@ object Streams {
         call_function("kll_quantile", col("sk"), lit(0.95)).as("p95"))
   }
 
+  /** T21: streaming windowed heavy hitters — Misra–Gries summaries as
+    * windowed aggregation state, the streaming twin of the batch
+    * `text_heavy_hitters` vocabulary monitor (same
+    * functions.MisraGriesAgg). Per hour window: the top event types by
+    * a k-counter summary plus the exact window count. Like T20's KLL,
+    * the summary is MERGEABLE (map-side partials + state-store
+    * incremental merges compose), state per window is O(k) counters
+    * regardless of type cardinality, and the watermark expires whole
+    * windows — the shape that survives an unbounded key domain at
+    * ingest rate. MG counts are lower bounds (merge-order dependent),
+    * so the contract mirrors the batch op's: every type with frequency
+    * > n/(k+1) in the window is PRESENT; ordering/counts are
+    * approximate. */
+  def windowedHeavyHitters(events: DataFrame, k: Int = 10): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.HeavyHitters.of(col("event_type"), k).as("hh"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("n"), col("hh"))
+
   /** T19: streaming incremental near-dup gate — the streaming twin of
     * the P43 batch gate (pipeline/Dedup.incrementalLshGate). Arriving
     * docs shingle and band ROW-LOCALLY through the same minhash math

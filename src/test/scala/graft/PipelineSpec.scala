@@ -931,6 +931,54 @@ class PipelineSpec extends SparkSpec {
       .getAs[Boolean]("r_stop_words"))
   }
 
+  test("c4 rules: line retention and page verdicts flip at published boundaries") {
+    def rules(id: Long, text: String) =
+      TextAnalysis.c4Rules(docsDf((id, text, "s1"))).collect().head
+    // a surviving line: >= 5 words AND terminal punctuation
+    val keptLine = "one two three four five."
+    val doc = rules(1L, Seq(keptLine, "one two three four.", // 4 words: dropped
+      "one two three four five",                             // no terminal: dropped
+      "uses javascript one two three four.",                 // javascript: dropped
+      "she said \"yes indeed it works\"").mkString("\n"))    // quote-terminal: kept
+    assert(doc.getAs[Long]("n_lines") == 5L)
+    assert(doc.getAs[Long]("n_kept_lines") == 2L)
+    assert(doc.getAs[String]("clean_text") ==
+      keptLine + "\nshe said \"yes indeed it works\"")
+    // page keep needs >= 3 sentences (terminal marks in ORIGINAL text)
+    assert(rules(2L, "a b. c d! e f?").getAs[Boolean]("keep"))
+    assert(!rules(3L, "a b. c d!").getAs[Boolean]("keep"))
+    // each page-level veto fires alone
+    assert(!rules(4L, "ok. ok! ok? but Lorem Ipsum appears").getAs[Boolean]("keep"))
+    assert(rules(4L, "ok. ok! ok? but Lorem Ipsum appears").getAs[Boolean]("has_lorem"))
+    assert(!rules(5L, "ok. ok! ok? code { follows").getAs[Boolean]("keep"))
+    assert(!rules(6L, "ok. ok! ok? with badword present").getAs[Boolean]("keep"))
+    // bad-word match is whole-word: substring hits don't veto
+    assert(rules(7L, "ok. ok! ok? notbadwordhere is fine").getAs[Boolean]("keep"))
+  }
+
+  test("temperature mix: integer-exact replay and low-resource flattening") {
+    import spark.implicits._
+    // 90/10 corpus: alpha=0.3 must keep a LARGER fraction of the
+    // low-resource stratum than of the high-resource one.
+    val docs = ((0L until 90L).map(i => (i, "en")) ++ (90L until 100L).map(i => (i, "de")))
+      .toDF("doc_id", "lang")
+    val out = Splits.temperatureMix(docs).collect()
+    val ppm = out.map(r => r.getAs[String]("lang") -> r.getAs[Long]("keep_ppm")).toMap
+    // replay the whole arithmetic in Scala (same grid, same int divs)
+    def qfp(n: Long) = math.floor(math.pow(n / 100.0, 0.3) * 1e6 + 0.5).toLong
+    val (qEn, qDe) = (qfp(90), qfp(10)); val z = qEn + qDe; val budget = 100L * 3 / 5
+    def expPpm(q: Long, n: Long) = math.min(1000000L, budget * q / z * 1000000L / n)
+    assert(ppm("en") == expPpm(qEn, 90) && ppm("de") == expPpm(qDe, 10),
+      s"ppm=$ppm expected en=${expPpm(qEn, 90)} de=${expPpm(qDe, 10)}")
+    assert(ppm("de") > ppm("en"), s"flattening violated: $ppm")
+    // membership replay: EXACTLY the docs whose Knuth hash clears the
+    // per-stratum ppm bar are kept — repartition-stable by construction
+    def kept(id: Long, p: Long) =
+      (BigInt(id % 4294967296L) * 2654435761L % 4294967296L) * 1000000L < BigInt(p) * 4294967296L
+    val expected = (0L until 100L).filter(i => kept(i, if (i < 90) ppm("en") else ppm("de"))).toSet
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == expected)
+  }
+
   test("persisted LSH index: indexed gate verdicts == inline, append closes the ingest loop") {
     val corpus = (0L until 40L).map(i =>
       (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f", "s1"))

@@ -130,6 +130,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T21: streaming windowed heavy hitters surface every above-threshold type") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.windowedHeavyHitters(in.toDF(), k = 3)
+      .writeStream.format("memory").queryName("t21_out").outputMode("update").start()
+    try {
+      // 60 'view' + 30 'click' + 10 one-off types in one window: with
+      // k=3, anything with freq > n/(k+1) = 25 MUST be present.
+      val evs = (1 to 60).map(i => Event(i.toLong, ts(i % 40), 1, "view", 1.0)) ++
+        (1 to 30).map(i => Event(100L + i, ts(i % 40), 1, "click", 1.0)) ++
+        (1 to 10).map(i => Event(200L + i, ts(i % 40), 1, s"rare$i", 1.0))
+      in.addData(evs: _*)
+      q.processAllAvailable()
+      val r = spark.table("t21_out").orderBy($"n".desc).collect().head
+      assert(r.getAs[Long]("n") == 100L)
+      // entries are "type:lower-bound-count"
+      val hh = r.getSeq[String](r.fieldIndex("hh")).map(_.split(':').head)
+      assert(hh.contains("view") && hh.contains("click"), s"hh=$hh")
+      assert(hh.length <= 3)
+    } finally q.stop()
+  }
+
   test("T19: streaming near-dup gate flags the corpus twin once, novel docs pass silently") {
     implicit val ctx = spark.sqlContext
     // disjoint corpus vocabularies -> the planted twin's only verified
