@@ -98,19 +98,19 @@ object TpcdsQueries2 {
     }),
 
     // DS33 (q65 shape): under-performing (supplier, part) pairs — pair
-    // revenue at or below half the supplier's mean pair revenue. Two
-    // aggregates over the same grain table; the second is 1 row per
-    // supplier and re-joins by supp key (shuffle, not broadcast: the
-    // supplier axis grows with SF).
+    // revenue at or below half the supplier's mean pair revenue. The
+    // literal form (oracle) is a per-supplier aggregate self-joined
+    // back; here the mean comes from a window PARTITIONed by supplier
+    // over the pair grain — ONE extra shuffle on sk instead of
+    // re-aggregating and re-joining the same subtree (the fact is
+    // scanned once; per-supplier partitions are bounded by |part|).
     "ds_q65_cheap_items" -> ((spark, dir) => {
       val t = Tables(spark, dir)
-      val pairRev = t.lineitem
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("sk")
+      t.lineitem
         .groupBy(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
         .agg(sum(rev.cast(D)).as("prev"))
-      val suppAvg = pairRev.groupBy("sk")
-        .agg((sum(col("prev")).cast("double") / count(lit(1))).as("avg_rev"))
-      pairRev
-        .join(suppAvg, "sk")
+        .withColumn("avg_rev", sum(col("prev")).over(w).cast("double") / count(lit(1)).over(w))
         .filter(col("prev").cast("double") <= col("avg_rev") * 0.5)
         .join(t.supplier, col("sk") === col("s_suppkey"))
         .join(t.part, col("pk") === col("p_partkey"))
@@ -120,20 +120,23 @@ object TpcdsQueries2 {
     }),
 
     // DS34 (q75 shape): items whose shipped quantity DECLINED year over
-    // year, with quantity and revenue deltas. Self-join of the same
-    // (year, part) aggregate on year-1 — both sides shuffle on pk, the
-    // decline predicate is non-equi but applies post-join.
+    // year, with quantity and revenue deltas. The literal form (oracle)
+    // self-joins the (year, part) aggregate on year-1; here the prior
+    // year arrives by lag() over a window PARTITIONed by part — one
+    // shuffle on pk replaces re-aggregating the fact and a join, and a
+    // lag(yr) guard keeps only CONSECUTIVE year pairs (exactly the
+    // self-join's equi-condition). Same device as ds_q31's lead().
     "ds_q75_yoy_decline" -> ((spark, dir) => {
       val t = Tables(spark, dir)
-      val byYear = t.lineitem
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("pk").orderBy("yr")
+      t.lineitem
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
         .groupBy(year(col("o_orderdate")).cast("long").as("yr"), col("l_partkey").as("pk"))
-        .agg(sum(col("l_quantity").cast(D)).as("qty"), sum(rev.cast(D)).as("amt"))
-      val curr = byYear.select(col("yr"), col("pk"), col("qty").as("cq"), col("amt").as("ca"))
-      val prev = byYear.select((col("yr") + 1).as("yr"), col("pk"),
-        col("qty").as("pq"), col("amt").as("pa"))
-      curr.join(prev, Seq("yr", "pk"))
-        .filter(col("cq") < col("pq"))
+        .agg(sum(col("l_quantity").cast(D)).as("cq"), sum(rev.cast(D)).as("ca"))
+        .withColumn("pq", lag(col("cq"), 1).over(w))
+        .withColumn("pa", lag(col("ca"), 1).over(w))
+        .withColumn("pyr", lag(col("yr"), 1).over(w))
+        .filter(col("pyr") === col("yr") - 1 && col("cq") < col("pq"))
         .select(col("yr"), col("pk"),
           col("pq").cast("double").as("prev_qty"), col("cq").cast("double").as("curr_qty"),
           (col("cq") - col("pq")).cast("double").as("qty_delta"),
