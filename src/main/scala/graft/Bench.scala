@@ -48,7 +48,12 @@ object Bench {
     "sim_quantize_int8", "corpus_clean", "text_quality", "pipe_chunking",
     "stats_table", "asof_join_events", "events_sessionize",
     "win_topn_per_group", "layout_zorder",
-    "src_nested_parquet", "src_avro_roundtrip", "src_iceberg_roundtrip")
+    "src_nested_parquet", "src_avro_roundtrip", "src_iceberg_roundtrip",
+    // round-8 families, pinned for round-over-round tracking
+    "ds_q5_channel_rollup", "ds_q17_stats_chain", "ds_q65_cheap_items",
+    "ds_q75_yoy_decline", "ds_q97_purchase_overlap", "text_c4_rules",
+    "pipe_temperature_mix", "sim_pq_persisted", "agg_sketch_str",
+    "dedup_incremental_indexed")
 
   // Locale.ROOT: the default-locale format would emit comma decimals
   // ("1,234") under e.g. a de_DE JVM, corrupting the JSON contract.

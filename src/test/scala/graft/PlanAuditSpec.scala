@@ -465,6 +465,9 @@ class PlanAuditSpec extends SparkSpec {
       "pipe_dsir_select", "pipe_mixture", "pipe_end_to_end", "pipe_bpe_tokenize",
       "text_lm_perplexity", "text_quality_classifier", "text_ppl_buckets",
       "text_tfidf_terms",
+      // r8: N-total and Z-normalizer are 1-row global aggregates crossed
+      // onto the 5-row stratum table (the corpus side joins by equi-key)
+      "pipe_temperature_mix",
       // bounded centroid/codebook sides: <= cells (16) or codebook (<= 256)
       // rows broadcast against the corpus; assignment itself is row-local.
       // dedup_semantic's bounded centroid crossJoin sits behind its slot
