@@ -53,7 +53,9 @@ object Bench {
     "ds_q5_channel_rollup", "ds_q17_stats_chain", "ds_q65_cheap_items",
     "ds_q75_yoy_decline", "ds_q97_purchase_overlap", "text_c4_rules",
     "pipe_temperature_mix", "sim_pq_persisted", "agg_sketch_str",
-    "dedup_incremental_indexed")
+    "dedup_incremental_indexed",
+    "ds_q6_above_avg_price", "ds_q9_quantity_buckets", "ds_q62_ship_latency",
+    "ds_q90_time_ratio", "ds_q85_return_profile")
 
   // Locale.ROOT: the default-locale format would emit comma decimals
   // ("1,234") under e.g. a de_DE JVM, corrupting the JSON contract.

@@ -145,6 +145,95 @@ object TpcdsQueries2 {
         .limit(100)
     }),
 
+    // DS36 (q6 shape): items priced >= 1.2x their type's average, and
+    // who buys them. The per-type average comes from a window over the
+    // part DIMENSION (never the fact); the 20% markup comparison uses
+    // the identical double formula in both engines.
+    "ds_q6_above_avg_price" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("p_type")
+      val pricey = t.part
+        .withColumn("avg_price",
+          sum(col("p_retailprice").cast(D)).over(w).cast("double") / count(lit(1)).over(w))
+        .filter(col("p_retailprice") * 10.0 >= col("avg_price") * 12.0)
+        .select(col("p_partkey"), col("p_type"))
+      t.lineitem
+        .join(pricey, col("l_partkey") === col("p_partkey"))
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_lines"),
+          countDistinct(col("c_custkey")).as("n_cust"))
+        .filter(col("n_lines") >= 10)
+        .orderBy("c_nationkey")
+    }),
+
+    // DS37 (q9 shape): five quantity-band statistics. The literal form
+    // (oracle) runs five scalar-subquery scans; here ONE conditional-
+    // aggregation pass over the fact produces all bands — the q88/q58
+    // single-scan device applied to q9's band battery.
+    "ds_q9_quantity_buckets" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.lineitem
+        .groupBy(((col("l_quantity").cast("long") - 1) / lit(10L)).cast("long").as("band"))
+        .agg(count(lit(1)).as("n"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .filter(col("band").between(0, 4))
+        .orderBy("band")
+    }),
+
+    // DS38 (q62 shape): shipping-latency buckets per order priority —
+    // days between order and ship date CASE-banded in one fact pass
+    // (the reference's q62 warehouse/ship-mode axes map onto priority).
+    "ds_q62_ship_latency" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val lat = datediff(col("l_shipdate"), col("o_orderdate"))
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(lat <= 30, 1L).otherwise(0L)).as("d30"),
+          sum(when(lat > 30 && lat <= 60, 1L).otherwise(0L)).as("d60"),
+          sum(when(lat > 60 && lat <= 90, 1L).otherwise(0L)).as("d90"),
+          sum(when(lat > 90, 1L).otherwise(0L)).as("d90plus"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // DS39 (q90 shape): morning/evening activity ratio per event type
+    // over the events stream table — hour from the bigint-nanos ts via
+    // the suite's `ts div 1e9` seconds contract, ratio in floored
+    // basis points (IEEE divide+floor is engine-exact).
+    "ds_q90_time_ratio" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val hr = expr("(ts div 1000000000) div 3600 % 24")
+      t.events
+        .groupBy("event_type")
+        .agg(sum(when(hr >= 6 && hr <= 11, 1L).otherwise(0L)).as("n_am"),
+          sum(when(hr >= 18 && hr <= 23, 1L).otherwise(0L)).as("n_pm"))
+        .filter(col("n_pm") > 0)
+        .withColumn("am_pm_bp",
+          floor(col("n_am").cast("double") * 10000.0 / col("n_pm").cast("double")).cast("long"))
+        .orderBy("event_type")
+    }),
+
+    // DS40 (q85 shape): returned-line profile over customer demographic
+    // bands — segment x account-balance band, quantity and refund
+    // statistics per band combo, one fact pass.
+    "ds_q85_return_profile" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val band = when(col("c_acctbal") < 0, "negative")
+        .when(col("c_acctbal") < 5000, "low").otherwise("high")
+      t.lineitem.filter(col("l_returnflag") === "R")
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), band.as("bal_band"))
+        .agg(count(lit(1)).as("n"),
+          davg(col("l_quantity")).as("avg_qty"),
+          dsum(rev).as("refund"))
+        .orderBy("c_mktsegment", "bal_band")
+    }),
+
     // DS35 (q97 shape): customer-part purchase-set overlap between the
     // two line-status channels. DISTINCT pair sets on each side, ONE
     // full-outer equi-join, reduced to a single three-counter row.
@@ -244,6 +333,74 @@ object TpcdsQueries2 {
         |WHERE c.qty < p.qty
         |ORDER BY qty_delta, c.yr, c.pk
         |LIMIT 100""".stripMargin,
+
+    "ds_q6_above_avg_price" ->
+      """WITH pavg AS (
+        |  SELECT p_partkey, p_type, p_retailprice,
+        |         CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) OVER (PARTITION BY p_type) AS DOUBLE)
+        |           / COUNT(*) OVER (PARTITION BY p_type) AS avg_price
+        |  FROM part),
+        |pricey AS (
+        |  SELECT p_partkey FROM pavg WHERE p_retailprice * 10.0 >= avg_price * 12.0)
+        |SELECT c_nationkey, count(*)::BIGINT AS n_lines,
+        |       count(DISTINCT c_custkey)::BIGINT AS n_cust
+        |FROM lineitem
+        |JOIN pricey ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey HAVING count(*) >= 10
+        |ORDER BY c_nationkey""".stripMargin,
+
+    // literal q9 form: five band scans UNION ALL'd — proves the
+    // single-pass conditional-aggregation rewrite equivalent
+    "ds_q9_quantity_buckets" -> (0 to 4).map { b =>
+      s"""SELECT ${b}::BIGINT AS band, count(*)::BIGINT AS n,
+         |  ${sqlAvg("l_extendedprice")} AS avg_price,
+         |  ${sqlSum("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |WHERE CAST(l_quantity AS BIGINT) BETWEEN ${b * 10 + 1} AND ${b * 10 + 10}""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY band"),
+
+    "ds_q62_ship_latency" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_total,
+        |  sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 1 ELSE 0 END)::BIGINT AS d30,
+        |  sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 30
+        |            AND date_diff('day', o_orderdate, l_shipdate) <= 60 THEN 1 ELSE 0 END)::BIGINT AS d60,
+        |  sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+        |            AND date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 1 ELSE 0 END)::BIGINT AS d90,
+        |  sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90 THEN 1 ELSE 0 END)::BIGINT AS d90plus
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "ds_q90_time_ratio" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |         (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600) % 24 AS hr
+        |  FROM events),
+        |agg AS (
+        |  SELECT event_type,
+        |    sum(CASE WHEN hr BETWEEN 6 AND 11 THEN 1 ELSE 0 END)::BIGINT AS n_am,
+        |    sum(CASE WHEN hr BETWEEN 18 AND 23 THEN 1 ELSE 0 END)::BIGINT AS n_pm
+        |  FROM h GROUP BY event_type)
+        |SELECT event_type, n_am, n_pm,
+        |  CAST(floor(CAST(n_am AS DOUBLE) * 10000.0 / CAST(n_pm AS DOUBLE)) AS BIGINT) AS am_pm_bp
+        |FROM agg WHERE n_pm > 0
+        |ORDER BY event_type""".stripMargin,
+
+    "ds_q85_return_profile" ->
+      s"""SELECT c_mktsegment,
+         |  CASE WHEN c_acctbal < 0 THEN 'negative'
+         |       WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_band,
+         |  count(*)::BIGINT AS n,
+         |  ${sqlAvg("l_quantity")} AS avg_qty,
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS refund
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
 
     "ds_q97_purchase_overlap" ->
       """WITH web AS (
