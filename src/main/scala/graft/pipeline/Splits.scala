@@ -110,6 +110,34 @@ object Splits {
       .select(col("doc_id"), col("lang"), col("keep_ppm"))
   }
 
+  /** P46 epoch-weighted upsampling — the UPSAMPLING complement to
+    * [[mixture]]/[[temperatureMix]] (both only downsample): training
+    * recipes express per-source weights as EPOCHS, which may exceed 1
+    * (e.g. the LLaMA pre-training table, Touvron et al. 2023 §2.1:
+    * Wikipedia 2.45 epochs, C4 1.06). A doc with target epochs e
+    * yields ⌊e⌋ full copies plus one more iff its membership hash
+    * clears frac(e) — so expected copies per doc is exactly e, and
+    * membership is the repartition-stable Knuth hash compared in
+    * integer space (centi-epoch fixed point), making the emitted
+    * multiset bit-reproducible in any engine.
+    *
+    * Scale shape: a broadcast join against the per-stratum epoch spec
+    * and a row-local `explode(sequence(...))` — no shuffle at any
+    * scale; output size is Σ e_l·n_l by construction. */
+  def epochUpsample(docs: DataFrame, epochsCenti: Seq[(String, Long)]): DataFrame = {
+    require(epochsCenti.forall(_._2 >= 0), "epochs must be non-negative")
+    val spec = docs.sparkSession.createDataFrame(epochsCenti).toDF("lang", "e_cp")
+    val kInt = expr(
+      "CAST(CAST((doc_id % 4294967296) AS DECIMAL(38,0)) * 2654435761 % 4294967296 AS BIGINT)")
+    docs.join(broadcast(spec), Seq("lang"))
+      .withColumn("n_copies",
+        expr("e_cp div 100") +
+          when(kInt * 100L < (col("e_cp") % 100L) * 4294967296L, 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"), col("n_copies"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy"))
+  }
+
   /** Knuth multiplicative membership hash, u ∈ [0, 1). The product is
     * taken in DECIMAL(38,0): `doc_id * 2654435761` in BIGINT silently
     * wraps negative for doc_id ≳ 3.47e9 (Spark) or raises an overflow
@@ -149,6 +177,12 @@ object Splits {
     // (5 values), everything downstream is integer arithmetic.
     "pipe_temperature_mix" -> ((spark, dir) =>
       temperatureMix(Tables(spark, dir).documents).orderBy("doc_id")),
+    // P46: oracle-exact — copies are pure integer arithmetic on the
+    // centi-epoch spec + Knuth-hash membership.
+    "pipe_epoch_upsample" -> ((spark, dir) =>
+      epochUpsample(Tables(spark, dir).documents,
+        Seq("en" -> 245L, "de" -> 106L, "fr" -> 100L, "es" -> 64L, "zh" -> 30L))
+        .orderBy("doc_id", "copy")),
     // P20: oracle-exact since r7 — membership is the seeded Knuth
     // hash, pure integer arithmetic in both engines. Aggregated so
     // the row count is stable for the driver's rows>0 smoke.
@@ -186,6 +220,22 @@ object Splits {
         |WHERE CAST((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)
         |      * 1000000 < keep_ppm * 4294967296
         |ORDER BY doc_id""".stripMargin,
+    // Copies replayed exactly: integer centi-epoch split + the HUGEINT
+    // membership product, fanned out with generate_series.
+    "pipe_epoch_upsample" ->
+      """WITH spec AS (
+        |  SELECT * FROM (VALUES ('en', 245), ('de', 106), ('fr', 100),
+        |                        ('es', 64), ('zh', 30)) AS t(lang, e_cp)),
+        |n AS (
+        |  SELECT doc_id, d.lang,
+        |    (e_cp // 100) + CASE WHEN
+        |      CAST((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)
+        |        * 100 < (e_cp % 100) * 4294967296 THEN 1 ELSE 0 END AS n_copies
+        |  FROM documents d JOIN spec ON d.lang = spec.lang)
+        |SELECT doc_id, lang, CAST(n_copies AS BIGINT) AS n_copies,
+        |       CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy
+        |FROM n WHERE n_copies > 0
+        |ORDER BY doc_id, copy""".stripMargin,
     "split_train_test" ->
       """SELECT doc_id,
         |  CAST((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16

@@ -979,6 +979,25 @@ class PipelineSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("doc_id")).toSet == expected)
   }
 
+  test("epoch upsampling: per-doc copy counts replay exactly and average to the target epochs") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, if (i < 100) "en" else "de"))
+      .toDF("doc_id", "lang")
+    // en: 2.45 epochs -> 2 or 3 copies; de: 0.30 -> 0 or 1
+    val out = Splits.epochUpsample(docs, Seq("en" -> 245L, "de" -> 30L)).collect()
+    def frac(id: Long, fracCp: Long) =
+      (BigInt(id % 4294967296L) * 2654435761L % 4294967296L) * 100L < BigInt(fracCp) * 4294967296L
+    val copies = out.groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.length).toMap
+    (0L until 200L).foreach { i =>
+      val (full, fr) = if (i < 100) (2L, 45L) else (0L, 30L)
+      val expected = full + (if (frac(i, fr)) 1 else 0)
+      assert(copies.getOrElse(i, 0) == expected, s"doc $i: ${copies.get(i)} vs $expected")
+    }
+    // every copy index 0..n-1 present exactly once
+    val en7 = out.filter(_.getAs[Long]("doc_id") == 7L).map(_.getAs[Long]("copy")).sorted
+    assert(en7.sameElements(0L until en7.length))
+  }
+
   test("persisted LSH index: indexed gate verdicts == inline, append closes the ingest loop") {
     val corpus = (0L until 40L).map(i =>
       (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f", "s1"))
