@@ -55,7 +55,8 @@ object Bench {
     "pipe_temperature_mix", "sim_pq_persisted", "agg_sketch_str",
     "dedup_incremental_indexed",
     "ds_q6_above_avg_price", "ds_q9_quantity_buckets", "ds_q62_ship_latency",
-    "ds_q90_time_ratio", "ds_q85_return_profile", "pipe_epoch_upsample")
+    "ds_q90_time_ratio", "ds_q85_return_profile", "pipe_epoch_upsample",
+    "src_iceberg_merge")
 
   // Locale.ROOT: the default-locale format would emit comma decimals
   // ("1,234") under e.g. a de_DE JVM, corrupting the JSON contract.

@@ -37,6 +37,7 @@ object Fixtures {
     "src_nested_parquet" -> ((s, d) => { sources.NestedParquet.ensureFile(s, d); () }),
     "src_iceberg_roundtrip" -> ((s, d) => { sources.IcebergQueries.ensureTable(s, d); () }),
     "src_iceberg_prune" -> ((s, d) => { sources.IcebergQueries.ensureTable(s, d); () }),
+    "src_iceberg_merge" -> ((s, d) => { sources.IcebergQueries.ensureMergeTable(s, d); () }),
     "sim_ivf_persisted" -> ((s, d) => { pipeline.Similarity.ensureIvfIndex(s, d); () }),
     "sim_pq_persisted" -> ((s, d) => { pipeline.Similarity.ensurePqIndex(s, d); () }),
     "dedup_incremental_indexed" -> ((s, d) => { pipeline.Dedup.ensureLshIndex(s, d); () }),
@@ -62,6 +63,9 @@ object Fixtures {
       ((s, d) => { sources.IcebergQueries.invalidate(d); rm(s, sources.IcebergQueries.path(d)) }),
     "src_iceberg_prune" ->
       ((s, d) => { sources.IcebergQueries.invalidate(d); rm(s, sources.IcebergQueries.path(d)) }),
+    "src_iceberg_merge" ->
+      ((s, d) => { sources.IcebergQueries.invalidateMerge(d)
+        rm(s, sources.IcebergQueries.mergePath(d)) }),
     "sim_ivf_persisted" ->
       ((s, d) => { pipeline.Similarity.invalidateIvfIndex(d)
         rm(s, pipeline.Similarity.ivfIndexPath(d)) }),

@@ -381,6 +381,109 @@ object IcebergWrite {
     writeSmall(fs, new Path(tableDir, "metadata/version-hint.text"), (v + 1).toString)
   }
 
+  /** S16h: copy-on-write MERGE (upsert) — the write operation Iceberg
+    * users actually run against a living table. Updates REPLACE
+    * existing rows sharing their (partition, key) and new keys insert;
+    * only the partitions the update batch TOUCHES are rewritten
+    * (manifest granularity is one partition value, so untouched
+    * partitions' manifests — and therefore their data files — carry
+    * into the new snapshot verbatim), and nothing already written is
+    * ever mutated: replaced files stay on disk, still referenced by
+    * earlier snapshots, so time travel sees the pre-merge table.
+    * This is v1 copy-on-write exactly as the reference consumes it —
+    * Impala reads Iceberg v1 and THROWS on v2 delete files
+    * (IcebergScanNode.java:121-125), so merge-on-read is a non-goal.
+    *
+    * Scale shape: cost is proportional to the AFFECTED partitions
+    * (read them, anti-join the batch, rewrite them), never the table;
+    * the affected set is discovered from the batch alone (a 1-column
+    * distinct over the update batch).
+    *
+    * Contract: the merge key is (partition, keyCol) — an update whose
+    * partition-source value differs from an existing row with the same
+    * keyCol is an INSERT in its own partition, not a cross-partition
+    * move (the partition-scoped upsert contract). Tables that have
+    * evolved their partition spec must be compacted to the current
+    * layout first (every manifest must carry the default spec id). */
+  def mergeUpsert(updates: DataFrame, tableDir: String, keyCol: String,
+                  summary: Map[String, String] = Map.empty): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = updates.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(tableDir).getFileSystem(conf)
+    val v = readSmall(fs, new Path(tableDir, "metadata/version-hint.text")).trim.toInt
+    val metaNode = mapper.readTree(
+      readSmall(fs, new Path(tableDir, s"metadata/v$v.metadata.json")))
+    val meta = load(tableDir, conf)
+    require(updates.schema.fieldNames.sameElements(meta.schema.fieldNames),
+      s"graft iceberg merge: schema mismatch ${updates.schema.fieldNames.mkString(",")} " +
+        s"vs ${meta.schema.fieldNames.mkString(",")}")
+    val pf = meta.spec.head
+    val sourceCol = meta.schema.fieldNames(pf.sourceId - 1)
+    // 1. the affected partition-tuple values, from the batch alone
+    //    (compared at the byte level the manifest summaries store)
+    val affectedBytes: Set[Seq[Byte]] = updates
+      .select(partitionValueColumn(pf, sourceCol).as("_pv"))
+      .distinct().collect().map(r => pvBytes(r.get(0)).toSeq).toSet
+    // 2. split the current manifest list: one manifest == one partition
+    //    value, so a manifest survives verbatim iff its summary bound
+    //    is not an affected value
+    val prevEntries = readListRecords(meta.manifestList, conf)
+    require(prevEntries.forall(
+      _.get("partition_spec_id").asInstanceOf[Int] == meta.defaultSpecId),
+      "graft iceberg merge: table has manifests under an evolved partition spec — compact first")
+    def entryPv(rec: GenericRecord): Seq[Byte] = {
+      val parts = rec.get("partitions")
+      require(parts != null, "graft iceberg merge: manifest without partition summary")
+      val sums = parts.asInstanceOf[java.util.List[GenericRecord]]
+      require(!sums.isEmpty, "graft iceberg merge: empty partition summary")
+      val bb = sums.get(0).get("lower_bound").asInstanceOf[java.nio.ByteBuffer]
+      val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b); b.toSeq
+    }
+    val (replaced, survivors) = prevEntries.partition(e => affectedBytes.contains(entryPv(e)))
+    // 3. current rows of the affected partitions only: the replaced
+    //    manifests' live data files, read directly
+    val replacedFiles = replaced.flatMap { rec =>
+      val mp = rec.get("manifest_path").toString
+      val in = new FsInput(new Path(mp), conf)
+      val r = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.collect {
+        case e if e.get("status").asInstanceOf[Int] != 2 =>
+          e.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString
+      }.toList finally r.close()
+    }
+    val current =
+      if (replacedFiles.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], updates.schema)
+      else spark.read.schema(updates.schema).parquet(replacedFiles: _*)
+    // 4. partition-local upsert: existing rows lose to same-key updates
+    val merged = current
+      .join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      .unionByName(updates)
+    // 5. new data files + manifests for the affected partitions,
+    //    committed as snapshot N+1 alongside the untouched manifests
+    val snapshotId = meta.snapshotId + 1
+    val manifests = writeDataAndManifests(merged, tableDir, s"data-s$snapshotId",
+      sourceCol, meta.spec, snapshotId, fieldIds = meta.fieldIds)
+    val listPath = writeManifestList(fs, tableDir, snapshotId, survivors, manifests,
+      specId = meta.defaultSpecId)
+    val oldSnaps = metaNode.get("snapshots").elements().asScala
+      .map(n => mapper.writeValueAsString(n)).mkString(",")
+    val mergedSummary = summary + ("operation" -> "overwrite")
+    val snapJson =
+      s"""{"snapshot-id":$snapshotId,"timestamp-ms":${System.currentTimeMillis()},"parent-snapshot-id":${meta.snapshotId},"summary":{${summaryJson(mergedSummary)}},"manifest-list":"${fs.makeQualified(listPath)}"}"""
+    val metaJson = {
+      val node = metaNode.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      node.put("current-snapshot-id", snapshotId)
+      node.put("last-updated-ms", System.currentTimeMillis())
+      node.set[JsonNode]("snapshots", mapper.readTree(s"[$oldSnaps,$snapJson]"))
+      mapper.writeValueAsString(node)
+    }
+    writeSmall(fs, new Path(tableDir, s"metadata/v${v + 1}.metadata.json"), metaJson)
+    writeSmall(fs, new Path(tableDir, "metadata/version-hint.text"), (v + 1).toString)
+  }
+
   /** S16g: snapshot EXPIRY — the retention-maintenance commit every
     * long-lived table needs: unbounded snapshot history means
     * unbounded metadata and undeletable data files. Keeps the newest
@@ -589,6 +692,27 @@ object IcebergWrite {
 
   /** Spark-parquet write partitioned by the transform value + one Avro
     * manifest per partition value. Returns (manifestPath, pv, nFiles). */
+  /** The partition-tuple value of a row under `pf`, as the Catalyst
+    * column the write path partitions by (shared by write/append and
+    * mergeUpsert so both sides of a merge compute the SAME layout). */
+  private def partitionValueColumn(pf: PartField, sourceCol: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    pf.transform match {
+      case _ if pf.isBucket => call_function("iceberg_bucket", col(sourceCol), lit(pf.param))
+      case _ if pf.isTruncate =>
+        call_function("iceberg_truncate", col(sourceCol), lit(pf.param.toLong))
+      // spec temporal transforms: int offsets from the 1970 epoch
+      case "year" => (year(col(sourceCol)) - lit(1970)).cast("int")
+      case "month" =>
+        ((year(col(sourceCol)) - lit(1970)) * lit(12) + month(col(sourceCol)) - lit(1)).cast("int")
+      case "day" => datediff(col(sourceCol), to_date(lit("1970-01-01"))).cast("int")
+      // hours since epoch; CAST(ts AS LONG) is epoch seconds, floor
+      // keeps pre-1970 values spec-correct
+      case "hour" => floor(col(sourceCol).cast("long") / lit(3600)).cast("int")
+      case _ => col(sourceCol) // identity
+    }
+  }
+
   private def writeDataAndManifests(df: DataFrame, tableDir: String, dataSubdir: String,
       sourceCol: String, spec: Seq[PartField],
       snapshotId: Long, fieldIds: Seq[Int]): Seq[(Path, Any, Int)] = {
@@ -604,20 +728,7 @@ object IcebergWrite {
     // the copy — the source column itself stays in every data file
     // regardless of transform (for identity too, where pv == source).
     import org.apache.spark.sql.functions._
-    val pvCol = pf.transform match {
-      case t if pf.isBucket => call_function("iceberg_bucket", col(sourceCol), lit(pf.param))
-      case t if pf.isTruncate =>
-        call_function("iceberg_truncate", col(sourceCol), lit(pf.param.toLong))
-      // spec temporal transforms: int offsets from the 1970 epoch
-      case "year" => (year(col(sourceCol)) - lit(1970)).cast("int")
-      case "month" =>
-        ((year(col(sourceCol)) - lit(1970)) * lit(12) + month(col(sourceCol)) - lit(1)).cast("int")
-      case "day" => datediff(col(sourceCol), to_date(lit("1970-01-01"))).cast("int")
-      // hours since epoch; CAST(ts AS LONG) is epoch seconds, floor
-      // keeps pre-1970 values spec-correct
-      case "hour" => floor(col(sourceCol).cast("long") / lit(3600)).cast("int")
-      case _ => col(sourceCol) // identity
-    }
+    val pvCol = partitionValueColumn(pf, sourceCol)
     // The spec REQUIRES data files to carry the table schema's
     // field-ids in the parquet metadata — that is the indirection that
     // makes column rename/add evolution a pure metadata commit.
@@ -1327,8 +1438,42 @@ object IcebergQueries {
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.functions._
 
-  def path(dir: String): String =
-    s"/tmp/graft_iceberg_documents_${new java.io.File(dir).getName}"
+  // abs-hash + pid in the path (the lshIndexPath convention, ADVICE
+  // r7): two JVMs sharing an SF basename must not race on one table
+  def path(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    s"/tmp/graft_iceberg_documents_${new java.io.File(dir).getName}_" +
+      s"${abs.hashCode.toHexString}_p${ProcessHandle.current().pid()}"
+  }
+
+  def mergePath(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    s"/tmp/graft_iceberg_merge_${new java.io.File(dir).getName}_" +
+      s"${abs.hashCode.toHexString}_p${ProcessHandle.current().pid()}"
+  }
+
+  /** Write-once per (JVM, sf) merged-table fixture: base table from
+    * `documents`, then ONE deterministic copy-on-write merge batch —
+    * every doc_id ≡ 0 (mod 97) updated, three inserts beyond the id
+    * range. The src_iceberg_merge query reads the POST-merge table;
+    * its oracle recomputes the same merged state from the parquet. */
+  private val mergeWritten = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  def ensureMergeTable(spark: SparkSession, dir: String): String = {
+    val p = mergePath(dir)
+    mergeWritten.getOrElseUpdate(p, {
+      val docs = graft.Tables(spark, dir).documents
+      IcebergWrite.write(docs, p, "lang", "identity")
+      val updates = docs.filter(col("doc_id") % 97 === 0)
+        .withColumn("text", concat(lit("MERGED:"), col("doc_id").cast("string")))
+      val inserts = docs.filter(col("doc_id") < 3)
+        .select((col("doc_id") + 10000000L).as("doc_id"), lit("inserted").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      IcebergWrite.mergeUpsert(updates.unionByName(inserts), p, "doc_id")
+      true
+    })
+    p
+  }
+  private[graft] def invalidateMerge(dir: String): Unit = mergeWritten.remove(mergePath(dir))
 
   /** Write-once per (JVM, sf): the table IS the fixture; rewriting it
     * per iteration would bench the writer, not the read path. */
@@ -1366,6 +1511,18 @@ object IcebergQueries {
         .filter(col("doc_id") === 42L)
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
+    // S16i end-to-end: the read-back of a copy-on-write merge commit
+    // equals the relational merge the oracle computes from the raw
+    // parquet (update-beats-existing, inserts present, rest untouched).
+    "src_iceberg_merge" -> ((spark, dir) => {
+      spark.read.format("graft.sources.IcebergSource").load(ensureMergeTable(spark, dir))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).as("sum_id"),
+          sum(when(col("text").startsWith("MERGED:"), 1L).otherwise(0L)).as("n_merged"),
+          sum(when(col("text") === "inserted", 1L).otherwise(0L)).as("n_inserted"))
+        .orderBy("lang")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1375,5 +1532,20 @@ object IcebergQueries {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "src_iceberg_prune" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id = 42",
+    "src_iceberg_merge" ->
+      """WITH upd AS (
+        |  SELECT doc_id, 'MERGED:' || CAST(doc_id AS VARCHAR) AS text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |ins AS (
+        |  SELECT doc_id + 10000000 AS doc_id, 'inserted' AS text, lang, source, n_chars
+        |  FROM documents WHERE doc_id < 3),
+        |m AS (
+        |  SELECT * FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT lang, count(*)::BIGINT AS n, CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  sum(CASE WHEN text LIKE 'MERGED:%' THEN 1 ELSE 0 END)::BIGINT AS n_merged,
+        |  sum(CASE WHEN text = 'inserted' THEN 1 ELSE 0 END)::BIGINT AS n_inserted
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -265,6 +265,52 @@ class SourcesSpec extends SparkSpec {
     assert(probeCur.count() == 1)
   }
 
+  test("S16i: copy-on-write merge rewrites only touched partitions; time travel sees pre-merge rows") {
+    import graft.sources.{IcebergRead, IcebergWrite}
+    val dir = tmp() + "/iceberg_merge"
+    val fmt = "graft.sources.IcebergSource"
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    IcebergWrite.write(docs, dir, "lang", "identity")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val deFilesBefore = IcebergRead.planFiles(dir, conf, Some(("lang", "de"))).map(_.path).toSet
+    // batch: UPDATE an existing 'en' doc's text + INSERT a new 'en' doc
+    val en0 = docs.filter(col("lang") === "en").orderBy("doc_id").collect().head
+    val enId = en0.getAs[Long]("doc_id")
+    val updates = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(enId, "rewritten text", "en", en0.getAs[String]("source"), 14L),
+        org.apache.spark.sql.Row(100000L, "brand new doc", "en", "srcX", 13L)),
+      docs.schema)
+    IcebergWrite.mergeUpsert(updates, dir, "doc_id")
+    val cur = spark.read.format(fmt).load(dir)
+    // upsert semantics: replaced key once with new payload, insert present
+    assert(cur.count() == docs.count() + 1)
+    assert(cur.filter(col("doc_id") === enId).collect().map(_.getAs[String]("text")).toSeq ==
+      Seq("rewritten text"))
+    assert(cur.filter(col("doc_id") === 100000L).count() == 1)
+    // untouched partition: same physical files, carried verbatim
+    val deFilesAfter = IcebergRead.planFiles(dir, conf, Some(("lang", "de"))).map(_.path).toSet
+    assert(deFilesAfter == deFilesBefore, "merge rewrote an untouched partition")
+    // touched partition: all-new files (copy-on-write, nothing mutated)
+    val enFilesAfter = IcebergRead.planFiles(dir, conf, Some(("lang", "en"))).map(_.path).toSet
+    assert(enFilesAfter.forall(_.contains("data-s2")), s"stale en files: $enFilesAfter")
+    // time travel: snapshot 1 still reads the PRE-merge table
+    val snap1 = spark.read.format(fmt).option("snapshot_id", "1").load(dir)
+    assert(snap1.count() == docs.count())
+    assert(snap1.filter(col("doc_id") === enId).collect().head.getAs[String]("text") ==
+      en0.getAs[String]("text"))
+    assert(snap1.filter(col("doc_id") === 100000L).count() == 0)
+    // a second merge on top of a merge commits cleanly (v3)
+    val updates2 = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(100000L, "edited again", "en", "srcX", 12L)),
+      docs.schema)
+    IcebergWrite.mergeUpsert(updates2, dir, "doc_id")
+    val cur2 = spark.read.format(fmt).load(dir)
+    assert(cur2.count() == docs.count() + 1)
+    assert(cur2.filter(col("doc_id") === 100000L).collect().head.getAs[String]("text") ==
+      "edited again")
+  }
+
   test("S16c: Iceberg identity and truncate partition transforms prune like bucket") {
     import graft.sources.{IcebergRead, IcebergWrite}
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
