@@ -484,6 +484,54 @@ object IcebergWrite {
     writeSmall(fs, new Path(tableDir, "metadata/version-hint.text"), (v + 1).toString)
   }
 
+  /** S16j: table COMPACTION (rewrite) — one snapshot that re-lays the
+    * whole live dataset under the CURRENT default partition spec: all
+    * data read once, rewritten as fresh files/manifests, committed as
+    * a `replace` snapshot with NO carried-over manifests. Two jobs in
+    * one: small-file compaction (every partition collapses to the
+    * writer's natural file count) and spec NORMALIZATION — after
+    * partition-spec evolution (S16f) old manifests keep their old
+    * layout forever on the append path; compaction is the explicit
+    * full-rewrite that moves history's data into the new layout, which
+    * is exactly the precondition [[mergeUpsert]] demands. Earlier
+    * snapshots keep reading the old files (nothing is deleted here;
+    * expireSnapshots reclaims them once history rolls off).
+    *
+    * Scale note: this is the ONE deliberately table-proportional
+    * operation in the Iceberg family — a maintenance job you schedule,
+    * not a query-path operation; everything else commits metadata or
+    * partition-scoped rewrites. */
+  def compact(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+              summary: Map[String, String] = Map.empty): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(tableDir).getFileSystem(conf)
+    val v = readSmall(fs, new Path(tableDir, "metadata/version-hint.text")).trim.toInt
+    val metaNode = mapper.readTree(
+      readSmall(fs, new Path(tableDir, s"metadata/v$v.metadata.json")))
+    val meta = load(tableDir, conf)
+    val pf = meta.spec.head
+    val sourceCol = meta.schema.fieldNames(pf.sourceId - 1)
+    val current = spark.read.format("graft.sources.IcebergSource").load(tableDir)
+    val snapshotId = meta.snapshotId + 1
+    val manifests = writeDataAndManifests(current, tableDir, s"data-s$snapshotId",
+      sourceCol, meta.spec, snapshotId, fieldIds = meta.fieldIds)
+    val listPath = writeManifestList(fs, tableDir, snapshotId, Nil, manifests,
+      specId = meta.defaultSpecId)
+    val oldSnaps = metaNode.get("snapshots").elements().asScala
+      .map(n => mapper.writeValueAsString(n)).mkString(",")
+    val snapJson =
+      s"""{"snapshot-id":$snapshotId,"timestamp-ms":${System.currentTimeMillis()},"parent-snapshot-id":${meta.snapshotId},"summary":{${summaryJson(summary + ("operation" -> "replace"))}},"manifest-list":"${fs.makeQualified(listPath)}"}"""
+    val metaJson = {
+      val node = metaNode.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      node.put("current-snapshot-id", snapshotId)
+      node.put("last-updated-ms", System.currentTimeMillis())
+      node.set[JsonNode]("snapshots", mapper.readTree(s"[$oldSnaps,$snapJson]"))
+      mapper.writeValueAsString(node)
+    }
+    writeSmall(fs, new Path(tableDir, s"metadata/v${v + 1}.metadata.json"), metaJson)
+    writeSmall(fs, new Path(tableDir, "metadata/version-hint.text"), (v + 1).toString)
+  }
+
   /** S16g: snapshot EXPIRY — the retention-maintenance commit every
     * long-lived table needs: unbounded snapshot history means
     * unbounded metadata and undeletable data files. Keeps the newest

@@ -417,6 +417,46 @@ object Streams {
     else graft.sources.IcebergWrite.write(batch, tableDir, bucketCol, nBuckets, summary)
   }
 
+  /** T22: streaming UPSERT sink — the CDC shape: each micro-batch is a
+    * set of key-latest rows MERGED into the Iceberg table (S16i
+    * copy-on-write, so per batch only the touched partitions rewrite),
+    * with the same exactly-once device as the append sink (T18):
+    * query id + batch id in the snapshot summary, replayed batches
+    * skipped. First batch creates the table. Within-batch duplicate
+    * keys collapse via dropDuplicates (a CDC feed should be key-unique
+    * per batch; last-wins ordering is the upstream's job). */
+  def icebergUpsertSink(docs: DataFrame, tableDir: String, keyCol: String,
+                        partitionCol: String, transform: String = "identity"):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        icebergUpsertBatch(batch, batchId, tableDir, keyCol, partitionCol, transform)
+    }
+
+  /** T22's idempotent commit step (same contract as
+    * [[icebergCommitBatch]]: replaying a batch id is a no-op). */
+  def icebergUpsertBatch(batch0: DataFrame, batchId: Long, tableDir: String,
+                         keyCol: String, partitionCol: String,
+                         transform: String = "identity"): Unit = {
+    if (batch0.isEmpty) return
+    val conf = batch0.sparkSession.sparkContext.hadoopConfiguration
+    val queryId = Option(batch0.sparkSession.sparkContext.getLocalProperty(
+      org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY))
+      .getOrElse("unattached")
+    val committed = graft.sources.IcebergWrite.lastSummaryLongForId(
+      tableDir, conf, "streaming-batch-id", "streaming-query-id", queryId)
+    if (committed.exists(batchId <= _)) return
+    val batch = batch0.sparkSession.createDataFrame(
+      batch0.dropDuplicates(keyCol).rdd,
+      org.apache.spark.sql.types.StructType(batch0.schema.map(_.copy(nullable = true))))
+    val summary = Map("streaming-batch-id" -> batchId.toString,
+      "streaming-query-id" -> queryId)
+    val p = new org.apache.hadoop.fs.Path(tableDir, "metadata/version-hint.text")
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) graft.sources.IcebergWrite.mergeUpsert(batch, tableDir, keyCol, summary)
+    else graft.sources.IcebergWrite.write(batch, tableDir, partitionCol, transform, summary)
+  }
+
   /** T3: drop duplicate event_ids arriving within the watermark. */
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")

@@ -510,6 +510,47 @@ class SourcesSpec extends SparkSpec {
     assert(withAdd.count() == docs.count())
   }
 
+  test("S16j: compaction re-lays the table under the current spec and unblocks merge") {
+    import graft.sources.{IcebergRead, IcebergWrite}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fmt = "graft.sources.IcebergSource"
+    val dir = tmp() + "/iceberg_compact"
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    IcebergWrite.write(docs.filter(col("doc_id") < 300), dir, "doc_id", 8)
+    IcebergWrite.append(docs.filter(col("doc_id") >= 300), dir)
+    IcebergWrite.evolveSpec(spark, dir, "lang", "identity")
+    // merge after spec evolution must refuse (old-spec manifests)
+    val en0 = docs.filter(col("lang") === "en").orderBy("doc_id").collect().head
+    val upd = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        en0.getAs[Long]("doc_id"), "patched", "en", en0.getAs[String]("source"), 7L)),
+      docs.schema)
+    val ex = intercept[IllegalArgumentException] {
+      IcebergWrite.mergeUpsert(upd, dir, "doc_id")
+    }
+    assert(ex.getMessage.contains("compact first"))
+    // compact: full rewrite under the CURRENT (identity-on-lang) spec
+    val filesBefore = IcebergRead.planFiles(dir, conf, None).map(_.path).toSet
+    IcebergWrite.compact(spark, dir)
+    val after = spark.read.format(fmt).load(dir)
+    assert(after.count() == docs.count())
+    assert(after.agg(sum(col("n_chars"))).collect().head.getLong(0) ==
+      docs.agg(sum(col("n_chars"))).collect().head.getLong(0))
+    // all-new files in the new layout; lang probe now prunes strictly
+    val filesAfter = IcebergRead.planFiles(dir, conf, None).map(_.path).toSet
+    assert(filesAfter.intersect(filesBefore).isEmpty)
+    val pruned = IcebergRead.planFiles(dir, conf, Some(("lang", "en")))
+    assert(pruned.nonEmpty && pruned.size < filesAfter.size)
+    // earlier snapshots still read the pre-compaction files
+    assert(spark.read.format(fmt).option("snapshot_id", "2").load(dir).count() == docs.count())
+    // and merge now commits cleanly on the normalized table
+    IcebergWrite.mergeUpsert(upd, dir, "doc_id")
+    val merged = spark.read.format(fmt).load(dir)
+    assert(merged.count() == docs.count())
+    assert(merged.filter(col("doc_id") === en0.getAs[Long]("doc_id"))
+      .collect().head.getAs[String]("text") == "patched")
+  }
+
   test("S16f: Iceberg partition-spec evolution — old manifests prune under their own spec, no data rewrite") {
     import graft.sources.{IcebergRead, IcebergWrite}
     val conf = spark.sparkContext.hadoopConfiguration

@@ -109,6 +109,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T22: streaming upsert sink merges each batch; replayed batches are no-ops") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_t22_iceberg").toString + "/tbl"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_t22_ckpt").toString
+    val in = MemoryStream[Streams.Doc]
+    val q = Streams.icebergUpsertSink(in.toDF(), dir, "doc_id", "lang")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData(Streams.Doc(1, ts(0), "one", "en"), Streams.Doc(2, ts(1), "two", "en"),
+        Streams.Doc(3, ts(2), "drei", "de"))
+      q.processAllAvailable()
+      // CDC batch: UPDATE key 2, INSERT key 4 — only partition 'en' is touched
+      in.addData(Streams.Doc(2, ts(3), "two-v2", "en"), Streams.Doc(4, ts(4), "four", "en"))
+      q.processAllAvailable()
+      val fmt = "graft.sources.IcebergSource"
+      val all = spark.read.format(fmt).load(dir)
+      assert(all.count() == 4)
+      assert(all.filter($"doc_id" === 2L).collect().map(_.getAs[String]("text")).toSeq ==
+        Seq("two-v2"))
+      // snapshot 1 still reads the pre-merge state of key 2
+      val s1 = spark.read.format(fmt).option("snapshot_id", "1").load(dir)
+      assert(s1.filter($"doc_id" === 2L).collect().head.getAs[String]("text") == "two")
+      // exactly-once: replaying batch 1 under the SAME query lineage is
+      // a no-op; a fresh batch id merges
+      val qidKey = org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY
+      try {
+        spark.sparkContext.setLocalProperty(qidKey, q.id.toString)
+        val replay = Seq(Streams.Doc(9, ts(5), "ghost", "en")).toDF()
+        Streams.icebergUpsertBatch(replay, batchId = 1L, dir, "doc_id", "lang")
+        assert(spark.read.format(fmt).load(dir).count() == 4)
+        Streams.icebergUpsertBatch(replay, batchId = 2L, dir, "doc_id", "lang")
+        assert(spark.read.format(fmt).load(dir).count() == 5)
+      } finally spark.sparkContext.setLocalProperty(qidKey, null)
+    } finally q.stop()
+  }
+
   test("T20: streaming windowed KLL quantiles track the window's value distribution") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Event]
