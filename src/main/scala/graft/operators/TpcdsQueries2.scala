@@ -66,22 +66,23 @@ object TpcdsQueries2 {
     }),
 
     // DS32 (q17 shape): the bought→returned→re-bought chain, reported
-    // as per-brand quantity DISTRIBUTION stats. Mean and stdev are
-    // derived from exact decimal S1/S2 power sums (one double sqrt at
-    // the end), so the hash-aggregation order can't move the result.
+    // as per-brand quantity DISTRIBUTION stats. The literal form
+    // (oracle) scans the fact twice and joins the return aggregate
+    // back; here the first-return date arrives by a min-window over
+    // the (customer, part) grain — ONE fact pass, one shuffle, the
+    // q65/q75 rewrite device. Mean and stdev are derived from exact
+    // decimal S1/S2 power sums (one double sqrt at the end), so the
+    // hash-aggregation order can't move the result.
     "ds_q17_stats_chain" -> ((spark, dir) => {
       val t = Tables(spark, dir)
-      val sold = t.lineitem.filter(col("l_returnflag") =!= "R")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("ck", "pk")
+      val chain = t.lineitem
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"),
-          col("l_quantity").as("qty"), col("o_orderdate").as("od"))
-      val returned = t.lineitem.filter(col("l_returnflag") === "R")
-        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_custkey").as("rck"), col("l_partkey").as("rpk"))
-        .agg(min(col("o_orderdate")).as("first_ret"))
-      val chain = sold
-        .join(returned, col("ck") === col("rck") && col("pk") === col("rpk"))
-        .filter(col("od") > col("first_ret"))
+          col("l_quantity").as("qty"), col("o_orderdate").as("od"),
+          col("l_returnflag").as("flag"))
+        .withColumn("first_ret", min(when(col("flag") === "R", col("od"))).over(w))
+        .filter(col("flag") =!= "R" && col("od") > col("first_ret"))
       chain.join(t.part, col("pk") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n"),

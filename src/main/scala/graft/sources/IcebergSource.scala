@@ -408,6 +408,7 @@ object IcebergWrite {
   def mergeUpsert(updates: DataFrame, tableDir: String, keyCol: String,
                   summary: Map[String, String] = Map.empty): Unit = {
     import org.apache.spark.sql.functions._
+    if (updates.isEmpty) return // nothing to merge; don't burn a snapshot id
     val spark = updates.sparkSession
     graft.plans.GraftFunctions.register(spark)
     val conf = spark.sparkContext.hadoopConfiguration

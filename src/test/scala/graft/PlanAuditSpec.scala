@@ -333,6 +333,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(factScans.size == 1, s"expected 1 lineitem scan, got ${factScans.size}")
   }
 
+  /** The r8 single-pass rewrites must stay single-pass: each literal
+    * TPC-DS form re-scans the fact (q17's return chain twice, q9's
+    * five band subqueries five times); the shipped window/conditional
+    * rewrites read lineitem exactly once. */
+  test("r8 DS rewrites: ds_q17/ds_q9/ds_q65/ds_q75 each scan the fact exactly once") {
+    Seq("ds_q17_stats_chain", "ds_q9_quantity_buckets",
+        "ds_q65_cheap_items", "ds_q75_yoy_decline").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      val factScans = df.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths.exists(
+          _.getName.startsWith("lineitem")) => f
+      }
+      assert(factScans.size == 1, s"$name: expected 1 lineitem scan, got ${factScans.size}")
+    }
+  }
+
   /** q14's literal INTERSECT chain scans the fact 4× (3 joins + main).
     * The conditional-aggregation rewrite must leave exactly 2 lineitem
     * scans: the bool_or priority cut and the 1997 main query. */
