@@ -408,6 +408,50 @@ object Multimodal {
         explode(expr("sequence(CAST(0 AS BIGINT), total_frames - 1, step)")).as("frame_idx"))
       .withColumn("ts_ms", expr(s"frame_idx * 1000 DIV $fps"))
 
+  case class ResizedImage(id: Long, origW: Int, origH: Int, w: Int, h: Int,
+                          outBytes: Int, payload: Array[Byte])
+
+  /** P47: batched image RESIZE — the remaining member of the brief's
+    * decode / feature-extract / resize / frame-sample multimodal
+    * quartet. Nearest-neighbor via an explicit integer pixel map
+    * (`src = (dst · orig) / target`, floor) rather than Graphics2D
+    * scaling: AWT's interpolated rendering is platform/toolkit
+    * dependent, the manual map is bit-deterministic on any JVM — the
+    * property every other operator's oracle depends on. Re-encoded as
+    * PNG (lossless, so the pinned-pixel spec can read exact values
+    * back). Same partition-local `mapPartitions` + `grouped` batch
+    * shape as the decoder: no shuffle, memory bounded by batchSize.
+    * Corrupt/undecodable payloads degrade to a sentinel row
+    * (origW = -1, payload empty) instead of failing the task. */
+  def resizeImages(media: Dataset[MediaItem], targetW: Int, targetH: Int,
+                   batchSize: Int = 64): Dataset[ResizedImage] = {
+    import media.sparkSession.implicits._
+    require(targetW > 0 && targetH > 0, "resize target must be positive")
+    media.filter(_.modality == "image").mapPartitions(_.grouped(batchSize).flatMap(_.map { m =>
+      scala.util.Try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+        require(img != null)
+        val out = new java.awt.image.BufferedImage(targetW, targetH,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < targetH) {
+          var x = 0
+          while (x < targetW) {
+            out.setRGB(x, y,
+              img.getRGB(x * img.getWidth / targetW, y * img.getHeight / targetH))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        val bytes = bos.toByteArray
+        ResizedImage(m.id, img.getWidth, img.getHeight, targetW, targetH,
+          bytes.length, bytes)
+      }.getOrElse(ResizedImage(m.id, -1, -1, targetW, targetH, 0, Array.emptyByteArray))
+    }))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -421,6 +465,26 @@ object Multimodal {
     "mm_frame_sample" -> ((spark, dir) => {
       frameSamplePlan(graft.Tables(spark, dir).documents.filter(col("doc_id") < 500))
         .orderBy("id", "frame_idx")
+    }),
+    // P47: real PNGs resized 4×4 → 2×2 on the executors, then decoded
+    // BACK through the P13 feature extractor — the round trip proves
+    // the resized payloads are themselves valid images. Rows-only (PNG
+    // codec); PipelineSpec pins exact nearest-neighbor pixels.
+    "mm_image_resize" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = graft.Tables(spark, dir).documents.filter(col("doc_id") < 300)
+      val resized = resizeImages(mediaWithRealImages(spark, docs), 2, 2)
+      extractFeatures(
+        resized.filter(_.origW > 0)
+          .map(r => MediaItem(r.id, "image", r.payload, MediaMeta(r.w, r.h, 0))),
+        dim = 9).toDF()
+        .select(col("id"),
+          element_at(col("features"), 1).cast("long").as("w"),
+          element_at(col("features"), 2).cast("long").as("h"),
+          round(element_at(col("features"), 3), 4).as("mean_r"),
+          round(element_at(col("features"), 4), 4).as("mean_g"),
+          round(element_at(col("features"), 5), 4).as("mean_b"))
+        .orderBy("id")
     }),
     // P13 real path: encode genuine PNGs on the executors, decode them
     // back through javax.imageio, extract pixel statistics. PNG encode/

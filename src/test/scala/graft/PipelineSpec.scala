@@ -822,6 +822,34 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.extractFeatures(badBody, dim = 4).collect().head.features.length == 4)
   }
 
+  test("multimodal: nearest-neighbor resize maps exact source pixels and round-trips") {
+    import Multimodal.{MediaItem, MediaMeta}
+    // 4×4 with a distinct color per quadrant: nearest-neighbor 2×2 must
+    // pick pixels (0,0) (2,0) (0,2) (2,2) — the quadrant corners
+    val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val q = Array(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.setRGB(x, y, q((y / 2) * 2 + (x / 2)))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val ds = Seq(MediaItem(1L, "image", out.toByteArray, MediaMeta(4, 4, 0))).toDS()
+    val r = Multimodal.resizeImages(ds, 2, 2).collect().head
+    assert(r.origW == 4 && r.origH == 4 && r.w == 2 && r.h == 2 && r.outBytes > 0)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+    assert(back.getWidth == 2 && back.getHeight == 2)
+    val got = for (y <- 0 until 2; x <- 0 until 2) yield back.getRGB(x, y) & 0xffffff
+    assert(got == Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff), got.map(_.toHexString))
+    // upscale hits each source pixel an integral number of times
+    val up = Multimodal.resizeImages(ds, 4, 4).collect().head
+    val upImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(up.payload))
+    assert((upImg.getRGB(0, 0) & 0xffffff) == 0xff0000 &&
+      (upImg.getRGB(3, 3) & 0xffffff) == 0xffffff)
+    // corrupt payload degrades to the sentinel row, not a task failure
+    val bad = Seq(MediaItem(2L, "image", Array[Byte](9, 9, 9), MediaMeta(0, 0, 0))).toDS()
+    val s = Multimodal.resizeImages(bad, 2, 2).collect().head
+    assert(s.origW == -1 && s.outBytes == 0)
+  }
+
   test("multimodal: real WAV decode recovers pinned signal statistics") {
     import Multimodal.{MediaItem, MediaMeta}
     // hand-built 4-sample mono PCM16 @ 8kHz: [0, 16384, -16384, 0]
