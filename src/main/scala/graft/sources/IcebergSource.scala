@@ -454,10 +454,23 @@ object IcebergWrite {
           e.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString
       }.toList finally r.close()
     }
+    // Read replaced files with field-id resolution (the toDataFrame
+    // device), NOT the bare current schema: after a rename (S16e) the
+    // replaced files still carry the old column names, and a by-name
+    // read would silently null the renamed column in every surviving
+    // row of the rewritten partitions.
+    val withIds = org.apache.spark.sql.types.StructType(
+      meta.schema.fields.zip(meta.fieldIds).map { case (f, id) =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong).build())
+      })
     val current =
       if (replacedFiles.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], updates.schema)
-      else spark.read.schema(updates.schema).parquet(replacedFiles: _*)
+      else {
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        spark.read.schema(withIds).parquet(replacedFiles: _*)
+      }
     // 4. partition-local upsert: existing rows lose to same-key updates
     val merged = current
       .join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")

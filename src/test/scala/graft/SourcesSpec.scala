@@ -309,6 +309,22 @@ class SourcesSpec extends SparkSpec {
     assert(cur2.count() == docs.count() + 1)
     assert(cur2.filter(col("doc_id") === 100000L).collect().head.getAs[String]("text") ==
       "edited again")
+    // merge AFTER a column rename: the replaced partition's surviving
+    // rows were written under the OLD name — a by-name read would null
+    // them; field-id resolution must keep their values intact
+    IcebergWrite.renameColumn(spark, dir, "text", "body")
+    val renamedSchema = spark.read.format(fmt).load(dir).schema
+    val updates3 = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(100000L, "post-rename", "en", "srcX", 11L)),
+      renamedSchema)
+    IcebergWrite.mergeUpsert(updates3, dir, "doc_id")
+    val cur3 = spark.read.format(fmt).load(dir)
+    assert(cur3.filter(col("doc_id") === 100000L).collect().head.getAs[String]("body") ==
+      "post-rename")
+    // a pre-rename survivor in the SAME rewritten partition keeps its text
+    assert(cur3.filter(col("doc_id") === enId).collect().head.getAs[String]("body") ==
+      "rewritten text")
+    assert(cur3.filter(col("body").isNull).count() == 0)
   }
 
   test("S16c: Iceberg identity and truncate partition transforms prune like bucket") {
