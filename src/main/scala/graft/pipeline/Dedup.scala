@@ -312,6 +312,55 @@ object Dedup {
     * concurrent JVMs (parallel bench+verify) or two checkouts sharing
     * an SF name must never race one mode("overwrite") write against
     * the other's reads under a shared /tmp path (ADVICE r7). */
+  /** P48: cross-document LINE-level dedup (boilerplate removal) — the
+    * RefinedWeb/CCNet pre-cleaning step: a line (navigation bar, cookie
+    * banner, footer) that recurs verbatim in `minDocs`+ DISTINCT
+    * documents is boilerplate and is struck from every document; unique
+    * lines survive in order. The reference has no corpus analogue — its
+    * closest device is per-row string surgery (be/src/exprs
+    * string-functions.cc) — so the shape is Spark-native: explode to
+    * (doc, pos, line), count distinct docs per line (ONE shuffle on the
+    * line key, map-side partial dedup), anti-join the exploded lines
+    * against the hot set (equi-join — the hot set is unbounded at
+    * 100 TB, so it is NOT broadcast), and reassemble per doc. No stage
+    * ever pairs documents; per-reducer work is bounded by the hottest
+    * line's doc count, which is exactly what the operator removes. */
+  def lineDedup(docs: DataFrame, minDocs: Int = 3): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val hot = lines.filter(length(trim(col("line"))) > 0)
+      .groupBy(col("line").as("hot_line"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("hot_line")
+    val rebuilt = lines.join(hot, col("line") === col("hot_line"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** The synthetic corpus carries no newlines, so the P48 query entry
+    * first reflows each document into fixed 3-word lines — a
+    * deterministic adapter both engines replay identically; the
+    * operator itself splits on real newlines. */
+  def reflowLines(docs: DataFrame, wordsPerLine: Int = 3): DataFrame = {
+    val words = split(col("text"), " ")
+    val n = greatest(ceil(size(words) / lit(wordsPerLine.toDouble)).cast("int"), lit(1))
+    docs.select(col("doc_id"),
+      array_join(transform(sequence(lit(0), n - 1),
+        i => array_join(slice(words, i * wordsPerLine + 1, lit(wordsPerLine)), " ")),
+        "\n").as("text"))
+  }
+
   def lshIndexPath(dir: String): String = {
     val abs = new java.io.File(dir).getAbsolutePath
     s"/tmp/graft_lsh_index_${new java.io.File(dir).getName}_" +
@@ -365,6 +414,10 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((spark, dir) => {
       ngramJaccardPairs(Tables(spark, dir).documents, 0.05)
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(200)
+    }),
+    "dedup_lines" -> ((spark, dir) => {
+      lineDedup(reflowLines(Tables(spark, dir).documents), minDocs = 3)
+        .orderBy("doc_id")
     }),
   )
 
@@ -448,5 +501,36 @@ object Dedup {
          |WHERE jaccard >= 0.05
          |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 200""".stripMargin
     },
+
+    // P48 is pure string algebra — DuckDB replays the 3-word reflow
+    // (list comprehension + 1-based inclusive slicing), the hot-line
+    // count, the anti-join and the ordered reassembly exactly.
+    "dedup_lines" ->
+      """WITH lined AS (
+        |  SELECT doc_id, array_to_string(
+        |    [array_to_string(words[(i*3+1):(i*3+3)], ' ')
+        |     for i in range(0, greatest(CAST(ceil(len(words)/3.0) AS INT), 1))],
+        |    chr(10)) AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+        |lines AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        |  FROM lined),
+        |hot AS (
+        |  SELECT line FROM lines WHERE length(trim(line)) > 0
+        |  GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |    CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM lines WHERE line NOT IN (SELECT line FROM hot)
+        |  GROUP BY doc_id),
+        |base AS (
+        |  SELECT doc_id, CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+        |  FROM lined)
+        |SELECT b.doc_id, coalesce(r.clean_text, '') AS clean_text, b.n_lines,
+        |  b.n_lines - coalesce(r.n_kept, 0) AS n_removed
+        |FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
   )
 }

@@ -1078,4 +1078,36 @@ class PipelineSpec extends SparkSpec {
     assert(n.getAs[Boolean]("is_novel") && n.isNullAt(n.fieldIndex("dup_of")) &&
       n.getAs[Long]("n_matches") == 0L)
   }
+
+  test("line dedup strikes boilerplate lines recurring across docs, keeps order, and never drops a doc") {
+    // "cookie banner" recurs in 3 docs -> boilerplate; unique lines stay.
+    val docs = Seq(
+      (1L, "cookie banner\nreal content one\nmore text"),
+      (2L, "cookie banner\nreal content two"),
+      (3L, "intro line\ncookie banner\noutro line"),
+      (4L, "cookie banner"), // only boilerplate -> becomes empty, still present
+      (5L, "standalone doc with one line")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, minDocs = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L)) // no doc vanishes
+    assert(out(1L).getAs[String]("clean_text") == "real content one\nmore text")
+    assert(out(1L).getAs[Long]("n_removed") == 1L)
+    assert(out(3L).getAs[String]("clean_text") == "intro line\noutro line") // order kept
+    assert(out(4L).getAs[String]("clean_text") == "" &&
+      out(4L).getAs[Long]("n_removed") == 1L)
+    assert(out(5L).getAs[String]("clean_text") == "standalone doc with one line" &&
+      out(5L).getAs[Long]("n_removed") == 0L)
+    // below threshold: a line shared by only 2 docs survives
+    val two = Dedup.lineDedup(docs.filter(col("doc_id") <= 2), minDocs = 3).collect()
+    assert(two.forall(_.getAs[Long]("n_removed") == 0L))
+  }
+
+  test("reflowLines chunks words into fixed-width lines and round-trips content") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, "x")).toDF("doc_id", "text")
+    val out = Dedup.reflowLines(docs, wordsPerLine = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out(1L) == "a b c\nd e f\ng") // last line short, nothing lost
+    assert(out(2L) == "x")
+  }
 }
