@@ -220,6 +220,14 @@ object DuckHashSql {
         s"list_distinct(list_transform(range(1, len(th)-kk+2), sj -> $chain))"))
   }
 
+  /** Just the hashed-shingle CTE `msh(doc_id, su)` over `rel(doc_id,
+    * text)` — for oracles that verify set overlap without the minhash
+    * banding (e.g. the P49 containment pipeline). */
+  def shingleCte(rel: String, k: Int = 3): String =
+    s"""msh AS (
+       |  SELECT doc_id, ${hashedShinglesU("text", k)} AS su FROM $rel
+       |)""".stripMargin
+
   /** The minhash-LSH candidate CTE chain (HashImpl.minhashSig semantics:
     * perm p takes the SIGNED min of splitmix64(v xor p*goldenGamma);
     * band hash = Spark xxhash64(band, sig[2b], sig[2b+1]), seed 42).

@@ -26,6 +26,7 @@ object Dedup {
   private val minhashSlot = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
   private val ngramSlot = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
   private val incrSlot = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private val containSlot = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
@@ -312,6 +313,50 @@ object Dedup {
     * concurrent JVMs (parallel bench+verify) or two checkouts sharing
     * an SF name must never race one mode("overwrite") write against
     * the other's reads under a shared /tmp path (ADVICE r7). */
+  /** P49: CONTAINMENT near-dup — the asymmetric overlap Jaccard misses.
+    * A short document pasted inside a long one has tiny Jaccard (the
+    * union is the big doc) but containment |A∩B|/|A| ≈ 1, so minhash
+    * banding — tuned to Jaccard — never surfaces the pair. Candidates
+    * instead come from a shingle INVERTED INDEX (the PPJoin/entity-
+    * matching device, Xiao et al. 2008): explode hashed shingles, drop
+    * "stop-grams" whose document frequency exceeds `maxDf` (they carry
+    * no signal and would blow up buckets — counted via `observe`, never
+    * silently), and pair docs within each surviving shingle bucket —
+    * every bucket is ≤ maxDf docs, so per-reducer work is bounded and
+    * nothing is doc×doc. The verify step computes exact containment
+    * both directions on the full shingle sets; the threshold compares
+    * in integers (inter·10 ≥ |set|·8 ⇔ containment ≥ 0.8) so every
+    * engine agrees. */
+  def containmentPairs(docs: DataFrame, minContainmentTenths: Int = 8,
+                       maxDf: Int = 50): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val withSh = cacheReplacing(
+      docs.select(col("doc_id"), hashedShingles(col("text")).as("sh")), containSlot)
+    val ex = withSh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val buckets = ex.groupBy("g")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .observe("containment_grams",
+        count(lit(1)).as("grams"),
+        sum(when(size(col("ids")) > maxDf, 1L).otherwise(0L)).as("stop_grams"))
+      .filter(size(col("ids")).between(2, maxDf))
+    val pairs = buckets.select(explode(flatten(
+        transform(sequence(lit(0), size(col("ids")) - 2),
+          i => transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
+            x => array(element_at(col("ids"), i + lit(1)), x))))).as("p"))
+      .select(element_at(col("p"), 1).as("doc_a"), element_at(col("p"), 2).as("doc_b"))
+      .distinct() // a pair shares many shingles — verify once
+    pairs
+      .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .filter(col("inter") * 10 >= size(col("sh_a")) * minContainmentTenths ||
+        col("inter") * 10 >= size(col("sh_b")) * minContainmentTenths)
+      .select(col("doc_a"), col("doc_b"),
+        col("inter").cast("long").as("common_shingles"),
+        round(col("inter").cast("double") / size(col("sh_a")), 4).as("cont_a"),
+        round(col("inter").cast("double") / size(col("sh_b")), 4).as("cont_b"))
+  }
+
   /** P48: cross-document LINE-level dedup (boilerplate removal) — the
     * RefinedWeb/CCNet pre-cleaning step: a line (navigation bar, cookie
     * banner, footer) that recurs verbatim in `minDocs`+ DISTINCT
@@ -418,6 +463,10 @@ object Dedup {
     "dedup_lines" -> ((spark, dir) => {
       lineDedup(reflowLines(Tables(spark, dir).documents), minDocs = 3)
         .orderBy("doc_id")
+    }),
+    "dedup_containment" -> ((spark, dir) => {
+      containmentPairs(Tables(spark, dir).documents)
+        .orderBy(col("common_shingles").desc, col("doc_a"), col("doc_b")).limit(200)
     }),
   )
 
@@ -532,5 +581,32 @@ object Dedup {
         |  b.n_lines - coalesce(r.n_kept, 0) AS n_removed
         |FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+
+    // P49 replays end-to-end: the vetted hashed-shingle chain, the
+    // df-filtered inverted-index candidate join, and the exact
+    // integer-threshold containment verify.
+    "dedup_containment" -> {
+      import graft.operators.DuckHashSql._
+      s"""WITH ${shingleCte("documents")},
+         |ex AS (SELECT doc_id, unnest(su) AS g FROM msh),
+         |buck AS (
+         |  SELECT g FROM ex GROUP BY g
+         |  HAVING count(*) BETWEEN 2 AND 50),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ex a JOIN buck USING (g) JOIN ex b USING (g)
+         |  WHERE a.doc_id < b.doc_id),
+         |ver AS (
+         |  SELECT doc_a, doc_b,
+         |    len(list_intersect(x.su, y.su)) AS inter,
+         |    len(x.su) AS la, len(y.su) AS lb
+         |  FROM cand JOIN msh x ON cand.doc_a = x.doc_id
+         |            JOIN msh y ON cand.doc_b = y.doc_id)
+         |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS common_shingles,
+         |  round(inter::DOUBLE / la, 4) AS cont_a,
+         |  round(inter::DOUBLE / lb, 4) AS cont_b
+         |FROM ver WHERE inter * 10 >= la * 8 OR inter * 10 >= lb * 8
+         |ORDER BY common_shingles DESC, doc_a, doc_b LIMIT 200""".stripMargin
+    },
   )
 }

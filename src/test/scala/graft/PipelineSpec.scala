@@ -1079,6 +1079,26 @@ class PipelineSpec extends SparkSpec {
       n.getAs[Long]("n_matches") == 0L)
   }
 
+  test("containment pairs surface small-doc-inside-big-doc that Jaccard misses") {
+    val small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val filler = (1 to 80).map(i => s"w$i").mkString(" ")
+    val docs = docsDf(
+      (1L, small, "s1"),                 // contained verbatim in doc 2
+      (2L, s"$small $filler", "s1"),     // big doc: small + 80 unique words
+      (3L, "totally unrelated content with different words entirely", "s2"))
+    val out = Dedup.containmentPairs(docs, minContainmentTenths = 8, maxDf = 50).collect()
+    assert(out.length == 1)
+    val p = out.head
+    assert(p.getAs[Long]("doc_a") == 1L && p.getAs[Long]("doc_b") == 2L)
+    assert(p.getAs[Double]("cont_a") == 1.0) // every small-doc shingle is in the big doc
+    assert(p.getAs[Double]("cont_b") < 0.5)  // while Jaccard-style symmetric overlap is low
+    // stop-gram filter: a phrase shared by MORE than maxDf docs is
+    // evidence-free boilerplate and generates no candidates
+    val many = docsDf((1L to 20L).map(i =>
+      (i, s"shared common phrase unique$i word$i token$i", s"s$i")): _*)
+    assert(Dedup.containmentPairs(many, minContainmentTenths = 1, maxDf = 10).isEmpty)
+  }
+
   test("line dedup strikes boilerplate lines recurring across docs, keeps order, and never drops a doc") {
     // "cookie banner" recurs in 3 docs -> boilerplate; unique lines stay.
     val docs = Seq(
