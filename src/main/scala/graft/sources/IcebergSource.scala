@@ -1496,6 +1496,133 @@ class IcebergPartitionReader(file: String, required: StructType,
   * parquet, so a hash match certifies metadata tree + manifest walk +
   * parquet decode all preserved every row. The prune query reads one
   * bucket's files only (file-count asserted in IcebergSpec). */
+/** S16k: Iceberg METADATA tables — the inspection surface real tables
+  * ship (`table$snapshots`, `$files`, `$manifests`, `$partitions` in
+  * the public Iceberg spec) and the reference exposes as SHOW FILES IN
+  * <table> (apache-impala-4.1.0/fe/src/main/java/org/apache/impala/
+  * analysis/ShowFilesStmt.java). Everything is served from the
+  * metadata tree alone — version json, manifest list, manifests —
+  * never by scanning data files: the whole point of the layer is that
+  * file-level bookkeeping on a 100 TB table is a metadata read. The
+  * walk runs on the driver (manifest counts scale with file count,
+  * not data volume — the same tradeoff the reference's frontend makes
+  * loading the file descriptor list) and lands in a small DataFrame.
+  */
+object IcebergInspect {
+  import IcebergMeta._
+  import org.apache.spark.sql.{Row, SparkSession}
+
+  private def metaJson(tableDir: String, conf: Configuration): JsonNode = {
+    val fs = new Path(tableDir).getFileSystem(conf)
+    def readSmall(p: Path): String = {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val v = readSmall(new Path(tableDir, "metadata/version-hint.text")).trim.toInt
+    mapper.readTree(readSmall(new Path(tableDir, s"metadata/v$v.metadata.json")))
+  }
+
+  /** One row per snapshot, in log order: id, parent link, a
+    * deterministic "k=v" rendering of the summary, manifest-list path. */
+  def snapshots(spark: SparkSession, tableDir: String): DataFrame = {
+    val meta = metaJson(tableDir, spark.sessionState.newHadoopConf())
+    val rows = meta.get("snapshots").elements().asScala.toSeq.zipWithIndex.map {
+      case (s, i) =>
+        val summary = Option(s.get("summary")).map { n =>
+          n.fields().asScala.toSeq.map(e => s"${e.getKey}=${e.getValue.asText}")
+            .sorted.mkString(",")
+        }.getOrElse("")
+        Row(i.toLong, s.get("snapshot-id").asLong,
+          Option(s.get("parent-snapshot-id")).map(p => java.lang.Long.valueOf(p.asLong)).orNull,
+          summary, s.get("manifest-list").asText)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), StructType(Seq(
+      StructField("ordinal", LongType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("parent_id", LongType, nullable = true),
+      StructField("summary", StringType, nullable = false),
+      StructField("manifest_list", StringType, nullable = false))))
+  }
+
+  /** One row per LIVE data file of a snapshot (default: current):
+    * path, spec id, partition tuple rendered "name=value", record
+    * count, size, and how many columns carry value bounds. */
+  def files(spark: SparkSession, tableDir: String,
+            snapshotId: Option[Long] = None): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = load(tableDir, conf, snapshotId)
+    val rows = manifestEntries(meta.manifestList, conf).collect {
+      case (mp, specId, e) if e.get("status").asInstanceOf[Int] != 2 =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        val tuple = df.get("partition").asInstanceOf[GenericRecord]
+        val pstr = tuple.getSchema.getFields.asScala
+          .map(f => s"${f.name}=${tuple.get(f.name)}").mkString(",")
+        def nBounds(field: String): Int = Option(df.get(field))
+          .map(_.asInstanceOf[java.util.List[_]].size).getOrElse(0)
+        Row(df.get("file_path").toString, mp, specId, pstr,
+          df.get("record_count").asInstanceOf[Long],
+          df.get("file_size_in_bytes").asInstanceOf[Long],
+          nBounds("lower_bounds"))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), StructType(Seq(
+      StructField("file_path", StringType, nullable = false),
+      StructField("manifest_path", StringType, nullable = false),
+      StructField("spec_id", IntegerType, nullable = false),
+      StructField("partition", StringType, nullable = false),
+      StructField("record_count", LongType, nullable = false),
+      StructField("file_size_in_bytes", LongType, nullable = false),
+      StructField("n_bound_cols", IntegerType, nullable = false))))
+  }
+
+  /** One row per manifest of a snapshot: path, spec id, live/deleted
+    * entry counts, summed record count. */
+  def manifests(spark: SparkSession, tableDir: String,
+                snapshotId: Option[Long] = None): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = load(tableDir, conf, snapshotId)
+    val rows = manifestEntries(meta.manifestList, conf)
+      .groupBy(e => (e._1, e._2)).toSeq.sortBy(_._1._1).map { case ((mp, specId), es) =>
+        val (dead, live) = es.partition(_._3.get("status").asInstanceOf[Int] == 2)
+        val n = live.map(_._3.get("data_file").asInstanceOf[GenericRecord]
+          .get("record_count").asInstanceOf[Long]).sum
+        Row(mp, specId, live.size, dead.size, n)
+      }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), StructType(Seq(
+      StructField("manifest_path", StringType, nullable = false),
+      StructField("spec_id", IntegerType, nullable = false),
+      StructField("n_live_files", IntegerType, nullable = false),
+      StructField("n_deleted_files", IntegerType, nullable = false),
+      StructField("record_count", LongType, nullable = false))))
+  }
+
+  /** Partition-level rollup of [[files]]: files and rows per partition
+    * tuple — SHOW FILES' summary view, and the skew diagnostic a table
+    * owner reads before choosing a new spec. */
+  def partitions(spark: SparkSession, tableDir: String,
+                 snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    files(spark, tableDir, snapshotId)
+      .groupBy(col("spec_id"), col("partition"))
+      .agg(count(lit(1)).as("n_files"), sum(col("record_count")).as("n_rows"))
+  }
+
+  private def manifestEntries(manifestList: String, conf: Configuration)
+      : Seq[(String, Int, GenericRecord)] = {
+    val listIn = new FsInput(new Path(manifestList), conf)
+    val listReader = new DataFileReader[GenericRecord](listIn,
+      new GenericDatumReader[GenericRecord]())
+    val manifestPaths = try {
+      listReader.iterator().asScala.map(m => (m.get("manifest_path").toString,
+        m.get("partition_spec_id").asInstanceOf[Int])).toList
+    } finally listReader.close()
+    manifestPaths.flatMap { case (mp, specId) =>
+      val in = new FsInput(new Path(mp), conf)
+      val r = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.map(e => (mp, specId, e)).toList finally r.close()
+    }
+  }
+}
+
 object IcebergQueries {
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.functions._
@@ -1573,6 +1700,31 @@ object IcebergQueries {
         .filter(col("doc_id") === 42L)
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
+    // S16k: the partitions METADATA table replayed from raw data — the
+    // per-bucket row counts the metadata tree carries must equal what
+    // the murmur3 bucket transform computes over the source parquet.
+    "src_iceberg_partitions" -> ((spark, dir) => {
+      IcebergInspect.partitions(spark, ensureTable(spark, dir))
+        .select(regexp_extract(col("partition"), "=(\\d+)", 1).cast("int")
+            .as("doc_id_bucket"),
+          col("n_rows"))
+        .orderBy("doc_id_bucket")
+    }),
+    // S16k: snapshot-log invariants of the two-commit merge fixture:
+    // exactly two snapshots, the second parent-linked to the first.
+    "src_iceberg_snapshots" -> ((spark, dir) => {
+      val snaps = IcebergInspect.snapshots(spark, ensureMergeTable(spark, dir))
+      snaps.agg(count(lit(1)).as("n_snapshots"),
+        sum(when(col("parent_id").isNotNull, 1L).otherwise(0L)).as("n_with_parent"))
+    }),
+    // S16k: files metadata totals — live record counts and distinct
+    // partitions seen by the metadata walk equal the raw-data truth.
+    "src_iceberg_files" -> ((spark, dir) => {
+      IcebergInspect.files(spark, ensureTable(spark, dir))
+        .agg(sum(col("record_count")).as("n_rows"),
+          countDistinct(col("partition")).as("n_partitions"),
+          (min(col("n_bound_cols")) > 0).as("bounds_present"))
+    }),
     // S16i end-to-end: the read-back of a copy-on-write merge commit
     // equals the relational merge the oracle computes from the raw
     // parquet (update-beats-existing, inserts present, rest untouched).
@@ -1594,6 +1746,20 @@ object IcebergQueries {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "src_iceberg_prune" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id = 42",
+    "src_iceberg_partitions" ->
+      s"""SELECT ${graft.operators.DuckHashSql.icebergBucketLong("doc_id", 8)} AS doc_id_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_rows
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Constant oracles: the fixtures are deterministic two-commit /
+    // one-commit tables, so the metadata invariants are exact values.
+    "src_iceberg_snapshots" ->
+      "SELECT CAST(2 AS BIGINT) AS n_snapshots, CAST(1 AS BIGINT) AS n_with_parent",
+    "src_iceberg_files" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT ${graft.operators.DuckHashSql.icebergBucketLong("doc_id", 8)}) AS BIGINT) AS n_partitions,
+         |  TRUE AS bounds_present
+         |FROM documents""".stripMargin,
+
     "src_iceberg_merge" ->
       """WITH upd AS (
         |  SELECT doc_id, 'MERGED:' || CAST(doc_id AS VARCHAR) AS text, lang, source, n_chars

@@ -265,6 +265,43 @@ class SourcesSpec extends SparkSpec {
     assert(probeCur.count() == 1)
   }
 
+  test("S16k: metadata tables serve snapshots/files/manifests/partitions from the tree alone") {
+    import graft.sources.{IcebergInspect, IcebergWrite}
+    val dir = tmp() + "/iceberg_inspect"
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val first = docs.filter(col("doc_id") < 400)
+    val second = docs.filter(col("doc_id") >= 400)
+    IcebergWrite.write(first, dir, "doc_id", 4)
+    IcebergWrite.append(second, dir)
+    // snapshots: two commits in log order, the append parent-linked
+    val snaps = IcebergInspect.snapshots(spark, dir).orderBy("ordinal").collect()
+    assert(snaps.length == 2)
+    assert(snaps(0).isNullAt(snaps(0).fieldIndex("parent_id")))
+    assert(snaps(1).getAs[Long]("parent_id") == snaps(0).getAs[Long]("snapshot_id"))
+    // files: every listed path exists on disk; record counts sum to the data
+    val files = IcebergInspect.files(spark, dir).collect()
+    assert(files.nonEmpty)
+    assert(files.forall(f => new java.io.File(
+      f.getAs[String]("file_path").stripPrefix("file:")).exists()))
+    assert(files.map(_.getAs[Long]("record_count")).sum == docs.count())
+    assert(files.forall(_.getAs[Int]("n_bound_cols") > 0)) // S16h bounds present
+    // time-travel files view: snapshot 1 sees only the first commit
+    val files1 = IcebergInspect.files(spark, dir, Some(1L)).collect()
+    assert(files1.map(_.getAs[Long]("record_count")).sum == first.count())
+    // manifests: the writer emits one manifest per (commit, bucket) —
+    // 2 commits x 4 buckets — no deleted entries, counts consistent
+    val mans = IcebergInspect.manifests(spark, dir).collect()
+    assert(mans.length == 8 && mans.forall(_.getAs[Int]("n_deleted_files") == 0))
+    assert(mans.map(_.getAs[Long]("record_count")).sum == docs.count())
+    // partitions: rollup equals a groupBy over the data's bucket transform
+    graft.plans.GraftFunctions.register(spark)
+    val parts = IcebergInspect.partitions(spark, dir).collect()
+      .map(r => r.getAs[String]("partition") -> r.getAs[Long]("n_rows")).toMap
+    val want = docs.groupBy(call_function("iceberg_bucket", col("doc_id"), lit(4)).as("b"))
+      .count().collect().map(r => s"doc_id_bucket=${r.getAs[Int]("b")}" -> r.getAs[Long]("count")).toMap
+    assert(parts == want)
+  }
+
   test("S16i: copy-on-write merge rewrites only touched partitions; time travel sees pre-merge rows") {
     import graft.sources.{IcebergRead, IcebergWrite}
     val dir = tmp() + "/iceberg_merge"
