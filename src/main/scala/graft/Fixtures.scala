@@ -38,6 +38,10 @@ object Fixtures {
     "src_iceberg_roundtrip" -> ((s, d) => { sources.IcebergQueries.ensureTable(s, d); () }),
     "src_iceberg_prune" -> ((s, d) => { sources.IcebergQueries.ensureTable(s, d); () }),
     "src_iceberg_merge" -> ((s, d) => { sources.IcebergQueries.ensureMergeTable(s, d); () }),
+    "src_iceberg_cdc" -> ((s, d) => { sources.IcebergQueries.ensureCdcTable(s, d); () }),
+    "src_iceberg_partitions" -> ((s, d) => { sources.IcebergQueries.ensureTable(s, d); () }),
+    "src_iceberg_files" -> ((s, d) => { sources.IcebergQueries.ensureTable(s, d); () }),
+    "src_iceberg_snapshots" -> ((s, d) => { sources.IcebergQueries.ensureMergeTable(s, d); () }),
     "sim_ivf_persisted" -> ((s, d) => { pipeline.Similarity.ensureIvfIndex(s, d); () }),
     "sim_pq_persisted" -> ((s, d) => { pipeline.Similarity.ensurePqIndex(s, d); () }),
     "dedup_incremental_indexed" -> ((s, d) => { pipeline.Dedup.ensureLshIndex(s, d); () }),
@@ -64,6 +68,16 @@ object Fixtures {
     "src_iceberg_prune" ->
       ((s, d) => { sources.IcebergQueries.invalidate(d); rm(s, sources.IcebergQueries.path(d)) }),
     "src_iceberg_merge" ->
+      ((s, d) => { sources.IcebergQueries.invalidateMerge(d)
+        rm(s, sources.IcebergQueries.mergePath(d)) }),
+    "src_iceberg_cdc" ->
+      ((s, d) => { sources.IcebergQueries.invalidateCdc(d)
+        rm(s, sources.IcebergQueries.cdcPath(d)) }),
+    "src_iceberg_partitions" ->
+      ((s, d) => { sources.IcebergQueries.invalidate(d); rm(s, sources.IcebergQueries.path(d)) }),
+    "src_iceberg_files" ->
+      ((s, d) => { sources.IcebergQueries.invalidate(d); rm(s, sources.IcebergQueries.path(d)) }),
+    "src_iceberg_snapshots" ->
       ((s, d) => { sources.IcebergQueries.invalidateMerge(d)
         rm(s, sources.IcebergQueries.mergePath(d)) }),
     "sim_ivf_persisted" ->

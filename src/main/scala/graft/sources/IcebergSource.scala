@@ -406,9 +406,29 @@ object IcebergWrite {
     * evolved their partition spec must be compacted to the current
     * layout first (every manifest must carry the default spec id). */
   def mergeUpsert(updates: DataFrame, tableDir: String, keyCol: String,
-                  summary: Map[String, String] = Map.empty): Unit = {
+                  summary: Map[String, String] = Map.empty): Unit =
+    mergeImpl(updates, None, tableDir, keyCol, summary)
+
+  /** S16l: CDC MERGE — `changes` carries the table schema plus `opCol`
+    * ('I'/'U' rows upsert, 'D' rows DELETE their key). Tombstones must
+    * be FULL rows (the Debezium before-image convention): the partition
+    * value comes from the row itself, so the rewrite stays scoped to
+    * the touched partitions without consulting the table — a
+    * key-only tombstone would force a full-table key lookup. */
+  def mergeCdc(changes: DataFrame, tableDir: String, keyCol: String,
+               opCol: String, summary: Map[String, String] = Map.empty): Unit = {
     import org.apache.spark.sql.functions._
-    if (updates.isEmpty) return // nothing to merge; don't burn a snapshot id
+    mergeImpl(changes.filter(col(opCol) =!= "D").drop(opCol),
+      Some(changes.filter(col(opCol) === "D").drop(opCol)),
+      tableDir, keyCol, summary)
+  }
+
+  private def mergeImpl(updates: DataFrame, deletes: Option[DataFrame],
+                        tableDir: String, keyCol: String,
+                        summary: Map[String, String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val allChanges = deletes.map(updates.unionByName(_)).getOrElse(updates)
+    if (allChanges.isEmpty) return // nothing to merge; don't burn a snapshot id
     val spark = updates.sparkSession
     graft.plans.GraftFunctions.register(spark)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -423,8 +443,9 @@ object IcebergWrite {
     val pf = meta.spec.head
     val sourceCol = meta.schema.fieldNames(pf.sourceId - 1)
     // 1. the affected partition-tuple values, from the batch alone
-    //    (compared at the byte level the manifest summaries store)
-    val affectedBytes: Set[Seq[Byte]] = updates
+    //    (updates AND tombstones — compared at the byte level the
+    //    manifest summaries store)
+    val affectedBytes: Set[Seq[Byte]] = allChanges
       .select(partitionValueColumn(pf, sourceCol).as("_pv"))
       .distinct().collect().map(r => pvBytes(r.get(0)).toSeq).toSet
     // 2. split the current manifest list: one manifest == one partition
@@ -471,9 +492,10 @@ object IcebergWrite {
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         spark.read.schema(withIds).parquet(replacedFiles: _*)
       }
-    // 4. partition-local upsert: existing rows lose to same-key updates
+    // 4. partition-local merge: existing rows lose to same-key updates
+    //    and to tombstones; tombstoned keys simply don't come back
     val merged = current
-      .join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      .join(allChanges.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
       .unionByName(updates)
     // 5. new data files + manifests for the affected partitions,
     //    committed as snapshot N+1 alongside the untouched manifests
@@ -1664,6 +1686,37 @@ object IcebergQueries {
   }
   private[graft] def invalidateMerge(dir: String): Unit = mergeWritten.remove(mergePath(dir))
 
+  def cdcPath(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    s"/tmp/graft_iceberg_cdc_${new java.io.File(dir).getName}_" +
+      s"${abs.hashCode.toHexString}_p${ProcessHandle.current().pid()}"
+  }
+
+  /** Write-once per (JVM, sf) CDC-merged fixture: base table from
+    * `documents`, then ONE mergeCdc batch — doc_id ≡ 0 (mod 97)
+    * updated, doc_id ≡ 0 (mod 101) tombstoned (updates win where both
+    * apply: the tombstone removes the old row, the update re-inserts),
+    * three inserts beyond the id range. */
+  private val cdcWritten = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  def ensureCdcTable(spark: SparkSession, dir: String): String = {
+    val p = cdcPath(dir)
+    cdcWritten.getOrElseUpdate(p, {
+      val docs = graft.Tables(spark, dir).documents
+      IcebergWrite.write(docs, p, "lang", "identity")
+      val upd = docs.filter(col("doc_id") % 97 === 0)
+        .withColumn("text", concat(lit("MERGED:"), col("doc_id").cast("string")))
+        .withColumn("op", lit("U"))
+      val del = docs.filter(col("doc_id") % 101 === 0).withColumn("op", lit("D"))
+      val ins = docs.filter(col("doc_id") < 3)
+        .select((col("doc_id") + 10000000L).as("doc_id"), lit("inserted").as("text"),
+          col("lang"), col("source"), col("n_chars"), lit("I").as("op"))
+      IcebergWrite.mergeCdc(upd.unionByName(del).unionByName(ins), p, "doc_id", "op")
+      true
+    })
+    p
+  }
+  private[graft] def invalidateCdc(dir: String): Unit = cdcWritten.remove(cdcPath(dir))
+
   /** Write-once per (JVM, sf): the table IS the fixture; rewriting it
     * per iteration would bench the writer, not the read path. */
   private val written = scala.collection.concurrent.TrieMap.empty[String, Boolean]
@@ -1725,6 +1778,18 @@ object IcebergQueries {
           countDistinct(col("partition")).as("n_partitions"),
           (min(col("n_bound_cols")) > 0).as("bounds_present"))
     }),
+    // S16l end-to-end: the read-back of a CDC merge (updates +
+    // tombstones + inserts in ONE commit) equals the relational
+    // change application the oracle computes from the raw parquet.
+    "src_iceberg_cdc" -> ((spark, dir) => {
+      spark.read.format("graft.sources.IcebergSource").load(ensureCdcTable(spark, dir))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).as("sum_id"),
+          sum(when(col("text").startsWith("MERGED:"), 1L).otherwise(0L)).as("n_merged"),
+          sum(when(col("text") === "inserted", 1L).otherwise(0L)).as("n_inserted"))
+        .orderBy("lang")
+    }),
     // S16i end-to-end: the read-back of a copy-on-write merge commit
     // equals the relational merge the oracle computes from the raw
     // parquet (update-beats-existing, inserts present, rest untouched).
@@ -1759,6 +1824,22 @@ object IcebergQueries {
          |  CAST(count(DISTINCT ${graft.operators.DuckHashSql.icebergBucketLong("doc_id", 8)}) AS BIGINT) AS n_partitions,
          |  TRUE AS bounds_present
          |FROM documents""".stripMargin,
+
+    "src_iceberg_cdc" ->
+      """WITH upd AS (
+        |  SELECT doc_id, 'MERGED:' || CAST(doc_id AS VARCHAR) AS text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |ins AS (
+        |  SELECT doc_id + 10000000 AS doc_id, 'inserted' AS text, lang, source, n_chars
+        |  FROM documents WHERE doc_id < 3),
+        |m AS (
+        |  SELECT * FROM documents WHERE doc_id % 97 <> 0 AND doc_id % 101 <> 0
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT lang, count(*)::BIGINT AS n, CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  sum(CASE WHEN text LIKE 'MERGED:%' THEN 1 ELSE 0 END)::BIGINT AS n_merged,
+        |  sum(CASE WHEN text = 'inserted' THEN 1 ELSE 0 END)::BIGINT AS n_inserted
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
 
     "src_iceberg_merge" ->
       """WITH upd AS (

@@ -275,6 +275,10 @@ object Streams {
     * is shuffle-partitioned by content hash / (window, lang). */
   case class Doc(doc_id: Long, ts: Timestamp, text: String, lang: String)
 
+  /** A CDC change row: [[Doc]] plus the op tag ('I'/'U' upsert, 'D'
+    * tombstone). Tombstones are full rows — see [[icebergCdcSink]]. */
+  case class CdcDoc(doc_id: Long, ts: Timestamp, text: String, lang: String, op: String)
+
   def ingestClean(docs: DataFrame): DataFrame =
     docs
       .withColumn("n_tok", size(split(trim(lower(col("text"))), "\\s+")).cast("long"))
@@ -455,6 +459,56 @@ object Streams {
     val fs = p.getFileSystem(conf)
     if (fs.exists(p)) graft.sources.IcebergWrite.mergeUpsert(batch, tableDir, keyCol, summary)
     else graft.sources.IcebergWrite.write(batch, tableDir, partitionCol, transform, summary)
+  }
+
+  /** T23: streaming CDC sink WITH tombstones — the full
+    * change-data-capture shape: each micro-batch carries inserts,
+    * updates and 'D' tombstone rows; the batch merges into the Iceberg
+    * table via the S16l copy-on-write CDC merge (tombstoned keys drop,
+    * only touched partitions rewrite), under the T18/T22 exactly-once
+    * device (query id + batch id in the snapshot summary). Tombstones
+    * must be full rows — the partition value comes from the row, so a
+    * delete never forces a table-wide key lookup. One op per key per
+    * batch is the upstream contract (dropDuplicates enforces
+    * key-uniqueness, not ordering). */
+  def icebergCdcSink(changes: DataFrame, tableDir: String, keyCol: String,
+                     opCol: String, partitionCol: String,
+                     transform: String = "identity"):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        icebergCdcBatch(batch, batchId, tableDir, keyCol, opCol, partitionCol, transform)
+    }
+
+  /** T23's idempotent commit step (same replay contract as
+    * [[icebergUpsertBatch]]). */
+  def icebergCdcBatch(batch0: DataFrame, batchId: Long, tableDir: String,
+                      keyCol: String, opCol: String, partitionCol: String,
+                      transform: String = "identity"): Unit = {
+    if (batch0.isEmpty) return
+    val conf = batch0.sparkSession.sparkContext.hadoopConfiguration
+    val queryId = Option(batch0.sparkSession.sparkContext.getLocalProperty(
+      org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY))
+      .getOrElse("unattached")
+    val committed = graft.sources.IcebergWrite.lastSummaryLongForId(
+      tableDir, conf, "streaming-batch-id", "streaming-query-id", queryId)
+    if (committed.exists(batchId <= _)) return
+    val batch = batch0.sparkSession.createDataFrame(
+      batch0.dropDuplicates(keyCol).rdd,
+      org.apache.spark.sql.types.StructType(batch0.schema.map(_.copy(nullable = true))))
+    val summary = Map("streaming-batch-id" -> batchId.toString,
+      "streaming-query-id" -> queryId)
+    val p = new org.apache.hadoop.fs.Path(tableDir, "metadata/version-hint.text")
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p))
+      graft.sources.IcebergWrite.mergeCdc(batch, tableDir, keyCol, opCol, summary)
+    else {
+      // first commit: tombstones against a table that doesn't exist
+      // yet are no-ops; create from the surviving rows
+      val live = batch.filter(org.apache.spark.sql.functions.col(opCol) =!= "D").drop(opCol)
+      if (!live.isEmpty)
+        graft.sources.IcebergWrite.write(live, tableDir, partitionCol, transform, summary)
+    }
   }
 
   /** T3: drop duplicate event_ids arriving within the watermark. */

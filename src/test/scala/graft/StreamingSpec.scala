@@ -145,6 +145,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T23: streaming CDC sink applies tombstones; deletes drop keys and survive replay") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_t23_iceberg").toString + "/tbl"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_t23_ckpt").toString
+    val in = MemoryStream[Streams.CdcDoc]
+    val q = Streams.icebergCdcSink(in.toDF(), dir, "doc_id", "op", "lang")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      def cdc(id: Long, text: String, lang: String, op: String) =
+        Streams.CdcDoc(id, ts(id.toInt), text, lang, op)
+      // batch 0: initial inserts (a tombstone for a missing key rides
+      // along and must be a no-op on table creation)
+      in.addData(cdc(1, "one", "en", "I"), cdc(2, "two", "en", "I"),
+        cdc(3, "drei", "de", "I"), cdc(99, "ghost", "en", "D"))
+      q.processAllAvailable()
+      val fmt = "graft.sources.IcebergSource"
+      assert(spark.read.format(fmt).load(dir).count() == 3)
+      // batch 1: update key 1, DELETE key 2, insert key 4 — 'de' untouched
+      in.addData(cdc(1, "one-v2", "en", "U"), cdc(2, "two", "en", "D"),
+        cdc(4, "vier", "de", "I"))
+      q.processAllAvailable()
+      val all = spark.read.format(fmt).load(dir)
+      assert(all.count() == 3)
+      assert(all.filter($"doc_id" === 2L).isEmpty) // tombstoned
+      assert(all.filter($"doc_id" === 1L).collect().head.getAs[String]("text") == "one-v2")
+      // time travel still sees the pre-delete state
+      val s1 = spark.read.format(fmt).option("snapshot_id", "1").load(dir)
+      assert(s1.filter($"doc_id" === 2L).count() == 1)
+      // exactly-once: replaying batch 1 under the same query lineage is
+      // a no-op (key 2 stays deleted); a fresh batch id applies
+      val qidKey = org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY
+      try {
+        spark.sparkContext.setLocalProperty(qidKey, q.id.toString)
+        val replay = Seq(Streams.CdcDoc(5, ts(5), "funf", "de", "I")).toDF()
+        Streams.icebergCdcBatch(replay, batchId = 1L, dir, "doc_id", "op", "lang")
+        assert(spark.read.format(fmt).load(dir).count() == 3)
+        // batch of ONLY tombstones: the 'de' partition rewrites down to
+        // its surviving row, 'en' is untouched
+        val delOnly = Seq(Streams.CdcDoc(3, ts(3), "drei", "de", "D")).toDF()
+        Streams.icebergCdcBatch(delOnly, batchId = 2L, dir, "doc_id", "op", "lang")
+        val after = spark.read.format(fmt).load(dir)
+        assert(after.count() == 2)
+        assert(after.filter($"lang" === "de").collect()
+          .map(_.getAs[Long]("doc_id")).toSeq == Seq(4L))
+      } finally spark.sparkContext.setLocalProperty(qidKey, null)
+    } finally q.stop()
+  }
+
   test("T20: streaming windowed KLL quantiles track the window's value distribution") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Event]
