@@ -75,6 +75,45 @@ object Tokenizer {
         expr("concat_ws(' ', transform(slice(toks, 1, 3), t -> array_join(t, '|')))").as("bpe_head"))
   }
 
+  /** P50: unigram-LM tokenizer (Kudo 2018, SentencePiece's model) —
+    * vocabulary from bounded-sample substring counts with ML piece
+    * scores in integer micro-nats, decoding by Viterbi min-cost
+    * segmentation (graft.functions.UnigramImpl — a compiled
+    * expression, the BPE/PQ hot-path rule). Same fold shape as BPE:
+    * the vocab is one broadcast row; the corpus pass is row-local. */
+  def trainUnigram(spark: SparkSession, docs: DataFrame, vocabSize: Int = 96,
+                   maxPieceLen: Int = 4, sampleDocs: Int = 256): DataFrame = {
+    import spark.implicits._
+    docs.orderBy("doc_id").limit(sampleDocs)
+      .select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+      .as[(String, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        graft.functions.UnigramTrain.train(it.toArray, vocabSize, maxPieceLen).iterator
+      }
+      .toDF("piece", "cost")
+  }
+
+  /** Tokenize the corpus under its own sample-trained unigram vocab:
+    * per doc, word count, piece count, and the first words' pieces as
+    * an audit column. */
+  def unigramTokenize(spark: SparkSession, docs: DataFrame, vocabSize: Int = 96,
+                      maxPieceLen: Int = 4, sampleDocs: Int = 256): DataFrame = {
+    GraftFunctions.register(spark)
+    val vrow = trainUnigram(spark, docs, vocabSize, maxPieceLen, sampleDocs)
+      .agg(array_sort(collect_list(struct(col("piece"), col("cost")))).as("vocab"))
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .crossJoin(broadcast(vrow))
+      .select(col("doc_id"), col("ws"),
+        expr("transform(ws, w -> unigram_encode(w, vocab))").as("toks"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        expr("CAST(aggregate(toks, 0, (acc, t) -> acc + size(t)) AS BIGINT)").as("n_pieces"),
+        expr("concat_ws(' ', transform(slice(toks, 1, 3), t -> array_join(t, '|')))").as("piece_head"))
+  }
+
   // ---- queries()/oracle entries -------------------------------------
 
   type Q = (SparkSession, String) => DataFrame
@@ -87,6 +126,8 @@ object Tokenizer {
       bpeTokenize(spark, Tables(spark, dir).documents).orderBy("doc_id")),
     "pipe_bpe_merges" -> ((spark, dir) =>
       trainMerges(spark, Tables(spark, dir).documents).orderBy("rank")),
+    "pipe_unigram_tokenize" -> ((spark, dir) =>
+      unigramTokenize(spark, Tables(spark, dir).documents).orderBy("doc_id")),
   )
 
   val oracles: Map[String, String] = Map.empty

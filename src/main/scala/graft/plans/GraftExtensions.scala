@@ -118,6 +118,8 @@ object GraftFunctions {
       arity("pq_encode", 3)(es => PqEncode(es(0), es(1), es(2)))),
     ("bpe_encode", info("bpe_encode", "bpe_encode(word, merges) - BPE tokens under rank-ordered merges"),
       arity("bpe_encode", 2)(es => BpeEncode(es(0), es(1)))),
+    ("unigram_encode", info("unigram_encode", "unigram_encode(word, vocab) - Viterbi min-cost pieces under a scored unigram vocab"),
+      arity("unigram_encode", 2)(es => UnigramEncode(es(0), es(1)))),
     ("pq_dtab", info("pq_dtab", "pq_dtab(vec, codebook, K) - per-query ADC distance table"),
       arity("pq_dtab", 3)(es => PqDtab(es(0), es(1), es(2)))),
     ("pq_adc_score", info("pq_adc_score", "pq_adc_score(codes, dtab, K) - ADC table-lookup distance"),

@@ -394,6 +394,46 @@ class PipelineSpec extends SparkSpec {
     assert(merges2.sameElements(Array(("a", "b"), ("ab", "ab"), ("c", "d"))))
   }
 
+  test("unigram tokenizer: Viterbi picks min-cost pieces, round-trips words, stable under repartition") {
+    import graft.pipeline.Tokenizer
+    graft.plans.GraftFunctions.register(spark)
+    // 'ab' dominates the sample, so it enters the vocab and beats the
+    // char-by-char path; 'xyz' words segment to single chars
+    val docs = docsDf(
+      (1L, "abab abab abab cd", "s1"), (2L, "abab ab cd", "s1"),
+      (3L, "abab abab xyz", "s1"))
+    val vocab = Tokenizer.trainUnigram(spark, docs, vocabSize = 8, maxPieceLen = 2)
+      .collect().map(r => r.getAs[String]("piece") -> r.getAs[Long]("cost")).toMap
+    assert(vocab.contains("ab") && vocab.contains("a") && vocab.contains("b"))
+    assert(vocab("ab") < vocab("x")) // frequent piece is cheaper
+    // Viterbi via the expression: "abab" -> [ab, ab], never 4 chars
+    val seg = docs.sparkSession.sql(
+      s"""SELECT unigram_encode('abab', array(${vocab.toSeq.sortBy(_._1).map {
+        case (p, c) => s"named_struct('piece', '$p', 'cost', ${c}L)" }.mkString(",")})) AS t""")
+      .collect().head.getSeq[String](0)
+    assert(seg == Seq("ab", "ab"))
+    // corpus pass: every word's pieces concatenate back to the word
+    // (round trip) and piece counts are between words and codepoints
+    val out = Tokenizer.unigramTokenize(spark, docs, vocabSize = 8, maxPieceLen = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_pieces"), r.getAs[String]("piece_head"))).toMap
+    // vocab is 7 single chars + 1 multi slot ('ab'), so: 3x abab -> 2
+    // pieces each, cd -> [c, d]
+    assert(out(1L)._1 == 4L && out(1L)._2 == 8L)
+    assert(out.values.forall { case (nw, np, _) => np >= nw })
+    assert(out(1L)._3.startsWith("ab|ab"))
+    // deterministic integer training: identical vocab from a
+    // repartitioned sample
+    val v2 = Tokenizer.trainUnigram(spark, docs.repartition(5), vocabSize = 8, maxPieceLen = 2)
+      .collect().map(r => r.getAs[String]("piece") -> r.getAs[Long]("cost")).toMap
+    assert(v2 == vocab)
+    // unknown characters never fail: an all-OOV word segments to chars
+    val oov = docs.sparkSession.sql(
+      s"""SELECT unigram_encode('QQ', array(named_struct('piece', 'a', 'cost', 1L))) AS t""")
+      .collect().head.getSeq[String](0)
+    assert(oov == Seq("Q", "Q"))
+  }
+
   test("sourceCap: at most k kept per source by quality rank, tie-break on doc_id, salt-transparent") {
     // source A: docs 1/4/6 tie at q_fp = 12*10000 DIV 14 = 8571 -> doc_id
     // breaks the tie; 2/5 at 4285; 3 at 0. k=2 keeps exactly {1, 4}.
