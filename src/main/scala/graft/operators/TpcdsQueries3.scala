@@ -168,6 +168,66 @@ object TpcdsQueries3 {
         .select(lit("worst").as("side"), (col("p") + 1).cast("long").as("rnk"),
           col("e.key").as("pk"), (-col("e.score")).as("nrev"))
       best.unionAll(worst).orderBy("side", "rnk")
+    }),
+
+    // DS46 (q38 shape): customers active in ALL THREE years. The
+    // literal form (oracle) chains two INTERSECTs over DISTINCT key
+    // sets; here the three memberships are boolean flags from ONE
+    // orders pass — no set materialization, no repeated scans.
+    "ds_q38_customer_overlap" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.orders.groupBy("o_custkey")
+        .agg(max(when(year(col("o_orderdate")) === 1995, 1).otherwise(0)).as("y95"),
+          max(when(year(col("o_orderdate")) === 1996, 1).otherwise(0)).as("y96"),
+          max(when(year(col("o_orderdate")) === 1997, 1).otherwise(0)).as("y97"))
+        .filter(col("y95") === 1 && col("y96") === 1 && col("y97") === 1)
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // DS47 (q87 shape): the EXCEPT twin — active in 1995 but in
+    // neither later year. Same one-pass flags vs the literal
+    // EXCEPT-chain oracle.
+    "ds_q87_customer_except" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.orders.groupBy("o_custkey")
+        .agg(max(when(year(col("o_orderdate")) === 1995, 1).otherwise(0)).as("y95"),
+          max(when(year(col("o_orderdate")) === 1996, 1).otherwise(0)).as("y96"),
+          max(when(year(col("o_orderdate")) === 1997, 1).otherwise(0)).as("y97"))
+        .filter(col("y95") === 1 && col("y96") === 0 && col("y97") === 0)
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // DS48 (q54 shape): histogram OF AN AGGREGATE — per-customer 1996
+    // revenue bucketed into fixed $5000 segments, customers counted
+    // per segment. The segment boundary divides an EXACT decimal sum,
+    // so the bucket id is engine-identical.
+    "ds_q54_revenue_segments" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.lineitem
+        .join(t.orders.filter(year(col("o_orderdate")) === 1996),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(dsum(rev).as("crev"))
+        .groupBy(floor(col("crev") / 5000).cast("long").as("segment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("segment")
+    }),
+
+    // DS49 (q94 shape): orders with a shipped ('F') line and NO
+    // returned line — EXISTS and NOT EXISTS against the same fact in
+    // one statement. The literal form (oracle) runs both subqueries;
+    // here one lineitem pass folds both memberships per order, then
+    // the orders join filters on the pair.
+    "ds_q94_unreturned_orders" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val flags = t.lineitem.groupBy(col("l_orderkey").as("ok"))
+        .agg(max(when(col("l_linestatus") === "F", 1).otherwise(0)).as("has_f"),
+          max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
+        .filter(col("has_f") === 1 && col("has_r") === 0)
+      t.orders.join(flags, col("o_orderkey") === col("ok"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderpriority")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -241,6 +301,43 @@ object TpcdsQueries3 {
         |FROM grain ly JOIN grain ty ON ty.wk = ly.wk AND ty.yr = ly.yr + 1
         |ORDER BY ly.yr, ly.wk""".stripMargin
     },
+
+    "ds_q38_customer_overlap" ->
+      """SELECT count(*) AS n_customers FROM (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  INTERSECT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |  INTERSECT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)""".stripMargin,
+
+    "ds_q87_customer_except" ->
+      """SELECT count(*) AS n_customers FROM (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  EXCEPT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |  EXCEPT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)""".stripMargin,
+
+    "ds_q54_revenue_segments" ->
+      s"""WITH crev AS (
+        |  SELECT o_custkey,
+        |    ${Exact.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS crev
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE year(o_orderdate) = 1996
+        |  GROUP BY o_custkey)
+        |SELECT CAST(floor(crev / 5000) AS BIGINT) AS segment,
+        |  count(*) AS n_customers
+        |FROM crev GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ds_q94_unreturned_orders" ->
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+        |  ${Exact.sqlSum("o_totalprice")} AS total_price
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_linestatus = 'F')
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "ds_q44_best_worst" ->
       """WITH grain AS (
