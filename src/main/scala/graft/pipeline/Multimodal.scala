@@ -452,6 +452,93 @@ object Multimodal {
     }))
   }
 
+  case class ImageHash(id: Long, ahash: Long, dhash: Long, ok: Boolean)
+
+  /** P51: PERCEPTUAL image hashes — the image twin of text simhash
+    * (P4), and the standard image-dedup device: aHash (64 bits, pixel
+    * vs mean over an 8×8 grayscale thumbnail) and dHash (horizontal
+    * gradient signs over 9×8). All arithmetic is integer (integer-luma
+    * grayscale, the P47 nearest-neighbor pixel map, floor mean), so
+    * hashes are bit-identical on any JVM. Same partition-local batched
+    * decode shape as P13/P47; corrupt payloads degrade to ok=false. */
+  def imageHashes(media: Dataset[MediaItem], batchSize: Int = 64): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "image").mapPartitions(_.grouped(batchSize).flatMap(_.map { m =>
+      scala.util.Try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+        require(img != null)
+        def gray(w: Int, h: Int): Array[Int] = {
+          val g = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x * img.getWidth / w, y * img.getHeight / h)
+              g(y * w + x) = (((rgb >> 16) & 0xff) * 299 +
+                ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+              x += 1
+            }
+            y += 1
+          }
+          g
+        }
+        val g8 = gray(8, 8)
+        val mean = g8.foldLeft(0L)(_ + _) / 64
+        var ah = 0L
+        var i = 0
+        while (i < 64) { if (g8(i) > mean) ah |= (1L << i); i += 1 }
+        val g9 = gray(9, 8)
+        var dh = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (g9(y * 9 + x) > g9(y * 9 + x + 1)) dh |= (1L << (y * 8 + x))
+            x += 1
+          }
+          y += 1
+        }
+        ImageHash(m.id, ah, dh, ok = true)
+      }.getOrElse(ImageHash(m.id, 0L, 0L, ok = false))
+    }))
+  }
+
+  /** P51 near-dup pairs over [[imageHashes]]: candidates from 8×8-bit
+    * aHash BANDS (pigeonhole: any pair within hamming 7 shares a band;
+    * wider radii are recall-lossy, the LSH convention), verified by
+    * exact popcount hamming on both hashes. Buckets are capped with an
+    * `observe`d truncation count — never silently. The structure is
+    * simhashBuckets' (P4) applied to images: equi-join on a bounded
+    * band key, nothing doc×doc. */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 8,
+                        maxBucket: Int = 200): DataFrame = {
+    val banded = hashes.filter(col("ok"))
+      .select(col("id"), explode(sequence(lit(0), lit(7))).as("band"), col("ahash"))
+      .withColumn("bh", expr("shiftrightunsigned(ahash, cast(band * 8 as int)) & 255"))
+      .drop("ahash")
+    val buckets = banded.groupBy("band", "bh")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .observe("image_phash_buckets",
+        count(lit(1)).as("buckets"),
+        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)).as("truncated_buckets"))
+      .select(slice(col("ids"), 1, maxBucket).as("ids"))
+    val pairs = buckets.select(explode(flatten(
+        transform(sequence(lit(0), size(col("ids")) - 2),
+          i => transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
+            x => array(element_at(col("ids"), i + lit(1)), x))))).as("p"))
+      .select(element_at(col("p"), 1).as("id_a"), element_at(col("p"), 2).as("id_b"))
+      .distinct()
+    val h = hashes.filter(col("ok"))
+    pairs
+      .join(h.select(col("id").as("id_a"), col("ahash").as("ah_a"), col("dhash").as("dh_a")), Seq("id_a"))
+      .join(h.select(col("id").as("id_b"), col("ahash").as("ah_b"), col("dhash").as("dh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(ah_a ^ ah_b)").cast("long").as("ham_a"),
+        expr("bit_count(dh_a ^ dh_b)").cast("long").as("ham_d"))
+      .filter(col("ham_a") <= maxHamming)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -485,6 +572,18 @@ object Multimodal {
           round(element_at(col("features"), 4), 4).as("mean_g"),
           round(element_at(col("features"), 5), 4).as("mean_b"))
         .orderBy("id")
+    }),
+    // P51: perceptual-hash image dedup over real PNGs. Payload seed is
+    // id % 50, so every image has exact twins (hamming 0) the band
+    // join must surface — the planted-duplicate design. Rows-only (PNG
+    // codec); PipelineSpec pins identical/perturbed/unrelated behavior.
+    "mm_image_phash" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = graft.Tables(spark, dir).documents.filter(col("doc_id") < 300)
+      val media = mediaFromDocuments(docs).as[MediaItem]
+        .map(m => m.copy(modality = "image", payload = pngPayload(m.id % 50, 8, 8)))
+      imageNearDupPairs(imageHashes(media).toDF(), maxHamming = 8)
+        .orderBy("id_a", "id_b").limit(200)
     }),
     // P13 real path: encode genuine PNGs on the executors, decode them
     // back through javax.imageio, extract pixel statistics. PNG encode/

@@ -890,6 +890,36 @@ class PipelineSpec extends SparkSpec {
     assert(s.origW == -1 && s.outBytes == 0)
   }
 
+  test("multimodal: perceptual hashes match on identical images, stay close under a pixel flip, split on unrelated") {
+    import Multimodal.{MediaItem, MediaMeta}
+    def item(id: Long, payload: Array[Byte]) = MediaItem(id, "image", payload, MediaMeta(8, 8, 0))
+    val base = Multimodal.pngPayload(7L, 8, 8)
+    // perturbed copy: decode, flip ONE pixel, re-encode
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    img.setRGB(0, 0, img.getRGB(0, 0) ^ 0x000040)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val ds = Seq(
+      item(1L, base), item(2L, base),                           // exact twins
+      item(3L, out.toByteArray),                                // near-dup
+      item(4L, Multimodal.pngPayload(99L, 8, 8)),               // unrelated
+      item(5L, Array[Byte](1, 2, 3))                            // corrupt
+    ).toDS()
+    val hs = Multimodal.imageHashes(ds).collect().map(h => h.id -> h).toMap
+    assert(hs(1L).ok && hs(1L).ahash == hs(2L).ahash && hs(1L).dhash == hs(2L).dhash)
+    assert(!hs(5L).ok) // corrupt degrades, never fails the task
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(1L).ahash, hs(3L).ahash) <= 8)   // one-pixel flip stays near
+    assert(ham(hs(1L).ahash, hs(4L).ahash) > 8)    // unrelated image splits
+    val pairs = Multimodal.imageNearDupPairs(
+        Multimodal.imageHashes(ds).toDF(), maxHamming = 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("ham_a")).toMap
+    assert(pairs((1L, 2L)) == 0L)          // exact twins at hamming 0
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near-dups found
+    assert(pairs.keySet.forall { case (a, b) => a != 4L && b != 4L }) // unrelated excluded
+  }
+
   test("multimodal: real WAV decode recovers pinned signal statistics") {
     import Multimodal.{MediaItem, MediaMeta}
     // hand-built 4-sample mono PCM16 @ 8kHz: [0, 16384, -16384, 0]
