@@ -452,6 +452,57 @@ object Multimodal {
     }))
   }
 
+  case class AudioFrame(id: Long, frame_idx: Int, n_samples: Int,
+                        energy: Long, zc: Int, silent: Boolean)
+
+  /** P52: FRAME-level audio analysis — the per-window twin of P13's
+    * whole-clip statistics, and the standard speech-pipeline front end
+    * (voice-activity detection runs on exactly these): the clip splits
+    * into fixed windows of `frameSamples`, each scored by integer
+    * energy (sum of squared 16-bit samples — exact in a long), zero
+    * crossings, and a silence verdict (`energy < threshold · n`,
+    * integer compare). One media row flatMaps to its frames inside the
+    * batched partition-local decode — no shuffle; the frame stream is
+    * the input to windowed aggregation downstream. Corrupt or
+    * non-PCM16 payloads yield a single sentinel frame (idx = -1). */
+  def audioFrames(media: Dataset[MediaItem], frameSamples: Int = 40,
+                  silencePerSample: Long = 1000000L,
+                  batchSize: Int = 64): Dataset[AudioFrame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "audio").mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { m =>
+      scala.util.Try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        try {
+          val fmt = in.getFormat
+          require(fmt.getSampleSizeInBits == 16 &&
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          val samples = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            val lo = if (fmt.isBigEndian) bytes(2 * i + 1) else bytes(2 * i)
+            val hi = if (fmt.isBigEndian) bytes(2 * i) else bytes(2 * i + 1)
+            samples(i) = ((hi << 8) | (lo & 0xff)).toShort.toInt
+            i += 1
+          }
+          (0 until n by frameSamples).zipWithIndex.map { case (start, idx) =>
+            val end = math.min(start + frameSamples, n)
+            var energy = 0L; var zc = 0; var j = start
+            while (j < end) {
+              energy += samples(j).toLong * samples(j)
+              if (j > start && ((samples(j) >= 0) != (samples(j - 1) >= 0))) zc += 1
+              j += 1
+            }
+            AudioFrame(m.id, idx, end - start, energy, zc,
+              energy < silencePerSample * (end - start))
+          }
+        } finally in.close()
+      }.getOrElse(Seq(AudioFrame(m.id, -1, 0, 0L, 0, silent = true)))
+    }))
+  }
+
   case class ImageHash(id: Long, ahash: Long, dhash: Long, ok: Boolean)
 
   /** P51: PERCEPTUAL image hashes — the image twin of text simhash
@@ -571,6 +622,23 @@ object Multimodal {
           round(element_at(col("features"), 3), 4).as("mean_r"),
           round(element_at(col("features"), 4), 4).as("mean_g"),
           round(element_at(col("features"), 5), 4).as("mean_b"))
+        .orderBy("id")
+    }),
+    // P52: frame-level audio analysis over real WAVs — per-clip rollup
+    // of the frame stream (all-integer frame stats, so the aggregate
+    // is engine-deterministic). Rows-only (WAV codec); PipelineSpec
+    // pins exact frame energies/ZCR/silence on a hand-built signal.
+    "mm_audio_frames" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = graft.Tables(spark, dir).documents.filter(col("doc_id") < 300)
+      val media = mediaFromDocuments(docs).as[MediaItem]
+        .map(m => m.copy(modality = "audio", payload = wavPayload(m.id)))
+      audioFrames(media).toDF()
+        .groupBy("id")
+        .agg(count(lit(1)).cast("long").as("n_frames"),
+          sum(when(col("silent"), 1L).otherwise(0L)).as("n_silent"),
+          sum(col("zc")).as("total_zc"),
+          max(col("energy")).as("max_energy"))
         .orderBy("id")
     }),
     // P51: perceptual-hash image dedup over real PNGs. Payload seed is

@@ -920,6 +920,36 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.keySet.forall { case (a, b) => a != 4L && b != 4L }) // unrelated excluded
   }
 
+  test("multimodal: audio frames pin exact integer energy, crossings, and silence verdicts") {
+    import Multimodal.{MediaItem, MediaMeta}
+    // 80 samples mono PCM16 LE @ 8kHz: 40 of silence, then 40
+    // alternating +/-16384 — with frameSamples=40 that is one silent
+    // frame and one loud frame with a crossing at every step
+    val pcm = new Array[Byte](160)
+    for (i <- 40 until 80) {
+      val s: Short = if (i % 2 == 0) 16384 else -16384
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 80L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val ds = Seq(MediaItem(1L, "audio", out.toByteArray, MediaMeta(0, 0, 80)),
+      MediaItem(2L, "audio", Array[Byte](3, 1, 4), MediaMeta(0, 0, 0))).toDS()
+    val fr = Multimodal.audioFrames(ds, frameSamples = 40).collect()
+      .groupBy(_.id).map { case (k, v) => k -> v.sortBy(_.frame_idx) }
+    val f = fr(1L)
+    assert(f.length == 2)
+    assert(f(0).energy == 0L && f(0).zc == 0 && f(0).silent)
+    assert(f(1).energy == 40L * 16384L * 16384L) // exact integer sum of squares
+    assert(f(1).zc == 39 && !f(1).silent)
+    // corrupt payload degrades to the sentinel frame
+    assert(fr(2L).head.frame_idx == -1 && fr(2L).head.silent)
+  }
+
   test("multimodal: real WAV decode recovers pinned signal statistics") {
     import Multimodal.{MediaItem, MediaMeta}
     // hand-built 4-sample mono PCM16 @ 8kHz: [0, 16384, -16384, 0]
