@@ -24,6 +24,27 @@ object EventQueries {
   private val sec = expr("ts div 1000000000")
 
   val queries: Map[String, Q] = Map(
+    // E9: inter-arrival distribution — per-user event gaps through one
+    // lag window, bucketed into power-of-two seconds bands by pure
+    // INTEGER binary length (length(bin(s)) = floor(log2)+1 — no
+    // engine-divergent float log). Gaps diff NANOSECOND longs before
+    // the integer division, so sub-second components can't round
+    // differently across engines. The latency-profile query every
+    // event pipeline runs before choosing session gaps and watermarks.
+    "events_interarrival" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t.events.select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("gap_s", expr("(ts - prev) div 1000000000"))
+        .groupBy(length(expr("bin(gap_s)")).cast("long").as("gap_bucket"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap_s")).as("min_gap_s"), max(col("gap_s")).as("max_gap_s"))
+        .orderBy("gap_bucket")
+    }),
+
     // E1: tumbling hourly window (batch date_trunc form).
     "events_tumbling_hour" -> ((spark, dir) => {
       val t = Tables(spark, dir)
@@ -142,6 +163,19 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_interarrival" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_ns(ts) AS tns, event_id,
+        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS prev
+        |  FROM events),
+        |d AS (SELECT (tns - prev) // 1000000000 AS gap_s FROM g WHERE prev IS NOT NULL)
+        |SELECT CAST(length(to_base(gap_s, 2)) AS BIGINT) AS gap_bucket,
+        |  count(*) AS n_gaps,
+        |  CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+        |  CAST(max(gap_s) AS BIGINT) AS max_gap_s
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "events_retention_cohort" ->
       """WITH ev AS (
         |  SELECT DISTINCT user_id, strftime(date_trunc('month', ts), '%Y-%m') AS m

@@ -430,15 +430,32 @@ object TextAnalysis {
       gopherRules(Tables(spark, dir).documents).orderBy("doc_id")),
     "text_c4_rules" -> ((spark, dir) =>
       c4Rules(Tables(spark, dir).documents).orderBy("doc_id")),
+    // P18, oracle-exact since r8 via the classic TWO-PASS exact heavy
+    // hitter algorithm: pass 1 folds a Misra–Gries summary (k=40
+    // counters, O(k) per partition) whose guarantee — every word with
+    // frequency > n/(k+1) survives — makes the candidate set
+    // recall-complete; pass 2 recounts ONLY the ≤k candidates (equi-
+    // join on the broadcast candidate list) and the exact integer
+    // threshold freq·(k+1) > total keeps precisely the true heavy
+    // hitters. The output is therefore EXACT — DuckDB replays it as a
+    // plain GROUP BY + HAVING — while the corpus passes never shuffle
+    // more than k counters per partition.
     "text_heavy_hitters" -> ((spark, dir) => {
       import graft.functions.HeavyHitters
-      val t = Tables(spark, dir)
-      t.documents
+      val k = 40
+      val toks = Tables(spark, dir).documents
         .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
         .filter(length(col("word")) > 0)
-        .agg(HeavyHitters.of(col("word"), 20).as("hh"))
-        .select(posexplode(col("hh")).as(Seq("pos", "entry")))
-        .select(col("pos").cast("long").as("pos"), col("entry"))
+      val cand = toks
+        .agg(HeavyHitters.of(col("word"), k).as("cands"), count(lit(1)).as("total"))
+        // summary entries are "word:lowerBound" — strip the count tail
+        .select(explode(col("cands")).as("entry"), col("total"))
+        .select(regexp_replace(col("entry"), ":[0-9]+$", "").as("word"), col("total"))
+      toks.join(broadcast(cand), Seq("word"))
+        .groupBy("word", "total").agg(count(lit(1)).as("freq"))
+        .filter(col("freq") * (k + 1) > col("total"))
+        .select(col("word"), col("freq"), col("total"))
+        .orderBy(col("freq").desc, col("word"))
     }),
   )
 
@@ -628,6 +645,19 @@ object TextAnalysis {
          |  round(coalesce(a.nll_sum, 0.0) / greatest(len(t.toks), 1), 4) AS ce
          |FROM tok t LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // P18's two-pass exact output is plain relational algebra to an
+    // engine that can afford the full count: GROUP BY + HAVING with
+    // the same integer threshold.
+    "text_heavy_hitters" ->
+      s"""WITH tok AS (
+        |  SELECT unnest($wsSql) AS word FROM documents),
+        |t2 AS (SELECT word FROM tok WHERE length(word) > 0),
+        |tot AS (SELECT count(*) AS total FROM t2)
+        |SELECT word, count(*) AS freq, (SELECT total FROM tot) AS total
+        |FROM t2 GROUP BY word
+        |HAVING count(*) * 41 > (SELECT total FROM tot)
+        |ORDER BY freq DESC, word""".stripMargin,
 
     // C4 rules are counting + membership only — no doubles anywhere —
     // so DuckDB mirrors each verdict and the reassembled clean_text
