@@ -58,6 +58,7 @@ object Fixtures {
   val cleanup: Map[String, Hook] = Map(
     "m4_compact_small_files" ->
       ((s, d) => rm(s, operators.TableOps.compactIn(d), operators.TableOps.compactOut(d))),
+    "m5_dynamic_overwrite" -> ((s, d) => rm(s, operators.TableOps.dynDir(d))),
     "src_nested_parquet" ->
       ((s, d) => { sources.NestedParquet.invalidate(d); rm(s, sources.NestedParquet.path(d)) }),
     "src_rcfile_roundtrip" -> ((s, d) => rm(s, sources.RcFileQueries.path(d))),

@@ -52,9 +52,46 @@ object TableOps {
   private[graft] def compactOut(dir: String) =
     s"/tmp/graft_compact_out_${new java.io.File(dir).getName}"
 
+  private[graft] def dynDir(dir: String) =
+    s"/tmp/graft_dyn_overwrite_${new java.io.File(dir).getName}_p${ProcessHandle.current().pid()}"
+
+  /** M5: DYNAMIC partition overwrite — the reference's
+    * `INSERT OVERWRITE ... PARTITION` with dynamic partition values
+    * (apache-impala-4.1.0/be/src/exec/hdfs-table-sink.cc: only the
+    * partitions the inserted rows name are clobbered). Spark-side this
+    * is the file-source `partitionOverwriteMode=dynamic` write: the
+    * overwrite batch replaces exactly the partition directories its
+    * rows land in; untouched partitions keep their files byte-for-byte
+    * (SourcesSpec asserts the file listing). Static overwrite — the
+    * default — would truncate the whole table first. */
+  def dynamicOverwrite(spark: SparkSession, tableDir: String,
+                       batch: DataFrame, partCol: String): Unit =
+    batch.write.partitionBy(partCol)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(tableDir)
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // M5 end-to-end: partition documents by lang, dynamically
+    // overwrite ONE partition with rewritten rows, and aggregate the
+    // re-read table; the oracle recomputes the merged state
+    // relationally, so a hash match proves untouched partitions
+    // survived and the named partition was replaced (not appended).
+    "m5_dynamic_overwrite" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val p = dynDir(dir)
+      t.documents.write.partitionBy("lang").mode("overwrite").parquet(p)
+      val batch = t.documents.filter(col("lang") === "en")
+        .withColumn("text", concat(lit("REWRITTEN:"), col("doc_id").cast("string")))
+      dynamicOverwrite(spark, p, batch, "lang")
+      spark.read.parquet(p).groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).as("sum_id"),
+          sum(when(col("text").startsWith("REWRITTEN:"), 1L).otherwise(0L)).as("n_rewritten"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
     // M4 end-to-end: shatter documents into 64 tiny files, compact,
     // and aggregate the re-read table — the oracle computes the same
     // aggregate from the ORIGINAL parquet, so a hash match proves the
@@ -215,6 +252,19 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the relational meaning of a dynamic overwrite: non-named
+    // partitions verbatim, the named partition replaced by the batch
+    "m5_dynamic_overwrite" ->
+      """WITH merged AS (
+        |  SELECT doc_id, text, lang, n_chars FROM documents WHERE lang <> 'en'
+        |  UNION ALL
+        |  SELECT doc_id, 'REWRITTEN:' || CAST(doc_id AS VARCHAR), lang, n_chars
+        |  FROM documents WHERE lang = 'en')
+        |SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  sum(CASE WHEN text LIKE 'REWRITTEN:%' THEN 1 ELSE 0 END)::BIGINT AS n_rewritten,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
+
     // over the ORIGINAL table — equality proves the compaction round trip
     "m4_compact_small_files" ->
       """SELECT lang, count(*) AS n, count(DISTINCT doc_id) AS nd,

@@ -265,6 +265,26 @@ class SourcesSpec extends SparkSpec {
     assert(probeCur.count() == 1)
   }
 
+  test("M5: dynamic partition overwrite replaces only the partitions the batch names") {
+    import spark.implicits._
+    val dir = tmp() + "/dyn"
+    Seq((1L, "a", "en"), (2L, "b", "de"), (3L, "c", "en")).toDF("id", "v", "lang")
+      .write.partitionBy("lang").mode("overwrite").parquet(dir)
+    def listing(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq
+    val deBefore = listing(s"$dir/lang=de")
+    graft.operators.TableOps.dynamicOverwrite(spark, dir,
+      Seq((9L, "x", "en")).toDF("id", "v", "lang"), "lang")
+    val back = spark.read.parquet(dir)
+    // 'en' replaced wholesale by the one batch row; 'de' rows intact
+    assert(back.filter(col("lang") === "en").collect().map(_.getAs[Long]("id")).toSeq == Seq(9L))
+    assert(back.filter(col("lang") === "de").collect().map(_.getAs[Long]("id")).toSeq == Seq(2L))
+    // the untouched partition's FILES survive byte-for-byte — the
+    // dynamic-vs-static distinction (static truncates the table first)
+    assert(listing(s"$dir/lang=de") == deBefore)
+  }
+
   test("S16k: metadata tables serve snapshots/files/manifests/partitions from the tree alone") {
     import graft.sources.{IcebergInspect, IcebergWrite}
     val dir = tmp() + "/iceberg_inspect"
