@@ -58,6 +58,20 @@ object AsOfJoin {
         payload.map(p => col("__p").getField(p).as(p))): _*)
   }
 
+  /** J1b: FORWARD as-of — "the next known value at or after t" (the
+    * merge_asof direction='forward' semantics: scheduled-maintenance
+    * lookups, next-price joins). Same one-shuffle union-window
+    * machinery as [[asof]], run on the NEGATED time axis — backward
+    * as-of over -t IS forward as-of over t, and the tie handling
+    * (right row sorts first) keeps "at or after" inclusive. Same
+    * unique-(key, ts) right-side precondition. */
+  def asofForward(left: DataFrame, right: DataFrame, key: String, ts: String,
+                  payload: Seq[String]): DataFrame = {
+    val l = left.withColumn(ts, -col(ts).cast("long"))
+    val r = right.withColumn(ts, -col(ts).cast("long"))
+    asof(l, r, key, ts, payload).withColumn(ts, -col(ts))
+  }
+
   /** The same semantics as [[asof]] through the custom physical
     * operator (graft.plans.AsOfJoinExec): cluster-by-key + sorted
     * merge, one shuffle per side. Key and ts columns must be LongType.
@@ -99,6 +113,22 @@ object AsOfJoin {
       asofPhysical(purchases, views, "user_id", "sec", Seq("view_value"))
         .select(col("user_id"), col("sec"), col("event_id"),
           coalesce(col("view_value"), lit(-1.0)).as("last_view_value"))
+        .orderBy("user_id", "sec", "event_id")
+    }),
+
+    "asof_join_forward" -> ((spark, dir) => {
+      val ev = Tables(spark, dir).events
+        .select(col("user_id"), expr("ts div 1000000000").as("sec"),
+          col("event_id"), col("event_type"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("sec"), col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("sec").as("vsec"), col("value").as("view_value"))
+        .groupBy("user_id", "vsec").agg(max("view_value").as("view_value"))
+        .withColumnRenamed("vsec", "sec")
+      asofForward(purchases, views, "user_id", "sec", Seq("view_value"))
+        .select(col("user_id"), col("sec"), col("event_id"),
+          coalesce(col("view_value"), lit(-1.0)).as("next_view_value"))
         .orderBy("user_id", "sec", "event_id")
     }),
 
@@ -144,5 +174,21 @@ object AsOfJoin {
     // Same oracle: two independent graft implementations (composed
     // union+window vs custom physical exec) must both match DuckDB.
     "asof_join_events_exec" -> asofOracle,
+    // DuckDB's ASOF accepts <= — its native forward direction.
+    "asof_join_forward" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+        |         event_id, event_type, value
+        |  FROM events),
+        |purchases AS (
+        |  SELECT user_id, sec, event_id FROM ev WHERE event_type = 'purchase'),
+        |views AS (
+        |  SELECT user_id, sec, max(value) AS view_value
+        |  FROM ev WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.user_id, p.sec, p.event_id,
+        |       coalesce(v.view_value, -1.0) AS next_view_value
+        |FROM purchases p ASOF LEFT JOIN views v
+        |  ON p.user_id = v.user_id AND p.sec <= v.sec
+        |ORDER BY p.user_id, p.sec, p.event_id""".stripMargin,
   )
 }
