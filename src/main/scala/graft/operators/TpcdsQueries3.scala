@@ -213,6 +213,23 @@ object TpcdsQueries3 {
         .orderBy("segment")
     }),
 
+    // DS50 (q33/q56/q60 shape): the union-of-three-aggregates battery —
+    // the literal form (oracle) computes one aggregate PER item class
+    // and re-aggregates their union; here one conditional pass with an
+    // IN-filter produces the same totals from a single fact scan.
+    "ds_q33_class_union" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.lineitem
+        .join(t.part.filter(col("p_type").isin("PROMO", "ECONOMY", "LARGE")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(rev).as("total_rev"), count(lit(1)).as("n_lines"))
+        .orderBy("n_name")
+    }),
+
     // DS49 (q94 shape): orders with a shipped ('F') line and NO
     // returned line — EXISTS and NOT EXISTS against the same fact in
     // one statement. The literal form (oracle) runs both subqueries;
@@ -328,6 +345,27 @@ object TpcdsQueries3 {
         |SELECT CAST(floor(crev / 5000) AS BIGINT) AS segment,
         |  count(*) AS n_customers
         |FROM crev GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ds_q33_class_union" -> {
+      def one(ptype: String) =
+        s"""SELECT n_name,
+           |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS r,
+           |    count(*) AS c
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey
+           |    JOIN orders ON l_orderkey = o_orderkey
+           |    JOIN customer ON o_custkey = c_custkey
+           |    JOIN nation ON c_nationkey = n_nationkey
+           |  WHERE p_type = '$ptype' GROUP BY n_name""".stripMargin
+      s"""WITH u AS (
+         |${one("PROMO")}
+         |UNION ALL
+         |${one("ECONOMY")}
+         |UNION ALL
+         |${one("LARGE")})
+         |SELECT n_name, CAST(SUM(r) AS DOUBLE) AS total_rev,
+         |  CAST(SUM(c) AS BIGINT) AS n_lines
+         |FROM u GROUP BY n_name ORDER BY n_name""".stripMargin
+    },
 
     "ds_q94_unreturned_orders" ->
       s"""SELECT o_orderpriority, count(*) AS n_orders,

@@ -138,6 +138,25 @@ object Splits {
         explode(sequence(lit(0L), col("n_copies") - 1)).as("copy"))
   }
 
+  /** P54: SPLIT LEAKAGE AUDIT — the eval-integrity check every
+    * training pipeline should run after splitting: a near-duplicate
+    * pair straddling train/test inflates held-out metrics (the test
+    * doc is effectively memorized). Candidates come from the SHARED
+    * minhash-LSH band machinery (Dedup.minhashCandidates — bounded
+    * buckets, never doc×doc); each surviving pair is labeled with both
+    * sides' deterministic split and a leak verdict. The deliverable is
+    * the leaking pairs themselves, jaccard-heaviest first — the list a
+    * pipeline owner quarantines. */
+  def splitLeakage(docs: DataFrame, minJaccard: Double = 0.1): DataFrame = {
+    val s = trainTest(docs).select(col("doc_id"), col("split"))
+    graft.pipeline.Dedup.minhashCandidates(docs, minJaccard = minJaccard)
+      .join(s.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
+      .join(s.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("split_a"), col("split_b"),
+        (col("split_a") =!= col("split_b")).as("leak"))
+  }
+
   /** Knuth multiplicative membership hash, u ∈ [0, 1). The product is
     * taken in DECIMAL(38,0): `doc_id * 2654435761` in BIGINT silently
     * wraps negative for doc_id ≳ 3.47e9 (Spark) or raises an overflow
@@ -165,6 +184,10 @@ object Splits {
     // P19: oracle-exact — the assignment is pure md5 arithmetic.
     "split_train_test" -> ((spark, dir) => {
       trainTest(Tables(spark, dir).documents).orderBy("doc_id")
+    }),
+    "split_leakage_audit" -> ((spark, dir) => {
+      splitLeakage(Tables(spark, dir).documents)
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(200)
     }),
     // P29: oracle-exact — counts, thresholds, and membership are pure
     // arithmetic both engines replay bit-identically.
@@ -236,6 +259,29 @@ object Splits {
         |       CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy
         |FROM n WHERE n_copies > 0
         |ORDER BY doc_id, copy""".stripMargin,
+    // P54 composes two vetted replays: the minhash candidate+verify
+    // chain and the md5-bucket split assignment.
+    "split_leakage_audit" -> {
+      import graft.operators.DuckHashSql._
+      val splitOf = (c: String) =>
+        s"""CASE WHEN (strpos('0123456789abcdef', substring(md5(CAST($c AS VARCHAR)), 1, 1)) - 1) * 16
+           |        + (strpos('0123456789abcdef', substring(md5(CAST($c AS VARCHAR)), 2, 1)) - 1) < 204
+           |     THEN 'train' ELSE 'test' END""".stripMargin
+      s"""WITH ${minhashCtes("documents")},
+         |ver AS (
+         |  SELECT doc_a, doc_b, jaccard FROM (
+         |    SELECT doc_a, doc_b, ${jaccardSql("a.su", "b.su")} AS jaccard
+         |    FROM mpairs JOIN msh a ON mpairs.doc_a = a.doc_id
+         |                JOIN msh b ON mpairs.doc_b = b.doc_id)
+         |  WHERE jaccard >= 0.1)
+         |SELECT doc_a, doc_b, jaccard,
+         |  ${splitOf("doc_a")} AS split_a,
+         |  ${splitOf("doc_b")} AS split_b,
+         |  ${splitOf("doc_a")} <> ${splitOf("doc_b")} AS leak
+         |FROM ver
+         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 200""".stripMargin
+    },
+
     "split_train_test" ->
       """SELECT doc_id,
         |  CAST((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
