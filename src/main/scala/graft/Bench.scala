@@ -56,7 +56,14 @@ object Bench {
     "dedup_incremental_indexed",
     "ds_q6_above_avg_price", "ds_q9_quantity_buckets", "ds_q62_ship_latency",
     "ds_q90_time_ratio", "ds_q85_return_profile", "pipe_epoch_upsample",
-    "src_iceberg_merge")
+    "src_iceberg_merge",
+    // round-8 continuation families
+    "ds_q32_excess_discount", "ds_q2_wow_pivot", "ds_q44_best_worst",
+    "ds_q38_customer_overlap", "ds_q94_unreturned_orders",
+    "dedup_lines", "dedup_containment", "pipe_unigram_tokenize",
+    "mm_image_phash", "text_heavy_hitters", "split_leakage_audit",
+    "src_iceberg_cdc", "src_iceberg_partitions", "m5_dynamic_overwrite",
+    "asof_join_forward", "events_interarrival")
 
   // Locale.ROOT: the default-locale format would emit comma decimals
   // ("1,234") under e.g. a de_DE JVM, corrupting the JSON contract.
