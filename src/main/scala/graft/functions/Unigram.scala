@@ -29,13 +29,19 @@ object UnigramImpl {
     * real piece path so it's only used when nothing covers the char. */
   val UnkCost = 100000000L
 
-  /** Viterbi min-cost segmentation of `word` under
-    * `vocab: array<struct<piece:string,cost:long>>`. Every position is
-    * always reachable (unknown single chars cost [[UnkCost]]). */
-  def encode(word: UTF8String, vocab: ArrayData): ArrayData = {
-    val w = word.toString
-    val n = w.length
-    if (n == 0) return ArrayData.toArrayData(Array.empty[AnyRef])
+  /** The vocab rides the expression as a per-row argument but is the
+    * SAME broadcast value on every row — rebuilding the piece map per
+    * word would dominate the corpus pass (it did: 4.4 s vs BPE's
+    * 1.6 s at sf0.1). One parsed map is cached per thread; the
+    * cheap-equality probe (same instance, or equal ArrayData — a byte
+    * compare for unsafe rows) falls back to a rebuild on any
+    * different vocab, so correctness never depends on the cache. */
+  private val vocabCache =
+    new ThreadLocal[(ArrayData, java.util.HashMap[String, java.lang.Long], Int)]()
+
+  private def vocabMap(vocab: ArrayData): (java.util.HashMap[String, java.lang.Long], Int) = {
+    val c = vocabCache.get()
+    if (c != null && ((c._1 eq vocab) || c._1 == vocab)) return (c._2, c._3)
     val costs = new java.util.HashMap[String, java.lang.Long]()
     var maxLen = 1
     var vi = 0
@@ -47,6 +53,18 @@ object UnigramImpl {
       if (p.length > maxLen) maxLen = p.length
       vi += 1
     }
+    vocabCache.set((vocab.copy(), costs, maxLen))
+    (costs, maxLen)
+  }
+
+  /** Viterbi min-cost segmentation of `word` under
+    * `vocab: array<struct<piece:string,cost:long>>`. Every position is
+    * always reachable (unknown single chars cost [[UnkCost]]). */
+  def encode(word: UTF8String, vocab: ArrayData): ArrayData = {
+    val w = word.toString
+    val n = w.length
+    if (n == 0) return ArrayData.toArrayData(Array.empty[AnyRef])
+    val (costs, maxLen) = vocabMap(vocab)
     val best = new Array[Long](n + 1)
     val back = new Array[Int](n + 1)
     java.util.Arrays.fill(best, Long.MaxValue)

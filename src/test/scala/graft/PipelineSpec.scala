@@ -1199,6 +1199,54 @@ class PipelineSpec extends SparkSpec {
     assert(Dedup.containmentPairs(many, minContainmentTenths = 1, maxDf = 10).isEmpty)
   }
 
+  test("containment pairs match a brute-force all-pairs oracle on random corpora") {
+    // 40 docs over a tiny vocab (dense shingle collisions), maxDf high
+    // enough that no stop-gram filtering hides pairs — the operator's
+    // verdicts must then equal the naive O(n^2) computation exactly.
+    val rnd = new scala.util.Random(1234)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee")
+    val docs = docsDf((1L to 40L).map { i =>
+      val n = 5 + rnd.nextInt(10)
+      (i, (1 to n).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "), "s")
+    }: _*)
+    val got = Dedup.containmentPairs(docs, minContainmentTenths = 8, maxDf = 1000)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("common_shingles")).toMap
+    // brute force on the driver over the same hashed shingle sets
+    val sh = docs.select(col("doc_id"), Dedup.hashedShingles(col("text")).as("sh"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toSet).toMap
+    val want = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      inter = (sh(a) & sh(b)).size
+      if inter * 10 >= sh(a).size * 8 || inter * 10 >= sh(b).size * 8
+    } yield (a, b) -> inter.toLong).toMap
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    assert(want.nonEmpty) // the corpus actually exercises the verdicts
+  }
+
+  test("line dedup matches a brute-force oracle on random lined corpora") {
+    val rnd = new scala.util.Random(99)
+    val lines = Array("common header", "common footer", "x1", "x2", "x3", "x4", "x5", "x6")
+    val corpus = (1L to 25L).map { i =>
+      val n = 1 + rnd.nextInt(5)
+      i -> (1 to n).map(_ => lines(rnd.nextInt(lines.length))).mkString("\n")
+    }
+    val docs = corpus.toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, minDocs = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_removed"))).toMap
+    // brute force: count distinct docs per line, strike hot ones in place
+    val byLine = corpus.flatMap { case (id, t) => t.split("\n").map(_ -> id) }
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).distinct.size }
+    val hot = byLine.filter(_._2 >= 5).keySet
+    corpus.foreach { case (id, t) =>
+      val kept = t.split("\n").filterNot(hot)
+      assert(got(id)._1 == kept.mkString("\n"), s"doc $id")
+      assert(got(id)._2 == t.split("\n").count(hot))
+    }
+    assert(hot.nonEmpty) // the threshold actually fires on this corpus
+  }
+
   test("line dedup strikes boilerplate lines recurring across docs, keeps order, and never drops a doc") {
     // "cookie banner" recurs in 3 docs -> boilerplate; unique lines stay.
     val docs = Seq(
