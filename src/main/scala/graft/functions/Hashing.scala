@@ -144,6 +144,22 @@ object HashImpl {
     common.toDouble / (na + nb - common)
   }
 
+  /** |A∩B| of two sorted long arrays — the same merge walk as
+    * [[jaccardSorted]] returning the raw count (the containment
+    * family's verify primitive: thresholds compare the count in
+    * integers, so no float ever decides a pair). */
+  def intersectCountSorted(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var common = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { common += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    common
+  }
+
   /** Tokenize (lowercase, whitespace), hash each token, combine each run
     * of k consecutive token hashes into a shingle hash, return the
     * SORTED DISTINCT shingle hashes — the whole dedup feature pipeline
@@ -303,6 +319,22 @@ case class JaccardSorted(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardSorted =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "jaccard_sorted"
+}
+
+/** `intersect_count_sorted(array<bigint>, array<bigint>) -> bigint` —
+  * fused sorted-merge intersection size (no intermediate array, unlike
+  * array_intersect + size). */
+case class IntersectCountSorted(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashImpl.intersectCountSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpl.intersectCountSorted($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): IntersectCountSorted =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "intersect_count_sorted"
 }
 
 /** `fingerprint64(string) -> bigint` — winnowing-lite rolling-hash

@@ -348,7 +348,9 @@ object Dedup {
     pairs
       .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      // fused sorted-merge count — no intermediate array per pair
+      .withColumn("inter",
+        call_function("intersect_count_sorted", col("sh_a"), col("sh_b")).cast("int"))
       .filter(col("inter") * 10 >= size(col("sh_a")) * minContainmentTenths ||
         col("inter") * 10 >= size(col("sh_b")) * minContainmentTenths)
       .select(col("doc_a"), col("doc_b"),

@@ -120,6 +120,8 @@ object GraftFunctions {
       arity("bpe_encode", 2)(es => BpeEncode(es(0), es(1)))),
     ("unigram_encode", info("unigram_encode", "unigram_encode(word, vocab) - Viterbi min-cost pieces under a scored unigram vocab"),
       arity("unigram_encode", 2)(es => UnigramEncode(es(0), es(1)))),
+    ("intersect_count_sorted", info("intersect_count_sorted", "intersect_count_sorted(a, b) - |A∩B| of two sorted bigint arrays"),
+      arity("intersect_count_sorted", 2)(es => IntersectCountSorted(es(0), es(1)))),
     ("pq_dtab", info("pq_dtab", "pq_dtab(vec, codebook, K) - per-query ADC distance table"),
       arity("pq_dtab", 3)(es => PqDtab(es(0), es(1), es(2)))),
     ("pq_adc_score", info("pq_adc_score", "pq_adc_score(codes, dtab, K) - ADC table-lookup distance"),
