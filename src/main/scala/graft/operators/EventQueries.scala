@@ -114,6 +114,25 @@ object EventQueries {
         .orderBy("user_id")
     }),
 
+    // E10: NATIVE batch session_window — the declarative twin of E4's
+    // lag+cumsum sessionization, per-session grain. Spark's gap
+    // semantics close a session when the next event is >= gap after
+    // the last (the event lands outside [last, last+gap)), so the
+    // oracle's independent window implementation breaks on >= 1800 —
+    // a DuckDB match certifies Spark's built-in operator itself.
+    "events_session_native" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.events
+        .select(col("user_id"), timestamp_seconds(sec).as("tss"))
+        .groupBy(col("user_id"), session_window(col("tss"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_timestamp(col("sw.start")).as("session_start"),
+          unix_timestamp(col("sw.end")).as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // E5: ordered funnel view → click → purchase via conditional min-ts.
     "events_funnel" -> ((spark, dir) => {
       val t = Tables(spark, dir)
@@ -198,6 +217,25 @@ object EventQueries {
       s"""SELECT user_id, ${sqlSum("value")} AS purchase_value, count(*) AS n_purchases
          |FROM events WHERE event_type = 'purchase'
          |GROUP BY 1 ORDER BY purchase_value DESC, user_id LIMIT 20""".stripMargin,
+
+    "events_session_native" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, s, event_id,
+        |    CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w >= 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
+        |sess AS (
+        |  SELECT user_id, s,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(s) AS session_start, max(s) + 1800 AS session_end,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "events_sessionize" ->
       """WITH base AS (

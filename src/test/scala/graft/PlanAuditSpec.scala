@@ -349,6 +349,28 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  /** The r8-continuation single-pass rewrites: q32's correlated
+    * per-part average runs as one window over the fact (the literal
+    * form evaluates two correlated subqueries per row); q94 folds
+    * EXISTS + NOT-EXISTS into one grouped membership pass (literal:
+    * two subquery scans); q38/q87 fold the three-year INTERSECT/EXCEPT
+    * chains into one membership-flag pass over orders (literal: three
+    * DISTINCT scans each). */
+  test("r8 continuation rewrites: ds_q32/ds_q94 one lineitem scan; ds_q38/ds_q87 one orders scan") {
+    def scansOf(name: String, table: String): Int =
+      SparkEntry.queries(name)(spark, sf0001).queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths.exists(
+          _.getName.startsWith(table)) => f
+      }.size
+    assert(scansOf("ds_q32_excess_discount", "lineitem") == 1)
+    assert(scansOf("ds_q94_unreturned_orders", "lineitem") == 1)
+    assert(scansOf("ds_q38_customer_overlap", "orders") == 1)
+    assert(scansOf("ds_q87_customer_except", "orders") == 1)
+    // the two-pass exact heavy hitter is DESIGNED as two corpus passes
+    // (MG summary + candidate recount) — pin that it stays exactly 2
+    assert(scansOf("text_heavy_hitters", "documents") == 2)
+  }
+
   /** q14's literal INTERSECT chain scans the fact 4× (3 joins + main).
     * The conditional-aggregation rewrite must leave exactly 2 lineitem
     * scans: the bool_or priority cut and the 1997 main query. */
