@@ -139,12 +139,19 @@ object TpcdsQueries3 {
       val dowSums = (0 to 6).map(d =>
         dsum(when(col("dow") === d, col("r")).otherwise(lit(0.0))).as(s"d$d"))
       val grain = base.groupBy("yr", "wk").agg(dowSums.head, dowSums.tail: _*)
-      val ty = grain.columns.foldLeft(grain)((df, c) => df.withColumnRenamed(c, s"ty_$c"))
+      // YoY through a lag window over the (small) grain instead of a
+      // grain self-join — the self-join re-scans the fact twice; the
+      // window reads it once (plan-audited). Current row = this year,
+      // lag = last year; non-consecutive years filter out.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("wk").orderBy("yr")
+      val withPrev = (0 to 6).foldLeft(
+          grain.withColumn("prev_yr", lag(col("yr"), 1).over(w)))(
+          (df, d) => df.withColumn(s"ly_d$d", lag(col(s"d$d"), 1).over(w)))
+        .filter(col("prev_yr") === col("yr") - 1)
       val ratios = (0 to 6).map(d =>
-        when(col(s"d$d") =!= 0.0,
-          floor(col(s"ty_d$d") * 10000 / col(s"d$d")).cast("long")).as(s"r$d"))
-      grain.join(ty, col("ty_wk") === col("wk") && col("ty_yr") === col("yr") + 1)
-        .select(Seq(col("wk"), col("yr")) ++ ratios: _*)
+        when(col(s"ly_d$d") =!= 0.0,
+          floor(col(s"d$d") * 10000 / col(s"ly_d$d")).cast("long")).as(s"r$d"))
+      withPrev.select(Seq(col("wk"), col("prev_yr").as("yr")) ++ ratios: _*)
         .orderBy("yr", "wk")
     }),
 

@@ -363,6 +363,7 @@ class PlanAuditSpec extends SparkSpec {
           _.getName.startsWith(table)) => f
       }.size
     assert(scansOf("ds_q32_excess_discount", "lineitem") == 1)
+    assert(scansOf("ds_q2_wow_pivot", "lineitem") == 1) // lag window, not a grain self-join
     assert(scansOf("ds_q94_unreturned_orders", "lineitem") == 1)
     assert(scansOf("ds_q38_customer_overlap", "orders") == 1)
     assert(scansOf("ds_q87_customer_except", "orders") == 1)
