@@ -359,6 +359,26 @@ object Dedup {
         round(col("inter").cast("double") / size(col("sh_b")), 4).as("cont_b"))
   }
 
+  /** P55: cross-source duplication ATTRIBUTION — the provenance
+    * analytics a corpus owner runs over the near-dup graph: which
+    * source PAIRS the duplication lives between (mirror sites,
+    * syndication, scraped re-posts) and how much of it stays inside a
+    * single source. Pairs come from the shared minhash machinery; the
+    * rollup is |sources|² at most, never documents². The source pair
+    * is ordered lexicographically so (a, b) and (b, a) collapse. */
+  def crossSourceDup(docs: DataFrame, minJaccard: Double = 0.1): DataFrame = {
+    val s = docs.select(col("doc_id"), col("source"))
+    minhashCandidates(docs, minJaccard = minJaccard)
+      .join(s.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(s.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        col("jaccard"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+      .withColumn("within_source", col("source_a") === col("source_b"))
+  }
+
   /** P48: cross-document LINE-level dedup (boilerplate removal) — the
     * RefinedWeb/CCNet pre-cleaning step: a line (navigation bar, cookie
     * banner, footer) that recurs verbatim in `minDocs`+ DISTINCT
@@ -469,6 +489,9 @@ object Dedup {
     "dedup_containment" -> ((spark, dir) => {
       containmentPairs(Tables(spark, dir).documents)
         .orderBy(col("common_shingles").desc, col("doc_a"), col("doc_b")).limit(200)
+    }),
+    "dedup_cross_source" -> ((spark, dir) => {
+      crossSourceDup(Tables(spark, dir).documents).orderBy("source_a", "source_b")
     }),
   )
 
@@ -583,6 +606,27 @@ object Dedup {
         |  b.n_lines - coalesce(r.n_kept, 0) AS n_removed
         |FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+
+    // P55: the attribution rollup over the vetted minhash pair replay.
+    "dedup_cross_source" -> {
+      import graft.operators.DuckHashSql._
+      s"""WITH ${minhashCtes("documents")},
+         |ver AS (
+         |  SELECT doc_a, doc_b, jaccard FROM (
+         |    SELECT doc_a, doc_b, ${jaccardSql("a.su", "b.su")} AS jaccard
+         |    FROM mpairs JOIN msh a ON mpairs.doc_a = a.doc_id
+         |                JOIN msh b ON mpairs.doc_b = b.doc_id)
+         |  WHERE jaccard >= 0.1),
+         |lab AS (
+         |  SELECT least(da.source, db.source) AS source_a,
+         |         greatest(da.source, db.source) AS source_b, jaccard
+         |  FROM ver JOIN documents da ON ver.doc_a = da.doc_id
+         |           JOIN documents db ON ver.doc_b = db.doc_id)
+         |SELECT source_a, source_b, count(*) AS n_pairs,
+         |  max(jaccard) AS max_jaccard,
+         |  source_a = source_b AS within_source
+         |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     // P49 replays end-to-end: the vetted hashed-shingle chain, the
     // df-filtered inverted-index candidate join, and the exact
