@@ -63,6 +63,7 @@ object Fixtures {
       ((s, d) => { sources.NestedParquet.invalidate(d); rm(s, sources.NestedParquet.path(d)) }),
     "src_rcfile_roundtrip" -> ((s, d) => rm(s, sources.RcFileQueries.path(d))),
     "src_seqfile_roundtrip" -> ((s, d) => rm(s, sources.SequenceQueries.path(d))),
+    "src_seqfile_v2write" -> ((s, d) => rm(s, sources.SequenceQueries.v2Path(d))),
     "src_avro_roundtrip" -> ((s, d) => rm(s, sources.AvroQueries.path(d))),
     "src_iceberg_roundtrip" ->
       ((s, d) => { sources.IcebergQueries.invalidate(d); rm(s, sources.IcebergQueries.path(d)) }),

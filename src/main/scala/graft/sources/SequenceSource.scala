@@ -69,11 +69,17 @@ object SequenceSource {
   }
 }
 
-class SeqFileTable(path: String, splitBytes: Long) extends Table with SupportsRead {
+class SeqFileTable(path: String, splitBytes: Long) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft_seqfile($path)"
   override def schema(): StructType = SequenceSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new SeqFileWriteBuilder(path, info.schema())
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val split = Option(options.get("split_bytes")).map(_.toLong).getOrElse(splitBytes)
     new ScanBuilder {
@@ -133,6 +139,110 @@ class SeqFileReaderFactory extends PartitionReaderFactory {
 /** Distributed SequenceFile writer: one container per partition,
   * Text→Text records (the classic Hive text-table layout the
   * reference's scanner consumes). */
+/** S17: the FULL DataSource V2 WRITE contract — the piece the
+  * side-door [[SequenceIO.write]] skips. Task writers land their
+  * output in a job-scoped temp directory and return commit MESSAGES;
+  * the driver's `commit` renames every committed task file into place
+  * and stamps `_SUCCESS`, `abort` deletes the temp tree — so
+  * speculative/retried tasks can never leave a half-written file
+  * visible, and a failed job leaves the previous table intact (the
+  * same commit discipline as Spark's own FileBatchWrite, implemented
+  * against the raw V2 API the way an external system's connector
+  * would). `mode("overwrite")` maps to SupportsTruncate. */
+class SeqFileWriteBuilder(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  require(schema.length == 2 && schema.forall(_.dataType == StringType),
+    s"graft seqfile write expects (key string, value string), got ${schema.simpleString}")
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new SeqFileBatchWrite(path, doTruncate)
+    }
+}
+
+case class SeqFileCommit(tempFile: String, finalName: String, rows: Long)
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class SeqFileBatchWrite(path: String, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  private val jobToken = java.util.UUID.randomUUID().toString
+  private def tempDir = s"$path/_temporary_$jobToken"
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    val out = new org.apache.hadoop.fs.Path(path)
+    val fs = out.getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(tempDir))
+    new SeqFileWriterFactory(tempDir, jobToken.take(8))
+  }
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+    val out = new org.apache.hadoop.fs.Path(path)
+    val fs = out.getFileSystem(conf)
+    if (truncate) // clear PREVIOUS contents only now, when the new data is all staged
+      fs.listStatus(out).filter(s => s.isFile && s.getPath.getName.endsWith(".seq"))
+        .foreach(s => fs.delete(s.getPath, false))
+    messages.foreach { case SeqFileCommit(tmp, name, _) =>
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(out, name))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tempDir), true)
+    val ok = fs.create(new org.apache.hadoop.fs.Path(out, "_SUCCESS"), true)
+    ok.close()
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(tempDir), true)
+  }
+}
+
+class SeqFileWriterFactory(tempDir: String, token: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      // taskId in the name keeps speculative attempts from colliding;
+      // only the attempt whose message reaches commit() gets renamed in
+      private val file = f"$tempDir/part-$partitionId%05d-$taskId.seq"
+      private val writer = SequenceFile.createWriter(
+        new org.apache.hadoop.conf.Configuration(),
+        SequenceFile.Writer.file(new org.apache.hadoop.fs.Path(file)),
+        SequenceFile.Writer.keyClass(classOf[Text]),
+        SequenceFile.Writer.valueClass(classOf[Text]))
+      private val k = new Text(); private val v = new Text()
+      private var n = 0L
+      override def write(row: InternalRow): Unit = {
+        k.set(row.getUTF8String(0).getBytes)
+        v.set(row.getUTF8String(1).getBytes)
+        writer.append(k, v)
+        n += 1
+      }
+      override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+        writer.close()
+        // token in the FINAL name keeps append jobs from colliding
+        // with a previous job's files of the same partition id
+        SeqFileCommit(file, f"part-$partitionId%05d-$token.seq", n)
+      }
+      override def abort(): Unit = {
+        writer.close()
+        val p = new org.apache.hadoop.fs.Path(file)
+        p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, false)
+      }
+      override def close(): Unit = ()
+    }
+}
+
 object SequenceIO {
   def write(df: DataFrame, path: String): Unit = {
     require(df.schema.length == 2 && df.schema.forall(_.dataType == StringType),
@@ -176,6 +286,9 @@ object SequenceQueries {
   def path(dir: String): String =
     s"/tmp/graft_seq_documents_${new java.io.File(dir).getName}"
 
+  def v2Path(dir: String): String =
+    s"/tmp/graft_seqv2_documents_${new java.io.File(dir).getName}_p${ProcessHandle.current().pid()}"
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -212,9 +325,44 @@ object SequenceQueries {
           countDistinct(col("source")).as("nd_source"))
         .orderBy("lang")
     }),
+
+    // S17: the same round trip through the FULL DataSource V2 write
+    // contract (WriteBuilder → BatchWrite → task commit messages →
+    // driver rename-commit + _SUCCESS) instead of the side-door RDD
+    // writer — df.write.format(...).mode("overwrite").save().
+    "src_seqfile_v2write" -> ((spark, dir) => {
+      val docs = graft.Tables(spark, dir).documents
+      val kv = docs.select(
+        col("doc_id").cast("string").as("key"),
+        concat_ws("\u0001",
+          coalesce(col("lang"), lit("")), coalesce(col("source"), lit("")),
+          coalesce(col("n_chars").cast("string"), lit("")),
+          coalesce(col("text"), lit(""))).as("value"))
+      val p = v2Path(dir)
+      kv.write.format("graft.sources.SequenceSource")
+        .option("path", p).mode("overwrite").save()
+      val back = spark.read.format("graft.sources.SequenceSource").load(p)
+      back.select(col("key").cast("long").as("doc_id"),
+          split(col("value"), "\u0001").as("f"))
+        .select(col("doc_id"), col("f").getItem(0).as("lang"),
+          col("f").getItem(2).cast("long").as("n_chars"),
+          col("f").getItem(3).as("text"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("doc_id")).as("nd"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text")).cast("bigint")).as("sum_text_len"))
+        .orderBy("lang")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "src_seqfile_v2write" ->
+      """SELECT lang, count(*) AS n, count(DISTINCT doc_id) AS nd,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS sum_text_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     // over the ORIGINAL parquet — equality proves the container + parse
     // round trip preserved every row and field
     "src_seqfile_roundtrip" ->

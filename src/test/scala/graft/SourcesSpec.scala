@@ -265,6 +265,36 @@ class SourcesSpec extends SparkSpec {
     assert(probeCur.count() == 1)
   }
 
+  test("S17: DSv2 SequenceFile write — rename-commit, _SUCCESS, overwrite truncates, append coexists") {
+    import spark.implicits._
+    val dir = tmp() + "/seqv2"
+    val fmt = "graft.sources.SequenceSource"
+    Seq(("1", "one"), ("2", "two")).toDF("key", "value")
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val d = new java.io.File(dir)
+    assert(new java.io.File(d, "_SUCCESS").exists())
+    assert(!d.listFiles().exists(_.getName.startsWith("_temporary"))) // staging cleaned
+    assert(spark.read.format(fmt).load(dir).count() == 2)
+    // append: new job's files coexist (job token in names — no collision)
+    Seq(("3", "three")).toDF("key", "value")
+      .write.format(fmt).option("path", dir).mode("append").save()
+    val appended = spark.read.format(fmt).load(dir)
+    assert(appended.count() == 3)
+    assert(appended.collect().map(_.getAs[String]("key")).sorted.toSeq == Seq("1", "2", "3"))
+    // overwrite: previous files truncated only at commit time
+    Seq(("9", "nine")).toDF("key", "value")
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val over = spark.read.format(fmt).load(dir).collect()
+    assert(over.map(r => (r.getAs[String]("key"), r.getAs[String]("value"))).toSeq == Seq(("9", "nine")))
+    // V2 store assignment coerces compatible types by name (ANSI
+    // allows numeric→string), so a long key lands as its string form
+    Seq((1L, "x")).toDF("key", "value")
+      .write.format(fmt).option("path", dir).mode("append").save()
+    val fin = spark.read.format(fmt).load(dir).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("value"))).sorted.toSeq
+    assert(fin == Seq(("1", "x"), ("9", "nine")))
+  }
+
   test("M5: dynamic partition overwrite replaces only the partitions the batch names") {
     import spark.implicits._
     val dir = tmp() + "/dyn"
