@@ -384,6 +384,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(factScans.size <= 2, s"expected ≤ 2 lineitem scans, got ${factScans.size}")
   }
 
+  /** M6: stats-driven planning — the reference's planner consumes
+    * COMPUTE STATS results (table row counts + per-column NDV/nulls/
+    * min/max) for distribution and join decisions; Spark's twin is
+    * ANALYZE TABLE feeding the CBO. Assert the whole chain: both
+    * ANALYZE forms populate the catalog, the optimizer's relation
+    * stats carry exact rowCount and per-column NDV/null/min-max, and
+    * the 25-row analyzed dim plans as the broadcast side. */
+  test("M6: ANALYZE TABLE surfaces row and column statistics to the optimizer (COMPUTE STATS parity)") {
+    val t = Tables(spark, sf0001)
+    spark.sql("DROP TABLE IF EXISTS m6_dim")
+    t.nation.write.saveAsTable("m6_dim")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      spark.sql("ANALYZE TABLE m6_dim COMPUTE STATISTICS")
+      spark.sql("ANALYZE TABLE m6_dim COMPUTE STATISTICS FOR ALL COLUMNS")
+      val rel = spark.table("m6_dim").queryExecution.optimizedPlan
+      assert(rel.stats.rowCount.contains(BigInt(25)), s"rowCount=${rel.stats.rowCount}")
+      val key = rel.stats.attributeStats.find(_._1.name == "n_nationkey")
+        .map(_._2).getOrElse(fail("no column stats for n_nationkey"))
+      assert(key.distinctCount.contains(BigInt(25)))
+      assert(key.nullCount.contains(BigInt(0)))
+      assert(key.min.contains(0) && key.max.contains(24))
+      val joined = t.lineitem.join(spark.table("m6_dim"),
+        col("l_suppkey") % 25 === col("n_nationkey"))
+      assert(joined.queryExecution.sparkPlan.collectFirst {
+        case j: BroadcastHashJoinExec => j }.isDefined,
+        "analyzed 25-row dim must plan as the broadcast side")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.sql("DROP TABLE IF EXISTS m6_dim")
+    }
+  }
+
   /** Impala exposes per-join distribution control (STRAIGHT_JOIN plus
     * the +broadcast / +shuffle plan hints — fe/.../planner/
     * DistributedPlanner.java); Spark's twin is the join-strategy hint
