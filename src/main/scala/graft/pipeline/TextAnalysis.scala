@@ -400,6 +400,95 @@ object TextAnalysis {
           !col("has_badword"))
   }
 
+  /** Reflow a single-space-separated document into fixed-width lines
+    * and paragraphs (`wordsPerLine` words per line joined by `\n`,
+    * `linesPerPara` lines per paragraph joined by `\n\n`) — the P48
+    * reflow adapter extended one grain up, so the synthetic corpus
+    * (which carries no newlines) exercises the line/paragraph rules of
+    * [[gopherRepetition]]. Deterministic string algebra both engines
+    * replay identically; the operator itself works on real newlines. */
+  def reflowParagraphs(docs: DataFrame, wordsPerLine: Int = 3,
+                       linesPerPara: Int = 4): DataFrame = {
+    val w = split(col("text"), " ")
+    val nLines = greatest(ceil(size(w) / lit(wordsPerLine.toDouble)).cast("int"), lit(1))
+    val lineArr = transform(sequence(lit(0), nLines - 1),
+      i => array_join(slice(w, i * wordsPerLine + 1, lit(wordsPerLine)), " "))
+    val nParas = greatest(ceil(nLines.cast("double") / linesPerPara).cast("int"), lit(1))
+    val paraArr = transform(sequence(lit(0), nParas - 1),
+      j => array_join(slice(lineArr, j * linesPerPara + 1, lit(linesPerPara)), "\n"))
+    docs.select(col("doc_id"), array_join(paraArr, "\n\n").as("text"))
+  }
+
+  /** P53: the Gopher REPETITION ruleset (Rae et al. 2021 §A1.1,
+    * Table A1) — the other half of the published filter, complementing
+    * P42's quality rules (word counts, ratios, stopwords). A document
+    * is removed when too much of it is self-repetition:
+    *
+    *   - duplicate line / paragraph FRACTION > 0.30 (lines and
+    *     paragraphs beyond the first occurrence of their text);
+    *   - duplicate line / paragraph CHARACTER fraction > 0.20 (chars in
+    *     those repeated occurrences over all line/paragraph chars);
+    *   - top 2-/3-/4-gram character fraction > 0.20 / 0.18 / 0.16
+    *     (chars across every occurrence of the single most frequent
+    *     n-gram; count ties break to earliest first occurrence);
+    *   - duplicate 5..10-gram character fraction > 0.15 / 0.14 / 0.13 /
+    *     0.12 / 0.11 / 0.10 — character COVERAGE of positions spanned
+    *     by any n-gram occurring twice or more, each position counted
+    *     once (the paper's definition; occurrences×length would
+    *     double-count overlapping repeats).
+    *
+    * Every verdict is an integer comparison (`chars·100 <= thr·total`),
+    * never a double ratio, and exactly-at-threshold documents are KEPT
+    * (Rae et al. remove strictly-greater — the ADVICE r7 boundary
+    * convention P42 follows). Gram statistics come from ONE compiled
+    * row-local expression pass ([[graft.functions.RepStatsImpl]]);
+    * line/paragraph stats are bounded array algebra. Per-row, scan-
+    * bound, zero shuffles at any corpus size. */
+  def gopherRepetition(spark: SparkSession, docs: DataFrame): DataFrame = {
+    GraftFunctions.register(spark)
+    val text = col("text")
+    def nonEmpty(arr: Column): Column = filter(arr, x => length(x) > 0)
+    def sumLen(arr: Column): Column =
+      aggregate(arr, lit(0L), (acc, x) => acc + length(x))
+    val lines = nonEmpty(split(text, "\n"))
+    val paras = nonEmpty(split(text, "\n\n"))
+    val st = call_function("gopher_rep_stats", words(text))
+    val base = docs.select(col("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      (size(lines) - size(array_distinct(lines))).cast("long").as("n_dup_lines"),
+      sumLen(lines).as("line_chars"),
+      (sumLen(lines) - sumLen(array_distinct(lines))).as("dup_line_chars"),
+      size(paras).cast("long").as("n_paras"),
+      (size(paras) - size(array_distinct(paras))).cast("long").as("n_dup_paras"),
+      sumLen(paras).as("para_chars"),
+      (sumLen(paras) - sumLen(array_distinct(paras))).as("dup_para_chars"),
+      st.getField("total_chars").as("total_chars"),
+      st.getField("top2_occ").as("top2_occ"), st.getField("top2_chars").as("top2_chars"),
+      st.getField("top3_occ").as("top3_occ"), st.getField("top3_chars").as("top3_chars"),
+      st.getField("top4_occ").as("top4_occ"), st.getField("top4_chars").as("top4_chars"),
+      st.getField("dup5_chars").as("dup5_chars"), st.getField("dup6_chars").as("dup6_chars"),
+      st.getField("dup7_chars").as("dup7_chars"), st.getField("dup8_chars").as("dup8_chars"),
+      st.getField("dup9_chars").as("dup9_chars"), st.getField("dup10_chars").as("dup10_chars"))
+    val ruled = base
+      .withColumn("r_dup_line", col("n_dup_lines") * 10 <= col("n_lines") * 3)
+      .withColumn("r_dup_para", col("n_dup_paras") * 10 <= col("n_paras") * 3)
+      .withColumn("r_dup_line_char", col("dup_line_chars") * 5 <= col("line_chars"))
+      .withColumn("r_dup_para_char", col("dup_para_chars") * 5 <= col("para_chars"))
+      .withColumn("r_top2", col("top2_chars") * 100 <= col("total_chars") * 20)
+      .withColumn("r_top3", col("top3_chars") * 100 <= col("total_chars") * 18)
+      .withColumn("r_top4", col("top4_chars") * 100 <= col("total_chars") * 16)
+      .withColumn("r_dup5", col("dup5_chars") * 100 <= col("total_chars") * 15)
+      .withColumn("r_dup6", col("dup6_chars") * 100 <= col("total_chars") * 14)
+      .withColumn("r_dup7", col("dup7_chars") * 100 <= col("total_chars") * 13)
+      .withColumn("r_dup8", col("dup8_chars") * 100 <= col("total_chars") * 12)
+      .withColumn("r_dup9", col("dup9_chars") * 100 <= col("total_chars") * 11)
+      .withColumn("r_dup10", col("dup10_chars") * 100 <= col("total_chars") * 10)
+    ruled.withColumn("keep",
+      Seq("r_dup_line", "r_dup_para", "r_dup_line_char", "r_dup_para_char",
+        "r_top2", "r_top3", "r_top4", "r_dup5", "r_dup6", "r_dup7", "r_dup8",
+        "r_dup9", "r_dup10").map(col).reduce(_ && _))
+  }
+
   // ---- queries()/oracle entries -------------------------------------
 
   type Q = (SparkSession, String) => DataFrame
@@ -430,6 +519,12 @@ object TextAnalysis {
       gopherRules(Tables(spark, dir).documents).orderBy("doc_id")),
     "text_c4_rules" -> ((spark, dir) =>
       c4Rules(Tables(spark, dir).documents).orderBy("doc_id")),
+    // P53: the synthetic corpus has no newlines, so the reflow adapter
+    // (3-word lines, 4-line paragraphs) gives the line/paragraph rules
+    // real grain; gram rules see the unchanged token stream.
+    "text_gopher_repetition" -> ((spark, dir) =>
+      gopherRepetition(spark, reflowParagraphs(Tables(spark, dir).documents))
+        .orderBy("doc_id")),
     // P18, oracle-exact since r8 via the classic TWO-PASS exact heavy
     // hitter algorithm: pass 1 folds a Misra–Gries summary (k=40
     // counters, O(k) per partition) whose guarantee — every word with
@@ -725,5 +820,107 @@ object TextAnalysis {
          |  (r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_alpha_words
          |   AND r_bullet AND r_ellipsis AND r_stop_words) AS keep
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    // P53: every statistic is an integer, so DuckDB replays the whole
+    // ruleset — the reflow (P48's list-comprehension device, one grain
+    // up for paragraphs), line/paragraph duplicate counts via
+    // list_distinct, per-n gram CTEs (mode by count desc / first
+    // position asc, duplicate coverage as a DISTINCT position set),
+    // and the literal integer threshold comparisons.
+    "text_gopher_repetition" -> {
+      val topThr = Map(2 -> 20, 3 -> 18, 4 -> 16)
+      val dupThr = Map(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+      def gramCte(n: Int): String =
+        s"""g$n AS (SELECT doc_id, unnest([{'i': i,
+           |    'g': array_to_string(w[i:i+${n - 1}], ' '),
+           |    'gc': length(array_to_string(w[i:i+${n - 1}], ''))}
+           |  for i in range(1, len(w)-$n+2)]) AS u FROM tok)""".stripMargin
+      val topCtes = topThr.keys.toSeq.sorted.map { n =>
+        s"""${gramCte(n)},
+           |c$n AS (SELECT doc_id, u.g AS g, count(*) AS cnt, min(u.i) AS fp,
+           |    min(u.gc) AS gc FROM g$n GROUP BY doc_id, u.g),
+           |t$n AS (SELECT doc_id, CAST(cnt AS BIGINT) AS occ,
+           |    CAST(cnt * gc AS BIGINT) AS chars FROM (
+           |  SELECT doc_id, cnt, gc,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, fp ASC) AS rn
+           |  FROM c$n) WHERE rn = 1)""".stripMargin
+      }
+      val dupCtes = dupThr.keys.toSeq.sorted.map { n =>
+        s"""${gramCte(n)},
+           |c$n AS (SELECT doc_id, u.g AS g, count(*) AS cnt
+           |  FROM g$n GROUP BY doc_id, u.g),
+           |cov$n AS (SELECT DISTINCT a.doc_id AS doc_id, a.u.i + o.off AS pos
+           |  FROM g$n a JOIN c$n ON a.doc_id = c$n.doc_id AND a.u.g = c$n.g
+           |    AND c$n.cnt >= 2
+           |  CROSS JOIN (SELECT unnest(range(0, $n)) AS off) o),
+           |d$n AS (SELECT c.doc_id, CAST(sum(length(t.w[c.pos])) AS BIGINT) AS chars
+           |  FROM cov$n c JOIN tok t USING (doc_id) GROUP BY c.doc_id)""".stripMargin
+      }
+      val topSel = topThr.keys.toSeq.sorted.map(n =>
+        s"coalesce(t$n.occ, 0) AS top${n}_occ, coalesce(t$n.chars, 0) AS top${n}_chars").mkString(",\n  ")
+      val dupSel = dupThr.keys.toSeq.sorted.map(n =>
+        s"coalesce(d$n.chars, 0) AS dup${n}_chars").mkString(",\n  ")
+      val joins = (topThr.keys.toSeq.sorted.map(n => s"LEFT JOIN t$n USING (doc_id)") ++
+        dupThr.keys.toSeq.sorted.map(n => s"LEFT JOIN d$n USING (doc_id)")).mkString("\n")
+      val topRules = topThr.toSeq.sorted.map { case (n, t) =>
+        s"top${n}_chars * 100 <= total_chars * $t AS r_top$n" }.mkString(",\n  ")
+      val dupRules = dupThr.toSeq.sorted.map { case (n, t) =>
+        s"dup${n}_chars * 100 <= total_chars * $t AS r_dup$n" }.mkString(",\n  ")
+      val allRules = Seq("r_dup_line", "r_dup_para", "r_dup_line_char", "r_dup_para_char") ++
+        topThr.keys.toSeq.sorted.map(n => s"r_top$n") ++
+        dupThr.keys.toSeq.sorted.map(n => s"r_dup$n")
+      s"""WITH reflowed AS (
+         |  SELECT doc_id, array_to_string(paras, chr(10) || chr(10)) AS text,
+         |    lines, paras FROM (
+         |    SELECT doc_id, lines,
+         |      [array_to_string(lines[(j*4+1):(j*4+4)], chr(10))
+         |       for j in range(0, greatest(CAST(ceil(len(lines)/4.0) AS INT), 1))] AS paras
+         |    FROM (
+         |      SELECT doc_id,
+         |        [array_to_string(words[(i*3+1):(i*3+3)], ' ')
+         |         for i in range(0, greatest(CAST(ceil(len(words)/3.0) AS INT), 1))] AS lines
+         |      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)))),
+         |tok AS (
+         |  SELECT doc_id, $wsSql AS w,
+         |    CAST(length(array_to_string($wsSql, '')) AS BIGINT) AS total_chars
+         |  FROM reflowed),
+         |lp AS (
+         |  SELECT doc_id,
+         |    list_filter(lines, x -> length(x) > 0) AS fl,
+         |    list_filter(paras, x -> length(x) > 0) AS fp
+         |  FROM reflowed),
+         |lstats AS (
+         |  SELECT doc_id,
+         |    CAST(len(fl) AS BIGINT) AS n_lines,
+         |    CAST(len(fl) - len(list_distinct(fl)) AS BIGINT) AS n_dup_lines,
+         |    CAST(length(array_to_string(fl, '')) AS BIGINT) AS line_chars,
+         |    CAST(length(array_to_string(fl, ''))
+         |      - length(array_to_string(list_distinct(fl), '')) AS BIGINT) AS dup_line_chars,
+         |    CAST(len(fp) AS BIGINT) AS n_paras,
+         |    CAST(len(fp) - len(list_distinct(fp)) AS BIGINT) AS n_dup_paras,
+         |    CAST(length(array_to_string(fp, '')) AS BIGINT) AS para_chars,
+         |    CAST(length(array_to_string(fp, ''))
+         |      - length(array_to_string(list_distinct(fp), '')) AS BIGINT) AS dup_para_chars
+         |  FROM lp),
+         |${topCtes.mkString(",\n")},
+         |${dupCtes.mkString(",\n")},
+         |vals AS (
+         |  SELECT l.doc_id, l.n_lines, l.n_dup_lines, l.line_chars, l.dup_line_chars,
+         |  l.n_paras, l.n_dup_paras, l.para_chars, l.dup_para_chars,
+         |  t.total_chars,
+         |  $topSel,
+         |  $dupSel
+         |FROM lstats l JOIN tok t USING (doc_id)
+         |$joins)
+         |SELECT *,
+         |  n_dup_lines * 10 <= n_lines * 3 AS r_dup_line,
+         |  n_dup_paras * 10 <= n_paras * 3 AS r_dup_para,
+         |  dup_line_chars * 5 <= line_chars AS r_dup_line_char,
+         |  dup_para_chars * 5 <= para_chars AS r_dup_para_char,
+         |  $topRules,
+         |  $dupRules,
+         |  (${allRules.mkString(" AND ")}) AS keep
+         |FROM vals ORDER BY doc_id""".stripMargin
+    },
   )
 }

@@ -126,6 +126,8 @@ object GraftFunctions {
       arity("pq_dtab", 3)(es => PqDtab(es(0), es(1), es(2)))),
     ("pq_adc_score", info("pq_adc_score", "pq_adc_score(codes, dtab, K) - ADC table-lookup distance"),
       arity("pq_adc_score", 3)(es => PqAdcScore(es(0), es(1), es(2)))),
+    ("gopher_rep_stats", info("gopher_rep_stats", "gopher_rep_stats(words) - Gopher repetition statistics struct"),
+      arity("gopher_rep_stats", 1)(es => GopherRepStats(es.head))),
     ("sniff_format", info("sniff_format", "sniff_format(bin) - container format from magic numbers"),
       arity("sniff_format", 1)(es => SniffFormat(es.head))),
     ("byte_entropy", info("byte_entropy", "byte_entropy(bin) - Shannon entropy in bits/byte"),

@@ -1059,6 +1059,57 @@ class PipelineSpec extends SparkSpec {
       .getAs[Boolean]("r_stop_words"))
   }
 
+  test("gopher repetition: coverage semantics, tie-breaks, and boundary flips") {
+    def rep(id: Long, text: String) =
+      TextAnalysis.gopherRepetition(spark, docsDf((id, text, "s1"))).collect().head
+    // structural stats on a small doc (too short to pass the top-3/4
+    // fractions — a single 4-gram is 27% of 15 words, which is exactly
+    // why Gopher pairs these with the 50-word minimum in P42)
+    val good = rep(1L, "aa bb cc dd ee\nff gg hh ii jj\n\nkk ll mm nn oo")
+    assert(good.getAs[Long]("n_lines") == 3L && good.getAs[Long]("n_paras") == 2L)
+    assert(good.getAs[Long]("n_dup_lines") == 0L && good.getAs[Long]("dup5_chars") == 0L)
+    assert(good.getAs[Long]("top2_occ") == 1L && good.getAs[Boolean]("r_top2"), s"$good")
+    // a LONG diverse doc keeps under every rule
+    val long = rep(9L, (1 to 60).map(i => f"w$i%03d").mkString(" "))
+    assert(long.getAs[Boolean]("keep"), s"$long")
+    // pure repetition fails both the top-gram and dup-coverage families
+    val spam = rep(2L, Seq.fill(30)("spam").mkString(" "))
+    assert(spam.getAs[Long]("top2_occ") == 29L)
+    assert(spam.getAs[Long]("top2_chars") == 29L * 8)
+    assert(spam.getAs[Long]("dup5_chars") == spam.getAs[Long]("total_chars"))
+    assert(!spam.getAs[Boolean]("r_top2") && !spam.getAs[Boolean]("r_dup5") &&
+      !spam.getAs[Boolean]("keep"))
+    // exactly-at-threshold kept (Rae et al. remove strictly-greater):
+    // top 2-gram "abc de" = 5 of 25 chars = 0.20 exactly
+    val at = rep(3L, "abc de aa bb cc dd ee ff gg hh ii jj")
+    assert(at.getAs[Long]("top2_chars") == 5L && at.getAs[Long]("total_chars") == 25L)
+    assert(at.getAs[Boolean]("r_top2"))
+    // one char more: 6 of 26 > 0.20 rejects
+    assert(!rep(4L, "abcd de aa bb cc dd ee ff gg hh ii jj").getAs[Boolean]("r_top2"))
+    // count ties break to the EARLIEST first occurrence: "aaa bb" (pos 0,
+    // 5 chars) beats "bb cc" (pos 1, 4 chars), both occurring twice
+    val tie = rep(5L, "aaa bb cc aaa bb cc")
+    assert(tie.getAs[Long]("top2_occ") == 2L && tie.getAs[Long]("top2_chars") == 10L)
+    // duplicate-gram coverage counts each position ONCE: a 5-cycle ×3
+    // has 11 duplicated 5-grams spanning all 15 one-char tokens — the
+    // coverage is 15 chars, not 11·5
+    val cyc = rep(6L, Seq.fill(3)("a b c d e").mkString(" "))
+    assert(cyc.getAs[Long]("dup5_chars") == 15L && cyc.getAs[Long]("total_chars") == 15L)
+    // line/paragraph duplicate fractions and char fractions
+    val ld = rep(7L, "aa bb\ncc dd\n\naa bb\ncc dd\n\nee ff")
+    assert(ld.getAs[Long]("n_lines") == 5L && ld.getAs[Long]("n_dup_lines") == 2L)
+    assert(ld.getAs[Long]("line_chars") == 25L && ld.getAs[Long]("dup_line_chars") == 10L)
+    assert(ld.getAs[Long]("n_paras") == 3L && ld.getAs[Long]("n_dup_paras") == 1L)
+    assert(ld.getAs[Long]("dup_para_chars") == 11L)
+    assert(!ld.getAs[Boolean]("r_dup_line") && !ld.getAs[Boolean]("r_dup_para") &&
+      !ld.getAs[Boolean]("r_dup_line_char") && !ld.getAs[Boolean]("r_dup_para_char"))
+    // reflow adapter: 3-word lines, 4-line paragraphs, replayable joins
+    val re = TextAnalysis.reflowParagraphs(
+      docsDf((8L, (1 to 15).map(i => s"w$i").mkString(" "), "s1")))
+      .collect().head.getAs[String]("text")
+    assert(re == "w1 w2 w3\nw4 w5 w6\nw7 w8 w9\nw10 w11 w12\n\nw13 w14 w15")
+  }
+
   test("c4 rules: line retention and page verdicts flip at published boundaries") {
     def rules(id: Long, text: String) =
       TextAnalysis.c4Rules(docsDf((id, text, "s1"))).collect().head
