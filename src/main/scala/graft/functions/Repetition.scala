@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Word-level repetition statistics for the Gopher repetition ruleset
   * (SURVEY.md §2 P53; Rae et al. 2021 §A1.1, Table A1 — the REPETITION
@@ -47,91 +48,192 @@ object RepStatsImpl {
 
   def stats(words: ArrayData): InternalRow = {
     val n = words.numElements()
-    val ws = new Array[String](n)
     val wlen = new Array[Int](n)
+    // Intern words to dense ids, then build each n-gram level from the
+    // previous one: gram_n at j ≡ (id of gram_{n-1} at j, word id at
+    // j+n-1) — a bijection onto word sequences, so counting packed
+    // (int, int) keys is EXACTLY counting string grams, without ever
+    // building a gram string (the string form measured 130 µs/row).
+    val wordIds = new java.util.HashMap[String, Integer]()
+    val ids = new Array[Int](n)
     var total = 0L
     var i = 0
     while (i < n) {
       val s = words.getUTF8String(i)
-      ws(i) = s.toString
       wlen(i) = s.numChars()
       total += wlen(i)
+      val w = s.toString
+      var id = wordIds.get(w)
+      if (id == null) { id = Integer.valueOf(wordIds.size()); wordIds.put(w, id) }
+      ids(i) = id.intValue()
       i += 1
     }
     val out = new Array[Any](13)
     out(0) = total
-    // Most-frequent n-gram (n = 2..4): count, first position, chars.
+    // sliding char-window sum over wlen for the current gram width
+    var winSum = 0L
+    var prev = ids // gram ids of width g-1 at each start position
     var g = 2
     var oi = 1
-    while (g <= 4) {
-      // value = [count, firstPos, gramChars]
-      val m = new java.util.HashMap[String, Array[Long]]()
-      var j = 0
-      while (j + g <= n) {
-        val sb = new java.lang.StringBuilder()
-        var c = 0L
-        var k = j
-        while (k < j + g) {
-          if (k > j) sb.append(' ')
-          sb.append(ws(k)); c += wlen(k); k += 1
-        }
-        val v = m.get(sb.toString)
-        if (v == null) m.put(sb.toString, Array(1L, j.toLong, c)) else v(0) += 1L
-        j += 1
-      }
-      var bestC = 0L
-      var bestP = Long.MaxValue
-      var bestChars = 0L
-      val it = m.values().iterator()
-      while (it.hasNext) {
-        val v = it.next()
-        if (v(0) > bestC || (v(0) == bestC && v(1) < bestP)) {
-          bestC = v(0); bestP = v(1); bestChars = v(2)
-        }
-      }
-      out(oi) = bestC
-      out(oi + 1) = bestC * bestChars
-      oi += 2
-      g += 1
-    }
-    // Duplicate-n-gram coverage (n = 5..10): token positions spanned by
-    // any gram seen ≥2 times, each position's chars counted once.
-    g = 5
     var di = 7
     while (g <= 10) {
       val nGrams = math.max(0, n - g + 1)
-      val keys = new Array[String](nGrams)
-      val counts = new java.util.HashMap[String, Int]()
+      val cur = new Array[Int](nGrams)
+      val gramIds = new java.util.HashMap[java.lang.Long, Integer]()
+      val counts = new Array[Int](math.max(nGrams, 1))
+      val firstPos = new Array[Int](math.max(nGrams, 1))
       var j = 0
       while (j < nGrams) {
-        val sb = new java.lang.StringBuilder()
-        var k = j
-        while (k < j + g) {
-          if (k > j) sb.append(' ')
-          sb.append(ws(k)); k += 1
+        val key = java.lang.Long.valueOf((prev(j).toLong << 32) | (ids(j + g - 1) & 0xffffffffL))
+        var gid = gramIds.get(key)
+        if (gid == null) {
+          gid = Integer.valueOf(gramIds.size()); gramIds.put(key, gid)
+          firstPos(gid.intValue()) = j
         }
-        keys(j) = sb.toString
-        counts.put(keys(j), counts.getOrDefault(keys(j), 0) + 1)
+        cur(j) = gid.intValue()
+        counts(cur(j)) += 1
         j += 1
       }
-      val covered = new Array[Boolean](n)
-      j = 0
-      while (j < nGrams) {
-        if (counts.getOrDefault(keys(j), 0) >= 2) {
-          var k = j
-          while (k < j + g) { covered(k) = true; k += 1 }
+      if (g <= 4) {
+        // most frequent gram: count desc, first occurrence asc; chars =
+        // occurrences × the gram's word chars (sliding-window sum)
+        var bestC = 0; var bestP = Int.MaxValue; var bestChars = 0L
+        winSum = 0L
+        var k = 0
+        while (k < math.min(g, n)) { winSum += wlen(k); k += 1 }
+        j = 0
+        while (j < nGrams) {
+          if (firstPos(cur(j)) == j) {
+            val c = counts(cur(j))
+            if (c > bestC || (c == bestC && j < bestP)) {
+              bestC = c; bestP = j; bestChars = winSum
+            }
+          }
+          if (j + g < n) { winSum += wlen(j + g) - wlen(j) }
+          j += 1
         }
-        j += 1
+        out(oi) = bestC.toLong
+        out(oi + 1) = bestC.toLong * bestChars
+        oi += 2
+      } else {
+        // coverage of positions under any ≥2× gram, each counted once
+        val covered = new Array[Boolean](n)
+        j = 0
+        while (j < nGrams) {
+          if (counts(cur(j)) >= 2) {
+            var k = j
+            while (k < j + g) { covered(k) = true; k += 1 }
+          }
+          j += 1
+        }
+        var cc = 0L
+        j = 0
+        while (j < n) { if (covered(j)) cc += wlen(j); j += 1 }
+        out(di) = cc
+        di += 1
       }
-      var cc = 0L
-      j = 0
-      while (j < n) { if (covered(j)) cc += wlen(j); j += 1 }
-      out(di) = cc
-      di += 1
+      prev = cur
       g += 1
     }
     new GenericInternalRow(out)
   }
+}
+
+/** Duplicate-element statistics of a string array (the line/paragraph
+  * grain of P53): element count, duplicate occurrences beyond each
+  * first, total codepoints, and codepoints in those repeated
+  * occurrences. EMPTY elements are skipped (the reflow's paragraph
+  * separators split into empty lines). One compiled pass — the
+  * filter + aggregate + array_distinct builtin composition runs
+  * interpreted per element (~4 lambda walks × every line of every
+  * corpus row). */
+object DupStatsImpl {
+  val tpe: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("n_dup", LongType, nullable = false),
+    StructField("chars", LongType, nullable = false),
+    StructField("dup_chars", LongType, nullable = false)))
+
+  def stats(arr: ArrayData): InternalRow = {
+    val n = arr.numElements()
+    val seen = new java.util.HashSet[String]()
+    var cnt = 0L
+    var dup = 0L
+    var chars = 0L
+    var dupChars = 0L
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val len = s.numChars()
+      if (len > 0) {
+        cnt += 1; chars += len
+        if (!seen.add(s.toString)) { dup += 1; dupChars += len }
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](cnt, dup, chars, dupChars))
+  }
+}
+
+/** `dup_stats(arr) -> struct<n, n_dup, chars, dup_chars>`. */
+case class DupStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = DupStatsImpl.tpe
+  override def nullSafeEval(a: Any): Any =
+    DupStatsImpl.stats(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.DupStatsImpl.stats($a)")
+  override protected def withNewChildInternal(c: Expression): DupStats =
+    copy(child = c)
+  override def prettyName: String = "dup_stats"
+}
+
+/** The P48/P53 reflow adapter compiled: fixed-width lines joined by
+  * `\n`, fixed-height paragraphs joined by `\n\n`, from a single-space
+  * word split (trailing empties kept, like Spark's `split`). The
+  * builtin nested transform/slice/array_join composition evaluates
+  * interpreted AND recomputes the inner line array once per paragraph
+  * — ~0.5 ms/row; this is one linear string walk. */
+object ReflowImpl {
+  def reflow(text: UTF8String, wordsPerLine: Int, linesPerPara: Int): UTF8String = {
+    val words = text.toString.split(" ", -1)
+    val nw = words.length
+    val nLines = math.max((nw + wordsPerLine - 1) / wordsPerLine, 1)
+    val sb = new java.lang.StringBuilder(text.numBytes + nLines + 8)
+    var i = 0
+    while (i < nLines) {
+      if (i > 0) {
+        if (i % linesPerPara == 0) sb.append("\n\n") else sb.append('\n')
+      }
+      var k = i * wordsPerLine
+      val end = math.min(k + wordsPerLine, nw)
+      while (k < end) {
+        if (k > i * wordsPerLine) sb.append(' ')
+        sb.append(words(k)); k += 1
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** `reflow_paragraphs(text, wordsPerLine, linesPerPara) -> string`. */
+case class ReflowParagraphs(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType, IntegerType, IntegerType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(t: Any, w: Any, l: Any): Any =
+    ReflowImpl.reflow(t.asInstanceOf[UTF8String],
+      w.asInstanceOf[Int], l.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, w, l) =>
+      s"graft.functions.ReflowImpl.reflow($t, $w, $l)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): ReflowParagraphs =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "reflow_paragraphs"
 }
 
 /** `gopher_rep_stats(words) -> struct<...>` — all Gopher repetition

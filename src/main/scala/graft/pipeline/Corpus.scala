@@ -59,6 +59,45 @@ object Corpus {
   private val gatedSlot =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
+  /** P57: corpus DATA CARD (Gebru et al. 2021 "Datasheets for
+    * Datasets"; Pushkarna et al. 2022 "Data Cards") — the per-(source,
+    * lang) + rollup summary a corpus release ships: document / token /
+    * character volumes, exact-duplicate rate, and the keep rate under
+    * the P15 quality gate, with parts-per-million rates in INTEGER
+    * division so every figure replays exactly.
+    *
+    * Scale shape (§5.9): per-doc flags are one scan plus ONE shuffle on
+    * the text hash (the duplicate flag is "not my md5 group's keeper" —
+    * the P2 window); the rollup runs over the (source, lang) GRAIN
+    * pre-aggregate, so Expand multiplies a |sources|×|langs| grain, not
+    * the corpus. */
+  def dataCard(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Dedup.tokens(col("text"))
+    val nWords = size(w).cast("long")
+    val nStop = size(filter(w, t => t === "the" || t === "a")).cast("long")
+    val keep = length(col("text")) >= 60 && nWords >= 10 &&
+      nStop.cast("double") / nWords <= 0.5
+    val dupW = Window.partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+    val perDoc = docs.select(col("source"), col("lang"),
+      nWords.as("n_tok"), length(col("text")).cast("long").as("n_ch"),
+      keep.as("keep"), (row_number().over(dupW) > 1).as("is_dup"))
+    val grain = perDoc.groupBy("source", "lang").agg(
+      count(lit(1)).as("docs"), sum(col("n_tok")).as("toks"),
+      sum(col("n_ch")).as("chs"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("keeps"),
+      sum(when(col("is_dup"), 1L).otherwise(0L)).as("dups"))
+    grain.rollup("source", "lang")
+      .agg(sum(col("docs")).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        sum(col("chs")).as("n_chars"), sum(col("keeps")).as("n_keep"),
+        sum(col("dups")).as("n_dup"))
+      .select(coalesce(col("source"), lit("ALL")).as("source"),
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        col("n_docs"), col("n_tokens"), col("n_chars"), col("n_keep"), col("n_dup"),
+        expr("n_keep * 1000000 DIV n_docs").as("keep_ppm"),
+        expr("n_dup * 1000000 DIV n_docs").as("dup_ppm"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -70,6 +109,8 @@ object Corpus {
       clean(Tables(spark, dir).documents, nearDup = true)
         .select("doc_id").orderBy("doc_id")
     }),
+    "corpus_data_card" -> ((spark, dir) =>
+      dataCard(Tables(spark, dir).documents).orderBy("source", "lang")),
 
     // P30: the WHOLE training-data path as one composed job — clean
     // (exact dedup + quality + language gates) → decontaminate
@@ -115,6 +156,33 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    // P57: identical quality-gate predicates as corpus_clean, the P2
+    // window for the duplicate flag, ROLLUP + integer ppm division.
+    "corpus_data_card" ->
+      """WITH per AS (
+        |  SELECT source, lang,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok,
+        |    CAST(length(text) AS BIGINT) AS n_ch,
+        |    (length(text) >= 60
+        |     AND len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 10
+        |     AND CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |          w -> w = 'the' OR w = 'a')) AS DOUBLE)
+        |         / len(regexp_split_to_array(trim(lower(text)), '\s+')) <= 0.5) AS keep,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_dup
+        |  FROM documents)
+        |SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_ch) AS BIGINT) AS n_chars,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+        |    // CAST(count(*) AS BIGINT) AS keep_ppm,
+        |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+        |    // CAST(count(*) AS BIGINT) AS dup_ppm
+        |FROM per GROUP BY ROLLUP(source, lang)
+        |ORDER BY source, lang""".stripMargin,
+
     // near-dup variant is rows-only (minhash); the deterministic gates
     // are fully mirrorable:
     "corpus_clean" ->

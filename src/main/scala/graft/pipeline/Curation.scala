@@ -88,6 +88,68 @@ object Curation {
       .withColumn("pack_id", (col("start_off") / ctx).cast("long"))
   }
 
+  /** P56: truncation-free BEST-FIT-DECREASING packing (Ding et al.
+    * 2024, "Fewer Truncations Improve Language Modeling"): documents
+    * are placed WHOLE into fixed-capacity context bins — P25's
+    * concat-and-cut splits roughly one document per window boundary,
+    * and the paper shows those truncations measurably hurt the trained
+    * model. Only documents LONGER than the context are split (into
+    * ctx-token pieces; the sole unavoidable truncation), then each
+    * shard packs its pieces by Best-Fit-Decreasing: sort by
+    * (tokens desc, doc_id, piece), place each into the bin whose
+    * remaining capacity is the TIGHTEST fit (ties → lowest bin id),
+    * opening a new bin when none fits. A TreeMap keyed on remaining
+    * capacity makes each placement O(log bins).
+    *
+    * Scale shape: BFD is inherently sequential, so the parallel unit is
+    * the shard (the P25 device) — shards pack independently in one
+    * `flatMapGroups` pass, deterministic under any physical row order
+    * (the in-shard sort is total). `shards` scales with the corpus so a
+    * shard's (doc_id, tokens) pairs fit one executor; packing quality
+    * degrades only marginally with more shards (the paper packs within
+    * bounded chunks for the same reason). Rows-only: a sequential
+    * argmin loop has no single-SQL DuckDB replay; the packing
+    * invariants are spec-pinned instead. */
+  def packBestFit(docs: DataFrame, ctx: Int = 512, shards: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pieces = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        size(words(col("text"))).cast("int").as("n_tok"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, int((n_tok - 1) / $ctx)), i -> least(n_tok - i * $ctx, $ctx))"))
+        .as(Seq("piece", "p_tok")))
+    pieces.withColumn("shard", pmod(col("doc_id"), lit(shards)).cast("int"))
+      .select(col("doc_id"), col("piece").cast("int"), col("p_tok").cast("int"), col("shard"))
+      .as[(Long, Int, Int, Int)]
+      .groupByKey(_._4)
+      .flatMapGroups { (shard, it) =>
+        val ds = it.toArray.sortBy(d => (-d._3, d._1, d._2))
+        // remaining capacity -> bin ids at that remainder (tightest-fit
+        // lookup = ceilingEntry; lowest id on ties = TreeSet.first)
+        val byRem = new java.util.TreeMap[Int, java.util.TreeSet[Int]]()
+        def index(r: Int, b: Int): Unit = if (r > 0) {
+          var s = byRem.get(r)
+          if (s == null) { s = new java.util.TreeSet[Int](); byRem.put(r, s) }
+          s.add(b); ()
+        }
+        var nBins = 0
+        ds.iterator.map { case (docId, piece, pTok, _) =>
+          val e = byRem.ceilingEntry(pTok)
+          val bin = if (e == null) { val b = nBins; nBins += 1; index(ctx - pTok, b); b }
+          else {
+            val b = e.getValue.first()
+            e.getValue.remove(b)
+            if (e.getValue.isEmpty) byRem.remove(e.getKey)
+            index(e.getKey - pTok, b)
+            b
+          }
+          (docId, piece, pTok, shard, bin.toLong)
+        }
+      }
+      .toDF("doc_id", "piece", "n_tok", "shard", "bin_id")
+  }
+
   /** P26: overlapping context-window chunking — each document is cut
     * into windows of `chunkTokens` tokens starting every `stride`
     * tokens (overlap = chunkTokens − stride), the standard prep for
@@ -284,6 +346,8 @@ object Curation {
       contamination(Tables(spark, dir).documents)),
     "pipe_pack_sequences" -> ((spark, dir) =>
       packSequences(Tables(spark, dir).documents).orderBy("doc_id")),
+    "pipe_pack_bfd" -> ((spark, dir) =>
+      packBestFit(Tables(spark, dir).documents).orderBy("doc_id", "piece")),
     "pipe_chunking" -> ((spark, dir) =>
       chunkDocuments(Tables(spark, dir).documents).orderBy("doc_id", "chunk_idx")),
     "pipe_exact_substr" -> ((spark, dir) =>

@@ -409,14 +409,14 @@ object TextAnalysis {
     * replay identically; the operator itself works on real newlines. */
   def reflowParagraphs(docs: DataFrame, wordsPerLine: Int = 3,
                        linesPerPara: Int = 4): DataFrame = {
-    val w = split(col("text"), " ")
-    val nLines = greatest(ceil(size(w) / lit(wordsPerLine.toDouble)).cast("int"), lit(1))
-    val lineArr = transform(sequence(lit(0), nLines - 1),
-      i => array_join(slice(w, i * wordsPerLine + 1, lit(wordsPerLine)), " "))
-    val nParas = greatest(ceil(nLines.cast("double") / linesPerPara).cast("int"), lit(1))
-    val paraArr = transform(sequence(lit(0), nParas - 1),
-      j => array_join(slice(lineArr, j * linesPerPara + 1, lit(linesPerPara)), "\n"))
-    docs.select(col("doc_id"), array_join(paraArr, "\n\n").as("text"))
+    // compiled one-pass reflow (graft.functions.ReflowImpl): the
+    // equivalent nested transform/slice/array_join composition runs
+    // interpreted and recomputes the line array once per paragraph —
+    // ~0.5 ms/row, the dominant cost of the whole P53 query before
+    GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      call_function("reflow_paragraphs", col("text"),
+        lit(wordsPerLine), lit(linesPerPara)).as("text"))
   }
 
   /** P53: the Gopher REPETITION ruleset (Rae et al. 2021 §A1.1,
@@ -447,28 +447,28 @@ object TextAnalysis {
   def gopherRepetition(spark: SparkSession, docs: DataFrame): DataFrame = {
     GraftFunctions.register(spark)
     val text = col("text")
-    def nonEmpty(arr: Column): Column = filter(arr, x => length(x) > 0)
-    def sumLen(arr: Column): Column =
-      aggregate(arr, lit(0L), (acc, x) => acc + length(x))
-    val lines = nonEmpty(split(text, "\n"))
-    val paras = nonEmpty(split(text, "\n\n"))
-    val st = call_function("gopher_rep_stats", words(text))
-    val base = docs.select(col("doc_id"),
-      size(lines).cast("long").as("n_lines"),
-      (size(lines) - size(array_distinct(lines))).cast("long").as("n_dup_lines"),
-      sumLen(lines).as("line_chars"),
-      (sumLen(lines) - sumLen(array_distinct(lines))).as("dup_line_chars"),
-      size(paras).cast("long").as("n_paras"),
-      (size(paras) - size(array_distinct(paras))).cast("long").as("n_dup_paras"),
-      sumLen(paras).as("para_chars"),
-      (sumLen(paras) - sumLen(array_distinct(paras))).as("dup_para_chars"),
-      st.getField("total_chars").as("total_chars"),
-      st.getField("top2_occ").as("top2_occ"), st.getField("top2_chars").as("top2_chars"),
-      st.getField("top3_occ").as("top3_occ"), st.getField("top3_chars").as("top3_chars"),
-      st.getField("top4_occ").as("top4_occ"), st.getField("top4_chars").as("top4_chars"),
-      st.getField("dup5_chars").as("dup5_chars"), st.getField("dup6_chars").as("dup6_chars"),
-      st.getField("dup7_chars").as("dup7_chars"), st.getField("dup8_chars").as("dup8_chars"),
-      st.getField("dup9_chars").as("dup9_chars"), st.getField("dup10_chars").as("dup10_chars"))
+    // All three statistic families are compiled single-pass expressions
+    // (graft.functions.RepStatsImpl / DupStatsImpl): the builtin
+    // filter/aggregate/array_distinct composition runs INTERPRETED per
+    // array element, and each struct materializes in its own projection
+    // so the 13 field reads never re-run a pass (7.9 s → sub-second at
+    // sf0.1 — the §5 rule-13 lesson, third sighting).
+    val withSt = docs.select(col("doc_id"),
+      call_function("dup_stats", split(text, "\n")).as("lst"),
+      call_function("dup_stats", split(text, "\n\n")).as("pst"),
+      call_function("gopher_rep_stats", words(text)).as("st"))
+    val base = withSt.select(col("doc_id"),
+      col("lst.n").as("n_lines"), col("lst.n_dup").as("n_dup_lines"),
+      col("lst.chars").as("line_chars"), col("lst.dup_chars").as("dup_line_chars"),
+      col("pst.n").as("n_paras"), col("pst.n_dup").as("n_dup_paras"),
+      col("pst.chars").as("para_chars"), col("pst.dup_chars").as("dup_para_chars"),
+      col("st.total_chars").as("total_chars"),
+      col("st.top2_occ").as("top2_occ"), col("st.top2_chars").as("top2_chars"),
+      col("st.top3_occ").as("top3_occ"), col("st.top3_chars").as("top3_chars"),
+      col("st.top4_occ").as("top4_occ"), col("st.top4_chars").as("top4_chars"),
+      col("st.dup5_chars").as("dup5_chars"), col("st.dup6_chars").as("dup6_chars"),
+      col("st.dup7_chars").as("dup7_chars"), col("st.dup8_chars").as("dup8_chars"),
+      col("st.dup9_chars").as("dup9_chars"), col("st.dup10_chars").as("dup10_chars"))
     val ruled = base
       .withColumn("r_dup_line", col("n_dup_lines") * 10 <= col("n_lines") * 3)
       .withColumn("r_dup_para", col("n_dup_paras") * 10 <= col("n_paras") * 3)

@@ -128,6 +128,10 @@ object GraftFunctions {
       arity("pq_adc_score", 3)(es => PqAdcScore(es(0), es(1), es(2)))),
     ("gopher_rep_stats", info("gopher_rep_stats", "gopher_rep_stats(words) - Gopher repetition statistics struct"),
       arity("gopher_rep_stats", 1)(es => GopherRepStats(es.head))),
+    ("dup_stats", info("dup_stats", "dup_stats(arr) - duplicate-element stats of a string array"),
+      arity("dup_stats", 1)(es => DupStats(es.head))),
+    ("reflow_paragraphs", info("reflow_paragraphs", "reflow_paragraphs(text, wordsPerLine, linesPerPara) - fixed-width line/paragraph reflow"),
+      arity("reflow_paragraphs", 3)(es => ReflowParagraphs(es(0), es(1), es(2)))),
     ("sniff_format", info("sniff_format", "sniff_format(bin) - container format from magic numbers"),
       arity("sniff_format", 1)(es => SniffFormat(es.head))),
     ("byte_entropy", info("byte_entropy", "byte_entropy(bin) - Shannon entropy in bits/byte"),

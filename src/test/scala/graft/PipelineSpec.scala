@@ -239,6 +239,45 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  test("best-fit packing: exact BFD bins, capacity bound, oversize split, repartition-stable") {
+    def mkDoc(id: Long, tokens: Int) = (id, Seq.fill(tokens)("w").mkString(" "), "s1")
+    // hand instance, ctx=10, one shard: sizes [6,5,4,3,2] BFD-pack into
+    // exactly 2 full bins — 6 opens b0(rem 4); 5 opens b1(rem 5); 4
+    // best-fits b0 (rem 4 beats rem 5); 3 and 2 fill b1. Zero padding.
+    val hand = Curation.packBestFit(
+      docsDf(mkDoc(1L, 6), mkDoc(2L, 5), mkDoc(3L, 4), mkDoc(4L, 3), mkDoc(5L, 2)),
+      ctx = 10, shards = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bin_id")).toMap
+    assert(hand == Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L, 5L -> 1L), s"$hand")
+    // an arrival-order first-fit of the same sizes in id order would
+    // open 3 bins once 4 arrives after 6+5; BFD's sort avoids it
+    assert(hand.values.toSet.size == 2)
+    // oversize docs split into ctx pieces, short remainder last — the
+    // paper's only truncation case
+    val big = Curation.packBestFit(docsDf(mkDoc(7L, 25)), ctx = 10, shards = 1)
+      .orderBy("piece").collect()
+      .map(r => (r.getAs[Int]("piece"), r.getAs[Int]("n_tok")))
+    assert(big.toSeq == Seq((0, 10), (1, 10), (2, 5)), big.toSeq.toString)
+    // real corpus: no bin over capacity, bin count at the lower bound
+    // per shard would need fractional splits — assert ≥ ceil and ≤ 2×
+    val docs = (1L to 200L).map(i => mkDoc(i, 1 + (i % 37).toInt))
+    val packed = Curation.packBestFit(docsDf(docs: _*), ctx = 64, shards = 4)
+    val fills = packed.groupBy("shard", "bin_id")
+      .agg(sum("n_tok").as("fill")).collect()
+    assert(fills.forall(_.getAs[Long]("fill") <= 64L))
+    val byShard = packed.groupBy("shard")
+      .agg(sum("n_tok").as("tok"), countDistinct("bin_id").as("bins")).collect()
+    byShard.foreach { r =>
+      val lb = (r.getAs[Long]("tok") + 63) / 64
+      assert(r.getAs[Long]("bins") >= lb && r.getAs[Long]("bins") <= 2 * lb, r.toString)
+    }
+    // deterministic under physical row order
+    val a = packed.orderBy("doc_id", "piece").collect().map(_.toSeq)
+    val b = Curation.packBestFit(docsDf(docs: _*).repartition(7), ctx = 64, shards = 4)
+      .orderBy("doc_id", "piece").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+
   test("exact-substring dedup: later occurrences drop, first survives, short docs untouched") {
     val dup = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"  // exactly k=10 tokens
     val dup2 = "kilo lima mike november oscar papa quebec romeo sierra tango"
