@@ -236,6 +236,47 @@ case class ReflowParagraphs(first: Expression, second: Expression, third: Expres
   override def prettyName: String = "reflow_paragraphs"
 }
 
+/** In-bucket pair expansion: sorted id list → all (a, b) pairs with
+  * a < b (list order). The equivalent nested transform/slice/flatten
+  * builtin composition evaluates INTERPRETED per produced element —
+  * at ~1 M pairs per corpus that interpretation tax is most of the
+  * candidate stage. Buckets are capped upstream (maxBucket / maxDf),
+  * so the output array is bounded. */
+object PairExpandImpl {
+  def expand(ids: ArrayData): ArrayData = {
+    val n = ids.numElements()
+    val out = new Array[AnyRef](n * (n - 1) / 2)
+    var idx = 0
+    var i = 0
+    while (i < n) {
+      val a = ids.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(idx) = new GenericInternalRow(Array[Any](a, ids.getLong(j)))
+        idx += 1; j += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
+/** `pair_expand(ids) -> array<struct<a:bigint, b:bigint>>`. */
+case class PairExpand(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a", LongType, nullable = false),
+    StructField("b", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    PairExpandImpl.expand(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.PairExpandImpl.expand($a)")
+  override protected def withNewChildInternal(c: Expression): PairExpand =
+    copy(child = c)
+  override def prettyName: String = "pair_expand"
+}
+
 /** `gopher_rep_stats(words) -> struct<...>` — all Gopher repetition
   * statistics of one document's token array in a single compiled pass
   * family. Codegen-native. */

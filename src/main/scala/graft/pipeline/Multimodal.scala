@@ -574,11 +574,9 @@ object Multimodal {
         count(lit(1)).as("buckets"),
         sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)).as("truncated_buckets"))
       .select(slice(col("ids"), 1, maxBucket).as("ids"))
-    val pairs = buckets.select(explode(flatten(
-        transform(sequence(lit(0), size(col("ids")) - 2),
-          i => transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
-            x => array(element_at(col("ids"), i + lit(1)), x))))).as("p"))
-      .select(element_at(col("p"), 1).as("id_a"), element_at(col("p"), 2).as("id_b"))
+    val pairs = buckets
+      .select(explode(call_function("pair_expand", col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
     val h = hashes.filter(col("ok"))
     pairs

@@ -132,6 +132,8 @@ object GraftFunctions {
       arity("dup_stats", 1)(es => DupStats(es.head))),
     ("reflow_paragraphs", info("reflow_paragraphs", "reflow_paragraphs(text, wordsPerLine, linesPerPara) - fixed-width line/paragraph reflow"),
       arity("reflow_paragraphs", 3)(es => ReflowParagraphs(es(0), es(1), es(2)))),
+    ("pair_expand", info("pair_expand", "pair_expand(ids) - all (a, b) pairs with a before b of a sorted id list"),
+      arity("pair_expand", 1)(es => PairExpand(es.head))),
     ("sniff_format", info("sniff_format", "sniff_format(bin) - container format from magic numbers"),
       arity("sniff_format", 1)(es => SniffFormat(es.head))),
     ("byte_entropy", info("byte_entropy", "byte_entropy(bin) - Shannon entropy in bits/byte"),
