@@ -441,12 +441,14 @@ object Dedup {
     * deterministic adapter both engines replay identically; the
     * operator itself splits on real newlines. */
   def reflowLines(docs: DataFrame, wordsPerLine: Int = 3): DataFrame = {
-    val words = split(col("text"), " ")
-    val n = greatest(ceil(size(words) / lit(wordsPerLine.toDouble)).cast("int"), lit(1))
+    // compiled single-pass reflow (paragraph width Int.MaxValue → plain
+    // "\n" joins): the transform/slice/array_join builtin composition
+    // evaluates interpreted and re-runs once per consumer — lineDedup
+    // reads the reflowed text three times (hot set, rebuild, n_lines)
+    GraftFunctions.register(docs.sparkSession)
     docs.select(col("doc_id"),
-      array_join(transform(sequence(lit(0), n - 1),
-        i => array_join(slice(words, i * wordsPerLine + 1, lit(wordsPerLine)), " ")),
-        "\n").as("text"))
+      call_function("reflow_paragraphs", col("text"),
+        lit(wordsPerLine), lit(Int.MaxValue)).as("text"))
   }
 
   def lshIndexPath(dir: String): String = {
