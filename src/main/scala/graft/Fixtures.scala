@@ -42,6 +42,7 @@ object Fixtures {
     "src_iceberg_partitions" -> ((s, d) => { sources.IcebergQueries.ensureTable(s, d); () }),
     "src_iceberg_files" -> ((s, d) => { sources.IcebergQueries.ensureTable(s, d); () }),
     "src_iceberg_snapshots" -> ((s, d) => { sources.IcebergQueries.ensureMergeTable(s, d); () }),
+    "src_iceberg_incremental" -> ((s, d) => { sources.IcebergQueries.ensureIncrTable(s, d); () }),
     "sim_ivf_persisted" -> ((s, d) => { pipeline.Similarity.ensureIvfIndex(s, d); () }),
     "sim_pq_persisted" -> ((s, d) => { pipeline.Similarity.ensurePqIndex(s, d); () }),
     "dedup_incremental_indexed" -> ((s, d) => { pipeline.Dedup.ensureLshIndex(s, d); () }),
@@ -91,5 +92,8 @@ object Fixtures {
     "dedup_incremental_indexed" ->
       ((s, d) => { pipeline.Dedup.invalidateLshIndex(d)
         rm(s, pipeline.Dedup.lshIndexPath(d)) }),
+    "src_iceberg_incremental" ->
+      ((s, d) => { sources.IcebergQueries.invalidateIncr(d)
+        rm(s, sources.IcebergQueries.incrPath(d)) }),
   )
 }

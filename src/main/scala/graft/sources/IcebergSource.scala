@@ -1282,6 +1282,58 @@ object IcebergRead {
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     spark.read.schema(withIds).parquet(files.map(_.path): _*)
   }
+
+  /** S16m: INCREMENTAL (changelog) read — the rows ADDED between two
+    * snapshots (`fromId` exclusive, `toId` inclusive), the primitive a
+    * downstream batch pipeline uses to consume only what arrived since
+    * its last run instead of rescanning 100 TB. File-level diff:
+    * data files referenced at `toId` but not at `fromId`; with the
+    * append-only contract below, those files contain exactly the added
+    * rows. Every snapshot in the range must be an `append` — a
+    * replace/overwrite rewrites surviving rows into NEW files, so the
+    * file diff would replay old rows as if added (Iceberg's own
+    * incremental scan enforces the same restriction); violating
+    * snapshots fail fast. Reads go through the field-id-resolved
+    * vectorized path like [[toDataFrame]], so schema evolution between
+    * the snapshots resolves per file. */
+  def incrementalRead(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+                      fromId: Long, toId: Long): DataFrame = {
+    require(fromId <= toId,
+      s"graft iceberg incremental: fromId $fromId > toId $toId")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(tableDir).getFileSystem(conf)
+    def readAll(p: Path): String = {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val v = readAll(new Path(tableDir, "metadata/version-hint.text")).trim.toInt
+    val metaNode = mapper.readTree(
+      readAll(new Path(tableDir, s"metadata/v$v.metadata.json")))
+    val inRange = metaNode.get("snapshots").elements().asScala.toList
+      .filter(s => s.get("snapshot-id").asLong > fromId && s.get("snapshot-id").asLong <= toId)
+    require(inRange.nonEmpty || fromId == toId,
+      s"graft iceberg incremental: no snapshots in ($fromId, $toId] at $tableDir")
+    inRange.foreach { s =>
+      val op = Option(s.get("summary")).flatMap(sm => Option(sm.get("operation")))
+        .map(_.asText).getOrElse("append")
+      require(op == "append", "graft iceberg incremental: snapshot " +
+        s"${s.get("snapshot-id").asLong} is '$op' — the file diff only means " +
+        "'added rows' across appends; consume replaces/overwrites via a full read")
+    }
+    val meta = load(tableDir, conf, Some(toId))
+    val fromFiles = planFiles(tableDir, conf, None, Some(fromId)).map(_.path).toSet
+    val added = planFiles(tableDir, conf, None, Some(toId))
+      .map(_.path).filterNot(fromFiles.contains)
+    if (added.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+    val withIds = StructType(meta.schema.fields.zip(meta.fieldIds).map { case (f, id) =>
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong).build())
+    })
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    spark.read.schema(withIds).parquet(added: _*)
+  }
 }
 
 /** DSv2 entry point: `spark.read.format("graft.sources.IcebergSource")
@@ -1717,6 +1769,29 @@ object IcebergQueries {
   }
   private[graft] def invalidateCdc(dir: String): Unit = cdcWritten.remove(cdcPath(dir))
 
+  def incrPath(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    s"/tmp/graft_iceberg_incr_${new java.io.File(dir).getName}_" +
+      s"${abs.hashCode.toHexString}_p${ProcessHandle.current().pid()}"
+  }
+
+  /** Write-once per (JVM, sf) two-snapshot append fixture: snapshot 1
+    * holds doc_id % 5 != 0, snapshot 2 appends the rest — so the
+    * incremental read of (1, 2] is exactly the % 5 == 0 slice and the
+    * oracle recomputes it from raw parquet. */
+  private val incrWritten = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  def ensureIncrTable(spark: SparkSession, dir: String): String = {
+    val p = incrPath(dir)
+    incrWritten.getOrElseUpdate(p, {
+      val docs = graft.Tables(spark, dir).documents
+      IcebergWrite.write(docs.filter(col("doc_id") % 5 =!= 0), p, "lang", "identity")
+      IcebergWrite.append(docs.filter(col("doc_id") % 5 === 0), p)
+      true
+    })
+    p
+  }
+  private[graft] def invalidateIncr(dir: String): Unit = incrWritten.remove(incrPath(dir))
+
   /** Write-once per (JVM, sf): the table IS the fixture; rewriting it
     * per iteration would bench the writer, not the read path. */
   private val written = scala.collection.concurrent.TrieMap.empty[String, Boolean]
@@ -1790,6 +1865,19 @@ object IcebergQueries {
           sum(when(col("text") === "inserted", 1L).otherwise(0L)).as("n_inserted"))
         .orderBy("lang")
     }),
+    // S16m: the incremental read of (snapshot 1, snapshot 2] on the
+    // two-commit append fixture is exactly the appended slice — the
+    // consume-only-what-arrived primitive, oracle-checked against the
+    // raw parquet's % 5 == 0 rows.
+    "src_iceberg_incremental" -> ((spark, dir) => {
+      IcebergRead.incrementalRead(spark, ensureIncrTable(spark, dir), 1L, 2L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
     // S16i end-to-end: the read-back of a copy-on-write merge commit
     // equals the relational merge the oracle computes from the raw
     // parquet (update-beats-existing, inserts present, rest untouched).
@@ -1824,6 +1912,11 @@ object IcebergQueries {
          |  CAST(count(DISTINCT ${graft.operators.DuckHashSql.icebergBucketLong("doc_id", 8)}) AS BIGINT) AS n_partitions,
          |  TRUE AS bounds_present
          |FROM documents""".stripMargin,
+
+    "src_iceberg_incremental" ->
+      """SELECT lang, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 5 = 0 GROUP BY lang ORDER BY lang""".stripMargin,
 
     "src_iceberg_cdc" ->
       """WITH upd AS (

@@ -613,6 +613,39 @@ class SourcesSpec extends SparkSpec {
     assert(withAdd.count() == docs.count())
   }
 
+  test("S16m: incremental read returns exactly the rows appended in the snapshot range") {
+    import graft.sources.{IcebergRead, IcebergWrite}
+    val dir = tmp() + "/iceberg_incr"
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val base = docs.filter(col("doc_id") < 300)
+    val add1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    val add2 = docs.filter(col("doc_id") >= 400)
+    IcebergWrite.write(base, dir, "doc_id", 8)
+    IcebergWrite.append(add1, dir)
+    IcebergWrite.append(add2, dir)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // each append range in isolation, then the union of both
+    assert(ids(IcebergRead.incrementalRead(spark, dir, 1L, 2L)) == ids(add1))
+    assert(ids(IcebergRead.incrementalRead(spark, dir, 2L, 3L)) == ids(add2))
+    assert(ids(IcebergRead.incrementalRead(spark, dir, 1L, 3L)) ==
+      ids(add1.unionByName(add2)))
+    // from == to → empty, schema intact
+    val empty = IcebergRead.incrementalRead(spark, dir, 3L, 3L)
+    assert(empty.count() == 0 && empty.columns.contains("text"))
+    // a replace/overwrite snapshot in range fails fast: the file diff
+    // would replay surviving rows as if added
+    IcebergWrite.mergeUpsert(
+      docs.filter(col("doc_id") === 5L)
+        .withColumn("text", lit("changed")), dir, "doc_id")
+    val e = intercept[IllegalArgumentException] {
+      IcebergRead.incrementalRead(spark, dir, 3L, 4L).collect()
+    }
+    assert(e.getMessage.contains("incremental"), e.getMessage)
+    // ranges that END before the merge still serve
+    assert(ids(IcebergRead.incrementalRead(spark, dir, 2L, 3L)) == ids(add2))
+  }
+
   test("S16j: compaction re-lays the table under the current spec and unblocks merge") {
     import graft.sources.{IcebergRead, IcebergWrite}
     val conf = spark.sparkContext.hadoopConfiguration
