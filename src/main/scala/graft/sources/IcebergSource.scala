@@ -1016,9 +1016,19 @@ object IcebergWrite {
     try new String(in.readAllBytes(), "UTF-8") finally in.close()
   }
 
+  /** Small-file commit via temp + rename (the HadoopTableOperations
+    * version-hint device): `create(overwrite)` truncates in place, so
+    * a concurrent reader — the streaming source polls the hint every
+    * trigger — could observe an EMPTY hint mid-rewrite. Rename keeps
+    * the window to at-worst "briefly missing", which pollers retry
+    * ([[IcebergMicroBatchStream.latestOffset]]); new-named metadata
+    * files never overwrite, so this only changes hint behavior. */
   private def writeSmall(fs: FileSystem, p: Path, s: String): Unit = {
-    val out = fs.create(p, true)
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp${System.nanoTime()}")
+    val out = fs.create(tmp, false)
     try out.write(s.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"graft iceberg: rename $tmp -> $p failed")
   }
 }
 
@@ -1296,11 +1306,24 @@ object IcebergRead {
     * snapshots fail fast. Reads go through the field-id-resolved
     * vectorized path like [[toDataFrame]], so schema evolution between
     * the snapshots resolves per file. */
-  def incrementalRead(spark: org.apache.spark.sql.SparkSession, tableDir: String,
-                      fromId: Long, toId: Long): DataFrame = {
+  /** Current snapshot id from the metadata tree (0 for a dir that is
+    * not yet a table — the streaming source's "nothing yet" offset). */
+  def currentSnapshotId(tableDir: String, conf: Configuration): Long = {
+    val fs = new Path(tableDir).getFileSystem(conf)
+    val hint = new Path(tableDir, "metadata/version-hint.text")
+    if (!fs.exists(hint)) return 0L
+    load(tableDir, conf).snapshotId
+  }
+
+  /** The data files ADDED in snapshot range (fromId, toId] — shared by
+    * [[incrementalRead]] and the streaming source. Enforces the
+    * append-only range contract; fromId 0 means "from before the first
+    * snapshot" (everything at toId is added). */
+  def incrementalFilePaths(tableDir: String, conf: Configuration,
+                           fromId: Long, toId: Long): Seq[String] = {
     require(fromId <= toId,
       s"graft iceberg incremental: fromId $fromId > toId $toId")
-    val conf = spark.sparkContext.hadoopConfiguration
+    if (fromId == toId) return Nil
     val fs = new Path(tableDir).getFileSystem(conf)
     def readAll(p: Path): String = {
       val in = fs.open(p)
@@ -1311,7 +1334,7 @@ object IcebergRead {
       readAll(new Path(tableDir, s"metadata/v$v.metadata.json")))
     val inRange = metaNode.get("snapshots").elements().asScala.toList
       .filter(s => s.get("snapshot-id").asLong > fromId && s.get("snapshot-id").asLong <= toId)
-    require(inRange.nonEmpty || fromId == toId,
+    require(inRange.nonEmpty,
       s"graft iceberg incremental: no snapshots in ($fromId, $toId] at $tableDir")
     inRange.foreach { s =>
       val op = Option(s.get("summary")).flatMap(sm => Option(sm.get("operation")))
@@ -1320,10 +1343,17 @@ object IcebergRead {
         s"${s.get("snapshot-id").asLong} is '$op' — the file diff only means " +
         "'added rows' across appends; consume replaces/overwrites via a full read")
     }
-    val meta = load(tableDir, conf, Some(toId))
-    val fromFiles = planFiles(tableDir, conf, None, Some(fromId)).map(_.path).toSet
-    val added = planFiles(tableDir, conf, None, Some(toId))
-      .map(_.path).filterNot(fromFiles.contains)
+    val fromFiles =
+      if (fromId == 0L) Set.empty[String]
+      else planFiles(tableDir, conf, None, Some(fromId)).map(_.path).toSet
+    planFiles(tableDir, conf, None, Some(toId)).map(_.path).filterNot(fromFiles.contains)
+  }
+
+  def incrementalRead(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+                      fromId: Long, toId: Long): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val meta = load(tableDir, conf, if (toId > 0) Some(toId) else None)
+    val added = incrementalFilePaths(tableDir, conf, fromId, toId)
     if (added.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
@@ -1359,7 +1389,7 @@ class IcebergDsv2Table(path: String, schema: StructType, snapshotId: Option[Long
   override def name(): String = s"graft-iceberg($path)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IcebergScanBuilder(path, schema, snapshotId)
 }
@@ -1442,6 +1472,63 @@ class IcebergScan(path: String, required: StructType, eq: Option[(String, Any)],
     val idByName = meta.schema.fieldNames.zip(meta.fieldIds).toMap
     new IcebergReaderFactory(required, idByName, new SerializableHadoopConf(conf))
   }
+
+  /** T25: the table as a STREAMING SOURCE — one micro-batch per
+    * committed snapshot range. Offsets ARE snapshot ids (what the
+    * table's own commit log already provides, so exactly-once needs no
+    * side state: a restart replans the same (start, end] file diff),
+    * `latestOffset` is a version-hint read, and each batch's input is
+    * the S16m incremental file diff — cost ∝ newly committed data.
+    * Same reader factory as the batch path (field-id resolution,
+    * column pruning through `required`). Appends only, per the S16m
+    * contract: a replace/overwrite snapshot fails the stream fast
+    * rather than replaying rewritten rows as inserts. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new IcebergMicroBatchStream(path, required)
+}
+
+case class IcebergSnapOffset(id: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"snapshot":$id}"""
+}
+
+class IcebergMicroBatchStream(path: String, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  private def conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+
+  /** Last successfully observed snapshot id — the fallback when a poll
+    * races a writer's hint rename (file briefly missing). Snapshot ids
+    * are monotone, so answering with an older id is always safe: the
+    * new snapshot is simply picked up on the next trigger. A polling
+    * path must never kill the query on a transient metadata race. */
+  @volatile private var lastSeen = 0L
+  override def latestOffset(): Offset = {
+    val id = try IcebergRead.currentSnapshotId(path, conf)
+    catch { case scala.util.control.NonFatal(_) => lastSeen }
+    if (id > lastSeen) lastSeen = id
+    IcebergSnapOffset(lastSeen)
+  }
+  override def initialOffset(): Offset = IcebergSnapOffset(0L)
+  override def deserializeOffset(json: String): Offset =
+    IcebergSnapOffset(IcebergMeta.mapper.readTree(json).get("snapshot").asLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[IcebergSnapOffset].id
+    val to = end.asInstanceOf[IcebergSnapOffset].id
+    IcebergRead.incrementalFilePaths(path, conf, from, to)
+      .map(p => IcebergInputPartition(p): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val meta = IcebergMeta.load(path, conf)
+    val idByName = meta.schema.fieldNames.zip(meta.fieldIds).toMap
+    new IcebergReaderFactory(required, idByName, new SerializableHadoopConf(conf))
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Java-serialization carrier for the DRIVER's Hadoop configuration —

@@ -605,4 +605,50 @@ class StreamingSpec extends SparkSpec {
     assert(q2.awaitTermination(60000))
     assert(spark.read.parquet(outDir).count() == 3)
   }
+
+  test("T25: Iceberg streaming source — one micro-batch per snapshot range, restart resumes") {
+    import graft.sources.IcebergWrite
+    val root = java.nio.file.Files.createTempDirectory("graft_t25").toString
+    val dir = s"$root/tbl"; val ckpt = s"$root/ckpt"
+    // nullable schema like a parquet-sourced relation: Spark's file
+    // writers emit optional fields, so a required table schema would
+    // mismatch the data files at read time
+    def docDf(ids: Long*) = {
+      import org.apache.spark.sql.{Row, types => T}
+      val schema = T.StructType(Seq(
+        T.StructField("doc_id", T.LongType), T.StructField("text", T.StringType),
+        T.StructField("lang", T.StringType), T.StructField("source", T.StringType),
+        T.StructField("n_chars", T.LongType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          ids.map(id => Row(id, s"text $id", "en", "s1", id * 10))),
+        schema)
+    }
+    IcebergWrite.write(docDf(1L, 2L), dir, "lang", "identity")
+    val batches = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    def start() = spark.readStream.format("graft.sources.IcebergSource").load(dir)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+        batches.synchronized { batches += ids }; ()
+      }.option("checkpointLocation", ckpt).start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(batches.flatten.sorted == Seq(1L, 2L), batches.toString)
+      // a new snapshot arrives -> exactly its rows flow, nothing re-read
+      IcebergWrite.append(docDf(3L, 4L), dir)
+      q.processAllAvailable()
+      assert(batches.last == Seq(3L, 4L), batches.toString)
+      assert(batches.flatten.sorted == Seq(1L, 2L, 3L, 4L))
+    } finally q.stop()
+    // restart from the checkpoint: only snapshots committed since the
+    // stored offset arrive (the table IS the offset log)
+    IcebergWrite.append(docDf(5L), dir)
+    val n0 = batches.flatten.size
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(batches.flatten.drop(n0) == Seq(5L), batches.toString)
+    } finally q2.stop()
+  }
 }
