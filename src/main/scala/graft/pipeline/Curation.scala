@@ -71,6 +71,38 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** P58: GRADED n-gram overlap decontamination (Brown et al. 2020
+    * Appendix C; Dodge et al. 2021 §4.2) — P24 flags any doc sharing
+    * ONE benchmark 8-gram; published pipelines instead grade each doc
+    * by the FRACTION of its 8-gram positions that are
+    * benchmark-tainted and drop above a threshold, so a glancing
+    * quotation survives while a pasted test set does not. Same scale
+    * shape as P24: grams explode per row, ONE equi-join on the gram
+    * key (left-semi keeps each tainted position), a per-doc count —
+    * never doc×doc. The fraction is integer ppm and the keep verdict
+    * an integer comparison (`n_hit·100 <= n_grams·thrPct`,
+    * at-threshold kept), so DuckDB replays every row. */
+  def overlapFraction(docs: DataFrame, thrPct: Int = 20): DataFrame = {
+    val withWords = docs.select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 8)
+    val benchGrams = withWords.filter(col("doc_id") % 97 === 0)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 7), i -> concat_ws(' ', slice(w, i, 8)))")).as("g"))
+      .distinct()
+    val corpus = withWords.filter(col("doc_id") % 97 =!= 0)
+    val hits = corpus
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 7), i -> concat_ws(' ', slice(w, i, 8)))")).as("g"))
+      .join(benchGrams, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    corpus.select(col("doc_id"), (size(col("w")) - 7).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("overlap_ppm", expr("n_hit * 1000000 DIV n_grams"))
+      .withColumn("keep", col("n_hit") * 100 <= col("n_grams") * thrPct)
+  }
+
   /** P25: fixed-window sequence packing (pretraining style): documents
     * are concatenated in stable doc_id order within a shard and cut
     * every `ctx` tokens; a doc's pack is determined by its start
@@ -344,6 +376,8 @@ object Curation {
       repetitionScore(Tables(spark, dir).documents).orderBy("doc_id")),
     "pipe_contamination" -> ((spark, dir) =>
       contamination(Tables(spark, dir).documents)),
+    "pipe_overlap_frac" -> ((spark, dir) =>
+      overlapFraction(Tables(spark, dir).documents).orderBy("doc_id")),
     "pipe_pack_sequences" -> ((spark, dir) =>
       packSequences(Tables(spark, dir).documents).orderBy("doc_id")),
     "pipe_pack_bfd" -> ((spark, dir) =>
@@ -497,6 +531,33 @@ object Curation {
         |  FROM ok WHERE doc_id % 97 <> 0)
         |SELECT DISTINCT doc_id FROM grams JOIN bench USING (g)
         |ORDER BY doc_id""".stripMargin,
+
+    // P58: full-gram benchmark set (unlike P24's first-8-token
+    // signatures), position-counted hits, integer ppm + threshold.
+    "pipe_overlap_frac" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |ok AS (SELECT * FROM w WHERE len(ws) >= 8),
+        |bench AS (
+        |  SELECT DISTINCT unnest([list_aggregate(ws[i:i+7], 'string_agg', ' ')
+        |    for i in generate_series(1, len(ws) - 7)]) AS g
+        |  FROM ok WHERE doc_id % 97 = 0),
+        |grams AS (
+        |  SELECT doc_id,
+        |         unnest([list_aggregate(ws[i:i+7], 'string_agg', ' ')
+        |           for i in generate_series(1, len(ws) - 7)]) AS g
+        |  FROM ok WHERE doc_id % 97 <> 0),
+        |hits AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM grams JOIN bench USING (g) GROUP BY doc_id),
+        |base AS (
+        |  SELECT doc_id, CAST(len(ws) - 7 AS BIGINT) AS n_grams
+        |  FROM ok WHERE doc_id % 97 <> 0)
+        |SELECT b.doc_id, b.n_grams, coalesce(h.n_hit, 0) AS n_hit,
+        |  coalesce(h.n_hit, 0) * 1000000 // b.n_grams AS overlap_ppm,
+        |  coalesce(h.n_hit, 0) * 100 <= b.n_grams * 20 AS keep
+        |FROM base b LEFT JOIN hits h USING (doc_id) ORDER BY b.doc_id""".stripMargin,
 
     "pipe_pack_sequences" ->
       """WITH base AS (

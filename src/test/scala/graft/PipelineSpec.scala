@@ -239,6 +239,30 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  test("overlap fraction: graded taint, threshold flip, clean docs zero") {
+    // doc 0 (id 97·0 ≡ 0) is the "benchmark"; others are corpus
+    val bench = (1 to 12).map(i => s"b$i").mkString(" ") // 12 tokens → 5 grams
+    val docs = docsDf(
+      (0L, bench, "s1"),
+      // 8 of its 13 gram positions replicate benchmark grams: the
+      // pasted span b1..b12 contributes 5 tainted positions... compute
+      // exactly below from the operator's own counts
+      (1L, "x1 x2 x3 x4 " + bench + " y1 y2 y3 y4", "s1"),
+      (2L, (1 to 20).map(i => s"c$i").mkString(" "), "s1"), // clean
+      (3L, "w1 " + bench.split(" ").take(8).mkString(" ") + " w2 w3 w4", "s1"))
+    val out = Curation.overlapFraction(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"), r.getAs[Boolean]("keep"))).toMap
+    // doc 1: 20 tokens → 13 positions; the 5 positions aligned inside
+    // the pasted benchmark span hit; 5/13 > 20% → dropped
+    assert(out(1L) == ((13L, 5L, false)), out.toString)
+    // doc 2: clean → zero hits, kept
+    assert(out(2L) == ((13L, 0L, true)), out.toString)
+    // doc 3: 12 tokens → 5 positions, exactly ONE hit (the b1..b8
+    // gram); 1·100 = 5·20 — EXACTLY at threshold, kept
+    assert(out(3L) == ((5L, 1L, true)), out.toString)
+  }
+
   test("best-fit packing: exact BFD bins, capacity bound, oversize split, repartition-stable") {
     def mkDoc(id: Long, tokens: Int) = (id, Seq.fill(tokens)("w").mkString(" "), "s1")
     // hand instance, ctx=10, one shard: sizes [6,5,4,3,2] BFD-pack into

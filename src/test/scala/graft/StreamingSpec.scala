@@ -651,4 +651,39 @@ class StreamingSpec extends SparkSpec {
       assert(batches.flatten.drop(n0) == Seq(5L), batches.toString)
     } finally q2.stop()
   }
+
+  test("T26: medallion hop — exactly-once sink feeds the streaming source downstream") {
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_t26").toString
+    val bronze = s"$root/bronze"
+    // upstream: raw docs land in the bronze Iceberg table, one
+    // exactly-once snapshot per micro-batch (T18)
+    val in = MemoryStream[Streams.Doc]
+    val up = Streams.icebergSink(in.toDF(), bronze, "doc_id")
+      .option("checkpointLocation", s"$root/up_ckpt").start()
+    try {
+      in.addData(Streams.Doc(1, ts(0), "alpha beta", "en"),
+        Streams.Doc(2, ts(1), "gamma delta", "en"))
+      up.processAllAvailable()
+      // downstream: a SECOND query tails bronze through the T25 source
+      // — the handoff is the table itself, no queue in between — and
+      // derives silver rows (token counts) into a memory sink
+      val down = spark.readStream.format("graft.sources.IcebergSource").load(bronze)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .writeStream.format("memory").queryName("t26_silver").outputMode("append")
+        .option("checkpointLocation", s"$root/down_ckpt").start()
+      try {
+        down.processAllAvailable()
+        assert(spark.table("t26_silver").count() == 2)
+        // a second upstream batch commits snapshot 2; downstream picks
+        // up exactly the delta
+        in.addData(Streams.Doc(3, ts(2), "epsilon zeta eta", "fr"))
+        up.processAllAvailable()
+        down.processAllAvailable()
+        val silver = spark.table("t26_silver").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(silver == Map(1L -> 2L, 2L -> 2L, 3L -> 3L), silver.toString)
+      } finally down.stop()
+    } finally up.stop()
+  }
 }
