@@ -116,10 +116,13 @@ object EventQueries {
 
     // E10: NATIVE batch session_window — the declarative twin of E4's
     // lag+cumsum sessionization, per-session grain. Spark's gap
-    // semantics close a session when the next event is >= gap after
-    // the last (the event lands outside [last, last+gap)), so the
-    // oracle's independent window implementation breaks on >= 1800 —
-    // a DuckDB match certifies Spark's built-in operator itself.
+    // semantics merge TOUCHING windows: an event landing exactly at
+    // last+gap still joins the session (sf0.1 holds a real
+    // exactly-1800s pair that certifies this — user 511), so a session
+    // closes only when the next event is STRICTLY beyond last+gap.
+    // The oracle's independent lag+cumsum implementation breaks on
+    // > 1800 (matching E2's convention) — a DuckDB match certifies
+    // Spark's built-in operator itself, boundary included.
     "events_session_native" -> ((spark, dir) => {
       val t = Tables(spark, dir)
       t.events
@@ -225,7 +228,7 @@ object EventQueries {
         |  FROM events),
         |flagged AS (
         |  SELECT user_id, s, event_id,
-        |    CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w >= 1800 THEN 1 ELSE 0 END AS ns
+        |    CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 1800 THEN 1 ELSE 0 END AS ns
         |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
         |sess AS (
         |  SELECT user_id, s,

@@ -8,6 +8,20 @@ import graft.operators.AsOfJoin
 class RelationalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("E10 boundary: session_window merges an event landing EXACTLY at last+gap") {
+    // sf0.1 certified this for real (user 511, consecutive events
+    // 1800 s apart merged into one session); pin it so the oracle's
+    // strictly-greater split rule can never silently drift back to >=
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, 1000L), (1L, 2800L), (1L, 4601L)).toDF("user_id", "s")
+      .select(col("user_id"), timestamp_seconds(col("s")).as("tss"))
+      .groupBy(col("user_id"), session_window(col("tss"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("n")).collect().map(_.getLong(0)).sorted.toSeq
+    // 1000 and 2800 (= +1800, touching) merge; 4601 (= +1801) does not
+    assert(df == Seq(1L, 2L), df.toString)
+  }
+
   test("R14: inline relations — createDataset, toDF, SQL VALUES") {
     val ds = Seq((1, "a"), (2, "b")).toDS()
     assert(ds.count() == 2)
