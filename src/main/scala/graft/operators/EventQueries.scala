@@ -136,6 +136,30 @@ object EventQueries {
         .orderBy("user_id", "session_start")
     }),
 
+    // E11: event-type TRANSITION matrix — the first-order Markov view
+    // of user behavior (what follows what): per-user streams ordered by
+    // (ts, event_id), one lag window for the predecessor type, then a
+    // |types|² rollup with probabilities in integer ppm (count·1e6 DIV
+    // row-total — engine-exact, no double ratio). ONE shuffle on
+    // user_id for the lag; the transition rollup aggregates a
+    // types²-bounded grain. The standard input to funnel design and
+    // next-event prediction baselines.
+    "events_transitions" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val trans = t.events.select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type")
+        .agg(count(lit(1)).as("n"))
+      val w2 = Window.partitionBy("prev_type")
+      trans.withColumn("row_total", sum(col("n")).over(w2))
+        .select(col("prev_type"), col("event_type"), col("n"),
+          expr("n * 1000000 DIV row_total").as("p_ppm"))
+        .orderBy("prev_type", "event_type")
+    }),
+
     // E5: ordered funnel view → click → purchase via conditional min-ts.
     "events_funnel" -> ((spark, dir) => {
       val t = Tables(spark, dir)
@@ -239,6 +263,19 @@ object EventQueries {
         |  count(*) AS n_events
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "events_transitions" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |trans AS (
+        |  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM ordered WHERE prev_type IS NOT NULL
+        |  GROUP BY prev_type, event_type)
+        |SELECT prev_type, event_type, n,
+        |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_ppm
+        |FROM trans ORDER BY prev_type, event_type""".stripMargin,
 
     "events_sessionize" ->
       """WITH base AS (
