@@ -63,7 +63,11 @@ object Bench {
     "dedup_lines", "dedup_containment", "pipe_unigram_tokenize",
     "mm_image_phash", "text_heavy_hitters", "split_leakage_audit",
     "src_iceberg_cdc", "src_iceberg_partitions", "m5_dynamic_overwrite",
-    "asof_join_forward", "events_interarrival")
+    "asof_join_forward", "events_interarrival",
+    // round-8 third-session families
+    "text_gopher_repetition", "pipe_pack_bfd", "corpus_data_card",
+    "pipe_overlap_frac", "src_iceberg_incremental", "events_transitions",
+    "events_session_native")
 
   // Locale.ROOT: the default-locale format would emit comma decimals
   // ("1,234") under e.g. a de_DE JVM, corrupting the JSON contract.
