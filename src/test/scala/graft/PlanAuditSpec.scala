@@ -562,6 +562,43 @@ class PlanAuditSpec extends SparkSpec {
         s"stale allowance: ${allowed -- offenders.toSet}")
   }
 
+  /** Round-8 third-session plan shapes: P53 is pure per-row expression
+    * work (its only exchange in the registry query is the final
+    * orderBy), and P56's best-fit packing shuffles the corpus exactly
+    * once, on the shard key. A regression that reintroduces a
+    * corpus-wide exchange into either — e.g. the repetition stats
+    * turning into a groupBy, or the packer adding a sort shuffle —
+    * fails here before it can reach a driver artifact. */
+  test("P53 is scan-bound; P56 shuffles once on the shard key") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = Tables(spark, sf0001).documents
+    val rep = graft.pipeline.TextAnalysis.gopherRepetition(spark,
+      graft.pipeline.TextAnalysis.reflowParagraphs(docs))
+    val repShuffles = rep.queryExecution.sparkPlan.collect { case e: ShuffleExchangeExec => e }
+    assert(repShuffles.isEmpty,
+      s"P53 must be scan-bound:\n${rep.queryExecution.sparkPlan}")
+    // the groupByKey exchange appears at EnsureRequirements time, and
+    // under AQE only in the FINAL plan (as shuffle query stages) — run
+    // the query, then walk the adaptive result
+    val packed = graft.pipeline.Curation.packBestFit(docs)
+    packed.collect()
+    val fin = packed.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // query stages are LEAF wrappers — recurse into their plans
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q) ++ walk(q.plan)
+        case n => Seq(n)
+      }
+    val packShuffles = walk(fin).collect { case e: ShuffleExchangeExec => e }
+    assert(packShuffles.size == 1,
+      s"P56 must shuffle exactly once (shard key):\n$fin")
+  }
+
   /** IVF cell assignment must be shuffle-free on the corpus side
     * (round-6 verdict #2): the centroid set is folded into ONE
     * broadcast row and the argmax computed row-locally, so the path
