@@ -167,6 +167,31 @@ object Splits {
     * 2^32), keeping the decimal multiply within 2^64 — exact in both
     * engines, and bit-identical to the old formula wherever the old one
     * didn't overflow. */
+  /** P59: WEIGHTED sampling without replacement (Efraimidis &
+    * Spirakis 2006, A-ES): draw k docs with inclusion probability
+    * proportional to a per-doc weight — the quality-weighted subcorpus
+    * draw (sample harder from what the quality model likes) that
+    * uniform sampling (P20) and per-stratum mixing (P29/P45b) can't
+    * express. Each doc gets the key ln(u)/w (order-equivalent to the
+    * paper's u^(1/w)); the k LARGEST keys are the sample. u comes from
+    * the seeded Knuth membership hash — a pure function of (doc_id,
+    * seed), so the draw is deterministic, repartition-stable, and
+    * incrementally stable (new docs never change existing keys, they
+    * only compete at the boundary).
+    *
+    * Scale shape: key is row-local scan work; the cut is a global
+    * TopN — TakeOrderedAndProject, never a full sort. Rows-only (the
+    * ln is IEEE floating point; engines may differ in the last ulp at
+    * rank boundaries) + A-ES property specs. */
+  def weightedSample(docs: DataFrame, weight: Column, k: Int,
+                     seed: Long = 17L): DataFrame = {
+    docs.select(col("doc_id"), weight.cast("double").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("es_key", log(membershipU(seed)) / col("w"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(k)
+  }
+
   private[graft] def membershipU: Column = membershipU(0L)
 
   /** Seeded variant: the seed shifts the id stream mod 2^32 before the
@@ -216,6 +241,11 @@ object Splits {
         .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
         .orderBy("lang")
     }),
+    // P59 rows-only: the A-ES key is floating-point ln — engines may
+    // disagree in the last ulp exactly at rank boundaries.
+    "sample_weighted" -> ((spark, dir) =>
+      weightedSample(Tables(spark, dir).documents, col("n_chars"), k = 100)
+        .orderBy("doc_id")),
   )
 
   val oracles: Map[String, String] = Map(

@@ -239,6 +239,40 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  test("weighted sampling: exact A-ES replay, weight monotonicity, incremental stability") {
+    import org.apache.spark.sql.functions.{length => slen}
+    // heavy docs (long text) vs light docs (short text), weight = length
+    def mk(id: Long, len: Int) = (id, "x" * len, "s1")
+    val heavy = (1L to 100L).map(mk(_, 1000))
+    val light = (101L to 200L).map(mk(_, 10))
+    val docs = docsDf((heavy ++ light): _*)
+    val picked = Splits.weightedSample(docs, slen(col("text")), k = 50)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // exact replay of the A-ES keys in plain Scala: u from the seeded
+    // Knuth hash, key = ln(u)/w, top-50 by (key desc, doc_id)
+    def key(id: Long, w: Double, seed: Long = 17L): Double = {
+      val u = ((id % 4294967296L + seed % 4294967296L) % 4294967296L *
+        2654435761L % 4294967296L).toDouble / 4294967296.0
+      math.log(u) / w
+    }
+    val expected = (heavy.map(d => (d._1, 1000.0)) ++ light.map(d => (d._1, 10.0)))
+      .map { case (id, w) => (id, key(id, w)) }
+      .sortBy { case (id, k) => (-k, id) }.take(50).map(_._1).toSet
+    assert(picked == expected, s"picked=$picked")
+    // inclusion probability follows weight: the heavy group dominates
+    assert(picked.count(_ <= 100L) > picked.count(_ > 100L), picked.toString)
+    // deterministic under physical layout
+    val again = Splits.weightedSample(docs.repartition(7), slen(col("text")), k = 50)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(again == picked)
+    // incrementally stable: appending docs never changes existing keys —
+    // survivors of the grown corpus that are old docs were all picked before
+    val grown = docsDf((heavy ++ light ++ (201L to 260L).map(mk(_, 1000))): _*)
+    val picked2 = Splits.weightedSample(grown, slen(col("text")), k = 50)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert((picked2.filter(_ <= 200L) -- picked).isEmpty, s"$picked2 vs $picked")
+  }
+
   test("overlap fraction: graded taint, threshold flip, clean docs zero") {
     // doc 0 (id 97·0 ≡ 0) is the "benchmark"; others are corpus
     val bench = (1 to 12).map(i => s"b$i").mkString(" ") // 12 tokens → 5 grams
