@@ -167,6 +167,37 @@ object Splits {
     * 2^32), keeping the decimal multiply within 2^64 — exact in both
     * engines, and bit-identical to the old formula wherever the old one
     * didn't overflow. */
+  /** P60: LEAKAGE-SAFE train/test split — the FIX for what the P54
+    * audit measures: near-dup twins straddling a per-document split
+    * inflate held-out metrics, so the assignment unit must be the
+    * near-dup CLUSTER, not the document. Candidates come from the
+    * shared minhash band machinery (exact-Jaccard verified), close
+    * transitively through P21 connected components, and every member
+    * splits by the md5 bucket of its cluster REPRESENTATIVE (min
+    * doc_id) — a pair that shares a verified edge can never land on
+    * both sides. Composition of three oracle-replayable pieces, so the
+    * whole split is itself oracle-exact.
+    *
+    * Scale shape: inherited — banded candidates (bounded buckets), CC
+    * contraction, and a label join touching only edge endpoints; the
+    * md5 assignment is row-local. */
+  def leakageSafeSplit(docs: DataFrame, minJaccard: Double = 0.1,
+                       trainBuckets: Int = 204): DataFrame = {
+    val pairs = Dedup.minhashCandidates(docs, minJaccard = minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = Cluster.connectedComponents(pairs)
+    val withRep = docs.select(col("doc_id"))
+      .join(labels, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val b =
+      (expr("instr('0123456789abcdef', substring(md5(cast(cast(cluster_id AS string) AS binary)), 1, 1))") - 1) * 16 +
+        (expr("instr('0123456789abcdef', substring(md5(cast(cast(cluster_id AS string) AS binary)), 2, 1))") - 1)
+    withRep.select(col("doc_id"), col("cluster_id"),
+      b.cast("long").as("bucket"),
+      when(b < trainBuckets, "train").otherwise("test").as("split"))
+  }
+
   /** P59: WEIGHTED sampling without replacement (Efraimidis &
     * Spirakis 2006, A-ES): draw k docs with inclusion probability
     * proportional to a per-doc weight — the quality-weighted subcorpus
@@ -246,6 +277,8 @@ object Splits {
     "sample_weighted" -> ((spark, dir) =>
       weightedSample(Tables(spark, dir).documents, col("n_chars"), k = 100)
         .orderBy("doc_id")),
+    "split_leakage_safe" -> ((spark, dir) =>
+      leakageSafeSplit(Tables(spark, dir).documents).orderBy("doc_id")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -310,6 +343,38 @@ object Splits {
          |  ${splitOf("doc_a")} <> ${splitOf("doc_b")} AS leak
          |FROM ver
          |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 200""".stripMargin
+    },
+
+    // P60: the vetted minhash pair replay, transitive closure as a
+    // recursive reachability CTE (the P32 device), and the md5 bucket
+    // computed over the CLUSTER representative instead of the doc.
+    "split_leakage_safe" -> {
+      import graft.operators.DuckHashSql._
+      val bucketOf = (c: String) =>
+        s"""((strpos('0123456789abcdef', substring(md5(CAST($c AS VARCHAR)), 1, 1)) - 1) * 16
+           | + (strpos('0123456789abcdef', substring(md5(CAST($c AS VARCHAR)), 2, 1)) - 1))""".stripMargin
+      s"""WITH ${minhashCtes("documents")},
+         |ver AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b, ${jaccardSql("a.su", "b.su")} AS jaccard
+         |    FROM mpairs JOIN msh a ON mpairs.doc_a = a.doc_id
+         |                JOIN msh b ON mpairs.doc_b = b.doc_id)
+         |  WHERE jaccard >= 0.1),
+         |sym AS (SELECT doc_a AS s, doc_b AS d FROM ver
+         |        UNION SELECT doc_b, doc_a FROM ver),
+         |rch AS (
+         |  WITH RECURSIVE r(id, m) AS (
+         |    SELECT s, s FROM sym
+         |    UNION
+         |    SELECT sym.s, r.m FROM r JOIN sym ON r.id = sym.d)
+         |  SELECT id, min(m) AS cluster_id FROM r GROUP BY id),
+         |rep AS (
+         |  SELECT d.doc_id, coalesce(rch.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN rch ON d.doc_id = rch.id)
+         |SELECT doc_id, cluster_id,
+         |  CAST(${bucketOf("cluster_id")} AS BIGINT) AS bucket,
+         |  CASE WHEN ${bucketOf("cluster_id")} < 204 THEN 'train' ELSE 'test' END AS split
+         |FROM rep ORDER BY doc_id""".stripMargin
     },
 
     "split_train_test" ->
