@@ -135,6 +135,11 @@ object Cluster {
     // there is nothing to move. The isEmpty probe reads the already-
     // persisted symC, so it is one cheap action, not a recompute.
     var changed = if (symC.isEmpty) 0L else 1L
+    // Row count of the CURRENT labels, counted for free by the same
+    // accumulator pass that counts moved labels (0 when the contracted
+    // graph is empty; -1 = never materialized). Retries can only
+    // OVER-count, which merely skips the broadcast below — safe.
+    var labelRows = if (changed == 0L) 0L else -1L
     while (iter < maxIters && changed > 0) {
       // 1. closed neighborhood: own label ∪ labels flowing over edges.
       // The self rows carry the previous label in `own` (exactly one
@@ -167,10 +172,12 @@ object Cluster {
       // (2^rounds nodes: at sf0.1 the plan string passed 2 GB and OOM'd
       // the driver).
       val acc = sc.longAccumulator(s"cc_moved_round_$iter")
+      val rowAcc = sc.longAccumulator(s"cc_rows_round_$iter")
       val rdd = jumped.rdd.mapPartitions { it =>
         it.map { r =>
           val lbl = r.getLong(1)
           if (r.isNullAt(2) || r.getLong(2) != lbl) acc.add(1L)
+          rowAcc.add(1L)
           Row(r.getLong(0), lbl)
         }
       }
@@ -178,6 +185,7 @@ object Cluster {
       if (chkDir.isDefined) rdd.checkpoint() // written from the persisted blocks
       rdd.foreach(_ => ()) // the round's single action
       changed = acc.value
+      labelRows = rowAcc.value
       labels.unpersist(false)
       if (prevRdd != null) prevRdd.unpersist(false)
       prevRdd = rdd
@@ -191,15 +199,26 @@ object Cluster {
     // Isolated roots (components entirely inside one partition) never
     // entered the contracted graph: their root IS the component min —
     // coalesce short-circuits them.
+    // The label side is the CONTRACTED graph's node set (border nodes
+    // only) — RDD-backed, so Catalyst assumes it huge and would shuffle
+    // the full node map to sort-merge against it. The accumulator count
+    // makes its true size known for free: broadcast when it fits (the
+    // overwhelmingly common case once phase 0 contracts id-local
+    // components), falling back to the shuffle join for adversarial
+    // graphs whose border set is genuinely large (r8 verdict #7).
+    val labelSide = labels.select(col("id").as("root"), col("label"))
     val joined = grouped.select(col("id"), col("root"))
-      .join(labels.select(col("id").as("root"), col("label")), Seq("root"), "left")
+      .join(if (labelRows >= 0 && labelRows <= 2000000L) broadcast(labelSide)
+            else labelSide,
+        Seq("root"), "left")
       .select(col("id"), coalesce(col("label"), col("root")).as("label"))
     // materialize the result so every upstream persist can be released
     // before returning (the same no-leak discipline as the loop rounds);
     // the reliable-checkpoint gate covers the FINAL labels too — with
     // full phase-0 contraction the loop may never checkpoint anything,
     // and the long lineage to truncate is this join's
-    val outRdd = joined.rdd.map(r => Row(r.getLong(0), r.getLong(1)))
+    val outAcc = sc.longAccumulator("cc_out_rows")
+    val outRdd = joined.rdd.map { r => outAcc.add(1L); Row(r.getLong(0), r.getLong(1)) }
     outRdd.persist(lvl)
     if (chkDir.isDefined) outRdd.checkpoint()
     outRdd.foreach(_ => ())
@@ -207,7 +226,17 @@ object Cluster {
     symC.unpersist(false)
     labels.unpersist(false)
     if (prevRdd != null) prevRdd.unpersist(false)
-    spark.createDataFrame(outRdd, labelSchema).withColumnRenamed("label", "cluster_id")
+    val result = spark.createDataFrame(outRdd, labelSchema)
+      .withColumnRenamed("label", "cluster_id")
+    // The result is RDD-backed, so every CALLER's label join-back (P32's
+    // emb ⋈ clusters, P60's split assignment, P55's rollup) would plan
+    // sort-merge and shuffle the full corpus against it. The output row
+    // count is known for free from the materialization pass: hint
+    // broadcast when it fits — CC output is edge ENDPOINTS only, tiny
+    // relative to the corpus unless the graph is duplicate-saturated
+    // (then the gate leaves the shuffle join in place). Accumulator
+    // retries only over-count, which only skips the hint — safe.
+    if (outAcc.value <= 2000000L) broadcast(result) else result
   }
 
   /** Connected components of an edge list whose components are

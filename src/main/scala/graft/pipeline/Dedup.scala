@@ -27,6 +27,7 @@ object Dedup {
   private val ngramSlot = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
   private val incrSlot = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
   private val containSlot = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private val containExSlot = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
@@ -328,23 +329,39 @@ object Dedup {
     GraftFunctions.register(docs.sparkSession)
     val withSh = cacheReplacing(
       docs.select(col("doc_id"), hashedShingles(col("text")).as("sh")), containSlot)
-    val ex = withSh.select(col("doc_id"), explode(col("sh")).as("g"))
-    // Document frequency per gram FIRST, as a count aggregate (map-side
-    // partials) — collecting a stop-gram's bucket before filtering it
-    // would materialize one unbounded array row per hot gram at 100 TB.
-    val dfByGram = ex.groupBy("g").agg(count(lit(1)).as("df"))
-      .observe("containment_grams",
-        count(lit(1)).as("grams"),
-        sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("stop_grams"))
+    // ONE windowed pass annotates every (doc_id, gram) occurrence with
+    // its gram's document frequency, persisted once (r8 verdict: the
+    // exploded stream was traversed three times — df aggregate, stop-
+    // count semi-join, bucket semi-join — plus the df aggregate itself
+    // twice; that was the suite's most expensive query). A count over
+    // the unordered g-window replaces the aggregate-then-join-back, and
+    // because df rides WITH each occurrence the two downstream
+    // consumers are plain filters over the cached stream: no stop-gram
+    // bucket is ever collected (the df>maxDf rows never reach
+    // collect_list — the same 100 TB guard as before), and `buckets`'
+    // groupBy("g") reuses the window's hash-by-g partitioning straight
+    // from the cache, shuffle-free. rn marks one row per distinct gram
+    // so the observe metrics keep their old meaning (distinct grams /
+    // distinct stop-grams).
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("doc_id")
+    val annotated = cacheReplacing(
+      withSh.select(col("doc_id"), explode(col("sh")).as("g"))
+        .withColumn("df", count(lit(1)).over(wg.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+        .withColumn("rn", row_number().over(wg))
+        .observe("containment_grams",
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("grams"),
+          sum(when(col("rn") === 1 && col("df") > maxDf, 1L).otherwise(0L)).as("stop_grams")),
+      containExSlot)
     // Per-doc stop-gram slack: how many of MY shingles were dropped as
     // stop-grams — the exact upper bound the prefilter below needs.
-    val stopCnt = ex.join(dfByGram.filter(col("df") > maxDf).select("g"), Seq("g"), "left_semi")
+    val stopCnt = annotated.filter(col("df") > maxDf)
       .groupBy("doc_id").agg(count(lit(1)).as("n_stop"))
     val stats = withSh.select(col("doc_id"), size(col("sh")).cast("long").as("len"))
       .join(stopCnt, Seq("doc_id"), "left")
       .select(col("doc_id"), col("len"), coalesce(col("n_stop"), lit(0L)).as("n_stop"))
-    val buckets = ex
-      .join(dfByGram.filter(col("df").between(2, maxDf)).select("g"), Seq("g"), "left_semi")
+    val buckets = annotated.filter(col("df").between(2, maxDf))
       .groupBy("g").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
     val pairs = buckets.select(explode(call_function("pair_expand", col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))

@@ -216,9 +216,19 @@ object Splits {
     * rank boundaries) + A-ES property specs. */
   def weightedSample(docs: DataFrame, weight: Column, k: Int,
                      seed: Long = 17L): DataFrame = {
+    // u is shifted into (0, 1]: membershipU lands on exactly 0 for ids
+    // whose Knuth hash is 0 mod 2^32, and ln(0)/w = -Infinity would
+    // permanently exclude that doc from EVERY draw regardless of weight
+    // (ADVICE r8). (hash+1)/2^32 keeps the shift exact in double
+    // (hash+1 <= 2^32 fits the 53-bit mantissa) and ln finite; u = 1
+    // gives key 0, the legitimate maximum. Note doc_ids congruent mod
+    // 2^32 share a u (the hash folds through doc_id % 2^32), so their
+    // draws are correlated — irrelevant below 4.3e9 docs, documented
+    // for corpora beyond it.
     docs.select(col("doc_id"), weight.cast("double").as("w"))
       .filter(col("w") > 0)
-      .withColumn("es_key", log(membershipU(seed)) / col("w"))
+      .withColumn("es_key",
+        log(membershipU(seed) + lit(1.0 / 4294967296.0)) / col("w"))
       .orderBy(col("es_key").desc, col("doc_id"))
       .limit(k)
   }

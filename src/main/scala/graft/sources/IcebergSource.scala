@@ -1025,10 +1025,26 @@ object IcebergWrite {
     * files never overwrite, so this only changes hint behavior. */
   private def writeSmall(fs: FileSystem, p: Path, s: String): Unit = {
     val tmp = new Path(p.getParent, s".${p.getName}.tmp${System.nanoTime()}")
-    val out = fs.create(tmp, false)
-    try out.write(s.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    require(fs.rename(tmp, p), s"graft iceberg: rename $tmp -> $p failed")
+    var renamed = false
+    try {
+      val out = fs.create(tmp, false)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+      // Rename FIRST (most filesystems refuse to rename onto an existing
+      // path); only on refusal delete the target and retry. That keeps
+      // the no-hint window to the delete→retry gap — and if the JVM dies
+      // before the first rename the old hint is still intact, instead of
+      // the delete-then-rename order where a crash between the two steps
+      // loses the hint permanently.
+      renamed = fs.rename(tmp, p)
+      if (!renamed) {
+        if (fs.exists(p)) fs.delete(p, false)
+        renamed = fs.rename(tmp, p)
+      }
+      require(renamed, s"graft iceberg: rename $tmp -> $p failed")
+    } finally {
+      // never leak the temp file when the write or both renames fail
+      if (!renamed && fs.exists(tmp)) fs.delete(tmp, false)
+    }
   }
 }
 
@@ -1293,19 +1309,6 @@ object IcebergRead {
     spark.read.schema(withIds).parquet(files.map(_.path): _*)
   }
 
-  /** S16m: INCREMENTAL (changelog) read — the rows ADDED between two
-    * snapshots (`fromId` exclusive, `toId` inclusive), the primitive a
-    * downstream batch pipeline uses to consume only what arrived since
-    * its last run instead of rescanning 100 TB. File-level diff:
-    * data files referenced at `toId` but not at `fromId`; with the
-    * append-only contract below, those files contain exactly the added
-    * rows. Every snapshot in the range must be an `append` — a
-    * replace/overwrite rewrites surviving rows into NEW files, so the
-    * file diff would replay old rows as if added (Iceberg's own
-    * incremental scan enforces the same restriction); violating
-    * snapshots fail fast. Reads go through the field-id-resolved
-    * vectorized path like [[toDataFrame]], so schema evolution between
-    * the snapshots resolves per file. */
   /** Current snapshot id from the metadata tree (0 for a dir that is
     * not yet a table — the streaming source's "nothing yet" offset). */
   def currentSnapshotId(tableDir: String, conf: Configuration): Long = {
@@ -1313,6 +1316,29 @@ object IcebergRead {
     val hint = new Path(tableDir, "metadata/version-hint.text")
     if (!fs.exists(hint)) return 0L
     load(tableDir, conf).snapshotId
+  }
+
+  /** Snapshot ids in (fromId, toId] in commit order — the T25 admission
+    * control's unit of batching. Commit order is the metadata file's
+    * snapshot-log order; ids from [[IcebergWrite]] are monotone, so the
+    * sort is a no-op for our own tables and a safety net for foreign
+    * writers. One metadata-json read; no manifest I/O. */
+  def snapshotIdsInRange(tableDir: String, conf: Configuration,
+                         fromId: Long, toId: Long): Seq[Long] = {
+    if (fromId >= toId) return Nil
+    val fs = new Path(tableDir).getFileSystem(conf)
+    val hint = new Path(tableDir, "metadata/version-hint.text")
+    if (!fs.exists(hint)) return Nil
+    def readAll(p: Path): String = {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val v = readAll(hint).trim.toInt
+    val metaNode = mapper.readTree(
+      readAll(new Path(tableDir, s"metadata/v$v.metadata.json")))
+    metaNode.get("snapshots").elements().asScala
+      .map(_.get("snapshot-id").asLong)
+      .filter(id => id > fromId && id <= toId).toSeq.sorted
   }
 
   /** The data files ADDED in snapshot range (fromId, toId] — shared by
@@ -1337,11 +1363,17 @@ object IcebergRead {
     require(inRange.nonEmpty,
       s"graft iceberg incremental: no snapshots in ($fromId, $toId] at $tableDir")
     inRange.foreach { s =>
+      // Fail fast on a summary-less snapshot rather than assuming append:
+      // an EXTERNAL writer's overwrite/replace without a summary would
+      // otherwise pass the check and replay surviving rewritten rows as
+      // newly added rows (silent duplication). Our writer always stamps
+      // `operation`, so this only rejects foreign, unprovable snapshots.
       val op = Option(s.get("summary")).flatMap(sm => Option(sm.get("operation")))
-        .map(_.asText).getOrElse("append")
-      require(op == "append", "graft iceberg incremental: snapshot " +
-        s"${s.get("snapshot-id").asLong} is '$op' — the file diff only means " +
-        "'added rows' across appends; consume replaces/overwrites via a full read")
+        .map(_.asText)
+      require(op.contains("append"), "graft iceberg incremental: snapshot " +
+        s"${s.get("snapshot-id").asLong} is '${op.getOrElse("<no summary.operation>")}' — " +
+        "the file diff only means 'added rows' across explicit appends; " +
+        "consume replaces/overwrites (or unlabeled snapshots) via a full read")
     }
     val fromFiles =
       if (fromId == 0L) Set.empty[String]
@@ -1349,6 +1381,19 @@ object IcebergRead {
     planFiles(tableDir, conf, None, Some(toId)).map(_.path).filterNot(fromFiles.contains)
   }
 
+  /** S16m: INCREMENTAL (changelog) read — the rows ADDED between two
+    * snapshots (`fromId` exclusive, `toId` inclusive), the primitive a
+    * downstream batch pipeline uses to consume only what arrived since
+    * its last run instead of rescanning 100 TB. File-level diff:
+    * data files referenced at `toId` but not at `fromId`; with the
+    * append-only contract in [[incrementalFilePaths]], those files
+    * contain exactly the added rows. Every snapshot in the range must
+    * be an `append` — a replace/overwrite rewrites surviving rows into
+    * NEW files, so the file diff would replay old rows as if added
+    * (Iceberg's own incremental scan enforces the same restriction);
+    * violating snapshots fail fast. Reads go through the
+    * field-id-resolved vectorized path like [[toDataFrame]], so schema
+    * evolution between the snapshots resolves per file. */
   def incrementalRead(spark: org.apache.spark.sql.SparkSession, tableDir: String,
                       fromId: Long, toId: Long): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -1391,10 +1436,12 @@ class IcebergDsv2Table(path: String, schema: StructType, snapshotId: Option[Long
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new IcebergScanBuilder(path, schema, snapshotId)
+    new IcebergScanBuilder(path, schema, snapshotId,
+      Option(options.get("maxSnapshotsPerTrigger")).map(_.toInt))
 }
 
-class IcebergScanBuilder(path: String, fullSchema: StructType, snapshotId: Option[Long])
+class IcebergScanBuilder(path: String, fullSchema: StructType, snapshotId: Option[Long],
+                         maxSnapshotsPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
   private var pruneEq: Option[(String, Any)] = None
@@ -1444,11 +1491,13 @@ class IcebergScanBuilder(path: String, fullSchema: StructType, snapshotId: Optio
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new IcebergScan(path, required, pruneEq, snapshotId, ranges)
+  override def build(): Scan =
+    new IcebergScan(path, required, pruneEq, snapshotId, ranges, maxSnapshotsPerTrigger)
 }
 
 class IcebergScan(path: String, required: StructType, eq: Option[(String, Any)],
-                  snapshotId: Option[Long], ranges: Seq[IcebergRead.ColRange] = Nil)
+                  snapshotId: Option[Long], ranges: Seq[IcebergRead.ColRange] = Nil,
+                  maxSnapshotsPerTrigger: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -1485,7 +1534,7 @@ class IcebergScan(path: String, required: StructType, eq: Option[(String, Any)],
     * rather than replaying rewritten rows as inserts. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new IcebergMicroBatchStream(path, required)
+    new IcebergMicroBatchStream(path, required, maxSnapshotsPerTrigger)
 }
 
 case class IcebergSnapOffset(id: Long)
@@ -1493,30 +1542,78 @@ case class IcebergSnapOffset(id: Long)
   override def json(): String = s"""{"snapshot":$id}"""
 }
 
-class IcebergMicroBatchStream(path: String, required: StructType)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+/** T25b: the admission-control unit for the Iceberg streaming source —
+  * at most `max` snapshots admitted per micro-batch. Without a cap, a
+  * stream restarted after downtime plans ONE batch spanning every
+  * snapshot committed while it was down; at 100 TB ingest rates that
+  * catch-up batch is unbounded. This is the source-shaped analogue of
+  * the file sources' `maxFilesPerTrigger` / Kafka's
+  * `maxOffsetsPerTrigger`, surfaced as
+  * `.option("maxSnapshotsPerTrigger", n)`. */
+case class ReadMaxSnapshots(max: Int)
+    extends org.apache.spark.sql.connector.read.streaming.ReadLimit {
+  require(max > 0, s"maxSnapshotsPerTrigger must be positive, got $max")
+}
+
+class IcebergMicroBatchStream(path: String, required: StructType,
+                              maxSnapshotsPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
   private def conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
 
   /** Last successfully observed snapshot id — the fallback when a poll
     * races a writer's hint rename (file briefly missing). Snapshot ids
     * are monotone, so answering with an older id is always safe: the
     * new snapshot is simply picked up on the next trigger. A polling
-    * path must never kill the query on a transient metadata race. */
+    * path must never kill the query on a transient metadata race.
+    * Seeded from every offset Spark hands back (deserialize/start), so
+    * a RESTART whose first poll hits the race answers with the
+    * checkpointed offset — not a fresh 0 that would plan an inverted
+    * (N, 0] range and kill the query (ADVICE r8). */
   @volatile private var lastSeen = 0L
-  override def latestOffset(): Offset = {
+  private def noteSeen(id: Long): Unit = if (id > lastSeen) lastSeen = id
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxSnapshotsPerTrigger.map(ReadMaxSnapshots(_): ReadLimit)
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** Admission-controlled end offset: poll the hint, then cap the range
+    * (start, newest] to the first `max` snapshots in commit order so a
+    * post-downtime catch-up drains over several bounded micro-batches.
+    * Never answers below `start` — monotone by construction. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[IcebergSnapOffset].id
+    noteSeen(from)
     val id = try IcebergRead.currentSnapshotId(path, conf)
     catch { case scala.util.control.NonFatal(_) => lastSeen }
-    if (id > lastSeen) lastSeen = id
-    IcebergSnapOffset(lastSeen)
+    noteSeen(id)
+    val end = limit match {
+      case ReadMaxSnapshots(max) if lastSeen > from =>
+        val pending = IcebergRead.snapshotIdsInRange(path, conf, from, lastSeen)
+        if (pending.isEmpty) lastSeen
+        else pending.take(max).last
+      case _ => lastSeen
+    }
+    IcebergSnapOffset(math.max(end, from))
   }
+
+  override def reportLatestOffset(): Offset = IcebergSnapOffset(lastSeen)
+
+  override def latestOffset(): Offset = throw new IllegalStateException(
+    "latestOffset(Offset, ReadLimit) should be called instead (SupportsAdmissionControl)")
+
   override def initialOffset(): Offset = IcebergSnapOffset(0L)
-  override def deserializeOffset(json: String): Offset =
-    IcebergSnapOffset(IcebergMeta.mapper.readTree(json).get("snapshot").asLong)
+  override def deserializeOffset(json: String): Offset = {
+    val id = IcebergMeta.mapper.readTree(json).get("snapshot").asLong
+    noteSeen(id)
+    IcebergSnapOffset(id)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[IcebergSnapOffset].id
     val to = end.asInstanceOf[IcebergSnapOffset].id
+    noteSeen(to)
     IcebergRead.incrementalFilePaths(path, conf, from, to)
       .map(p => IcebergInputPartition(p): InputPartition).toArray
   }

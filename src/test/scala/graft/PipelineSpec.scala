@@ -276,8 +276,9 @@ class PipelineSpec extends SparkSpec {
     // exact replay of the A-ES keys in plain Scala: u from the seeded
     // Knuth hash, key = ln(u)/w, top-50 by (key desc, doc_id)
     def key(id: Long, w: Double, seed: Long = 17L): Double = {
-      val u = ((id % 4294967296L + seed % 4294967296L) % 4294967296L *
-        2654435761L % 4294967296L).toDouble / 4294967296.0
+      // +1 shifts u into (0,1] — mirrors weightedSample's ln(0) guard
+      val u = (((id % 4294967296L + seed % 4294967296L) % 4294967296L *
+        2654435761L % 4294967296L) + 1L).toDouble / 4294967296.0
       math.log(u) / w
     }
     val expected = (heavy.map(d => (d._1, 1000.0)) ++ light.map(d => (d._1, 10.0)))
@@ -296,6 +297,17 @@ class PipelineSpec extends SparkSpec {
     val picked2 = Splits.weightedSample(grown, slen(col("text")), k = 50)
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert((picked2.filter(_ <= 200L) -- picked).isEmpty, s"$picked2 vs $picked")
+    // ln(0) guard (ADVICE r8): id 2^32-17 hashes to exactly 0 mod 2^32
+    // under seed 17 (2654435761 is odd hence invertible, so hash = 0 iff
+    // id+17 ≡ 0). Before the (0,1] shift its key was ln(0)/w = -Inf —
+    // excluded from every draw regardless of weight. With a dominant
+    // weight it must now be drawable.
+    val zid = 4294967296L - 17L
+    val zdocs = docsDf(((heavy ++ light) :+ mk(zid, 100000)): _*)
+    val picked3 = Splits.weightedSample(zdocs, slen(col("text")), k = 50)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(picked3.contains(zid),
+      s"zero-u doc $zid with dominant weight was not drawn: $picked3")
   }
 
   test("overlap fraction: graded taint, threshold flip, clean docs zero") {

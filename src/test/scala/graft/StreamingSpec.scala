@@ -652,6 +652,43 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("T25b: admission control — maxSnapshotsPerTrigger drains a catch-up over bounded batches") {
+    import graft.sources.IcebergWrite
+    val root = java.nio.file.Files.createTempDirectory("graft_t25b").toString
+    val dir = s"$root/tbl"; val ckpt = s"$root/ckpt"
+    def docDf(ids: Long*) = {
+      import org.apache.spark.sql.{Row, types => T}
+      val schema = T.StructType(Seq(
+        T.StructField("doc_id", T.LongType), T.StructField("text", T.StringType),
+        T.StructField("lang", T.StringType), T.StructField("source", T.StringType),
+        T.StructField("n_chars", T.LongType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          ids.map(id => Row(id, s"text $id", "en", "s1", id * 10))),
+        schema)
+    }
+    // 3 snapshots committed BEFORE the stream starts — the post-downtime
+    // catch-up scenario. Uncapped, this would be ONE batch spanning all
+    // pending snapshots (unbounded at 100 TB ingest rates); with
+    // maxSnapshotsPerTrigger=1 it must drain as 3 batches of one
+    // snapshot each, exactly-once intact.
+    IcebergWrite.write(docDf(1L), dir, "lang", "identity")
+    IcebergWrite.append(docDf(2L), dir)
+    IcebergWrite.append(docDf(3L), dir)
+    val batches = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    val q = spark.readStream.format("graft.sources.IcebergSource")
+      .option("maxSnapshotsPerTrigger", "1").load(dir)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+        batches.synchronized { batches += ids }; ()
+      }.option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val nonEmpty = batches.filter(_.nonEmpty)
+      assert(nonEmpty.toSeq == Seq(Seq(1L), Seq(2L), Seq(3L)), batches.toString)
+    } finally q.stop()
+  }
+
   test("T26: medallion hop — exactly-once sink feeds the streaming source downstream") {
     implicit val ctx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_t26").toString
