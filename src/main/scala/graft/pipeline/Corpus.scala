@@ -98,6 +98,28 @@ object Corpus {
         expr("n_dup * 1000000 DIV n_docs").as("dup_ppm"))
   }
 
+  /** P62: corpus VERSION DIFF — the release-to-release changelog a
+    * corpus owner publishes alongside the data card (and the input to
+    * "what changed since the model was last trained"): classify every
+    * doc_id across two corpus snapshots as added / removed / modified /
+    * unchanged by content hash. One full-outer equi-join on the id key
+    * plus a row-local md5 compare — the canonical snapshot-diff shape;
+    * at 100 TB both sides bucket by doc_id and no content ever moves,
+    * only 16-byte hashes. Returns the changed rows (added/removed/
+    * modified) — the unchanged mass stays where it is, summarized by
+    * the caller's aggregate if wanted. */
+  def versionDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"), md5(col("text").cast("binary")).as("h1"))
+    val b = v2.select(col("doc_id"), md5(col("text").cast("binary")).as("h2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "modified")
+          .otherwise("unchanged").as("status"))
+      .filter(col("status") =!= "unchanged")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -111,6 +133,19 @@ object Corpus {
     }),
     "corpus_data_card" -> ((spark, dir) =>
       dataCard(Tables(spark, dir).documents).orderBy("source", "lang")),
+    // P62: the two "versions" are deterministic carve-outs of the one
+    // documents table — v1 drops ids ≡3 (mod 10), v2 drops ≡7 and
+    // revises ≡5 — so the diff has all three change kinds and DuckDB
+    // replays it exactly.
+    "corpus_version_diff" -> ((spark, dir) => {
+      val docs = Tables(spark, dir).documents
+      val v1 = docs.filter(col("doc_id") % 10 =!= 3)
+      val v2 = docs.filter(col("doc_id") % 10 =!= 7)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 5, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+      versionDiff(v1, v2).orderBy("doc_id")
+    }),
 
     // P30: the WHOLE training-data path as one composed job — clean
     // (exact dedup + quality + language gates) → decontaminate
@@ -182,6 +217,26 @@ object Corpus {
         |    // CAST(count(*) AS BIGINT) AS dup_ppm
         |FROM per GROUP BY ROLLUP(source, lang)
         |ORDER BY source, lang""".stripMargin,
+
+    // P62: the same carve-outs, full-outer id join, md5 compare.
+    "corpus_version_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, md5(text) AS h1 FROM documents WHERE doc_id % 10 <> 3),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 10 = 5 THEN text || ' rev2' ELSE text END) AS h2
+        |  FROM documents WHERE doc_id % 10 <> 7)
+        |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |       WHEN v2.doc_id IS NULL THEN 'removed'
+        |       WHEN h1 <> h2 THEN 'modified'
+        |       ELSE 'unchanged' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |WHERE CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |       WHEN v2.doc_id IS NULL THEN 'removed'
+        |       WHEN h1 <> h2 THEN 'modified'
+        |       ELSE 'unchanged' END <> 'unchanged'
+        |ORDER BY doc_id""".stripMargin,
 
     // near-dup variant is rows-only (minhash); the deterministic gates
     // are fully mirrorable:

@@ -25,6 +25,25 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
+  /** Corpus-adaptive LSH table sizing — the 100 TB dial for every
+    * RHP-bucket consumer in this file. With FIXED bits the bucket count
+    * is constant, so expected per-bucket population grows ∝ corpus and
+    * the candidate join does ∝ n²/buckets work (the round-9 sf1 sweep
+    * measured it: dedup_embed_cosine 3.2→20.2 s across 10× under the
+    * 6-bit default). Sizing bits so expected population stays ≈
+    * `targetPop` keeps candidate work ∝ n · targetPop — linear. Floor 4
+    * bits (recall: fewer, larger tables find more true pairs at small
+    * n), cap so `tables` buckets still pack one 64-bit signature.
+    * Callers pass bitsPerTable = 0 to opt in; the oracle-checked query
+    * entries pin the explicit default so the DuckDB replay (fixed-shape
+    * SQL) stays bit-identical. */
+  private[graft] def autoBitsPerTable(n: Long, tables: Int,
+                                      targetPop: Int = 32): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetPop)) / math.log(2.0)).toInt
+    math.min(64 / tables, math.max(4, needed))
+  }
+
   /** Brute-force top-k neighbors for each query vector. */
   def bruteForceTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
                      k: Int): DataFrame = {
@@ -474,8 +493,10 @@ object Similarity {
     */
   def embedDedup(spark: SparkSession, emb: DataFrame, minCos: Double,
                  tables: Int = 4, bitsPerTable: Int = 6): DataFrame = {
+    val bits = if (bitsPerTable == 0) autoBitsPerTable(emb.count(), tables)
+               else bitsPerTable
     val clusters = Cluster.connectedComponents(
-      embedDedupEdges(spark, emb, minCos, tables, bitsPerTable))
+      embedDedupEdges(spark, emb, minCos, tables, bits))
       .withColumnRenamed("id", "vec_id")
     emb.join(clusters, Seq("vec_id"), "left")
       .select(col("vec_id"), col("label"),
@@ -508,6 +529,44 @@ object Similarity {
       .dropDuplicates("vec_a", "vec_b") // a pair may collide in several tables — verify once
       .filter(cosine(col("e_a"), col("e_b")) >= minCos)
       .select(col("vec_a"), col("vec_b"))
+  }
+
+  /** P61: HARD-NEGATIVE mining for contrastive training (Karpukhin et
+    * al. 2020 DPR; Xiong et al. 2021 ANCE): for each anchor, the top-k
+    * candidates most similar in embedding space whose LABEL differs —
+    * "hard" because these are exactly the pairs a contrastive model
+    * must learn to push apart, and training on them beats in-batch
+    * random negatives (the ANCE result). Retrieval is ANN, not
+    * brute-force (the ANCE recipe): candidates come from the same
+    * multi-table RHP-LSH bucket join as [[embedDedupEdges]] — an
+    * equi-join on (table, bucket), never anchors × corpus — then
+    * exact-cosine scored and ranked per anchor. Deterministic end to
+    * end (splitmix64 hyperplanes), so the DuckDB oracle replays the
+    * candidate set bit-for-bit. At 100 TB the bucket join's per-bucket
+    * population is the knob (more tables/bits), the same dial every
+    * LSH consumer in this file shares. */
+  def hardNegatives(spark: SparkSession, emb: DataFrame, k: Int,
+                    tables: Int = 4, bitsPerTable0: Int = 6): DataFrame = {
+    GraftFunctions.register(spark)
+    val bitsPerTable = if (bitsPerTable0 == 0) autoBitsPerTable(emb.count(), tables)
+                       else bitsPerTable0
+    val sig = call_function("rhp_bucket", col("embedding"), lit(tables * bitsPerTable))
+    val bucketed = emb.select(col("vec_id"), col("label"), col("embedding"), sig.as("sig"))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        posexplode(array((0 until tables).map(t =>
+          shiftrightunsigned(col("sig"), t * bitsPerTable)
+            .bitwiseAND(lit((1 << bitsPerTable) - 1))): _*)).as(Seq("tbl", "bucket")))
+    val cand = bucketed.select(col("vec_id").as("anchor"), col("label").as("a_label"),
+        col("embedding").as("a_vec"), col("tbl"), col("bucket"))
+      .join(bucketed.select(col("vec_id").as("negative"), col("label").as("n_label"),
+        col("embedding").as("n_vec"), col("tbl"), col("bucket")), Seq("tbl", "bucket"))
+      .filter(col("a_label") =!= col("n_label"))
+      .dropDuplicates("anchor", "negative") // a pair may collide in several tables
+    val w = Window.partitionBy("anchor").orderBy(col("cos").desc, col("negative"))
+    cand.select(col("anchor"), col("negative"), col("n_label"),
+        round(cosine(col("a_vec"), col("n_vec")), 6).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
   }
 
   /** P37: SemDeDup — semantic deduplication by cluster-then-prune
@@ -666,6 +725,9 @@ object Similarity {
     "sim_quantize_int8" -> ((spark, dir) => {
       quantizeInt8(Tables(spark, dir).embeddings).orderBy("vec_id")
     }),
+    "sim_hard_negatives" -> ((spark, dir) => {
+      hardNegatives(spark, Tables(spark, dir).embeddings, 5).orderBy("anchor", "rk")
+    }),
     // float k-means centroids → sample-dependent clusters: rows-only +
     // PipelineSpec properties (planted-duplicate collapse, rep choice,
     // equi-join plan audit), the IVF/PQ precedent.
@@ -727,6 +789,26 @@ object Similarity {
          |            JOIN embeddings b ON cand.vec_b = b.vec_id)
          |SELECT label, vec_a, vec_b, cos FROM scored WHERE cos >= 0.3
          |ORDER BY cos DESC, vec_a, vec_b LIMIT 200""".stripMargin
+    },
+    // P61: same LSH candidate machinery, constrained to label-crossing
+    // pairs, exact-cosine ranked per anchor — replays bit-for-bit.
+    "sim_hard_negatives" -> {
+      import graft.operators.DuckHashSql._
+      s"""WITH ${rhpBucketCtes("embeddings", Seq("label", "embedding"))},
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS anchor, b.vec_id AS negative, b.label AS n_label
+         |  FROM rbkt a JOIN rbkt b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |    AND a.label <> b.label),
+         |scored AS (
+         |  SELECT anchor, negative, n_label,
+         |    round(${cosineExactSql("a.embedding", "b.embedding")}, 6) AS cos
+         |  FROM cand JOIN embeddings a ON cand.anchor = a.vec_id
+         |            JOIN embeddings b ON cand.negative = b.vec_id)
+         |SELECT anchor, negative, n_label, cos, rk FROM (
+         |  SELECT anchor, negative, n_label, cos,
+         |    row_number() OVER (PARTITION BY anchor ORDER BY cos DESC, negative) AS rk
+         |  FROM scored)
+         |WHERE rk <= 5 ORDER BY anchor, rk""".stripMargin
     },
     // same candidates globally (no label key), unrounded >= 0.3 edge
     // verification, then connected components as a recursive

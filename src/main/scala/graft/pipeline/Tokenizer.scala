@@ -114,6 +114,43 @@ object Tokenizer {
         expr("concat_ws(' ', transform(slice(toks, 1, 3), t -> array_join(t, '|')))").as("piece_head"))
   }
 
+  /** P63: tokenizer FERTILITY audit (Rust et al. 2021 "How Good is Your
+    * Tokenizer?"): per language, how efficiently the sample-trained
+    * unigram vocab encodes the corpus — fertility (pieces per word, the
+    * paper's headline metric; 1.0 = every word is one piece),
+    * continued-word rate (words split into >1 piece), and chars per
+    * piece (compression). A tokenizer trained on skewed data shows
+    * inflated fertility on the under-represented languages — the audit
+    * that catches it BEFORE a training run wastes context length on
+    * fragment soup. All ratios in integer ppm over long sums, so the
+    * numbers are bit-stable at any partitioning; rows-only like every
+    * consumer of the sample-trained vocab (the P50 precedent).
+    * Scale shape: the vocab is one broadcast row, the corpus pass is
+    * row-local, and the only exchange is the ≤|langs| aggregate. */
+  def tokenFertility(spark: SparkSession, docs: DataFrame, vocabSize: Int = 96,
+                     maxPieceLen: Int = 4, sampleDocs: Int = 256): DataFrame = {
+    GraftFunctions.register(spark)
+    val vrow = trainUnigram(spark, docs, vocabSize, maxPieceLen, sampleDocs)
+      .agg(array_sort(collect_list(struct(col("piece"), col("cost")))).as("vocab"))
+    docs.select(col("lang"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .crossJoin(broadcast(vrow))
+      .select(col("lang"),
+        size(col("ws")).cast("long").as("n_words"),
+        expr("CAST(aggregate(ws, 0, (acc, w) -> acc + length(w)) AS BIGINT)").as("n_chars"),
+        expr("CAST(aggregate(ws, 0, (acc, w) -> acc + size(unigram_encode(w, vocab))) AS BIGINT)")
+          .as("n_pieces"),
+        expr("CAST(aggregate(ws, 0, (acc, w) -> acc + IF(size(unigram_encode(w, vocab)) > 1, 1, 0)) AS BIGINT)")
+          .as("n_split"))
+      .groupBy("lang")
+      .agg(sum(col("n_words")).as("n_words"), sum(col("n_chars")).as("n_chars"),
+        sum(col("n_pieces")).as("n_pieces"), sum(col("n_split")).as("n_split"))
+      .select(col("lang"), col("n_words"), col("n_pieces"),
+        expr("n_pieces * 1000000 DIV n_words").as("fertility_ppm"),
+        expr("n_split * 1000000 DIV n_words").as("split_word_ppm"),
+        expr("n_chars * 1000000 DIV n_pieces").as("chars_per_piece_ppm"))
+  }
+
   // ---- queries()/oracle entries -------------------------------------
 
   type Q = (SparkSession, String) => DataFrame
@@ -128,6 +165,8 @@ object Tokenizer {
       trainMerges(spark, Tables(spark, dir).documents).orderBy("rank")),
     "pipe_unigram_tokenize" -> ((spark, dir) =>
       unigramTokenize(spark, Tables(spark, dir).documents).orderBy("doc_id")),
+    "pipe_token_fertility" -> ((spark, dir) =>
+      tokenFertility(spark, Tables(spark, dir).documents).orderBy("lang")),
   )
 
   val oracles: Map[String, String] = Map.empty

@@ -1463,4 +1463,103 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L) == "a b c\nd e f\ng") // last line short, nothing lost
     assert(out(2L) == "x")
   }
+
+  test("hard negatives: label-crossing only, planted cross-label twin ranks first, no cartesian") {
+    // sf0.001 embeddings + an exact COPY of vec 0 under a label no
+    // organic vector carries: cos(copy, 0) = 1, labels differ, so the
+    // copy must be vec 0's rank-1 hard negative (and vice versa).
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "label", "embedding")
+    val maxId = emb.agg(max($"vec_id")).as[Long].head()
+    val twin = emb.filter($"vec_id" === 0)
+      .select(lit(maxId + 1).as("vec_id"), lit(99).as("label"), $"embedding")
+    val df = Similarity.hardNegatives(spark, emb.union(twin), k = 5)
+    // candidates must come from the LSH bucket equi-join, never a
+    // cross/nested-loop join of anchors x corpus
+    val bad = df.queryExecution.sparkPlan.collect {
+      case p if p.nodeName.contains("Cartesian") ||
+        p.nodeName.contains("BroadcastNestedLoop") => p.nodeName
+    }
+    assert(bad.isEmpty, s"non-equi join in hard-negative plan: $bad")
+    val out = df.collect()
+    val labelOf = emb.union(twin).select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    out.foreach { r =>
+      assert(labelOf(r.getAs[Long]("anchor")) != r.getAs[Int]("n_label"),
+        s"negative shares the anchor's label: $r")
+    }
+    // ranks are dense from 1 per anchor
+    out.groupBy(_.getAs[Long]("anchor")).foreach { case (a, rows) =>
+      val rks = rows.map(_.getAs[Long]("rk")).sorted
+      assert(rks.sameElements(1L to rks.length), s"anchor $a ranks ${rks.toList}")
+    }
+    val byAnchor = out.groupBy(_.getAs[Long]("anchor"))
+    def rank1(a: Long) = byAnchor(a).find(_.getAs[Long]("rk") == 1L).get
+    assert(rank1(0L).getAs[Long]("negative") == maxId + 1)
+    assert(rank1(0L).getAs[Double]("cos") == 1.0)
+    assert(rank1(maxId + 1).getAs[Long]("negative") == 0L)
+  }
+
+  test("auto-sized LSH tables: default reproduced at gate scale, bits grow with the corpus") {
+    // n=2000 (the sf0.1 embeddings count) must reproduce the explicit
+    // 6-bit default — auto-sizing changes nothing at gate scale
+    assert(Similarity.autoBitsPerTable(2000L, 4) == 6)
+    assert(Similarity.autoBitsPerTable(200L, 4) == 4)   // floor: recall at small n
+    assert(Similarity.autoBitsPerTable(20000L, 4) == 10)
+    assert(Similarity.autoBitsPerTable(1000000000000L, 4) == 16) // cap: 4 tables x 16 = 64-bit sig
+    // expected bucket population stays <= targetPop wherever the cap allows
+    Seq(1000L, 50000L, 3000000L).foreach { n =>
+      val bits = Similarity.autoBitsPerTable(n, 4)
+      assert(n.toDouble / (1L << bits) <= 32.0 * 2, s"n=$n bits=$bits")
+    }
+    // bitsPerTable=0 (auto) on sf0.001 == the explicit value it resolves to
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "label", "embedding")
+    val resolved = Similarity.autoBitsPerTable(emb.count(), 4)
+    val auto = Similarity.embedDedup(spark, emb, 0.9, bitsPerTable = 0)
+      .collect().map(_.toString).sorted
+    val explicit = Similarity.embedDedup(spark, emb, 0.9, bitsPerTable = resolved)
+      .collect().map(_.toString).sorted
+    assert(auto.sameElements(explicit))
+  }
+
+  test("version diff classifies added, removed and modified docs; unchanged rows absent") {
+    import graft.pipeline.Corpus
+    val v1 = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text")
+    val v2 = Seq((2L, "two CHANGED"), (3L, "three"), (4L, "four")).toDF("doc_id", "text")
+    val out = Corpus.versionDiff(v1, v2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(out == Map(1L -> "removed", 2L -> "modified", 4L -> "added"))
+  }
+
+  test("token fertility: exact on single-char words, invariants and stability on mixed corpus") {
+    import graft.pipeline.Tokenizer
+    // single-char words are ALWAYS in-vocab as whole pieces, so
+    // fertility is exactly 1 piece/word, nothing splits, and chars per
+    // piece is exactly 1 — pinned without depending on what the
+    // sample-trained vocab learned
+    val single = (1L to 8L).map(i => (i, "a b c a b c", "s1"))
+    val outS = Tokenizer.tokenFertility(spark, docsDf(single: _*)).collect()
+    assert(outS.length == 1)
+    assert(outS.head.getAs[Long]("fertility_ppm") == 1000000L, outS.head.toString)
+    assert(outS.head.getAs[Long]("split_word_ppm") == 0L)
+    assert(outS.head.getAs[Long]("chars_per_piece_ppm") == 1000000L)
+    // mixed corpus: each word is at least one piece (fertility >= 1),
+    // split rate is a proper fraction, and the numbers are partition-
+    // invariant (integer sums, broadcast vocab)
+    val mixed = docsDf(
+      (1L, "streaming shuffle partitions broadcast", "s1"),
+      (2L, "catalyst codegen whole stage", "s1"),
+      (3L, "streaming shuffle again and again", "s2"))
+    val a = Tokenizer.tokenFertility(spark, mixed).collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      assert(r.getAs[Long]("fertility_ppm") >= 1000000L, r.toString)
+      val split = r.getAs[Long]("split_word_ppm")
+      assert(split >= 0L && split <= 1000000L, r.toString)
+      assert(r.getAs[Long]("n_pieces") >= r.getAs[Long]("n_words"))
+    }
+    val b = Tokenizer.tokenFertility(spark, mixed.repartition(7)).collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+  }
 }

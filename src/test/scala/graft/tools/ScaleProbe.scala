@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only one-off: demonstrate the corpus-adaptive LSH sizing fix on
+  * the sweep's largest scale — dedup_embed_cosine with the fixed 6-bit
+  * tables vs bitsPerTable=0 (auto) on the same generated corpus.
+  * Usage: Test/runMain graft.tools.ScaleProbe <dir> */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.cleaner.periodicGC.interval", "1min")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    def run(label: String, bits: Int): Unit = {
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = graft.pipeline.Similarity.embedDedup(spark, emb, 0.3, bitsPerTable = bits)
+          .count()
+        println(f"[probe] $label iter$i: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      }
+    }
+    val n = emb.count()
+    println(s"[probe] corpus $dir n=$n autoBits=" +
+      graft.pipeline.Similarity.autoBitsPerTable(n, 4))
+    run("fixed-6-bit", 6)
+    run("auto", 0)
+    spark.stop()
+  }
+}
