@@ -67,7 +67,9 @@ object Bench {
     // round-8 third-session families
     "text_gopher_repetition", "pipe_pack_bfd", "corpus_data_card",
     "pipe_overlap_frac", "src_iceberg_incremental", "events_transitions",
-    "events_session_native", "sample_weighted", "split_leakage_safe")
+    "events_session_native", "sample_weighted", "split_leakage_safe",
+    // round-9 families
+    "sim_hard_negatives", "corpus_version_diff", "pipe_token_fertility")
 
   // Locale.ROOT: the default-locale format would emit comma decimals
   // ("1,234") under e.g. a de_DE JVM, corrupting the JSON contract.

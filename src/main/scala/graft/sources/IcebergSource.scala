@@ -1590,9 +1590,16 @@ class IcebergMicroBatchStream(path: String, required: StructType,
     noteSeen(id)
     val end = limit match {
       case ReadMaxSnapshots(max) if lastSeen > from =>
-        val pending = IcebergRead.snapshotIdsInRange(path, conf, from, lastSeen)
-        if (pending.isEmpty) lastSeen
-        else pending.take(max).last
+        // The range enumeration reads the hint + metadata json again and
+        // can hit the same writer-rename race as the poll above; a
+        // POLLING path must never kill the stream, so on failure answer
+        // `from` (no progress this trigger — the cap holds, the next
+        // trigger retries) instead of an uncapped lastSeen.
+        try {
+          val pending = IcebergRead.snapshotIdsInRange(path, conf, from, lastSeen)
+          if (pending.isEmpty) lastSeen
+          else pending.take(max).last
+        } catch { case scala.util.control.NonFatal(_) => from }
       case _ => lastSeen
     }
     IcebergSnapOffset(math.max(end, from))
