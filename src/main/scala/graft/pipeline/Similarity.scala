@@ -22,6 +22,7 @@ object Similarity {
   // centroid argmax without it) and embedDedup's bucketed signatures.
   private val semSlot = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
   private val embedSlot = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private val hardNegSlot = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   def cosine(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
@@ -31,14 +32,23 @@ object Similarity {
     * the candidate join does ∝ n²/buckets work (the round-9 sf1 sweep
     * measured it: dedup_embed_cosine 3.2→20.2 s across 10× under the
     * 6-bit default). Sizing bits so expected population stays ≈
-    * `targetPop` keeps candidate work ∝ n · targetPop — linear. Floor 4
-    * bits (recall: fewer, larger tables find more true pairs at small
-    * n), cap so `tables` buckets still pack one 64-bit signature.
-    * Callers pass bitsPerTable = 0 to opt in; the oracle-checked query
-    * entries pin the explicit default so the DuckDB replay (fixed-shape
-    * SQL) stays bit-identical. */
+    * `targetPop` keeps candidate work ∝ n · targetPop — linear.
+    *
+    * targetPop defaults SMALL (4): per-bucket pair work is C(pop, 2)
+    * and RHP buckets over real embeddings are SKEWED (hyperplane signs
+    * correlate across dimensions), so the mean hides heavy buckets
+    * where the quadratic bites — measured at m=31.6 of the sf1 sweep:
+    * expected-pop-32 sizing (11 bits at 63k vectors) ran 45 s where
+    * pop-4 sizing (13–15 bits) runs 3–5.5 s. Depth does not cost dedup
+    * recall: a true near-duplicate pair agrees on (almost) every
+    * hyperplane, so it collides in every table at ANY depth — deeper
+    * tables only shed the mid-similarity collisions the verify step
+    * would discard anyway. Floor 4 bits, cap so `tables` buckets still
+    * pack one 64-bit signature. Callers pass bitsPerTable = 0 to opt
+    * in; the oracle-checked query entries pin the explicit default so
+    * the DuckDB replay (fixed-shape SQL) stays bit-identical. */
   private[graft] def autoBitsPerTable(n: Long, tables: Int,
-                                      targetPop: Int = 32): Int = {
+                                      targetPop: Int = 4): Int = {
     val needed = math.ceil(
       math.log(math.max(1.0, n.toDouble / targetPop)) / math.log(2.0)).toInt
     math.min(64 / tables, math.max(4, needed))
@@ -551,11 +561,16 @@ object Similarity {
     val bitsPerTable = if (bitsPerTable0 == 0) autoBitsPerTable(emb.count(), tables)
                        else bitsPerTable0
     val sig = call_function("rhp_bucket", col("embedding"), lit(tables * bitsPerTable))
-    val bucketed = emb.select(col("vec_id"), col("label"), col("embedding"), sig.as("sig"))
-      .select(col("vec_id"), col("label"), col("embedding"),
-        posexplode(array((0 until tables).map(t =>
-          shiftrightunsigned(col("sig"), t * bitsPerTable)
-            .bitwiseAND(lit((1 << bitsPerTable) - 1))): _*)).as(Seq("tbl", "bucket")))
+    // slot-persisted: the bucketed signatures feed BOTH sides of the
+    // candidate join — without the cache the scan + signature pass runs
+    // twice (the embedDedupEdges discipline)
+    val bucketed = Dedup.cacheReplacing(
+      emb.select(col("vec_id"), col("label"), col("embedding"), sig.as("sig"))
+        .select(col("vec_id"), col("label"), col("embedding"),
+          posexplode(array((0 until tables).map(t =>
+            shiftrightunsigned(col("sig"), t * bitsPerTable)
+              .bitwiseAND(lit((1 << bitsPerTable) - 1))): _*)).as(Seq("tbl", "bucket"))),
+      hardNegSlot)
     val cand = bucketed.select(col("vec_id").as("anchor"), col("label").as("a_label"),
         col("embedding").as("a_vec"), col("tbl"), col("bucket"))
       .join(bucketed.select(col("vec_id").as("negative"), col("label").as("n_label"),

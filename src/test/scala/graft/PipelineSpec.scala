@@ -1500,17 +1500,18 @@ class PipelineSpec extends SparkSpec {
     assert(rank1(maxId + 1).getAs[Long]("negative") == 0L)
   }
 
-  test("auto-sized LSH tables: default reproduced at gate scale, bits grow with the corpus") {
-    // n=2000 (the sf0.1 embeddings count) must reproduce the explicit
-    // 6-bit default — auto-sizing changes nothing at gate scale
-    assert(Similarity.autoBitsPerTable(2000L, 4) == 6)
-    assert(Similarity.autoBitsPerTable(200L, 4) == 4)   // floor: recall at small n
-    assert(Similarity.autoBitsPerTable(20000L, 4) == 10)
+  test("auto-sized LSH tables: population-stable sizing, floor and cap pinned") {
+    // pop-4 sizing (skew-aware: per-bucket pair work is quadratic and
+    // RHP buckets are skewed, so the target is deliberately small)
+    assert(Similarity.autoBitsPerTable(2000L, 4) == 9)
+    assert(Similarity.autoBitsPerTable(200L, 4) == 6)
+    assert(Similarity.autoBitsPerTable(50L, 4) == 4)    // floor: recall at tiny n
+    assert(Similarity.autoBitsPerTable(20000L, 4) == 13)
     assert(Similarity.autoBitsPerTable(1000000000000L, 4) == 16) // cap: 4 tables x 16 = 64-bit sig
     // expected bucket population stays <= targetPop wherever the cap allows
-    Seq(1000L, 50000L, 3000000L).foreach { n =>
+    Seq(1000L, 50000L, 200000L).foreach { n =>
       val bits = Similarity.autoBitsPerTable(n, 4)
-      assert(n.toDouble / (1L << bits) <= 32.0 * 2, s"n=$n bits=$bits")
+      assert(n.toDouble / (1L << bits) <= 4.0 * 2, s"n=$n bits=$bits")
     }
     // bitsPerTable=0 (auto) on sf0.001 == the explicit value it resolves to
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")

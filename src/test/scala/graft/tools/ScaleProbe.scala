@@ -20,10 +20,11 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val tau = args.lift(2).map(_.toDouble).getOrElse(0.3)
     def run(label: String, bits: Int): Unit = {
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
-        val n = graft.pipeline.Similarity.embedDedup(spark, emb, 0.3, bitsPerTable = bits)
+        val n = graft.pipeline.Similarity.embedDedup(spark, emb, tau, bitsPerTable = bits)
           .count()
         println(f"[probe] $label iter$i: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
         spark.catalog.clearCache()
@@ -33,8 +34,15 @@ object ScaleProbe {
     val n = emb.count()
     println(s"[probe] corpus $dir n=$n autoBits=" +
       graft.pipeline.Similarity.autoBitsPerTable(n, 4))
-    run("fixed-6-bit", 6)
-    run("auto", 0)
+    // optional second arg "auto-only" skips the fixed-bit run (at the
+    // largest scales it is pathological BY DESIGN — that's the finding);
+    // "bits=N" runs ONLY that explicit sizing
+    args.lift(1) match {
+      case Some(s) if s.startsWith("bits=") =>
+        val b = s.stripPrefix("bits=").toInt; run(s"explicit-$b-bit", b)
+      case Some("auto-only") => run("auto", 0)
+      case _ => run("fixed-6-bit", 6); run("auto", 0)
+    }
     spark.stop()
   }
 }
