@@ -69,7 +69,8 @@ object Bench {
     "pipe_overlap_frac", "src_iceberg_incremental", "events_transitions",
     "events_session_native", "sample_weighted", "split_leakage_safe",
     // round-9 families
-    "sim_hard_negatives", "corpus_version_diff", "pipe_token_fertility")
+    "sim_hard_negatives", "corpus_version_diff", "pipe_token_fertility",
+    "text_vocab_growth")
 
   // Locale.ROOT: the default-locale format would emit comma decimals
   // ("1,234") under e.g. a de_DE JVM, corrupting the JSON contract.

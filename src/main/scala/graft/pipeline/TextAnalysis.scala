@@ -493,7 +493,52 @@ object TextAnalysis {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** P64: VOCABULARY GROWTH audit (Heaps 1978; Baeza-Yates &
+    * Ribeiro-Neto 1999 §6.3): distinct word-bigram vocabulary V(n) at
+    * nested deterministic corpus samples (doc_id % 16 == 0 ⊂ % 4 == 0
+    * ⊂ all), with the fitted Heaps exponent beta = Δlog V / Δlog n
+    * between consecutive levels. This is the capacity-planning input
+    * for every df-bounded structure in the library (containment
+    * inverted index, LSH bands, heavy-hitter sketches): the round-9
+    * scale sweep measured exactly why it matters — a corpus whose
+    * vocabulary does NOT grow (beta → 0) drives per-gram df ∝ n and
+    * df-bounded index work quadratic (SURVEY §6.9), and beta tells an
+    * operator that BEFORE it builds the index. Nesting makes levels
+    * comparable; counts are exact longs from ONE gram shuffle
+    * (per-gram conditional partials, no per-level re-scan), beta
+    * rounds to 6 like every transcendental on the oracle surface. */
+  def vocabGrowth(docs: DataFrame): DataFrame = {
+    val grams = docs.select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', slice(w, i, 2)))")).as("g"))
+    val perGram = grams.groupBy("g").agg(
+      sum(when(col("doc_id") % 16 === 0, 1L).otherwise(0L)).as("t16"),
+      sum(when(col("doc_id") % 4 === 0, 1L).otherwise(0L)).as("t4"),
+      count(lit(1)).as("t1"))
+    val one = perGram.agg(
+      sum(col("t16")).as("tok16"),
+      sum(when(col("t16") > 0, 1L).otherwise(0L)).as("v16"),
+      sum(col("t4")).as("tok4"),
+      sum(when(col("t4") > 0, 1L).otherwise(0L)).as("v4"),
+      sum(col("t1")).as("tok1"), count(lit(1)).as("v1"))
+    one.select(explode(array(
+        struct(lit(16L).as("sample_denom"), col("tok16").as("n_tokens"),
+          col("v16").as("n_vocab"), lit(null).cast("double").as("beta")),
+        struct(lit(4L).as("sample_denom"), col("tok4").as("n_tokens"),
+          col("v4").as("n_vocab"),
+          round(log(col("v4").cast("double") / col("v16")) /
+            log(col("tok4").cast("double") / col("tok16")), 6).as("beta")),
+        struct(lit(1L).as("sample_denom"), col("tok1").as("n_tokens"),
+          col("v1").as("n_vocab"),
+          round(log(col("v1").cast("double") / col("v4")) /
+            log(col("tok1").cast("double") / col("tok4")), 6).as("beta")))).as("r"))
+      .select(col("r.sample_denom"), col("r.n_tokens"), col("r.n_vocab"), col("r.beta"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_vocab_growth" -> ((spark, dir) =>
+      vocabGrowth(Tables(spark, dir).documents).orderBy("sample_denom")),
     "text_langid" -> ((spark, dir) =>
       languageId(Tables(spark, dir).documents).orderBy("doc_id")),
     "text_quality" -> ((spark, dir) =>
@@ -557,6 +602,40 @@ object TextAnalysis {
   private val wsSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
 
   val oracles: Map[String, String] = Map(
+    // P64: exact long counts per nested sample from one conditional
+    // aggregation; beta is the only transcendental — ln ratio, round 6.
+    "text_vocab_growth" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $wsSql AS w FROM documents),
+         |grams AS (
+         |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+         |  FROM tok WHERE len(w) >= 2),
+         |per AS (
+         |  SELECT g,
+         |    CAST(sum(CASE WHEN doc_id % 16 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t16,
+         |    CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t4,
+         |    CAST(count(*) AS BIGINT) AS t1
+         |  FROM grams GROUP BY g),
+         |one AS (
+         |  SELECT CAST(sum(t16) AS BIGINT) AS tok16,
+         |         CAST(sum(CASE WHEN t16 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS v16,
+         |         CAST(sum(t4) AS BIGINT) AS tok4,
+         |         CAST(sum(CASE WHEN t4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+         |         CAST(sum(t1) AS BIGINT) AS tok1,
+         |         CAST(count(*) AS BIGINT) AS v1
+         |  FROM per)
+         |SELECT CAST(16 AS BIGINT) AS sample_denom, tok16 AS n_tokens,
+         |       v16 AS n_vocab, CAST(NULL AS DOUBLE) AS beta FROM one
+         |UNION ALL
+         |SELECT CAST(4 AS BIGINT), tok4, v4,
+         |       round(ln(CAST(v4 AS DOUBLE) / v16) / ln(CAST(tok4 AS DOUBLE) / tok16), 6)
+         |FROM one
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), tok1, v1,
+         |       round(ln(CAST(v1 AS DOUBLE) / v4) / ln(CAST(tok1 AS DOUBLE) / tok4), 6)
+         |FROM one
+         |ORDER BY sample_denom""".stripMargin,
+
     // integer-exact end to end (long tf units, long weights, long raw
     // scores, one double conversion at the end), so DuckDB replays it
     // with plain GROUP BY sums — only the bucket ids need the FNV

@@ -1524,6 +1524,32 @@ class PipelineSpec extends SparkSpec {
     assert(auto.sameElements(explicit))
   }
 
+  test("vocab growth: beta 0 for a frozen vocabulary, 1 for linear growth, nested levels") {
+    // 16 docs, identical bigram -> vocabulary frozen, beta exactly 0
+    val frozen = docsDf((0L to 15L).map(i => (i, "a b", "s1")): _*)
+    val f = TextAnalysis.vocabGrowth(frozen).collect()
+      .map(r => r.getAs[Long]("sample_denom") -> r).toMap
+    assert(f(16L).getAs[Long]("n_tokens") == 1L && f(16L).getAs[Long]("n_vocab") == 1L)
+    assert(f(16L).isNullAt(f(16L).fieldIndex("beta"))) // first level has no predecessor
+    assert(f(4L).getAs[Long]("n_tokens") == 4L && f(4L).getAs[Long]("n_vocab") == 1L)
+    assert(f(1L).getAs[Long]("n_tokens") == 16L && f(1L).getAs[Long]("n_vocab") == 1L)
+    assert(f(4L).getAs[Double]("beta") == 0.0 && f(1L).getAs[Double]("beta") == 0.0)
+    // every doc a UNIQUE bigram -> vocabulary grows with tokens, beta exactly 1
+    val linear = docsDf((0L to 15L).map(i => (i, s"w$i x$i", "s1")): _*)
+    val l = TextAnalysis.vocabGrowth(linear).collect()
+      .map(r => r.getAs[Long]("sample_denom") -> r).toMap
+    assert(l(16L).getAs[Long]("n_vocab") == 1L)
+    assert(l(4L).getAs[Long]("n_vocab") == 4L && l(4L).getAs[Double]("beta") == 1.0)
+    assert(l(1L).getAs[Long]("n_vocab") == 16L && l(1L).getAs[Double]("beta") == 1.0)
+    // nesting invariant holds on arbitrary text too
+    val mixed = docsDf((0L to 31L).map(i => (i, s"the quick w$i fox ${i % 3}", "s1")): _*)
+    val m = TextAnalysis.vocabGrowth(mixed).collect()
+      .map(r => r.getAs[Long]("sample_denom") -> r).toMap
+    assert(m(16L).getAs[Long]("n_vocab") <= m(4L).getAs[Long]("n_vocab"))
+    assert(m(4L).getAs[Long]("n_vocab") <= m(1L).getAs[Long]("n_vocab"))
+    assert(m(16L).getAs[Long]("n_tokens") <= m(4L).getAs[Long]("n_tokens"))
+  }
+
   test("version diff classifies added, removed and modified docs; unchanged rows absent") {
     import graft.pipeline.Corpus
     val v1 = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text")
