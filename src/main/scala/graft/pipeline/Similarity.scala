@@ -608,9 +608,21 @@ object Similarity {
     * clusters. Float centroids make results sample-dependent → rows-only
     * + property specs, like IVF/PQ. */
   def semanticDedup(spark: SparkSession, emb: DataFrame, eps: Double,
-                    cells: Int = 16, lloydIters: Int = 1): DataFrame = {
+                    cells0: Int = 16, lloydIters: Int = 1): DataFrame = {
     GraftFunctions.register(spark)
     import graft.functions.VectorAvg
+    // cells0 = 0 → corpus-adaptive cell count: with FIXED cells the
+    // per-cell population grows ∝ corpus and the in-cell pair join does
+    // quadratically more work — the m=31.6 sweep measured it (alpha
+    // 1.59, 2.6→16.2 s across 3.16×), and it is the same failure class
+    // as fixed LSH bits ([[autoBitsPerTable]]). The paper itself runs
+    // cluster counts proportional to corpus size (110k clusters for
+    // LAION); ~256 expected members per cell keeps pair work ∝ n·256
+    // while the centroid table stays broadcastable far beyond any
+    // single-batch corpus (1B vectors → 4M cells ≈ 1 GB — at that
+    // point shard the batch, the knob the scaladoc above documents).
+    val cells = if (cells0 == 0) math.max(16, math.ceil(emb.count() / 256.0).toInt)
+                else cells0
     var cent = emb.orderBy("vec_id").limit(cells)
       .select((row_number().over(Window.orderBy("vec_id")) - 1).cast("long").as("cell"),
         col("embedding").as("cvec"))

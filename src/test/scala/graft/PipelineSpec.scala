@@ -675,6 +675,17 @@ class PipelineSpec extends SparkSpec {
       val expect = rs.map(r => (r.getAs[Double]("ccos"), r.getAs[Long]("vec_id"))).min._2
       assert(kept.sameElements(Array(expect)), s"cluster $cid kept ${kept.toList}, want $expect")
     }
+    // corpus-adaptive cells (cells0 = 0): identical vectors still assign
+    // to the same cell at any cell count, so the planted-duplicate
+    // guarantee is depth-independent — the same property that makes
+    // deeper LSH tables recall-safe for dedup
+    val auto = Similarity.semanticDedup(spark, emb.union(copies), 0.95, cells0 = 0)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep"))).toMap
+    (0L until 5L).foreach { i =>
+      assert(auto(maxId + 1 + i)._1 == auto(i)._1, s"auto cells: copy of $i not grouped")
+      assert(!auto(maxId + 1 + i)._2, s"auto cells: copy of $i kept")
+    }
   }
 
   test("cosinePairs: candidates from LSH buckets, subset of exact pairs, no cartesian") {

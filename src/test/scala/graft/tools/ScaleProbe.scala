@@ -37,9 +37,21 @@ object ScaleProbe {
     // optional second arg "auto-only" skips the fixed-bit run (at the
     // largest scales it is pathological BY DESIGN — that's the finding);
     // "bits=N" runs ONLY that explicit sizing
+    def runSem(label: String, cells: Int): Unit = {
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val n2 = graft.pipeline.Similarity.semanticDedup(spark, emb, tau, cells0 = cells)
+          .count()
+        println(f"[probe] $label iter$i: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n2")
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      }
+    }
     args.lift(1) match {
       case Some(s) if s.startsWith("bits=") =>
         val b = s.stripPrefix("bits=").toInt; run(s"explicit-$b-bit", b)
+      case Some("sem") => runSem("sem-fixed-16", 16); runSem("sem-auto", 0)
+      case Some("sem-auto") => runSem("sem-auto", 0)
       case Some("auto-only") => run("auto", 0)
       case _ => run("fixed-6-bit", 6); run("auto", 0)
     }
