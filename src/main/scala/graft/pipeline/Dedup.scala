@@ -329,39 +329,41 @@ object Dedup {
     GraftFunctions.register(docs.sparkSession)
     val withSh = cacheReplacing(
       docs.select(col("doc_id"), hashedShingles(col("text")).as("sh")), containSlot)
-    // ONE windowed pass annotates every (doc_id, gram) occurrence with
-    // its gram's document frequency, persisted once (r8 verdict: the
-    // exploded stream was traversed three times — df aggregate, stop-
-    // count semi-join, bucket semi-join — plus the df aggregate itself
-    // twice; that was the suite's most expensive query). A count over
-    // the unordered g-window replaces the aggregate-then-join-back, and
-    // because df rides WITH each occurrence the two downstream
-    // consumers are plain filters over the cached stream: no stop-gram
-    // bucket is ever collected (the df>maxDf rows never reach
-    // collect_list — the same 100 TB guard as before), and `buckets`'
-    // groupBy("g") reuses the window's hash-by-g partitioning straight
-    // from the cache, shuffle-free. rn marks one row per distinct gram
-    // so the observe metrics keep their old meaning (distinct grams /
-    // distinct stop-grams).
-    val wg = org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("doc_id")
-    val annotated = cacheReplacing(
-      withSh.select(col("doc_id"), explode(col("sh")).as("g"))
-        .withColumn("df", count(lit(1)).over(wg.rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
-        .withColumn("rn", row_number().over(wg))
-        .observe("containment_grams",
-          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("grams"),
-          sum(when(col("rn") === 1 && col("df") > maxDf, 1L).otherwise(0L)).as("stop_grams")),
-      containExSlot)
-    // Per-doc stop-gram slack: how many of MY shingles were dropped as
-    // stop-grams — the exact upper bound the prefilter below needs.
-    val stopCnt = annotated.filter(col("df") > maxDf)
-      .groupBy("doc_id").agg(count(lit(1)).as("n_stop"))
+    // Gram document frequency via aggregate-then-join-back, NOT a
+    // count-over-window: a window partitioned by g must buffer and
+    // sort EVERY occurrence of a gram in one task, so a hot stop-gram
+    // (df in the millions at 100 TB) is a single-task skew hotspot —
+    // the r9 windowed rewrite quietly reintroduced exactly the skew
+    // the old map-side-partial aggregate avoided (round-10 ADVICE).
+    // This shape keeps both properties the r8 fusion bought: the
+    // exploded stream recomputes cheaply from the CACHED shingle
+    // arrays (never re-scans text), and no stop-gram bucket is ever
+    // collected — the df <= maxDf inner join drops stop occurrences
+    // before any collect_list. Hot keys are safe at every step: the
+    // df aggregate partial-aggregates map-side, and the annotate join
+    // is an equi-join AQE's skew handling can split, where a window
+    // cannot be.
+    val exploded = withSh.select(col("doc_id"), explode(col("sh")).as("g"))
+    // One row per distinct gram — the observe metrics (distinct grams
+    // / distinct stop-grams) ride on this bounded frame, same meaning
+    // as the windowed rn==1 markers they replace.
+    val dfAgg = exploded.groupBy("g").agg(count(lit(1)).as("df"))
+      .observe("containment_grams",
+        count(lit(1)).as("grams"),
+        sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("stop_grams"))
+    // Sub-maxDf occurrences with df attached; consumed twice (per-doc
+    // counts, buckets) → cached. Stop-gram occurrences end here: they
+    // never shuffle again (per-doc slack is derived by subtraction —
+    // shingle arrays are distinct, so len - n_nonstop IS the per-doc
+    // stop count the prefilter needs).
+    val nonStop = cacheReplacing(
+      exploded.join(dfAgg.filter(col("df") <= maxDf), Seq("g")), containExSlot)
+    val nonStopCnt = nonStop.groupBy("doc_id").agg(count(lit(1)).as("n_nonstop"))
     val stats = withSh.select(col("doc_id"), size(col("sh")).cast("long").as("len"))
-      .join(stopCnt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("len"), coalesce(col("n_stop"), lit(0L)).as("n_stop"))
-    val buckets = annotated.filter(col("df").between(2, maxDf))
+      .join(nonStopCnt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("len"),
+        (col("len") - coalesce(col("n_nonstop"), lit(0L))).as("n_stop"))
+    val buckets = nonStop.filter(col("df") >= 2)
       .groupBy("g").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
     val pairs = buckets.select(explode(call_function("pair_expand", col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))

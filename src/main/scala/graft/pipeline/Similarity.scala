@@ -44,15 +44,43 @@ object Similarity {
     * hyperplane, so it collides in every table at ANY depth — deeper
     * tables only shed the mid-similarity collisions the verify step
     * would discard anyway. Floor 4 bits, cap so `tables` buckets still
-    * pack one 64-bit signature. Callers pass bitsPerTable = 0 to opt
-    * in; the oracle-checked query entries pin the explicit default so
-    * the DuckDB replay (fixed-shape SQL) stays bit-identical. */
+    * pack one 64-bit signature AND so the bucket mask never reaches the
+    * 32-bit shift-wrap (1 << 32 == 1 in Int arithmetic — a >=32-bit
+    * mask would silently collapse every vector into bucket 0, the
+    * exact cartesian this sizing exists to prevent; reachable for
+    * tables <= 2 at ~8.6e9 vectors without the cap).
+    *
+    * This is the DEFAULT since round 10 (bitsPerTable = 0 on every
+    * consumer); the oracle-checked query entries pin the explicit 6 so
+    * the DuckDB replay (fixed-shape SQL) stays bit-identical, and the
+    * auto == explicit equivalence is a PipelineSpec property. */
   private[graft] def autoBitsPerTable(n: Long, tables: Int,
                                       targetPop: Int = 4): Int = {
     val needed = math.ceil(
       math.log(math.max(1.0, n.toDouble / targetPop)) / math.log(2.0)).toInt
-    math.min(64 / tables, math.max(4, needed))
+    math.min(math.min(30, 64 / tables), math.max(4, needed))
   }
+
+  /** Corpus row count for the adaptive sizers, WITHOUT an extra scan
+    * job when avoidable: callers that already know n thread it in
+    * (`known >= 0`); otherwise Catalyst's computed statistics answer
+    * when they carry an exact row count (ANALYZEd tables / CBO);
+    * `count()` is the last resort — and runs at most once per operator
+    * invocation, never per consumer of the sized plan. */
+  private[graft] def corpusRows(emb: DataFrame, known: Long): Long =
+    if (known >= 0L) known
+    else emb.queryExecution.optimizedPlan.stats.rowCount match {
+      case Some(rc) => rc.toLong
+      case None     => emb.count()
+    }
+
+  /** Resolve the effective per-table bit width: explicit wins;
+    * 0 (the API default) sizes from the corpus via
+    * [[autoBitsPerTable]]. */
+  private def resolveBits(emb: DataFrame, tables: Int, bitsPerTable: Int,
+                          n: Long): Int =
+    if (bitsPerTable == 0) autoBitsPerTable(corpusRows(emb, n), tables)
+    else bitsPerTable
 
   /** Brute-force top-k neighbors for each query vector. */
   def bruteForceTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
@@ -68,12 +96,17 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
-  /** Multi-table random-hyperplane LSH top-k: one 24-plane signature,
-    * sliced into 4 tables of 6 bits; candidates share any table bucket.
-    * Per-probe work drops from n to ~n/64 per table. Approximate: may
-    * miss neighbors whose hash differs in all tables. */
+  /** Multi-table random-hyperplane LSH top-k: one signature, sliced
+    * into `tables` bucket tables; candidates share any table bucket.
+    * Per-probe work drops from n to ~n/2^bits per table. Approximate:
+    * may miss neighbors whose hash differs in all tables.
+    * bitsPerTable 0 (default) = corpus-adaptive ([[autoBitsPerTable]]);
+    * pass `n` when the corpus count is already known to skip the
+    * sizing scan. */
   def lshTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
-              k: Int, tables: Int = 4, bitsPerTable: Int = 6): DataFrame = {
+              k: Int, tables: Int = 4, bitsPerTable0: Int = 0,
+              n: Long = -1L): DataFrame = {
+    val bitsPerTable = resolveBits(corpus, tables, bitsPerTable0, n)
     require(tables * bitsPerTable <= 64,
       s"lshTopK: tables*bitsPerTable must fit one 64-bit signature (got ${tables * bitsPerTable})")
     GraftFunctions.register(spark)
@@ -83,7 +116,7 @@ object Similarity {
         .select(col(idAs), col(vecAs),
           posexplode(array((0 until tables).map(t =>
             shiftrightunsigned(col("sig"), t * bitsPerTable)
-              .bitwiseAND(lit((1 << bitsPerTable) - 1))): _*)).as(Seq("tbl", "bucket")))
+              .bitwiseAND(lit((1L << bitsPerTable) - 1))): _*)).as(Seq("tbl", "bucket")))
     }
     val q = buckets(queries, "q_id", "q_vec")
     val c = buckets(corpus, "c_id", "c_vec")
@@ -467,7 +500,9 @@ object Similarity {
     * signatures differ in every table is missed; high-cosine pairs
     * collide in ≥1 table with high probability. */
   def cosinePairs(spark: SparkSession, emb: DataFrame, minCos: Double,
-                  tables: Int = 4, bitsPerTable: Int = 6): DataFrame = {
+                  tables: Int = 4, bitsPerTable0: Int = 0,
+                  n: Long = -1L): DataFrame = {
+    val bitsPerTable = resolveBits(emb, tables, bitsPerTable0, n)
     require(tables * bitsPerTable <= 64,
       s"cosinePairs: tables*bitsPerTable must fit one 64-bit signature (got ${tables * bitsPerTable})")
     GraftFunctions.register(spark)
@@ -477,7 +512,7 @@ object Similarity {
         .select(col("label"), col(idAs), col(vecAs),
           posexplode(array((0 until tables).map(t =>
             shiftrightunsigned(col("sig"), t * bitsPerTable)
-              .bitwiseAND(lit((1 << bitsPerTable) - 1))): _*)).as(Seq("tbl", "bucket")))
+              .bitwiseAND(lit((1L << bitsPerTable) - 1))): _*)).as(Seq("tbl", "bucket")))
     }
     side("vec_a", "e_a").join(side("vec_b", "e_b"), Seq("label", "tbl", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
@@ -502,9 +537,9 @@ object Similarity {
     * Approximate like all LSH: a pair colliding in no table is missed.
     */
   def embedDedup(spark: SparkSession, emb: DataFrame, minCos: Double,
-                 tables: Int = 4, bitsPerTable: Int = 6): DataFrame = {
-    val bits = if (bitsPerTable == 0) autoBitsPerTable(emb.count(), tables)
-               else bitsPerTable
+                 tables: Int = 4, bitsPerTable: Int = 0,
+                 n: Long = -1L): DataFrame = {
+    val bits = resolveBits(emb, tables, bitsPerTable, n)
     val clusters = Cluster.connectedComponents(
       embedDedupEdges(spark, emb, minCos, tables, bits))
       .withColumnRenamed("id", "vec_id")
@@ -518,7 +553,9 @@ object Similarity {
     * plan audit can assert the candidate join is a bucket equi-join
     * (no cartesian) independent of the CC fixpoint that consumes it. */
   private[graft] def embedDedupEdges(spark: SparkSession, emb: DataFrame, minCos: Double,
-                                     tables: Int = 4, bitsPerTable: Int = 6): DataFrame = {
+                                     tables: Int = 4, bitsPerTable0: Int = 0,
+                                     n: Long = -1L): DataFrame = {
+    val bitsPerTable = resolveBits(emb, tables, bitsPerTable0, n)
     require(tables * bitsPerTable <= 64,
       s"embedDedup: tables*bitsPerTable must fit one 64-bit signature (got ${tables * bitsPerTable})")
     GraftFunctions.register(spark)
@@ -529,7 +566,7 @@ object Similarity {
         .select(col("vec_id"), col("embedding"),
           posexplode(array((0 until tables).map(t =>
             shiftrightunsigned(col("sig"), t * bitsPerTable)
-              .bitwiseAND(lit((1 << bitsPerTable) - 1))): _*)).as(Seq("tbl", "bucket")))
+              .bitwiseAND(lit((1L << bitsPerTable) - 1))): _*)).as(Seq("tbl", "bucket")))
     }, embedSlot)
     def side(idAs: String, vecAs: String): DataFrame =
       bucketed.select(col("vec_id").as(idAs), col("embedding").as(vecAs),
@@ -556,10 +593,10 @@ object Similarity {
     * population is the knob (more tables/bits), the same dial every
     * LSH consumer in this file shares. */
   def hardNegatives(spark: SparkSession, emb: DataFrame, k: Int,
-                    tables: Int = 4, bitsPerTable0: Int = 6): DataFrame = {
+                    tables: Int = 4, bitsPerTable0: Int = 0,
+                    n: Long = -1L): DataFrame = {
     GraftFunctions.register(spark)
-    val bitsPerTable = if (bitsPerTable0 == 0) autoBitsPerTable(emb.count(), tables)
-                       else bitsPerTable0
+    val bitsPerTable = resolveBits(emb, tables, bitsPerTable0, n)
     val sig = call_function("rhp_bucket", col("embedding"), lit(tables * bitsPerTable))
     // slot-persisted: the bucketed signatures feed BOTH sides of the
     // candidate join — without the cache the scan + signature pass runs
@@ -569,7 +606,7 @@ object Similarity {
         .select(col("vec_id"), col("label"), col("embedding"),
           posexplode(array((0 until tables).map(t =>
             shiftrightunsigned(col("sig"), t * bitsPerTable)
-              .bitwiseAND(lit((1 << bitsPerTable) - 1))): _*)).as(Seq("tbl", "bucket"))),
+              .bitwiseAND(lit((1L << bitsPerTable) - 1))): _*)).as(Seq("tbl", "bucket"))),
       hardNegSlot)
     val cand = bucketed.select(col("vec_id").as("anchor"), col("label").as("a_label"),
         col("embedding").as("a_vec"), col("tbl"), col("bucket"))
@@ -608,7 +645,8 @@ object Similarity {
     * clusters. Float centroids make results sample-dependent → rows-only
     * + property specs, like IVF/PQ. */
   def semanticDedup(spark: SparkSession, emb: DataFrame, eps: Double,
-                    cells0: Int = 16, lloydIters: Int = 1): DataFrame = {
+                    cells0: Int = 0, lloydIters: Int = 1,
+                    n: Long = -1L): DataFrame = {
     GraftFunctions.register(spark)
     import graft.functions.VectorAvg
     // cells0 = 0 → corpus-adaptive cell count: with FIXED cells the
@@ -621,7 +659,7 @@ object Similarity {
     // while the centroid table stays broadcastable far beyond any
     // single-batch corpus (1B vectors → 4M cells ≈ 1 GB — at that
     // point shard the batch, the knob the scaladoc above documents).
-    val cells = if (cells0 == 0) math.max(16, math.ceil(emb.count() / 256.0).toInt)
+    val cells = if (cells0 == 0) math.max(16, math.ceil(corpusRows(emb, n) / 256.0).toInt)
                 else cells0
     var cent = emb.orderBy("vec_id").limit(cells)
       .select((row_number().over(Window.orderBy("vec_id")) - 1).cast("long").as("cell"),
@@ -708,9 +746,13 @@ object Similarity {
       bruteForceTopK(spark, emb.filter(col("vec_id") < 10), emb, 5)
         .select("q_id", "c_id", "cos", "rk").orderBy("q_id", "rk")
     }),
+    // Oracle replay is fixed-shape SQL, so the oracle-checked entries
+    // below pin the explicit 6-bit/16-cell layout; the API DEFAULT is
+    // corpus-adaptive (bitsPerTable/cells = 0 → auto) since round 10 —
+    // auto == explicit equivalence is a PipelineSpec property.
     "sim_lsh_topk" -> ((spark, dir) => {
       val emb = Tables(spark, dir).embeddings
-      lshTopK(spark, emb.filter(col("vec_id") < 10), emb, 5)
+      lshTopK(spark, emb.filter(col("vec_id") < 10), emb, 5, bitsPerTable0 = 6)
         .select("q_id", "c_id", "cos", "rk").orderBy("q_id", "rk")
     }),
     "sim_ivf_topk" -> ((spark, dir) => {
@@ -740,26 +782,29 @@ object Similarity {
         .select("q_id", "c_id", "dist", "rk").orderBy("q_id", "rk")
     }),
     "sim_cosine_pairs" -> ((spark, dir) => {
-      cosinePairs(spark, Tables(spark, dir).embeddings, 0.3)
+      cosinePairs(spark, Tables(spark, dir).embeddings, 0.3, bitsPerTable0 = 6)
         .orderBy(col("cos").desc, col("vec_a"), col("vec_b")).limit(200)
     }),
     "sim_label_centroid" -> ((spark, dir) => {
       labelCentroids(Tables(spark, dir).embeddings).orderBy("label", "pos")
     }),
     "dedup_embed_cosine" -> ((spark, dir) => {
-      embedDedup(spark, Tables(spark, dir).embeddings, 0.3).orderBy("vec_id")
+      embedDedup(spark, Tables(spark, dir).embeddings, 0.3, bitsPerTable = 6)
+        .orderBy("vec_id")
     }),
     "sim_quantize_int8" -> ((spark, dir) => {
       quantizeInt8(Tables(spark, dir).embeddings).orderBy("vec_id")
     }),
     "sim_hard_negatives" -> ((spark, dir) => {
-      hardNegatives(spark, Tables(spark, dir).embeddings, 5).orderBy("anchor", "rk")
+      hardNegatives(spark, Tables(spark, dir).embeddings, 5, bitsPerTable0 = 6)
+        .orderBy("anchor", "rk")
     }),
     // float k-means centroids → sample-dependent clusters: rows-only +
     // PipelineSpec properties (planted-duplicate collapse, rep choice,
     // equi-join plan audit), the IVF/PQ precedent.
     "dedup_semantic" -> ((spark, dir) => {
-      semanticDedup(spark, Tables(spark, dir).embeddings, 0.3).orderBy("vec_id")
+      semanticDedup(spark, Tables(spark, dir).embeddings, 0.3, cells0 = 16)
+        .orderBy("vec_id")
     }),
   )
 

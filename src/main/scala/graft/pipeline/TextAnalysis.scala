@@ -525,14 +525,21 @@ object TextAnalysis {
     one.select(explode(array(
         struct(lit(16L).as("sample_denom"), col("tok16").as("n_tokens"),
           col("v16").as("n_vocab"), lit(null).cast("double").as("beta")),
+        // beta only when the PREDECESSOR level is non-empty: a corpus
+        // with no %16 docs (or all <2-word ones) would otherwise emit
+        // Inf/Inf = NaN — a meaningless number where "level empty"
+        // should read as NULL, like the no-predecessor first level
+        // (round-10 ADVICE). Mirrored in the DuckDB oracle.
         struct(lit(4L).as("sample_denom"), col("tok4").as("n_tokens"),
           col("v4").as("n_vocab"),
-          round(log(col("v4").cast("double") / col("v16")) /
-            log(col("tok4").cast("double") / col("tok16")), 6).as("beta")),
+          when(col("v16") > 0 && col("tok16") > 0,
+            round(log(col("v4").cast("double") / col("v16")) /
+              log(col("tok4").cast("double") / col("tok16")), 6)).as("beta")),
         struct(lit(1L).as("sample_denom"), col("tok1").as("n_tokens"),
           col("v1").as("n_vocab"),
-          round(log(col("v1").cast("double") / col("v4")) /
-            log(col("tok1").cast("double") / col("tok4")), 6).as("beta")))).as("r"))
+          when(col("v4") > 0 && col("tok4") > 0,
+            round(log(col("v1").cast("double") / col("v4")) /
+              log(col("tok1").cast("double") / col("tok4")), 6)).as("beta")))).as("r"))
       .select(col("r.sample_denom"), col("r.n_tokens"), col("r.n_vocab"), col("r.beta"))
   }
 
@@ -628,11 +635,15 @@ object TextAnalysis {
          |       v16 AS n_vocab, CAST(NULL AS DOUBLE) AS beta FROM one
          |UNION ALL
          |SELECT CAST(4 AS BIGINT), tok4, v4,
-         |       round(ln(CAST(v4 AS DOUBLE) / v16) / ln(CAST(tok4 AS DOUBLE) / tok16), 6)
+         |       CASE WHEN v16 > 0 AND tok16 > 0 THEN
+         |         round(ln(CAST(v4 AS DOUBLE) / v16) / ln(CAST(tok4 AS DOUBLE) / tok16), 6)
+         |       END
          |FROM one
          |UNION ALL
          |SELECT CAST(1 AS BIGINT), tok1, v1,
-         |       round(ln(CAST(v1 AS DOUBLE) / v4) / ln(CAST(tok1 AS DOUBLE) / tok4), 6)
+         |       CASE WHEN v4 > 0 AND tok4 > 0 THEN
+         |         round(ln(CAST(v1 AS DOUBLE) / v4) / ln(CAST(tok1 AS DOUBLE) / tok4), 6)
+         |       END
          |FROM one
          |ORDER BY sample_denom""".stripMargin,
 

@@ -1597,7 +1597,14 @@ class IcebergMicroBatchStream(path: String, required: StructType,
         // trigger retries) instead of an uncapped lastSeen.
         try {
           val pending = IcebergRead.snapshotIdsInRange(path, conf, from, lastSeen)
-          if (pending.isEmpty) lastSeen
+          // Empty range with lastSeen > from is the SAME race in a
+          // different shape: snapshotIdsInRange returns Nil (not a
+          // throw) when the hint is briefly missing mid-rename, and a
+          // snapshot with id lastSeen should otherwise appear in the
+          // range. Answering lastSeen here would bypass the cap and
+          // plan the full catch-up batch — apply the catch branch's
+          // policy instead: no progress this trigger, retry next.
+          if (pending.isEmpty) from
           else pending.take(max).last
         } catch { case scala.util.control.NonFatal(_) => from }
       case _ => lastSeen

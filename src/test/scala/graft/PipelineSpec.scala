@@ -1519,6 +1519,11 @@ class PipelineSpec extends SparkSpec {
     assert(Similarity.autoBitsPerTable(50L, 4) == 4)    // floor: recall at tiny n
     assert(Similarity.autoBitsPerTable(20000L, 4) == 13)
     assert(Similarity.autoBitsPerTable(1000000000000L, 4) == 16) // cap: 4 tables x 16 = 64-bit sig
+    // shift-wrap guard (ADVICE r10): for tables <= 2 the signature cap
+    // alone would admit >= 32 bits, where the Int mask (1 << bits) - 1
+    // wraps to 0 and collapses every vector into one bucket — cap 30.
+    assert(Similarity.autoBitsPerTable(Long.MaxValue, 1) == 30)
+    assert(Similarity.autoBitsPerTable(Long.MaxValue, 2) == 30)
     // expected bucket population stays <= targetPop wherever the cap allows
     Seq(1000L, 50000L, 200000L).foreach { n =>
       val bits = Similarity.autoBitsPerTable(n, 4)
@@ -1559,6 +1564,15 @@ class PipelineSpec extends SparkSpec {
     assert(m(16L).getAs[Long]("n_vocab") <= m(4L).getAs[Long]("n_vocab"))
     assert(m(4L).getAs[Long]("n_vocab") <= m(1L).getAs[Long]("n_vocab"))
     assert(m(16L).getAs[Long]("n_tokens") <= m(4L).getAs[Long]("n_tokens"))
+    // empty predecessor level (no doc_id % 16 == 0 docs) -> beta NULL,
+    // not NaN (ADVICE r10): "level empty" must read as absent, like
+    // the no-predecessor first level.
+    val sparse = docsDf((1L to 7L).map(i => (i, s"w$i x$i", "s1")): _*)
+    val sp = TextAnalysis.vocabGrowth(sparse).collect()
+      .map(r => r.getAs[Long]("sample_denom") -> r).toMap
+    assert(sp(16L).getAs[Long]("n_tokens") == 0L)
+    assert(sp(4L).isNullAt(sp(4L).fieldIndex("beta")))
+    assert(!sp(1L).isNullAt(sp(1L).fieldIndex("beta"))) // %4 level non-empty
   }
 
   test("version diff classifies added, removed and modified docs; unchanged rows absent") {
@@ -1599,5 +1613,23 @@ class PipelineSpec extends SparkSpec {
     }
     val b = Tokenizer.tokenFertility(spark, mixed.repartition(7)).collect()
     assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+  }
+
+  test("pinned-vocab fertility: Viterbi packs bigrams, word of length L = ceil(L/2) pieces") {
+    import graft.pipeline.Tokenizer
+    // word lengths 1..5 → pieces 1,1,2,2,3 (the closed form the DuckDB
+    // oracle replays); the encoder must DISCOVER the pairing via DP —
+    // the vocab only makes the optimum analytic
+    val docs = docsDf((1L, "a bc def ghij klmno", "s1"))
+    val out = Tokenizer.tokenFertilityPinned(spark, docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_words") == 5L)
+    assert(r.getAs[Long]("n_pieces") == (1L + 1L + 2L + 2L + 3L), r.toString)
+    // split words are exactly those of length >= 3
+    assert(r.getAs[Long]("split_word_ppm") == 3L * 1000000L / 5L, r.toString)
+    // partition-invariance (broadcast vocab, integer sums)
+    val again = Tokenizer.tokenFertilityPinned(spark, docs.repartition(5)).collect()
+    assert(again.head.toString == r.toString)
   }
 }

@@ -26,7 +26,32 @@ object ScaleSweep {
     "corpus_clean_neardup", "dedup_cluster_cc", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "dedup_semantic", "ds_q14_cross_items",
     "ds_q23_frequent_items", "ds_q36_margin_rank", "q18_large_volume",
-    "events_sessionize", "sim_ivf_topk")
+    "events_sessionize", "sim_ivf_topk",
+    // round-10: API-DEFAULT variants (no sizing flags — the registered
+    // entries pin explicit 6/16 for oracle replay, so these measure
+    // what a plain-API caller actually gets since the adaptive flip)
+    // plus the previously-unswept hot families (verdict #6).
+    "dedup_embed_cosine_default", "dedup_semantic_default",
+    "sim_hard_negatives_default",
+    "pipe_bpe_tokenize", "pipe_unigram_tokenize", "dedup_lines")
+
+  /** Sweep-only variants calling the library API with NO sizing flags:
+    * verifies the round-10 adaptive defaults hold the measured-linear
+    * behavior without any caller opt-in. */
+  private val extraQueries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = {
+    import graft.pipeline.Similarity
+    import org.apache.spark.sql.functions.col
+    Map(
+      "dedup_embed_cosine_default" -> ((s, dir) =>
+        Similarity.embedDedup(s, graft.Tables(s, dir).embeddings, 0.3)
+          .orderBy("vec_id")),
+      "dedup_semantic_default" -> ((s, dir) =>
+        Similarity.semanticDedup(s, graft.Tables(s, dir).embeddings, 0.3)
+          .orderBy("vec_id")),
+      "sim_hard_negatives_default" -> ((s, dir) =>
+        Similarity.hardNegatives(s, graft.Tables(s, dir).embeddings, 5)
+          .orderBy("anchor", "rk")))
+  }
 
   private def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -54,7 +79,7 @@ object ScaleSweep {
     graft.SparkEntry.entry(spark).count() // session warmup, untimed
     val queries = defaultQueries
       .filter(q => only.forall(_.findFirstIn(q).isDefined))
-      .flatMap(q => graft.SparkEntry.queries.get(q).map(q -> _))
+      .flatMap(q => graft.SparkEntry.queries.get(q).orElse(extraQueries.get(q)).map(q -> _))
     // query-major order: each query's scale series runs back to back on
     // an identically-warm session, so the RATIO between scales is clean
     // even when absolute numbers carry co-tenant noise.
