@@ -46,6 +46,10 @@ object Fixtures {
     "sim_ivf_persisted" -> ((s, d) => { pipeline.Similarity.ensureIvfIndex(s, d); () }),
     "sim_pq_persisted" -> ((s, d) => { pipeline.Similarity.ensurePqIndex(s, d); () }),
     "dedup_incremental_indexed" -> ((s, d) => { pipeline.Dedup.ensureLshIndex(s, d); () }),
+    "src_hive_acid" -> ((s, d) => { sources.HiveAcidQueries.ensureInsertOnly(s, d); () }),
+    "src_hive_acid_full" -> ((s, d) => { sources.HiveAcidQueries.ensureFullAcid(s, d); () }),
+    "src_mixed_formats" -> ((s, d) => { sources.MixedFormatQueries.ensureTable(s, d); () }),
+    "src_mixed_prune" -> ((s, d) => { sources.MixedFormatQueries.ensureTable(s, d); () }),
   )
 
   private def rm(spark: SparkSession, paths: String*): Unit = paths.foreach { p =>
@@ -95,5 +99,10 @@ object Fixtures {
     "src_iceberg_incremental" ->
       ((s, d) => { sources.IcebergQueries.invalidateIncr(d)
         rm(s, sources.IcebergQueries.incrPath(d)) }),
+    "src_hive_acid" -> ((s, d) => rm(s, sources.HiveAcidQueries.insertOnlyPath(d))),
+    "src_hive_acid_full" -> ((s, d) => rm(s, sources.HiveAcidQueries.fullAcidPath(d))),
+    // the mixed table serves BOTH mixed queries: only the later one
+    // (alphabetically: src_mixed_prune) tears it down
+    "src_mixed_prune" -> ((s, d) => rm(s, sources.MixedFormatQueries.path(d))),
   )
 }
