@@ -987,4 +987,176 @@ class SourcesSpec extends SparkSpec {
       assert(after.filter(col("l_returnflag") =!= "R").count() == before)
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
   }
+
+  // ---------------------------------------------------------------
+  // S18: Hive ACID table reads (public Hive 3 base/delta layout;
+  // reference semantics: AcidUtils.java + acid-metadata-utils.cc)
+  // ---------------------------------------------------------------
+
+  import graft.sources.HiveAcid
+  import graft.sources.HiveAcid.ValidWriteIds
+
+  test("S18: ACID dir-name parsing — base/delta/delete_delta, stmt ids, visibility txns") {
+    assert(HiveAcid.parseBase("base_0000005").contains(HiveAcid.ParsedBase(5L, -1L)))
+    assert(HiveAcid.parseBase("base_0000003_v0003217").contains(HiveAcid.ParsedBase(3L, 3217L)))
+    assert(HiveAcid.parseBase("delta_1_1").isEmpty)
+    assert(HiveAcid.parseDelta("delta_0000006_0000006")
+      .contains(HiveAcid.ParsedDelta(6L, 6L, -1L, -1L, isDelete = false)))
+    assert(HiveAcid.parseDelta("delta_0000009_0000009_0000")
+      .contains(HiveAcid.ParsedDelta(9L, 9L, 0L, -1L, isDelete = false)))
+    assert(HiveAcid.parseDelta("delta_0000001_0000005_v0000099")
+      .contains(HiveAcid.ParsedDelta(1L, 5L, -1L, 99L, isDelete = false)))
+    assert(HiveAcid.parseDelta("delete_delta_0000008_0000008")
+      .contains(HiveAcid.ParsedDelta(8L, 8L, -1L, -1L, isDelete = true)))
+    assert(HiveAcid.parseDelta("base_0000005").isEmpty)
+    assert(HiveAcid.parseDelta("delta_0000001_0000005_v0000099").get.isCompacted)
+  }
+
+  test("S18: ValidWriteIds parses the Hive ValidReaderWriteIdList string") {
+    // table:hwm:minOpen:open:aborted
+    val ids = ValidWriteIds.parse("db.tbl:7:4:4,6:3")
+    assert(ids.highWatermark == 7L && ids.open == Set(4L, 6L) && ids.aborted == Set(3L))
+    assert(ids.isValid(5L) && !ids.isValid(4L) && !ids.isValid(3L) && !ids.isValid(8L))
+    val noneOpen = ValidWriteIds.parse("db.tbl:5:9223372036854775807::")
+    assert(noneOpen == ValidWriteIds(5L))
+  }
+
+  test("S18: base supersedes older bases, originals and covered deltas") {
+    val st = HiveAcid.selectDirs(Seq(
+      "000000_0", "base_0000003", "base_0000005", "delta_0000004_0000004",
+      "delta_0000005_0000005", "delta_0000006_0000006", "_SUCCESS"),
+      ValidWriteIds(6L))
+    assert(st.base.contains("base_0000005"))
+    assert(st.originals.isEmpty) // folded into the base by compaction
+    assert(st.deltas == Seq("delta_0000006_0000006"))
+  }
+
+  test("S18: originals (pre-upgrade files) read only when no base exists") {
+    val st = HiveAcid.selectDirs(Seq("000000_0", "000001_0", "delta_0000001_0000001"),
+      ValidWriteIds(1L))
+    assert(st.base.isEmpty && st.originals == Seq("000000_0", "000001_0"))
+    assert(st.deltas == Seq("delta_0000001_0000001"))
+  }
+
+  test("S18: minor compaction output supersedes the deltas it folded in") {
+    val st = HiveAcid.selectDirs(Seq(
+      "delta_0000001_0000001", "delta_0000002_0000002", "delta_0000003_0000003",
+      "delta_0000001_0000003_v0000077", "delta_0000004_0000004"),
+      ValidWriteIds(4L))
+    assert(st.deltas == Seq("delta_0000001_0000003_v0000077", "delta_0000004_0000004"))
+  }
+
+  test("S18: aborted and open (beyond-watermark) write ids are excluded") {
+    val st = HiveAcid.selectDirs(Seq(
+      "delta_0000001_0000001", "delta_0000002_0000002", "delta_0000003_0000003",
+      "delta_0000004_0000004"),
+      ValidWriteIds(3L, aborted = Set(2L)))
+    assert(st.deltas == Seq("delta_0000001_0000001", "delta_0000003_0000003"))
+  }
+
+  test("S18: a base covering an OPEN write id is unusable; aborted ids do not invalidate it") {
+    val open = HiveAcid.selectDirs(Seq("base_0000005", "delta_0000006_0000006"),
+      ValidWriteIds(6L, open = Set(3L)))
+    assert(open.base.isEmpty) // write 3 still open below base_5
+    val aborted = HiveAcid.selectDirs(Seq("base_0000005", "delta_0000006_0000006"),
+      ValidWriteIds(6L, aborted = Set(3L)))
+    assert(aborted.base.contains("base_0000005")) // compactor dropped aborted rows
+  }
+
+  test("S18: all statement deltas of one multi-statement txn are kept") {
+    val st = HiveAcid.selectDirs(Seq(
+      "delta_0000002_0000002_0000", "delta_0000002_0000002_0001",
+      "delta_0000003_0000003"), ValidWriteIds(3L))
+    assert(st.deltas.toSet ==
+      Set("delta_0000002_0000002_0000", "delta_0000002_0000002_0001",
+        "delta_0000003_0000003"))
+  }
+
+  test("S18: delete_delta pairs with its matching range; Hive Streaming side-file throws") {
+    val st = HiveAcid.selectDirs(Seq(
+      "base_0000001", "delta_0000002_0000002", "delete_delta_0000002_0000002"),
+      ValidWriteIds(2L))
+    assert(st.deltas == Seq("delta_0000002_0000002"))
+    assert(st.deleteDeltas == Seq("delete_delta_0000002_0000002"))
+    intercept[IllegalStateException] {
+      HiveAcid.selectDirs(Seq("delta_0000002_0000002", "delta_0000002_0000002_flush_length"),
+        ValidWriteIds(2L))
+    }
+  }
+
+  test("S18: insert-only end-to-end — snapshot sees base+committed deltas only") {
+    val root = graft.sources.HiveAcidQueries.ensureInsertOnly(spark, sf0001)
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val visible = HiveAcid.readInsertOnly(spark, root,
+      ValidWriteIds(highWatermark = 5L, aborted = Set(4L)))
+    val expected = orders.filter(pmod(col("o_orderkey"), lit(7L)).isin(0L, 1L, 2L, 4L))
+    assert(visible.count() == expected.count())
+    assert(visible.select(sum("o_orderkey")).head.getLong(0) ==
+      expected.select(sum("o_orderkey")).head.getLong(0))
+    // snapshot moves: a LATER reader (hwm=6) additionally sees delta 6
+    val later = HiveAcid.readInsertOnly(spark, root,
+      ValidWriteIds(highWatermark = 6L, aborted = Set(4L)))
+    assert(later.count() ==
+      orders.filter(pmod(col("o_orderkey"), lit(7L)).isin(0L, 1L, 2L, 4L, 5L)).count())
+  }
+
+  test("S18: full-ACID end-to-end — delete-delta anti-join and aborted exclusion") {
+    val root = graft.sources.HiveAcidQueries.ensureFullAcid(spark, sf0001)
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val visible = HiveAcid.readFullAcid(spark, root,
+      ValidWriteIds(highWatermark = 4L, aborted = Set(4L)))
+    // ACID metadata columns do not leak into the user schema
+    assert(visible.columns.toSeq == orders.columns.toSeq)
+    val expected = orders.filter(
+      (pmod(col("o_orderkey"), lit(3L)) === 0L && pmod(col("o_orderkey"), lit(9L)) =!= 0L) ||
+        pmod(col("o_orderkey"), lit(3L)) === 1L)
+    assert(visible.count() == expected.count())
+    assert(visible.select(sum("o_orderkey")).head.getLong(0) ==
+      expected.select(sum("o_orderkey")).head.getLong(0))
+    // the delete side rides ONE equi join (anti) — no cartesian
+    val joins = visible.queryExecution.sparkPlan.collect {
+      case p if p.nodeName.contains("Join") => p.nodeName }
+    assert(joins.nonEmpty && !joins.exists(_.contains("Cartesian")))
+  }
+
+  // ---------------------------------------------------------------
+  // S19: per-partition mixed file formats (reference: per-partition
+  // fileFormatDescriptor in HdfsPartition.java)
+  // ---------------------------------------------------------------
+
+  test("S19: mixed-format table round-trips all four formats losslessly") {
+    val root = graft.sources.MixedFormatQueries.ensureTable(spark, sf0001)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val back = graft.sources.MixedFormat.read(spark, root)
+    assert(back.count() == docs.count())
+    val a = back.select("doc_id", "lang", "source", "n_chars", "text")
+      .orderBy("doc_id").collect()
+    val b = docs.select("doc_id", "lang", "source", "n_chars", "text")
+      .orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("S19: partition pruning is driver-side — pruned partitions are never scanned") {
+    val root = graft.sources.MixedFormatQueries.ensureTable(spark, sf0001)
+    val spec = graft.sources.MixedFormat.readSpec(spark, root)
+    assert(spec.partitions.map(_.format).distinct.size >= 4)
+    val pruned = graft.sources.MixedFormat.read(spark, root, partitions = Seq("de"))
+    // structural: exactly ONE scan relation in the pruned plan
+    val scans = pruned.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.LeafNode => r }
+    assert(scans.size == 1)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    assert(pruned.count() == docs.filter(col("lang") === "de").count())
+    // decisive: delete every other partition directory in a COPY — the
+    // pruned read still answers (the pruned dirs were never listed)
+    val copy = tmp() + "/mixcopy"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(root),
+      fs, new org.apache.hadoop.fs.Path(copy), false, spark.sparkContext.hadoopConfiguration)
+    spec.partitions.filterNot(_.value == "de").foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$copy/" + p.dir), true))
+    val survivor = graft.sources.MixedFormat.read(spark, copy, partitions = Seq("de"))
+    assert(survivor.count() == docs.filter(col("lang") === "de").count())
+  }
 }
