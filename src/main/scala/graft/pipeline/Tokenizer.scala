@@ -132,6 +132,38 @@ object Tokenizer {
     GraftFunctions.register(spark)
     val vrow = trainUnigram(spark, docs, vocabSize, maxPieceLen, sampleDocs)
       .agg(array_sort(collect_list(struct(col("piece"), col("cost")))).as("vocab"))
+    fertilityAgg(docs, vrow)
+  }
+
+  /** P63b: fertility under a PINNED analytic vocab — every character of
+    * the corpus (cost 300) plus every adjacent character BIGRAM of
+    * every corpus word (cost 450 < 2×300). Viterbi therefore packs each
+    * word into as many bigrams as possible: cost(L chars, k bigrams) =
+    * 300·L − 150·k is minimized at k = ⌊L/2⌋, so a word of length L
+    * segments into EXACTLY ⌈L/2⌉ pieces — a closed form DuckDB can
+    * replay, which moves the fertility audit rows-only → oracle-exact
+    * (the r9 verdict's P50 pinned-device route). The encoder still runs
+    * the real DP (it must DISCOVER the pairing); only the vocab is
+    * analytic. Same scale shape: the vocab row is built by two bounded
+    * distinct-aggregates over the corpus and broadcast once. */
+  def tokenFertilityPinned(spark: SparkSession, docs: DataFrame): DataFrame = {
+    GraftFunctions.register(spark)
+    val ws = docs.select(explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val chars = ws.select(explode(split(col("w"), "")).as("piece"))
+      .filter(length(col("piece")) > 0)
+      .distinct().withColumn("cost", lit(300L))
+    // sequence(1, len-1) DESCENDS for len=1 (round-9 trap) → guard len>=2
+    val bigrams = ws.filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("piece"))
+      .distinct().withColumn("cost", lit(450L))
+    val vrow = chars.unionByName(bigrams)
+      .agg(array_sort(collect_list(struct(col("piece"), col("cost")))).as("vocab"))
+    fertilityAgg(docs, vrow)
+  }
+
+  private def fertilityAgg(docs: DataFrame, vrow: DataFrame): DataFrame = {
     docs.select(col("lang"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 1)
       .crossJoin(broadcast(vrow))
@@ -167,7 +199,37 @@ object Tokenizer {
       unigramTokenize(spark, Tables(spark, dir).documents).orderBy("doc_id")),
     "pipe_token_fertility" -> ((spark, dir) =>
       tokenFertility(spark, Tables(spark, dir).documents).orderBy("lang")),
+    "pipe_token_fertility_pinned" -> ((spark, dir) =>
+      tokenFertilityPinned(spark, Tables(spark, dir).documents).orderBy("lang")),
   )
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    // closed-form replay of the pinned char+bigram vocab: every word of
+    // length L Viterbi-segments into ceil(L/2) pieces (see
+    // tokenFertilityPinned) — the per-language sums and ppm ratios are
+    // exact integer arithmetic in both engines.
+    "pipe_token_fertility_pinned" ->
+      """WITH w AS (
+        |  SELECT lang,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents
+        |), s AS (
+        |  SELECT lang,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(list_sum([length(x) for x in ws]) AS BIGINT) AS n_chars,
+        |    CAST(list_sum([(length(x) + 1) // 2 for x in ws]) AS BIGINT) AS n_pieces,
+        |    CAST(list_sum([CASE WHEN length(x) >= 3 THEN 1 ELSE 0 END for x in ws]) AS BIGINT) AS n_split
+        |  FROM w WHERE len(ws) >= 1
+        |), g AS (
+        |  SELECT lang, sum(n_words) AS n_words, sum(n_chars) AS n_chars,
+        |         sum(n_pieces) AS n_pieces, sum(n_split) AS n_split
+        |  FROM s GROUP BY lang
+        |)
+        |SELECT lang, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_pieces AS BIGINT) AS n_pieces,
+        |  CAST(n_pieces * 1000000 // n_words AS BIGINT) AS fertility_ppm,
+        |  CAST(n_split * 1000000 // n_words AS BIGINT) AS split_word_ppm,
+        |  CAST(n_chars * 1000000 // n_pieces AS BIGINT) AS chars_per_piece_ppm
+        |FROM g ORDER BY lang""".stripMargin,
+  )
 }
