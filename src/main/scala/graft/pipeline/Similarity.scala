@@ -104,19 +104,19 @@ object Similarity {
     * pass `n` when the corpus count is already known to skip the
     * sizing scan. */
   def lshTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
-              k: Int, tables: Int = 4, bitsPerTable0: Int = 0,
+              k: Int, tables: Int = 4, bitsPerTable: Int = 0,
               n: Long = -1L): DataFrame = {
-    val bitsPerTable = resolveBits(corpus, tables, bitsPerTable0, n)
-    require(tables * bitsPerTable <= 64,
-      s"lshTopK: tables*bitsPerTable must fit one 64-bit signature (got ${tables * bitsPerTable})")
+    val bits = resolveBits(corpus, tables, bitsPerTable, n)
+    require(tables * bits <= 64,
+      s"lshTopK: tables*bitsPerTable must fit one 64-bit signature (got ${tables * bits})")
     GraftFunctions.register(spark)
     def buckets(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
-      val sig = call_function("rhp_bucket", col("embedding"), lit(tables * bitsPerTable))
+      val sig = call_function("rhp_bucket", col("embedding"), lit(tables * bits))
       df.select(col("vec_id").as(idAs), col("embedding").as(vecAs), sig.as("sig"))
         .select(col(idAs), col(vecAs),
           posexplode(array((0 until tables).map(t =>
-            shiftrightunsigned(col("sig"), t * bitsPerTable)
-              .bitwiseAND(lit((1L << bitsPerTable) - 1))): _*)).as(Seq("tbl", "bucket")))
+            shiftrightunsigned(col("sig"), t * bits)
+              .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("tbl", "bucket")))
     }
     val q = buckets(queries, "q_id", "q_vec")
     val c = buckets(corpus, "c_id", "c_vec")
@@ -500,19 +500,19 @@ object Similarity {
     * signatures differ in every table is missed; high-cosine pairs
     * collide in ≥1 table with high probability. */
   def cosinePairs(spark: SparkSession, emb: DataFrame, minCos: Double,
-                  tables: Int = 4, bitsPerTable0: Int = 0,
+                  tables: Int = 4, bitsPerTable: Int = 0,
                   n: Long = -1L): DataFrame = {
-    val bitsPerTable = resolveBits(emb, tables, bitsPerTable0, n)
-    require(tables * bitsPerTable <= 64,
-      s"cosinePairs: tables*bitsPerTable must fit one 64-bit signature (got ${tables * bitsPerTable})")
+    val bits = resolveBits(emb, tables, bitsPerTable, n)
+    require(tables * bits <= 64,
+      s"cosinePairs: tables*bitsPerTable must fit one 64-bit signature (got ${tables * bits})")
     GraftFunctions.register(spark)
     def side(idAs: String, vecAs: String): DataFrame = {
-      val sig = call_function("rhp_bucket", col("embedding"), lit(tables * bitsPerTable))
+      val sig = call_function("rhp_bucket", col("embedding"), lit(tables * bits))
       emb.select(col("label"), col("vec_id").as(idAs), col("embedding").as(vecAs), sig.as("sig"))
         .select(col("label"), col(idAs), col(vecAs),
           posexplode(array((0 until tables).map(t =>
-            shiftrightunsigned(col("sig"), t * bitsPerTable)
-              .bitwiseAND(lit((1L << bitsPerTable) - 1))): _*)).as(Seq("tbl", "bucket")))
+            shiftrightunsigned(col("sig"), t * bits)
+              .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("tbl", "bucket")))
     }
     side("vec_a", "e_a").join(side("vec_b", "e_b"), Seq("label", "tbl", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
@@ -553,20 +553,20 @@ object Similarity {
     * plan audit can assert the candidate join is a bucket equi-join
     * (no cartesian) independent of the CC fixpoint that consumes it. */
   private[graft] def embedDedupEdges(spark: SparkSession, emb: DataFrame, minCos: Double,
-                                     tables: Int = 4, bitsPerTable0: Int = 0,
+                                     tables: Int = 4, bitsPerTable: Int = 0,
                                      n: Long = -1L): DataFrame = {
-    val bitsPerTable = resolveBits(emb, tables, bitsPerTable0, n)
-    require(tables * bitsPerTable <= 64,
-      s"embedDedup: tables*bitsPerTable must fit one 64-bit signature (got ${tables * bitsPerTable})")
+    val bits = resolveBits(emb, tables, bitsPerTable, n)
+    require(tables * bits <= 64,
+      s"embedDedup: tables*bitsPerTable must fit one 64-bit signature (got ${tables * bits})")
     GraftFunctions.register(spark)
     // one bucketed-signature computation, consumed by both join sides
     val bucketed = Dedup.cacheReplacing({
-      val sig = call_function("rhp_bucket", col("embedding"), lit(tables * bitsPerTable))
+      val sig = call_function("rhp_bucket", col("embedding"), lit(tables * bits))
       emb.select(col("vec_id"), col("embedding"), sig.as("sig"))
         .select(col("vec_id"), col("embedding"),
           posexplode(array((0 until tables).map(t =>
-            shiftrightunsigned(col("sig"), t * bitsPerTable)
-              .bitwiseAND(lit((1L << bitsPerTable) - 1))): _*)).as(Seq("tbl", "bucket")))
+            shiftrightunsigned(col("sig"), t * bits)
+              .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("tbl", "bucket")))
     }, embedSlot)
     def side(idAs: String, vecAs: String): DataFrame =
       bucketed.select(col("vec_id").as(idAs), col("embedding").as(vecAs),
@@ -593,11 +593,11 @@ object Similarity {
     * population is the knob (more tables/bits), the same dial every
     * LSH consumer in this file shares. */
   def hardNegatives(spark: SparkSession, emb: DataFrame, k: Int,
-                    tables: Int = 4, bitsPerTable0: Int = 0,
+                    tables: Int = 4, bitsPerTable: Int = 0,
                     n: Long = -1L): DataFrame = {
     GraftFunctions.register(spark)
-    val bitsPerTable = resolveBits(emb, tables, bitsPerTable0, n)
-    val sig = call_function("rhp_bucket", col("embedding"), lit(tables * bitsPerTable))
+    val bits = resolveBits(emb, tables, bitsPerTable, n)
+    val sig = call_function("rhp_bucket", col("embedding"), lit(tables * bits))
     // slot-persisted: the bucketed signatures feed BOTH sides of the
     // candidate join — without the cache the scan + signature pass runs
     // twice (the embedDedupEdges discipline)
@@ -605,8 +605,8 @@ object Similarity {
       emb.select(col("vec_id"), col("label"), col("embedding"), sig.as("sig"))
         .select(col("vec_id"), col("label"), col("embedding"),
           posexplode(array((0 until tables).map(t =>
-            shiftrightunsigned(col("sig"), t * bitsPerTable)
-              .bitwiseAND(lit((1L << bitsPerTable) - 1))): _*)).as(Seq("tbl", "bucket"))),
+            shiftrightunsigned(col("sig"), t * bits)
+              .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("tbl", "bucket"))),
       hardNegSlot)
     val cand = bucketed.select(col("vec_id").as("anchor"), col("label").as("a_label"),
         col("embedding").as("a_vec"), col("tbl"), col("bucket"))
@@ -752,7 +752,7 @@ object Similarity {
     // auto == explicit equivalence is a PipelineSpec property.
     "sim_lsh_topk" -> ((spark, dir) => {
       val emb = Tables(spark, dir).embeddings
-      lshTopK(spark, emb.filter(col("vec_id") < 10), emb, 5, bitsPerTable0 = 6)
+      lshTopK(spark, emb.filter(col("vec_id") < 10), emb, 5, bitsPerTable = 6)
         .select("q_id", "c_id", "cos", "rk").orderBy("q_id", "rk")
     }),
     "sim_ivf_topk" -> ((spark, dir) => {
@@ -782,7 +782,7 @@ object Similarity {
         .select("q_id", "c_id", "dist", "rk").orderBy("q_id", "rk")
     }),
     "sim_cosine_pairs" -> ((spark, dir) => {
-      cosinePairs(spark, Tables(spark, dir).embeddings, 0.3, bitsPerTable0 = 6)
+      cosinePairs(spark, Tables(spark, dir).embeddings, 0.3, bitsPerTable = 6)
         .orderBy(col("cos").desc, col("vec_a"), col("vec_b")).limit(200)
     }),
     "sim_label_centroid" -> ((spark, dir) => {
@@ -796,7 +796,7 @@ object Similarity {
       quantizeInt8(Tables(spark, dir).embeddings).orderBy("vec_id")
     }),
     "sim_hard_negatives" -> ((spark, dir) => {
-      hardNegatives(spark, Tables(spark, dir).embeddings, 5, bitsPerTable0 = 6)
+      hardNegatives(spark, Tables(spark, dir).embeddings, 5, bitsPerTable = 6)
         .orderBy("anchor", "rk")
     }),
     // float k-means centroids → sample-dependent clusters: rows-only +

@@ -124,6 +124,36 @@ object HiveAcid {
     case _ => None
   }
 
+  private val OriginalFilePat = """(\d+)_\d+(?:_copy_\d+)?""".r
+  private val BucketFilePat = """bucket_(\d+)(?:_\d+)?""".r
+
+  /** Encoded bucket property of a full-ACID file path — the public Hive
+    * BucketCodec V1 the reference replicates (`GetBucketProperty`,
+    * acid-metadata-utils.cc): `version(1<<29) | bucketId << 16 |
+    * statementId`, where the bucket id comes from the file name
+    * (`bucket_N[_M]`, or the leading int of an original `N_M[_copy_K]`
+    * file) and the statement id from the parent delta directory name.
+    * -1 when the file name matches neither pattern. */
+  def bucketProperty(filePath: String): Int = {
+    val name = filePath.substring(filePath.lastIndexOf('/') + 1)
+    val bucketId = name match {
+      case OriginalFilePat(b) => b.toInt
+      case BucketFilePat(b)   => b.toInt
+      case _                  => return -1
+    }
+    val lastSlash = filePath.lastIndexOf('/')
+    val parentStart = if (lastSlash <= 0) -1 else filePath.lastIndexOf('/', lastSlash - 1)
+    val dirName =
+      if (lastSlash < 0) "" else filePath.substring(parentStart + 1, lastSlash)
+    val stmtId = parseDelta(dirName) match {
+      case Some(d) if d.statementId >= 0 => d.statementId.toInt
+      case _                             => 0
+    }
+    val BucketCodecVersion = 1; val BucketIdBits = 12; val StatementIdBits = 12
+    BucketCodecVersion << (1 + BucketIdBits + 4 + StatementIdBits) |
+      bucketId << (4 + StatementIdBits) | stmtId
+  }
+
   /** The directories (and original files) one snapshot reads. */
   private[graft] final case class AcidState(base: Option[String],
                                               originals: Seq[String],

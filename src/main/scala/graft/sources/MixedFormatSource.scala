@@ -58,6 +58,7 @@ object MixedFormat {
       val dir = s"$path/${p.dir}"
       p.format match {
         case "parquet"      => slice.write.mode("overwrite").parquet(dir)
+        case "orc"          => slice.write.mode("overwrite").orc(dir)
         case "avro"         => AvroIO.write(slice, dir)
         case "rcfile"       =>
           RcIO.write(slice.select(dataSchema.map(f =>
@@ -133,6 +134,7 @@ object MixedFormat {
   private def readPartition(spark: SparkSession, dir: String, format: String,
                             schema: StructType): DataFrame = format match {
     case "parquet" => spark.read.parquet(dir).select(castTo(schema): _*)
+    case "orc"     => spark.read.orc(dir).select(castTo(schema): _*)
     case "avro" =>
       spark.read.format("graft.sources.AvroSource").load(dir)
         .select(castTo(schema): _*)
@@ -158,16 +160,18 @@ object MixedFormat {
 }
 
 /** Oracle-checked mixed-format coverage: `documents` partitioned by
-  * lang across FOUR formats (parquet / avro / rcfile / sequencefile /
-  * parquet again), read back whole and pruned; DuckDB recomputes both
-  * from the flat parquet. A hash match certifies every format's write →
-  * dispatch → read → normalize path preserved every row and type. */
+  * lang across FIVE distinct formats (parquet / avro / rcfile /
+  * sequencefile / orc — one per language partition), read back whole
+  * and pruned; DuckDB recomputes both from the flat parquet. A hash
+  * match certifies every format's write → dispatch → read → normalize
+  * path preserved every row and type. */
 object MixedFormatQueries {
 
   def path(dir: String): String =
     s"/tmp/graft_mixed_documents_${new java.io.File(dir).getName}"
 
-  private val formats = Seq("parquet", "avro", "rcfile", "sequencefile")
+  // five languages → five DISTINCT formats, one per partition
+  private val formats = Seq("parquet", "avro", "rcfile", "sequencefile", "orc")
 
   def ensureTable(spark: SparkSession, dir: String): String = {
     val root = path(dir)

@@ -1012,6 +1012,19 @@ class SourcesSpec extends SparkSpec {
     assert(HiveAcid.parseDelta("delta_0000001_0000005_v0000099").get.isCompacted)
   }
 
+  test("S18: bucket property encodes BucketCodec V1 (version | bucketId | statementId)") {
+    // 1<<29 | bucket<<16 | stmt — the reference's GetBucketProperty layout
+    assert(HiveAcid.bucketProperty("delta_0000001_0000001_0007/bucket_00001") ==
+      ((1 << 29) | (1 << 16) | 7))
+    assert(HiveAcid.bucketProperty("/w/t/delta_0000001_0000001/bucket_00042") ==
+      ((1 << 29) | (42 << 16)))
+    // original files: leading int is the bucket id; base dirs carry stmt 0
+    assert(HiveAcid.bucketProperty("base_0000005/000002_0") == ((1 << 29) | (2 << 16)))
+    assert(HiveAcid.bucketProperty("000003_0_copy_1") == ((1 << 29) | (3 << 16)))
+    // names matching neither pattern → -1 (the reference's sentinel)
+    assert(HiveAcid.bucketProperty("delta_0000001_0000001/part-0000.parquet") == -1)
+  }
+
   test("S18: ValidWriteIds parses the Hive ValidReaderWriteIdList string") {
     // table:hwm:minOpen:open:aborted
     val ids = ValidWriteIds.parse("db.tbl:7:4:4,6:3")
@@ -1124,7 +1137,7 @@ class SourcesSpec extends SparkSpec {
   // fileFormatDescriptor in HdfsPartition.java)
   // ---------------------------------------------------------------
 
-  test("S19: mixed-format table round-trips all four formats losslessly") {
+  test("S19: mixed-format table round-trips all five formats losslessly") {
     val root = graft.sources.MixedFormatQueries.ensureTable(spark, sf0001)
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val back = graft.sources.MixedFormat.read(spark, root)

@@ -22,15 +22,19 @@ object ScaleSweep {
     * family and the three biggest TPC-DS shapes (verdict #1's list). */
   private val defaultQueries = Seq(
     "dedup_containment", "dedup_cross_source", "split_leakage_safe",
-    "pipe_exact_substr", "pipe_overlap_frac", "dedup_embed_cosine",
+    "pipe_exact_substr", "pipe_overlap_frac",
     "corpus_clean_neardup", "dedup_cluster_cc", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_semantic", "ds_q14_cross_items",
+    "dedup_ngram_jaccard", "ds_q14_cross_items",
     "ds_q23_frequent_items", "ds_q36_margin_rank", "q18_large_volume",
     "events_sessionize", "sim_ivf_topk",
-    // round-10: API-DEFAULT variants (no sizing flags — the registered
-    // entries pin explicit 6/16 for oracle replay, so these measure
-    // what a plain-API caller actually gets since the adaptive flip)
-    // plus the previously-unswept hot families (verdict #6).
+    // round-10: API-DEFAULT variants (no sizing flags — these measure
+    // what a plain-API caller gets since the adaptive flip became the
+    // default) plus the previously-unswept hot families (verdict #6).
+    // The REGISTERED dedup_embed_cosine / dedup_semantic entries pin
+    // explicit 6-bit / 16-cell shapes for DuckDB oracle replay and are
+    // quadratic by construction (measured alpha 1.91 / 1.59 in the r9
+    // sweep) — excluded from the default set; probe them via
+    // SPARK_GRAFT_ONLY when re-demonstrating the pathology.
     "dedup_embed_cosine_default", "dedup_semantic_default",
     "sim_hard_negatives_default",
     "pipe_bpe_tokenize", "pipe_unigram_tokenize", "dedup_lines")
