@@ -270,11 +270,46 @@ object HiveAcid {
   private val AcidCols = Seq("operation", "originalTransaction", "bucket",
     "rowId", "currentTransaction")
 
+  /** Synthesized ACID metadata for ORIGINAL (pre-upgrade) files in a
+    * full-ACID table — files written before the table turned
+    * transactional carry NO acid columns, so the reader fabricates
+    * them exactly like the reference scanner
+    * (`SetSyntheticAcidFieldForOriginalFile`, hdfs-orc-scanner.cc:659):
+    * operation 0, originalTransaction = currentTransaction = write id
+    * 0, bucket = the BucketCodec V1 property parsed from the FILE NAME
+    * (the Column mirror of [[bucketProperty]]), and rowId = the row's
+    * ordinal WITHIN its file (the reference sets it from the reader's
+    * file-scoped row number; Spark's parquet `_metadata.row_index` is
+    * the same quantity). All codegen'd builtins — no UDF, row-local. */
+  private def syntheticAcidMeta(df: DataFrame): DataFrame = {
+    val fname = regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1)
+    val bucketId =
+      when(fname.rlike("^[0-9]+_[0-9]+(_copy_[0-9]+)?$"),
+        regexp_extract(fname, "^([0-9]+)_", 1).cast("int"))
+      .when(fname.rlike("^bucket_[0-9]+(_[0-9]+)?$"),
+        regexp_extract(fname, "^bucket_([0-9]+)", 1).cast("int"))
+      .otherwise(lit(-1))
+    // originals never sit inside statement deltas → statementId 0
+    val bucketProp = when(bucketId >= 0,
+      shiftleft(lit(1), 29).bitwiseOR(shiftleft(bucketId, 16))).otherwise(lit(-1))
+    df.select(
+      Seq(lit(0).as("operation"),
+        lit(0L).as("originalTransaction"),
+        bucketProp.as("bucket"),
+        col("_metadata.row_index").as("rowId"),
+        lit(0L).as("currentTransaction")) ++
+        df.columns.filterNot(_ == "_metadata").map(col): _*)
+  }
+
   /** Read a FULL-ACID table at the given snapshot: selected base +
     * insert deltas, minus delete-delta keys, with row-level write-id
     * filtering for multi-id delta files (Hive Streaming shape — a
     * SOME-valid uncompacted delta carries rows of several write ids and
-    * only the committed ones may surface).
+    * only the committed ones may surface). Original (pre-upgrade) files
+    * surface with SYNTHESIZED acid metadata — see
+    * [[syntheticAcidMeta]] — so delete deltas written against upgraded
+    * originals (originalTransaction 0, file-name bucket, in-file row
+    * ordinal) land on exactly the rows Hive addressed.
     *
     * Plan shape at 100 TB: one distributed scan per side and ONE equi
     * anti-join on (originalTransaction, bucket, rowId) — the delete
@@ -294,9 +329,16 @@ object HiveAcid {
         // SOME-valid delta surfaces only committed rows.
         Some(if (fromBase) df else df.filter(validWriteIdCol(ids)))
       }
-    val inserts = Seq(
-      readDirs(st.base.toSeq ++ st.originals, fromBase = true),
-      readDirs(st.deltas, fromBase = false)).flatten
+    // Originals (valid only when no base supersedes them) lack acid
+    // columns on disk — synthesize them file-locally.
+    val originalRows =
+      if (st.originals.isEmpty) None
+      else Some(syntheticAcidMeta(
+        spark.read.parquet(st.originals.map(d => s"$tableDir/$d"): _*)
+          .select(col("*"), col("_metadata"))))
+    val inserts = (Seq(
+      readDirs(st.base.toSeq, fromBase = true),
+      readDirs(st.deltas, fromBase = false)).flatten ++ originalRows)
       .reduce(_ unionByName _)
     val deletes = if (st.deleteDeltas.isEmpty) None
       else Some(spark.read.parquet(st.deleteDeltas.map(d => s"$tableDir/$d"): _*)
@@ -351,6 +393,8 @@ object HiveAcidQueries {
     s"/tmp/graft_acid_mm_orders_${new java.io.File(dir).getName}"
   def fullAcidPath(dir: String): String =
     s"/tmp/graft_acid_full_orders_${new java.io.File(dir).getName}"
+  def originalsPath(dir: String): String =
+    s"/tmp/graft_acid_orig_orders_${new java.io.File(dir).getName}"
 
   private def exists(spark: SparkSession, p: String): Boolean = {
     val hp = new org.apache.hadoop.fs.Path(p)
@@ -402,6 +446,68 @@ object HiveAcidQueries {
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).create(hp, true).close()
   }
 
+  /** Write `df` as ONE parquet FILE at `filePath` (Hive original files
+    * are bare files named `000000_0` at the table root — the file NAME
+    * carries the bucket id, so a part-file inside a directory won't
+    * do): single-task sorted write to a scratch dir, then rename the
+    * part file. Fixture-only driver-side rename of one bounded file. */
+  private def writeSingleFile(df: DataFrame, filePath: String, sortCol: String): Unit = {
+    val spark = df.sparkSession
+    val tmp = filePath + "_tmp"
+    df.repartition(1).sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).filter(_.getName.startsWith("part-")).head
+    fs.rename(part, new org.apache.hadoop.fs.Path(filePath))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  /** Upgraded-in-place layout (snapshot hwm=3): two ORIGINAL files at
+    * the table root (no acid columns; bucket from the FILE NAME, rowId
+    * = in-file ordinal = o_orderkey rank within the file since each is
+    * written sorted), one post-upgrade insert delta, and a delete delta
+    * addressing original rows by synthesized (origTxn=0, bucket codec,
+    * rowId):
+    *   000000_0                      % 3 = 0  (bucket 0, sorted)
+    *   000001_0                      % 3 = 1  (bucket 1, sorted)
+    *   delta_0000002_0000002         % 3 = 2, writeId 2
+    *   delete_delta_0000003_0000003  every 4th row (ordinal % 4 = 0) of bucket 0
+    *   → visible: (%3=0 AND rank%4≠0) ∪ (%3=1) ∪ (%3=2)
+    */
+  def ensureOriginals(spark: SparkSession, dir: String): String = {
+    val root = originalsPath(dir)
+    if (!exists(spark, s"$root/_built")) {
+      val orders = graft.Tables(spark, dir).orders
+      def slice(m: Long) = orders.filter(pmod(col("o_orderkey"), lit(3L)) === m)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+      writeSingleFile(slice(0), s"$root/000000_0", "o_orderkey")
+      writeSingleFile(slice(1), s"$root/000001_0", "o_orderkey")
+      def acid(df: DataFrame, writeId: Long, op: Int) = df.select(
+        Seq(lit(op).as("operation"),
+          lit(writeId).as("originalTransaction"),
+          lit(0).as("bucket"),
+          col("o_orderkey").as("rowId"),
+          lit(writeId).as("currentTransaction")) ++ df.columns.map(col): _*)
+      acid(slice(2), 2L, 0).write.mode("overwrite")
+        .parquet(s"$root/delta_0000002_0000002")
+      // delete keys: the in-file ordinal of a sorted single file is the
+      // o_orderkey rank — compute it relationally, no read-back needed
+      val w = org.apache.spark.sql.expressions.Window.orderBy("o_orderkey")
+      slice(0).select((row_number().over(w) - 1).cast("long").as("rowId"))
+        .filter(pmod(col("rowId"), lit(4L)) === 0)
+        .select(lit(2).as("operation"), lit(0L).as("originalTransaction"),
+          lit(1 << 29).as("bucket"), col("rowId"),
+          lit(3L).as("currentTransaction"))
+        .write.mode("overwrite").parquet(s"$root/delete_delta_0000003_0000003")
+      touch(spark, s"$root/_built")
+    }
+    root
+  }
+
   private def agg(df: DataFrame): DataFrame =
     df.groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),
@@ -424,6 +530,11 @@ object HiveAcidQueries {
       agg(HiveAcid.readFullAcid(spark, root,
         ValidWriteIds(highWatermark = 4L, aborted = Set(4L))))
     }),
+    "src_hive_acid_orig" -> ((spark, dir) => {
+      val root = ensureOriginals(spark, dir)
+      agg(HiveAcid.readFullAcid(spark, root,
+        ValidWriteIds(highWatermark = 3L)))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -443,5 +554,24 @@ object HiveAcidQueries {
          |FROM orders
          |WHERE (o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0) OR o_orderkey % 3 = 1
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // original files read with SYNTHESIZED acid metadata: the in-file
+    // ordinal of a sorted single-file original is the o_orderkey rank,
+    // recomputed here relationally
+    "src_hive_acid_orig" ->
+      s"""WITH b0 AS (
+         |  SELECT o_orderstatus, o_custkey, o_totalprice, o_orderkey,
+         |    row_number() OVER (ORDER BY o_orderkey) - 1 AS rn
+         |  FROM orders WHERE o_orderkey % 3 = 0),
+         |vis AS (
+         |  SELECT o_orderstatus, o_custkey, o_totalprice, o_orderkey
+         |  FROM b0 WHERE rn % 4 <> 0
+         |  UNION ALL
+         |  SELECT o_orderstatus, o_custkey, o_totalprice, o_orderkey
+         |  FROM orders WHERE o_orderkey % 3 IN (1, 2))
+         |SELECT o_orderstatus, count(*) AS n,
+         |  count(DISTINCT o_custkey) AS nd_cust,
+         |  ${Exact.sqlSum("o_totalprice")} AS sum_price,
+         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         |FROM vis GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }

@@ -1132,6 +1132,31 @@ class SourcesSpec extends SparkSpec {
     assert(joins.nonEmpty && !joins.exists(_.contains("Cartesian")))
   }
 
+  test("S18: original files surface with synthesized acid metadata; " +
+       "delete deltas land on the synthesized (bucket, rowId)") {
+    val root = graft.sources.HiveAcidQueries.ensureOriginals(spark, sf0001)
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val visible = HiveAcid.readFullAcid(spark, root, ValidWriteIds(highWatermark = 3L))
+    // acid columns synthesized internally, never leaked
+    assert(visible.columns.toSeq == orders.columns.toSeq)
+    // expected: bucket-0 originals lose every 4th row BY IN-FILE
+    // ORDINAL (= o_orderkey rank: the file was written sorted); bucket-1
+    // originals and the writeId-2 delta survive whole
+    val w = org.apache.spark.sql.expressions.Window.orderBy("o_orderkey")
+    val b0kept = orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0L)
+      .withColumn("rn", row_number().over(w) - 1)
+      .filter(pmod(col("rn"), lit(4L)) =!= 0L).drop("rn")
+    val rest = orders.filter(pmod(col("o_orderkey"), lit(3L)).isin(1L, 2L))
+    val expected = b0kept.unionByName(rest)
+    assert(visible.count() == expected.count())
+    assert(visible.select(sum("o_orderkey")).head.getLong(0) ==
+      expected.select(sum("o_orderkey")).head.getLong(0))
+    // the file-name bucket codec agrees between the Column mirror (read
+    // path) and the driver-side utility on both original names
+    assert(HiveAcid.bucketProperty(s"$root/000000_0") == (1 << 29))
+    assert(HiveAcid.bucketProperty(s"$root/000001_0") == ((1 << 29) | (1 << 16)))
+  }
+
   // ---------------------------------------------------------------
   // S19: per-partition mixed file formats (reference: per-partition
   // fileFormatDescriptor in HdfsPartition.java)
