@@ -1,0 +1,294 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** T27: a Hive ACID (insert-only) table as a STREAMING SOURCE — the
+  * delta directory log tailed as micro-batches, the ACID counterpart
+  * of the T25 Iceberg streaming source. Offsets ARE write ids (what
+  * the table's own commit layout already provides), so exactly-once
+  * needs no side state: a restart replans the same (start, end] unit
+  * selection.
+  *
+  * Batch semantics:
+  *  - the INITIAL batch (offset −1) is the current snapshot through
+  *    the batch reader's own `selectDirs` supersession sweep (base
+  *    supersedes originals and covered deltas, compaction output its
+  *    inputs) — a base is an unsplittable unit (insert-only files
+  *    carry no acid columns to row-filter on), so the initial load is
+  *    ONE batch at Hive's own base granularity;
+  *  - every later batch admits whole DELTA UNITS beyond the stream
+  *    position: a unit is all statement deltas sharing one
+  *    (minWriteId, maxWriteId) range, identified by its max id.
+  *    Compaction output arriving later is admitted only while its
+  *    ORIGINAL deltas are gone (they'd duplicate) and only when its
+  *    whole range is unemitted — a compacted range straddling the
+  *    stream position is unsplittable (no acid columns) and fails
+  *    fast rather than re-emitting rows. Bases appearing after the
+  *    initial batch are compaction output of already-emitted ids and
+  *    are skipped by construction.
+  *  - a delta mid-write (Hive Streaming `_flush_length` side file
+  *    present) is deferred to a later trigger, never admitted, never
+  *    fatal — the polling discipline of the Iceberg source.
+  *
+  * Admission control (`maxWriteIdsPerTrigger`): at most N delta units
+  * per micro-batch, the T25b analogue — a stream restarted after
+  * downtime drains its catch-up over bounded batches instead of one
+  * unbounded one.
+  *
+  * `abortedWriteIds` (csv option): the reader-side invalid set — a
+  * unit whose whole range is aborted is skipped AND stepped over (the
+  * offset advances past it; aborted ids never block the tail).
+  *
+  * Scale shape: `latestOffset` is one first-level directory listing
+  * (bounded by compaction cadence — Hive's own metadata-scale sweep);
+  * each batch's input is one distributed scan over exactly the newly
+  * committed files, cost ∝ new data. Reader = the shared pruned-
+  * projection parquet reader (name resolution — MM files carry no
+  * field ids).
+  *
+  * Reference semantics (no code shared): AcidUtils.java getAcidState
+  * over write-id snapshots; streaming tail semantics are this repo's
+  * own composition, mirroring its Iceberg source. */
+class HiveAcidStreamSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = options.get("path")
+    require(path != null, "graft.sources.HiveAcidStreamSource requires .load(tableDir)")
+    HiveAcidStream.dataSchema(path)
+  }
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new HiveAcidStreamTable(properties.get("path"), schema)
+}
+
+class HiveAcidStreamTable(path: String, tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-hive-acid-stream($path)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new HiveAcidStreamScanBuilder(path, tableSchema,
+      Option(options.get("maxWriteIdsPerTrigger")).map(_.toInt),
+      Option(options.get("abortedWriteIds")).map(
+        _.split(",").map(_.trim.toLong).toSet).getOrElse(Set.empty))
+}
+
+class HiveAcidStreamScanBuilder(path: String, fullSchema: StructType,
+                                maxUnits: Option[Int], aborted: Set[Long])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new Scan {
+    override def readSchema(): StructType = required
+    override def description(): String =
+      s"graft-hive-acid-stream $path cols=${required.fieldNames.mkString(",")}"
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new HiveAcidMicroBatchStream(path, required, maxUnits, aborted)
+  }
+}
+
+case class AcidWriteIdOffset(writeId: Long) extends Offset {
+  override def json(): String = s"""{"writeId":$writeId}"""
+}
+
+/** At most `max` delta units admitted per micro-batch (T25b shape). */
+case class ReadMaxWriteIds(max: Int) extends ReadLimit {
+  require(max > 0, s"maxWriteIdsPerTrigger must be positive, got $max")
+}
+
+object HiveAcidStream {
+  import HiveAcid.{parseDelta, parseBase, ParsedDelta}
+
+  private def conf =
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+
+  private[graft] def listNames(path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+
+  /** True iff the unit's directory is a COMMITTED write. A directory
+    * appears the moment a writer starts, so directory existence alone
+    * is not commit: mid-flight signatures are a Hive Streaming
+    * `*_flush_length` side file, an in-flight file-committer
+    * `_temporary`, or no visible data files yet (rename-in-progress).
+    * Incomplete units are DEFERRED to a later trigger — admitting one
+    * would plan an empty batch and advance the offset past rows that
+    * land milliseconds later (observed in the T27 spec race). An empty
+    * but committed write (`_SUCCESS`, no data files) counts complete. */
+  private[graft] def isComplete(path: String, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$dir")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return false
+    if (!fs.getFileStatus(p).isDirectory) return true // bare original file
+    val names = fs.listStatus(p).toSeq.map(_.getPath.getName)
+    val midWrite = names.exists(_.endsWith("_flush_length")) || names.contains("_temporary")
+    !midWrite &&
+      (names.exists(n => !n.startsWith("_") && !n.startsWith(".")) || names.contains("_SUCCESS"))
+  }
+
+  /** Schema of the table's data files: resolve the current snapshot's
+    * directories and read one parquet footer's schema. */
+  def dataSchema(path: String): StructType = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val st = HiveAcid.selectDirs(listNames(path),
+      HiveAcid.ValidWriteIds(highWatermark = Long.MaxValue))
+    val dirs = st.dataDirs
+    require(dirs.nonEmpty, s"no readable ACID data under $path")
+    spark.read.parquet(s"$path/${dirs.head}").schema
+  }
+
+  /** Tail units beyond stream position `from` (from >= 0): sorted
+    * (unitId = maxWriteId, dirs) of admissible whole delta ranges.
+    * Pure over the listed names — unit-testable without a filesystem. */
+  private[graft] def tailUnits(names: Seq[String], from: Long,
+                               aborted: Set[Long]): Seq[(Long, Seq[String])] = {
+    val deltas = names.flatMap(n => parseDelta(n).map(n -> _))
+    require(!deltas.exists(_._2.isDelete),
+      s"delete deltas present: a full-ACID table cannot stream insert-only " +
+        s"(rows would need retraction); read it in batch via readFullAcid")
+    val (compacted, plain) = deltas.partition(_._2.isCompacted)
+    def wholeRangeAborted(d: ParsedDelta): Boolean =
+      (d.minWriteId to d.maxWriteId).forall(aborted)
+    val plainAdmit = plain.filter { case (_, d) =>
+      d.minWriteId > from && !wholeRangeAborted(d)
+    }
+    // compaction output: admitted only when its originals are GONE
+    // (they'd duplicate rows) and its whole range is unemitted; a range
+    // straddling the position is unsplittable — fail fast, loudly.
+    val plainRanges = plain.map(_._2).toSeq
+    val compactedAdmit = compacted.filter { case (name, d) =>
+      val overlapsPlain = plainRanges.exists(p =>
+        p.minWriteId <= d.maxWriteId && d.minWriteId <= p.maxWriteId)
+      if (overlapsPlain) false
+      else if (d.maxWriteId <= from) false
+      else if (d.minWriteId <= from)
+        throw new IllegalStateException(
+          s"compacted $name straddles stream position $from and its original " +
+            s"deltas were cleaned: the range cannot be split (insert-only files " +
+            s"carry no write-id column). Restart the stream from a fresh checkpoint.")
+      else !wholeRangeAborted(d)
+    }
+    (plainAdmit ++ compactedAdmit)
+      .groupBy { case (_, d) => (d.minWriteId, d.maxWriteId) }
+      .toSeq
+      .map { case ((_, mx), ds) => (mx, ds.map(_._1).sorted) }
+      .sortBy(_._1)
+  }
+
+  /** The current snapshot's high watermark as a unit id: max over the
+    * best base and every complete delta (0 when only originals exist). */
+  private[graft] def currentHwm(names: Seq[String]): Long = {
+    val baseMax = names.flatMap(parseBase(_)).map(_.writeId)
+    val deltaMax = names.flatMap(parseDelta(_)).map(_.maxWriteId)
+    (baseMax ++ deltaMax ++ Seq(0L)).max
+  }
+}
+
+class HiveAcidMicroBatchStream(path: String, required: StructType,
+                               maxUnits: Option[Int], aborted: Set[Long])
+    extends MicroBatchStream with SupportsAdmissionControl {
+  import HiveAcidStream._
+  private def conf =
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+
+  @volatile private var lastSeen = -1L
+  private def noteSeen(id: Long): Unit = if (id > lastSeen) lastSeen = id
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxUnits.map(ReadMaxWriteIds(_): ReadLimit).getOrElse(ReadLimit.allAvailable())
+
+  /** Admission-controlled end offset. A polling path never kills the
+    * stream: any listing failure answers `from` (no progress this
+    * trigger). Mid-write units defer themselves AND everything behind
+    * them (units are emitted in write-id order — skipping over an
+    * in-flight unit would reorder the log). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[AcidWriteIdOffset].writeId
+    noteSeen(from)
+    val end =
+      try {
+        val names = HiveAcidStream.listNames(path)
+        if (from < 0L) {
+          // initial snapshot over COMPLETE units only, capped BELOW the
+          // first in-flight write: write ids commit out of order, so an
+          // uncommitted delta under the watermark must hold the snapshot
+          // back (skipping over it would lose its rows forever)
+          val complete = names.filter(isComplete(path, _))
+          val inflight = names.diff(complete).flatMap(n =>
+            HiveAcid.parseDelta(n).map(_.minWriteId)
+              .orElse(HiveAcid.parseBase(n).map(_.writeId)))
+          val hwm = HiveAcidStream.currentHwm(complete)
+          if (inflight.isEmpty) hwm else math.min(hwm, inflight.min - 1)
+        } else {
+          val ready = HiveAcidStream.tailUnits(names, from, aborted)
+            .takeWhile { case (_, dirs) => dirs.forall(isComplete(path, _)) }
+          val admitted = limit match {
+            case ReadMaxWriteIds(max) => ready.take(max)
+            case _ => ready
+          }
+          if (admitted.isEmpty) from else admitted.last._1
+        }
+      } catch {
+        case e: IllegalStateException => throw e // unsplittable range: fail loudly
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[acid-stream] poll failed (no progress this trigger): $e")
+          from
+      }
+    val off = math.max(end, from)
+    noteSeen(off)
+    AcidWriteIdOffset(off)
+  }
+
+  override def reportLatestOffset(): Offset = AcidWriteIdOffset(lastSeen)
+  override def latestOffset(): Offset = throw new IllegalStateException(
+    "latestOffset(Offset, ReadLimit) should be called instead (SupportsAdmissionControl)")
+
+  override def initialOffset(): Offset = AcidWriteIdOffset(-1L)
+  override def deserializeOffset(json: String): Offset = {
+    val id = IcebergMeta.mapper.readTree(json).get("writeId").asLong
+    noteSeen(id)
+    AcidWriteIdOffset(id)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[AcidWriteIdOffset].writeId
+    val to = end.asInstanceOf[AcidWriteIdOffset].writeId
+    noteSeen(to)
+    if (to <= from && from >= 0) return Array.empty
+    val names = HiveAcidStream.listNames(path)
+    val dirs =
+      if (from < 0L)
+        // complete units only — the offset was answered over the same set
+        HiveAcid.selectDirs(names.filter(isComplete(path, _)),
+          HiveAcid.ValidWriteIds(highWatermark = to, aborted = aborted)).dataDirs
+      else
+        HiveAcidStream.tailUnits(names, from, aborted)
+          .filter(_._1 <= to).flatMap(_._2)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    dirs.flatMap { d =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$d")
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.map(_.getPath.toString)
+          .filter(f => { val n = f.substring(f.lastIndexOf('/') + 1)
+            !n.startsWith("_") && !n.startsWith(".") })
+      else Seq(p.toString) // bare original file
+    }.map(f => IcebergInputPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    // name resolution (empty id map): MM parquet files carry no field ids
+    new IcebergReaderFactory(required, Map.empty, new SerializableHadoopConf(conf))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

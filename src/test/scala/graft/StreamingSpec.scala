@@ -723,4 +723,102 @@ class StreamingSpec extends SparkSpec {
       } finally down.stop()
     } finally up.stop()
   }
+
+  // ---------------------------------------------------------------
+  // T27: Hive ACID insert-only table as a streaming source (write-id
+  // offsets, delta-unit admission — the S18 family's streaming tail)
+  // ---------------------------------------------------------------
+
+  private def acidDocDf(ids: Long*) = {
+    import org.apache.spark.sql.{Row, types => T}
+    val schema = T.StructType(Seq(
+      T.StructField("doc_id", T.LongType), T.StructField("text", T.StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(ids.map(id => Row(id, s"text $id"))), schema)
+  }
+
+  test("T27: ACID streaming source — initial snapshot, then one unit per committed delta") {
+    val root = java.nio.file.Files.createTempDirectory("graft_t27").toString
+    val dir = s"$root/tbl"; val ckpt = s"$root/ckpt"
+    acidDocDf(1L, 2L).write.parquet(s"$dir/base_0000002")
+    acidDocDf(3L).write.parquet(s"$dir/delta_0000003_0000003")
+    val batches = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    def start() = spark.readStream.format("graft.sources.HiveAcidStreamSource").load(dir)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+        batches.synchronized { batches += ids }; ()
+      }.option("checkpointLocation", ckpt).start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      // initial batch = the whole current snapshot (base + tail delta)
+      assert(batches.filter(_.nonEmpty).toSeq == Seq(Seq(1L, 2L, 3L)), batches.toString)
+      // a new committed write flows as exactly its own rows
+      acidDocDf(4L).write.parquet(s"$dir/delta_0000004_0000004")
+      q.processAllAvailable()
+      assert(batches.flatten.sorted == Seq(1L, 2L, 3L, 4L), batches.toString)
+    } finally q.stop()
+    // restart from the checkpoint: only writes committed since the
+    // stored write id arrive (the directory layout IS the offset log)
+    acidDocDf(5L).write.parquet(s"$dir/delta_0000005_0000005")
+    val n0 = batches.flatten.size
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(batches.flatten.drop(n0) == Seq(5L), batches.toString)
+    } finally q2.stop()
+  }
+
+  test("T27b: ACID streaming admission — maxWriteIdsPerTrigger drains the tail in bounded units") {
+    val root = java.nio.file.Files.createTempDirectory("graft_t27b").toString
+    val dir = s"$root/tbl"; val ckpt = s"$root/ckpt"
+    acidDocDf(1L).write.parquet(s"$dir/base_0000001")
+    val batches = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    val q = spark.readStream.format("graft.sources.HiveAcidStreamSource")
+      .option("maxWriteIdsPerTrigger", "1").load(dir)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+        batches.synchronized { batches += ids }; ()
+      }.option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      // 3 writes land while the stream idles — the catch-up must drain
+      // as 3 bounded batches, exactly-once intact (T25b shape)
+      acidDocDf(2L).write.parquet(s"$dir/delta_0000002_0000002")
+      acidDocDf(3L).write.parquet(s"$dir/delta_0000003_0000003")
+      acidDocDf(4L).write.parquet(s"$dir/delta_0000004_0000004")
+      q.processAllAvailable()
+      assert(batches.filter(_.nonEmpty).toSeq ==
+        Seq(Seq(1L), Seq(2L), Seq(3L), Seq(4L)), batches.toString)
+    } finally q.stop()
+  }
+
+  test("T27: tail-unit selection — compaction supersession, aborted skip, straddle fail-fast") {
+    import graft.sources.HiveAcidStream.tailUnits
+    // statement deltas of one txn form ONE unit; ordering by max id
+    assert(tailUnits(Seq("delta_0000002_0000002_0001", "delta_0000002_0000002_0002",
+      "delta_0000003_0000003"), 1L, Set.empty).map { case (id, ds) => id -> ds.length } ==
+      Seq(2L -> 2, 3L -> 1))
+    // already-emitted units drop out
+    assert(tailUnits(Seq("delta_0000002_0000002", "delta_0000003_0000003"), 2L, Set.empty)
+      .map(_._1) == Seq(3L))
+    // a whole-range-aborted unit is skipped (and the offset may step over it)
+    assert(tailUnits(Seq("delta_0000003_0000003", "delta_0000004_0000004"), 2L, Set(3L))
+      .map(_._1) == Seq(4L))
+    // compaction output is ignored while its original deltas remain...
+    assert(tailUnits(Seq("delta_0000002_0000002", "delta_0000003_0000003",
+      "delta_0000002_0000003_v0000009"), 1L, Set.empty).map(_._1) == Seq(2L, 3L))
+    // ...admitted whole once they're cleaned and the range is unemitted...
+    assert(tailUnits(Seq("delta_0000002_0000003_v0000009"), 1L, Set.empty)
+      .map(_._1) == Seq(3L))
+    // ...and fails FAST when it straddles the stream position (the
+    // range can't be split: insert-only files carry no write-id column)
+    intercept[IllegalStateException] {
+      tailUnits(Seq("delta_0000002_0000003_v0000009"), 2L, Set.empty)
+    }
+    // delete deltas mean full-ACID: the insert-only stream refuses
+    intercept[IllegalArgumentException] {
+      tailUnits(Seq("delete_delta_0000002_0000002"), 1L, Set.empty)
+    }
+  }
 }
