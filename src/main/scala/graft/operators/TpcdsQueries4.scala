@@ -106,21 +106,33 @@ object TpcdsQueries4 {
     // DS53 (q28 shape): six quantity bands, each contributing a count,
     // a floored-micros average price, and a distinct-price count, all
     // in ONE output row. The literal form is six scalar subqueries
-    // CROSS JOINed (the oracle runs exactly that); the Spark form is
-    // one conditional-aggregation pass — count(DISTINCT CASE...) skips
-    // the nulls outside the band in both engines.
+    // CROSS JOINed (the oracle runs exactly that). The Spark form
+    // pre-aggregates on the (band, price) GRAIN first — six
+    // count-DISTINCTs on different filters of one fact would otherwise
+    // Expand the 6M-row scan 7× (measured 4.5 s vs this plan; the
+    // §5-rule pre-aggregate-before-Expand discipline) — then folds the
+    // six band rows into the single output row with conditional firsts.
     "ds_q28_band_stats" -> ((spark, dir) => {
       val t = Tables(spark, dir)
-      val bands = (0 until 6).map(i => (i * 5 + 1, i * 5 + 5)) // 1-5 .. 26-30
-      val aggs = bands.zipWithIndex.flatMap { case ((lo, hi), i) =>
-        val in = col("l_quantity").between(lo, hi)
+      val grain = t.lineitem
+        .filter(col("l_quantity").between(1, 30))
+        .groupBy(floor((col("l_quantity") - 1) / 5).cast("int").as("band"),
+          col("l_extendedprice"))
+        .agg(count(lit(1)).as("cnt"))
+      val byBand = grain.groupBy("band")
+        .agg(sum(col("cnt")).as("n"),
+          (sum(col("l_extendedprice").cast(D) * col("cnt")) * 1000000)
+            .cast("long").as("price_micros"),
+          count(lit(1)).as("nd"))
+      val aggs = (0 until 6).flatMap { i =>
         Seq(
-          sum(when(in, 1L).otherwise(0L)).as(s"cnt_b$i"),
-          floor(microsIf(in, col("l_extendedprice")) /
-            sum(when(in, 1L).otherwise(0L))).cast("long").as(s"avg_b$i"),
-          countDistinct(when(in, col("l_extendedprice"))).as(s"nd_b$i"))
+          sum(when(col("band") === i, col("n")).otherwise(0L)).as(s"cnt_b$i"),
+          floor(sum(when(col("band") === i, col("price_micros")).otherwise(0L)) /
+            sum(when(col("band") === i, col("n")).otherwise(0L)))
+            .cast("long").as(s"avg_b$i"),
+          sum(when(col("band") === i, col("nd")).otherwise(0L)).as(s"nd_b$i"))
       }
-      t.lineitem.agg(aggs.head, aggs.tail: _*)
+      byBand.agg(aggs.head, aggs.tail: _*)
     }),
 
     // DS54 (q37 shape): selective dim-side band — parts in a retail
@@ -180,6 +192,58 @@ object TpcdsQueries4 {
         .groupBy("n_name")
         .agg(aggs.head, aggs.tail: _*)
         .orderBy("n_name")
+    }),
+
+    // DS58 (q10 shape): customer demographic counts under an OR of
+    // independent EXISTS arms — customers with any 1996 order AND
+    // (a returned line OR a high-value order). Each EXISTS is a
+    // LEFT-SEMI equi-join; the OR of two semi-joins folds to ONE
+    // grouped membership pass over the union of the two key streams
+    // (the ds_q94 device) — the literal oracle runs the two correlated
+    // EXISTS conditions.
+    "ds_q10_or_exists" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val orders96 = t.orders.filter(year(col("o_orderdate")) === 1996)
+        .select(col("o_custkey").as("k")).distinct()
+      val returned = t.lineitem.filter(col("l_returnflag") === "R")
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("k")).distinct()
+      val highValue = t.orders.filter(col("o_totalprice") > 150000)
+        .select(col("o_custkey").as("k")).distinct()
+      t.customer
+        .join(orders96, col("c_custkey") === col("k"), "left_semi")
+        .join(returned.union(highValue).distinct(),
+          col("c_custkey") === col("k"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // DS59 (q39 shape): supplier-months whose quantity coefficient of
+    // variation exceeds 1, self-joined on CONSECUTIVE months — the
+    // inventory-variance pair hunt. cov > 0.5 ⇔ 4·var > mean² is
+    // cross-multiplied into pure integers (quantities are whole
+    // numbers): 4·(n²·Σx² − n·(Σx)²) > (n−1)·(Σx)², so both engines
+    // agree exactly — no sqrt, no floating variance. The self-join
+    // runs on the (supplier × month) AGGREGATE grain, never the fact.
+    "ds_q39_variance_pairs" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      val m = t.lineitem
+        .groupBy(col("l_suppkey"),
+          date_trunc("month", col("l_shipdate")).cast("date").as("month"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("s"),
+          sum((col("l_quantity") * col("l_quantity")).cast("long")).as("ss"))
+        .filter(col("n") > 1 &&
+          (col("n") * col("n") * col("ss") - col("n") * col("s") * col("s")) * 4 >
+            (col("n") - 1) * col("s") * col("s"))
+      val a = m.select(col("l_suppkey").as("suppkey"), col("month").as("m1"),
+        col("n").as("n1"), col("s").as("s1"))
+      val b = m.select(col("l_suppkey").as("suppkey"), col("month").as("m2"),
+        col("n").as("n2"), col("s").as("s2"))
+      a.join(b, Seq("suppkey"))
+        .filter(add_months(col("m1"), 1) === col("m2"))
+        .orderBy("suppkey", "m1")
     }),
 
     // DS57 (q91 shape): month-over-month returned-revenue delta per
@@ -279,6 +343,38 @@ object TpcdsQueries4 {
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name ORDER BY n_name""".stripMargin
     },
+    "ds_q10_or_exists" ->
+      s"""SELECT c_mktsegment, count(*)::BIGINT AS n_cust,
+        |  ${Exact.sqlSum("c_acctbal")} AS sum_bal
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND year(o_orderdate) = 1996)
+        |  AND (EXISTS (SELECT 1 FROM lineitem JOIN orders
+        |                 ON l_orderkey = o_orderkey
+        |               WHERE o_custkey = c_custkey AND l_returnflag = 'R')
+        |    OR EXISTS (SELECT 1 FROM orders
+        |               WHERE o_custkey = c_custkey AND o_totalprice > 150000))
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "ds_q39_variance_pairs" ->
+      """WITH m AS (
+        |  SELECT l_suppkey AS suppkey,
+        |    date_trunc('month', l_shipdate)::DATE AS month,
+        |    count(*)::BIGINT AS n,
+        |    SUM(CAST(l_quantity AS BIGINT)) AS s,
+        |    SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS ss
+        |  FROM lineitem
+        |  GROUP BY l_suppkey, date_trunc('month', l_shipdate)::DATE
+        |  HAVING count(*) > 1
+        |     AND (count(*)::BIGINT * count(*)::BIGINT * SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |          - count(*)::BIGINT * SUM(CAST(l_quantity AS BIGINT)) * SUM(CAST(l_quantity AS BIGINT))) * 4
+        |       > (count(*)::BIGINT - 1) * SUM(CAST(l_quantity AS BIGINT)) * SUM(CAST(l_quantity AS BIGINT)))
+        |SELECT a.suppkey, a.month AS m1, a.n AS n1, a.s::BIGINT AS s1,
+        |       b.month AS m2, b.n AS n2, b.s::BIGINT AS s2
+        |FROM m a JOIN m b
+        |  ON a.suppkey = b.suppkey
+        | AND b.month = a.month + INTERVAL 1 MONTH
+        |ORDER BY a.suppkey, m1""".stripMargin,
     "ds_q91_segment_loss_mom" ->
       s"""WITH m AS (
          |  SELECT c_mktsegment, date_trunc('month', o_orderdate)::DATE AS month,
