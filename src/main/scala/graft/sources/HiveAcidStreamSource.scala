@@ -239,7 +239,11 @@ class HiveAcidMicroBatchStream(path: String, required: StructType,
           if (admitted.isEmpty) from else admitted.last._1
         }
       } catch {
-        case e: IllegalStateException => throw e // unsplittable range: fail loudly
+        // unsplittable compacted range / delete-delta refusal: these are
+        // permanent table-state facts, not transient races — fail loudly
+        // instead of stalling forever behind the polling catch
+        case e: IllegalStateException => throw e
+        case e: IllegalArgumentException => throw e
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[acid-stream] poll failed (no progress this trigger): $e")
           from

@@ -524,6 +524,55 @@ class PlanAuditSpec extends SparkSpec {
     * centroid, sample, or config relation — never corpus-sized).
     * Every allowance below must name its bounded side; the assert is
     * two-way, so a stale allowance fails too. */
+  /** The round-10 q28 lesson as a CI gate: Expand multiplies its input
+    * N ways (multi-DISTINCT aggregates, ROLLUP/CUBE/GROUPING SETS), so
+    * an Expand whose input is the raw FACT is a plan smell — the first
+    * ds_q28 draft ran six count-DISTINCT filters of one 6M-row scan
+    * through a 7× Expand (4.5 s; the (band, price) grain rewrite runs
+    * 0.7–1.4 s). Every query whose physical plan carries an Expand must
+    * be documented here with WHY its Expand input is bounded — either
+    * the input is pre-aggregated to a small grain before Expand, or the
+    * exact multi-distinct semantics genuinely need the fact (and the
+    * deliberate-contrast entries say so). Two-way assert: an
+    * undocumented Expand fails, and so does a stale allowance. */
+  test("every Expand in the query inventory has a documented bounded input") {
+    val allowed = Set(
+      // grouping-set families: Expand IS the grouping-sets operator;
+      // inputs are pre-aggregated to the finest grain first (the §5
+      // partial-sums discipline), so the multiplier rides a small grain
+      "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_grouping_fn",
+      "agg_grouping_id", "ds_q27_rollup_profile",
+      "ds_q5_channel_rollup", "ds_q67_rollup_topn", "ds_q36_margin_rank",
+      // UNPIVOT is literally Expand — one copy per unpivoted column,
+      // multiplier = the fixed column list
+      "rel_unpivot",
+      // MULTI-distinct aggregates (>= 2 distinct key sets — a single
+      // countDistinct plans WITHOUT Expand): the exact semantics demand
+      // the per-key-set replication. agg_multi_distinct/agg_filter/
+      // agg_count_semantics are the Impala distinct/FILTER surface
+      // itself; corpus_data_card is the occasional-audit report whose
+      // per-dimension distincts have no smaller grain; the seqfile
+      // round-trip aggregate runs on a 5-row input
+      "agg_multi_distinct", "agg_filter", "agg_count_semantics",
+      "corpus_data_card", "src_seqfile_roundtrip",
+      // the DELIBERATE exact/Expand contrast kept beside its M1b HLL
+      // twin (stats_table_ndv) — the inventory's documented anti-pattern
+      "stats_table",
+      // mixed-format round trip: two distinct key sets (doc_id, source)
+      // per lang over the bounded 5-partition table
+      "src_mixed_formats")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val has = physicalNodes(fn(spark, sf0001).queryExecution.sparkPlan).exists {
+        case _: org.apache.spark.sql.execution.ExpandExec => true
+        case _ => false
+      }
+      if (has) Some(name) else None
+    }
+    assert(offenders.toSet.subsetOf(allowed) && allowed.subsetOf(offenders.toSet),
+      s"undocumented Expand: ${offenders.toSet -- allowed}; " +
+        s"stale allowance: ${allowed -- offenders.toSet}")
+  }
+
   test("no unbounded cartesian/nested-loop joins anywhere in the query inventory") {
     val allowed = Set(
       // the CROSS JOIN relational operator itself (R7): 5-row region side
