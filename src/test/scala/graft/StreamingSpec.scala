@@ -793,6 +793,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T27: commit detection — _temporary / side-file / empty dirs defer, _SUCCESS-only counts") {
+    import graft.sources.HiveAcidStream.isComplete
+    spark.sparkContext // isComplete resolves its Hadoop conf off the active session
+    val root = java.nio.file.Files.createTempDirectory("graft_t27c").toString
+    def mk(dir: String, files: String*): Unit = {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/$dir"))
+      files.foreach(f => java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(s"$root/$dir/$f")))
+    }
+    // in-flight committer: the dir exists the moment the writer starts —
+    // the exact race the T27 spec hit live before the guard
+    mk("delta_0000002_0000002"); java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/delta_0000002_0000002/_temporary"))
+    assert(!isComplete(root, "delta_0000002_0000002"))
+    // Hive Streaming side file: mid-transaction
+    mk("delta_0000003_0000003", "bucket_00000", "bucket_00000_flush_length")
+    assert(!isComplete(root, "delta_0000003_0000003"))
+    // bare directory, nothing visible yet: rename-in-progress
+    mk("delta_0000004_0000004")
+    assert(!isComplete(root, "delta_0000004_0000004"))
+    // committed: visible data file
+    mk("delta_0000005_0000005", "part-00000.parquet")
+    assert(isComplete(root, "delta_0000005_0000005"))
+    // committed but EMPTY write: _SUCCESS with no data files
+    mk("delta_0000006_0000006", "_SUCCESS")
+    assert(isComplete(root, "delta_0000006_0000006"))
+    // a missing dir is not complete; a bare original FILE is
+    assert(!isComplete(root, "delta_0000007_0000007"))
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$root/000000_0"))
+    assert(isComplete(root, "000000_0"))
+  }
+
   test("T27: tail-unit selection — compaction supersession, aborted skip, straddle fail-fast") {
     import graft.sources.HiveAcidStream.tailUnits
     // statement deltas of one txn form ONE unit; ordering by max id
