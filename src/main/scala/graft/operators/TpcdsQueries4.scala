@@ -137,8 +137,11 @@ object TpcdsQueries4 {
 
     // DS54 (q37 shape): selective dim-side band — parts in a retail
     // price band AND a size IN-list — against a 90-day ship window on
-    // the fact. The filtered dim is small, so it BROADCASTS (asserted
-    // by the explicit hint); the fact never shuffles for the join.
+    // the fact. NO broadcast hint: the filtered dim is a constant
+    // FRACTION of part, which grows with the corpus (the §5 hint rule —
+    // a hint overrides AQE unconditionally and becomes the 100 TB
+    // hazard); AQE's size estimate broadcasts it while it fits and
+    // degrades to a shuffle join when it doesn't.
     "ds_q37_partband_window" -> ((spark, dir) => {
       val t = Tables(spark, dir)
       val dim = t.part.filter(col("p_retailprice").between(1200, 1500) &&
@@ -146,7 +149,7 @@ object TpcdsQueries4 {
       t.lineitem
         .filter(col("l_shipdate").between(
           lit("1996-03-01").cast("date"), lit("1996-05-29").cast("date")))
-        .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+        .join(dim, col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n_lines"),
           micros(rev).as("rev_micros"),

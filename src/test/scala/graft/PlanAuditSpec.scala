@@ -89,6 +89,34 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  /** The X5 rule extended to the WHOLE inventory (round-10: ds_q37's
+    * first draft hinted a FILTERED part dim — a constant fraction of a
+    * linear-growth relation, exactly the 100 TB hazard, and the
+    * TPC-H-only audit above never saw it). Same criterion: a hint
+    * subtree may scan linear-growth tables only beneath an aggregation. */
+  test("broadcast hints only on fixed-cardinality or aggregated relations (full inventory)") {
+    // Hints whose subtree is bounded by a WINDOW top-k filter rather
+    // than an Aggregate — the criterion below can't see that bound, so
+    // each gets a documented allowance (two-way: stale entries fail):
+    //  - pipe_source_cap: the hinted side is the salted two-phase
+    //    top-k's survivor set, <= |sources|·k rows by the rn <= k
+    //    filters (Curation.sourceCap scaladoc)
+    val windowBounded = Set("pipe_source_cap")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val hints = fn(spark, sf0001).queryExecution.analyzed
+        .collect { case h: ResolvedHint => h }
+      hints.flatMap { h =>
+        val rawLinear = scanNames(h.child).filter(s => linearGrowth.exists(s.startsWith))
+        if (rawLinear.nonEmpty && !hasAggregate(h.child)) Some(name -> rawLinear)
+        else None
+      }
+    }
+    val bad = offenders.filterNot { case (n, _) => windowBounded(n) }
+    assert(bad.isEmpty, s"un-aggregated linear-growth broadcast hints: $bad")
+    assert(windowBounded.subsetOf(offenders.map(_._1).toSet),
+      s"stale window-bounded allowance: ${windowBounded -- offenders.map(_._1).toSet}")
+  }
+
   test("hot-path queries stay inside whole-stage codegen, custom exprs included") {
     // the brief's codegen rule: hot expressions must not fall out of
     // WholeStageCodegen (a non-codegen Expression in the scan path
