@@ -48,6 +48,7 @@ object Fixtures {
     "dedup_incremental_indexed" -> ((s, d) => { pipeline.Dedup.ensureLshIndex(s, d); () }),
     "src_hive_acid" -> ((s, d) => { sources.HiveAcidQueries.ensureInsertOnly(s, d); () }),
     "src_hive_acid_full" -> ((s, d) => { sources.HiveAcidQueries.ensureFullAcid(s, d); () }),
+    "src_hive_acid_orig" -> ((s, d) => { sources.HiveAcidQueries.ensureOriginals(s, d); () }),
     "src_mixed_formats" -> ((s, d) => { sources.MixedFormatQueries.ensureTable(s, d); () }),
     "src_mixed_prune" -> ((s, d) => { sources.MixedFormatQueries.ensureTable(s, d); () }),
   )
@@ -101,6 +102,7 @@ object Fixtures {
         rm(s, sources.IcebergQueries.incrPath(d)) }),
     "src_hive_acid" -> ((s, d) => rm(s, sources.HiveAcidQueries.insertOnlyPath(d))),
     "src_hive_acid_full" -> ((s, d) => rm(s, sources.HiveAcidQueries.fullAcidPath(d))),
+    "src_hive_acid_orig" -> ((s, d) => rm(s, sources.HiveAcidQueries.originalsPath(d))),
     // the mixed table serves BOTH mixed queries: only the later one
     // (alphabetically: src_mixed_prune) tears it down
     "src_mixed_prune" -> ((s, d) => rm(s, sources.MixedFormatQueries.path(d))),

@@ -48,6 +48,8 @@ object MixedFormat {
     if (fs.exists(new Path(path))) fs.delete(new Path(path), true)
     fs.mkdirs(new Path(path))
     val dataSchema = StructType(df.schema.filterNot(_.name == partitionCol))
+    // bounded driver-side collect: the DISTINCT partition-value domain
+    // (the same metadata-scale set HMS hands Impala), never row data
     val values = df.select(partitionCol).distinct().collect()
       .map(_.get(0).toString).sorted.toSeq
     val parts = values.zipWithIndex.map { case (v, i) =>
