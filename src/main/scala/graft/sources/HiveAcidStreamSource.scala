@@ -201,6 +201,14 @@ class HiveAcidMicroBatchStream(path: String, required: StructType,
   private def conf =
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
 
+  /** The tail path refuses delete deltas inside [[HiveAcidStream.tailUnits]];
+    * the INITIAL snapshot must refuse them too — `selectDirs.dataDirs`
+    * would silently drop them and emit un-retracted rows. */
+  private def requireInsertOnly(names: Seq[String]): Unit =
+    require(!names.exists(n => HiveAcid.parseDelta(n).exists(_.isDelete)),
+      s"delete deltas present under $path: a full-ACID table cannot stream " +
+        s"insert-only (rows would need retraction); read it in batch via readFullAcid")
+
   @volatile private var lastSeen = -1L
   private def noteSeen(id: Long): Unit = if (id > lastSeen) lastSeen = id
 
@@ -219,6 +227,7 @@ class HiveAcidMicroBatchStream(path: String, required: StructType,
       try {
         val names = HiveAcidStream.listNames(path)
         if (from < 0L) {
+          requireInsertOnly(names)
           // initial snapshot over COMPLETE units only, capped BELOW the
           // first in-flight write: write ids commit out of order, so an
           // uncommitted delta under the watermark must hold the snapshot
@@ -271,10 +280,12 @@ class HiveAcidMicroBatchStream(path: String, required: StructType,
     if (to <= from && from >= 0) return Array.empty
     val names = HiveAcidStream.listNames(path)
     val dirs =
-      if (from < 0L)
+      if (from < 0L) {
+        requireInsertOnly(names)
         // complete units only — the offset was answered over the same set
         HiveAcid.selectDirs(names.filter(isComplete(path, _)),
           HiveAcid.ValidWriteIds(highWatermark = to, aborted = aborted)).dataDirs
+      }
       else
         HiveAcidStream.tailUnits(names, from, aborted)
           .filter(_._1 <= to).flatMap(_._2)

@@ -853,4 +853,24 @@ class StreamingSpec extends SparkSpec {
       tailUnits(Seq("delete_delta_0000002_0000002"), 1L, Set.empty)
     }
   }
+
+  test("T27: the INITIAL snapshot also refuses delete deltas (no silent row drop)") {
+    // selectDirs.dataDirs would silently exclude delete deltas, emitting
+    // un-retracted rows — the initial batch must refuse like the tail does
+    val root = java.nio.file.Files.createTempDirectory("graft_t27d").toString
+    acidDocDf(1L).write.parquet(s"$root/base_0000001")
+    acidDocDf(2L).write.parquet(s"$root/delete_delta_0000002_0000002")
+    val ms = new graft.sources.HiveAcidMicroBatchStream(root,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType))), None, Set.empty)
+    intercept[IllegalArgumentException] {
+      ms.latestOffset(graft.sources.AcidWriteIdOffset(-1L),
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    }
+    intercept[IllegalArgumentException] {
+      ms.planInputPartitions(graft.sources.AcidWriteIdOffset(-1L),
+        graft.sources.AcidWriteIdOffset(1L))
+    }
+  }
 }
