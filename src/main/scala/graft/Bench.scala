@@ -140,21 +140,26 @@ object Bench {
       // start: a slow iteration with high load1m is machine-attributable
       // contamination, not a code regression (r9 verdict #4).
       val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
-      val times = (1 to iters).flatMap { _ =>
-        loads += osBean.getSystemLoadAverage
+      // (load, time) sampled together so the emitted iter_load1m array
+      // stays ALIGNED with iter_times when an iteration fails — a load
+      // attributed to the wrong timing sample would point contamination
+      // diagnosis at the wrong iteration (round-10 review).
+      val samples = (1 to iters).map { _ =>
+        val load = osBean.getSystemLoadAverage
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          (load, Some((System.nanoTime() - t0) / 1e9))
         } catch { case e: Throwable =>
           if (err == null) {
             err = String.valueOf(e.getMessage).take(200)
             System.err.println(s"[bench] $name FAILED: $err")
           }
-          None
+          (load, None)
         }
       }
+      val times = samples.flatMap(_._2)
+      val loads = samples.collect { case (l, Some(_)) => l }
       // Cache hygiene BETWEEN queries (iterations of one query share
       // warm cache — persist() is part of that query's plan): without
       // this, every persisted subtree (corpus gate, q49 aggregate) and

@@ -69,9 +69,23 @@ object Similarity {
     * invocation, never per consumer of the sized plan. */
   private[graft] def corpusRows(emb: DataFrame, known: Long): Long =
     if (known >= 0L) known
-    else emb.queryExecution.optimizedPlan.stats.rowCount match {
-      case Some(rc) => rc.toLong
-      case None     => emb.count()
+    else {
+      // Catalyst's rowCount is EXACT only on count-preserving shapes
+      // (Project over a leaf with ANALYZEd stats); under CBO a Filter/
+      // Join above the leaf propagates a selectivity ESTIMATE that can
+      // be off by orders of magnitude — feeding that to the bit sizer
+      // would silently mis-size every LSH consumer (too many bits kills
+      // recall, too few restores the quadratic). Anything non-trivial
+      // pays the one count() instead.
+      val plan = emb.queryExecution.optimizedPlan
+      val countPreserving = plan.collectFirst {
+        case n if !n.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project] &&
+                  n.children.nonEmpty => n
+      }.isEmpty
+      plan.stats.rowCount match {
+        case Some(rc) if countPreserving => rc.toLong
+        case _                           => emb.count()
+      }
     }
 
   /** Resolve the effective per-table bit width: explicit wins;

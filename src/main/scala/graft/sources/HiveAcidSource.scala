@@ -190,9 +190,18 @@ object HiveAcid {
     // Validity filter (reference WriteListBasedPredicate.check): a
     // plain delta needs >= 1 valid id in range; a COMPACTED delta must
     // carry no open id (aborted ok — the compactor dropped their rows).
-    val liveDeltas = deltas.filter { case (_, d) =>
-      if (d.minWriteId <= baseWriteId) false // folded into the base
-      else ids.rangeValidity(d.minWriteId, d.maxWriteId) match {
+    val liveDeltas = deltas.filter { case (name, d) =>
+      if (d.minWriteId <= baseWriteId) {
+        // folded into the base. The compactor never creates a range
+        // STRADDLING a base — a layout where it appears to is corrupt,
+        // and silently dropping the delta would lose the writes above
+        // the base (the reference checkStates the same invariant:
+        // AcidUtils.java:566).
+        if (d.maxWriteId > baseWriteId)
+          throw new IllegalStateException(
+            s"delta $name straddles base write id $baseWriteId — corrupt ACID layout")
+        false
+      } else ids.rangeValidity(d.minWriteId, d.maxWriteId) match {
         case RangeNone => false
         case RangeAll  => true
         case RangeSome => !d.isCompacted || ids.noOpenIn(d.minWriteId, d.maxWriteId)
@@ -235,7 +244,7 @@ object HiveAcid {
       ins.map(_._1), del.map(_._1))
   }
 
-  private def listDirNames(spark: SparkSession, tableDir: String): Seq[String] = {
+  private[graft] def listDirNames(spark: SparkSession, tableDir: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(tableDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(p).toSeq.map(_.getPath.getName)
@@ -257,8 +266,14 @@ object HiveAcid {
     require(st.deleteDeltas.isEmpty,
       "delete deltas found in an insert-only table — read with readFullAcid")
     if (dirs.isEmpty) {
-      // valid empty snapshot: schema from whatever data exists on disk
-      val all = listDirNames(spark, tableDir).map(d => s"$tableDir/$d")
+      // valid empty snapshot: schema from whatever DATA exists on disk —
+      // base/delta dirs and original files only (marker files like
+      // _built/_SUCCESS are not loadable and must not reach the reader)
+      val all = listDirNames(spark, tableDir)
+        .filter(n => parseBase(n).isDefined || parseDelta(n).isDefined ||
+          (!n.startsWith("_") && !n.startsWith(".")))
+        .map(d => s"$tableDir/$d")
+      require(all.nonEmpty, s"no ACID data under $tableDir to infer a schema from")
       spark.read.format(format).load(all: _*).limit(0)
     } else spark.read.format(format).load(dirs: _*)
   }
@@ -401,6 +416,16 @@ object HiveAcidQueries {
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
   }
 
+  /** Prepend the synthesized full-ACID metadata columns to a fixture
+    * slice — shared by the full-ACID and originals layout builders so
+    * the column layout cannot drift between them. */
+  private def acidMeta(df: DataFrame, writeId: Long, op: Int): DataFrame = df.select(
+    Seq(lit(op).as("operation"),
+      lit(writeId).as("originalTransaction"),
+      lit(0).as("bucket"),
+      col("o_orderkey").as("rowId"),
+      lit(writeId).as("currentTransaction")) ++ df.columns.map(col): _*)
+
   def ensureInsertOnly(spark: SparkSession, dir: String): String = {
     val root = insertOnlyPath(dir)
     if (!exists(spark, s"$root/_built")) {
@@ -420,22 +445,16 @@ object HiveAcidQueries {
     val root = fullAcidPath(dir)
     if (!exists(spark, s"$root/_built")) {
       val orders = graft.Tables(spark, dir).orders
-      def acid(df: DataFrame, writeId: Long, op: Int) = df.select(
-        Seq(lit(op).as("operation"),
-          lit(writeId).as("originalTransaction"),
-          lit(0).as("bucket"),
-          col("o_orderkey").as("rowId"),
-          lit(writeId).as("currentTransaction")) ++ df.columns.map(col): _*)
       def slice(m: Long) = orders.filter(pmod(col("o_orderkey"), lit(3L)) === m)
-      acid(slice(0), 1L, 0).write.mode("overwrite").parquet(s"$root/base_0000001")
-      acid(slice(1), 2L, 0).write.mode("overwrite").parquet(s"$root/delta_0000002_0000002")
+      acidMeta(slice(0), 1L, 0).write.mode("overwrite").parquet(s"$root/base_0000001")
+      acidMeta(slice(1), 2L, 0).write.mode("overwrite").parquet(s"$root/delta_0000002_0000002")
       // delete events reference the BASE rows' (origTxn, bucket, rowId)
       slice(0).filter(pmod(col("o_orderkey"), lit(9L)) === 0)
         .select(lit(2).as("operation"), lit(1L).as("originalTransaction"),
           lit(0).as("bucket"), col("o_orderkey").as("rowId"),
           lit(3L).as("currentTransaction"))
         .write.mode("overwrite").parquet(s"$root/delete_delta_0000003_0000003")
-      acid(slice(2), 4L, 0).write.mode("overwrite").parquet(s"$root/delta_0000004_0000004")
+      acidMeta(slice(2), 4L, 0).write.mode("overwrite").parquet(s"$root/delta_0000004_0000004")
       touch(spark, s"$root/_built")
     }
     root
@@ -486,13 +505,7 @@ object HiveAcidQueries {
       fs.mkdirs(new org.apache.hadoop.fs.Path(root))
       writeSingleFile(slice(0), s"$root/000000_0", "o_orderkey")
       writeSingleFile(slice(1), s"$root/000001_0", "o_orderkey")
-      def acid(df: DataFrame, writeId: Long, op: Int) = df.select(
-        Seq(lit(op).as("operation"),
-          lit(writeId).as("originalTransaction"),
-          lit(0).as("bucket"),
-          col("o_orderkey").as("rowId"),
-          lit(writeId).as("currentTransaction")) ++ df.columns.map(col): _*)
-      acid(slice(2), 2L, 0).write.mode("overwrite")
+      acidMeta(slice(2), 2L, 0).write.mode("overwrite")
         .parquet(s"$root/delta_0000002_0000002")
       // delete keys: the in-file ordinal of a sorted single file is the
       // o_orderkey rank — compute it relationally, no read-back needed

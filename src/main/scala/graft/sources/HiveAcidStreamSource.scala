@@ -110,11 +110,8 @@ object HiveAcidStream {
   private def conf =
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
 
-  private[graft] def listNames(path: String): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf)
-    fs.listStatus(p).toSeq.map(_.getPath.getName)
-  }
+  private[graft] def listNames(path: String): Seq[String] =
+    HiveAcid.listDirNames(org.apache.spark.sql.SparkSession.active, path)
 
   /** True iff the unit's directory is a COMMITTED write. A directory
     * appears the moment a writer starts, so directory existence alone
@@ -147,11 +144,16 @@ object HiveAcidStream {
     spark.read.parquet(s"$path/${dirs.head}").schema
   }
 
-  /** Tail units beyond stream position `from` (from >= 0): sorted
-    * (unitId = maxWriteId, dirs) of admissible whole delta ranges.
-    * Pure over the listed names — unit-testable without a filesystem. */
+  /** One admissible delta unit: all statement deltas sharing a
+    * (minWriteId, maxWriteId) range. */
+  private[graft] final case class TailUnit(minId: Long, maxId: Long,
+                                           dirs: Seq[String])
+
+  /** Tail units beyond stream position `from` (from >= 0), sorted by
+    * max write id. Pure over the listed names — unit-testable without
+    * a filesystem. */
   private[graft] def tailUnits(names: Seq[String], from: Long,
-                               aborted: Set[Long]): Seq[(Long, Seq[String])] = {
+                               aborted: Set[Long]): Seq[TailUnit] = {
     val deltas = names.flatMap(n => parseDelta(n).map(n -> _))
     require(!deltas.exists(_._2.isDelete),
       s"delete deltas present: a full-ACID table cannot stream insert-only " +
@@ -181,8 +183,36 @@ object HiveAcidStream {
     (plainAdmit ++ compactedAdmit)
       .groupBy { case (_, d) => (d.minWriteId, d.maxWriteId) }
       .toSeq
-      .map { case ((_, mx), ds) => (mx, ds.map(_._1).sorted) }
-      .sortBy(_._1)
+      .map { case ((mn, mx), ds) => TailUnit(mn, mx, ds.map(_._1).sorted) }
+      .sortBy(_.maxId)
+  }
+
+  /** CONTIGUITY WALK — the only way the stream position may advance.
+    * Write ids commit out of order: a writer can allocate id 8 and
+    * still be writing while id 9's delta is already committed. A tail
+    * that admits unit 9 then moves `from` past 8 loses 8's rows FOREVER
+    * (the `minWriteId > from` filter excludes them on every later
+    * trigger). So each admitted unit must be reachable from the current
+    * position through write ids that are all ACCOUNTED FOR: covered by
+    * the unit itself, or in the caller's aborted set (an aborted id
+    * never produces a committed directory — the only legitimate
+    * permanent gap under the directory+aborted-list trust model).
+    * An unaccounted gap — an allocated-but-uncommitted id, or a dir
+    * that simply hasn't appeared yet — holds the walk (and everything
+    * behind it) back until it resolves. `admit` additionally gates each
+    * unit (commit-completeness at poll time; always-true on replay). */
+  private[graft] def contiguousUnits(units: Seq[TailUnit], from: Long,
+                                     aborted: Set[Long],
+                                     admit: TailUnit => Boolean): Seq[TailUnit] = {
+    val out = Seq.newBuilder[TailUnit]
+    var cur = from
+    var halted = false
+    for (u <- units if !halted) {
+      val gapAccounted = ((cur + 1) until u.minId).forall(aborted)
+      if (gapAccounted && admit(u)) { out += u; cur = u.maxId }
+      else halted = true
+    }
+    out.result()
   }
 
   /** The current snapshot's high watermark as a unit id: max over the
@@ -228,24 +258,27 @@ class HiveAcidMicroBatchStream(path: String, required: StructType,
         val names = HiveAcidStream.listNames(path)
         if (from < 0L) {
           requireInsertOnly(names)
-          // initial snapshot over COMPLETE units only, capped BELOW the
-          // first in-flight write: write ids commit out of order, so an
-          // uncommitted delta under the watermark must hold the snapshot
-          // back (skipping over it would lose its rows forever)
+          // initial snapshot: start from the best COMPLETE base (it
+          // opaquely covers everything at/below its id), then walk the
+          // complete delta units CONTIGUOUSLY — an in-flight or
+          // not-yet-appeared write id under the watermark holds the
+          // snapshot back (ids commit out of order; skipping one would
+          // lose its rows forever)
           val complete = names.filter(isComplete(path, _))
-          val inflight = names.diff(complete).flatMap(n =>
-            HiveAcid.parseDelta(n).map(_.minWriteId)
-              .orElse(HiveAcid.parseBase(n).map(_.writeId)))
-          val hwm = HiveAcidStream.currentHwm(complete)
-          if (inflight.isEmpty) hwm else math.min(hwm, inflight.min - 1)
+          val start = complete.flatMap(HiveAcid.parseBase(_))
+            .map(_.writeId).maxOption.getOrElse(0L)
+          val walked = HiveAcidStream.contiguousUnits(
+            HiveAcidStream.tailUnits(complete, start, aborted), start, aborted, _ => true)
+          walked.lastOption.map(_.maxId).getOrElse(start)
         } else {
-          val ready = HiveAcidStream.tailUnits(names, from, aborted)
-            .takeWhile { case (_, dirs) => dirs.forall(isComplete(path, _)) }
+          val ready = HiveAcidStream.contiguousUnits(
+            HiveAcidStream.tailUnits(names, from, aborted), from, aborted,
+            u => u.dirs.forall(isComplete(path, _)))
           val admitted = limit match {
             case ReadMaxWriteIds(max) => ready.take(max)
             case _ => ready
           }
-          if (admitted.isEmpty) from else admitted.last._1
+          if (admitted.isEmpty) from else admitted.last.maxId
         }
       } catch {
         // unsplittable compacted range / delete-delta refusal: these are
@@ -286,9 +319,29 @@ class HiveAcidMicroBatchStream(path: String, required: StructType,
         HiveAcid.selectDirs(names.filter(isComplete(path, _)),
           HiveAcid.ValidWriteIds(highWatermark = to, aborted = aborted)).dataDirs
       }
-      else
-        HiveAcidStream.tailUnits(names, from, aborted)
-          .filter(_._1 <= to).flatMap(_._2)
+      else {
+        // REPLAY is reconstruction, not discovery: the committed range
+        // (from, to] must be carved out exactly. A compacted unit whose
+        // range crosses `to` (the compactor merged past the batch
+        // boundary and cleaned the originals) cannot be split — and a
+        // walk that no longer reaches `to` means covering dirs are gone;
+        // both are silent row loss/duplication if ignored — fail loudly.
+        val units = HiveAcidStream.tailUnits(names, from, aborted)
+        units.find(u => u.minId <= to && u.maxId > to).foreach { u =>
+          throw new IllegalStateException(
+            s"unit ${u.dirs.mkString(",")} crosses the committed batch boundary $to " +
+              s"(compaction merged past it and the originals are gone); " +
+              s"the batch (${from}, $to] cannot be replayed exactly")
+        }
+        val walked = HiveAcidStream.contiguousUnits(
+          units.filter(_.maxId <= to), from, aborted, _ => true)
+        val reached = walked.lastOption.map(_.maxId).getOrElse(from)
+        if (reached != to)
+          throw new IllegalStateException(
+            s"replay of (${from}, $to] only reconstructs through $reached — " +
+              s"directories for the remaining write ids are gone (cleaned?)")
+        walked.flatMap(_.dirs)
+      }
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     dirs.flatMap { d =>
       val p = new org.apache.hadoop.fs.Path(s"$path/$d")

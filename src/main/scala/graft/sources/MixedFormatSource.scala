@@ -32,8 +32,8 @@ import org.apache.spark.sql.types._
 object MixedFormat {
 
   final case class PartitionSpec(value: String, dir: String, format: String)
-  final case class TableSpec(partitionCol: String, schema: StructType,
-                             partitions: Seq[PartitionSpec])
+  final case class TableSpec(partitionCol: String, partitionType: DataType,
+                             schema: StructType, partitions: Seq[PartitionSpec])
 
   private val mapper = new ObjectMapper()
   private val SpecFile = "_mixed_spec.json"
@@ -76,6 +76,10 @@ object MixedFormat {
     }
     val root = mapper.createObjectNode()
     root.put("partitionCol", partitionCol)
+    // the partition column TYPE must survive the string-keyed spec, or
+    // read() would rematerialize an int/date partition as a string
+    // (lexicographic sorts, failed unions, miscast range predicates)
+    root.put("partitionType", df.schema(partitionCol).dataType.sql)
     val sch = root.putArray("schema")
     dataSchema.foreach { f =>
       val fn = mapper.createArrayNode()
@@ -112,7 +116,10 @@ object MixedFormat {
       PartitionSpec(pn.get("value").asText(), pn.get("dir").asText(),
         pn.get("format").asText())
     }.toSeq
-    TableSpec(node.get("partitionCol").asText(), schema, parts)
+    val ptype = Option(node.get("partitionType")).map(n =>
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseDataType(n.asText())).getOrElse(StringType)
+    TableSpec(node.get("partitionCol").asText(), ptype, schema, parts)
   }
 
   /** Read the table; `partitions` non-empty prunes to those partition
@@ -125,7 +132,7 @@ object MixedFormat {
     require(selected.nonEmpty, s"no partitions selected from $path")
     val scans = selected.map { p =>
       readPartition(spark, s"$path/${p.dir}", p.format, spec.schema)
-        .withColumn(spec.partitionCol, lit(p.value))
+        .withColumn(spec.partitionCol, lit(p.value).cast(spec.partitionType))
     }
     scans.reduce(_ unionByName _)
   }
@@ -145,10 +152,17 @@ object MixedFormat {
         .select(castTo(schema): _*)
     case "sequencefile" =>
       val rest = schema.fields.drop(1)
+      // split with LIMIT = field count: the LAST packed column (the
+      // text-shaped one, by the S14 last-column convention) keeps any
+      // embedded separator intact instead of being silently truncated
+      // at its first occurrence. NULL strings still round-trip as ""
+      // (the codec has no null sentinel) - a documented codec
+      // limitation shared with the standalone S14 source.
       spark.read.format("graft.sources.SequenceSource").load(dir)
         .select(col("key").cast(schema.head.dataType).as(schema.head.name) +:
           rest.zipWithIndex.map { case (f, i) =>
-            split(col("value"), "\u0001").getItem(i).cast(f.dataType).as(f.name)
+            split(col("value"), "\u0001", rest.length).getItem(i)
+              .cast(f.dataType).as(f.name)
           }.toIndexedSeq: _*)
     case other => throw new IllegalArgumentException(s"unknown format $other")
   }

@@ -299,8 +299,8 @@ object SequenceQueries {
       // would shift every later field on read-back), so each field is
       // coalesced to '' — null and empty collapse, the same lossy
       // convention as Hive delimited text. An embedded ^A would also
-      // shift fields: only `text` could carry one, and it sits LAST so
-      // getItem(0..2) stay aligned; a production packer would escape
+      // shift fields: only `text` could carry one, and it sits LAST and the split LIMIT (4) keeps
+      // any embedded separator inside it intact (r10); a production packer would escape
       // (Hive's '\001' escaping) — documented, not needed for the
       // driver-generated prose this exercises.
       val kv = docs.select(
@@ -312,7 +312,7 @@ object SequenceQueries {
       SequenceIO.write(kv, path(dir))
       val back = spark.read.format("graft.sources.SequenceSource").load(path(dir))
       back.select(col("key").cast("long").as("doc_id"),
-          split(col("value"), "\u0001").as("f"))
+          split(col("value"), "\u0001", 4).as("f"))
         .select(col("doc_id"), col("f").getItem(0).as("lang"),
           col("f").getItem(1).as("source"),
           col("f").getItem(2).cast("long").as("n_chars"),
@@ -343,7 +343,7 @@ object SequenceQueries {
         .option("path", p).mode("overwrite").save()
       val back = spark.read.format("graft.sources.SequenceSource").load(p)
       back.select(col("key").cast("long").as("doc_id"),
-          split(col("value"), "\u0001").as("f"))
+          split(col("value"), "\u0001", 4).as("f"))
         .select(col("doc_id"), col("f").getItem(0).as("lang"),
           col("f").getItem(2).cast("long").as("n_chars"),
           col("f").getItem(3).as("text"))

@@ -829,20 +829,20 @@ class StreamingSpec extends SparkSpec {
     import graft.sources.HiveAcidStream.tailUnits
     // statement deltas of one txn form ONE unit; ordering by max id
     assert(tailUnits(Seq("delta_0000002_0000002_0001", "delta_0000002_0000002_0002",
-      "delta_0000003_0000003"), 1L, Set.empty).map { case (id, ds) => id -> ds.length } ==
+      "delta_0000003_0000003"), 1L, Set.empty).map(u => u.maxId -> u.dirs.length) ==
       Seq(2L -> 2, 3L -> 1))
     // already-emitted units drop out
     assert(tailUnits(Seq("delta_0000002_0000002", "delta_0000003_0000003"), 2L, Set.empty)
-      .map(_._1) == Seq(3L))
+      .map(_.maxId) == Seq(3L))
     // a whole-range-aborted unit is skipped (and the offset may step over it)
     assert(tailUnits(Seq("delta_0000003_0000003", "delta_0000004_0000004"), 2L, Set(3L))
-      .map(_._1) == Seq(4L))
+      .map(_.maxId) == Seq(4L))
     // compaction output is ignored while its original deltas remain...
     assert(tailUnits(Seq("delta_0000002_0000002", "delta_0000003_0000003",
-      "delta_0000002_0000003_v0000009"), 1L, Set.empty).map(_._1) == Seq(2L, 3L))
+      "delta_0000002_0000003_v0000009"), 1L, Set.empty).map(_.maxId) == Seq(2L, 3L))
     // ...admitted whole once they're cleaned and the range is unemitted...
     assert(tailUnits(Seq("delta_0000002_0000003_v0000009"), 1L, Set.empty)
-      .map(_._1) == Seq(3L))
+      .map(_.maxId) == Seq(3L))
     // ...and fails FAST when it straddles the stream position (the
     // range can't be split: insert-only files carry no write-id column)
     intercept[IllegalStateException] {
@@ -851,6 +851,49 @@ class StreamingSpec extends SparkSpec {
     // delete deltas mean full-ACID: the insert-only stream refuses
     intercept[IllegalArgumentException] {
       tailUnits(Seq("delete_delta_0000002_0000002"), 1L, Set.empty)
+    }
+  }
+
+  test("T27: contiguity walk — an unaccounted write-id gap holds the tail back") {
+    import graft.sources.HiveAcidStream.{contiguousUnits, tailUnits}
+    // id 4's delta hasn't appeared yet (allocated, still uncommitted):
+    // admitting unit 5 would move the offset past 4 and lose its rows
+    // forever — the walk must stop at the gap
+    val units = tailUnits(Seq("delta_0000005_0000005"), 3L, Set.empty)
+    assert(contiguousUnits(units, 3L, Set.empty, _ => true).isEmpty)
+    // the SAME gap covered by the aborted list is a legitimate skip
+    assert(contiguousUnits(units, 3L, Set(4L), _ => true).map(_.maxId) == Seq(5L))
+    // an in-flight unit (admit=false) holds back everything behind it
+    val two = tailUnits(Seq("delta_0000004_0000004", "delta_0000005_0000005"),
+      3L, Set.empty)
+    assert(contiguousUnits(two, 3L, Set.empty, _.maxId != 4L).isEmpty)
+    assert(contiguousUnits(two, 3L, Set.empty, _ => true).map(_.maxId) == Seq(4L, 5L))
+  }
+
+  test("T27: replay reconstruction — a compacted unit crossing the batch boundary fails fast") {
+    val root = java.nio.file.Files.createTempDirectory("graft_t27e").toString
+    val ms = new graft.sources.HiveAcidMicroBatchStream(root,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType))), None, Set.empty)
+    // the checkpointed batch was (1, 3]; the compactor then merged
+    // deltas 2..5 and cleaned the originals — the range can no longer
+    // be carved out exactly
+    acidDocDf(9L).write.parquet(s"$root/delta_0000002_0000005_v0000009")
+    intercept[IllegalStateException] {
+      ms.planInputPartitions(graft.sources.AcidWriteIdOffset(1L),
+        graft.sources.AcidWriteIdOffset(3L))
+    }
+    // and a replay whose covering dirs are simply GONE is equally loud
+    val root2 = java.nio.file.Files.createTempDirectory("graft_t27f").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root2))
+    val ms2 = new graft.sources.HiveAcidMicroBatchStream(root2,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType))), None, Set.empty)
+    intercept[IllegalStateException] {
+      ms2.planInputPartitions(graft.sources.AcidWriteIdOffset(1L),
+        graft.sources.AcidWriteIdOffset(3L))
     }
   }
 
