@@ -1132,6 +1132,24 @@ class SourcesSpec extends SparkSpec {
     assert(joins.nonEmpty && !joins.exists(_.contains("Cartesian")))
   }
 
+  test("S18: insert-only reads dispatch non-parquet data formats (ORC) through the same selection") {
+    // the format parameter is the MM table's declared file format —
+    // directory selection is format-agnostic, the reader is not
+    val root = java.nio.file.Files.createTempDirectory("graft_s18_orc").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    def slice(m: Long) = docs.filter(pmod(col("doc_id"), lit(3L)) === m)
+    slice(0).write.orc(s"$root/base_0000001")
+    slice(1).write.orc(s"$root/delta_0000002_0000002")
+    slice(2).write.orc(s"$root/delta_0000003_0000003") // beyond hwm
+    val back = HiveAcid.readInsertOnly(spark, root,
+      ValidWriteIds(highWatermark = 2L), format = "orc")
+    val expected = docs.filter(pmod(col("doc_id"), lit(3L)) < 2L)
+    assert(back.count() == expected.count())
+    assert(back.select(sum("n_chars")).head.getLong(0) ==
+      expected.select(sum("n_chars")).head.getLong(0))
+  }
+
   test("S18: original files surface with synthesized acid metadata; " +
        "delete deltas land on the synthesized (bucket, rowId)") {
     val root = graft.sources.HiveAcidQueries.ensureOriginals(spark, sf0001)
