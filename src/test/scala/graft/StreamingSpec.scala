@@ -897,6 +897,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("T28: migration hop — the Hive ACID tail feeds the exactly-once Iceberg sink") {
+    // the warehouse->lakehouse migration pipeline: a Hive 3 managed
+    // table streams its committed writes (T27 source) into an Iceberg
+    // table (T18 sink), one snapshot per micro-batch — the ACID
+    // counterpart of T26's same-format medallion hop
+    val root = java.nio.file.Files.createTempDirectory("graft_t28").toString
+    val hive = s"$root/hive"; val berg = s"$root/iceberg"
+    acidDocDf(1L, 2L).write.parquet(s"$hive/base_0000001")
+    val q = Streams.icebergSink(
+      spark.readStream.format("graft.sources.HiveAcidStreamSource").load(hive),
+      berg, "doc_id")
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      q.processAllAvailable()
+      val conf = spark.sparkContext.hadoopConfiguration
+      def bergIds = spark.read.format("graft.sources.IcebergSource").load(berg)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(bergIds == Seq(1L, 2L))
+      def snapCount = graft.sources.IcebergRead
+        .snapshotIdsInRange(berg, conf, 0L, Long.MaxValue).length
+      val snaps0 = snapCount
+      // each committed Hive write becomes exactly one Iceberg snapshot
+      acidDocDf(3L).write.parquet(s"$hive/delta_0000002_0000002")
+      q.processAllAvailable()
+      assert(bergIds == Seq(1L, 2L, 3L))
+      assert(snapCount == snaps0 + 1)
+    } finally q.stop()
+  }
+
   test("T27: the INITIAL snapshot also refuses delete deltas (no silent row drop)") {
     // selectDirs.dataDirs would silently exclude delete deltas, emitting
     // un-retracted rows — the initial batch must refuse like the tail does
