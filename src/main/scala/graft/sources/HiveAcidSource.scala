@@ -59,23 +59,32 @@ object HiveAcid {
       writeId <= highWatermark && !open.exists(_ <= writeId)
 
     /** ALL / SOME / NONE validity of [min, max] — the reference's
-      * IsWriteIdRangeValid (acid-metadata-utils.cc) decision shape. */
+      * IsWriteIdRangeValid (acid-metadata-utils.cc) decision shape.
+      * Set arithmetic, never an id-by-id walk: a minor-compacted range
+      * can span millions of write ids (delta_1_5000000_vN) and this
+      * runs on the driver per directory per listing, so the cost must
+      * be O(|open| + |aborted|) — both bounded snapshot attributes —
+      * not O(max - min). */
     def rangeValidity(min: Long, max: Long): RangeValidity = {
-      if (max <= highWatermark && open.isEmpty && aborted.isEmpty) return RangeAll
-      var valid = false; var invalid = false
-      var i = min
-      while (i <= max && !(valid && invalid)) {
-        if (isValid(i)) valid = true else invalid = true
-        i += 1
-      }
-      if (valid && invalid) RangeSome else if (valid) RangeAll else RangeNone
+      // ids above the watermark are invalid; split the range there
+      val cappedMax = math.min(max, highWatermark)
+      val aboveHwm = max - cappedMax // count of in-range ids > hwm
+      val invalidBelow = // union, not sum: a malformed list naming an
+        if (min > cappedMax) 0L // id in BOTH sets must not double-count
+        else (open ++ aborted).count(id => id >= min && id <= cappedMax).toLong
+      val span = max - min + 1
+      val invalid = aboveHwm + invalidBelow // open/aborted disjoint from >hwm by the cap
+      if (invalid == 0) RangeAll
+      else if (invalid >= span) RangeNone
+      else RangeSome
     }
 
     /** True iff every id in [min, max] is committed or aborted (none
       * open). A COMPACTED delta may cover aborted ids (the compactor
-      * skipped their data) but never open ones. */
+      * skipped their data) but never open ones. Same set-arithmetic
+      * bound as [[rangeValidity]]. */
     def noOpenIn(min: Long, max: Long): Boolean =
-      !(min to max).exists(id => open(id) || id > highWatermark)
+      max <= highWatermark && !open.exists(id => id >= min && id <= max)
   }
 
   sealed trait RangeValidity
@@ -162,6 +171,25 @@ object HiveAcid {
     def dataDirs: Seq[String] = base.toSeq ++ originals ++ deltas
   }
 
+  /** True iff a base/delta directory is a COMMITTED write — the
+    * commit-signature check shared by the streaming tail and the batch
+    * supersession gate: no Hive Streaming `*_flush_length` side file,
+    * no in-flight committer `_temporary`, and at least one visible data
+    * file (or an explicit `_SUCCESS` for an empty committed write). A
+    * directory exists the moment its writer starts, so name presence
+    * alone is NOT commit. */
+  private[graft] def isCommitted(tableDir: String, dir: String,
+                                 conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$tableDir/$dir")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return false
+    if (!fs.getFileStatus(p).isDirectory) return true // bare original file
+    val names = fs.listStatus(p).toSeq.map(_.getPath.getName)
+    val midWrite = names.exists(_.endsWith("_flush_length")) || names.contains("_temporary")
+    !midWrite &&
+      (names.exists(n => !n.startsWith("_") && !n.startsWith(".")) || names.contains("_SUCCESS"))
+  }
+
   /** Directory selection — the reference's filterFilesForAcidState /
     * getAcidState shape over first-level names:
     *  1. drop entries invalid under the write-id snapshot,
@@ -171,8 +199,20 @@ object HiveAcid {
     *     statementId asc, compacted first), then a single sweep keeps
     *     compaction output and drops the deltas it folded in, keeps all
     *     statement deltas of one txn, and pairs delete_deltas with
-    *     their matching range. */
-  private[graft] def selectDirs(names: Seq[String], ids: ValidWriteIds): AcidState = {
+    *     their matching range.
+    *
+    * `compactedOk` gates every directory that would SUPERSEDE others —
+    * bases and `_vM` compacted deltas — the reference routes these
+    * through the valid-txn list precisely because a compactor's output
+    * directory can exist before its transaction commits (or after an
+    * abort mid-write); admitting a partially-written base would drop
+    * the still-present deltas it claims to cover. A gated-out dir is
+    * treated as absent: the inputs it would have folded are still
+    * listed (the cleaner only runs after commit), so nothing is lost.
+    * Defaults to always-true for pure name-level unit tests;
+    * [[resolve]] installs the commit-signature + valid-txn gate. */
+  private[graft] def selectDirs(names: Seq[String], ids: ValidWriteIds,
+                                compactedOk: String => Boolean = _ => true): AcidState = {
     if (names.exists(_.endsWith("_flush_length")))
       throw new IllegalStateException(
         "Hive Streaming side-file (_flush_length) present: directory is mid-write; " +
@@ -182,7 +222,9 @@ object HiveAcid {
     val originals = names.filter(n => parseBase(n).isEmpty && parseDelta(n).isEmpty &&
       !n.startsWith("_") && !n.startsWith("."))
 
-    val validBases = bases.filter { case (_, b) => ids.isValidBase(b.writeId) }
+    val validBases = bases.filter { case (n, b) =>
+      ids.isValidBase(b.writeId) && compactedOk(n)
+    }
     val bestBase = validBases.sortBy { case (_, b) => (b.writeId, b.visibilityTxnId) }
       .lastOption
     val baseWriteId = bestBase.map(_._2.writeId).getOrElse(Long.MinValue)
@@ -191,7 +233,8 @@ object HiveAcid {
     // plain delta needs >= 1 valid id in range; a COMPACTED delta must
     // carry no open id (aborted ok — the compactor dropped their rows).
     val liveDeltas = deltas.filter { case (name, d) =>
-      if (d.minWriteId <= baseWriteId) {
+      if (d.isCompacted && !compactedOk(name)) false
+      else if (d.minWriteId <= baseWriteId) {
         // folded into the base. The compactor never creates a range
         // STRADDLING a base — a layout where it appears to is corrupt,
         // and silently dropping the delta would lose the writes above
@@ -250,9 +293,26 @@ object HiveAcid {
     fs.listStatus(p).toSeq.map(_.getPath.getName)
   }
 
+  /** Resolve the snapshot's directories, with compaction output gated
+    * through (a) the caller's valid-txn set when provided — `base_N_vM`
+    * / `delta_x_y_vM` requires compactor txn M ∈ `visibleTxns`, the
+    * reference's ValidTxnList gate — and (b) always, the
+    * commit-signature check ([[isCommitted]]): no side files, visible
+    * data. Both are metadata-scale (one listing per CANDIDATE
+    * superseder, bounded by compaction cadence, and only for dirs that
+    * would otherwise win supersession is the answer load-bearing). */
   private[graft] def resolve(spark: SparkSession, tableDir: String,
-                               ids: ValidWriteIds): AcidState =
-    selectDirs(listDirNames(spark, tableDir), ids)
+                               ids: ValidWriteIds,
+                               visibleTxns: Option[Set[Long]] = None): AcidState = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def txnOk(name: String): Boolean = visibleTxns.forall { ts =>
+      val v = parseBase(name).map(_.visibilityTxnId)
+        .orElse(parseDelta(name).map(_.visibilityTxnId)).getOrElse(-1L)
+      v < 0 || ts(v)
+    }
+    selectDirs(listDirNames(spark, tableDir), ids,
+      compactedOk = n => txnOk(n) && isCommitted(tableDir, n, conf))
+  }
 
   /** Read an INSERT-ONLY (`transactional_properties='insert_only'`)
     * table at the given snapshot — Impala 3.3's own ACID scope:
@@ -260,8 +320,9 @@ object HiveAcid {
     * plain format files and every delta covers exactly the write ids
     * in its name. */
   def readInsertOnly(spark: SparkSession, tableDir: String, ids: ValidWriteIds,
-                     format: String = "parquet"): DataFrame = {
-    val st = resolve(spark, tableDir, ids)
+                     format: String = "parquet",
+                     visibleTxns: Option[Set[Long]] = None): DataFrame = {
+    val st = resolve(spark, tableDir, ids, visibleTxns)
     val dirs = st.dataDirs.map(d => s"$tableDir/$d")
     require(st.deleteDeltas.isEmpty,
       "delete deltas found in an insert-only table — read with readFullAcid")
@@ -331,8 +392,9 @@ object HiveAcid {
     * side is orders of magnitude smaller than the data side, so AQE
     * broadcasts it; no driver-side row work. */
   def readFullAcid(spark: SparkSession, tableDir: String,
-                   ids: ValidWriteIds): DataFrame = {
-    val st = resolve(spark, tableDir, ids)
+                   ids: ValidWriteIds,
+                   visibleTxns: Option[Set[Long]] = None): DataFrame = {
+    val st = resolve(spark, tableDir, ids, visibleTxns)
     require(st.base.nonEmpty || st.deltas.nonEmpty || st.originals.nonEmpty,
       s"no readable ACID state under $tableDir for $ids")
     def readDirs(dirs: Seq[String], fromBase: Boolean): Option[DataFrame] =

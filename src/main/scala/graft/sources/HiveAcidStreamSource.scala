@@ -168,7 +168,7 @@ object HiveAcidStream {
     // (they'd duplicate rows) and its whole range is unemitted; a range
     // straddling the position is unsplittable — fail fast, loudly.
     val plainRanges = plain.map(_._2).toSeq
-    val compactedAdmit = compacted.filter { case (name, d) =>
+    val compactedCandidates = compacted.filter { case (name, d) =>
       val overlapsPlain = plainRanges.exists(p =>
         p.minWriteId <= d.maxWriteId && d.minWriteId <= p.maxWriteId)
       if (overlapsPlain) false
@@ -179,6 +179,38 @@ object HiveAcidStream {
             s"deltas were cleaned: the range cannot be split (insert-only files " +
             s"carry no write-id column). Restart the stream from a fresh checkpoint.")
       else !wholeRangeAborted(d)
+    }
+    // COMPACTED-vs-COMPACTED supersession (the batch selectDirs sweep's
+    // ordering, applied here because the stream path selects its own
+    // units): with delta_2_5_v9 still on disk while a re-compaction
+    // delta_2_7_v12 lands (the cleaner removed the plain inputs but not
+    // yet the older compacted output — a real mid-clean race), both
+    // pass the plain-overlap check and would group into DISTINCT units
+    // emitting write ids 2..5 twice. Order (min asc, max desc) and keep
+    // only units not covered by an already-kept wider one; a PARTIAL
+    // overlap between two compacted outputs has no valid split (no
+    // write-id column to row-filter on) — fail fast like the straddle.
+    val compactedAdmit = {
+      val ordered = compactedCandidates.sortBy { case (_, d) =>
+        (d.minWriteId, -d.maxWriteId, -d.visibilityTxnId)
+      }
+      val kept = scala.collection.mutable.ArrayBuffer.empty[(String, ParsedDelta)]
+      for ((name, d) <- ordered) {
+        val coveredBy = kept.find { case (_, k) =>
+          k.minWriteId <= d.minWriteId && d.maxWriteId <= k.maxWriteId
+        }
+        if (coveredBy.isEmpty) {
+          kept.find { case (_, k) =>
+            k.minWriteId <= d.maxWriteId && d.minWriteId <= k.maxWriteId
+          }.foreach { case (kn, _) =>
+            throw new IllegalStateException(
+              s"compacted $name partially overlaps compacted $kn: the ranges " +
+                s"cannot be split (insert-only files carry no write-id column)")
+          }
+          kept += (name -> d)
+        }
+      }
+      kept.toSeq
     }
     (plainAdmit ++ compactedAdmit)
       .groupBy { case (_, d) => (d.minWriteId, d.maxWriteId) }
@@ -269,7 +301,17 @@ class HiveAcidMicroBatchStream(path: String, required: StructType,
             .map(_.writeId).maxOption.getOrElse(0L)
           val walked = HiveAcidStream.contiguousUnits(
             HiveAcidStream.tailUnits(complete, start, aborted), start, aborted, _ => true)
-          walked.lastOption.map(_.maxId).getOrElse(start)
+          // The ReadLimit applies to the INITIAL batch too: the base is
+          // one unsplittable unit (that justifies base granularity), but
+          // admitting the whole delta tail with it would plan exactly
+          // the unbounded catch-up batch the option exists to prevent —
+          // a fresh checkpoint against a long-lived table drains the
+          // tail in bounded batches like any restart.
+          val limited = limit match {
+            case ReadMaxWriteIds(max) => walked.take(max)
+            case _ => walked
+          }
+          limited.lastOption.map(_.maxId).getOrElse(start)
         } else {
           val ready = HiveAcidStream.contiguousUnits(
             HiveAcidStream.tailUnits(names, from, aborted), from, aborted,

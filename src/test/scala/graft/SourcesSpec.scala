@@ -1097,6 +1097,60 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("S18: rangeValidity answers by set arithmetic — exact on multi-million-id ranges") {
+    // a minor-compacted range spanning millions must answer without an
+    // id-by-id walk (this is driver-side, per directory, per listing)
+    val wide = ValidWriteIds(highWatermark = 4000000L,
+      open = Set(7L), aborted = Set(3000000L))
+    assert(wide.rangeValidity(1L, 4000000L) == HiveAcid.RangeSome)
+    assert(wide.rangeValidity(8L, 2999999L) == HiveAcid.RangeAll)
+    assert(wide.rangeValidity(4000001L, 5000000L) == HiveAcid.RangeNone)
+    assert(wide.rangeValidity(7L, 7L) == HiveAcid.RangeNone)
+    assert(wide.rangeValidity(3999999L, 4000002L) == HiveAcid.RangeSome)
+    // brute-force equivalence over every window of a small id space
+    val small = ValidWriteIds(10L, open = Set(3L, 9L), aborted = Set(5L))
+    for (mn <- 1L to 12L; mx <- mn to 12L) {
+      val flags = (mn to mx).map(small.isValid)
+      val expect =
+        if (flags.forall(identity)) HiveAcid.RangeAll
+        else if (flags.exists(identity)) HiveAcid.RangeSome
+        else HiveAcid.RangeNone
+      assert(small.rangeValidity(mn, mx) == expect, s"[$mn,$mx]")
+    }
+    assert(small.noOpenIn(4L, 8L) && !small.noOpenIn(2L, 4L) && !small.noOpenIn(8L, 11L))
+  }
+
+  test("S18: mid-write or txn-invisible compaction output cannot supersede (batch gate)") {
+    val root = tmp()
+    def docs(ids: Long*) = {
+      import org.apache.spark.sql.Row
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(ids.map(id => Row(id))),
+        StructType(Seq(StructField("doc_id", LongType))))
+    }
+    docs(1L).write.parquet(s"$root/delta_0000001_0000001")
+    docs(2L).write.parquet(s"$root/delta_0000002_0000002")
+    docs(3L).write.parquet(s"$root/delta_0000003_0000003")
+    // the compactor has STARTED base_0000003_v0000099 (dir exists, only
+    // an in-flight _temporary inside) — name presence must not let it
+    // swallow the three deltas it claims to cover
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/base_0000003_v0000099/_temporary"))
+    val ids = ValidWriteIds(highWatermark = 3L)
+    def read(txns: Option[Set[Long]] = None) =
+      HiveAcid.readInsertOnly(spark, root, ids, visibleTxns = txns)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(read() == Seq(1L, 2L, 3L)) // base mid-write: deltas stand
+    // base completes — distinguishable payload proves WHICH dirs read
+    docs(101L, 102L, 103L).write.mode("overwrite")
+      .parquet(s"$root/base_0000003_v0000099")
+    assert(read() == Seq(101L, 102L, 103L)) // committed base supersedes
+    // with a valid-txn list that does NOT contain compactor txn 99, the
+    // base is invisible again (the reference's ValidTxnList gate)
+    assert(read(Some(Set(98L))) == Seq(1L, 2L, 3L))
+    assert(read(Some(Set(99L))) == Seq(101L, 102L, 103L))
+  }
+
   test("S18: insert-only end-to-end — snapshot sees base+committed deltas only") {
     val root = graft.sources.HiveAcidQueries.ensureInsertOnly(spark, sf0001)
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")

@@ -854,6 +854,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("T27: overlapping compacted outputs — the wider unit supersedes; partial overlap is loud") {
+    import graft.sources.HiveAcidStream.tailUnits
+    // mid-clean race: delta_2_5_v9 (older compaction) still on disk
+    // while the re-compaction delta_2_7_v12 lands and the plain inputs
+    // are gone — admitting both would emit write ids 2..5 twice
+    assert(tailUnits(Seq("delta_0000002_0000005_v0000009",
+      "delta_0000002_0000007_v0000012"), 1L, Set.empty)
+      .map(u => (u.minId, u.maxId, u.dirs)) ==
+      Seq((2L, 7L, Seq("delta_0000002_0000007_v0000012"))))
+    // identical range re-compacted: the newer visibility txn wins, ONCE
+    // (grouping both dirs into one unit would also duplicate)
+    assert(tailUnits(Seq("delta_0000002_0000005_v0000009",
+      "delta_0000002_0000005_v0000012"), 1L, Set.empty)
+      .map(_.dirs) == Seq(Seq("delta_0000002_0000005_v0000012")))
+    // partial overlap between compacted outputs has no valid split
+    // (no write-id column to row-filter on) — loud, like the straddle
+    intercept[IllegalStateException] {
+      tailUnits(Seq("delta_0000002_0000005_v0000009",
+        "delta_0000004_0000007_v0000012"), 1L, Set.empty)
+    }
+  }
+
+  test("T27b: the ReadLimit bounds the INITIAL batch too (fresh checkpoint, long-lived table)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_t27g").toString
+    val dir = s"$root/tbl"; val ckpt = s"$root/ckpt"
+    // the table has lived for a while BEFORE the stream first starts
+    acidDocDf(1L).write.parquet(s"$dir/base_0000001")
+    acidDocDf(2L).write.parquet(s"$dir/delta_0000002_0000002")
+    acidDocDf(3L).write.parquet(s"$dir/delta_0000003_0000003")
+    acidDocDf(4L).write.parquet(s"$dir/delta_0000004_0000004")
+    val batches = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    val q = spark.readStream.format("graft.sources.HiveAcidStreamSource")
+      .option("maxWriteIdsPerTrigger", "1").load(dir)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+        batches.synchronized { batches += ids }; ()
+      }.option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      // the base is one unsplittable unit, but the delta tail must NOT
+      // ride along with it: base + 1 unit, then bounded catch-up
+      assert(batches.filter(_.nonEmpty).toSeq ==
+        Seq(Seq(1L, 2L), Seq(3L), Seq(4L)), batches.toString)
+    } finally q.stop()
+  }
+
   test("T27: contiguity walk — an unaccounted write-id gap holds the tail back") {
     import graft.sources.HiveAcidStream.{contiguousUnits, tailUnits}
     // id 4's delta hasn't appeared yet (allocated, still uncommitted):
