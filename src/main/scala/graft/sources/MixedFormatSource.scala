@@ -40,7 +40,22 @@ object MixedFormat {
 
   /** Write `df` as a mixed-format table partitioned by `partitionCol`,
     * cycling partition formats through `formats` in sorted-value order
-    * (deterministic assignment). */
+    * (deterministic assignment).
+    *
+    * Writer scale design: the input is scanned once per FORMAT, never
+    * once per partition value — partitions group by format and each
+    * group writes in ONE distributed pass (parquet/ORC via Spark's own
+    * `partitionBy`; the custom formats via a routed writer that opens
+    * one container per partition value inside each task). ≤ |formats|
+    * input scans, bounded by the format enum, not the partition domain
+    * — at 100 TB and a realistic partition count the difference is the
+    * dominant cost of creating the table.
+    *
+    * Partition values are Hive-escaped in directory NAMES (the same
+    * `escapePathName` Spark's own partitioned writes use, so the two
+    * write paths produce identical layouts); the RAW value is kept in
+    * `_mixed_spec.json`. NULL partition values are rejected loudly — a
+    * Hive-style layout cannot address a null partition directory. */
   def write(df: DataFrame, path: String, partitionCol: String,
             formats: Seq[String]): Unit = {
     val spark = df.sparkSession
@@ -50,29 +65,58 @@ object MixedFormat {
     val dataSchema = StructType(df.schema.filterNot(_.name == partitionCol))
     // bounded driver-side collect: the DISTINCT partition-value domain
     // (the same metadata-scale set HMS hands Impala), never row data
-    val values = df.select(partitionCol).distinct().collect()
-      .map(_.get(0).toString).sorted.toSeq
+    val rawValues = df.select(partitionCol).distinct().collect().map(_.get(0))
+    require(!rawValues.contains(null),
+      s"null partition value in $partitionCol: a Hive-style layout cannot " +
+        "address a null partition directory — filter or sentinel-encode upstream")
+    val values = rawValues.map(_.toString).sorted.toSeq
     val parts = values.zipWithIndex.map { case (v, i) =>
-      PartitionSpec(v, s"$partitionCol=$v", formats(i % formats.length))
+      PartitionSpec(v, s"$partitionCol=${escapePart(v)}", formats(i % formats.length))
     }
-    for (p <- parts) {
-      val slice = df.filter(col(partitionCol) === p.value).drop(partitionCol)
-      val dir = s"$path/${p.dir}"
-      p.format match {
-        case "parquet"      => slice.write.mode("overwrite").parquet(dir)
-        case "orc"          => slice.write.mode("overwrite").orc(dir)
-        case "avro"         => AvroIO.write(slice, dir)
-        case "rcfile"       =>
-          RcIO.write(slice.select(dataSchema.map(f =>
-            col(f.name).cast("string").as(f.name)): _*), dir)
+    val dirOf = parts.map(p => p.value -> p.dir).toMap
+    // ONE distributed pass per format group over its partitions' rows
+    for (fmt <- formats.distinct; group = parts.filter(_.format == fmt) if group.nonEmpty) {
+      val vals = group.map(_.value)
+      val slice = df.filter(col(partitionCol).cast("string").isin(vals: _*))
+      val dataCols = dataSchema.map(f => col(f.name))
+      val route = col(partitionCol).cast("string").as("__pv")
+      fmt match {
+        case "parquet" =>
+          slice.write.mode("append").partitionBy(partitionCol).parquet(path)
+        case "orc" =>
+          slice.write.mode("append").partitionBy(partitionCol).orc(path)
+        case "avro" =>
+          val avroJson = AvroConvert.toAvroSchema(dataSchema).toString
+          writeRouted(slice.select(dataCols :+ route: _*), path, dirOf,
+            new AvroRoutedWriters(avroJson, dataSchema.length))
+        case "rcfile" =>
+          // per-dir `_schema` sidecars written up front (driver-side,
+          // bounded by the group's partition count)
+          group.foreach { p =>
+            fs.mkdirs(new Path(path, p.dir))
+            val sc = fs.create(new Path(s"$path/${p.dir}", "_schema"), true)
+            try sc.write(dataSchema.fieldNames.mkString("\n").getBytes("UTF-8"))
+            finally sc.close()
+          }
+          writeRouted(slice.select(dataSchema.map(f =>
+            col(f.name).cast("string").as(f.name)) :+ route: _*), path, dirOf,
+            new RcRoutedWriters(dataSchema.length))
         case "sequencefile" =>
           val rest = dataSchema.fields.drop(1).map(f =>
             coalesce(col(f.name).cast("string"), lit("")))
-          SequenceIO.write(slice.select(
+          writeRouted(slice.select(
             col(dataSchema.head.name).cast("string").as("key"),
-            concat_ws("\u0001", rest.toIndexedSeq: _*).as("value")), dir)
+            concat_ws("\u0001", rest.toIndexedSeq: _*).as("value"), route),
+            path, dirOf, new SeqRoutedWriters)
         case other => throw new IllegalArgumentException(s"unknown format $other")
       }
+    }
+    // layout sanity: every declared partition directory must exist on
+    // disk before the spec blesses it (catches a value-rendering drift
+    // between Spark's partitionBy and escapePart loudly, not at read)
+    parts.foreach { p =>
+      require(fs.exists(new Path(path, p.dir)),
+        s"expected partition directory ${p.dir} missing after write")
     }
     val root = mapper.createObjectNode()
     root.put("partitionCol", partitionCol)
@@ -96,6 +140,124 @@ object MixedFormat {
     try out.write(mapper.writerWithDefaultPrettyPrinter()
       .writeValueAsBytes(root))
     finally out.close()
+  }
+
+  /** Hive path-name escaping for a partition VALUE — the same
+    * `escapePathName` Spark's own partitioned writes use, so the
+    * partitionBy path and the routed path produce identical layouts
+    * (and the spec's dir entries match both). */
+  private[sources] def escapePart(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
+
+  /** Per-(partition value, task) writer of a routed format-group write. */
+  private[sources] trait RoutedWriter {
+    def append(row: org.apache.spark.sql.Row): Unit
+    def close(): Unit
+  }
+
+  /** Serializable per-format factory opening one container per
+    * (partition value, task) pair. */
+  private[sources] trait RoutedWriters extends Serializable {
+    def open(conf: org.apache.hadoop.conf.Configuration, dir: String,
+             taskIdx: Int): RoutedWriter
+  }
+
+  /** ONE distributed job writing every partition of one FORMAT group:
+    * the LAST column of `slice` is the routing partition value; each
+    * task keeps a writer per value it encounters (bounded by the
+    * group's partition domain) and appends the data columns. This is
+    * what keeps the writer at ≤ |formats| input scans — the routed
+    * alternative to `partitionBy` for formats Spark cannot write. */
+  private def writeRouted(slice: DataFrame, rootDir: String,
+                          dirOf: Map[String, String],
+                          writers: RoutedWriters): Unit = {
+    val routeIdx = slice.schema.length - 1
+    val nWritten = slice.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val open = scala.collection.mutable.HashMap.empty[String, RoutedWriter]
+      var cnt = 0L
+      rows.foreach { row =>
+        val v = row.getString(routeIdx)
+        val w = open.getOrElseUpdate(v,
+          writers.open(conf, s"$rootDir/${dirOf(v)}", idx))
+        w.append(row)
+        cnt += 1
+      }
+      open.values.foreach(_.close())
+      Iterator(cnt)
+    }.sum()
+    require(nWritten >= 0) // materialize the job
+  }
+
+  /** Avro container per (value, task); fields 0..n-1 are the data
+    * columns in declared order (same codec/layout as AvroIO.write). */
+  private final class AvroRoutedWriters(avroJson: String, nData: Int)
+      extends RoutedWriters {
+    def open(conf: org.apache.hadoop.conf.Configuration, dir: String,
+             taskIdx: Int): RoutedWriter = new RoutedWriter {
+      private val schema = new org.apache.avro.Schema.Parser().parse(avroJson)
+      private val part = new Path(dir, f"part-$taskIdx%05d.avro")
+      private val stream = part.getFileSystem(conf).create(part, true)
+      private val writer = new org.apache.avro.file.DataFileWriter[
+        org.apache.avro.generic.GenericRecord](
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](schema))
+      writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+      writer.create(schema, stream)
+      def append(row: org.apache.spark.sql.Row): Unit = {
+        val rec = new org.apache.avro.generic.GenericData.Record(schema)
+        var i = 0
+        while (i < nData) { rec.put(i, AvroConvert.toAvro(row.get(i))); i += 1 }
+        writer.append(rec)
+      }
+      def close(): Unit = writer.close() // also closes the stream
+    }
+  }
+
+  /** RCFile container per (value, task); expects all-string data
+    * columns (same cell codec as RcIO.write, null -> \N). */
+  private final class RcRoutedWriters(nData: Int) extends RoutedWriters {
+    def open(conf: org.apache.hadoop.conf.Configuration, dir: String,
+             taskIdx: Int): RoutedWriter = new RoutedWriter {
+      import org.apache.hadoop.hive.ql.io.RCFile
+      import org.apache.hadoop.hive.serde2.columnar.{BytesRefArrayWritable, BytesRefWritable}
+      conf.setInt(RCFile.COLUMN_NUMBER_CONF_STR, nData)
+      private val part = new Path(dir, f"part-$taskIdx%05d.rc")
+      private val writer =
+        new RCFile.Writer(part.getFileSystem(conf), conf, part, null, null)
+      def append(row: org.apache.spark.sql.Row): Unit = {
+        val braw = new BytesRefArrayWritable(nData)
+        var i = 0
+        while (i < nData) {
+          val bytes = if (row.isNullAt(i)) RcIO.NullBytes
+            else row.getString(i).getBytes("UTF-8")
+          braw.set(i, new BytesRefWritable(bytes, 0, bytes.length))
+          i += 1
+        }
+        writer.append(braw)
+      }
+      def close(): Unit = writer.close()
+    }
+  }
+
+  /** SequenceFile per (value, task); expects exactly (key, value)
+    * string data columns (the S14 packing, done by the caller). */
+  private final class SeqRoutedWriters extends RoutedWriters {
+    def open(conf: org.apache.hadoop.conf.Configuration, dir: String,
+             taskIdx: Int): RoutedWriter = new RoutedWriter {
+      import org.apache.hadoop.io.{SequenceFile, Text}
+      private val part = new Path(dir, f"part-$taskIdx%05d.seq")
+      private val writer = SequenceFile.createWriter(conf,
+        SequenceFile.Writer.file(part),
+        SequenceFile.Writer.keyClass(classOf[Text]),
+        SequenceFile.Writer.valueClass(classOf[Text]))
+      private val k = new Text(); private val v = new Text()
+      def append(row: org.apache.spark.sql.Row): Unit = {
+        k.set(row.getString(0)); v.set(row.getString(1))
+        writer.append(k, v)
+      }
+      def close(): Unit = writer.close()
+    }
   }
 
   def readSpec(spark: SparkSession, path: String): TableSpec = {

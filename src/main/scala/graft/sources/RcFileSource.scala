@@ -132,7 +132,7 @@ class RcReaderFactory(prunedIds: Seq[Int]) extends PartitionReaderFactory {
 /** Distributed RCFile writer (one container per partition) + `_schema`
   * sidecar. All cells UTF-8 text; null → `\N`. */
 object RcIO {
-  private val NullBytes = "\\N".getBytes("UTF-8")
+  private[sources] val NullBytes = "\\N".getBytes("UTF-8")
 
   def listStatus(path: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration

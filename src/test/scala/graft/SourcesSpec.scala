@@ -1269,4 +1269,68 @@ class SourcesSpec extends SparkSpec {
     val survivor = graft.sources.MixedFormat.read(spark, copy, partitions = Seq("de"))
     assert(survivor.count() == docs.filter(col("lang") === "de").count())
   }
+
+  test("S19: the writer scans the input once per FORMAT, not once per partition value") {
+    import org.apache.spark.sql.Row
+    val root = tmp() + "/mixjobs"
+    // 12 partition values across 3 formats: the old per-partition-value
+    // loop ran >= 13 jobs here; the format-grouped writer is bounded by
+    // the FORMAT enum (3 write jobs + the distinct-values job + AQE
+    // slack), so the job count must stay far below the value domain
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until 240).map(i =>
+        Row(i.toLong, s"txt $i", s"p${i % 12}"))),
+      StructType(Seq(StructField("id", LongType), StructField("text", StringType),
+        StructField("pv", StringType))))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      graft.sources.MixedFormat.write(df, root, "pv",
+        Seq("parquet", "avro", "sequencefile"))
+      // listener delivery is async; a small drain keeps the count stable
+      Thread.sleep(500)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() < 12, s"writer ran ${jobs.get()} jobs for 12 partitions")
+    assert(jobs.get() <= 3 + 5, s"writer ran ${jobs.get()} jobs for 3 formats")
+    // and the layout it produced reads back whole
+    val back = graft.sources.MixedFormat.read(spark, root)
+    assert(back.count() == 240)
+    assert(graft.sources.MixedFormat.readSpec(spark, root).partitions.size == 12)
+  }
+
+  test("S19: partition values are Hive-escaped in dir names; null values are rejected") {
+    import org.apache.spark.sql.Row
+    val root = tmp() + "/mixesc"
+    // '/', '=', ':' and space would corrupt a raw "$col=$v" layout
+    val vals = Seq("a/b", "c=d", "has space", "colon:v")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(vals.zipWithIndex.map { case (v, i) =>
+        Row(i.toLong, s"text $i", v) }),
+      StructType(Seq(StructField("id", LongType), StructField("text", StringType),
+        StructField("pv", StringType))))
+    graft.sources.MixedFormat.write(df, root, "pv", Seq("parquet", "avro"))
+    val spec = graft.sources.MixedFormat.readSpec(spark, root)
+    // raw values survive in the spec; dir names carry no raw separators
+    assert(spec.partitions.map(_.value).sorted == vals.sorted)
+    assert(spec.partitions.forall(p => !p.dir.drop("pv=".length).contains("/")))
+    val back = graft.sources.MixedFormat.read(spark, root)
+    assert(back.select("pv").distinct().collect().map(_.getString(0))
+      .sorted.toSeq == vals.sorted)
+    // pruning by the RAW value still lands on the escaped directory
+    assert(graft.sources.MixedFormat.read(spark, root, partitions = Seq("a/b"))
+      .count() == 1)
+    // a null partition value has no Hive-addressable directory — loud
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(9L, "t", null))),
+      df.schema)
+    intercept[IllegalArgumentException] {
+      graft.sources.MixedFormat.write(df.union(withNull), root + "2", "pv",
+        Seq("parquet"))
+    }
+  }
 }
