@@ -36,7 +36,7 @@ object SparkEntry {
       graft.pipeline.Multimodal.queries ++ graft.pipeline.Splits.queries ++ graft.pipeline.Curation.queries ++ graft.pipeline.Tokenizer.queries ++
       graft.pipeline.Cluster.queries ++ AsOfJoin.queries ++ BandJoin.queries ++
       graft.sources.NestedParquet.queries ++ graft.sources.AvroQueries.queries ++ graft.sources.SequenceQueries.queries ++ graft.sources.RcFileQueries.queries ++
-      graft.sources.IcebergQueries.queries ++ graft.sources.HiveAcidQueries.queries ++
+      graft.sources.IcebergQueries.queries ++ graft.sources.HiveAcidQueries.queries ++ graft.sources.HudiQueries.queries ++
       graft.sources.MixedFormatQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -51,6 +51,6 @@ object SparkEntry {
       graft.pipeline.Multimodal.oracles ++ graft.pipeline.Splits.oracles ++ graft.pipeline.Curation.oracles ++ graft.pipeline.Tokenizer.oracles ++
       graft.pipeline.Cluster.oracles ++ AsOfJoin.oracles ++ BandJoin.oracles ++
       graft.sources.NestedParquet.oracles ++ graft.sources.AvroQueries.oracles ++ graft.sources.SequenceQueries.oracles ++ graft.sources.RcFileQueries.oracles ++
-      graft.sources.IcebergQueries.oracles ++ graft.sources.HiveAcidQueries.oracles ++
+      graft.sources.IcebergQueries.oracles ++ graft.sources.HiveAcidQueries.oracles ++ graft.sources.HudiQueries.oracles ++
       graft.sources.MixedFormatQueries.oracles
 }

@@ -1,0 +1,248 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hudi copy-on-write table reads (read-optimized view), built from the
+  * PUBLIC Hudi table layout — the third lakehouse format family the
+  * reference reads (after Iceberg S16* and Hive ACID S18*).
+  *
+  * Reference behavior (semantics only, no code shared):
+  * apache-impala-4.1.0 `fe/src/main/java/org/apache/impala/util/
+  * HudiUtil.java:26-38` — "return a list of file status contains only
+  * the latest version parquet files" per file group, delegated to
+  * Hudi's own `HoodieROTablePathFilter`; format registration at
+  * `catalog/HdfsFileFormat.java:80` (HUDI_PARQUET). This source
+  * re-expresses what that filter does from the public layout spec:
+  *
+  * {{{
+  *   table_dir/
+  *     .hoodie/
+  *       20240101093000000.commit            -- COMPLETED instant
+  *       20240102110000000.inflight          -- in-progress (invisible)
+  *       20240102110000000.commit.requested
+  *       hoodie.properties
+  *     status=F/                              -- hive-style partition dir
+  *       .hoodie_partition_metadata
+  *       <fileId>_<writeToken>_<instantTime>.parquet
+  * }}}
+  *
+  * Read-optimized COW semantics: a data file belongs to a FILE GROUP
+  * (the fileId prefix of its name); every commit that updates a group
+  * rewrites it WHOLE as a new base file stamped with the commit's
+  * instant time. The visible snapshot keeps, per (partition, fileId),
+  * only the file whose instant is (a) COMPLETED in the timeline (a
+  * `<instant>.commit` marker exists — an inflight writer's file is
+  * invisible) and (b) maximal among those. Instants are fixed-width
+  * digit strings ordered lexicographically (the public timeline
+  * ordering).
+  *
+  * Scale design: exactly the S19 discipline — the `.hoodie` timeline
+  * and per-partition file listings are driver-side NAME-level work,
+  * bounded by commit cadence and file-group count (the same
+  * metadata-scale sweep `HoodieROTablePathFilter` does); partition
+  * PRUNING cuts dirs before any listing; the selected files feed ONE
+  * distributed parquet scan with full pushdown. No per-row driver
+  * work.
+  *
+  * Fixture note: real Hudi files carry `_hoodie_*` meta columns as
+  * ordinary leading columns; the reference reads them as table columns
+  * and so would this parquet scan — the fixtures omit them because the
+  * RO selection logic never consults them (it is purely name-level). */
+object HudiRO {
+
+  /** `<fileId>_<writeToken>_<instantTime>.parquet` (public Hudi
+    * FSUtils base-file naming; fileId may itself contain '_' so the
+    * token+instant match anchors at the END). */
+  private val FilePat = """(.+)_([0-9]+-[0-9]+-[0-9]+)_([0-9]+)\.parquet""".r
+
+  private[graft] final case class BaseFile(fileId: String, instant: String,
+                                           name: String)
+
+  private[graft] def parseFile(name: String): Option[BaseFile] = name match {
+    case FilePat(fid, _, instant) => Some(BaseFile(fid, instant, name))
+    case _ => None
+  }
+
+  /** COMPLETED instants: `<instant>.commit` markers in the timeline
+    * (an `.inflight` / `.commit.requested` without the `.commit` is a
+    * writer mid-flight — its files must stay invisible). */
+  private[graft] def completedInstants(spark: SparkSession, tableDir: String): Set[String] = {
+    val p = new Path(tableDir, ".hoodie")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"$tableDir is not a Hudi table (no .hoodie timeline)")
+    fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".commit"))
+      .map(_.stripSuffix(".commit"))
+      .toSet
+  }
+
+  /** Latest completed base file per file group among `names` — the
+    * HoodieROTablePathFilter decision, name-level. */
+  private[graft] def selectLatest(names: Seq[String],
+                                  completed: Set[String]): Seq[String] =
+    names.flatMap(parseFile)
+      .filter(b => completed(b.instant))
+      .groupBy(_.fileId)
+      .values.map(_.maxBy(_.instant)).toSeq // lexicographic = timeline order
+      .map(_.name)
+      .sorted
+
+  /** Hive-style partition dirs (`col=value`) carrying the
+    * `.hoodie_partition_metadata` marker; an UNPARTITIONED table keeps
+    * its files at the root (returned as the single "" partition). */
+  private[graft] def listPartitionDirs(spark: SparkSession,
+                                       tableDir: String): Seq[String] = {
+    val p = new Path(tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.getName)
+      .filter(d => fs.exists(new Path(s"$tableDir/$d/.hoodie_partition_metadata")))
+    if (dirs.nonEmpty) dirs.sorted else Seq("")
+  }
+
+  /** Read the read-optimized view. `partitions` non-empty prunes to
+    * those partition VALUES on the driver before any file listing (the
+    * S19 pruning shape); partition dirs are `col=value`, the column is
+    * rematerialized from the dir name as a string. */
+  def read(spark: SparkSession, tableDir: String,
+           partitions: Seq[String] = Nil): DataFrame = {
+    val completed = completedInstants(spark, tableDir)
+    val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val want = partitions.toSet
+    val dirs = listPartitionDirs(spark, tableDir).filter { d =>
+      want.isEmpty || d.split("=", 2).lastOption.exists(want)
+    }
+    require(dirs.nonEmpty, s"no Hudi partitions selected under $tableDir")
+    val scans = dirs.map { d =>
+      val dirPath = if (d.isEmpty) tableDir else s"$tableDir/$d"
+      val names = fs.listStatus(new Path(dirPath)).toSeq
+        .filter(_.isFile).map(_.getPath.getName)
+      val files = selectLatest(names, completed).map(n => s"$dirPath/$n")
+      // an all-inflight partition is a valid empty slice: scan nothing
+      if (files.isEmpty) None
+      else {
+        val df = spark.read.parquet(files: _*)
+        Some(d.split("=", 2) match {
+          case Array(c, v) => df.withColumn(c, lit(v))
+          case _ => df
+        })
+      }
+    }.flatten
+    require(scans.nonEmpty, s"no completed Hudi base files under $tableDir")
+    scans.reduce(_ unionByName _)
+  }
+}
+
+/** Oracle-checked Hudi coverage: a COW layout built from the flat
+  * `orders` parquet — two completed commits (the second REWRITES file
+  * group fg0, dropping its odd keys: the copy-on-write delete) and one
+  * INFLIGHT commit whose file must stay invisible. DuckDB recomputes
+  * the visible slice from flat parquet; a hash match certifies latest-
+  * version-per-file-group selection, inflight exclusion, and the
+  * partition-column rematerialization.
+  *
+  * Per o_orderstatus partition:
+  *   fg0 @ c1 (commit): o_orderkey % 4 IN (0, 1)
+  *   fg1 @ c1 (commit): o_orderkey % 4 = 2
+  *   fg0 @ c2 (commit): o_orderkey % 4 = 0      -- supersedes fg0@c1
+  *   fg2 @ c3 (INFLIGHT): o_orderkey % 4 = 3    -- invisible
+  *   → visible: o_orderkey % 4 IN (0, 2)
+  */
+object HudiQueries {
+  import graft.operators.Exact
+
+  def path(dir: String): String =
+    s"/tmp/graft_hudi_orders_${new java.io.File(dir).getName}"
+
+  private val C1 = "20240101000000000"
+  private val C2 = "20240102000000000"
+  private val C3 = "20240103000000000"
+
+  /** Write `df` as ONE parquet file at `filePath` (Hudi base files are
+    * single files named by the fileId/instant contract). Fixture-only
+    * single-file rename, same device as the S18c original-file writer. */
+  private def writeSingleFile(df: DataFrame, filePath: String): Unit = {
+    val spark = df.sparkSession
+    val tmp = filePath + "_tmp"
+    df.repartition(1).write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(tmp).getFileSystem(conf)
+    val part = fs.listStatus(new Path(tmp))
+      .map(_.getPath).filter(_.getName.startsWith("part-")).head
+    fs.rename(part, new Path(filePath))
+    fs.delete(new Path(tmp), true)
+  }
+
+  private def touch(spark: SparkSession, p: String): Unit = {
+    val hp = new Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).create(hp, true).close()
+  }
+
+  def ensureTable(spark: SparkSession, dir: String): String = {
+    val root = path(dir)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$root/_built"))) {
+      val orders = graft.Tables(spark, dir).orders
+      val statuses = orders.select("o_orderstatus").distinct()
+        .collect().map(_.getString(0)).sorted // bounded domain (3 values)
+      fs.mkdirs(new Path(s"$root/.hoodie"))
+      touch(spark, s"$root/.hoodie/hoodie.properties")
+      statuses.foreach { st =>
+        val pdir = s"$root/o_orderstatus=$st"
+        fs.mkdirs(new Path(pdir))
+        touch(spark, s"$pdir/.hoodie_partition_metadata")
+        val slice = orders.filter(col("o_orderstatus") === st).drop("o_orderstatus")
+        def m4(r: Long*) = slice.filter(pmod(col("o_orderkey"), lit(4L)).isin(r: _*))
+        writeSingleFile(m4(0L, 1L), s"$pdir/fg0_0-0-0_$C1.parquet")
+        writeSingleFile(m4(2L), s"$pdir/fg1_0-0-0_$C1.parquet")
+        writeSingleFile(m4(0L), s"$pdir/fg0_0-0-0_$C2.parquet") // COW rewrite
+        writeSingleFile(m4(3L), s"$pdir/fg2_0-0-0_$C3.parquet") // inflight
+      }
+      touch(spark, s"$root/.hoodie/$C1.commit")
+      touch(spark, s"$root/.hoodie/$C2.commit")
+      touch(spark, s"$root/.hoodie/$C3.inflight")
+      touch(spark, s"$root/.hoodie/$C3.commit.requested")
+      touch(spark, s"$root/_built")
+    }
+    root
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def agg(df: DataFrame): DataFrame =
+    df.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("nd_cust"),
+        Exact.dsum(col("o_totalprice")).as("sum_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderstatus")
+
+  val queries: Map[String, Q] = Map(
+    "src_hudi_ro" -> ((spark, dir) =>
+      agg(HudiRO.read(spark, ensureTable(spark, dir)))),
+    // pruned read: only the named partition's dir is ever listed
+    "src_hudi_prune" -> ((spark, dir) =>
+      agg(HudiRO.read(spark, ensureTable(spark, dir), partitions = Seq("F")))),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "src_hudi_ro" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |  count(DISTINCT o_custkey) AS nd_cust,
+         |  ${Exact.sqlSum("o_totalprice")} AS sum_price,
+         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         |FROM orders WHERE o_orderkey % 4 IN (0, 2)
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "src_hudi_prune" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |  count(DISTINCT o_custkey) AS nd_cust,
+         |  ${Exact.sqlSum("o_totalprice")} AS sum_price,
+         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         |FROM orders WHERE o_orderkey % 4 IN (0, 2) AND o_orderstatus = 'F'
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+  )
+}

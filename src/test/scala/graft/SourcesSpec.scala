@@ -1333,4 +1333,62 @@ class SourcesSpec extends SparkSpec {
         Seq("parquet"))
     }
   }
+
+  // ---------------------------------------------------------------
+  // S20: Hudi read-optimized (COW) reads — reference: HudiUtil.java's
+  // latest-base-file-per-file-group filter, HdfsFileFormat.HUDI_PARQUET
+  // ---------------------------------------------------------------
+
+  test("S20: Hudi file-name parse and latest-completed selection per file group") {
+    import graft.sources.HudiRO
+    assert(HudiRO.parseFile("fg0_0-1-0_20240101000000000.parquet")
+      .contains(HudiRO.BaseFile("fg0", "20240101000000000",
+        "fg0_0-1-0_20240101000000000.parquet")))
+    // fileId containing '_' still parses (token+instant anchor at end)
+    assert(HudiRO.parseFile("ab_cd-12_3-4-5_20240101000000000.parquet")
+      .map(_.fileId).contains("ab_cd-12"))
+    assert(HudiRO.parseFile("_SUCCESS").isEmpty)
+    val names = Seq(
+      "fg0_0-0-0_20240101000000000.parquet",
+      "fg0_0-0-0_20240102000000000.parquet", // newer version of fg0
+      "fg0_0-0-0_20240103000000000.parquet", // NOT committed
+      "fg1_0-0-0_20240101000000000.parquet")
+    val completed = Set("20240101000000000", "20240102000000000")
+    assert(HudiRO.selectLatest(names, completed) == Seq(
+      "fg0_0-0-0_20240102000000000.parquet",
+      "fg1_0-0-0_20240101000000000.parquet"))
+  }
+
+  test("S20: multi-commit supersession end-to-end; a pending commit becomes visible on its marker") {
+    import graft.sources.{HudiQueries, HudiRO}
+    val root = HudiQueries.ensureTable(spark, sf0001)
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val visible = orders.filter(pmod(col("o_orderkey"), lit(4L)).isin(0L, 2L))
+    assert(HudiRO.read(spark, root).count() == visible.count())
+    // flip the inflight instant to committed in a COPY of the table:
+    // its file group (o_orderkey % 4 = 3) joins the snapshot
+    val copy = tmp() + "/hudicopy"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(root),
+      fs, new org.apache.hadoop.fs.Path(copy), false,
+      spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$copy/.hoodie/20240103000000000.commit"), true).close()
+    val after = orders.filter(pmod(col("o_orderkey"), lit(4L)).isin(0L, 2L, 3L))
+    assert(HudiRO.read(spark, copy).count() == after.count())
+    // pruning is driver-side: delete the other partition dirs in the
+    // copy — the pruned read still answers (they were never listed)
+    val keep = "o_orderstatus=F"
+    fs.listStatus(new org.apache.hadoop.fs.Path(copy)).toSeq
+      .map(_.getPath).filter(p => p.getName.startsWith("o_orderstatus=") &&
+        p.getName != keep)
+      .foreach(p => fs.delete(p, true))
+    assert(HudiRO.read(spark, copy, partitions = Seq("F")).count() ==
+      after.filter(col("o_orderstatus") === "F").count())
+    // a directory without a .hoodie timeline is not a Hudi table
+    intercept[IllegalArgumentException] {
+      HudiRO.read(spark, tmp() + "/nothudi")
+    }
+  }
 }
