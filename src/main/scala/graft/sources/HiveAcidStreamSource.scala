@@ -73,15 +73,21 @@ class HiveAcidStreamTable(path: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val mode = Option(options.get("acidMode")).getOrElse("insert_only")
+    require(mode == "insert_only" || mode == "full",
+      s"acidMode must be insert_only or full, got $mode")
     new HiveAcidStreamScanBuilder(path, tableSchema,
       Option(options.get("maxWriteIdsPerTrigger")).map(_.toInt),
       Option(options.get("abortedWriteIds")).map(
-        _.split(",").map(_.trim.toLong).toSet).getOrElse(Set.empty))
+        _.split(",").map(_.trim.toLong).toSet).getOrElse(Set.empty),
+      fullAcid = mode == "full")
+  }
 }
 
 class HiveAcidStreamScanBuilder(path: String, fullSchema: StructType,
-                                maxUnits: Option[Int], aborted: Set[Long])
+                                maxUnits: Option[Int], aborted: Set[Long],
+                                fullAcid: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -91,7 +97,7 @@ class HiveAcidStreamScanBuilder(path: String, fullSchema: StructType,
     override def description(): String =
       s"graft-hive-acid-stream $path cols=${required.fieldNames.mkString(",")}"
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-      new HiveAcidMicroBatchStream(path, required, maxUnits, aborted)
+      new HiveAcidMicroBatchStream(path, required, maxUnits, aborted, fullAcid)
   }
 }
 
@@ -153,11 +159,17 @@ object HiveAcidStream {
     * max write id. Pure over the listed names — unit-testable without
     * a filesystem. */
   private[graft] def tailUnits(names: Seq[String], from: Long,
-                               aborted: Set[Long]): Seq[TailUnit] = {
+                               aborted: Set[Long],
+                               allowDeletes: Boolean = false): Seq[TailUnit] = {
     val deltas = names.flatMap(n => parseDelta(n).map(n -> _))
-    require(!deltas.exists(_._2.isDelete),
+    // insert-only mode refuses delete deltas (rows would need
+    // retraction); the T27c CDC mode admits them as units like any
+    // other write — a delete_delta_x_y sharing a range with delta_x_y
+    // groups into ONE unit, so the batch carries both sides together
+    require(allowDeletes || !deltas.exists(_._2.isDelete),
       s"delete deltas present: a full-ACID table cannot stream insert-only " +
-        s"(rows would need retraction); read it in batch via readFullAcid")
+        s"(rows would need retraction); stream with acidMode=full (CDC rows) " +
+        s"or read in batch via readFullAcid")
     val (compacted, plain) = deltas.partition(_._2.isCompacted)
     def wholeRangeAborted(d: ParsedDelta): Boolean =
       (d.minWriteId to d.maxWriteId).forall(aborted)
@@ -257,7 +269,8 @@ object HiveAcidStream {
 }
 
 class HiveAcidMicroBatchStream(path: String, required: StructType,
-                               maxUnits: Option[Int], aborted: Set[Long])
+                               maxUnits: Option[Int], aborted: Set[Long],
+                               fullAcid: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
   import HiveAcidStream._
   private def conf =
@@ -267,9 +280,10 @@ class HiveAcidMicroBatchStream(path: String, required: StructType,
     * the INITIAL snapshot must refuse them too — `selectDirs.dataDirs`
     * would silently drop them and emit un-retracted rows. */
   private def requireInsertOnly(names: Seq[String]): Unit =
-    require(!names.exists(n => HiveAcid.parseDelta(n).exists(_.isDelete)),
+    require(fullAcid || !names.exists(n => HiveAcid.parseDelta(n).exists(_.isDelete)),
       s"delete deltas present under $path: a full-ACID table cannot stream " +
-        s"insert-only (rows would need retraction); read it in batch via readFullAcid")
+        s"insert-only (rows would need retraction); stream with acidMode=full " +
+        s"(CDC rows) or read in batch via readFullAcid")
 
   @volatile private var lastSeen = -1L
   private def noteSeen(id: Long): Unit = if (id > lastSeen) lastSeen = id
@@ -300,7 +314,8 @@ class HiveAcidMicroBatchStream(path: String, required: StructType,
           val start = complete.flatMap(HiveAcid.parseBase(_))
             .map(_.writeId).maxOption.getOrElse(0L)
           val walked = HiveAcidStream.contiguousUnits(
-            HiveAcidStream.tailUnits(complete, start, aborted), start, aborted, _ => true)
+            HiveAcidStream.tailUnits(complete, start, aborted, fullAcid),
+            start, aborted, _ => true)
           // The ReadLimit applies to the INITIAL batch too: the base is
           // one unsplittable unit (that justifies base granularity), but
           // admitting the whole delta tail with it would plan exactly
@@ -314,7 +329,7 @@ class HiveAcidMicroBatchStream(path: String, required: StructType,
           limited.lastOption.map(_.maxId).getOrElse(start)
         } else {
           val ready = HiveAcidStream.contiguousUnits(
-            HiveAcidStream.tailUnits(names, from, aborted), from, aborted,
+            HiveAcidStream.tailUnits(names, from, aborted, fullAcid), from, aborted,
             u => u.dirs.forall(isComplete(path, _)))
           val admitted = limit match {
             case ReadMaxWriteIds(max) => ready.take(max)
@@ -358,8 +373,12 @@ class HiveAcidMicroBatchStream(path: String, required: StructType,
       if (from < 0L) {
         requireInsertOnly(names)
         // complete units only — the offset was answered over the same set
-        HiveAcid.selectDirs(names.filter(isComplete(path, _)),
-          HiveAcid.ValidWriteIds(highWatermark = to, aborted = aborted)).dataDirs
+        val st = HiveAcid.selectDirs(names.filter(isComplete(path, _)),
+          HiveAcid.ValidWriteIds(highWatermark = to, aborted = aborted))
+        // CDC mode REPLAYS the log: delete deltas ride along as 'D'
+        // rows (operation=2) and the downstream merge materializes
+        // visibility — the source stays a pure change-log reader
+        if (fullAcid) st.dataDirs ++ st.deleteDeltas else st.dataDirs
       }
       else {
         // REPLAY is reconstruction, not discovery: the committed range
@@ -368,7 +387,7 @@ class HiveAcidMicroBatchStream(path: String, required: StructType,
         // boundary and cleaned the originals) cannot be split — and a
         // walk that no longer reaches `to` means covering dirs are gone;
         // both are silent row loss/duplication if ignored — fail loudly.
-        val units = HiveAcidStream.tailUnits(names, from, aborted)
+        val units = HiveAcidStream.tailUnits(names, from, aborted, fullAcid)
         units.find(u => u.minId <= to && u.maxId > to).foreach { u =>
           throw new IllegalStateException(
             s"unit ${u.dirs.mkString(",")} crosses the committed batch boundary $to " +

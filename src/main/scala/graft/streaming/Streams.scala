@@ -541,6 +541,66 @@ object Streams {
     }
   }
 
+  /** T28b: the Hive→Iceberg migration hop WITH DELETES — a full-ACID
+    * table streamed in CDC mode (`acidMode=full`, the T27c source)
+    * feeds the T23 Iceberg CDC sink. The source replays the ACID
+    * change log verbatim (insert-delta rows as data, delete-delta rows
+    * with NULL user columns); this hop turns each micro-batch into the
+    * T23 contract:
+    *  - op tag from the row's own `operation` (2 = delete → 'D');
+    *  - key = the ACID ROW IDENTITY `originalTransaction:bucket:rowId`
+    *    — the address Hive's own delete deltas use, so a tombstone
+    *    needs NO user-column lookup;
+    *  - partition = `bucket` (present on BOTH inserts and tombstones —
+    *    the Hive bucket becomes the Iceberg partition, so a delete
+    *    locates its partition from the row, the T23 invariant);
+    *  - row-level aborted filtering on `currentTransaction` (a
+    *    SOME-valid multi-id delta surfaces only committed rows — the
+    *    batch reader's validWriteIdCol, applied here because full-ACID
+    *    files DO carry the write id);
+    *  - last-op-per-key collapse ordered by (currentTransaction, D
+    *    over I) — the merge's dropDuplicates must not pick an earlier
+    *    op when one batch carries both an insert and its delete.
+    * Exactly-once rides the T18/T22 batch-id-in-snapshot-summary
+    * device; a replayed batch is a no-op. */
+  def hiveAcidCdcHop(changes: DataFrame, tableDir: String,
+                     aborted: Set[Long] = Set.empty):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        hiveAcidCdcBatch(batch, batchId, tableDir, aborted)
+    }
+
+  /** T28b's idempotent commit step (delegates to [[icebergCdcBatch]]). */
+  def hiveAcidCdcBatch(batch0: DataFrame, batchId: Long, tableDir: String,
+                       aborted: Set[Long] = Set.empty): Unit = {
+    import org.apache.spark.sql.functions._
+    val acidMeta = Seq("operation", "originalTransaction", "bucket", "rowId",
+      "currentTransaction")
+    require(acidMeta.forall(batch0.columns.contains),
+      s"hiveAcidCdcBatch expects full-ACID rows (acidMode=full), got " +
+        batch0.columns.mkString(","))
+    val committed =
+      if (aborted.isEmpty) batch0
+      else batch0.filter(!col("currentTransaction").isin(aborted.toSeq: _*))
+    val tagged = committed
+      .withColumn("op", when(col("operation") === 2, lit("D")).otherwise(lit("I")))
+      .withColumn("acid_key", concat_ws(":",
+        col("originalTransaction"), col("bucket"), col("rowId")))
+    // last op per ACID key: newest write id wins; 'D' beats 'I' at a
+    // tie ('D' < 'I' lexicographically → ascending op sorts D first,
+    // so order op ASC under desc row_number... spelled explicitly:)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("acid_key")
+      .orderBy(col("currentTransaction").desc, col("op").asc)
+    val userCols = batch0.columns.filterNot(c =>
+      c == "operation" || c == "currentTransaction").toSeq
+    val collapsed = tagged
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(("acid_key" +: "op" +: userCols).map(col): _*)
+    icebergCdcBatch(collapsed, batchId, tableDir, keyCol = "acid_key",
+      opCol = "op", partitionCol = "bucket")
+  }
+
   /** T3: drop duplicate event_ids arriving within the watermark. */
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")

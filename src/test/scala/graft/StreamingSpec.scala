@@ -972,6 +972,68 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // full-ACID CDC fixture rows: the public Hive acid row shape
+  // (operation, originalTransaction, bucket, rowId, currentTransaction)
+  // beside the user columns; a delete row (op=2) addresses an earlier
+  // write's (origTxn, bucket, rowId) and carries NULL user columns
+  private def acidFullDf(writeId: Long, op: Int, ids: Long*) = {
+    import org.apache.spark.sql.{Row, types => T}
+    val schema = T.StructType(Seq(
+      T.StructField("operation", T.IntegerType),
+      T.StructField("originalTransaction", T.LongType),
+      T.StructField("bucket", T.IntegerType),
+      T.StructField("rowId", T.LongType),
+      T.StructField("currentTransaction", T.LongType),
+      T.StructField("doc_id", T.LongType), T.StructField("text", T.StringType)))
+    // a delete addresses the INSERTING write's row identity: docs 1..3
+    // came in write 1 (the base), doc 4 in write 2 (fixture convention)
+    val origOf: Long => Long =
+      if (op == 2) id => (if (id <= 3L) 1L else 2L) else _ => writeId
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(ids.map(id => Row(
+        op, origOf(id), 1 << 29, id, writeId,
+        if (op == 2) null else java.lang.Long.valueOf(id),
+        if (op == 2) null else s"text $id"))), schema)
+  }
+
+  test("T28b: full-ACID CDC — a Hive delete lands as an Iceberg tombstone, exactly-once") {
+    val root = java.nio.file.Files.createTempDirectory("graft_t28b").toString
+    val hive = s"$root/hive"; val berg = s"$root/iceberg"
+    // write 1 inserts docs 1..3 (the base); write 2 inserts doc 4
+    acidFullDf(1L, 0, 1L, 2L, 3L).write.parquet(s"$hive/base_0000001")
+    acidFullDf(2L, 0, 4L).write.parquet(s"$hive/delta_0000002_0000002")
+    def start() = Streams.hiveAcidCdcHop(
+      spark.readStream.format("graft.sources.HiveAcidStreamSource")
+        .option("acidMode", "full").load(hive), berg)
+      .option("checkpointLocation", s"$root/ckpt").start()
+    def bergIds = spark.read.format("graft.sources.IcebergSource").load(berg)
+      .select("rowId").collect().map(_.getLong(0)).sorted.toSeq
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(bergIds == Seq(1L, 2L, 3L, 4L))
+      // write 3 DELETES doc 2 (addressed by write 1's row identity) —
+      // the tombstone must drop it from the Iceberg table
+      acidFullDf(3L, 2, 2L).write.parquet(s"$hive/delete_delta_0000003_0000003")
+      q.processAllAvailable()
+      assert(bergIds == Seq(1L, 3L, 4L))
+    } finally q.stop()
+    // exactly-once under replay: re-running the LAST committed batch id
+    // with the same tombstone rows is a no-op (batch-id summary device)
+    val last = spark.read.parquet(s"$hive/delete_delta_0000003_0000003")
+    Streams.hiveAcidCdcBatch(last, 1L, berg)
+    Streams.hiveAcidCdcBatch(last, 0L, berg)
+    assert(bergIds == Seq(1L, 3L, 4L))
+    // and a RESTART from the checkpoint replays nothing, then drains
+    // only the genuinely new write (delete of doc 4)
+    acidFullDf(4L, 2, 4L).write.parquet(s"$hive/delete_delta_0000004_0000004")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(bergIds == Seq(1L, 3L))
+    } finally q2.stop()
+  }
+
   test("T27: the INITIAL snapshot also refuses delete deltas (no silent row drop)") {
     // selectDirs.dataDirs would silently exclude delete deltas, emitting
     // un-retracted rows — the initial batch must refuse like the tail does
