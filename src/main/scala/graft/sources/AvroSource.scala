@@ -49,30 +49,80 @@ import scala.jdk.CollectionConverters._
   *        .load("/path/dir")                             // reader
   */
 class AvroSource extends TableProvider {
+  /** PER-FILE schema resolution (the reference resolves each Avro
+    * file's writer schema against the table schema —
+    * hdfs-avro-scanner.cc resolution path): the table schema is the
+    * BY-NAME MERGE of every container header under the path, so a
+    * directory whose files span a column ADD reads in one scan (old
+    * files NULL-fill the added column via Avro's own default-value
+    * resolution — the same migration-era story S16e solves for parquet
+    * via field ids). Column RENAMEs resolve through the `aliases`
+    * option (`"new:old[|older],..."` — the public Avro spec's reader
+    * aliases). One header read per file is driver-side metadata work,
+    * the same bound as the listing itself. */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = AvroSource.pathOf(options)
+    val aliases = AvroSource.parseAliases(options.get("aliases"))
     val files = AvroSource.listFiles(path)
     require(files.nonEmpty, s"no .avro files under $path")
-    // schema from the first container's header; all files of one write
-    // share it (heterogeneous directories are a caller error surfaced
-    // by Avro's own resolution exception at read time)
-    val in = new FsInput(files.head,
-      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
-    val reader = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
-    try AvroConvert.toSparkSchema(reader.getSchema)
-    finally { reader.close() }
+    val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+    val perFile = files.map { f =>
+      val reader = new DataFileReader[GenericRecord](
+        new FsInput(f, conf), new GenericDatumReader[GenericRecord]())
+      try AvroConvert.toSparkSchema(reader.getSchema)
+      finally reader.close()
+    }
+    AvroSource.mergeSchemas(perFile, aliases)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val split = Option(properties.get("split_bytes")).map(_.toLong)
       .getOrElse(AvroSource.DefaultSplitBytes)
-    new AvroTable(properties.get("path"), schema, split)
+    new AvroTable(properties.get("path"), schema, split,
+      AvroSource.parseAliases(properties.get("aliases")))
   }
 }
 
 object AvroSource {
   val DefaultSplitBytes: Long = 64L * 1024 * 1024
+
+  /** `"new:old[|older],new2:old2"` → reader-field aliases (Avro spec
+    * rename resolution); empty map when unset. */
+  def parseAliases(opt: String): Map[String, Seq[String]] =
+    Option(opt).filter(_.nonEmpty).map(_.split(",").map { kv =>
+      val Array(n, olds) = kv.split(":", 2)
+      n.trim -> olds.split("\\|").map(_.trim).toSeq
+    }.toMap).getOrElse(Map.empty)
+
+  /** By-name merge of per-file schemas, aliases applied first (an old
+    * writer name folds into its current reader name). A field absent
+    * from some files is NULLABLE in the merge — those files' rows
+    * NULL-fill it through Avro default-value resolution. Same-name
+    * fields of different types fail loudly. */
+  private[sources] def mergeSchemas(perFile: Seq[StructType],
+                                    aliases: Map[String, Seq[String]]): StructType = {
+    val currentName: String => String = old =>
+      aliases.collectFirst { case (n, olds) if olds.contains(old) => n }.getOrElse(old)
+    val order = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+    val seen = scala.collection.mutable.HashMap.empty[String, Int]
+    perFile.foreach { st =>
+      st.fields.foreach { f0 =>
+        val f = f0.copy(name = currentName(f0.name))
+        order.get(f.name) match {
+          case None => order(f.name) = f
+          case Some(prev) =>
+            require(prev.dataType == f.dataType,
+              s"graft avro: field ${f.name} is ${prev.dataType.simpleString} in one " +
+                s"file and ${f.dataType.simpleString} in another — irreconcilable")
+            if (f.nullable && !prev.nullable) order(f.name) = f
+        }
+        seen(f.name) = seen.getOrElse(f.name, 0) + 1
+      }
+    }
+    StructType(order.values.toSeq.map(f =>
+      if (seen(f.name) < perFile.length) f.copy(nullable = true) else f))
+  }
 
   def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -95,7 +145,8 @@ object AvroSource {
   }
 }
 
-class AvroTable(path: String, schema: StructType, splitBytes: Long)
+class AvroTable(path: String, schema: StructType, splitBytes: Long,
+                aliases: Map[String, Seq[String]] = Map.empty)
     extends Table with SupportsRead {
   override def name(): String = s"graft_avro($path)"
   override def schema(): StructType = schema
@@ -103,15 +154,18 @@ class AvroTable(path: String, schema: StructType, splitBytes: Long)
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val split = Option(options.get("split_bytes")).map(_.toLong).getOrElse(splitBytes)
-    new AvroScanBuilder(path, schema, split)
+    val al = Option(options.get("aliases")).map(AvroSource.parseAliases)
+      .filter(_.nonEmpty).getOrElse(aliases)
+    new AvroScanBuilder(path, schema, split, al)
   }
 }
 
-class AvroScanBuilder(path: String, full: StructType, splitBytes: Long)
+class AvroScanBuilder(path: String, full: StructType, splitBytes: Long,
+                      aliases: Map[String, Seq[String]] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var pruned: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit = pruned = requiredSchema
-  override def build(): Scan = new AvroScan(path, pruned, splitBytes)
+  override def build(): Scan = new AvroScan(path, pruned, splitBytes, aliases)
 }
 
 /** One byte range of one container; [start, end) in the sync-marker
@@ -120,7 +174,8 @@ class AvroScanBuilder(path: String, full: StructType, splitBytes: Long)
   * block lands in exactly one partition. */
 case class AvroInputPartition(file: String, start: Long, end: Long) extends InputPartition
 
-class AvroScan(path: String, pruned: StructType, splitBytes: Long) extends Scan with Batch {
+class AvroScan(path: String, pruned: StructType, splitBytes: Long,
+               aliases: Map[String, Seq[String]] = Map.empty) extends Scan with Batch {
   override def readSchema(): StructType = pruned
   override def toBatch: Batch = this
   override def description(): String =
@@ -135,10 +190,12 @@ class AvroScan(path: String, pruned: StructType, splitBytes: Long) extends Scan 
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(pruned)
+    new AvroReaderFactory(pruned, aliases)
 }
 
-class AvroReaderFactory(pruned: StructType) extends PartitionReaderFactory {
+class AvroReaderFactory(pruned: StructType,
+                        aliases: Map[String, Seq[String]] = Map.empty)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[AvroInputPartition]
     new PartitionReader[InternalRow] {
@@ -151,10 +208,13 @@ class AvroReaderFactory(pruned: StructType) extends PartitionReaderFactory {
         new FsInput(new org.apache.hadoop.fs.Path(p.file), conf), datumReader)
       // Reader-schema projection AFTER open: the pruned reader schema
       // reuses the WRITER's record name/namespace, so Avro's name-based
-      // schema resolution accepts containers from any writer, not just
-      // AvroIO's 'graft_record' (field names still must match).
+      // schema resolution accepts containers from any writer. PER-FILE
+      // resolution (the reference scanner's contract): a reader field
+      // this file's writer never had fills its NULL default; a renamed
+      // field resolves through its declared aliases; the field ORDER
+      // is the reader's, regardless of the writer's layout.
       datumReader.setExpected(
-        AvroConvert.toAvroSchemaNamed(pruned, reader.getSchema))
+        AvroConvert.toAvroSchemaNamed(pruned, reader.getSchema, aliases))
       // seek to the first sync marker after the range start; blocks
       // before it belong to the previous partition
       reader.sync(p.start)
@@ -205,12 +265,18 @@ object AvroConvert {
 
   /** Same conversion, but named after an existing (writer) schema so
     * Avro's name-based resolution accepts the projection regardless of
-    * which writer produced the container. */
-  def toAvroSchemaNamed(st: StructType, like: Schema): Schema = {
+    * which writer produced the container; `aliases` (reader field →
+    * old writer names) ride on the fields for spec-rule rename
+    * resolution. */
+  def toAvroSchemaNamed(st: StructType, like: Schema,
+                        aliases: Map[String, Seq[String]] = Map.empty): Schema = {
     val base = toAvroSchema(st)
     Schema.createRecord(like.getName, null, like.getNamespace, false,
-      base.getFields.asScala.map(f =>
-        new Schema.Field(f.name, f.schema, f.doc, f.defaultVal)).asJava)
+      base.getFields.asScala.map { f =>
+        val nf = new Schema.Field(f.name, f.schema, f.doc, f.defaultVal)
+        aliases.getOrElse(f.name, Nil).foreach(nf.addAlias)
+        nf
+      }.asJava)
   }
 
   def toSparkSchema(s: Schema): StructType = {

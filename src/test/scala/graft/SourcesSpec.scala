@@ -119,6 +119,55 @@ class SourcesSpec extends SparkSpec {
     assert(one.rdd.getNumPartitions == 1 && one.count() == 2000)
   }
 
+  test("S13c: per-file schema resolution — a mixed-schema dir reads in one scan; " +
+    "old files NULL-fill added columns; renames resolve through aliases") {
+    import graft.sources.AvroIO
+    val dir = tmp() + "/avro_mixed"
+    // epoch 1: (doc_id, txt) — the ORIGINAL layout (old column name)
+    val oldDf = spark.range(0, 3).selectExpr("id AS doc_id",
+      "concat('old ', CAST(id AS string)) AS txt")
+    AvroIO.write(oldDf.coalesce(1), dir)
+    // epoch 2: (doc_id, text, lang) — 'txt' RENAMED to 'text', 'lang' ADDED;
+    // lands beside the epoch-1 container (AvroIO.write wipes the dir, so
+    // write elsewhere and move the container in)
+    val dir2 = tmp() + "/avro_mixed2"
+    val newDf = spark.range(3, 6).selectExpr("id AS doc_id",
+      "concat('new ', CAST(id AS string)) AS text", "'de' AS lang")
+    AvroIO.write(newDf.coalesce(1), dir2)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.rename(graft.sources.AvroSource.listFiles(dir2).head,
+      new org.apache.hadoop.fs.Path(dir, "part-zz-epoch2.avro"))
+    // one scan over both epochs: merged schema, alias-resolved rename
+    val back = spark.read.format("graft.sources.AvroSource")
+      .option("aliases", "text:txt").load(dir)
+    assert(back.schema.fieldNames.toSeq == Seq("doc_id", "text", "lang"))
+    // 'lang' is nullable (absent from epoch 1); 'text' resolves in
+    // EVERY file post-alias so it keeps the writers' non-null contract
+    assert(back.schema("lang").nullable && !back.schema("text").nullable)
+    val rows = back.orderBy("doc_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 5L))
+    // epoch-1 rows: text resolved FROM txt via the alias, lang NULL-filled
+    assert(rows.take(3).map(_.getString(1)).toSeq ==
+      Seq("old 0", "old 1", "old 2"))
+    assert(rows.take(3).forall(_.isNullAt(2)))
+    // epoch-2 rows: native layout, different writer field order is fine
+    assert(rows.drop(3).map(r => (r.getString(1), r.getString(2))).toSeq ==
+      Seq(("new 3", "de"), ("new 4", "de"), ("new 5", "de")))
+    // pruning a merged-in column still decodes per file (reader-schema
+    // projection with defaults): select only the ADDED column
+    assert(back.select("lang").collect().count(_.isNullAt(0)) == 3)
+    // same-name different-type files are irreconcilable — loud
+    val dir3 = tmp() + "/avro_badtype"
+    AvroIO.write(spark.range(1).selectExpr("id AS doc_id", "'s' AS txt").coalesce(1), dir3)
+    AvroIO.write(spark.range(1).selectExpr("id AS doc_id", "id AS txt").coalesce(1), dir2)
+    fs.rename(graft.sources.AvroSource.listFiles(dir2).head,
+      new org.apache.hadoop.fs.Path(dir3, "part-zz-bad.avro"))
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft.sources.AvroSource").load(dir3).schema
+    }
+  }
+
   test("S14: SequenceFile round trip; one container splits on sync markers into >1 partition") {
     import graft.sources.SequenceIO
     val dir = tmp() + "/seqfile"
