@@ -7,6 +7,7 @@ over the same parquet tables and diffs against Spark's parquet output
 Usage: python3 dev/check.py [sfDir] [outDir] [--skip-verify]
 """
 import sys, os, json, glob, subprocess
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import duckdb
 
 pos = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -79,9 +80,16 @@ for d in sorted(glob.glob(f"{out}/*")):
         except Exception as e:
             results[name] = f"ROWS_ONLY_ERR {e}"
 
+# the rows-only set must never grow silently: every no-oracle entry
+# needs a declared reason in dev/rows_only_audit.py
+import rows_only_audit
+audit_ok = rows_only_audit.audit(out) == 0
+
 ok = sum(1 for v in results.values()
          if v == "OK" or (v.startswith("ROWS_ONLY n=") and "EMPTY" not in v))
 for k, v in results.items():
     flag = "  " if (v == "OK" or (v.startswith("ROWS_ONLY n=") and "EMPTY" not in v)) else "XX"
     print(f"{flag} {k}: {v}")
-print(f"\n{ok}/{len(results)} pass")
+print(f"\n{ok}/{len(results)} pass" + ("" if audit_ok else "  [rows-only audit FAILED]"))
+if not audit_ok:
+    sys.exit(1)
