@@ -1706,15 +1706,20 @@ class IcebergPartitionReader(file: String, required: StructType,
         case None => srcIdx(i) = -1
         case Some(fileName) =>
           srcIdx(i) = cols.length
+          // repetition mirrors the FILE's own field — Hive/Impala
+          // writers mark non-null columns `required`, and parquet's
+          // projection check rejects a repetition mismatch
+          val rep = fileFields.find(_.getName == fileName)
+            .map(_.getRepetition.name.toLowerCase).getOrElse("optional")
           cols += (f.dataType match {
-            case LongType => s"optional int64 $fileName;"
-            case IntegerType => s"optional int32 $fileName;"
-            case DoubleType => s"optional double $fileName;"
-            case BooleanType => s"optional boolean $fileName;"
-            case StringType => s"optional binary $fileName (UTF8);"
-            case DateType => s"optional int32 $fileName (DATE);"
+            case LongType => s"$rep int64 $fileName;"
+            case IntegerType => s"$rep int32 $fileName;"
+            case DoubleType => s"$rep double $fileName;"
+            case BooleanType => s"$rep boolean $fileName;"
+            case StringType => s"$rep binary $fileName (UTF8);"
+            case DateType => s"$rep int32 $fileName (DATE);"
             // writer pins int64 micros (spec physical type for timestamps)
-            case TimestampType => s"optional int64 $fileName;"
+            case TimestampType => s"$rep int64 $fileName;"
             case other => sys.error(s"graft iceberg: unsupported read type $other")
           })
       }
