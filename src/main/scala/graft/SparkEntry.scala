@@ -27,7 +27,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TpchQueries.queries ++ TpchQueries2.queries ++ TpcdsQueries.queries ++ TpcdsQueries2.queries ++ TpcdsQueries3.queries ++ TpcdsQueries4.queries ++ TpcdsQueries5.queries ++ TypedQueries.queries ++ Skew.queries ++ RelationalQueries.queries ++
+    TpchQueries.queries ++ TpchQueries2.queries ++ TpcdsQueries.queries ++ TpcdsQueries2.queries ++ TpcdsQueries3.queries ++ TpcdsQueries4.queries ++ TpcdsQueries5.queries ++ TpcdsQueries6.queries ++ TypedQueries.queries ++ Skew.queries ++ RelationalQueries.queries ++
       AggQueries.queries ++ WindowQueries.queries ++
       FunctionQueries.queries ++ FunctionQueries2.queries ++ FunctionQueries3.queries ++ FunctionQueries4.queries ++
       TableOps.queries ++ EventQueries.queries ++
@@ -42,7 +42,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    TpchQueries.oracles ++ TpchQueries2.oracles ++ TpcdsQueries.oracles ++ TpcdsQueries2.oracles ++ TpcdsQueries3.oracles ++ TpcdsQueries4.oracles ++ TpcdsQueries5.oracles ++ TypedQueries.oracles ++ Skew.oracles ++ RelationalQueries.oracles ++
+    TpchQueries.oracles ++ TpchQueries2.oracles ++ TpcdsQueries.oracles ++ TpcdsQueries2.oracles ++ TpcdsQueries3.oracles ++ TpcdsQueries4.oracles ++ TpcdsQueries5.oracles ++ TpcdsQueries6.oracles ++ TypedQueries.oracles ++ Skew.oracles ++ RelationalQueries.oracles ++
       AggQueries.oracles ++ WindowQueries.oracles ++
       FunctionQueries.oracles ++ FunctionQueries2.oracles ++ FunctionQueries3.oracles ++ FunctionQueries4.oracles ++
       TableOps.oracles ++ EventQueries.oracles ++

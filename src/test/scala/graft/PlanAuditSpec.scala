@@ -494,7 +494,12 @@ class PlanAuditSpec extends SparkSpec {
     //     limit(cells) <= 16 rows) — its assignment subtree sits behind
     //     the slot cache since round 7, visible again now that the walk
     //     recurses into InMemoryRelation (round-7 verdict #3).
-    val allowed = Set("agg_equidepth_hist", "sim_ivf_topk", "dedup_semantic")
+    //   - ds_q70_rollup_rank: the q70 top-k prefilter ranks the NATION
+    //     aggregate (25 rows, fixed domain) and the rank-within-parent
+    //     window partitions by a GROUPING() level whose top level is
+    //     one global row group over rollup output (<= 25x5 + 26 rows)
+    val allowed = Set("agg_equidepth_hist", "sim_ivf_topk", "dedup_semantic",
+      "ds_q70_rollup_rank")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sf0001)
       import org.apache.spark.sql.catalyst.plans.logical.Window
@@ -571,6 +576,9 @@ class PlanAuditSpec extends SparkSpec {
       "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_grouping_fn",
       "agg_grouping_id", "ds_q27_rollup_profile",
       "ds_q5_channel_rollup", "ds_q67_rollup_topn", "ds_q36_margin_rank",
+      // q70: rollup over the pre-aggregated (nation, segment) grain
+      // (<= 25x5 rows through the Expand), ranked within rollup levels
+      "ds_q70_rollup_rank",
       // UNPIVOT is literally Expand — one copy per unpivoted column,
       // multiplier = the fixed column list
       "rel_unpivot",
