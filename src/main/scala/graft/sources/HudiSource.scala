@@ -72,10 +72,17 @@ object HudiRO {
     val p = new Path(tableDir, ".hoodie")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"$tableDir is not a Hudi table (no .hoodie timeline)")
-    fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.endsWith(".commit"))
-      .map(_.stripSuffix(".commit"))
-      .toSet
+    val names = fs.listStatus(p).toSeq.map(_.getPath.getName)
+    // clustering REPLACES file groups, and which groups died is stated
+    // in the replacecommit's JSON body, not its name — a name-level
+    // reader that ignored it would surface BOTH the replaced groups
+    // and their replacements (silent duplication). Refuse loudly, the
+    // Iceberg-v2-deletes discipline (the reference throws there too).
+    require(!names.exists(_.endsWith(".replacecommit")),
+      s"$tableDir carries a clustering replacecommit: which file groups it " +
+        "replaced is only in the commit body, which this name-level RO reader " +
+        "does not parse — reading on would duplicate replaced rows")
+    names.filter(_.endsWith(".commit")).map(_.stripSuffix(".commit")).toSet
   }
 
   /** Latest completed base file per file group among `names` — the

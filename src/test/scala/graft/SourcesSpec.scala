@@ -1439,5 +1439,19 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       HudiRO.read(spark, tmp() + "/nothudi")
     }
+    // MOR log files are invisible to the read-optimized view (the
+    // HoodieROTablePathFilter contract): a .log delta beside the base
+    // files changes nothing
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$copy/$keep/.fg0_20240101000000000.log.1_0-1-0"), true).close()
+    assert(HudiRO.read(spark, copy, partitions = Seq("F")).count() ==
+      after.filter(col("o_orderstatus") === "F").count())
+    // a clustering replacecommit is a loud refusal, not silent
+    // duplication (which groups it replaced lives in the commit BODY)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$copy/.hoodie/20240104000000000.replacecommit"), true).close()
+    intercept[IllegalArgumentException] {
+      HudiRO.read(spark, copy, partitions = Seq("F"))
+    }
   }
 }
