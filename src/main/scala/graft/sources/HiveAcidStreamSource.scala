@@ -202,27 +202,33 @@ object HiveAcidStream {
     // only units not covered by an already-kept wider one; a PARTIAL
     // overlap between two compacted outputs has no valid split (no
     // write-id column to row-filter on) — fail fast like the straddle.
-    val compactedAdmit = {
-      val ordered = compactedCandidates.sortBy { case (_, d) =>
-        (d.minWriteId, -d.maxWriteId, -d.visibilityTxnId)
-      }
-      val kept = scala.collection.mutable.ArrayBuffer.empty[(String, ParsedDelta)]
-      for ((name, d) <- ordered) {
-        val coveredBy = kept.find { case (_, k) =>
-          k.minWriteId <= d.minWriteId && d.maxWriteId <= k.maxWriteId
+    // ...PER KIND: an insert-compacted range never supersedes a
+    // delete-compacted one (delete_delta_2_5_vN beside delta_2_5_vM is
+    // the compactor's NORMAL paired output in full-ACID mode, not a
+    // duplicate), so the sweep runs separately over each kind.
+    val compactedAdmit = compactedCandidates.partition(_._2.isDelete) match {
+      case (dels, ins) => Seq(ins, dels).flatMap { group =>
+        val ordered = group.sortBy { case (_, d) =>
+          (d.minWriteId, -d.maxWriteId, -d.visibilityTxnId)
         }
-        if (coveredBy.isEmpty) {
-          kept.find { case (_, k) =>
-            k.minWriteId <= d.maxWriteId && d.minWriteId <= k.maxWriteId
-          }.foreach { case (kn, _) =>
-            throw new IllegalStateException(
-              s"compacted $name partially overlaps compacted $kn: the ranges " +
-                s"cannot be split (insert-only files carry no write-id column)")
+        val kept = scala.collection.mutable.ArrayBuffer.empty[(String, ParsedDelta)]
+        for ((name, d) <- ordered) {
+          val coveredBy = kept.find { case (_, k) =>
+            k.minWriteId <= d.minWriteId && d.maxWriteId <= k.maxWriteId
           }
-          kept += (name -> d)
+          if (coveredBy.isEmpty) {
+            kept.find { case (_, k) =>
+              k.minWriteId <= d.maxWriteId && d.minWriteId <= k.maxWriteId
+            }.foreach { case (kn, _) =>
+              throw new IllegalStateException(
+                s"compacted $name partially overlaps compacted $kn: the ranges " +
+                  s"cannot be split (insert-only files carry no write-id column)")
+            }
+            kept += (name -> d)
+          }
         }
+        kept.toSeq
       }
-      kept.toSeq
     }
     (plainAdmit ++ compactedAdmit)
       .groupBy { case (_, d) => (d.minWriteId, d.maxWriteId) }

@@ -65,11 +65,16 @@ object MixedFormat {
     val dataSchema = StructType(df.schema.filterNot(_.name == partitionCol))
     // bounded driver-side collect: the DISTINCT partition-value domain
     // (the same metadata-scale set HMS hands Impala), never row data
-    val rawValues = df.select(partitionCol).distinct().collect().map(_.get(0))
+    // distinct through cast("string") so the collected value, the
+    // group filter below, and the spec all share Spark's OWN string
+    // rendering (a JVM toString can differ for timestamps — the
+    // existence check at the end makes any residual drift loud)
+    val rawValues = df.select(col(partitionCol).cast("string"))
+      .distinct().collect().map(_.get(0))
     require(!rawValues.contains(null),
       s"null partition value in $partitionCol: a Hive-style layout cannot " +
         "address a null partition directory — filter or sentinel-encode upstream")
-    val values = rawValues.map(_.toString).sorted.toSeq
+    val values = rawValues.map(_.asInstanceOf[String]).sorted.toSeq
     val parts = values.zipWithIndex.map { case (v, i) =>
       PartitionSpec(v, s"$partitionCol=${escapePart(v)}", formats(i % formats.length))
     }
@@ -167,7 +172,10 @@ object MixedFormat {
     * task keeps a writer per value it encounters (bounded by the
     * group's partition domain) and appends the data columns. This is
     * what keeps the writer at ≤ |formats| input scans — the routed
-    * alternative to `partitionBy` for formats Spark cannot write. */
+    * alternative to `partitionBy` for formats Spark cannot write.
+    * Attempt semantics match AvroIO/RcIO (task-indexed file names, last
+    * attempt wins — no speculative-attempt commit protocol; the DSv2
+    * SequenceFile sink shows the committed shape where that matters). */
   private def writeRouted(slice: DataFrame, rootDir: String,
                           dirOf: Map[String, String],
                           writers: RoutedWriters): Unit = {

@@ -874,6 +874,14 @@ class StreamingSpec extends SparkSpec {
       tailUnits(Seq("delta_0000002_0000005_v0000009",
         "delta_0000004_0000007_v0000012"), 1L, Set.empty)
     }
+    // ...but the sweep runs PER KIND: in full-ACID mode the compactor's
+    // paired delete_delta/delta outputs of the SAME range are both
+    // kept (one unit carrying both dirs), never superseded cross-kind
+    assert(tailUnits(Seq("delta_0000002_0000005_v0000012",
+      "delete_delta_0000002_0000005_v0000012"), 1L, Set.empty,
+      allowDeletes = true)
+      .map(_.dirs.sorted) == Seq(Seq("delete_delta_0000002_0000005_v0000012",
+        "delta_0000002_0000005_v0000012")))
   }
 
   test("T27b: the ReadLimit bounds the INITIAL batch too (fresh checkpoint, long-lived table)") {
