@@ -37,7 +37,12 @@ object ScaleSweep {
     // SPARK_GRAFT_ONLY when re-demonstrating the pathology.
     "dedup_embed_cosine_default", "dedup_semantic_default",
     "sim_hard_negatives_default",
-    "pipe_bpe_tokenize", "pipe_unigram_tokenize", "dedup_lines")
+    "pipe_bpe_tokenize", "pipe_unigram_tokenize", "dedup_lines",
+    // round-11: the TPC-DS heavy-tail trio (verdict #2) + the two
+    // batch-7 shapes — the planner stress-tests must scale like the
+    // plans argue (q64 one fact pass, q72 two, q95 one)
+    "ds_q64_rebuy_chain", "ds_q72_inventory_gap", "ds_q95_double_exists",
+    "ds_q45_disjunct_exists", "ds_q70_rollup_rank")
 
   /** Sweep-only variants calling the library API with NO sizing flags:
     * verifies the round-10 adaptive defaults hold the measured-linear
