@@ -58,6 +58,9 @@ object Bench {
     "dedup_incremental_indexed",
     "ds_q6_above_avg_price", "ds_q9_quantity_buckets", "ds_q62_ship_latency",
     "ds_q90_time_ratio", "ds_q85_return_profile", "pipe_epoch_upsample",
+    // round-11 heavy-tail shapes, pinned for round-over-round tracking
+    "ds_q64_rebuy_chain", "ds_q72_inventory_gap", "ds_q95_double_exists",
+    "ds_q70_rollup_rank", "src_hudi_ro", "src_mixed_formats",
     "src_iceberg_merge",
     // round-8 continuation families
     "ds_q32_excess_discount", "ds_q2_wow_pivot", "ds_q44_best_worst",
