@@ -1042,6 +1042,63 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("T27 property: the walk emits every accounted id exactly once and never skips an unaccounted gap") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.Parameters
+    import graft.sources.HiveAcidStream.{contiguousUnits, tailUnits}
+    // Model: write ids 1..n; a random committed set (plain single-id
+    // deltas on disk), a disjoint aborted set (no dir ever appears), a
+    // random stream position, and optionally a minor compaction of the
+    // prefix [1, c] (legal only when every id <= c is accounted — the
+    // compactor never runs over open writes) whose plain inputs the
+    // cleaner already removed.
+    val genCase: Gen[(Set[Int], Set[Long], Long, Long)] = for {
+      n <- Gen.choose(5, 24)
+      committed <- Gen.someOf(1 to n)
+      aborted <- Gen.someOf((1 to n).filterNot(committed.toSet))
+      from <- Gen.choose(0, n)
+      compactTo <- Gen.oneOf(0 +: (1 to n).filter(c =>
+        (1 to c).forall(i => committed.contains(i) || aborted.contains(i))))
+    } yield (committed.toSet,
+      aborted.iterator.map(_.toLong).toSet, from.toLong, compactTo.toLong)
+    val prop = Prop.forAll(genCase) { case (committed, aborted, from, compactTo) =>
+      val plain = committed.filter(_ > compactTo).toSeq.sorted
+        .map(i => f"delta_$i%07d_$i%07d")
+      val comp = if (compactTo > 0) Seq(f"delta_${1}%07d_$compactTo%07d_v0000099")
+        else Seq.empty
+      val names = plain ++ comp
+      if (compactTo > 0 && from >= 1 && from < compactTo) {
+        // the compacted range straddles the position and its inputs are
+        // gone: the DOCUMENTED loud path, never a silent split
+        Prop(scala.util.Try(tailUnits(names, from, aborted)).isFailure)
+      } else {
+        val units = tailUnits(names, from, aborted)
+        val walked = contiguousUnits(units, from, aborted, _ => true)
+        val coveredIds = walked.flatMap(u => u.minId to u.maxId)
+        val advance = walked.lastOption.map(_.maxId).getOrElse(from)
+        // exactly-once: no id in two units, none at/below the position
+        val once = coveredIds.distinct.size == coveredIds.size &&
+          coveredIds.forall(_ > from)
+        // no silent skip: every id the offset moved past is either
+        // emitted by a unit or in the aborted set
+        val noSkip = ((from + 1) to advance).forall(id =>
+          coveredIds.contains(id) || aborted(id))
+        // loss-free: every COMMITTED id the offset moved past is emitted
+        val lossFree = committed.map(_.toLong)
+          .filter(id => id > from && id <= advance).forall(coveredIds.contains)
+        // maximal: the walk stopped only at a genuinely unaccounted gap
+        // (a unit beyond the advance whose gap is fully aborted would
+        // mean the walk under-delivered)
+        val maximal = !units.exists(u => u.minId > advance && u.maxId > advance &&
+          ((advance + 1) until u.minId).forall(aborted))
+        Prop(once && noSkip && lossFree && maximal)
+      }
+    }
+    val res = org.scalacheck.Test.check(
+      Parameters.default.withMinSuccessfulTests(2000), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("T27: the INITIAL snapshot also refuses delete deltas (no silent row drop)") {
     // selectDirs.dataDirs would silently exclude delete deltas, emitting
     // un-retracted rows — the initial batch must refuse like the tail does
