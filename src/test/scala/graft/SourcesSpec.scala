@@ -1200,6 +1200,74 @@ class SourcesSpec extends SparkSpec {
     assert(read(Some(Set(99L))) == Seq(101L, 102L, 103L))
   }
 
+  test("S18 property: selectDirs covers every visible id exactly once over random legal layouts") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.Parameters
+    // Model: ids 1..n split committed/aborted; snapshot hwm; dirs that
+    // Hive could legally leave on disk — single-id deltas for committed
+    // ids (and, until the cleaner runs, for aborted ones), optionally a
+    // base_k (k <= hwm, folding everything <= k) and a minor compaction
+    // delta_a_b (above the base, range accounted, b <= hwm) — with the
+    // cleaner having removed a RANDOM subset of the folded inputs.
+    val genCase = for {
+      n <- Gen.choose(5, 20)
+      aborted <- Gen.someOf(1 to n)
+      hwm <- Gen.choose(0, n)
+      baseK <- Gen.oneOf(0 +: (1 to hwm))
+      abortedDirs <- Gen.someOf(aborted) // uncleaned aborted-write dirs
+      compact <- {
+        val starts = (baseK + 1) to hwm
+        val legal = for {
+          a <- starts
+          b <- a to hwm
+          if (a to b).nonEmpty && b > a // multi-id ranges only
+        } yield (a, b)
+        Gen.oneOf((0, 0) +: legal)
+      }
+      cleaned <- Gen.someOf(1 to n) // cleaner candidates (filtered below)
+    } yield (n, aborted.toSet, hwm, baseK, abortedDirs.toSet, compact, cleaned.toSet)
+    val prop = Prop.forAll(genCase) {
+      case (n, aborted, hwm, baseK, abortedDirs, (ca, cb), cleaned) =>
+        val committed = (1 to n).filterNot(aborted).toSet
+        // a plain dir may be cleaned only if a base or compaction folded it
+        def folded(i: Int) = i <= baseK || (ca > 0 && i >= ca && i <= cb)
+        val plainIds = ((committed ++ abortedDirs) -- cleaned.filter(folded))
+          .filterNot(i => ca > 0 && i >= ca && i <= cb && cleaned(i))
+        val names =
+          plainIds.toSeq.sorted.map(i => f"delta_$i%07d_$i%07d") ++
+            (if (baseK > 0) Seq(f"base_$baseK%07d") else Nil) ++
+            (if (ca > 0) Seq(f"delta_$ca%07d_$cb%07d_v0000099") else Nil)
+        val ids = HiveAcid.ValidWriteIds(hwm.toLong,
+          aborted = aborted.map(_.toLong))
+        val st = HiveAcid.selectDirs(names, ids)
+        // coverage of each selected data dir, in ids
+        def cover(d: String): Seq[Int] = d match {
+          case s if s.startsWith("base_") => 1 to baseK
+          case _ =>
+            val m = """delta_(\d+)_(\d+).*""".r
+            val m(a, b) = d: @unchecked
+            a.toInt to b.toInt
+        }
+        val covered = st.dataDirs.flatMap(cover)
+        // visible = committed, <= hwm, and covered by SOME surviving dir
+        val visible = committed.filter(v => v <= hwm &&
+          (v <= baseK || plainIds(v) || (ca > 0 && v >= ca && v <= cb)))
+        // every visible id exactly once; no plain dir beyond the hwm or
+        // aborted sneaks in (multi-id dirs may cover aborted ids — the
+        // compactor dropped their rows inside the files)
+        val counts = covered.groupBy(identity).view.mapValues(_.size)
+        val exactlyOnce = visible.forall(v => counts.getOrElse(v, 0) == 1)
+        val noInvisiblePlain = !st.deltas.exists { d =>
+          val c = cover(d)
+          c.size == 1 && (c.head > hwm || aborted(c.head))
+        }
+        Prop(exactlyOnce && noInvisiblePlain)
+    }
+    val res = org.scalacheck.Test.check(
+      Parameters.default.withMinSuccessfulTests(2000), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("S18: insert-only end-to-end — snapshot sees base+committed deltas only") {
     val root = graft.sources.HiveAcidQueries.ensureInsertOnly(spark, sf0001)
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
