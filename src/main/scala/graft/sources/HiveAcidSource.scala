@@ -544,6 +544,10 @@ private[graft] object AcidOrc {
     try r.getSchema finally r.close()
   }
 
+  /** The FLAT (meta + user) schema an event file decodes to. */
+  private[graft] def flatSchema(spark: SparkSession, file: String): StructType =
+    StructType(MetaFields ++ rowSchema(spark, file).fields.map(_.copy(nullable = true)))
+
   /** The user-row schema of an event file (driver-side, one footer). */
   private[graft] def rowSchema(spark: SparkSession, file: String): StructType = {
     val td = orcSchema(spark, file)
@@ -574,6 +578,31 @@ private[graft] object AcidOrc {
           val t = cv.asInstanceOf[TimestampColumnVector]
           val ts = new java.sql.Timestamp(t.time(r)); ts.setNanos(t.nanos(r)); ts
         case other => throw new IllegalArgumentException(s"unsupported $other")
+      }
+    }
+  }
+
+  /** [[cell]]'s Catalyst twin for the streaming DSv2 reader: strings
+    * as UTF8String, timestamps as epoch MICROS (the internal
+    * representation), dates as day ordinals. */
+  private[sources] def cellCatalyst(cv: ColumnVector, td: TypeDescription,
+                                    r0: Int): Any = {
+    val r = if (cv.isRepeating) 0 else r0
+    if (!cv.noNulls && cv.isNull(r)) null
+    else {
+      import TypeDescription.Category._
+      td.getCategory match {
+        case STRING | VARCHAR | CHAR =>
+          val b = cv.asInstanceOf[BytesColumnVector]
+          org.apache.spark.unsafe.types.UTF8String.fromBytes(
+            b.vector(r), b.start(r), b.length(r))
+        case TIMESTAMP =>
+          val t = cv.asInstanceOf[TimestampColumnVector]
+          // time = epoch millis whose sub-second part agrees with
+          // nanos (the setTime/setNanos contract): seconds * 1e6 +
+          // micros-of-second
+          Math.floorDiv(t.time(r), 1000L) * 1000000L + t.nanos(r) / 1000L
+        case _ => cell(cv, td, r0) // longs/ints/doubles/bools box identically
       }
     }
   }
@@ -637,6 +666,66 @@ private[graft] object AcidOrc {
         }
       }
     spark.createDataFrame(rdd, flat)
+  }
+}
+
+/** Streaming DSv2 reader for REAL Hive ACID ORC event files — the
+  * [[AcidOrc]] decoder behind a PartitionReaderFactory, so the T27
+  * source streams the layout Hive 3 actually writes. One partition per
+  * file (the batch reader's granularity); required columns resolve by
+  * name against the flat meta+user projection, absent row fields read
+  * as NULL (per-file evolution). */
+private[graft] class AcidOrcReaderFactory(required: org.apache.spark.sql.types.StructType)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.orc.{OrcFile, TypeDescription}
+  import org.apache.hadoop.hive.ql.exec.vector.StructColumnVector
+  import org.apache.spark.sql.catalyst.InternalRow
+  import scala.jdk.CollectionConverters._
+
+  override def createReader(partition: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[IcebergInputPartition].file
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private val conf = new org.apache.hadoop.conf.Configuration()
+      private val reader = OrcFile.createReader(
+        new org.apache.hadoop.fs.Path(file), OrcFile.readerOptions(conf))
+      private val td = reader.getSchema
+      private val names = td.getFieldNames.asScala.toSeq
+      require(names.take(5) == Seq("operation", "originalTransaction",
+        "bucket", "rowId", "currentTransaction"),
+        s"$file is not an ACID file (fields ${names.mkString(",")})")
+      private val hasRow = names.size == 6 && names(5) == "row"
+      private val rowTd = if (hasRow) td.getChildren.get(5) else null
+      private val rowNames =
+        if (hasRow) rowTd.getFieldNames.asScala.toSeq else Seq.empty
+      // per required column: (metaIdx, rowIdx) — exactly one >= 0, or
+      // both -1 (absent everywhere -> NULL)
+      private val plan: Array[(Int, Int)] = required.fieldNames.map { n =>
+        val m = names.take(5).indexOf(n)
+        if (m >= 0) (m, -1) else (-1, rowNames.indexOf(n))
+      }.toArray
+      private val rows = reader.rows()
+      private val batch = td.createRowBatch()
+      private var i = 0
+      private var n = 0
+      override def next(): Boolean = {
+        if (i >= n) { n = if (rows.nextBatch(batch)) batch.size else -1; i = 0 }
+        n > 0
+      }
+      override def get(): InternalRow = {
+        val sv = if (hasRow) batch.cols(5).asInstanceOf[StructColumnVector] else null
+        val sr = if (sv != null && sv.isRepeating) 0 else i
+        val rowNull = sv != null && !sv.noNulls && sv.isNull(sr)
+        val vals = plan.map { case (m, r) =>
+          if (m >= 0) AcidOrc.cellCatalyst(batch.cols(m), td.getChildren.get(m), i)
+          else if (r < 0 || sv == null || rowNull) null
+          else AcidOrc.cellCatalyst(sv.fields(r), rowTd.getChildren.get(r), sr)
+        }
+        i += 1
+        InternalRow.fromSeq(vals.toIndexedSeq)
+      }
+      override def close(): Unit = { rows.close(); reader.close() }
+    }
   }
 }
 

@@ -60,7 +60,8 @@ class HiveAcidStreamSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = options.get("path")
     require(path != null, "graft.sources.HiveAcidStreamSource requires .load(tableDir)")
-    HiveAcidStream.dataSchema(path)
+    HiveAcidStream.dataSchema(path,
+      Option(options.get("format")).getOrElse("parquet"))
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
@@ -81,13 +82,15 @@ class HiveAcidStreamTable(path: String, tableSchema: StructType)
       Option(options.get("maxWriteIdsPerTrigger")).map(_.toInt),
       Option(options.get("abortedWriteIds")).map(
         _.split(",").map(_.trim.toLong).toSet).getOrElse(Set.empty),
-      fullAcid = mode == "full")
+      fullAcid = mode == "full",
+      format = Option(options.get("format")).getOrElse("parquet"))
   }
 }
 
 class HiveAcidStreamScanBuilder(path: String, fullSchema: StructType,
                                 maxUnits: Option[Int], aborted: Set[Long],
-                                fullAcid: Boolean = false)
+                                fullAcid: Boolean = false,
+                                format: String = "parquet")
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -97,7 +100,7 @@ class HiveAcidStreamScanBuilder(path: String, fullSchema: StructType,
     override def description(): String =
       s"graft-hive-acid-stream $path cols=${required.fieldNames.mkString(",")}"
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-      new HiveAcidMicroBatchStream(path, required, maxUnits, aborted, fullAcid)
+      new HiveAcidMicroBatchStream(path, required, maxUnits, aborted, fullAcid, format)
   }
 }
 
@@ -140,14 +143,31 @@ object HiveAcidStream {
   }
 
   /** Schema of the table's data files: resolve the current snapshot's
-    * directories and read one parquet footer's schema. */
-  def dataSchema(path: String): StructType = {
+    * directories and read one footer's schema. For REAL Hive ORC event
+    * tables (acid wrapper + row struct) the schema is the FLAT
+    * meta+user projection [[AcidOrc]] decodes to — Spark's own ORC
+    * path cannot read the wrapper (see AcidOrc's scaladoc). */
+  def dataSchema(path: String, format: String = "parquet"): StructType = {
     val spark = org.apache.spark.sql.SparkSession.active
     val st = HiveAcid.selectDirs(listNames(path),
       HiveAcid.ValidWriteIds(highWatermark = Long.MaxValue))
     val dirs = st.dataDirs
     require(dirs.nonEmpty, s"no readable ACID data under $path")
-    spark.read.parquet(s"$path/${dirs.head}").schema
+    if (format == "orc") {
+      val first = firstDataFile(path, dirs.head)
+      if (AcidOrc.isEventFile(spark, first)) AcidOrc.flatSchema(spark, first)
+      else spark.read.orc(s"$path/${dirs.head}").schema
+    } else spark.read.parquet(s"$path/${dirs.head}").schema
+  }
+
+  private[graft] def firstDataFile(path: String, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$dir")
+    val fs = p.getFileSystem(conf)
+    if (!fs.getFileStatus(p).isDirectory) p.toString
+    else fs.listStatus(p).toSeq.map(_.getPath)
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .headOption.map(_.toString)
+      .getOrElse(throw new IllegalStateException(s"no data files under $p"))
   }
 
   /** One admissible delta unit: all statement deltas sharing a
@@ -276,7 +296,8 @@ object HiveAcidStream {
 
 class HiveAcidMicroBatchStream(path: String, required: StructType,
                                maxUnits: Option[Int], aborted: Set[Long],
-                               fullAcid: Boolean = false)
+                               fullAcid: Boolean = false,
+                               format: String = "parquet")
     extends MicroBatchStream with SupportsAdmissionControl {
   import HiveAcidStream._
   private def conf =
@@ -421,8 +442,16 @@ class HiveAcidMicroBatchStream(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    // name resolution (empty id map): MM parquet files carry no field ids
-    new IcebergReaderFactory(required, Map.empty, new SerializableHadoopConf(conf))
+    if (format == "orc")
+      // REAL Hive event files: the AcidOrc direct decoder (Spark's ORC
+      // path cannot read the acid wrapper); flat plain-ORC MM files
+      // also decode through it iff they carry the acid columns —
+      // insert-only ORC MM tables without acid columns stream via the
+      // batch reader's plain path and are out of this source's scope
+      new AcidOrcReaderFactory(required)
+    else
+      // name resolution (empty id map): MM parquet files carry no field ids
+      new IcebergReaderFactory(required, Map.empty, new SerializableHadoopConf(conf))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -1099,6 +1099,45 @@ class StreamingSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("T28c: a REAL Hive ORC event table (acid wrapper) streams deletes into Iceberg") {
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    val root = java.nio.file.Files.createTempDirectory("graft_t28c").toString
+    val hive = s"$root/hive"; val berg = s"$root/iceberg"
+    // event-shaped writes: five acid columns beside row:struct<doc cols>
+    def eventWrite(dir: String, writeId: Long, ids: Long*): Unit =
+      acidDocDf(ids: _*)
+        .select(lit(0).as("operation"), lit(writeId).as("originalTransaction"),
+          lit(1 << 29).as("bucket"), col("doc_id").as("rowId"),
+          lit(writeId).as("currentTransaction"),
+          struct(col("doc_id"), col("text")).as("row"))
+        .write.orc(s"$hive/$dir")
+    // real delete deltas: the five meta columns (row omitted)
+    def deleteWrite(dir: String, writeId: Long, origTxn: Long, ids: Long*): Unit =
+      acidDocDf(ids: _*)
+        .select(lit(2).as("operation"), lit(origTxn).as("originalTransaction"),
+          lit(1 << 29).as("bucket"), col("doc_id").as("rowId"),
+          lit(writeId).as("currentTransaction"))
+        .write.orc(s"$hive/$dir")
+    eventWrite("base_0000001", 1L, 1L, 2L, 3L)
+    val q = Streams.hiveAcidCdcHop(
+      spark.readStream.format("graft.sources.HiveAcidStreamSource")
+        .option("acidMode", "full").option("format", "orc").load(hive), berg)
+      .option("checkpointLocation", s"$root/ckpt").start()
+    def bergIds = spark.read.format("graft.sources.IcebergSource").load(berg)
+      .select("rowId").collect().map(_.getLong(0)).sorted.toSeq
+    try {
+      q.processAllAvailable()
+      assert(bergIds == Seq(1L, 2L, 3L))
+      // an event-shaped insert and a REAL (meta-only) delete flow through
+      eventWrite("delta_0000002_0000002", 2L, 4L)
+      q.processAllAvailable()
+      assert(bergIds == Seq(1L, 2L, 3L, 4L))
+      deleteWrite("delete_delta_0000003_0000003", 3L, 1L, 2L)
+      q.processAllAvailable()
+      assert(bergIds == Seq(1L, 3L, 4L))
+    } finally q.stop()
+  }
+
   test("T27: the INITIAL snapshot also refuses delete deltas (no silent row drop)") {
     // selectDirs.dataDirs would silently exclude delete deltas, emitting
     // un-retracted rows — the initial batch must refuse like the tail does
