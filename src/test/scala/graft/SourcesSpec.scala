@@ -1523,6 +1523,56 @@ class SourcesSpec extends SparkSpec {
       "fg1_0-0-0_20240101000000000.parquet"))
   }
 
+  test("S20 property: selectLatest = the max completed instant per file group, exactly") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.Parameters
+    import graft.sources.HudiRO
+    // random file groups x instants, random completion subset: the
+    // RO view must pick exactly the lexicographic-max COMPLETED instant
+    // per group, and groups with no completed version must vanish
+    val genCase = for {
+      nGroups <- Gen.choose(1, 6)
+      nInstants <- Gen.choose(1, 6)
+      present <- Gen.someOf(for { g <- 0 until nGroups; i <- 0 until nInstants } yield (g, i))
+      completed <- Gen.someOf(0 until nInstants)
+    } yield (present.toSet, completed.toSet)
+    val prop = Prop.forAll(genCase) { case (present, completed) =>
+      def inst(i: Int) = f"2024010100000${i}%04d"
+      val names = present.toSeq.map { case (g, i) => s"fg$g-uuid_0-1-0_${inst(i)}.parquet" } ++
+        Seq("_SUCCESS", ".hoodie_partition_metadata") // noise the parser must skip
+      val got = HudiRO.selectLatest(names, completed.map(inst))
+      val want = present.groupBy(_._1).flatMap { case (g, fs) =>
+        fs.map(_._2).filter(completed).maxOption
+          .map(i => s"fg$g-uuid_0-1-0_${inst(i)}.parquet")
+      }.toSeq.sorted
+      Prop(got == want)
+    }
+    val res = org.scalacheck.Test.check(
+      Parameters.default.withMinSuccessfulTests(1000), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("S19 property: partition values round-trip Hive escaping for any character content") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.Parameters
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    // the writer's dir names must be path-safe and loss-free for ANY
+    // partition value (the spec keeps the raw value; the dir carries
+    // the escaped form Spark's own partitionBy would produce)
+    val gs = Gen.choose(0, 16).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('/', '=', ':', ' ', '%', '.', '#',
+        '\\', '*', '?', '\n'))).map(_.mkString))
+    val prop = Prop.forAll(gs) { v =>
+      val esc = ExternalCatalogUtils.escapePathName(v)
+      Prop(!esc.contains("/") &&
+        ExternalCatalogUtils.unescapePathName(esc) == v &&
+        (v.isEmpty || esc.nonEmpty))
+    }
+    val res = org.scalacheck.Test.check(
+      Parameters.default.withMinSuccessfulTests(2000), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("S20: multi-commit supersession end-to-end; a pending commit becomes visible on its marker") {
     import graft.sources.{HudiQueries, HudiRO}
     val root = HudiQueries.ensureTable(spark, sf0001)
