@@ -117,7 +117,13 @@ object AvroSource {
                 s"file and ${f.dataType.simpleString} in another — irreconcilable")
             if (f.nullable && !prev.nullable) order(f.name) = f
         }
-        seen(f.name) = seen.getOrElse(f.name, 0) + 1
+      }
+      // presence counted PER FILE (post-alias, distinct): a file
+      // carrying both an alias's old and new name must count once, or
+      // a field absent from another file could reach perFile.length
+      // and stay non-nullable while that file NULL-fills it
+      st.fields.map(f => currentName(f.name)).distinct.foreach { n =>
+        seen(n) = seen.getOrElse(n, 0) + 1
       }
     }
     StructType(order.values.toSeq.map(f =>

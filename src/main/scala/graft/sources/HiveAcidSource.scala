@@ -568,7 +568,13 @@ private[graft] object AcidOrc {
         case INT => cv.asInstanceOf[LongColumnVector].vector(r).toInt
         case SHORT => cv.asInstanceOf[LongColumnVector].vector(r).toShort
         case BOOLEAN => cv.asInstanceOf[LongColumnVector].vector(r) == 1L
-        case DATE => cv.asInstanceOf[LongColumnVector].vector(r).toInt
+        case DATE =>
+          // ORC stores DATE as the epoch-day ordinal; the Row-based
+          // batch path needs the EXTERNAL type (java.sql.Date) — the
+          // ordinal Int is only valid internally (cellCatalyst)
+          java.sql.Date.valueOf(
+            java.time.LocalDate.ofEpochDay(
+              cv.asInstanceOf[LongColumnVector].vector(r)))
         case DOUBLE => cv.asInstanceOf[DoubleColumnVector].vector(r)
         case FLOAT => cv.asInstanceOf[DoubleColumnVector].vector(r).toFloat
         case STRING | VARCHAR | CHAR =>
@@ -602,6 +608,8 @@ private[graft] object AcidOrc {
           // nanos (the setTime/setNanos contract): seconds * 1e6 +
           // micros-of-second
           Math.floorDiv(t.time(r), 1000L) * 1000000L + t.nanos(r) / 1000L
+        case DATE => // internal representation: the epoch-day ordinal
+          cv.asInstanceOf[LongColumnVector].vector(r).toInt
         case _ => cell(cv, td, r0) // longs/ints/doubles/bools box identically
       }
     }
@@ -614,9 +622,13 @@ private[graft] object AcidOrc {
     val flat = StructType(MetaFields ++ user.fields.map(_.copy(nullable = true)))
     val userNames = user.fieldNames.toSeq
     val nUser = userNames.length
+    // ship the SESSION Hadoop conf (object-store credentials, fs
+    // tuning) to executors — a fresh Configuration() there would
+    // resolve a different fs on non-default-configured deployments
+    val serConf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val rdd = spark.sparkContext.parallelize(files, math.max(1, files.size))
       .flatMap { f =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = serConf.value
         val reader = OrcFile.createReader(new org.apache.hadoop.fs.Path(f),
           OrcFile.readerOptions(conf))
         val td = reader.getSchema
@@ -675,7 +687,8 @@ private[graft] object AcidOrc {
   * file (the batch reader's granularity); required columns resolve by
   * name against the flat meta+user projection, absent row fields read
   * as NULL (per-file evolution). */
-private[graft] class AcidOrcReaderFactory(required: org.apache.spark.sql.types.StructType)
+private[graft] class AcidOrcReaderFactory(required: org.apache.spark.sql.types.StructType,
+                                          hconf: SerializableHadoopConf)
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
   import org.apache.orc.{OrcFile, TypeDescription}
   import org.apache.hadoop.hive.ql.exec.vector.StructColumnVector
@@ -686,7 +699,7 @@ private[graft] class AcidOrcReaderFactory(required: org.apache.spark.sql.types.S
       : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[IcebergInputPartition].file
     new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
-      private val conf = new org.apache.hadoop.conf.Configuration()
+      private val conf = hconf.value // session conf, shipped serialized
       private val reader = OrcFile.createReader(
         new org.apache.hadoop.fs.Path(file), OrcFile.readerOptions(conf))
       private val td = reader.getSchema

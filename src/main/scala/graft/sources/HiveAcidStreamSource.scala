@@ -448,7 +448,7 @@ class HiveAcidMicroBatchStream(path: String, required: StructType,
       // also decode through it iff they carry the acid columns —
       // insert-only ORC MM tables without acid columns stream via the
       // batch reader's plain path and are out of this source's scope
-      new AcidOrcReaderFactory(required)
+      new AcidOrcReaderFactory(required, new SerializableHadoopConf(conf))
     else
       // name resolution (empty id map): MM parquet files carry no field ids
       new IcebergReaderFactory(required, Map.empty, new SerializableHadoopConf(conf))

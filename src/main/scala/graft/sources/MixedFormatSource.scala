@@ -86,10 +86,19 @@ object MixedFormat {
       val dataCols = dataSchema.map(f => col(f.name))
       val route = col(partitionCol).cast("string").as("__pv")
       fmt match {
+        // DYNAMIC partition overwrite (not append): each format group
+        // replaces exactly its own partitions, so re-running write()
+        // over a stale/partial target can never double rows — append
+        // would silently duplicate them and still pass the
+        // dir-existence sanity check below
         case "parquet" =>
-          slice.write.mode("append").partitionBy(partitionCol).parquet(path)
+          slice.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partitionCol).parquet(path)
         case "orc" =>
-          slice.write.mode("append").partitionBy(partitionCol).orc(path)
+          slice.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partitionCol).orc(path)
         case "avro" =>
           val avroJson = AvroConvert.toAvroSchema(dataSchema).toString
           writeRouted(slice.select(dataCols :+ route: _*), path, dirOf,
@@ -180,8 +189,12 @@ object MixedFormat {
                           dirOf: Map[String, String],
                           writers: RoutedWriters): Unit = {
     val routeIdx = slice.schema.length - 1
+    // session Hadoop conf shipped serialized — a fresh Configuration()
+    // on executors would drop object-store credentials / fs settings
+    val serConf = new SerializableHadoopConf(
+      slice.sparkSession.sparkContext.hadoopConfiguration)
     val nWritten = slice.rdd.mapPartitionsWithIndex { (idx, rows) =>
-      val conf = new org.apache.hadoop.conf.Configuration()
+      val conf = new org.apache.hadoop.conf.Configuration(serConf.value)
       val open = scala.collection.mutable.HashMap.empty[String, RoutedWriter]
       var cnt = 0L
       rows.foreach { row =>
