@@ -65,32 +65,91 @@ object HudiRO {
     case _ => None
   }
 
-  /** COMPLETED instants: `<instant>.commit` markers in the timeline
-    * (an `.inflight` / `.commit.requested` without the `.commit` is a
-    * writer mid-flight — its files must stay invisible). */
-  private[graft] def completedInstants(spark: SparkSession, tableDir: String): Set[String] = {
+  /** The visible-timeline facts a read-optimized scan needs: which
+    * instants COMPLETED, and which file groups a completed clustering
+    * replacecommit killed (keyed by relative partition path; "" for an
+    * unpartitioned table). */
+  private[graft] final case class Timeline(completed: Set[String],
+                                           replaced: Map[String, Set[String]]) {
+    def dead(partitionDir: String): Set[String] =
+      replaced.getOrElse(partitionDir, Set.empty)
+  }
+
+  /** Read the timeline: `<instant>.commit` markers are completed
+    * writes (an `.inflight` / `.commit.requested` without its
+    * completion marker is a writer mid-flight — its files must stay
+    * invisible). A completed `<instant>.replacecommit` (clustering)
+    * BOTH completes its own new base files and kills the file groups
+    * named in its JSON body's `partitionToReplaceFileIds` (the public
+    * Hudi timeline-metadata field — reference parity:
+    * HoodieROTablePathFilter handles clustered tables, HudiUtil.java:
+    * 26-38). A replacecommit body the parser does not recognize stays
+    * a LOUD refusal — reading on would silently duplicate replaced
+    * rows (the Iceberg-v2-deletes discipline). */
+  private[graft] def timeline(spark: SparkSession, tableDir: String,
+                              asOf: Option[String] = None): Timeline = {
     val p = new Path(tableDir, ".hoodie")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"$tableDir is not a Hudi table (no .hoodie timeline)")
-    val names = fs.listStatus(p).toSeq.map(_.getPath.getName)
-    // clustering REPLACES file groups, and which groups died is stated
-    // in the replacecommit's JSON body, not its name — a name-level
-    // reader that ignored it would surface BOTH the replaced groups
-    // and their replacements (silent duplication). Refuse loudly, the
-    // Iceberg-v2-deletes discipline (the reference throws there too).
-    require(!names.exists(_.endsWith(".replacecommit")),
-      s"$tableDir carries a clustering replacecommit: which file groups it " +
-        "replaced is only in the commit body, which this name-level RO reader " +
-        "does not parse — reading on would duplicate replaced rows")
-    names.filter(_.endsWith(".commit")).map(_.stripSuffix(".commit")).toSet
+    // asOf: the timeline AS OF an instant (inclusive) — instants are
+    // fixed-width digit strings, lexicographic = commit order; marker
+    // files without a digit prefix (hoodie.properties) pass through
+    val names = fs.listStatus(p).toSeq.map(_.getPath.getName).filter { n =>
+      asOf.forall { max =>
+        val inst = n.takeWhile(_.isDigit); inst.isEmpty || inst <= max
+      }
+    }
+    val commits = names.filter(_.endsWith(".commit"))
+      .map(_.stripSuffix(".commit")).toSet
+    val replacecommits = names.filter(_.endsWith(".replacecommit"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val replaced = scala.collection.mutable.HashMap.empty[String, Set[String]]
+    replacecommits.foreach { n =>
+      val fp = new Path(p, n)
+      val in = fs.open(fp)
+      val bytes = try {
+        val len = fs.getFileStatus(fp).getLen.toInt
+        val b = new Array[Byte](len); in.readFully(b); b
+      } finally in.close()
+      val node = try mapper.readTree(bytes) catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"$tableDir/.hoodie/$n: clustering replacecommit body is not JSON — " +
+            "refusing to read (the replaced file groups are only named there); " +
+            s"cause: ${e.getMessage}")
+      }
+      val ptr = if (node == null) null else node.get("partitionToReplaceFileIds")
+      require(ptr != null && ptr.isObject,
+        s"$tableDir/.hoodie/$n: replacecommit body carries no " +
+          "partitionToReplaceFileIds object — unrecognized shape, refusing " +
+          "to read (reading on would duplicate replaced rows)")
+      val it = ptr.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        val arr = e.getValue
+        require(arr.isArray,
+          s"$tableDir/.hoodie/$n: partitionToReplaceFileIds['${e.getKey}'] " +
+            "is not an array — unrecognized shape, refusing to read")
+        val ids = (0 until arr.size()).map { i =>
+          val v = arr.get(i)
+          require(v.isTextual,
+            s"$tableDir/.hoodie/$n: non-string fileId in " +
+              s"partitionToReplaceFileIds['${e.getKey}'] — refusing to read")
+          v.asText()
+        }.toSet
+        replaced(e.getKey) = replaced.getOrElse(e.getKey, Set.empty) ++ ids
+      }
+    }
+    Timeline(commits ++ replacecommits.map(_.stripSuffix(".replacecommit")),
+      replaced.toMap)
   }
 
-  /** Latest completed base file per file group among `names` — the
+  /** Latest completed base file per file group among `names`, minus
+    * `dead` file groups (clustering-replaced) — the
     * HoodieROTablePathFilter decision, name-level. */
-  private[graft] def selectLatest(names: Seq[String],
-                                  completed: Set[String]): Seq[String] =
+  private[graft] def selectLatest(names: Seq[String], completed: Set[String],
+                                  dead: Set[String] = Set.empty): Seq[String] =
     names.flatMap(parseFile)
-      .filter(b => completed(b.instant))
+      .filter(b => completed(b.instant) && !dead(b.fileId))
       .groupBy(_.fileId)
       .values.map(_.maxBy(_.instant)).toSeq // lexicographic = timeline order
       .map(_.name)
@@ -112,34 +171,47 @@ object HudiRO {
 
   /** Read the read-optimized view. `partitions` non-empty prunes to
     * those partition VALUES on the driver before any file listing (the
-    * S19 pruning shape); partition dirs are `col=value`, the column is
-    * rematerialized from the dir name as a string. */
+    * S19 pruning shape); dir segments Hive-UNESCAPE before the pruning
+    * comparison (a value with space/':'/'%' escapes in the path — the
+    * user supplies the raw value, the reference unescapes the same
+    * way).
+    *
+    * Scale design: ALL selected files feed ONE parquet relation
+    * (`basePath`-anchored), so a 1000-partition table plans a single
+    * scan node — not a 1000-relation union (driver plan-size cost
+    * nothing bounds for Hudi, unlike S19's spec-bounded list). Spark's
+    * own partition discovery rematerializes the partition column from
+    * the `col=value` dir names (unescaping them); type inference is
+    * pinned OFF for the discovery so the column is deterministically a
+    * string (a "01" partition must not round-trip as int 1). */
   def read(spark: SparkSession, tableDir: String,
            partitions: Seq[String] = Nil): DataFrame = {
-    val completed = completedInstants(spark, tableDir)
+    val tl = timeline(spark, tableDir)
     val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val want = partitions.toSet
     val dirs = listPartitionDirs(spark, tableDir).filter { d =>
-      want.isEmpty || d.split("=", 2).lastOption.exists(want)
+      want.isEmpty || d.split("=", 2).lastOption
+        .map(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName)
+        .exists(want)
     }
     require(dirs.nonEmpty, s"no Hudi partitions selected under $tableDir")
-    val scans = dirs.map { d =>
+    val files = dirs.flatMap { d =>
       val dirPath = if (d.isEmpty) tableDir else s"$tableDir/$d"
       val names = fs.listStatus(new Path(dirPath)).toSeq
         .filter(_.isFile).map(_.getPath.getName)
-      val files = selectLatest(names, completed).map(n => s"$dirPath/$n")
-      // an all-inflight partition is a valid empty slice: scan nothing
-      if (files.isEmpty) None
-      else {
-        val df = spark.read.parquet(files: _*)
-        Some(d.split("=", 2) match {
-          case Array(c, v) => df.withColumn(c, lit(v))
-          case _ => df
-        })
-      }
-    }.flatten
-    require(scans.nonEmpty, s"no completed Hudi base files under $tableDir")
-    scans.reduce(_ unionByName _)
+      // an all-inflight/replaced partition is a valid empty slice
+      selectLatest(names, tl.completed, tl.dead(d)).map(n => s"$dirPath/$n")
+    }
+    require(files.nonEmpty, s"no completed Hudi base files under $tableDir")
+    if (!dirs.exists(_.contains("="))) spark.read.parquet(files: _*)
+    else {
+      val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+      val prev = spark.conf.get(inferKey, "true")
+      spark.conf.set(inferKey, "false")
+      try spark.read.option("basePath", tableDir).parquet(files: _*)
+      finally spark.conf.set(inferKey, prev)
+    }
   }
 }
 
@@ -171,7 +243,7 @@ object HudiQueries {
   /** Write `df` as ONE parquet file at `filePath` (Hudi base files are
     * single files named by the fileId/instant contract). Fixture-only
     * single-file rename, same device as the S18c original-file writer. */
-  private def writeSingleFile(df: DataFrame, filePath: String): Unit = {
+  private[graft] def writeSingleFile(df: DataFrame, filePath: String): Unit = {
     val spark = df.sparkSession
     val tmp = filePath + "_tmp"
     df.repartition(1).write.mode("overwrite").parquet(tmp)
@@ -186,6 +258,12 @@ object HudiQueries {
   private def touch(spark: SparkSession, p: String): Unit = {
     val hp = new Path(p)
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).create(hp, true).close()
+  }
+
+  private def writeText(spark: SparkSession, p: String, body: String): Unit = {
+    val hp = new Path(p)
+    val out = hp.getFileSystem(spark.sparkContext.hadoopConfiguration).create(hp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
   }
 
   def ensureTable(spark: SparkSession, dir: String): String = {
@@ -217,6 +295,51 @@ object HudiQueries {
     root
   }
 
+  def clusterPath(dir: String): String =
+    s"/tmp/graft_hudi_cluster_${new java.io.File(dir).getName}"
+
+  /** A CLUSTERED table: C1 writes fg0 (keys %4 ∈ {0,1}) + fg1 (%4=2),
+    * C2 is a completed `.replacecommit` whose body names fg0+fg1 as
+    * replaced per partition and whose new base file fgc carries their
+    * union, C3 commits fg4 (%4=3). Visible = ALL orders rows — but
+    * ONLY if the reader both admits the replacecommit's own file AND
+    * excludes the replaced groups (ignoring the body would double
+    * every %4 ∈ {0,1,2} row, which the oracle hash catches). */
+  def ensureClusteredTable(spark: SparkSession, dir: String): String = {
+    val root = clusterPath(dir)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$root/_built"))) {
+      val orders = graft.Tables(spark, dir).orders
+      val statuses = orders.select("o_orderstatus").distinct()
+        .collect().map(_.getString(0)).sorted // bounded domain (3 values)
+      fs.mkdirs(new Path(s"$root/.hoodie"))
+      touch(spark, s"$root/.hoodie/hoodie.properties")
+      statuses.foreach { st =>
+        val pdir = s"$root/o_orderstatus=$st"
+        fs.mkdirs(new Path(pdir))
+        touch(spark, s"$pdir/.hoodie_partition_metadata")
+        val slice = orders.filter(col("o_orderstatus") === st).drop("o_orderstatus")
+        def m4(r: Long*) = slice.filter(pmod(col("o_orderkey"), lit(4L)).isin(r: _*))
+        writeSingleFile(m4(0L, 1L), s"$pdir/fg0_0-0-0_$C1.parquet")
+        writeSingleFile(m4(2L), s"$pdir/fg1_0-0-0_$C1.parquet")
+        writeSingleFile(m4(0L, 1L, 2L), s"$pdir/fgc_0-0-0_$C2.parquet") // clustered
+        writeSingleFile(m4(3L), s"$pdir/fg4_0-0-0_$C3.parquet")
+      }
+      touch(spark, s"$root/.hoodie/$C1.commit")
+      // the public HoodieReplaceCommitMetadata JSON shape: replaced
+      // file groups keyed by relative partition path
+      val perPart = statuses.map(st =>
+        s""""o_orderstatus=$st": ["fg0", "fg1"]""").mkString(", ")
+      writeText(spark, s"$root/.hoodie/$C2.replacecommit",
+        s"""{"partitionToWriteStats": {}, "compacted": false,
+           | "operationType": "CLUSTER",
+           | "partitionToReplaceFileIds": {$perPart}}""".stripMargin)
+      touch(spark, s"$root/.hoodie/$C3.commit")
+      touch(spark, s"$root/_built")
+    }
+    root
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   private def agg(df: DataFrame): DataFrame =
@@ -234,6 +357,10 @@ object HudiQueries {
     // pruned read: only the named partition's dir is ever listed
     "src_hudi_prune" -> ((spark, dir) =>
       agg(HudiRO.read(spark, ensureTable(spark, dir), partitions = Seq("F")))),
+    // clustering: the replacecommit's new file is visible, the
+    // replaced file groups are dead (body-parsed, not name-level)
+    "src_hudi_cluster" -> ((spark, dir) =>
+      agg(HudiRO.read(spark, ensureClusteredTable(spark, dir)))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -250,6 +377,16 @@ object HudiQueries {
          |  ${Exact.sqlSum("o_totalprice")} AS sum_price,
          |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
          |FROM orders WHERE o_orderkey % 4 IN (0, 2) AND o_orderstatus = 'F'
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // post-clustering visible slice = every row, exactly once: a
+    // reader that ignored partitionToReplaceFileIds would double
+    // %4 ∈ {0,1,2} and hash-mismatch
+    "src_hudi_cluster" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |  count(DISTINCT o_custkey) AS nd_cust,
+         |  ${Exact.sqlSum("o_totalprice")} AS sum_price,
+         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         |FROM orders
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }

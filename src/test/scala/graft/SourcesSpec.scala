@@ -1611,12 +1611,67 @@ class SourcesSpec extends SparkSpec {
       s"$copy/$keep/.fg0_20240101000000000.log.1_0-1-0"), true).close()
     assert(HudiRO.read(spark, copy, partitions = Seq("F")).count() ==
       after.filter(col("o_orderstatus") === "F").count())
-    // a clustering replacecommit is a loud refusal, not silent
-    // duplication (which groups it replaced lives in the commit BODY)
+    // a replacecommit whose body the parser cannot read (here: empty —
+    // not JSON) is a loud refusal, not silent duplication (well-formed
+    // bodies are handled, S20b below)
     fs.create(new org.apache.hadoop.fs.Path(
       s"$copy/.hoodie/20240104000000000.replacecommit"), true).close()
     intercept[IllegalArgumentException] {
       HudiRO.read(spark, copy, partitions = Seq("F"))
     }
+  }
+
+  test("S20b: clustering replacecommit — replaced groups dead, new base file visible, ONE scan relation") {
+    import graft.sources.{HudiQueries, HudiRO}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = HudiQueries.ensureClusteredTable(spark, sf0001)
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val df = HudiRO.read(spark, root)
+    // post-clustering snapshot = every row exactly once (a reader that
+    // ignored partitionToReplaceFileIds would double %4 in {0,1,2})
+    assert(df.count() == orders.count())
+    assert(df.select("o_orderkey").distinct().count() == orders.count())
+    // the partition column survives discovery as a STRING and prunes
+    val f = HudiRO.read(spark, root, partitions = Seq("F"))
+    assert(f.schema("o_orderstatus").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(f.count() ==
+      orders.filter(col("o_orderstatus") === "F").count())
+    // a multi-partition read plans ONE scan relation (basePath-anchored
+    // single parquet relation), not a per-partition union — the
+    // 1000-partition table's driver plan stays O(1) in partition count
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"expected one Hudi scan relation, got ${scans.size}")
+  }
+
+  test("S20c: unrecognized replacecommit body shapes refuse loudly") {
+    import graft.sources.{HudiQueries, HudiRO}
+    val root = HudiQueries.ensureClusteredTable(spark, sf0001)
+    val copy = tmp() + "/hudicluster_bad"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(root),
+      fs, new org.apache.hadoop.fs.Path(copy), false,
+      spark.sparkContext.hadoopConfiguration)
+    val rc = s"$copy/.hoodie/20240102000000000.replacecommit"
+    def put(body: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(rc), true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    // no partitionToReplaceFileIds at all
+    put("""{"operationType": "CLUSTER"}""")
+    val e1 = intercept[IllegalArgumentException] { HudiRO.read(spark, copy) }
+    assert(e1.getMessage.contains("partitionToReplaceFileIds"))
+    // the field is not an object
+    put("""{"partitionToReplaceFileIds": 7}""")
+    intercept[IllegalArgumentException] { HudiRO.read(spark, copy) }
+    // a partition's value is not an array of strings
+    put("""{"partitionToReplaceFileIds": {"o_orderstatus=F": [1, 2]}}""")
+    intercept[IllegalArgumentException] { HudiRO.read(spark, copy) }
+    // not JSON
+    put("not json at all")
+    intercept[IllegalArgumentException] { HudiRO.read(spark, copy) }
   }
 }
