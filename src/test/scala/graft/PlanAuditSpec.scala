@@ -398,6 +398,15 @@ class PlanAuditSpec extends SparkSpec {
     // the two-pass exact heavy hitter is DESIGNED as two corpus passes
     // (MG summary + candidate recount) — pin that it stays exactly 2
     assert(scansOf("text_heavy_hitters", "documents") == 2)
+    // r11 heavy-tail rewrites (pinned r12): q64 consumes the grain
+    // ONCE via window-total gate + conditional year pivot — the
+    // literal form's pushed-down year filters defeat ReuseExchange
+    // (seven lineitem scans on the first draft); q72's SECOND fact
+    // pass is the DESIGNED inventory join — exactly 2; q95 folds the
+    // double-EXISTS into one fact aggregate — exactly 1
+    assert(scansOf("ds_q64_rebuy_chain", "lineitem") == 1)
+    assert(scansOf("ds_q72_inventory_gap", "lineitem") == 2)
+    assert(scansOf("ds_q95_double_exists", "lineitem") == 1)
   }
 
   /** q14's literal INTERSECT chain scans the fact 4× (3 joins + main).
