@@ -1157,4 +1157,157 @@ class StreamingSpec extends SparkSpec {
         graft.sources.AcidWriteIdOffset(1L))
     }
   }
+
+  // ---------------------------------------------------------------
+  // T29: Hudi COW table as a streaming source (instant offsets, the
+  // lakehouse triptych's third tail: T25 Iceberg / T27 ACID / T29 Hudi)
+  // ---------------------------------------------------------------
+
+  private def hudiTouch(p: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).create(hp, true).close()
+  }
+  private def hudiText(p: String, body: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val out = hp.getFileSystem(spark.sparkContext.hadoopConfiguration).create(hp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+  private def hudiBase(dir: String, fileId: String, instant: String,
+                       ids: Long*): Unit =
+    graft.sources.HudiQueries.writeSingleFile(acidDocDf(ids: _*),
+      s"$dir/${fileId}_0-0-0_$instant.parquet")
+  private val HI = (1 to 6).map(i => f"2024010${i}%d000000000").toArray // HI(0)=day1...
+
+  test("T29: Hudi streaming source — snapshot-as-of initial batch, per-commit drain, inflight invisible, restart exactness") {
+    val root = java.nio.file.Files.createTempDirectory("graft_t29").toString
+    val dir = s"$root/tbl"; val ckpt = s"$root/ckpt"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/.hoodie"))
+    hudiTouch(s"$dir/.hoodie/hoodie.properties")
+    Seq("a", "b").foreach { p =>
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/p=$p"))
+      hudiTouch(s"$dir/p=$p/.hoodie_partition_metadata")
+    }
+    hudiBase(s"$dir/p=a", "fg0", HI(0), 1L, 2L)
+    hudiBase(s"$dir/p=b", "fg1", HI(0), 3L)
+    hudiBase(s"$dir/p=a", "fg2", HI(1), 4L)
+    hudiBase(s"$dir/p=b", "fg3", HI(2), 9L) // no marker yet: inflight
+    hudiTouch(s"$dir/.hoodie/${HI(0)}.commit")
+    hudiTouch(s"$dir/.hoodie/${HI(1)}.commit")
+    hudiTouch(s"$dir/.hoodie/${HI(2)}.inflight")
+    val batches = scala.collection.mutable.ArrayBuffer[Seq[(Long, String)]]()
+    def start() = spark.readStream.format("graft.sources.HudiStreamSource")
+      .option("maxCommitsPerTrigger", "1").load(dir)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.select("doc_id", "p").collect()
+          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+        batches.synchronized { batches += rows }; ()
+      }.option("checkpointLocation", ckpt).start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      // the cap admits ONE instant: batch 0 is the snapshot AS OF
+      // HI(0) (a consistent view), batch 1 drains HI(1)'s commit; the
+      // partition column rematerializes from the dir names
+      assert(batches.filter(_.nonEmpty).toSeq == Seq(
+        Seq((1L, "a"), (2L, "a"), (3L, "b")),
+        Seq((4L, "a"))), batches.toString)
+      // the inflight instant's file never surfaced; its marker landing
+      // admits the whole commit on a later trigger
+      hudiTouch(s"$dir/.hoodie/${HI(2)}.commit")
+      q.processAllAvailable()
+      assert(batches.flatten.map(_._1).sorted == Seq(1L, 2L, 3L, 4L, 9L),
+        batches.toString)
+    } finally q.stop()
+    // restart from the checkpoint: only commits past the stored
+    // instant arrive (the timeline IS the offset log)
+    hudiBase(s"$dir/p=b", "fg4", HI(3), 10L)
+    hudiTouch(s"$dir/.hoodie/${HI(3)}.commit")
+    val n0 = batches.flatten.size
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(batches.flatten.drop(n0) == Seq((10L, "b")), batches.toString)
+    } finally q2.stop()
+  }
+
+  test("T29: a COW rewrite of an existing file group fails the stream fast (append-only contract)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_t29rw").toString
+    val dir = s"$root/tbl"; val ckpt = s"$root/ckpt"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/.hoodie"))
+    hudiTouch(s"$dir/.hoodie/hoodie.properties")
+    hudiBase(dir, "fg0", HI(0), 1L)
+    hudiTouch(s"$dir/.hoodie/${HI(0)}.commit")
+    val q = spark.readStream.format("graft.sources.HudiStreamSource").load(dir)
+      .writeStream.format("memory").queryName("t29_rw")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("t29_rw").count() == 1)
+      // HI(1) rewrites fg0 whole (COW update): replaying its base file
+      // as inserts would duplicate row 1 — fail fast, loudly
+      hudiBase(dir, "fg0", HI(1), 1L, 2L)
+      hudiTouch(s"$dir/.hoodie/${HI(1)}.commit")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(c =>
+        c.getMessage != null && c.getMessage.contains("REWRITES")), e.toString)
+    } finally q.stop()
+  }
+
+  test("T29: mid-stream clustering fails fast; pre-stream clustering serves through the snapshot") {
+    val root = java.nio.file.Files.createTempDirectory("graft_t29cl").toString
+    // table A: clustering BEFORE the stream starts — the initial
+    // snapshot supersedes the replaced groups (exactly-once rows)
+    val a = s"$root/ta"
+    val fs = new org.apache.hadoop.fs.Path(a)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$a/.hoodie"))
+    hudiTouch(s"$a/.hoodie/hoodie.properties")
+    hudiBase(a, "fg0", HI(0), 1L)
+    hudiBase(a, "fg1", HI(0), 2L)
+    hudiBase(a, "fgc", HI(1), 1L, 2L) // clustering output (union of fg0+fg1)
+    hudiBase(a, "fg2", HI(2), 3L)
+    hudiTouch(s"$a/.hoodie/${HI(0)}.commit")
+    hudiText(s"$a/.hoodie/${HI(1)}.replacecommit",
+      """{"partitionToReplaceFileIds": {"": ["fg0", "fg1"]}}""")
+    hudiTouch(s"$a/.hoodie/${HI(2)}.commit")
+    val qa = spark.readStream.format("graft.sources.HudiStreamSource").load(a)
+      .writeStream.format("memory").queryName("t29_cl_a")
+      .option("checkpointLocation", s"$root/cka").start()
+    try {
+      qa.processAllAvailable()
+      val got = spark.table("t29_cl_a").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 2L, 3L), got.toString)
+    } finally qa.stop()
+    // table B: clustering lands WHILE streaming — pure rewrite, fail fast
+    val b = s"$root/tb"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$b/.hoodie"))
+    hudiTouch(s"$b/.hoodie/hoodie.properties")
+    hudiBase(b, "fg0", HI(0), 1L)
+    hudiTouch(s"$b/.hoodie/${HI(0)}.commit")
+    val qb = spark.readStream.format("graft.sources.HudiStreamSource").load(b)
+      .writeStream.format("memory").queryName("t29_cl_b")
+      .option("checkpointLocation", s"$root/ckb").start()
+    try {
+      qb.processAllAvailable()
+      hudiBase(b, "fgc", HI(1), 1L)
+      hudiText(s"$b/.hoodie/${HI(1)}.replacecommit",
+        """{"partitionToReplaceFileIds": {"": ["fg0"]}}""")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        qb.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(c =>
+        c.getMessage != null && c.getMessage.contains("replacecommit")), e.toString)
+    } finally qb.stop()
+  }
 }
