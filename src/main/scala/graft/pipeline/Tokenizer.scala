@@ -114,6 +114,42 @@ object Tokenizer {
         expr("concat_ws(' ', transform(slice(toks, 1, 3), t -> array_join(t, '|')))").as("piece_head"))
   }
 
+  /** P38b: BPE tokenization under a PINNED analytic merge table — the
+    * 36 rules (c, c) for c ∈ [a-z0-9], every rank. Each rule touches
+    * only runs of its OWN character and a merged "cc" symbol can never
+    * match another rule, so the rules are independent and the result
+    * is a closed form: one left-to-right greedy pass pairing doubled
+    * ASCII chars — exactly what a regex engine's leftmost
+    * non-overlapping scan of `(aa|bb|…|99)` computes, which DuckDB
+    * (RE2 — no backreferences, hence the literal alternation) replays
+    * exactly. This moves the BPE ENCODER rows-only → oracle-exact (the
+    * P63b pinned-device route): the encoder still runs the real
+    * rank-ordered merge loop over all 36 rules — it must DISCOVER the
+    * pairing — only the table is analytic. Train-time behavior stays
+    * covered by pipe_bpe_merges/pipe_bpe_tokenize (an iterative
+    * argmax-rewrite loop has no single-SQL replay; that boundary is
+    * unchanged). */
+  def bpeTokenizePinned(spark: SparkSession, docs: DataFrame): DataFrame = {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val cs = (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+    val mrow = cs.zipWithIndex.map { case (c, r) => (r.toLong, c, c) }
+      .toDF("rank", "a", "b")
+      .agg(array_sort(collect_list(struct(col("rank"), col("a"), col("b")))).as("ms"))
+      .select(expr("transform(ms, m -> named_struct('a', m.a, 'b', m.b))").as("merges"))
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .crossJoin(broadcast(mrow))
+      .select(col("doc_id"), col("ws"),
+        expr("transform(ws, w -> bpe_encode(w, merges))").as("toks"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        expr("CAST(aggregate(toks, 0, (acc, t) -> acc + size(t)) AS BIGINT)").as("n_bpe"),
+        expr("CAST(aggregate(ws, 0, (acc, w) -> acc + length(w)) AS BIGINT)" +
+          " - CAST(aggregate(toks, 0, (acc, t) -> acc + size(t)) AS BIGINT)").as("n_merges"),
+        expr("CAST(aggregate(toks, 0, (acc, t) -> greatest(acc, size(t))) AS BIGINT)")
+          .as("max_word_tokens"))
+  }
+
   /** P63: tokenizer FERTILITY audit (Rust et al. 2021 "How Good is Your
     * Tokenizer?"): per language, how efficiently the sample-trained
     * unigram vocab encodes the corpus — fertility (pieces per word, the
@@ -201,7 +237,15 @@ object Tokenizer {
       tokenFertility(spark, Tables(spark, dir).documents).orderBy("lang")),
     "pipe_token_fertility_pinned" -> ((spark, dir) =>
       tokenFertilityPinned(spark, Tables(spark, dir).documents).orderBy("lang")),
+    "pipe_bpe_tokenize_pinned" -> ((spark, dir) =>
+      bpeTokenizePinned(spark, Tables(spark, dir).documents).orderBy("doc_id")),
   )
+
+  /** The pinned merge table's closed form as a DuckDB regex: doubled
+    * ASCII pairs, leftmost non-overlapping (RE2 has no backreferences,
+    * hence the 36-way literal alternation). */
+  private val DoubledPat: String =
+    (('a' to 'z') ++ ('0' to '9')).map(c => s"$c$c").mkString("(", "|", ")")
 
   val oracles: Map[String, String] = Map(
     // closed-form replay of the pinned char+bigram vocab: every word of
@@ -231,5 +275,25 @@ object Tokenizer {
         |  CAST(n_split * 1000000 // n_words AS BIGINT) AS split_word_ppm,
         |  CAST(n_chars * 1000000 // n_pieces AS BIGINT) AS chars_per_piece_ppm
         |FROM g ORDER BY lang""".stripMargin,
+    // closed-form replay of the pinned doubled-char merge table: per
+    // word, merges = greedy leftmost non-overlapping doubled-ASCII
+    // pairs; tokens = length - merges (see bpeTokenizePinned)
+    "pipe_bpe_tokenize_pinned" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+         |  FROM documents
+         |), t AS (
+         |  SELECT doc_id, ws,
+         |    [length(x) - len(regexp_extract_all(x, '$DoubledPat'))
+         |     for x in ws] AS tc
+         |  FROM w
+         |)
+         |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         |  CAST(list_sum(tc) AS BIGINT) AS n_bpe,
+         |  CAST(list_sum([length(x) for x in ws]) - list_sum(tc) AS BIGINT)
+         |    AS n_merges,
+         |  CAST(list_max(tc) AS BIGINT) AS max_word_tokens
+         |FROM t ORDER BY doc_id""".stripMargin,
   )
 }
