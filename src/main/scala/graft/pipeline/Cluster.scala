@@ -26,6 +26,15 @@ import graft.Tables
   */
 object Cluster {
 
+  /** Diagnostics of the LAST [[connectedComponents]] call on this JVM:
+    * (label rounds run, contracted-graph node count). Dev/spec-only —
+    * the round-count step function (rounds ≈ log₂ of the residual
+    * chain length, the pointer-jump contract) is pinned in
+    * PipelineSpec so an exponent drift in the scale sweep can be
+    * attributed: an extra round at a power-of-2 boundary is the
+    * DOCUMENTED log step; anything beyond it is a regression. */
+  @volatile private[graft] var lastStats: (Int, Long) = (0, 0L)
+
   /** Connected components of an undirected edge list.
     *
     * Runs in two phases. Phase 0 (round 6) CONTRACTS the graph without
@@ -86,6 +95,19 @@ object Cluster {
     // each partition's subgraph in one pass. Output: every node of the
     // partition labeled with its LOCAL root = min id of its local
     // component (min-root unions make the root the min).
+    //
+    // Scaling step function (r12 diagnosis of the r11 sweep drift,
+    // alpha 1.05 → 1.144 at the largest point): below AQE's
+    // advisory-size boundary the coalescer folds this repartition into
+    // very FEW partitions, the union-find solves (nearly) everything
+    // locally and phase 1 runs ~0 rounds — times sit flat at fixed
+    // overhead. Past the boundary real partitioning engages and the
+    // round count follows the documented log₂(residual) pointer-jump
+    // step. Both regimes are the intended design (fewer partitions =
+    // MORE contraction, never less); the visible sweep "knee" is the
+    // regime change plus one log step, not super-linear per-round
+    // work. PipelineSpec pins both regimes: residual ∝ blocks (never
+    // ∝ n) and rounds ≤ log₂(residual) + slack with coalescing off.
     val localRdd = sym.repartition(expr("a DIV 4096")).rdd.mapPartitions { it =>
       val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
       def find(x0: Long): Long = {
@@ -195,6 +217,7 @@ object Cluster {
     // A silent partial fixpoint would yield plausible-but-wrong clusters.
     require(changed == 0,
       s"connectedComponents did not converge in $maxIters rounds ($changed labels still moving)")
+    lastStats = (iter, labelRows)
     // ---- join node labels back through their local roots ----
     // Isolated roots (components entirely inside one partition) never
     // entered the contracted graph: their root IS the component min —

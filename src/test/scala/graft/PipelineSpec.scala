@@ -881,6 +881,69 @@ class PipelineSpec extends SparkSpec {
     assert(cc.values.toSet == Set(1L))
   }
 
+  test("P21: round count follows the documented log step; contraction keeps the residual ∝ blocks, not ∝ n") {
+    import graft.pipeline.Cluster
+    // consecutive-id chains spanning B 4096-id blocks: phase 0 must
+    // contract each block locally (residual node count ∝ B, never ∝ n
+    // — residual ∝ n would be the contraction-skew failure mode), and
+    // phase 1's pointer jumping must converge in O(log₂ B) rounds (the
+    // r11→r12 sweep-drift diagnosis: an extra round at a power-of-2
+    // residual boundary is THIS step function, not a regression).
+    // (a) CONSECUTIVE-id chains: phase 0 contracts whole 4096-id
+    // blocks (and, with fewer partitions than blocks, co-resident
+    // adjacent blocks too) — residual node count must be ∝ B, never
+    // ∝ n, and rounds bounded by log₂ B + slack.
+    def runDense(blocks: Int): (Int, Long) = {
+      val n = 4096L * blocks
+      val edges = spark.range(1, n)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      val got = Cluster.connectedComponents(edges)
+      assert(got.filter(col("cluster_id") =!= 1L).count() == 0)
+      assert(got.count() == n)
+      Cluster.lastStats
+    }
+    val (r1, n1) = runDense(1)
+    val (r64, n64) = runDense(64)
+    assert(r1 <= 2, s"B=1 rounds=$r1")
+    assert(r64 <= 9, s"B=64 rounds=$r64") // log2(64)=6 + bounded slack
+    assert(n1 <= 16L, s"B=1 residual=$n1")
+    assert(n64 <= 8L * 64, s"B=64 residual=$n64")
+    // (b) SPACED chains (nodes 4096 apart — every node its own block,
+    // so phase 0 cannot contract beyond partition co-residence):
+    // phase 1 must solve a residual ∝ L, and the pointer-jump round
+    // count must follow the log step — 16× the chain buys at most
+    // log₂ 16 + 2 extra rounds. THIS is the sweep-drift attribution:
+    // rounds growing like log L is the documented step function;
+    // rounds growing like L would be the regression.
+    // At fixture scale AQE coalesces the phase-0 repartition into ONE
+    // partition and the local union-find solves everything (rounds=0
+    // — measured here, and the r11→r12 sweep-drift explanation: below
+    // the advisory-size boundary phase 1 barely runs and times are
+    // flat; past it real partitioning engages and the log-step rounds
+    // appear). Pin the step function with coalescing OFF so phase 1
+    // genuinely runs over a residual ∝ L.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.get(coalesceKey, "true")
+    def runSpaced(len: Int): Int = {
+      val edges = spark.range(0, len.toLong)
+        .select((col("id") * 4096L).as("a"), ((col("id") + 1) * 4096L).as("b"))
+      val got = Cluster.connectedComponents(edges)
+      assert(got.filter(col("cluster_id") =!= 0L).count() == 0)
+      assert(got.count() == len + 1L)
+      Cluster.lastStats._1
+    }
+    spark.conf.set(coalesceKey, "false")
+    try {
+      val s64 = runSpaced(64)
+      val s1024 = runSpaced(1024)
+      assert(s64 <= 9, s"L=64 rounds=$s64")       // log2(64)=6 + slack
+      assert(s1024 <= 13, s"L=1024 rounds=$s1024") // log2(1024)=10 + slack
+      assert(s1024 - s64 <= 6, s"L=64:$s64 -> L=1024:$s1024")
+      assert(s1024 >= 1, s"4 partitions cannot fully contract a spaced " +
+        s"1024-chain, rounds=$s1024")
+    } finally spark.conf.set(coalesceKey, prevCoalesce)
+  }
+
   test("stratified sample respects per-stratum fractions and a fixed seed") {
     import graft.pipeline.Splits
     val docs = (1L to 2000L).map(i => (i, s"text $i", "s1")).toDF("doc_id", "text", "source")
