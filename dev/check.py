@@ -28,7 +28,10 @@ if "--skip-verify" not in sys.argv:
 con = duckdb.connect()
 for p in glob.glob(f"{sf}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
-    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    # driver testdata ships single-file parquet; dev-generated scale
+    # dirs (ScaleGen) are Spark-written DIRECTORIES — glob inside them
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 # File-reading oracles pin the driver's verification SF (sf0.01) in

@@ -114,6 +114,8 @@ object ScaleSweep {
         catch { case _: Throwable => }
         // min over iters: co-tenant stalls only ever ADD time, so the
         // min is the best estimate of the query's intrinsic cost
+        if (name == "dedup_cluster_cc") // r12 drift diagnosis: attribute
+          println(s"[sweep] cc m=$m (rounds, residual)=${graft.pipeline.Cluster.lastStats}")
         (m, if (ts.isEmpty) -1.0 else ts.min)
       }
       val ok = times.filter(_._2 > 0)
