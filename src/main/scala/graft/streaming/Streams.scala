@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.Encoders
@@ -599,6 +599,29 @@ object Streams {
       .select(("acid_key" +: "op" +: userCols).map(col): _*)
     icebergCdcBatch(collapsed, batchId, tableDir, keyCol = "acid_key",
       opCol = "op", partitionCol = "bucket")
+  }
+
+  /** T30: the Hudi→Iceberg MIGRATION hop — the T29 instant-offset
+    * source feeds the T18 exactly-once append sink, completing the
+    * lakehouse-migration triptych (T26 Iceberg→Iceberg medallion,
+    * T28 Hive ACID→Iceberg with deletes, T30 Hudi→Iceberg). The T29
+    * source is append-only BY CONTRACT (a COW rewrite or mid-stream
+    * clustering fails the stream fast rather than replaying carried
+    * rows), so the hop needs no CDC collapse: the initial micro-batch
+    * lands the read-optimized snapshot as one Iceberg snapshot, every
+    * later Hudi commit lands as its own (admission-capped via
+    * `maxCommitsPerTrigger`); exactly-once rides the T18
+    * batch-id-in-snapshot-summary device, so replayed batches and
+    * checkpoint restarts are no-ops. */
+  def hudiMigrationHop(spark: SparkSession, hudiDir: String,
+                       icebergDir: String, bucketCol: String,
+                       nBuckets: Int = 4,
+                       maxCommitsPerTrigger: Option[Int] = None):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val reader = spark.readStream.format("graft.sources.HudiStreamSource")
+    val withCap = maxCommitsPerTrigger
+      .fold(reader)(n => reader.option("maxCommitsPerTrigger", n.toString))
+    icebergSink(withCap.load(hudiDir), icebergDir, bucketCol, nBuckets)
   }
 
   /** T3: drop duplicate event_ids arriving within the watermark. */

@@ -1232,6 +1232,57 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("T30: migration hop — a Hudi table's timeline feeds the exactly-once Iceberg sink") {
+    // the third lakehouse migration pipeline (after T26 Iceberg→Iceberg
+    // and T28 Hive ACID→Iceberg): a Hudi COW table streams its
+    // read-optimized snapshot, then one Iceberg snapshot per Hudi
+    // commit, through the T18 exactly-once sink
+    val root = java.nio.file.Files.createTempDirectory("graft_t30").toString
+    val hudi = s"$root/hudi"; val berg = s"$root/iceberg"
+    val fs = new org.apache.hadoop.fs.Path(hudi)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$hudi/.hoodie"))
+    hudiTouch(s"$hudi/.hoodie/hoodie.properties")
+    hudiBase(hudi, "fg0", HI(0), 1L, 2L)
+    hudiBase(hudi, "fg1", HI(1), 3L) // second commit, new file group
+    hudiTouch(s"$hudi/.hoodie/${HI(0)}.commit")
+    hudiTouch(s"$hudi/.hoodie/${HI(1)}.commit")
+    def start() = Streams.hudiMigrationHop(spark, hudi, berg, "doc_id",
+      maxCommitsPerTrigger = Some(1))
+      .option("checkpointLocation", s"$root/ckpt").start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      val conf = spark.sparkContext.hadoopConfiguration
+      def bergIds = spark.read.format("graft.sources.IcebergSource").load(berg)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(bergIds == Seq(1L, 2L, 3L))
+      def snapCount = graft.sources.IcebergRead
+        .snapshotIdsInRange(berg, conf, 0L, Long.MaxValue).length
+      // snapshot-as-of-HI(0) + the HI(1) drain = two Iceberg snapshots
+      // (maxCommitsPerTrigger=1 capped the initial batch)
+      val snaps0 = snapCount
+      assert(snaps0 == 2, s"snapshots=$snaps0")
+      // each later Hudi commit becomes exactly one Iceberg snapshot
+      hudiBase(hudi, "fg2", HI(2), 4L)
+      hudiTouch(s"$hudi/.hoodie/${HI(2)}.commit")
+      q.processAllAvailable()
+      assert(bergIds == Seq(1L, 2L, 3L, 4L))
+      assert(snapCount == snaps0 + 1)
+    } finally q.stop()
+    // restart from the checkpoint: nothing replays, only the new
+    // commit drains (the T18 summary device + the T29 offset log)
+    hudiBase(hudi, "fg3", HI(3), 5L)
+    hudiTouch(s"$hudi/.hoodie/${HI(3)}.commit")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.format("graft.sources.IcebergSource").load(berg)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 2L, 3L, 4L, 5L))
+    } finally q2.stop()
+  }
+
   test("T29: a COW rewrite of an existing file group fails the stream fast (append-only contract)") {
     val root = java.nio.file.Files.createTempDirectory("graft_t29rw").toString
     val dir = s"$root/tbl"; val ckpt = s"$root/ckpt"

@@ -120,7 +120,71 @@ object SourcesSweep {
       (d, d.count())
     }
     require(pruned._2 == 100L)
-    sb.append(f"""  "s19_mixed64": {"write_ms": $writeMs%.0f, "full_read_ms": $fullMs%.0f, "pruned_1of64_ms": $prunedMs%.0f}%n""")
+    sb.append(f"""  "s19_mixed64": {"write_ms": $writeMs%.0f, "full_read_ms": $fullMs%.0f, "pruned_1of64_ms": $prunedMs%.0f},%n""")
+
+    // ---- S20: Hudi RO planning over growing partition counts --------
+    // r12: the single-relation read must keep the driver plan O(1) in
+    // partition count (one basePath-anchored scan node) and the
+    // name-level selection ~linear in dirs. Fixture: one tiny parquet
+    // base file copied per partition, 3 instants per file group so
+    // supersession does real work.
+    val s20 = Seq(16, 64, 256).map { nParts =>
+      val r = java.nio.file.Files.createTempDirectory(s"graft_sweep_hudi_$nParts").toString
+      val hfs = new Path(r).getFileSystem(conf)
+      hfs.mkdirs(new Path(s"$r/.hoodie"))
+      hfs.create(new Path(s"$r/.hoodie/hoodie.properties"), true).close()
+      val insts = Seq("20240101000000000", "20240102000000000", "20240103000000000")
+      insts.foreach(i => hfs.create(new Path(s"$r/.hoodie/$i.commit"), true).close())
+      (0 until nParts).foreach { p =>
+        val pd = s"$r/p=$p"
+        hfs.mkdirs(new Path(pd))
+        hfs.create(new Path(s"$pd/.hoodie_partition_metadata"), true).close()
+        insts.foreach { i =>
+          org.apache.hadoop.fs.FileUtil.copy(fs, baseFile, hfs,
+            new Path(s"$pd/fg0_0-0-0_$i.parquet"), false, conf)
+        }
+      }
+      graft.sources.HudiRO.read(spark, r) // warm fs caches
+      val (df, t) = ms(graft.sources.HudiRO.read(spark, r))
+      val scans = df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      require(scans.size == 1, s"expected 1 scan relation at $nParts partitions")
+      require(df.count() == nParts.toLong) // latest instant only, 1 row/file
+      val (_, tp) = ms(graft.sources.HudiRO.read(spark, r, partitions = Seq("7")))
+      (nParts, t, tp)
+    }
+    val s20Alpha = math.log(s20.last._2 / s20.head._2) /
+      math.log(s20.last._1.toDouble / s20.head._1)
+    sb.append("  \"s20_hudi_plan_ms\": {")
+    sb.append(s20.map { case (n, t, _) => f""""$n": $t%.1f""" }.mkString(", "))
+    sb.append(f""", "pruned_1of256_ms": ${s20.last._3}%.1f, "alpha": $s20Alpha%.2f},%n""")
+
+    // ---- T29: bounded catch-up drain over a 30-commit Hudi backlog --
+    val t29root = java.nio.file.Files.createTempDirectory("graft_sweep_t29").toString
+    val htbl = s"$t29root/tbl"
+    val hfs = new Path(htbl).getFileSystem(conf)
+    hfs.mkdirs(new Path(s"$htbl/.hoodie"))
+    hfs.create(new Path(s"$htbl/.hoodie/hoodie.properties"), true).close()
+    (1 to 30).foreach { i =>
+      val inst = f"202401${i}%02d000000000"
+      org.apache.hadoop.fs.FileUtil.copy(fs, baseFile, hfs,
+        new Path(s"$htbl/fg${i}_0-0-0_$inst.parquet"), false, conf)
+      hfs.create(new Path(s"$htbl/.hoodie/$inst.commit"), true).close()
+    }
+    val hBatchRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val hq = spark.readStream.format("graft.sources.HudiStreamSource")
+      .option("maxCommitsPerTrigger", "10").load(htbl)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = df.count()
+        hBatchRows.synchronized { hBatchRows += n }; ()
+      }.option("checkpointLocation", s"$t29root/ckpt").start()
+    try hq.processAllAvailable() finally hq.stop()
+    require(hBatchRows.count(_ > 0) >= 3,
+      s"expected >= 3 bounded catch-up batches, got $hBatchRows")
+    require(hBatchRows.max <= 10, s"a batch exceeded the admission bound: $hBatchRows")
+    sb.append("  \"t29_drain\": {\"batches\": " + hBatchRows.count(_ > 0) +
+      ", \"max_rows_per_batch\": " + hBatchRows.max + "}\n")
 
     sb.append("}\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
