@@ -100,7 +100,7 @@ object AvroSource {
     * from some files is NULLABLE in the merge — those files' rows
     * NULL-fill it through Avro default-value resolution. Same-name
     * fields of different types fail loudly. */
-  private[sources] def mergeSchemas(perFile: Seq[StructType],
+  private[graft] def mergeSchemas(perFile: Seq[StructType],
                                     aliases: Map[String, Seq[String]]): StructType = {
     val currentName: String => String = old =>
       aliases.collectFirst { case (n, olds) if olds.contains(old) => n }.getOrElse(old)

@@ -881,6 +881,48 @@ class PipelineSpec extends SparkSpec {
     assert(cc.values.toSet == Set(1L))
   }
 
+  test("P38b property: the pinned merge table reduces to ONE greedy leftmost doubled-pair pass") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.Parameters
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    // the oracle's closed form is sound only if the REAL rank-ordered
+    // 36-rule merge loop equals a single greedy leftmost pass pairing
+    // doubled [a-z0-9] chars — the independence argument (each rule
+    // touches only its own character's runs; merged symbols never
+    // re-match), verified here token-for-token on adversarial words
+    val cs = ('a' to 'z') ++ ('0' to '9')
+    val merges = ArrayData.toArrayData(cs.map(c => InternalRow(
+      UTF8String.fromString(c.toString), UTF8String.fromString(c.toString))).toArray)
+    def closedTokens(w: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val c = w(i)
+        val mergeable = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+        if (mergeable && i + 1 < w.length && w(i + 1) == c) {
+          out += s"$c$c"; i += 2
+        } else { out += c.toString; i += 1 }
+      }
+      out.toSeq
+    }
+    // bias toward doubles/runs; include chars OUTSIDE the table
+    // (uppercase, 'ß') which must never merge
+    val gen = Gen.listOf(Gen.frequency(
+      5 -> Gen.oneOf('a', 'b', '0'), 2 -> Gen.alphaLowerChar,
+      1 -> Gen.const('Z'), 1 -> Gen.const('ß'))).map(_.mkString)
+    val prop = Prop.forAll(gen) { w =>
+      val got = graft.functions.BpeImpl.encode(UTF8String.fromString(w), merges)
+      val toks = (0 until got.numElements())
+        .map(i => got.getUTF8String(i).toString)
+      Prop(toks == closedTokens(w))
+    }
+    val res = org.scalacheck.Test.check(
+      Parameters.default.withMinSuccessfulTests(2000), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("P21: round count follows the documented log step; contraction keeps the residual ∝ blocks, not ∝ n") {
     import graft.pipeline.Cluster
     // consecutive-id chains spanning B 4096-id blocks: phase 0 must

@@ -1621,6 +1621,91 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("S18d: ORC DATE columns decode to the external java.sql.Date on the batch path") {
+    import graft.sources.AcidOrc
+    // ADVICE r12: the batch (Row-encoder) path previously surfaced the
+    // internal day-ordinal Int for DATE and crashed createDataFrame;
+    // pin the external type end-to-end incl. a pre-epoch day and NULL
+    val root = tmp() + "/acid_orc_date/base_0000001"
+    import spark.implicits._
+    val rows = Seq(
+      (1L, java.sql.Date.valueOf("2024-03-01")),
+      (2L, java.sql.Date.valueOf("1969-12-31")), // epoch day -1
+      (3L, null)
+    ).toDF("doc_id", "d")
+    rows.select(lit(0).as("operation"), lit(1L).as("originalTransaction"),
+      lit(0).as("bucket"), col("doc_id").as("rowId"),
+      lit(1L).as("currentTransaction"),
+      struct(col("doc_id"), col("d")).as("row"))
+      .coalesce(1).write.mode("overwrite").orc(root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.toString).filter(f => !f.contains("_SUCCESS")).toSeq
+    val user = AcidOrc.rowSchema(spark, files.head)
+    assert(user("d").dataType == org.apache.spark.sql.types.DateType)
+    val got = AcidOrc.read(spark, files, user)
+      .select("doc_id", "d").collect()
+      .map(r => r.getLong(0) -> Option(r.getDate(1)).map(_.toString)).toMap
+    assert(got == Map(1L -> Some("2024-03-01"), 2L -> Some("1969-12-31"),
+      3L -> None), got.toString)
+  }
+
+  test("S13c: a file carrying both an alias's old and new name cannot mask another file's absence") {
+    import graft.sources.AvroSource
+    import org.apache.spark.sql.types._
+    // ADVICE r12: presence was counted per FIELD OCCURRENCE, so file1
+    // carrying (a, b) under alias b:a reached seen(b) == 2 == #files
+    // and kept b non-nullable while file2 NULL-fills it
+    val f1 = StructType(Seq(StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false)))
+    val f2 = StructType(Seq(StructField("x", StringType, nullable = false)))
+    val merged = AvroSource.mergeSchemas(Seq(f1, f2), Map("b" -> Seq("a")))
+    assert(merged("b").nullable, "b is absent from file2 — must merge nullable")
+    assert(merged("x").nullable, "x is absent from file1 — must merge nullable")
+    // control: a field present in EVERY file keeps its non-nullability
+    val f3 = StructType(Seq(StructField("x", StringType, nullable = false),
+      StructField("b", LongType, nullable = false)))
+    assert(!AvroSource.mergeSchemas(Seq(f3, f3), Map.empty)("x").nullable)
+  }
+
+  test("S20: Hive-escaped partition values unescape for pruning and rematerialization") {
+    import graft.sources.HudiRO
+    // ADVICE r12: a partition value with ':' and ' ' escapes in the dir
+    // name; the user prunes by the RAW value and the column must carry
+    // the RAW value back
+    import spark.implicits._
+    val root = tmp() + "/hudi_escaped"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/.hoodie"))
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$root/.hoodie/hoodie.properties"), true).close()
+    val raw = "a b:c"
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(raw)
+    assert(esc != raw) // the value genuinely escapes
+    Seq(esc, "plain").foreach { seg =>
+      val pd = s"$root/p=$seg"
+      fs.mkdirs(new org.apache.hadoop.fs.Path(pd))
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$pd/.hoodie_partition_metadata"), true).close()
+      graft.sources.HudiQueries.writeSingleFile(
+        Seq((1L, seg)).toDF("doc_id", "text"),
+        s"$pd/fg0_0-0-0_20240101000000000.parquet")
+    }
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$root/.hoodie/20240101000000000.commit"), true).close()
+    // pruning by the RAW value finds the escaped dir
+    val pruned = HudiRO.read(spark, root, partitions = Seq(raw))
+    assert(pruned.count() == 1)
+    // ...and the rematerialized column carries the RAW value
+    assert(pruned.select("p").collect().map(_.getString(0)).toSeq == Seq(raw))
+    val all = HudiRO.read(spark, root)
+    assert(all.select("p").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq(raw, "plain").sorted)
+  }
+
   test("S20b: clustering replacecommit — replaced groups dead, new base file visible, ONE scan relation") {
     import graft.sources.{HudiQueries, HudiRO}
     import org.apache.spark.sql.execution.FileSourceScanExec
