@@ -1410,6 +1410,52 @@ class SourcesSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("S19: re-running write over an existing target never doubles rows (ADVICE r12)") {
+    import spark.implicits._
+    val root = tmp() + "/mixed_rewrite"
+    val df = (1L to 60L).map(i => (i, s"t$i", (i % 6).toString))
+      .toDF("id", "t", "pv")
+    graft.sources.MixedFormat.write(df, root, "pv",
+      Seq("parquet", "orc", "sequencefile"))
+    assert(graft.sources.MixedFormat.read(spark, root).count() == 60)
+    // the second write must land the SAME table — root cleanup plus
+    // dynamic partition overwrite (not append) on the partitionBy
+    // groups make the path idempotent
+    graft.sources.MixedFormat.write(df, root, "pv",
+      Seq("parquet", "orc", "sequencefile"))
+    val back = graft.sources.MixedFormat.read(spark, root)
+    assert(back.count() == 60, s"re-write doubled rows: ${back.count()}")
+    assert(back.select("id").distinct().count() == 60)
+  }
+
+  test("S20: MOR .deltacommit instants never admit base files (RO view is compaction-gated)") {
+    import spark.implicits._
+    import graft.sources.HudiRO
+    // a merge-on-read table's log writes complete as `.deltacommit`;
+    // the read-optimized view must show base files only up to the last
+    // COMPACTION (.commit) — a base file stamped by a deltacommit-only
+    // instant stays invisible
+    val root = tmp() + "/hudi_mor"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/.hoodie"))
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$root/.hoodie/hoodie.properties"), true).close()
+    graft.sources.HudiQueries.writeSingleFile(
+      Seq((1L, "a")).toDF("doc_id", "text"),
+      s"$root/fg0_0-0-0_20240101000000000.parquet")
+    graft.sources.HudiQueries.writeSingleFile(
+      Seq((2L, "b")).toDF("doc_id", "text"),
+      s"$root/fg1_0-0-0_20240102000000000.parquet")
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$root/.hoodie/20240101000000000.commit"), true).close()
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$root/.hoodie/20240102000000000.deltacommit"), true).close()
+    val got = HudiRO.read(spark, root).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L), s"deltacommit-stamped base file leaked: $got")
+  }
+
   test("S19: partition pruning is driver-side — pruned partitions are never scanned") {
     val root = graft.sources.MixedFormatQueries.ensureTable(spark, sf0001)
     val spec = graft.sources.MixedFormat.readSpec(spark, root)
