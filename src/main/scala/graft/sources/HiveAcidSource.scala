@@ -699,7 +699,11 @@ private[graft] class AcidOrcReaderFactory(required: org.apache.spark.sql.types.S
       : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[IcebergInputPartition].file
     new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
-      private val conf = hconf.value // session conf, shipped serialized
+      // Defensive copy per reader: Hadoop Configuration is not
+      // thread-safe under mutation and several tasks in one executor
+      // share the deserialized instance (the MixedFormat executor
+      // path does the same).
+      private val conf = new org.apache.hadoop.conf.Configuration(hconf.value)
       private val reader = OrcFile.createReader(
         new org.apache.hadoop.fs.Path(file), OrcFile.readerOptions(conf))
       private val td = reader.getSchema

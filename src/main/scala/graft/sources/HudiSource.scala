@@ -206,11 +206,18 @@ object HudiRO {
     require(files.nonEmpty, s"no completed Hudi base files under $tableDir")
     if (!dirs.exists(_.contains("="))) spark.read.parquet(files: _*)
     else {
-      val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-      val prev = spark.conf.get(inferKey, "true")
-      spark.conf.set(inferKey, "false")
-      try spark.read.option("basePath", tableDir).parquet(files: _*)
-      finally spark.conf.set(inferKey, prev)
+      // Pin the partition column to STRING via an explicit user schema
+      // (data fields from the first selected file's footer + the
+      // partition column appended, the discovery order) instead of
+      // toggling the session-global type-inference conf — a concurrent
+      // query on the same SparkSession must never observe a flipped
+      // conf, and two overlapping reads could restore a stale value.
+      val pcol = dirs.find(_.contains("=")).get.split("=", 2)(0)
+      val data = spark.read.parquet(files.head).schema
+      val full = org.apache.spark.sql.types.StructType(
+        data.fields :+ org.apache.spark.sql.types.StructField(
+          pcol, org.apache.spark.sql.types.StringType))
+      spark.read.schema(full).option("basePath", tableDir).parquet(files: _*)
     }
   }
 }

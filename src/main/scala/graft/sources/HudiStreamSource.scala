@@ -165,14 +165,30 @@ class HudiMicroBatchStream(path: String, required: StructType,
   @volatile private var lastSeen = ""
   private def noteSeen(i: String): Unit = if (i > lastSeen) lastSeen = i
 
+  /** Consecutive failed timeline polls. A transient IO hiccup defers
+    * pickup one trigger (the T25/T27 polling discipline), but a
+    * PERMANENTLY missing/deleted table must fail loudly like the batch
+    * reader does — after this many consecutive failures the poll
+    * rethrows instead of idling forever. */
+  private var pollFailures = 0
+  private val maxPollFailures = 3
+
   override def getDefaultReadLimit: ReadLimit =
     maxCommits.map(ReadMaxCommits(_): ReadLimit).getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[HudiInstantOffset].instant
     noteSeen(from)
-    val all = try HudiStream.completedInstants(path)
-    catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    val all = try {
+      val r = HudiStream.completedInstants(path); pollFailures = 0; r
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        pollFailures += 1
+        if (pollFailures >= maxPollFailures) throw new IllegalStateException(
+          s"$path: timeline poll failed $pollFailures consecutive times — " +
+            "the table is likely missing or deleted, not transiently slow", e)
+        Seq.empty
+    }
     all.lastOption.foreach(noteSeen)
     val end = limit match {
       case ReadMaxCommits(max) =>
@@ -232,6 +248,14 @@ class HudiMicroBatchStream(path: String, required: StructType,
             "clustering) or stop clustering the streamed table.")
         val admitted = tlNames.filter(_.endsWith(".commit"))
           .map(_.stripSuffix(".commit")).filter(i => i > from && i <= to).toSet
+        // Only COMPLETED older instants make a commit a rewrite: an
+        // orphan base file from an aborted/inflight instant was never
+        // visible, so a new commit stamping the same fileId is a plain
+        // insert, not a rewrite.
+        val completedAll = tlNames.collect {
+          case n if n.endsWith(".commit") => n.stripSuffix(".commit")
+          case n if n.endsWith(".replacecommit") => n.stripSuffix(".replacecommit")
+        }.toSet
         dirs.flatMap { d =>
           val dirPath = if (d.isEmpty) path else s"$path/$d"
           val names = fs.listStatus(new Path(dirPath)).toSeq
@@ -239,7 +263,8 @@ class HudiMicroBatchStream(path: String, required: StructType,
           val parsed = names.flatMap(HudiRO.parseFile)
           val fresh = parsed.filter(b => admitted(b.instant))
           fresh.foreach { b =>
-            val older = parsed.exists(o => o.fileId == b.fileId && o.instant < b.instant)
+            val older = parsed.exists(o => o.fileId == b.fileId &&
+              o.instant < b.instant && completedAll(o.instant))
             if (older) throw new IllegalStateException(
               s"$path/$d: commit ${b.instant} REWRITES file group ${b.fileId} " +
                 "(COW update/delete) — its new base file carries the group's " +

@@ -53,6 +53,33 @@ class SourcesSpec extends SparkSpec {
     assert(flagRows.forall(_.isNullAt(0)))
   }
 
+  test("S12b: nested complex types round-trip ORC; struct-field pruning reaches the scan") {
+    // the S12 story replayed for ORC (reference reads ORC collections
+    // natively: orc-column-readers.h:513-727)
+    import graft.sources.NestedParquet
+    val dir = tmp()
+    val nested = NestedParquet.buildNested(li)
+    nested.write.mode(SaveMode.Overwrite).orc(dir)
+    val back = spark.read.orc(dir)
+    // schema survived the ORC TypeDescription round trip
+    val items = back.schema("items").dataType.asInstanceOf[ArrayType]
+    assert(items.elementType.asInstanceOf[StructType].fieldNames.toSeq ==
+      Seq("l_linenumber", "l_partkey", "l_quantity"))
+    assert(back.schema("flags").dataType.isInstanceOf[MapType])
+    // correlated unnest returns exactly the source rows
+    assert(back.select(explode(col("items"))).count() == li.count())
+    // nested-schema pruning: projecting ONE struct field must not drag
+    // the other collection fields (or the map) off disk
+    val pruned = back.select(col("l_orderkey"), col("items.l_quantity"))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    val readSchema = scan.substring(scan.indexOf("ReadSchema"))
+    assert(readSchema.contains("l_quantity"), readSchema)
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("flags"), readSchema)
+    // map semantics: absent key -> null, present key -> count
+    val flagRows = back.select(element_at(col("flags"), "ZZ").as("absent")).limit(5).collect()
+    assert(flagRows.forall(_.isNullAt(0)))
+  }
+
   test("S13: Avro round trip preserves every supported type; pruning reaches the reader schema") {
     import graft.sources.{AvroIO, AvroSource}
     import java.sql.{Date, Timestamp}
@@ -1750,6 +1777,41 @@ class SourcesSpec extends SparkSpec {
     val all = HudiRO.read(spark, root)
     assert(all.select("p").collect().map(_.getString(0)).sorted.toSeq ==
       Seq(raw, "plain").sorted)
+  }
+
+  test("S20: numeric-looking partition values stay STRING without touching the session conf") {
+    import graft.sources.HudiRO
+    // ADVICE r12: HudiRO.read used to flip the session-global
+    // partitionColumnTypeInference conf around the read — a concurrent
+    // query could observe it disabled. Now an explicit user schema pins
+    // the partition column to STRING; the conf is never written.
+    import spark.implicits._
+    val root = tmp() + "/hudi_numpart"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/.hoodie"))
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$root/.hoodie/hoodie.properties"), true).close()
+    Seq("01", "2").foreach { seg =>
+      val pd = s"$root/p=$seg"
+      fs.mkdirs(new org.apache.hadoop.fs.Path(pd))
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$pd/.hoodie_partition_metadata"), true).close()
+      graft.sources.HudiQueries.writeSingleFile(
+        Seq((1L, seg)).toDF("doc_id", "text"),
+        s"$pd/fg${seg}_0-0-0_20240101000000000.parquet")
+    }
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$root/.hoodie/20240101000000000.commit"), true).close()
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val before = spark.conf.getOption(inferKey)
+    val df = HudiRO.read(spark, root)
+    // "01" must NOT round-trip as int 1 (inference would strip the 0)
+    assert(df.schema("p").dataType == org.apache.spark.sql.types.StringType)
+    assert(df.select("p").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("01", "2"))
+    assert(spark.conf.getOption(inferKey) == before,
+      "HudiRO.read must not write the session conf")
   }
 
   test("S20b: clustering replacecommit — replaced groups dead, new base file visible, ONE scan relation") {

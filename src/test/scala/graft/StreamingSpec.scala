@@ -1361,4 +1361,57 @@ class StreamingSpec extends SparkSpec {
         c.getMessage != null && c.getMessage.contains("replacecommit")), e.toString)
     } finally qb.stop()
   }
+
+  test("T29: an orphan base file from an aborted instant does not make a commit a rewrite") {
+    // ADVICE r12: the drain-path rewrite check must only count older
+    // files whose instant COMPLETED — a leftover file from an aborted
+    // write was never visible, so the group's first completed base
+    // file is a plain insert.
+    val root = java.nio.file.Files.createTempDirectory("graft_t29orph").toString
+    val dir = s"$root/tbl"; val ckpt = s"$root/ckpt"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/.hoodie"))
+    hudiTouch(s"$dir/.hoodie/hoodie.properties")
+    hudiBase(dir, "fg1", HI(0), 1L)
+    hudiTouch(s"$dir/.hoodie/${HI(0)}.commit")
+    val q = spark.readStream.format("graft.sources.HudiStreamSource").load(dir)
+      .writeStream.format("memory").queryName("t29_orph")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("t29_orph").count() == 1)
+      // an aborted write left fg0@HI(1) on disk, marker still inflight
+      hudiBase(dir, "fg0", HI(1), 7L)
+      hudiTouch(s"$dir/.hoodie/${HI(1)}.inflight")
+      // HI(2) commits fg0 — the group's FIRST completed version: insert
+      hudiBase(dir, "fg0", HI(2), 2L)
+      hudiTouch(s"$dir/.hoodie/${HI(2)}.commit")
+      q.processAllAvailable()
+      val got = spark.table("t29_orph").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 2L), got.toString) // the orphan's 7 never surfaces
+    } finally q.stop()
+  }
+
+  test("T29: a permanently missing table fails the poll loudly after consecutive failures") {
+    // ADVICE r12: latestOffset used to swallow every poll failure —
+    // a deleted/missing table idled the stream forever while the batch
+    // reader failed fast on the same condition.
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val s = new graft.sources.HudiMicroBatchStream(
+      "/nonexistent/graft_t29_missing",
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType))
+    val start = graft.sources.HudiInstantOffset("")
+    val lim = ReadLimit.allAvailable()
+    // first failures defer pickup (the transient-IO discipline)...
+    assert(s.latestOffset(start, lim) ==
+      graft.sources.HudiInstantOffset(""))
+    assert(s.latestOffset(start, lim) ==
+      graft.sources.HudiInstantOffset(""))
+    // ...but the stream must not idle forever on a permanent condition
+    val e = intercept[IllegalStateException] { s.latestOffset(start, lim) }
+    assert(e.getMessage.contains("consecutive"), e.getMessage)
+  }
 }
