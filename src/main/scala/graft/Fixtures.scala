@@ -35,6 +35,7 @@ object Fixtures {
   /** Untimed pre-build of write-once query inputs. */
   val prepare: Map[String, Hook] = Map(
     "src_nested_parquet" -> ((s, d) => { sources.NestedParquet.ensureFile(s, d); () }),
+    "src_nested_orc" -> ((s, d) => { sources.NestedParquet.ensureOrcFile(s, d); () }),
     "src_iceberg_roundtrip" -> ((s, d) => { sources.IcebergQueries.ensureTable(s, d); () }),
     "src_iceberg_prune" -> ((s, d) => { sources.IcebergQueries.ensureTable(s, d); () }),
     "src_iceberg_merge" -> ((s, d) => { sources.IcebergQueries.ensureMergeTable(s, d); () }),
@@ -67,6 +68,9 @@ object Fixtures {
     "m5_dynamic_overwrite" -> ((s, d) => rm(s, operators.TableOps.dynDir(d))),
     "src_nested_parquet" ->
       ((s, d) => { sources.NestedParquet.invalidate(d); rm(s, sources.NestedParquet.path(d)) }),
+    "src_nested_orc" ->
+      ((s, d) => { sources.NestedParquet.invalidateOrc(d)
+        rm(s, sources.NestedParquet.orcPath(d), sources.NestedParquet.orcTwinPath(d)) }),
     "src_rcfile_roundtrip" -> ((s, d) => rm(s, sources.RcFileQueries.path(d))),
     "src_seqfile_roundtrip" -> ((s, d) => rm(s, sources.SequenceQueries.path(d))),
     "src_seqfile_v2write" -> ((s, d) => rm(s, sources.SequenceQueries.v2Path(d))),

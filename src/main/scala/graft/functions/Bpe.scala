@@ -20,39 +20,113 @@ import org.apache.spark.unsafe.types.UTF8String
   * trainer-vs-encoder cross-check in PipelineSpec).
   */
 object BpeImpl {
+  import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+  import org.apache.spark.unsafe.Platform
+  import org.apache.spark.unsafe.array.ByteArrayMethods
+
+  /** Thread-local decoded merge table. The merges array is a broadcast
+    * CONSTANT per query but arrives as a fresh per-element `ArrayData`
+    * view inside the `transform` lambda, so a naive decode re-converts
+    * every rule's UTF8String pair once per corpus WORD (the dominant
+    * encode cost after the in-place pass landed — 2×nm allocations per
+    * word). The cache keys on CONTENT (a byte-compare against the
+    * cached copy for unsafe arrays — identity would be unsound: unsafe
+    * buffers are reused across rows), so a changed table re-decodes and
+    * a repeated one is one memcmp. */
+  private final class RuleCache {
+    var bytes: Array[Byte] = null // unsafe-format copy; null = no cache
+    var a: Array[String] = new Array[String](0)
+    var b: Array[String] = new Array[String](0)
+  }
+  private val ruleCache = new ThreadLocal[RuleCache] {
+    override def initialValue(): RuleCache = new RuleCache
+  }
+  private def decodeInto(c: RuleCache, merges: ArrayData): Unit = {
+    val nm = merges.numElements()
+    if (c.a.length != nm) { c.a = new Array[String](nm); c.b = new Array[String](nm) }
+    var m = 0
+    while (m < nm) {
+      val st = merges.getStruct(m, 2)
+      c.a(m) = st.getUTF8String(0).toString
+      c.b(m) = st.getUTF8String(1).toString
+      m += 1
+    }
+  }
+  private def rulesOf(merges: ArrayData): RuleCache = {
+    val c = ruleCache.get()
+    merges match {
+      case u: UnsafeArrayData =>
+        val sz = u.getSizeInBytes
+        if (c.bytes != null && c.bytes.length == sz &&
+            ByteArrayMethods.arrayEquals(u.getBaseObject, u.getBaseOffset,
+              c.bytes, Platform.BYTE_ARRAY_OFFSET, sz.toLong)) return c
+        decodeInto(c, merges)
+        val copy = new Array[Byte](sz)
+        Platform.copyMemory(u.getBaseObject, u.getBaseOffset,
+          copy, Platform.BYTE_ARRAY_OFFSET, sz.toLong)
+        c.bytes = copy
+        c
+      case _ => // non-unsafe shapes are cold paths: decode fresh
+        decodeInto(c, merges); c.bytes = null; c
+    }
+  }
+
   /** Greedy BPE encode: split `word` into codepoint symbols, then apply
-    * each merge rule in rank order with one left-to-right pass. */
+    * each merge rule in rank order with one left-to-right pass.
+    *
+    * Hot-path shape (r12 verdict #6): most rules match NO pair in a
+    * given word, so each rule first runs an allocation-free adjacency
+    * scan and only rewrites the symbol array when a match exists; the
+    * rewrite itself compacts IN PLACE (write index trails read index —
+    * merges only shrink), so a word costs one symbol-array allocation
+    * total instead of one list copy per rule. The rule table decodes
+    * through [[rulesOf]]'s content-keyed cache. Semantics are
+    * unchanged: one left-to-right non-overlapping pass per rule in
+    * rank order (the trainer cross-check in PipelineSpec pins this). */
   def encode(word: UTF8String, merges: ArrayData): ArrayData = {
     val w = word.toString
-    var syms = new java.util.ArrayList[String](w.length)
+    val syms = new Array[String](math.max(w.length, 1))
+    var n = 0
     var i = 0
     while (i < w.length) {
       val cp = w.codePointAt(i)
-      val n = Character.charCount(cp)
-      syms.add(w.substring(i, i + n))
-      i += n
+      val cc = Character.charCount(cp)
+      syms(n) = w.substring(i, i + cc)
+      n += 1
+      i += cc
     }
+    val rc = rulesOf(merges)
     var m = 0
-    val nm = merges.numElements()
-    while (m < nm) {
-      val st = merges.getStruct(m, 2)
-      val a = st.getUTF8String(0).toString
-      val b = st.getUTF8String(1).toString
-      val out = new java.util.ArrayList[String](syms.size)
+    val nm = rc.a.length
+    while (m < nm && n > 1) {
+      val a = rc.a(m)
+      val b = rc.b(m)
+      // allocation-free scan for the first adjacent (a, b) occurrence
+      var p = -1
       var j = 0
-      while (j < syms.size) {
-        if (j + 1 < syms.size && syms.get(j) == a && syms.get(j + 1) == b) {
-          out.add(a + b); j += 2
-        } else {
-          out.add(syms.get(j)); j += 1
-        }
+      while (p < 0 && j + 1 < n) {
+        if (syms(j) == a && syms(j + 1) == b) p = j
+        j += 1
       }
-      syms = out
+      if (p >= 0) {
+        // one left-to-right pass from the first match, compacted in place
+        var r = p
+        var k = p
+        while (r < n) {
+          if (r + 1 < n && syms(r) == a && syms(r + 1) == b) {
+            syms(k) = a + b; r += 2
+          } else {
+            syms(k) = syms(r); r += 1
+          }
+          k += 1
+        }
+        n = k
+      }
       m += 1
     }
-    val arr = new Array[AnyRef](syms.size)
+    val arr = new Array[AnyRef](n)
     var k = 0
-    while (k < syms.size) { arr(k) = UTF8String.fromString(syms.get(k)); k += 1 }
+    while (k < n) { arr(k) = UTF8String.fromString(syms(k)); k += 1 }
     ArrayData.toArrayData(arr)
   }
 }

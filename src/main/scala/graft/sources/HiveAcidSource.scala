@@ -623,12 +623,16 @@ private[graft] object AcidOrc {
     val userNames = user.fieldNames.toSeq
     val nUser = userNames.length
     // ship the SESSION Hadoop conf (object-store credentials, fs
-    // tuning) to executors — a fresh Configuration() there would
-    // resolve a different fs on non-default-configured deployments
-    val serConf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    // tuning) to executors as a BROADCAST handle — embedding the conf
+    // in the closure makes every task re-deserialize ~1k properties
+    // (r12 verdict #1); the broadcast deserializes once per executor.
+    // Copied per task: the broadcast value is JVM-shared and
+    // Configuration is not thread-safe under mutation.
+    val serConf = HadoopConfBroadcast.get(spark.sparkContext,
+      spark.sparkContext.hadoopConfiguration)
     val rdd = spark.sparkContext.parallelize(files, math.max(1, files.size))
       .flatMap { f =>
-        val conf = serConf.value
+        val conf = new org.apache.hadoop.conf.Configuration(serConf.value.value)
         val reader = OrcFile.createReader(new org.apache.hadoop.fs.Path(f),
           OrcFile.readerOptions(conf))
         val td = reader.getSchema
@@ -688,7 +692,7 @@ private[graft] object AcidOrc {
   * name against the flat meta+user projection, absent row fields read
   * as NULL (per-file evolution). */
 private[graft] class AcidOrcReaderFactory(required: org.apache.spark.sql.types.StructType,
-                                          hconf: SerializableHadoopConf)
+                                          hconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
   import org.apache.orc.{OrcFile, TypeDescription}
   import org.apache.hadoop.hive.ql.exec.vector.StructColumnVector
@@ -703,7 +707,7 @@ private[graft] class AcidOrcReaderFactory(required: org.apache.spark.sql.types.S
       // thread-safe under mutation and several tasks in one executor
       // share the deserialized instance (the MixedFormat executor
       // path does the same).
-      private val conf = new org.apache.hadoop.conf.Configuration(hconf.value)
+      private val conf = new org.apache.hadoop.conf.Configuration(hconf.value.value)
       private val reader = OrcFile.createReader(
         new org.apache.hadoop.fs.Path(file), OrcFile.readerOptions(conf))
       private val td = reader.getSchema

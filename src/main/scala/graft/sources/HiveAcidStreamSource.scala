@@ -448,10 +448,12 @@ class HiveAcidMicroBatchStream(path: String, required: StructType,
       // also decode through it iff they carry the acid columns —
       // insert-only ORC MM tables without acid columns stream via the
       // batch reader's plain path and are out of this source's scope
-      new AcidOrcReaderFactory(required, new SerializableHadoopConf(conf))
+      new AcidOrcReaderFactory(required, HadoopConfBroadcast.get(
+        org.apache.spark.sql.SparkSession.active.sparkContext, conf))
     else
       // name resolution (empty id map): MM parquet files carry no field ids
-      new IcebergReaderFactory(required, Map.empty, new SerializableHadoopConf(conf))
+      new IcebergReaderFactory(required, Map.empty, HadoopConfBroadcast.get(
+        org.apache.spark.sql.SparkSession.active.sparkContext, conf))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -28,15 +28,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    starts from a CONSISTENT point-in-time view;
   *  - every later batch admits whole COMMITS in (start, end]: the
   *    commit's newly stamped base files. This is exact for
-  *    append-style commits (new file groups); a commit that REWRITES
+  *    append-style commits (new file groups). A commit that REWRITES
   *    an existing file group (COW update/delete) carries the group's
-  *    old rows inside its new base file, and with no `_hoodie_*` meta
-  *    columns to row-filter on, replaying it as inserts would
-  *    duplicate — the stream FAILS FAST instead (the T25
-  *    replace/overwrite discipline). So does a clustering
-  *    replacecommit arriving mid-stream (pure rewrite by definition);
-  *    clustering BEFORE the initial offset is served through the
-  *    snapshot path.
+  *    old rows inside its new base file: on a table WITH `_hoodie_*`
+  *    record-level meta columns (what real Hudi writers produce) the
+  *    drain row-filters every admitted file to
+  *    `_hoodie_commit_time == instant` — exactly the rows the commit
+  *    wrote — and the rewrite flows as UPSERTS (T29b; deletes do not
+  *    emit — upsert-CDC, the T22 sink's contract). Without meta
+  *    columns the stream FAILS FAST instead (the T25
+  *    replace/overwrite discipline). A clustering replacecommit
+  *    arriving mid-stream stays fail-fast either way (its file-group
+  *    supersession is snapshot bookkeeping this diff-shaped drain
+  *    does not track); clustering BEFORE the initial offset is served
+  *    through the snapshot path.
   *  - an INFLIGHT instant (no completion marker) is invisible — its
   *    files are never admitted; when the marker lands, the commit is
   *    picked up whole on a later trigger (the polling discipline).
@@ -90,7 +95,11 @@ class HudiStreamScanBuilder(path: String, fullSchema: StructType,
     override def description(): String =
       s"graft-hudi-stream $path cols=${required.fieldNames.mkString(",")}"
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-      new HudiMicroBatchStream(path, required, maxCommits)
+      new HudiMicroBatchStream(path, required, maxCommits,
+        // T29b: real Hudi base files carry record-level meta columns;
+        // their presence (in the TABLE schema, not the pruned
+        // projection) upgrades rewrite commits from fail-fast to CDC
+        hasMetaCols = fullSchema.fieldNames.contains("_hoodie_commit_time"))
   }
 }
 
@@ -153,7 +162,8 @@ object HudiStream {
 }
 
 class HudiMicroBatchStream(path: String, required: StructType,
-                           maxCommits: Option[Int] = None)
+                           maxCommits: Option[Int] = None,
+                           hasMetaCols: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
   private def spark = org.apache.spark.sql.SparkSession.active
   private def hconf = spark.sparkContext.hadoopConfiguration
@@ -225,14 +235,15 @@ class HudiMicroBatchStream(path: String, required: StructType,
     val dirs = HudiRO.listPartitionDirs(spark, path)
     val parts: Seq[HudiStreamInputPartition] =
       if (from.isEmpty) {
-        // initial batch: the consistent RO snapshot as of `to`
+        // initial batch: the consistent RO snapshot as of `to` — full
+        // rows, no commit-time filter (point-in-time state, not a diff)
         val tl = HudiRO.timeline(spark, path, asOf = Some(to))
         dirs.flatMap { d =>
           val dirPath = if (d.isEmpty) path else s"$path/$d"
           val names = fs.listStatus(new Path(dirPath)).toSeq
             .filter(_.isFile).map(_.getPath.getName)
           HudiRO.selectLatest(names, tl.completed, tl.dead(d))
-            .map(n => HudiStreamInputPartition(s"$dirPath/$n", partValue(d)))
+            .map(n => HudiStreamInputPartition(s"$dirPath/$n", partValue(d), null))
         }
       } else {
         // drain: whole commits in (from, to]
@@ -265,15 +276,28 @@ class HudiMicroBatchStream(path: String, required: StructType,
           fresh.foreach { b =>
             val older = parsed.exists(o => o.fileId == b.fileId &&
               o.instant < b.instant && completedAll(o.instant))
-            if (older) throw new IllegalStateException(
+            // T29b: with record-level meta columns, a COW rewrite is
+            // row-filterable to exactly its changed rows (below) —
+            // only a meta-less table must fail fast.
+            if (older && !hasMetaCols) throw new IllegalStateException(
               s"$path/$d: commit ${b.instant} REWRITES file group ${b.fileId} " +
                 "(COW update/delete) — its new base file carries the group's " +
                 "old rows and replaying it as inserts would duplicate. This " +
-                "stream is append-only; serve rewritten groups through the " +
-                "read-optimized batch reader (HudiRO.read) instead.")
+                "stream is append-only without _hoodie_* meta columns; serve " +
+                "rewritten groups through the read-optimized batch reader " +
+                "(HudiRO.read) instead, or write meta columns for CDC.")
           }
+          // T29b CDC: on a meta-column table EVERY drained file is
+          // filtered to the rows its own commit actually wrote
+          // (_hoodie_commit_time == instant): a rewrite emits exactly
+          // its changed rows as upserts (carried rows keep their
+          // original commit time and drop out), a fresh file group
+          // passes through whole (all rows stamped by the creating
+          // commit). Deletes do not emit — this is the upsert-CDC
+          // shape (the T22 sink's contract), not tombstone CDC.
           fresh.sortBy(b => (b.instant, b.name))
-            .map(b => HudiStreamInputPartition(s"$dirPath/${b.name}", partValue(d)))
+            .map(b => HudiStreamInputPartition(s"$dirPath/${b.name}", partValue(d),
+              if (hasMetaCols) b.instant else null))
         }
       }
     parts.toArray
@@ -286,52 +310,83 @@ class HudiMicroBatchStream(path: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val pcol = HudiStream.partitionCol(HudiRO.listPartitionDirs(spark, path))
-    new HudiStreamReaderFactory(required, pcol, new SerializableHadoopConf(hconf))
+    new HudiStreamReaderFactory(required, pcol,
+      HadoopConfBroadcast.get(spark.sparkContext, hconf))
   }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-case class HudiStreamInputPartition(file: String, partValue: String)
+/** `commitFilter`: non-null on a T29b CDC drain — only rows whose
+  * `_hoodie_commit_time` equals it are emitted (the rows this commit
+  * actually wrote); null = emit every row (snapshot / meta-less). */
+case class HudiStreamInputPartition(file: String, partValue: String,
+                                    commitFilter: String = null)
     extends InputPartition
 
 /** Per-file parquet reader = the shared pruned-projection reader
   * (name resolution — Hudi base files carry no Iceberg field ids),
   * with the hive-style partition column rematerialized as a
   * per-partition constant (the column does not exist inside the
-  * file). */
+  * file) and, on CDC drains, the `_hoodie_commit_time == instant` row
+  * filter applied executor-side (the filter column is added to the
+  * file projection when the query itself didn't ask for it, then
+  * projected away). */
 class HudiStreamReaderFactory(required: StructType, pcol: Option[String],
-                              conf: SerializableHadoopConf)
+                              conf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[HudiStreamInputPartition]
     val pIdx = pcol.map(c => required.fieldNames.indexOf(c)).filter(_ >= 0)
-    pIdx match {
-      case None =>
-        new IcebergPartitionReader(p.file, required, Map.empty, conf)
-      case Some(idx) =>
-        val dataRequired = StructType(
-          required.fields.zipWithIndex.filter(_._2 != idx).map(_._1))
-        val inner = new IcebergPartitionReader(p.file, dataRequired, Map.empty, conf)
-        val pv = if (p.partValue == null) null
-          else org.apache.spark.unsafe.types.UTF8String.fromString(p.partValue)
-        new PartitionReader[InternalRow] {
-          override def next(): Boolean = inner.next()
-          override def get(): InternalRow = {
-            val in = inner.get()
-            val out = new org.apache.spark.sql.catalyst.expressions
-              .GenericInternalRow(required.length)
-            var i = 0; var j = 0
-            while (i < required.length) {
-              if (i == idx) out.update(i, pv)
-              else { out.update(i, in.get(j, dataRequired(j).dataType)); j += 1 }
-              i += 1
-            }
-            out
-          }
-          override def close(): Unit = inner.close()
+    // columns read from the file = required minus the partition col
+    val dataRequired = StructType(pIdx match {
+      case Some(idx) => required.fields.zipWithIndex.filter(_._2 != idx).map(_._1)
+      case None => required.fields
+    })
+    val filtering = p.commitFilter != null
+    val ctInData = dataRequired.fieldNames.indexOf("_hoodie_commit_time")
+    val readSchema =
+      if (!filtering || ctInData >= 0) dataRequired
+      else StructType(dataRequired.fields :+
+        StructField("_hoodie_commit_time", StringType))
+    val ctIdx = if (!filtering) -1
+      else if (ctInData >= 0) ctInData else dataRequired.length
+    val inner = new IcebergPartitionReader(p.file, readSchema, Map.empty, conf)
+    if (!filtering && pIdx.isEmpty) return inner // plain append drain / snapshot
+    // required index -> file-projection index (-1 = the partition col)
+    val srcIdx = new Array[Int](required.length)
+    var j = 0
+    for (i <- required.indices) {
+      if (pIdx.contains(i)) srcIdx(i) = -1 else { srcIdx(i) = j; j += 1 }
+    }
+    val pv = if (p.partValue == null) null
+      else org.apache.spark.unsafe.types.UTF8String.fromString(p.partValue)
+    val want = if (!filtering) null
+      else org.apache.spark.unsafe.types.UTF8String.fromString(p.commitFilter)
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (inner.next()) {
+          val r = inner.get()
+          if (!filtering || {
+            val v = r.getUTF8String(ctIdx); v != null && v.equals(want)
+          }) { cur = r; return true }
         }
+        false
+      }
+      override def get(): InternalRow = {
+        val out = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(required.length)
+        var i = 0
+        while (i < required.length) {
+          if (srcIdx(i) < 0) out.update(i, pv)
+          else out.update(i, cur.get(srcIdx(i), dataRequired(srcIdx(i)).dataType))
+          i += 1
+        }
+        out
+      }
+      override def close(): Unit = inner.close()
     }
   }
 }

@@ -493,10 +493,18 @@ object IcebergWrite {
         spark.read.schema(withIds).parquet(replacedFiles: _*)
       }
     // 4. partition-local merge: existing rows lose to same-key updates
-    //    and to tombstones; tombstoned keys simply don't come back
+    //    and to tombstones; tombstoned keys simply don't come back.
+    //    Re-select in TABLE column order: the using-column join moves
+    //    keyCol to the front of its output and unionByName aligns
+    //    `updates` to that order, while writeDataAndManifests stamps
+    //    field ids POSITIONALLY from meta.fieldIds — without the
+    //    re-select every merge whose key is not already the first
+    //    column writes value-swapped files (r13: found by the T30b
+    //    hop, whose key `_hoodie_record_key` is column 2).
     val merged = current
       .join(allChanges.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
       .unionByName(updates)
+      .select(meta.schema.fieldNames.map(col).toSeq: _*)
     // 5. new data files + manifests for the affected partitions,
     //    committed as snapshot N+1 alongside the untouched manifests
     val snapshotId = meta.snapshotId + 1
@@ -1519,7 +1527,8 @@ class IcebergScan(path: String, required: StructType, eq: Option[(String, Any)],
     // file (add evolution).
     val meta = IcebergMeta.load(path, conf)
     val idByName = meta.schema.fieldNames.zip(meta.fieldIds).toMap
-    new IcebergReaderFactory(required, idByName, new SerializableHadoopConf(conf))
+    new IcebergReaderFactory(required, idByName, HadoopConfBroadcast.get(
+      org.apache.spark.sql.SparkSession.active.sparkContext, conf))
   }
 
   /** T25: the table as a STREAMING SOURCE — one micro-batch per
@@ -1635,7 +1644,8 @@ class IcebergMicroBatchStream(path: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val meta = IcebergMeta.load(path, conf)
     val idByName = meta.schema.fieldNames.zip(meta.fieldIds).toMap
-    new IcebergReaderFactory(required, idByName, new SerializableHadoopConf(conf))
+    new IcebergReaderFactory(required, idByName, HadoopConfBroadcast.get(
+      org.apache.spark.sql.SparkSession.active.sparkContext, conf))
   }
 
   override def commit(end: Offset): Unit = ()
@@ -1657,10 +1667,59 @@ class SerializableHadoopConf(@transient var value: Configuration) extends Serial
   }
 }
 
+/** Per-session BROADCAST of the shipped Hadoop conf (r12 verdict #1).
+  *
+  * A DSv2 reader factory is serialized into the stage's task binary and
+  * EVERY task deserializes that binary independently — an embedded
+  * [[SerializableHadoopConf]] therefore re-reads ~1k conf properties per
+  * task, pure overhead that scales with task count (1000 executors × 32
+  * cores × small files). Shipping a `Broadcast` handle instead
+  * deserializes the conf once per executor JVM and the task binary
+  * carries only the handle.
+  *
+  * The cache is keyed on (applicationId, conf fingerprint): a session
+  * that mutates fs settings between reads still ships the CURRENT conf
+  * (the fingerprint changes → re-broadcast), and a restarted context
+  * (new applicationId) never reuses a dead context's broadcast. The
+  * conf is defensively copied at broadcast time so later driver-side
+  * mutation cannot race the lazy broadcast serialization. Executor-side
+  * consumers must still copy per reader (`new Configuration(bc.value
+  * .value)`): the broadcast value is shared across all tasks in the JVM
+  * and Configuration is not thread-safe under mutation. */
+object HadoopConfBroadcast {
+  private case class Entry(appId: String, fp: Long,
+                           bc: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
+  @volatile private var entries: List[Entry] = Nil
+
+  /** Order-independent content hash over every key=value entry
+    * (including loaded defaults — they serialize too). */
+  private def fingerprint(c: Configuration): Long = {
+    var acc = 0L
+    val it = c.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      acc ^= (e.getKey.hashCode.toLong * 0x9E3779B97F4A7C15L) ^ e.getValue.hashCode.toLong
+    }
+    acc
+  }
+
+  def get(sc: org.apache.spark.SparkContext, conf: Configuration)
+      : org.apache.spark.broadcast.Broadcast[SerializableHadoopConf] = synchronized {
+    val fp = fingerprint(conf)
+    val app = sc.applicationId
+    entries.find(e => e.appId == app && e.fp == fp).map(_.bc).getOrElse {
+      val bc = sc.broadcast(new SerializableHadoopConf(new Configuration(conf)))
+      // keep only this context's entries, bounded (conf churn in tests)
+      entries = (Entry(app, fp, bc) :: entries.filter(_.appId == app)).take(8)
+      bc
+    }
+  }
+}
+
 case class IcebergInputPartition(file: String) extends InputPartition
 
 class IcebergReaderFactory(required: StructType, idByName: Map[String, Int],
-                           conf: SerializableHadoopConf)
+                           conf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[IcebergInputPartition].file
@@ -1676,9 +1735,9 @@ class IcebergReaderFactory(required: StructType, idByName: Map[String, Int],
   * id-less legacy files fall back to name matching. */
 class IcebergPartitionReader(file: String, required: StructType,
                              idByName: Map[String, Int],
-                             base: SerializableHadoopConf)
+                             base: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
     extends PartitionReader[InternalRow] {
-  private val conf = new Configuration(base.value)
+  private val conf = new Configuration(base.value.value)
   // empty projection (e.g. count(*)) still needs one column to drive
   // row iteration; emit empty rows from it
   private val emptyProjection = required.isEmpty

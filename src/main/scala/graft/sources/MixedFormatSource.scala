@@ -189,12 +189,15 @@ object MixedFormat {
                           dirOf: Map[String, String],
                           writers: RoutedWriters): Unit = {
     val routeIdx = slice.schema.length - 1
-    // session Hadoop conf shipped serialized — a fresh Configuration()
-    // on executors would drop object-store credentials / fs settings
-    val serConf = new SerializableHadoopConf(
+    // session Hadoop conf shipped as a BROADCAST handle — a fresh
+    // Configuration() on executors would drop object-store credentials
+    // / fs settings, and embedding it in the closure re-deserializes
+    // it per task (r12 verdict #1)
+    val serConf = HadoopConfBroadcast.get(
+      slice.sparkSession.sparkContext,
       slice.sparkSession.sparkContext.hadoopConfiguration)
     val nWritten = slice.rdd.mapPartitionsWithIndex { (idx, rows) =>
-      val conf = new org.apache.hadoop.conf.Configuration(serConf.value)
+      val conf = new org.apache.hadoop.conf.Configuration(serConf.value.value)
       val open = scala.collection.mutable.HashMap.empty[String, RoutedWriter]
       var cnt = 0L
       rows.foreach { row =>

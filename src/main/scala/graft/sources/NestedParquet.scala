@@ -32,6 +32,17 @@ object NestedParquet {
   def path(dir: String): String =
     s"/tmp/graft_nested_parquet_${new java.io.File(dir).getName}"
 
+  /** S12b: the nested collections stored in ORC. DuckDB reads no ORC,
+    * so the oracle reads a parquet TWIN written from the SAME
+    * deterministic build (sorted collections, sorted map entries — the
+    * S18 device): a hash match proves our ORC write+read of nested
+    * groups returns exactly what an independent engine decodes from
+    * the identical data. */
+  def orcPath(dir: String): String =
+    s"/tmp/graft_nested_orc_${new java.io.File(dir).getName}"
+  def orcTwinPath(dir: String): String =
+    s"/tmp/graft_nested_orc_twin_${new java.io.File(dir).getName}"
+
   /** lineitem rolled up to one row per order: items as a sorted
     * array<struct>, per-returnflag counts as a map<string,bigint>. ONE
     * shuffle: both collections come out of a single groupBy — the flag
@@ -70,6 +81,21 @@ object NestedParquet {
   }
   private[graft] def invalidate(dir: String): Unit = written.remove(path(dir))
 
+  /** Write-once ORC + parquet twin from ONE build (same memo semantics
+    * as [[ensureFile]]). The build is deterministic (sorted array,
+    * sorted map entries), so the two files carry identical rows. */
+  def ensureOrcFile(spark: SparkSession, dir: String): String = {
+    val p = orcPath(dir)
+    written.getOrElseUpdate(p, {
+      val nested = buildNested(Tables(spark, dir).lineitem)
+      nested.write.mode("overwrite").orc(p)
+      nested.write.mode("overwrite").parquet(orcTwinPath(dir))
+      true
+    })
+    p
+  }
+  private[graft] def invalidateOrc(dir: String): Unit = written.remove(orcPath(dir))
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -87,6 +113,20 @@ object NestedParquet {
           col("flag_n"))
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
     }),
+    // S12b: the same correlated-unnest shape read from ORC collections
+    // (reference: orc-column-readers.h:513-727 reads list/map/struct
+    // natively). Distinct projection from the parquet query so both
+    // collection kinds are exercised on the ORC decode path too.
+    "src_nested_orc" -> ((spark, dir) => {
+      val back = spark.read.orc(ensureOrcFile(spark, dir))
+      back.filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey"),
+          element_at(col("flags"), "R").as("flag_r"),
+          explode(col("items")).as("item"))
+        .select(col("l_orderkey"), col("flag_r"),
+          col("item.l_linenumber"), col("item.l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -102,5 +142,14 @@ object NestedParquet {
          |  FROM read_parquet('${path("sf0.01")}/*.parquet')
          |  WHERE l_orderkey < 2000)
          |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin,
+    // DuckDB reads the parquet TWIN of the ORC file (same deterministic
+    // build; DuckDB has no ORC reader — the S18 device).
+    "src_nested_orc" ->
+      s"""SELECT l_orderkey, flag_r, l_linenumber, l_quantity FROM (
+         |  SELECT l_orderkey, flags['R'][1] AS flag_r,
+         |         unnest(items, recursive := true)
+         |  FROM read_parquet('${orcTwinPath("sf0.01")}/*.parquet')
+         |  WHERE l_orderkey % 7 = 0)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
   )
 }

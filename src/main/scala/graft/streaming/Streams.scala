@@ -624,6 +624,40 @@ object Streams {
     icebergSink(withCap.load(hudiDir), icebergDir, bucketCol, nBuckets)
   }
 
+  /** T30b: the Hudi→Iceberg migration hop for UPDATING tables — the
+    * T29b CDC drain (rewrite commits row-filtered to their changed
+    * rows via `_hoodie_commit_time`) feeds the T22 exactly-once UPSERT
+    * sink keyed on `_hoodie_record_key`. A catch-up batch spanning
+    * several commits can carry multiple versions of one key (each
+    * file filtered to its own commit), so the hop collapses to the
+    * newest commit per key before merging — the same key-latest
+    * discipline as the T28 ACID hop. Deletes do not propagate
+    * (upsert-CDC); exactly-once rides the T22
+    * batch-id-in-snapshot-summary device across replays/restarts. */
+  def hudiMigrationHopUpsert(spark: SparkSession, hudiDir: String,
+                             icebergDir: String, partitionCol: String,
+                             maxCommitsPerTrigger: Option[Int] = None):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val reader = spark.readStream.format("graft.sources.HudiStreamSource")
+    val withCap = maxCommitsPerTrigger
+      .fold(reader)(n => reader.option("maxCommitsPerTrigger", n.toString))
+    val src = withCap.load(hudiDir)
+    require(src.columns.contains("_hoodie_commit_time") &&
+      src.columns.contains("_hoodie_record_key"),
+      s"$hudiDir has no _hoodie_* meta columns — an updating table needs " +
+        "them for CDC; use hudiMigrationHop for append-only tables")
+    src.writeStream.outputMode("update").foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("_hoodie_record_key")
+          .orderBy(col("_hoodie_commit_time").desc)
+        val collapsed = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        icebergUpsertBatch(collapsed, batchId, icebergDir,
+          keyCol = "_hoodie_record_key", partitionCol = partitionCol)
+    }
+  }
+
   /** T3: drop duplicate event_ids arriving within the watermark. */
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")

@@ -188,6 +188,40 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  /** Impala's runtime-filter bank also serves IN-LIST filters (4.1:
+    * apache-impala-4.1.0/be/src/runtime/runtime-filter-bank.h:49 routes
+    * bloom, min-max AND in-list filters from build to probe scan).
+    * Spark HAD the row-level twin — InjectRuntimeFilter's semi-join
+    * reduction branch (`spark.sql.optimizer.runtimeFilter
+    * .semiJoinReduction.enabled`) — and REMOVED it in 4.0: setting the
+    * conf now throws "runtime filter cannot be an IN subquery now"
+    * (upstream judged the bloom branch strictly dominant: same
+    * probe-side reduction without materializing exact key sets). So
+    * the IN-list filter is a REASONED DESCOPE, pinned here so a future
+    * Spark that reintroduces the branch fails this test and we revisit:
+    * (1) the removal is asserted verbatim, and (2) the surviving
+    * row-level channel (the runtime bloom filter, audited above) plus
+    * the partition-level IN channel (DPP's InSubqueryExec, audited in
+    * SourcesSpec S7) remain the engine's runtime-filter parity story. */
+  test("IN-list runtime filter: Spark 4 REMOVED semi-join reduction (descope pinned); no semi under default config") {
+    import org.apache.spark.sql.functions.col
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.conf.set("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled", "true")
+    }
+    assert(e.getMessage.contains("removed in the version 4.0.0"), e.getMessage)
+    // and the default config injects no semi-join on the S8b shape —
+    // the plan a user gets is the plain join (+ bloom when enabled)
+    val t = Tables(spark, sf0001)
+    val q = t.lineitem
+      .join(t.part.filter(col("p_size") === 5), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand").count()
+    val semis = q.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semis.isEmpty, "unexpected semi-join under default config")
+  }
+
   /** The contamination check's scale contract: candidate matching is an
     * EQUI-join on the gram key. If the join condition ever degraded to
     * contains()/LIKE, Spark would plan a nested-loop product — the

@@ -428,6 +428,31 @@ class SourcesSpec extends SparkSpec {
     assert(parts == want)
   }
 
+  test("S16i: merge with a NON-FIRST key column keeps column/field-id alignment") {
+    // r13 regression: the using-column anti-join inside mergeImpl moves
+    // keyCol to the front of its output; without the table-order
+    // re-select, writeDataAndManifests stamped field ids positionally
+    // and every merge keyed on a non-first column wrote value-swapped
+    // files (columns 1 and keyCol exchanged payloads).
+    import graft.sources.IcebergWrite
+    import org.apache.spark.sql.{Row, types => T}
+    val dir = tmp() + "/iceberg_merge_key2"
+    val schema = T.StructType(Seq(
+      T.StructField("ct", T.StringType), T.StructField("k", T.StringType),
+      T.StructField("doc_id", T.LongType), T.StructField("text", T.StringType)))
+    def df(rows: (String, String, Long, String)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (a, b, c, d) => Row(a, b, c, d) }),
+      schema)
+    IcebergWrite.write(df(("c1", "k1", 1L, "one"), ("c1", "k2", 2L, "two")),
+      dir, "doc_id", "identity")
+    IcebergWrite.mergeUpsert(df(("c2", "k2", 2L, "two-v2")), dir, "k")
+    val back = spark.read.format("graft.sources.IcebergSource").load(dir)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3))).toSeq
+    assert(back == Seq(("c1", "k1", 1L, "one"), ("c2", "k2", 2L, "two-v2")),
+      back.toString)
+  }
+
   test("S16i: copy-on-write merge rewrites only touched partitions; time travel sees pre-merge rows") {
     import graft.sources.{IcebergRead, IcebergWrite}
     val dir = tmp() + "/iceberg_merge"

@@ -1394,6 +1394,127 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** A Hudi base file WITH record-level meta columns (what real Hudi
+    * writers produce): rows as (recordKey, docId, text, commitTime). */
+  private def hudiMetaBase(dir: String, fileId: String, instant: String,
+                           rows: (String, Long, String, String)*): Unit = {
+    import org.apache.spark.sql.{Row, types => T}
+    val schema = T.StructType(Seq(
+      T.StructField("_hoodie_commit_time", T.StringType),
+      T.StructField("_hoodie_record_key", T.StringType),
+      T.StructField("doc_id", T.LongType), T.StructField("text", T.StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (k, id, txt, ct) =>
+        Row(ct, k, id, txt)
+      }), schema)
+    graft.sources.HudiQueries.writeSingleFile(df,
+      s"$dir/${fileId}_0-0-0_$instant.parquet")
+  }
+
+  test("T29b: with _hoodie_* meta columns a COW rewrite flows as upserts exactly-once under replay/restart") {
+    val root = java.nio.file.Files.createTempDirectory("graft_t29b").toString
+    val dir = s"$root/tbl"; val ckpt = s"$root/ckpt"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/.hoodie"))
+    hudiTouch(s"$dir/.hoodie/hoodie.properties")
+    hudiMetaBase(dir, "fg0", HI(0),
+      ("k1", 1L, "one", HI(0)), ("k2", 2L, "two", HI(0)))
+    hudiTouch(s"$dir/.hoodie/${HI(0)}.commit")
+    val batches = scala.collection.mutable.ArrayBuffer[Seq[(String, String, String)]]()
+    def start() = spark.readStream.format("graft.sources.HudiStreamSource").load(dir)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.select("_hoodie_record_key", "text", "_hoodie_commit_time")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+          .sortBy(_._1).toSeq
+        batches.synchronized { batches += rows }; ()
+      }.option("checkpointLocation", ckpt).start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      // initial batch: the full snapshot (no commit filter)
+      assert(batches.flatten.toSeq ==
+        Seq(("k1", "one", HI(0)), ("k2", "two", HI(0))), batches.toString)
+      // HI(1) REWRITES fg0: k1 updated, k2 carried unchanged (keeps its
+      // original commit time), k3 inserted — the drain must emit
+      // EXACTLY the rows HI(1) wrote, never the carried k2
+      hudiMetaBase(dir, "fg0", HI(1),
+        ("k1", 1L, "one-v2", HI(1)), ("k2", 2L, "two", HI(0)),
+        ("k3", 3L, "three", HI(1)))
+      hudiTouch(s"$dir/.hoodie/${HI(1)}.commit")
+      q.processAllAvailable()
+      assert(batches.flatten.toSeq.drop(2) ==
+        Seq(("k1", "one-v2", HI(1)), ("k3", "three", HI(1))), batches.toString)
+    } finally q.stop()
+    // restart from the checkpoint with NO new commit: nothing replays
+    val n0 = batches.flatten.size
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(batches.flatten.size == n0, batches.toString)
+      // another rewrite while running: only its changed row arrives
+      hudiMetaBase(dir, "fg0", HI(2),
+        ("k1", 1L, "one-v2", HI(1)), ("k2", 2L, "two-v2", HI(2)),
+        ("k3", 3L, "three", HI(1)))
+      hudiTouch(s"$dir/.hoodie/${HI(2)}.commit")
+      q2.processAllAvailable()
+      assert(batches.flatten.toSeq.drop(n0) ==
+        Seq(("k2", "two-v2", HI(2))), batches.toString)
+    } finally q2.stop()
+  }
+
+  test("T30b: hudiMigrationHopUpsert — an UPDATING Hudi table migrates into Iceberg key-latest, exactly-once") {
+    val root = java.nio.file.Files.createTempDirectory("graft_t30b").toString
+    val hudi = s"$root/hudi"; val berg = s"$root/iceberg"
+    val fs = new org.apache.hadoop.fs.Path(hudi)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$hudi/.hoodie"))
+    hudiTouch(s"$hudi/.hoodie/hoodie.properties")
+    hudiMetaBase(hudi, "fg0", HI(0),
+      ("k1", 1L, "one", HI(0)), ("k2", 2L, "two", HI(0)))
+    hudiTouch(s"$hudi/.hoodie/${HI(0)}.commit")
+    // HI(1) rewrites fg0 (update k1, insert k3) BEFORE the hop starts:
+    // a catch-up batch can span the snapshot and the rewrite commit
+    hudiMetaBase(hudi, "fg0", HI(1),
+      ("k1", 1L, "one-v2", HI(1)), ("k2", 2L, "two", HI(0)),
+      ("k3", 3L, "three", HI(1)))
+    hudiTouch(s"$hudi/.hoodie/${HI(1)}.commit")
+    def start() = Streams.hudiMigrationHopUpsert(spark, hudi, berg,
+      partitionCol = "doc_id")
+      .option("checkpointLocation", s"$root/ckpt").start()
+    def state(): Seq[(String, String)] =
+      spark.read.format("graft.sources.IcebergSource").load(berg)
+        .select("_hoodie_record_key", "text").collect()
+        .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+    val q = start()
+    try {
+      q.processAllAvailable()
+      // key-latest: the snapshot batch is as-of HI(1) already OR the
+      // drain upserted k1's new version over the snapshot's — either
+      // admission split lands the same final state, each key once
+      assert(state() == Seq(("k1", "one-v2"), ("k2", "two"), ("k3", "three")),
+        state().toString)
+    } finally q.stop()
+    // a rewrite while the hop is DOWN, then restart: the drained
+    // commit merges as an upsert; replayed batches are no-ops
+    hudiMetaBase(hudi, "fg0", HI(2),
+      ("k1", 1L, "one-v2", HI(1)), ("k2", 2L, "two-v2", HI(2)),
+      ("k3", 3L, "three", HI(1)))
+    hudiTouch(s"$hudi/.hoodie/${HI(2)}.commit")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(state() == Seq(("k1", "one-v2"), ("k2", "two-v2"), ("k3", "three")),
+        state().toString)
+    } finally q2.stop()
+    val q3 = start() // pure replay: no new commits, state unchanged
+    try {
+      q3.processAllAvailable()
+      assert(state() == Seq(("k1", "one-v2"), ("k2", "two-v2"), ("k3", "three")),
+        state().toString)
+    } finally q3.stop()
+  }
+
   test("T29: a permanently missing table fails the poll loudly after consecutive failures") {
     // ADVICE r12: latestOffset used to swallow every poll failure —
     // a deleted/missing table idled the stream forever while the batch
