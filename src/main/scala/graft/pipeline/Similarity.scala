@@ -200,6 +200,15 @@ object Similarity {
         .groupBy("cell").agg(VectorAvg.of(col("embedding")).as("cvec"))
       i += 1
     }
+    ivfServe(queries, corpus, cent, k, nProbe)
+  }
+
+  /** The IVF SERVE path shared by the trained ([[ivfTopK]]) and pinned
+    * ([[ivfTopKPinned]]) quantizers: row-local corpus assignment,
+    * row-local nProbe probe selection against the broadcast centroid
+    * row, one cell equi-join, exact-cosine rank. */
+  private def ivfServe(queries: DataFrame, corpus: DataFrame, cent: DataFrame,
+                       k: Int, nProbe: Int): DataFrame = {
     val indexed = assignCells(corpus, cent)
       .select(col("cell"), col("vec_id").as("c_id"), col("embedding").as("c_vec"))
     // Probe cells row-locally too: score all centroids per query row,
@@ -219,6 +228,79 @@ object Similarity {
         round(cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+  }
+
+  // ---- P8c/P33c: pinned-quantizer oracle variants -------------------
+  //
+  // The P38b/P63b "pinned analytic table" device applied to ANN.
+  // Production ANN serves against a FROZEN quantizer (ivfIndexQuery /
+  // pqIndexQuery read centroids and codebooks written once); what keeps
+  // the trained entries rows-only is ONLY that float Lloyd means have
+  // no single-SQL replay. Freezing the quantizer as an analytic literal
+  // table removes exactly that piece, so the ENTIRE serve path —
+  // row-local argmax assignment, probe selection, cell equi-join /
+  // ADC table lookups, exact ranking — is replayed bit-for-bit by the
+  // DuckDB oracle. Components come from the same splitmix64 stream
+  // device as the LSH hyperplanes (disjoint seed spaces) and are
+  // float32-rounded exactly as the FLOAT-typed kernels see them.
+
+  /** Raw splitmix64 components of the pinned IVF centroids — the same
+    * integers are baked into the DuckDB oracle literal, and BOTH
+    * engines derive the float32 component as (int → double) / 2^63 →
+    * float, so the tables are bit-identical by construction. */
+  private[graft] def pinnedCentInts(cells: Int = 16, dim: Int = 64): Seq[(Long, Seq[Long])] =
+    (0 until cells).map { c =>
+      (c.toLong, (0 until dim).map(i =>
+        graft.functions.HashImpl.splitmix64(900000019L * (c + 1) + i)))
+    }
+
+  private[graft] def pinnedCentroids(cells: Int = 16, dim: Int = 64): Seq[(Long, Seq[Float])] =
+    pinnedCentInts(cells, dim).map { case (c, is) =>
+      (c, is.map(v => (v.toDouble / 9.223372036854776e18).toFloat))
+    }
+
+  /** P8c: IVF top-k against the pinned coarse quantizer — identical
+    * plan shape to [[ivfIndexQuery]] serving (broadcast bounded
+    * centroids, zero corpus-wide exchanges before the one cell
+    * equi-join); oracle-exact where the trained twin is rows-only. */
+  def ivfTopKPinned(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+                    k: Int, nProbe: Int = 4): DataFrame = {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val cent = pinnedCentroids().toDF("cell", "cvec")
+    ivfServe(queries, corpus, cent, k, nProbe)
+  }
+
+  /** Raw splitmix64 components of the pinned PQ codebook (M=8
+    * subspaces × K=32 codes × 8 dims) — same literal-int contract as
+    * [[pinnedCentInts]]. */
+  private[graft] def pinnedCbInts(subspaces: Int = 8, codes: Int = 32,
+                                  subDim: Int = 8): Seq[(Int, Int, Seq[Long])] =
+    for (m <- 0 until subspaces; c <- 0 until codes) yield {
+      (m, c, (0 until subDim).map(j =>
+        graft.functions.HashImpl.splitmix64(777000077L * (m * codes + c + 1) + j)))
+    }
+
+  private[graft] def pinnedCodebook(): Seq[(Int, Int, Seq[Float])] =
+    pinnedCbInts().map { case (m, c, is) =>
+      (m, c, is.map(v => (v.toDouble / 9.223372036854776e18).toFloat))
+    }
+
+  /** P33c: PQ ADC top-k against the pinned codebook — the exhaustive
+    * compressed-domain scan of [[pqTopK]] with the training replaced by
+    * the frozen codebook (what [[pqIndexQuery]] does with the persisted
+    * one); encode, distance tables and the ordered ADC sum all replay
+    * in SQL, so this entry is oracle-exact. */
+  def pqTopKPinned(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+                   k: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val K = 32
+    val cb = pinnedCodebook().toDF("m", "code", "cvec")
+    val encoded = corpus.crossJoin(broadcast(cbRow(cb)))
+      .select(col("vec_id").as("c_id"),
+        call_function("pq_encode", col("embedding"), col("cb"), lit(K)).as("pq_codes"))
+    pqAdcScan(queries, encoded, cb, K, k)
   }
 
   // ---- P44: persisted IVF index (build once, serve many) -----------
@@ -774,6 +856,16 @@ object Similarity {
       ivfTopK(spark, emb.filter(col("vec_id") < 10), emb, 5)
         .select("q_id", "c_id", "cos", "rk").orderBy("q_id", "rk")
     }),
+    "sim_ivf_topk_pinned" -> ((spark, dir) => {
+      val emb = Tables(spark, dir).embeddings
+      ivfTopKPinned(spark, emb.filter(col("vec_id") < 10), emb, 5)
+        .select("q_id", "c_id", "cos", "rk").orderBy("q_id", "rk")
+    }),
+    "sim_pq_topk_pinned" -> ((spark, dir) => {
+      val emb = Tables(spark, dir).embeddings
+      pqTopKPinned(spark, emb.filter(col("vec_id") < 10), emb, 5)
+        .select("q_id", "c_id", "dist", "rk").orderBy("q_id", "rk")
+    }),
     // float centroids -> rows-only (the IVF/PQ precedent); recall and
     // partition-pruning are asserted in PipelineSpec.
     "sim_ivf_persisted" -> ((spark, dir) => {
@@ -822,6 +914,32 @@ object Similarity {
     }),
   )
 
+  /** DuckDB literal of the pinned centroid table: the raw splitmix64
+    * ints, re-derived to float32 with the same two IEEE ops Spark
+    * runs — CAST(int AS DOUBLE) / 2^63, rounded to FLOAT. */
+  private def centLiteralCte: String = {
+    val rows = pinnedCentInts().map { case (c, is) =>
+      s"($c, ${is.mkString("[", ", ", "]")})"
+    }.mkString(",\n    ")
+    s"""cent AS (
+       |  SELECT t.cell, list_transform(t.ci,
+       |    px -> CAST(CAST(px AS DOUBLE) / 9223372036854775808.0 AS FLOAT)) AS cvec
+       |  FROM (VALUES
+       |    $rows) AS t(cell, ci))""".stripMargin
+  }
+
+  /** DuckDB literal of the pinned PQ codebook (same int contract). */
+  private def cbLiteralCte: String = {
+    val rows = pinnedCbInts().map { case (m, c, is) =>
+      s"($m, $c, ${is.mkString("[", ", ", "]")})"
+    }.mkString(",\n    ")
+    s"""cbr AS (
+       |  SELECT t.m, t.code, list_transform(t.ci,
+       |    px -> CAST(CAST(px AS DOUBLE) / 9223372036854775808.0 AS FLOAT)) AS cvec
+       |  FROM (VALUES
+       |    $rows) AS t(m, code, ci))""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // DuckDB computes the same double-accumulated cosine once FLOAT[] is
     // cast to DOUBLE[]; rank ties broken by c_id after rounding to 6.
@@ -837,6 +955,89 @@ object Similarity {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 10)
         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    // P8c: the pinned-quantizer serve path replayed end-to-end —
+    // centroid table from the literal ints, VectorImpl.cosine's exact
+    // fold (cosineExactSql), assignment argmax = rank by (cos DESC,
+    // cell) like the strict-> fold over the cell-sorted array, probe
+    // selection the same, then the identical scored-rank tail as
+    // sim_brute_topk.
+    "sim_ivf_topk_pinned" -> {
+      import graft.operators.DuckHashSql._
+      s"""WITH $centLiteralCte,
+         |ccs AS (
+         |  SELECT e.vec_id, c.cell,
+         |    ${cosineExactSql("e.embedding", "c.cvec")} AS cos
+         |  FROM embeddings e CROSS JOIN cent c),
+         |asg AS (
+         |  SELECT vec_id AS c_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS arn
+         |    FROM ccs)
+         |  WHERE arn = 1),
+         |prb AS (
+         |  SELECT vec_id AS q_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS prn
+         |    FROM ccs WHERE vec_id < 10)
+         |  WHERE prn <= 4),
+         |cand AS (
+         |  SELECT DISTINCT p.q_id, a.c_id
+         |  FROM prb p JOIN asg a USING (cell) WHERE p.q_id <> a.c_id),
+         |scored AS (
+         |  SELECT cand.q_id, cand.c_id,
+         |    round(${cosineExactSql("q.embedding", "c.embedding")}, 6) AS cos
+         |  FROM cand JOIN embeddings q ON cand.q_id = q.vec_id
+         |            JOIN embeddings c ON cand.c_id = c.vec_id)
+         |SELECT q_id, c_id, cos, rk FROM (
+         |  SELECT q_id, c_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+         |  FROM scored)
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+    },
+    // P33c: the pinned-codebook ADC scan replayed — PqImpl.normalized
+    // keeps doubles (ordered ss fold, 1/max(sqrt,1e-12), v*inv), encode
+    // argmin is strict-< over ascending codes (rank by d, code), the
+    // query distance table is the same formula on the query rows, and
+    // the ADC score is the M-ascending ordered fold of table lookups.
+    "sim_pq_topk_pinned" -> {
+      s"""WITH $cbLiteralCte,
+         |nrm AS (
+         |  SELECT vec_id, list_transform(embedding, nx -> CAST(nx AS DOUBLE) * ninv) AS nv
+         |  FROM (
+         |    SELECT vec_id, embedding,
+         |      1.0 / greatest(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |        list_transform(range(1, len(embedding)+1),
+         |          ni -> CAST(embedding[ni] AS DOUBLE) * CAST(embedding[ni] AS DOUBLE))),
+         |        (na, nx2) -> na + nx2)), 1e-12) AS ninv
+         |    FROM embeddings)),
+         |dst AS (
+         |  SELECT n.vec_id, c.m, c.code,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, 9),
+         |        dj -> (n.nv[c.m*8 + dj] - CAST(c.cvec[dj] AS DOUBLE))
+         |            * (n.nv[c.m*8 + dj] - CAST(c.cvec[dj] AS DOUBLE)))),
+         |      (da, dx) -> da + dx) AS d
+         |  FROM nrm n CROSS JOIN cbr c),
+         |enc AS (
+         |  SELECT vec_id AS c_id, m, code FROM (
+         |    SELECT vec_id, m, code,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS ern
+         |    FROM dst)
+         |  WHERE ern = 1),
+         |qdt AS (SELECT vec_id AS q_id, m, code, d FROM dst WHERE vec_id < 10),
+         |sc AS (
+         |  SELECT q_id, c_id,
+         |    round(list_reduce(list_prepend(0.0::DOUBLE, list(d ORDER BY m)),
+         |      (sa, sx) -> sa + sx), 6) AS dist
+         |  FROM (SELECT qd.q_id, en.c_id, qd.m, qd.d
+         |        FROM enc en JOIN qdt qd ON en.m = qd.m AND en.code = qd.code)
+         |  GROUP BY q_id, c_id)
+         |SELECT q_id, c_id, dist, rk FROM (
+         |  SELECT q_id, c_id, dist,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS rk
+         |  FROM sc WHERE q_id <> c_id)
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+    },
     // lsh/cosine_pairs/embed_dedup: the rhp_bucket signature IS
     // SQL-replayable — hyperplane components are splitmix64 constants,
     // baked into a literal matrix (DuckHashSql.rhpSigSql), and the

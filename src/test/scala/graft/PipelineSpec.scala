@@ -153,6 +153,52 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pinned-quantizer IVF equals the persisted-index serve over the same frozen centroids") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_pin").toString
+    try {
+      // persist the PINNED quantizer as a real index: the oracle-exact
+      // query entry and production ivfIndexQuery serving must be the
+      // same computation once the centroid tables agree
+      val cent = Similarity.pinnedCentroids().toDF("cell", "cvec")
+      cent.coalesce(1).write.parquet(s"$dir/centroids")
+      Similarity.assignCells(emb, cent)
+        .select($"vec_id", $"embedding", $"cell")
+        .write.partitionBy("cell").parquet(s"$dir/postings")
+      val served = Similarity.ivfIndexQuery(spark, dir, queries, 5)
+        .select("q_id", "c_id", "cos", "rk").as[(Long, Long, Double, Long)].collect().toSet
+      val pinned = Similarity.ivfTopKPinned(spark, queries, emb, 5)
+        .select("q_id", "c_id", "cos", "rk").as[(Long, Long, Double, Long)].collect().toSet
+      assert(served == pinned, s"diff=${(served -- pinned) ++ (pinned -- served)}")
+      assert(pinned.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("pinned-codebook PQ equals the persisted-index serve over the same frozen codebook") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_pin").toString
+    try {
+      val cb = Similarity.pinnedCodebook().toDF("m", "code", "cvec")
+      cb.coalesce(1).write.parquet(s"$dir/codebook")
+      // pqIndexAppend encodes against the STORED codebook — populating
+      // the corpus through it proves append-time codes and pinned-query
+      // codes are one computation
+      Similarity.pqIndexAppend(spark, dir, emb)
+      val served = Similarity.pqIndexQuery(spark, dir, queries, 5)
+        .select("q_id", "c_id", "dist", "rk").as[(Long, Long, Double, Long)].collect().toSet
+      val pinned = Similarity.pqTopKPinned(spark, queries, emb, 5)
+        .select("q_id", "c_id", "dist", "rk").as[(Long, Long, Double, Long)].collect().toSet
+      assert(served == pinned, s"diff=${(served -- pinned) ++ (pinned -- served)}")
+      assert(pinned.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("PQ top-k: ADC ranking recalls brute-force neighbors; encode plan is corpus-shuffle-free") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 10)
