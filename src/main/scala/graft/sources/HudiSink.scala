@@ -1,0 +1,381 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hudi copy-on-write table WRITER (S20d) — the write half of the S20
+  * family, built from the same public layout [[HudiRO]] reads (the
+  * reference's Hudi surface is read-only — HudiUtil.java:26-38 — so
+  * this is beyond-reference the way the whole streaming family is:
+  * graft already writes Iceberg tables and tails Hive ACID/Hudi ones;
+  * this closes the loop so a Hudi table can be CREATED, UPSERTED,
+  * DELETED FROM, then read back by [[HudiRO]] and tailed by the T29/
+  * T29b stream — all against the one public contract).
+  *
+  * Layout written (exactly what HudiRO.read expects):
+  * {{{
+  *   table_dir/
+  *     .hoodie/
+  *       hoodie.properties
+  *       <instant>.commit.requested      (then)
+  *       <instant>.inflight              (then data files, then)
+  *       <instant>.commit                (JSON body, tmp+rename atomic)
+  *     <col>=<value>/
+  *       .hoodie_partition_metadata
+  *       <fileId>_0-0-0_<instant>.parquet
+  * }}}
+  *
+  * Semantics (public COW contract):
+  *  - INSERT: new file group(s) per partition, stamped this instant.
+  *  - UPSERT: records join existing groups BY KEY (the simple global
+  *    index read from the base files' own `_hoodie_record_key` — no
+  *    side state); each touched group is rewritten WHOLE as a new base
+  *    file with the SAME fileId and the new instant. Carried-over rows
+  *    KEEP their original `_hoodie_commit_time`/seqno (the public meta
+  *    contract T29b's CDC drain depends on: filtering a rewrite to
+  *    `_hoodie_commit_time == instant` yields exactly the changed
+  *    rows); updated/inserted rows are stamped with the new instant.
+  *  - DELETE: the touched groups rewritten without the deleted keys; a
+  *    group whose rows are all deleted gets an EMPTY base file (the
+  *    COW shape — leaving no new slice would resurrect the old one).
+  *
+  * Meta columns: all five public `_hoodie_*` columns lead the schema,
+  * like real base files. The partition FIELD itself is not duplicated
+  * into the data files (the [[HudiRO]] read contract rematerializes it
+  * from the `col=value` dir); `_hoodie_partition_path` carries the raw
+  * `col=value` string (dir names on disk are Hive-escaped; the meta
+  * string keeps the raw value — no reader consults it for pruning).
+  *
+  * Scale design: ONE distributed job per commit writes every touched
+  * file group (repartition on the group key + partitionBy routing, so
+  * each group lands as exactly one file); the upsert index probe is an
+  * equi-join of the batch against the snapshot's key column (never a
+  * driver-side key set). Driver-side work is NAME-level and bounded by
+  * the touched-file-group count — the same metadata-scale class as the
+  * timeline listing itself: the group list collect, the per-group
+  * renames, the commit JSON. Record→group routing for inserts is a
+  * hash with a records-per-group target, the file-sizing knob.
+  */
+object HudiSink {
+
+  val MetaCols: Seq[String] = Seq("_hoodie_commit_time", "_hoodie_commit_seqno",
+    "_hoodie_record_key", "_hoodie_partition_path", "_hoodie_file_name")
+
+  private def hfs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def touch(spark: SparkSession, p: String): Unit = {
+    val hp = new Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).create(hp, true).close()
+  }
+
+  /** Atomic text write (create temp + rename — the T25 version-hint
+    * device: a poller must never observe a half-written commit body). */
+  private def writeAtomic(spark: SparkSession, p: String, body: String): Unit = {
+    val hp = new Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(p + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, hp), s"atomic rename failed: $tmp -> $hp")
+  }
+
+  /** Create the table skeleton; no-op when the timeline already
+    * exists. */
+  def createTable(spark: SparkSession, tableDir: String,
+                  tableName: String = "graft"): Unit = {
+    val fs = hfs(spark, tableDir)
+    val hoodie = new Path(s"$tableDir/.hoodie")
+    if (!fs.exists(hoodie)) {
+      fs.mkdirs(hoodie)
+      writeAtomic(spark, s"$tableDir/.hoodie/hoodie.properties",
+        s"hoodie.table.name=$tableName\nhoodie.table.type=COPY_ON_WRITE\n")
+    }
+  }
+
+  /** Next instant time: max over every timeline file's digit prefix,
+    * plus one — fixed-width digit strings, lexicographic = numeric
+    * order (the public instant contract). */
+  def nextInstant(spark: SparkSession, tableDir: String): String = {
+    val fs = hfs(spark, tableDir)
+    val p = new Path(s"$tableDir/.hoodie")
+    val max = (if (fs.exists(p)) fs.listStatus(p).toSeq.map(_.getPath.getName)
+               else Nil)
+      .map(_.takeWhile(_.isDigit)).filter(_.nonEmpty)
+      .maxOption.getOrElse("20240101000000000")
+    f"${max.toLong + 1}%017d"
+  }
+
+  /** INSERT `batch` as new file group(s), one commit. */
+  def insert(batch: DataFrame, tableDir: String, keyCol: String,
+             partitionCol: Option[String], instant: String,
+             recordsPerGroup: Long = 0L,
+             extraMetadata: Map[String, String] = Map.empty): Unit = {
+    val spark = batch.sparkSession
+    createTable(spark, tableDir)
+    val userCols = batch.columns.filterNot(partitionCol.contains).toSeq
+    val tagged = withNewMeta(
+      tagGroups(batch, keyCol, partitionCol, instant, recordsPerGroup),
+      keyCol, partitionCol, instant, userCols)
+    commitWrite(spark, tableDir, partitionCol, instant, tagged, "INSERT",
+      extraMetadata)
+  }
+
+  /** UPSERT `batch` by `keyCol`: updates rewrite their existing file
+    * group (located through the snapshot's own `_hoodie_record_key` —
+    * an equi-join, the simple global index), new keys open new
+    * group(s) per partition. One commit. A key's partition is sticky:
+    * updates route to the group that holds the key, whatever partition
+    * value the batch row carries (the public key+partition-stable
+    * upsert contract). */
+  def upsert(batch: DataFrame, tableDir: String, keyCol: String,
+             partitionCol: Option[String], instant: String,
+             recordsPerGroup: Long = 0L,
+             extraMetadata: Map[String, String] = Map.empty): Unit =
+    rewrite(batch, tableDir, keyCol, partitionCol, instant, recordsPerGroup,
+      "UPSERT", extraMetadata, deleteKeys = false)
+
+  /** DELETE by key: `keys` is a one-column frame of record keys; the
+    * touched groups rewrite without them (empty groups get an empty
+    * base file so the old slice cannot resurrect). One commit. */
+  def delete(keys: DataFrame, tableDir: String, keyCol: String,
+             instant: String,
+             extraMetadata: Map[String, String] = Map.empty): Unit =
+    rewrite(keys, tableDir, keyCol, partitionCol = None, instant,
+      recordsPerGroup = 0L, "DELETE", extraMetadata, deleteKeys = true)
+
+  // ---- internals ----------------------------------------------------
+
+  /** `__part` ("v"-prefixed raw partition value — never empty, so the
+    * intermediate partitionBy never falls into the Hive default-
+    * partition name) and `__fg` (fileId) routing columns. */
+  private def tagGroups(batch: DataFrame, keyCol: String,
+                        partitionCol: Option[String], instant: String,
+                        recordsPerGroup: Long): DataFrame = {
+    val part = partitionCol.map(pc => concat(lit("v"), col(pc).cast("string")))
+      .getOrElse(lit("v"))
+    val base = batch.withColumn("__part", part)
+    if (recordsPerGroup <= 0L)
+      base.withColumn("__fg", lit(s"n$instant"))
+    else {
+      // bounded: one count per partition VALUE (the partition domain),
+      // to size the per-partition group count — the file-sizing knob
+      val spark = batch.sparkSession
+      val counts = base.groupBy("__part").count().collect()
+        .map(r => r.getString(0) -> math.max(1L,
+          (r.getLong(1) + recordsPerGroup - 1) / recordsPerGroup)).toMap
+      val nGroups = typedlit(counts)
+      base.withColumn("__fg", concat(lit(s"n$instant-"),
+        pmod(xxhash64(col(keyCol).cast("string")),
+          element_at(nGroups, col("__part")))))
+    }
+  }
+
+  /** Stamp the five `_hoodie_*` meta columns for rows written BY this
+    * commit (seqno = row ordinal within the group, ordered by key). */
+  private def withNewMeta(tagged: DataFrame, keyCol: String,
+                          partitionCol: Option[String], instant: String,
+                          userCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy("__part", "__fg")
+      .orderBy(col(keyCol).cast("string"))
+    val partPath: Column = partitionCol
+      .map(pc => concat(lit(pc + "="), col("__part").substr(lit(2), lit(1 << 30))))
+      .getOrElse(lit(""))
+    tagged.select(Seq(
+      lit(instant).as("_hoodie_commit_time"),
+      concat(lit(instant + "_"), col("__fg"), lit("_"),
+        row_number().over(w).cast("string")).as("_hoodie_commit_seqno"),
+      col(keyCol).cast("string").as("_hoodie_record_key"),
+      partPath.as("_hoodie_partition_path"),
+      concat(col("__fg"), lit(s"_0-0-0_$instant.parquet")).as("_hoodie_file_name")) ++
+      userCols.map(col) ++ Seq(col("__part"), col("__fg")): _*)
+  }
+
+  /** The shared UPSERT/DELETE group rewrite. */
+  private def rewrite(batch: DataFrame, tableDir: String, keyCol: String,
+                      partitionCol: Option[String], instant: String,
+                      recordsPerGroup: Long, op: String,
+                      extraMetadata: Map[String, String],
+                      deleteKeys: Boolean): Unit = {
+    val spark = batch.sparkSession
+    val cur = HudiRO.read(spark, tableDir)
+    // the table's own partition column (from the dir layout), which may
+    // differ from / confirm the caller's: data files never carry it
+    val tablePart = HudiRO.listPartitionDirs(spark, tableDir)
+      .find(_.contains("=")).map(_.split("=", 2)(0))
+    val curUserCols = cur.columns.filterNot(MetaCols.contains)
+      .filterNot(tablePart.contains).toSeq
+    val fileIdOf = regexp_extract(col("_hoodie_file_name"),
+      """(.+)_[0-9]+-[0-9]+-[0-9]+_[0-9]+\.parquet""", 1)
+    val partTag = tablePart.map(pc => concat(lit("v"), col(pc).cast("string")))
+      .getOrElse(lit("v"))
+    val curTagged = cur
+      .withColumn("__part", partTag)
+      .withColumn("__fg", fileIdOf)
+    val batchKeys = batch.select(col(keyCol).cast("string").as("__bk")).distinct()
+    // groups holding any batch key — the rewrite set (bounded collect:
+    // file-group count is metadata-scale, like the timeline itself)
+    val affected = curTagged
+      .join(batchKeys, col("_hoodie_record_key") === col("__bk"))
+      .select("__part", "__fg").distinct()
+    val affSet = affected.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    require(!deleteKeys || affSet.nonEmpty || batch.isEmpty,
+      s"delete: no batch key exists in $tableDir")
+    // survivors: rows of touched groups whose key is NOT in the batch —
+    // they carry their ORIGINAL meta columns, re-homed into the new
+    // base file name (the carried-row contract T29b's CDC filter needs)
+    val inAffected = affected.hint("broadcast")
+    val survivors = curTagged.join(inAffected, Seq("__part", "__fg"))
+      .join(batchKeys, col("_hoodie_record_key") === col("__bk"), "left_anti")
+      .select(Seq(col("_hoodie_commit_time"), col("_hoodie_commit_seqno"),
+        col("_hoodie_record_key"), col("_hoodie_partition_path"),
+        concat(col("__fg"), lit(s"_0-0-0_$instant.parquet")).as("_hoodie_file_name")) ++
+        curUserCols.map(col) ++ Seq(col("__part"), col("__fg")): _*)
+    val written =
+      if (deleteKeys) survivors
+      else {
+        // updates keep their existing group (key → group equi-join);
+        // brand-new keys open new group(s) in their own partition
+        val locator = curTagged
+          .select(col("_hoodie_record_key").as("__bk"), col("__part").as("__lp"),
+            col("__fg").as("__lf")).distinct()
+        val keyedBatch = batch.withColumn("__bk", col(keyCol).cast("string"))
+        val updates = keyedBatch.join(locator, Seq("__bk"))
+          .withColumn("__part", col("__lp")).withColumn("__fg", col("__lf"))
+          .drop("__bk", "__lp", "__lf")
+        val inserts = tagGroups(
+          keyedBatch.join(locator.select("__bk"), Seq("__bk"), "left_anti")
+            .drop("__bk"),
+          keyCol, partitionCol, instant, recordsPerGroup)
+        val newMeta = withNewMeta(
+          updates.select((curUserCols.map(col) ++ Seq(col("__part"), col("__fg"))): _*)
+            .unionByName(inserts.select(
+              (curUserCols.map(col) ++ Seq(col("__part"), col("__fg"))): _*)),
+          keyCol, partitionCol = tablePart, instant = instant,
+          userCols = curUserCols)
+        survivors.unionByName(newMeta)
+      }
+    commitWrite(spark, tableDir, tablePart, instant, written, op,
+      extraMetadata, expectGroups = affSet)
+  }
+
+  /** One distributed write job for every (partition, fileId) group,
+    * then name-level placement and the atomic commit marker. */
+  private def commitWrite(spark: SparkSession, tableDir: String,
+                          partitionCol: Option[String], instant: String,
+                          tagged: DataFrame, op: String,
+                          extraMetadata: Map[String, String],
+                          expectGroups: Set[(String, String)] = Set.empty): Unit = {
+    val fs = hfs(spark, tableDir)
+    touch(spark, s"$tableDir/.hoodie/$instant.commit.requested")
+    touch(spark, s"$tableDir/.hoodie/$instant.inflight")
+    val tmp = s"$tableDir/.hoodie/.temp_$instant"
+    // each (partition, group) is one shuffle partition → exactly one
+    // parquet file per group; partitionBy peels the routing columns off
+    tagged.repartition(col("__part"), col("__fg"))
+      .write.mode("overwrite").partitionBy("__part", "__fg").parquet(tmp)
+    val stats = scala.collection.mutable.ListBuffer.empty[(String, String, String)]
+    val seen = scala.collection.mutable.HashSet.empty[(String, String)]
+    fs.listStatus(new Path(tmp)).filter(_.isDirectory).foreach { pd =>
+      val rawPart = ExternalCatalogUtils.unescapePathName(
+        pd.getPath.getName.stripPrefix("__part=")).stripPrefix("v")
+      fs.listStatus(pd.getPath).filter(_.isDirectory).foreach { fd =>
+        val fg = ExternalCatalogUtils.unescapePathName(
+          fd.getPath.getName.stripPrefix("__fg="))
+        val parts = fs.listStatus(fd.getPath).map(_.getPath)
+          .filter(_.getName.startsWith("part-"))
+        require(parts.length == 1,
+          s"group ($rawPart, $fg) wrote ${parts.length} files — routing bug")
+        val destDir = placeDir(spark, tableDir, partitionCol, rawPart)
+        val name = s"${fg}_0-0-0_$instant.parquet"
+        require(fs.rename(parts.head, new Path(s"$destDir/$name")),
+          s"rename failed: ${parts.head} -> $destDir/$name")
+        stats += ((relPart(partitionCol, rawPart), fg, name))
+        seen += ((s"v$rawPart", fg))
+      }
+    }
+    fs.delete(new Path(tmp), true)
+    // a fully-deleted group writes an EMPTY base file (no new slice
+    // would leave the old one visible); bounded by emptied-group count
+    (expectGroups -- seen).foreach { case (vPart, fg) =>
+      val rawPart = vPart.stripPrefix("v")
+      val destDir = placeDir(spark, tableDir, partitionCol, rawPart)
+      val name = s"${fg}_0-0-0_$instant.parquet"
+      HudiQueries.writeSingleFile(
+        tagged.limit(0).drop("__part", "__fg"), s"$destDir/$name")
+      stats += ((relPart(partitionCol, rawPart), fg, name))
+    }
+    commitMarker(spark, tableDir, instant, op, stats.toList, extraMetadata)
+  }
+
+  private def relPart(partitionCol: Option[String], rawPart: String): String =
+    partitionCol.map(pc =>
+      s"$pc=${ExternalCatalogUtils.escapePathName(rawPart)}").getOrElse("")
+
+  private def placeDir(spark: SparkSession, tableDir: String,
+                       partitionCol: Option[String], rawPart: String): String = {
+    val fs = hfs(spark, tableDir)
+    val destDir = partitionCol match {
+      case Some(pc) => s"$tableDir/$pc=${ExternalCatalogUtils.escapePathName(rawPart)}"
+      case None     => tableDir
+    }
+    fs.mkdirs(new Path(destDir))
+    val marker = new Path(s"$destDir/.hoodie_partition_metadata")
+    if (!fs.exists(marker)) touch(spark, marker.toString)
+    destDir
+  }
+
+  /** The completed-commit marker, body in the public
+    * HoodieCommitMetadata JSON vocabulary (partitionToWriteStats +
+    * operationType + extraMetadata), written atomically LAST. */
+  private def commitMarker(spark: SparkSession, tableDir: String,
+                           instant: String, op: String,
+                           stats: List[(String, String, String)],
+                           extraMetadata: Map[String, String]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val p2ws = root.putObject("partitionToWriteStats")
+    stats.groupBy(_._1).foreach { case (part, fs0) =>
+      val arr = p2ws.putArray(part)
+      fs0.foreach { case (p, fg, name) =>
+        val st = arr.addObject()
+        st.put("fileId", fg)
+        st.put("path", if (p.isEmpty) name else s"$p/$name")
+      }
+    }
+    root.put("operationType", op)
+    val em = root.putObject("extraMetadata")
+    extraMetadata.foreach { case (k, v) => em.put(k, v) }
+    writeAtomic(spark, s"$tableDir/.hoodie/$instant.commit", root.toString)
+  }
+
+  /** Streaming-batch ids recorded in completed commits' extraMetadata
+    * for `queryId` (the T18 exactly-once device: the table IS the
+    * commit log — no side state; replay detection is one bounded
+    * timeline read). */
+  private[graft] def committedBatchIds(spark: SparkSession, tableDir: String,
+                                       queryId: String): Seq[Long] = {
+    val fs = hfs(spark, tableDir)
+    val p = new Path(s"$tableDir/.hoodie")
+    if (!fs.exists(p)) return Nil
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    fs.listStatus(p).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".commit"))
+      .flatMap { fp =>
+        val in = fs.open(fp)
+        val bytes = try {
+          val len = fs.getFileStatus(fp).getLen.toInt
+          val b = new Array[Byte](len); in.readFully(b); b
+        } finally in.close()
+        val node = try mapper.readTree(bytes) catch { case _: Exception => null }
+        val em = if (node == null) null else node.get("extraMetadata")
+        val qid = if (em == null) null else em.get("streaming-query-id")
+        val bid = if (em == null) null else em.get("streaming-batch-id")
+        if (bid == null || qid == null || qid.asText() != queryId) None
+        else bid.asText().toLongOption
+      }
+  }
+}

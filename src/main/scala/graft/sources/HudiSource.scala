@@ -347,6 +347,41 @@ object HudiQueries {
     root
   }
 
+  def sinkPath(dir: String): String =
+    s"/tmp/graft_hudi_sink_${new java.io.File(dir).getName}"
+
+  /** S20d oracle fixture: the table is built by [[HudiSink]] ITSELF —
+    * no hand-laid files. C1 INSERTs all orders (partitioned by
+    * o_orderstatus, key o_orderkey, split into ~4000-row file groups);
+    * C2 UPSERTs one batch carrying updates (keys %10==3 get +1000
+    * price — their groups rewrite, carried rows keep their C1 meta)
+    * and inserts (key+20000000 for %1000==1 — new file groups); C3
+    * DELETEs every then-current key with key%7==5 (group rewrites,
+    * empty groups get empty base files). DuckDB recomputes the final
+    * state from flat orders; a hash match certifies the whole
+    * write→read loop: group routing, COW rewrite supersession, carried
+    * vs stamped meta rows, delete-to-empty visibility. */
+  def ensureSinkTable(spark: SparkSession, dir: String): String = {
+    val root = sinkPath(dir)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$root/_built"))) {
+      val orders = graft.Tables(spark, dir).orders
+      HudiSink.insert(orders, root, "o_orderkey", Some("o_orderstatus"), C1,
+        recordsPerGroup = 4000L)
+      val updates = orders.filter(pmod(col("o_orderkey"), lit(10L)) === 3L)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      val inserts = orders.filter(pmod(col("o_orderkey"), lit(1000L)) === 1L)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(20000000L))
+      HudiSink.upsert(updates.unionByName(inserts), root, "o_orderkey",
+        Some("o_orderstatus"), C2)
+      val delKeys = HudiRO.read(spark, root)
+        .filter(pmod(col("o_orderkey"), lit(7L)) === 5L).select("o_orderkey")
+      HudiSink.delete(delKeys, root, "o_orderkey", C3)
+      touch(spark, s"$root/_built")
+    }
+    root
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   private def agg(df: DataFrame): DataFrame =
@@ -368,6 +403,9 @@ object HudiQueries {
     // replaced file groups are dead (body-parsed, not name-level)
     "src_hudi_cluster" -> ((spark, dir) =>
       agg(HudiRO.read(spark, ensureClusteredTable(spark, dir)))),
+    // S20d: insert→upsert→delete through the WRITER, read back RO
+    "src_hudi_write_rt" -> ((spark, dir) =>
+      agg(HudiRO.read(spark, ensureSinkTable(spark, dir)))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -394,6 +432,23 @@ object HudiQueries {
          |  ${Exact.sqlSum("o_totalprice")} AS sum_price,
          |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
          |FROM orders
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // writer round trip: insert all, upsert (+1000 on %10==3 keys;
+    // new keys +20000000 for %1000==1 sources), delete keys %7==5
+    "src_hudi_write_rt" ->
+      s"""WITH upd AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |    CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1000.0
+         |         ELSE o_totalprice END AS o_totalprice
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey + 20000000, o_custkey, o_orderstatus, o_totalprice
+         |  FROM orders WHERE o_orderkey % 1000 = 1)
+         |SELECT o_orderstatus, count(*) AS n,
+         |  count(DISTINCT o_custkey) AS nd_cust,
+         |  ${Exact.sqlSum("o_totalprice")} AS sum_price,
+         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         |FROM upd WHERE o_orderkey % 7 <> 5
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }

@@ -658,6 +658,79 @@ object Streams {
     }
   }
 
+  /** T31: streaming HUDI COW sink — each micro-batch lands as ONE
+    * completed Hudi commit through [[graft.sources.HudiSink]] (first
+    * batch creates the table), exactly-once via the T18 device
+    * re-expressed in the Hudi vocabulary: the commit body's
+    * extraMetadata records (query id, batch id) — the timeline IS the
+    * commit log, replayed batches skipped, no side state. Append shape
+    * (INSERT per batch). With this sink the Hudi family closes the
+    * same loop Iceberg closed in round 8: graft WRITES the table
+    * (T31), READS it back (S20), and TAILS it (T29/T29b). */
+  def hudiSink(docs: DataFrame, tableDir: String, keyCol: String,
+               partitionCol: Option[String]):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        hudiCommitBatch(batch, batchId, tableDir, keyCol, partitionCol)
+    }
+
+  /** T31's idempotent commit step (directly testable replay
+    * contract, the icebergCommitBatch shape). */
+  def hudiCommitBatch(batch: DataFrame, batchId: Long, tableDir: String,
+                      keyCol: String, partitionCol: Option[String]): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val queryId = Option(spark.sparkContext.getLocalProperty(
+      org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY))
+      .getOrElse("unattached")
+    val committed = graft.sources.HudiSink.committedBatchIds(spark, tableDir, queryId)
+    if (committed.exists(batchId <= _)) return // replayed micro-batch
+    graft.sources.HudiSink.insert(batch, tableDir, keyCol, partitionCol,
+      graft.sources.HudiSink.nextInstant(spark, tableDir),
+      extraMetadata = Map("streaming-batch-id" -> batchId.toString,
+        "streaming-query-id" -> queryId))
+  }
+
+  /** T31b: streaming Hudi UPSERT sink — CDC-shaped micro-batches MERGE
+    * by key (COW file-group rewrites; carried rows keep their original
+    * `_hoodie_commit_time`, so a downstream T29b tail sees exactly the
+    * changed rows); within-batch duplicate keys collapse to one row
+    * (key-unique per batch is the upsert contract; last-wins ordering
+    * is the upstream's job). First batch INSERTs (creates the table),
+    * later batches upsert; same exactly-once device as [[hudiSink]]. */
+  def hudiUpsertSink(docs: DataFrame, tableDir: String, keyCol: String,
+                     partitionCol: Option[String]):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        hudiUpsertBatch(batch, batchId, tableDir, keyCol, partitionCol)
+    }
+
+  /** T31b's idempotent commit step. */
+  def hudiUpsertBatch(batch: DataFrame, batchId: Long, tableDir: String,
+                      keyCol: String, partitionCol: Option[String]): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val queryId = Option(spark.sparkContext.getLocalProperty(
+      org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY))
+      .getOrElse("unattached")
+    val committed = graft.sources.HudiSink.committedBatchIds(spark, tableDir, queryId)
+    if (committed.exists(batchId <= _)) return
+    val collapsed = batch.dropDuplicates(keyCol)
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val em = Map("streaming-batch-id" -> batchId.toString,
+      "streaming-query-id" -> queryId)
+    val instant = graft.sources.HudiSink.nextInstant(spark, tableDir)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$tableDir/.hoodie")))
+      graft.sources.HudiSink.insert(collapsed, tableDir, keyCol, partitionCol,
+        instant, extraMetadata = em)
+    else
+      graft.sources.HudiSink.upsert(collapsed, tableDir, keyCol, partitionCol,
+        instant, extraMetadata = em)
+  }
+
   /** T3: drop duplicate event_ids arriving within the watermark. */
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")

@@ -1719,6 +1719,61 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("S20d: HudiSink insert/upsert/delete round-trips through HudiRO; untouched groups keep their files; carried rows keep their meta") {
+    import graft.sources.{HudiRO, HudiSink}
+    import spark.implicits._
+    val dir = tmp() + "/hudisink"
+    val C1 = "20300101000000001"; val C2 = "20300101000000002"
+    val C3 = "20300101000000003"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(p: String): Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(p)).toSeq
+        .filter(_.isFile).map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).toSet
+    val b0 = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0)).toDF("k", "p", "v")
+    HudiSink.insert(b0, dir, "k", Some("p"), C1)
+    val r1 = HudiRO.read(spark, dir)
+    assert(r1.columns.take(5).toSeq == HudiSink.MetaCols, r1.columns.toSeq)
+    assert(r1.select("k", "v", "p").as[(Long, Double, String)].collect().toSet ==
+      Set((1L, 10.0, "a"), (2L, 20.0, "a"), (3L, 30.0, "b")))
+    assert(r1.select("_hoodie_commit_time").distinct()
+      .as[String].collect().toSeq == Seq(C1))
+    assert(r1.filter($"k" === 2L).select("_hoodie_record_key")
+      .as[String].head() == "2")
+    val bBefore = files(s"$dir/p=b")
+    // upsert: k=1 updates in place (its group rewrites whole, SAME
+    // fileId, new instant); k=5 is a new key -> new group in p=b
+    val b1 = Seq((1L, "a", 15.0), (5L, "b", 50.0)).toDF("k", "p", "v")
+    HudiSink.upsert(b1, dir, "k", Some("p"), C2)
+    val r2 = HudiRO.read(spark, dir)
+    assert(r2.select("k", "v", "p").as[(Long, Double, String)].collect().toSet ==
+      Set((1L, 15.0, "a"), (2L, 20.0, "a"), (3L, 30.0, "b"), (5L, 50.0, "b")))
+    // p=b's original group file is untouched (k=3 was not in the batch)
+    assert(files(s"$dir/p=b").intersect(bBefore) == bBefore)
+    // p=a: the rewritten group keeps its fileId across instants
+    val aByInstant = files(s"$dir/p=a").flatMap(HudiRO.parseFile)
+    assert(aByInstant.map(_.instant) == Set(C1, C2), aByInstant.toString)
+    assert(aByInstant.map(_.fileId).size == 1, aByInstant.toString)
+    // the carried row keeps its ORIGINAL commit time (the T29b CDC
+    // contract); updated/inserted rows carry the new instant
+    val metaByK = r2.select("k", "_hoodie_commit_time")
+      .as[(Long, String)].collect().toMap
+    assert(metaByK == Map(1L -> C2, 2L -> C1, 3L -> C1, 5L -> C2), metaByK.toString)
+    // delete the only row of p=b's first group: an EMPTY base file
+    // supersedes it (no new slice would resurrect the old one)
+    HudiSink.delete(Seq(3L).toDF("k"), dir, "k", C3)
+    val r3 = HudiRO.read(spark, dir)
+    assert(r3.select("k").as[Long].collect().toSet == Set(1L, 2L, 5L))
+    assert(files(s"$dir/p=b").exists(_.endsWith(s"_$C3.parquet")))
+    // unpartitioned table: same loop without a partition column
+    val u = tmp() + "/hudisink_u"
+    HudiSink.insert(Seq((7L, 70.0)).toDF("k", "v"), u, "k", None, C1)
+    HudiSink.upsert(Seq((7L, 77.0), (8L, 80.0)).toDF("k", "v"), u, "k", None, C2)
+    assert(HudiRO.read(spark, u).select("k", "v").as[(Long, Double)]
+      .collect().toSet == Set((7L, 77.0), (8L, 80.0)))
+  }
+
   test("S18d: ORC DATE columns decode to the external java.sql.Date on the batch path") {
     import graft.sources.AcidOrc
     // ADVICE r12: the batch (Row-encoder) path previously surfaced the

@@ -1515,6 +1515,52 @@ class StreamingSpec extends SparkSpec {
     } finally q3.stop()
   }
 
+  test("T31: streaming Hudi sink commits exactly-once; the T29b tail sees the sink's own upserts as CDC") {
+    import graft.sources.HudiRO
+    import graft.streaming.Streams
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_t31").toString
+    val dir = s"$root/tbl"; val ckpt = s"$root/ckpt"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def commits: Int = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/.hoodie")).toSeq
+      .map(_.getPath.getName).count(_.endsWith(".commit"))
+    // batch 0 creates the table; replaying it is a no-op (the commit
+    // body's extraMetadata is the batch log — the T18 device)
+    val b0 = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "p", "v")
+    Streams.hudiCommitBatch(b0, 0L, dir, "k", Some("p"))
+    val c1 = commits
+    assert(c1 == 1 && HudiRO.read(spark, dir).count() == 2)
+    Streams.hudiCommitBatch(b0, 0L, dir, "k", Some("p"))
+    assert(commits == c1 && HudiRO.read(spark, dir).count() == 2)
+    // batch 1 upserts: k=1 rewrites its group, k=3 is a new key
+    val b1 = Seq((1L, "a", 11.0), (3L, "b", 30.0)).toDF("k", "p", "v")
+    Streams.hudiUpsertBatch(b1, 1L, dir, "k", Some("p"))
+    Streams.hudiUpsertBatch(b1, 1L, dir, "k", Some("p")) // replay: no-op
+    assert(HudiRO.read(spark, dir).select("k", "v").as[(Long, Double)]
+      .collect().toSet == Set((1L, 11.0), (2L, 20.0), (3L, 30.0)))
+    // tail the sink's own table: initial snapshot, then a later upsert
+    // drains as EXACTLY its changed rows — the sink writes the meta
+    // columns the T29b CDC filter needs, closing the write→tail loop
+    val batches = scala.collection.mutable.ArrayBuffer[Seq[(Long, Double)]]()
+    val q = spark.readStream.format("graft.sources.HudiStreamSource").load(dir)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.select("k", "v").collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+        batches.synchronized { batches += rows }; ()
+      }.option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(batches.filter(_.nonEmpty).toSeq ==
+        Seq(Seq((1L, 11.0), (2L, 20.0), (3L, 30.0))), batches.toString)
+      Streams.hudiUpsertBatch(Seq((2L, "b", 22.0)).toDF("k", "p", "v"),
+        2L, dir, "k", Some("p"))
+      q.processAllAvailable()
+      assert(batches.filter(_.nonEmpty).last == Seq((2L, 22.0)), batches.toString)
+    } finally q.stop()
+  }
+
   test("T29: a permanently missing table fails the poll loudly after consecutive failures") {
     // ADVICE r12: latestOffset used to swallow every poll failure —
     // a deleted/missing table idled the stream forever while the batch
