@@ -731,6 +731,26 @@ object Streams {
         instant, extraMetadata = em)
   }
 
+  /** T32: the REVERSE migration hop — Iceberg→Hudi: the T25 snapshot-
+    * offset source feeds the T31 exactly-once Hudi sink, so with T30
+    * (Hudi→Iceberg) lakehouse migration is now BIDIRECTIONAL — either
+    * table format can be the system of record and the other the
+    * continuously-fed mirror. The T25 source is append-only by
+    * contract (replace-in-range fails the stream fast), so the hop is
+    * a pure insert feed: the initial micro-batch lands the current
+    * Iceberg snapshot as one Hudi commit, each later snapshot as its
+    * own; replays/restarts are no-ops via the commit-body batch log. */
+  def icebergToHudiHop(spark: SparkSession, icebergDir: String,
+                       hudiDir: String, keyCol: String,
+                       partitionCol: Option[String],
+                       maxSnapshotsPerTrigger: Option[Int] = None):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val reader = spark.readStream.format("graft.sources.IcebergSource")
+    val withCap = maxSnapshotsPerTrigger
+      .fold(reader)(n => reader.option("maxSnapshotsPerTrigger", n.toString))
+    hudiSink(withCap.load(icebergDir), hudiDir, keyCol, partitionCol)
+  }
+
   /** T3: drop duplicate event_ids arriving within the watermark. */
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")

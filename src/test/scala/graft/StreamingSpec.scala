@@ -1561,6 +1561,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T32: Iceberg→Hudi reverse hop — each Iceberg snapshot lands as one Hudi commit; restart replays nothing") {
+    import graft.sources.HudiRO
+    import graft.streaming.Streams
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_t32").toString
+    val ice = s"$root/ice"; val hudi = s"$root/hudi"; val ckpt = s"$root/ckpt"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hudiCommits: Int =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$hudi/.hoodie"))) 0
+      else fs.listStatus(new org.apache.hadoop.fs.Path(s"$hudi/.hoodie")).toSeq
+        .map(_.getPath.getName).count(_.endsWith(".commit"))
+    def hudiRows: Set[(Long, Double)] = HudiRO.read(spark, hudi)
+      .select("k", "v").as[(Long, Double)].collect().toSet
+    Streams.icebergCommitBatch(Seq((1L, "a", 10.0)).toDF("k", "p", "v"), 0L, ice, "k")
+    def hop() = Streams.icebergToHudiHop(spark, ice, hudi, "k", Some("p"))
+      .option("checkpointLocation", ckpt).start()
+    val q = hop()
+    try {
+      q.processAllAvailable()
+      assert(hudiRows == Set((1L, 10.0)) && hudiCommits == 1,
+        s"$hudiRows / $hudiCommits")
+      // a second Iceberg snapshot becomes exactly one more Hudi commit
+      Streams.icebergCommitBatch(Seq((2L, "b", 20.0)).toDF("k", "p", "v"), 1L, ice, "k")
+      q.processAllAvailable()
+      assert(hudiRows == Set((1L, 10.0), (2L, 20.0)) && hudiCommits == 2,
+        s"$hudiRows / $hudiCommits")
+    } finally q.stop()
+    // checkpoint restart: nothing replays; only genuinely new
+    // snapshots drain
+    val q2 = hop()
+    try {
+      q2.processAllAvailable()
+      assert(hudiRows == Set((1L, 10.0), (2L, 20.0)) && hudiCommits == 2,
+        s"$hudiRows / $hudiCommits")
+      Streams.icebergCommitBatch(Seq((3L, "a", 30.0)).toDF("k", "p", "v"), 2L, ice, "k")
+      q2.processAllAvailable()
+      assert(hudiRows == Set((1L, 10.0), (2L, 20.0), (3L, 30.0)) &&
+        hudiCommits == 3, s"$hudiRows / $hudiCommits")
+    } finally q2.stop()
+  }
+
   test("T29: a permanently missing table fails the poll loudly after consecutive failures") {
     // ADVICE r12: latestOffset used to swallow every poll failure —
     // a deleted/missing table idled the stream forever while the batch
