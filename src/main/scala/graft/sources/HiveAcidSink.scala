@@ -1,0 +1,115 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Hive ACID INSERT-ONLY table WRITER (S18e) — the write half of the
+  * S18 family, completing the lakehouse WRITE triptych: graft already
+  * writes Iceberg (T18/T22/T23) and Hudi (S20d/T31); with this sink all
+  * three formats it tails (T25/T27/T29) can also be produced by it.
+  *
+  * Insert-only (`transactional_properties='insert_only'`, the MM-table
+  * scope Impala 3.3 itself reads) keeps the write story purely
+  * directory-shaped: one committed write = one `delta_{w}_{w}[_stmt]`
+  * directory of PLAIN format files, write ids allocated densely in
+  * commit order, visibility decided entirely by the snapshot's
+  * ValidWriteIds against the directory names — no per-row metadata, no
+  * event wrapper (that is the full-ACID shape, which stays read-only
+  * here: producing it without a metastore's txn manager would invent
+  * semantics the public layout leaves to HMS).
+  *
+  * COMMIT ATOMICITY: the delta is written to a dot-prefixed scratch
+  * directory and DIR-RENAMED into place, so it appears complete in one
+  * name-level operation — a T27 poller can never observe the
+  * `_temporary`/`_flush_length` mid-write signatures from this writer
+  * (it still gates on them for writers that stream in place).
+  *
+  * EXACTLY-ONCE for the T33 streaming sink: each committed delta
+  * carries a `_graft_batch` sidecar ((query id, batch id) JSON). Files
+  * with a `_` prefix are invisible to both Spark's scans and the S18
+  * commit-signature sweep, so the sidecar rides inside the public
+  * layout without changing what any reader sees — the honest stand-in
+  * for the txn→writeId mapping Hive itself keeps in the metastore
+  * (which this file-layout re-expression deliberately has none of).
+  *
+  * Scale: the data write is one distributed job per commit; everything
+  * else (id allocation, rename, sidecar) is name-level and O(1) per
+  * commit. Write-id allocation reads the directory listing — bounded
+  * by commit cadence, the same metadata-scale class as the reader's
+  * own sweep. */
+object HiveAcidSink {
+
+  private def hfs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Next write id: max id covered by any base/delta dir, plus one
+    * (ids are allocated densely in commit order — the T27 contiguity
+    * contract: this writer never leaves a gap). */
+  def nextWriteId(spark: SparkSession, tableDir: String): Long = {
+    val p = new Path(tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 1L
+    val names = fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+    val maxId = names.flatMap { n =>
+      HiveAcid.parseDelta(n).map(_.maxWriteId)
+        .orElse(HiveAcid.parseBase(n).map(_.writeId))
+    }
+    maxId.maxOption.getOrElse(0L) + 1L
+  }
+
+  /** One committed insert-only write: `delta_{w}_{w}[_stmt]` with plain
+    * parquet files, atomically dir-renamed into place. */
+  def insertOnly(batch: DataFrame, tableDir: String, writeId: Long,
+                 stmtId: Option[Int] = None,
+                 sidecar: Map[String, String] = Map.empty): Unit = {
+    val spark = batch.sparkSession
+    val fs = hfs(spark, tableDir)
+    fs.mkdirs(new Path(tableDir))
+    val name = f"delta_$writeId%07d_$writeId%07d" +
+      stmtId.map(s => f"_$s%04d").getOrElse("")
+    val dest = new Path(s"$tableDir/$name")
+    require(!fs.exists(dest), s"write id $writeId already committed at $dest")
+    val tmp = new Path(s"$tableDir/.graft_tmp_$name")
+    batch.write.mode("overwrite").parquet(tmp.toString)
+    // Spark leaves a _SUCCESS marker — exactly the empty-committed-write
+    // signature the S18 sweep accepts; add the sidecar before the rename
+    // so the delta appears fully formed
+    if (sidecar.nonEmpty) {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.createObjectNode()
+      sidecar.foreach { case (k, v) => node.put(k, v) }
+      val out = fs.create(new Path(tmp, "_graft_batch"), true)
+      try out.write(node.toString.getBytes("UTF-8")) finally out.close()
+    }
+    require(fs.rename(tmp, dest), s"commit rename failed: $tmp -> $dest")
+  }
+
+  /** Streaming-batch ids recorded in the committed deltas' sidecars
+    * for `queryId` — the replay log for the T33 sink (bounded listing,
+    * like every S18 sweep). */
+  private[graft] def committedBatchIds(spark: SparkSession, tableDir: String,
+                                       queryId: String): Seq[Long] = {
+    val p = new Path(tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter(d => HiveAcid.parseDelta(d.getName).isDefined)
+      .flatMap { d =>
+        val sc = new Path(d, "_graft_batch")
+        if (!fs.exists(sc)) None
+        else {
+          val in = fs.open(sc)
+          val bytes = try {
+            val len = fs.getFileStatus(sc).getLen.toInt
+            val b = new Array[Byte](len); in.readFully(b); b
+          } finally in.close()
+          val node = try mapper.readTree(bytes) catch { case _: Exception => null }
+          val qid = if (node == null) null else node.get("streaming-query-id")
+          val bid = if (node == null) null else node.get("streaming-batch-id")
+          if (bid == null || qid == null || qid.asText() != queryId) None
+          else bid.asText().toLongOption
+        }
+      }
+  }
+}

@@ -815,6 +815,31 @@ object HiveAcidQueries {
     root
   }
 
+  def sinkTablePath(dir: String): String =
+    s"/tmp/graft_acid_sink_orders_${new java.io.File(dir).getName}"
+
+  /** S18e oracle fixture: the insert-only table built by
+    * [[HiveAcidSink]] ITSELF — three committed writes (%5∈{0,1}, %5=2,
+    * %5=3 slices of orders), each an atomic delta dir with dense write
+    * ids 1..3. The query reads at hwm=2, so the third write must stay
+    * invisible — snapshot isolation over the writer's own layout. */
+  def ensureSinkTable(spark: SparkSession, dir: String): String = {
+    val root = sinkTablePath(dir)
+    if (!exists(spark, s"$root/_built")) {
+      val orders = graft.Tables(spark, dir).orders
+      def slice(m: Long*) = orders.filter(
+        pmod(col("o_orderkey"), lit(5L)).isin(m: _*))
+      HiveAcidSink.insertOnly(slice(0L, 1L), root,
+        HiveAcidSink.nextWriteId(spark, root))
+      HiveAcidSink.insertOnly(slice(2L), root,
+        HiveAcidSink.nextWriteId(spark, root))
+      HiveAcidSink.insertOnly(slice(3L), root,
+        HiveAcidSink.nextWriteId(spark, root))
+      touch(spark, s"$root/_built")
+    }
+    root
+  }
+
   def ensureFullAcid(spark: SparkSession, dir: String): String = {
     val root = fullAcidPath(dir)
     if (!exists(spark, s"$root/_built")) {
@@ -951,6 +976,14 @@ object HiveAcidQueries {
       agg(HiveAcid.readInsertOnly(spark, root,
         ValidWriteIds(highWatermark = 5L, aborted = Set(4L))))
     }),
+    // S18e: three committed writes through the WRITER, read back at a
+    // snapshot that excludes the newest (hwm=2) — snapshot isolation
+    // over the sink's own layout
+    "src_hive_acid_write_rt" -> ((spark, dir) => {
+      val root = ensureSinkTable(spark, dir)
+      agg(HiveAcid.readInsertOnly(spark, root,
+        ValidWriteIds(highWatermark = 2L)))
+    }),
     "src_hive_acid_full" -> ((spark, dir) => {
       val root = ensureFullAcid(spark, dir)
       agg(HiveAcid.readFullAcid(spark, root,
@@ -978,6 +1011,15 @@ object HiveAcidQueries {
          |  ${Exact.sqlSum("o_totalprice")} AS sum_price,
          |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
          |FROM orders WHERE o_orderkey % 7 IN (0, 1, 2, 4)
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // writer round trip at hwm=2: writes 1 (%5 in 0,1) and 2 (%5=2)
+    // visible, write 3 (%5=3) beyond the snapshot
+    "src_hive_acid_write_rt" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |  count(DISTINCT o_custkey) AS nd_cust,
+         |  ${Exact.sqlSum("o_totalprice")} AS sum_price,
+         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         |FROM orders WHERE o_orderkey % 5 IN (0, 1, 2)
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "src_hive_acid_full" ->
       s"""SELECT o_orderstatus, count(*) AS n,

@@ -751,6 +751,38 @@ object Streams {
     hudiSink(withCap.load(icebergDir), hudiDir, keyCol, partitionCol)
   }
 
+  /** T33: streaming Hive ACID INSERT-ONLY sink — each micro-batch is
+    * one committed delta through [[graft.sources.HiveAcidSink]]
+    * (atomic dir rename; dense write ids — the T27 contiguity
+    * contract); exactly-once via the `_graft_batch` sidecar ((query
+    * id, batch id) — the file-layout stand-in for the txn→writeId
+    * mapping Hive keeps in the metastore). With T33 the lakehouse
+    * WRITE triptych closes: Iceberg (T18), Hudi (T31) and Hive ACID
+    * are all formats graft both WRITES and TAILS. */
+  def hiveAcidSink(docs: DataFrame, tableDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        hiveAcidCommitBatch(batch, batchId, tableDir)
+    }
+
+  /** T33's idempotent commit step (directly testable replay contract). */
+  def hiveAcidCommitBatch(batch: DataFrame, batchId: Long,
+                          tableDir: String): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val queryId = Option(spark.sparkContext.getLocalProperty(
+      org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY))
+      .getOrElse("unattached")
+    val committed = graft.sources.HiveAcidSink.committedBatchIds(
+      spark, tableDir, queryId)
+    if (committed.exists(batchId <= _)) return // replayed micro-batch
+    graft.sources.HiveAcidSink.insertOnly(batch, tableDir,
+      graft.sources.HiveAcidSink.nextWriteId(spark, tableDir),
+      sidecar = Map("streaming-batch-id" -> batchId.toString,
+        "streaming-query-id" -> queryId))
+  }
+
   /** T3: drop duplicate event_ids arriving within the watermark. */
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")

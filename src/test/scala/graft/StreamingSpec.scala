@@ -1603,6 +1603,52 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("T33: streaming Hive ACID sink commits exactly-once; the T27 tail drains the sink's own writes") {
+    import graft.sources.HiveAcid
+    import graft.streaming.Streams
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_t33").toString
+    val dir = s"$root/tbl"; val ckpt = s"$root/ckpt"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def deltas: Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("delta_")).sorted
+    val b0 = Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text")
+    Streams.hiveAcidCommitBatch(b0, 0L, dir)
+    assert(deltas == Seq("delta_0000001_0000001"), deltas.toString)
+    // replayed batch: no new delta (the sidecar is the batch log)
+    Streams.hiveAcidCommitBatch(b0, 0L, dir)
+    assert(deltas == Seq("delta_0000001_0000001"), deltas.toString)
+    Streams.hiveAcidCommitBatch(Seq((3L, "three")).toDF("doc_id", "text"), 1L, dir)
+    assert(deltas == Seq("delta_0000001_0000001", "delta_0000002_0000002"),
+      deltas.toString)
+    // snapshot isolation over the sink's own layout
+    assert(HiveAcid.readInsertOnly(spark, dir, HiveAcid.ValidWriteIds(2L))
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    assert(HiveAcid.readInsertOnly(spark, dir, HiveAcid.ValidWriteIds(1L))
+      .count() == 2)
+    // the T27 source tails the sink's own table: initial snapshot, then
+    // a later committed batch drains as exactly its rows — the ACID
+    // write→tail loop (the sidecar file is invisible to the sweep)
+    val batches = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    val q = spark.readStream.format("graft.sources.HiveAcidStreamSource").load(dir)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+        batches.synchronized { batches += ids }; ()
+      }.option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(batches.filter(_.nonEmpty).toSeq == Seq(Seq(1L, 2L, 3L)),
+        batches.toString)
+      Streams.hiveAcidCommitBatch(Seq((4L, "four")).toDF("doc_id", "text"), 2L, dir)
+      q.processAllAvailable()
+      assert(batches.filter(_.nonEmpty).toSeq ==
+        Seq(Seq(1L, 2L, 3L), Seq(4L)), batches.toString)
+    } finally q.stop()
+  }
+
   test("T29: a permanently missing table fails the poll loudly after consecutive failures") {
     // ADVICE r12: latestOffset used to swallow every poll failure —
     // a deleted/missing table idled the stream forever while the batch
