@@ -262,15 +262,55 @@ object HudiSink {
       extraMetadata, expectGroups = affSet)
   }
 
+  /** CLUSTERING maintenance commit (r13 — the writer-side twin of the
+    * S20b READ support): per partition, every current file group
+    * rewrites into ONE clustered group, and a completed
+    * `.replacecommit` names the old groups in its body's
+    * `partitionToReplaceFileIds` — exactly what S20's reader parses,
+    * what a T29 stream fails fast on mid-flight, and what a fresh T29
+    * snapshot-as-of serves through. Records are CARRIED VERBATIM
+    * (original meta columns; only `_hoodie_file_name` changes):
+    * clustering is layout maintenance, not data change — the visible
+    * slice before and after is row-identical, which the oracle pins. */
+  def cluster(spark: SparkSession, tableDir: String, instant: String,
+              extraMetadata: Map[String, String] = Map.empty): Unit = {
+    val cur = HudiRO.read(spark, tableDir)
+    val tablePart = HudiRO.listPartitionDirs(spark, tableDir)
+      .find(_.contains("=")).map(_.split("=", 2)(0))
+    val curUserCols = cur.columns.filterNot(MetaCols.contains)
+      .filterNot(tablePart.contains).toSeq
+    val fileIdOf = regexp_extract(col("_hoodie_file_name"),
+      """(.+)_[0-9]+-[0-9]+-[0-9]+_[0-9]+\.parquet""", 1)
+    val partTag = tablePart.map(pc => concat(lit("v"), col(pc).cast("string")))
+      .getOrElse(lit("v"))
+    val curTagged = cur.withColumn("__part", partTag).withColumn("__fg", fileIdOf)
+    // the replaced-group inventory (bounded: file-group count)
+    val replaced = curTagged.select("__part", "__fg").distinct().collect()
+      .map(r => (r.getString(0).stripPrefix("v"), r.getString(1)))
+      .groupBy(_._1).map { case (p, fgs) =>
+        relPart(tablePart, p) -> fgs.map(_._2).toSet
+      }
+    val newFg = s"c$instant"
+    val written = curTagged
+      .withColumn("__fg", lit(newFg))
+      .withColumn("_hoodie_file_name", lit(s"${newFg}_0-0-0_$instant.parquet"))
+      .select(MetaCols.map(col) ++ curUserCols.map(col) ++
+        Seq(col("__part"), col("__fg")): _*)
+    commitWrite(spark, tableDir, tablePart, instant, written, "CLUSTER",
+      extraMetadata, markerSuffix = ".replacecommit", replaced = replaced)
+  }
+
   /** One distributed write job for every (partition, fileId) group,
     * then name-level placement and the atomic commit marker. */
   private def commitWrite(spark: SparkSession, tableDir: String,
                           partitionCol: Option[String], instant: String,
                           tagged: DataFrame, op: String,
                           extraMetadata: Map[String, String],
-                          expectGroups: Set[(String, String)] = Set.empty): Unit = {
+                          expectGroups: Set[(String, String)] = Set.empty,
+                          markerSuffix: String = ".commit",
+                          replaced: Map[String, Set[String]] = Map.empty): Unit = {
     val fs = hfs(spark, tableDir)
-    touch(spark, s"$tableDir/.hoodie/$instant.commit.requested")
+    touch(spark, s"$tableDir/.hoodie/$instant$markerSuffix.requested")
     touch(spark, s"$tableDir/.hoodie/$instant.inflight")
     val tmp = s"$tableDir/.hoodie/.temp_$instant"
     // each (partition, group) is one shuffle partition → exactly one
@@ -308,7 +348,8 @@ object HudiSink {
         tagged.limit(0).drop("__part", "__fg"), s"$destDir/$name")
       stats += ((relPart(partitionCol, rawPart), fg, name))
     }
-    commitMarker(spark, tableDir, instant, op, stats.toList, extraMetadata)
+    commitMarker(spark, tableDir, instant, op, stats.toList, extraMetadata,
+      markerSuffix, replaced)
   }
 
   private def relPart(partitionCol: Option[String], rawPart: String): String =
@@ -334,7 +375,9 @@ object HudiSink {
   private def commitMarker(spark: SparkSession, tableDir: String,
                            instant: String, op: String,
                            stats: List[(String, String, String)],
-                           extraMetadata: Map[String, String]): Unit = {
+                           extraMetadata: Map[String, String],
+                           markerSuffix: String = ".commit",
+                           replaced: Map[String, Set[String]] = Map.empty): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     val p2ws = root.putObject("partitionToWriteStats")
@@ -347,9 +390,16 @@ object HudiSink {
       }
     }
     root.put("operationType", op)
+    if (replaced.nonEmpty) {
+      val rep = root.putObject("partitionToReplaceFileIds")
+      replaced.foreach { case (part, fgs) =>
+        val arr = rep.putArray(part)
+        fgs.toSeq.sorted.foreach(arr.add)
+      }
+    }
     val em = root.putObject("extraMetadata")
     extraMetadata.foreach { case (k, v) => em.put(k, v) }
-    writeAtomic(spark, s"$tableDir/.hoodie/$instant.commit", root.toString)
+    writeAtomic(spark, s"$tableDir/.hoodie/$instant$markerSuffix", root.toString)
   }
 
   /** Streaming-batch ids recorded in completed commits' extraMetadata

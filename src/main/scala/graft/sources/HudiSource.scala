@@ -246,6 +246,7 @@ object HudiQueries {
   private val C1 = "20240101000000000"
   private val C2 = "20240102000000000"
   private val C3 = "20240103000000000"
+  private val C4 = "20240104000000000"
 
   /** Write `df` as ONE parquet file at `filePath` (Hudi base files are
     * single files named by the fileId/instant contract). Fixture-only
@@ -382,6 +383,21 @@ object HudiQueries {
     root
   }
 
+  /** S20e: the sink table CLUSTERED by the writer's own maintenance
+    * commit — the visible slice must be row-identical to
+    * `src_hudi_write_rt` (clustering is layout work, not data change),
+    * which only holds if the reader BOTH admits the replacecommit's
+    * new files AND kills the replaced groups its body names. */
+  def ensureClusteredSink(spark: SparkSession, dir: String): String = {
+    val root = ensureSinkTable(spark, dir)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$root/_clustered"))) {
+      HudiSink.cluster(spark, root, C4)
+      touch(spark, s"$root/_clustered")
+    }
+    root
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   private def agg(df: DataFrame): DataFrame =
@@ -406,6 +422,9 @@ object HudiQueries {
     // S20d: insert→upsert→delete through the WRITER, read back RO
     "src_hudi_write_rt" -> ((spark, dir) =>
       agg(HudiRO.read(spark, ensureSinkTable(spark, dir)))),
+    // S20e: the WRITER's clustering replacecommit — same visible rows
+    "src_hudi_write_cluster" -> ((spark, dir) =>
+      agg(HudiRO.read(spark, ensureClusteredSink(spark, dir)))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -436,6 +455,24 @@ object HudiQueries {
     // writer round trip: insert all, upsert (+1000 on %10==3 keys;
     // new keys +20000000 for %1000==1 sources), delete keys %7==5
     "src_hudi_write_rt" ->
+      s"""WITH upd AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |    CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1000.0
+         |         ELSE o_totalprice END AS o_totalprice
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey + 20000000, o_custkey, o_orderstatus, o_totalprice
+         |  FROM orders WHERE o_orderkey % 1000 = 1)
+         |SELECT o_orderstatus, count(*) AS n,
+         |  count(DISTINCT o_custkey) AS nd_cust,
+         |  ${Exact.sqlSum("o_totalprice")} AS sum_price,
+         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         |FROM upd WHERE o_orderkey % 7 <> 5
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // clustering preserves the visible slice exactly — same oracle as
+    // the pre-clustering round trip; a reader that ignored the
+    // writer's replacecommit body would double every row
+    "src_hudi_write_cluster" ->
       s"""WITH upd AS (
          |  SELECT o_orderkey, o_custkey, o_orderstatus,
          |    CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1000.0

@@ -1774,6 +1774,45 @@ class SourcesSpec extends SparkSpec {
       .collect().toSet == Set((7L, 77.0), (8L, 80.0)))
   }
 
+  test("S20e: the writer's clustering replacecommit compacts groups; visible rows identical, old groups dead") {
+    import graft.sources.{HudiRO, HudiSink}
+    import spark.implicits._
+    val dir = tmp() + "/hudicluster"
+    val C1 = "20300201000000001"; val C2 = "20300201000000002"
+    val C4 = "20300201000000004"
+    // two commits -> two file groups per partition
+    HudiSink.insert(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "p", "v"),
+      dir, "k", Some("p"), C1)
+    HudiSink.insert(Seq((3L, "a", 30.0), (4L, "b", 40.0)).toDF("k", "p", "v"),
+      dir, "k", Some("p"), C2)
+    val before = HudiRO.read(spark, dir)
+      .select("k", "v", "p", "_hoodie_commit_time")
+      .as[(Long, Double, String, String)].collect().toSet
+    assert(before.map(_._1) == Set(1L, 2L, 3L, 4L))
+    HudiSink.cluster(spark, dir, C4)
+    val after = HudiRO.read(spark, dir)
+      .select("k", "v", "p", "_hoodie_commit_time")
+      .as[(Long, Double, String, String)].collect().toSet
+    // row-identical INCLUDING carried meta (clustering changes layout,
+    // never records); a reader ignoring the body would double rows
+    assert(after == before, s"diff=${(after -- before) ++ (before -- after)}")
+    // per partition the visible slice is now ONE clustered file
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("a", "b").foreach { p =>
+      val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/p=$p"))
+        .toSeq.filter(_.isFile).map(_.getPath.getName)
+        .filter(_.endsWith(".parquet"))
+      val tl = graft.sources.HudiRO.timeline(spark, dir)
+      val visible = graft.sources.HudiRO.selectLatest(names, tl.completed,
+        tl.dead(s"p=$p"))
+      assert(visible == Seq(s"c${C4}_0-0-0_$C4.parquet"), visible.toString)
+    }
+    // the timeline carries a completed replacecommit with a parsable body
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/.hoodie/$C4.replacecommit")))
+  }
+
   test("S18d: ORC DATE columns decode to the external java.sql.Date on the batch path") {
     import graft.sources.AcidOrc
     // ADVICE r12: the batch (Row-encoder) path previously surfaced the
