@@ -50,6 +50,11 @@ object Fixtures {
     "src_hive_acid" -> ((s, d) => { sources.HiveAcidQueries.ensureInsertOnly(s, d); () }),
     "src_hive_acid_full" -> ((s, d) => { sources.HiveAcidQueries.ensureFullAcid(s, d); () }),
     "src_hive_acid_orig" -> ((s, d) => { sources.HiveAcidQueries.ensureOriginals(s, d); () }),
+    "src_hive_acid_write_rt" -> ((s, d) => { sources.HiveAcidQueries.ensureSinkTable(s, d); () }),
+    // write_cluster sorts BEFORE write_rt: its prepare builds AND
+    // clusters, so both queries time the read path of the same table
+    "src_hudi_write_cluster" -> ((s, d) => { sources.HudiQueries.ensureClusteredSink(s, d); () }),
+    "src_hudi_write_rt" -> ((s, d) => { sources.HudiQueries.ensureSinkTable(s, d); () }),
     "src_mixed_formats" -> ((s, d) => { sources.MixedFormatQueries.ensureTable(s, d); () }),
     "src_mixed_prune" -> ((s, d) => { sources.MixedFormatQueries.ensureTable(s, d); () }),
   )
@@ -107,6 +112,10 @@ object Fixtures {
     "src_hive_acid" -> ((s, d) => rm(s, sources.HiveAcidQueries.insertOnlyPath(d))),
     "src_hive_acid_full" -> ((s, d) => rm(s, sources.HiveAcidQueries.fullAcidPath(d))),
     "src_hive_acid_orig" -> ((s, d) => rm(s, sources.HiveAcidQueries.originalsPath(d))),
+    "src_hive_acid_write_rt" -> ((s, d) => rm(s, sources.HiveAcidQueries.sinkTablePath(d))),
+    // the sink table serves BOTH writer queries: only the later one
+    // (alphabetically: src_hudi_write_rt) tears it down
+    "src_hudi_write_rt" -> ((s, d) => rm(s, sources.HudiQueries.sinkPath(d))),
     // the mixed table serves BOTH mixed queries: only the later one
     // (alphabetically: src_mixed_prune) tears it down
     "src_mixed_prune" -> ((s, d) => rm(s, sources.MixedFormatQueries.path(d))),

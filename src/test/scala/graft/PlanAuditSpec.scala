@@ -679,6 +679,10 @@ class PlanAuditSpec extends SparkSpec {
       // InMemoryRelation (round-7 verdict #3).
       "sim_ivf_topk", "sim_ivf_persisted", "sim_pq_topk", "sim_pq_persisted",
       "dedup_semantic",
+      // r13: the pinned-quantizer variants — the SAME bounded literal
+      // centroid (16 rows) / codebook (256 rows) broadcasts as their
+      // trained siblings above, from an analytic LocalRelation
+      "sim_ivf_topk_pinned", "sim_pq_topk_pinned",
       // documented bounded-query brute-force baseline (SURVEY P7)
       "sim_brute_topk")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
