@@ -184,7 +184,30 @@ object SourcesSweep {
       s"expected >= 3 bounded catch-up batches, got $hBatchRows")
     require(hBatchRows.max <= 10, s"a batch exceeded the admission bound: $hBatchRows")
     sb.append("  \"t29_drain\": {\"batches\": " + hBatchRows.count(_ > 0) +
-      ", \"max_rows_per_batch\": " + hBatchRows.max + "}\n")
+      ", \"max_rows_per_batch\": " + hBatchRows.max + "},\n")
+
+    // ---- S20d: Hudi WRITER commit over growing partition counts -----
+    // One insert commit, fixed 20k rows, P partitions (one file group
+    // each): the data write is ONE distributed job regardless of P;
+    // driver-side work is P renames + markers (name-level). Expect at
+    // most ~linear in P — a super-linear alpha would mean per-group
+    // driver work is touching data, which the design forbids.
+    val s20d = Seq(16, 64, 128).map { p =>
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_sweep_hudisink_$p").toString + "/tbl"
+      val df = spark.range(0, 20000, 1, 8).selectExpr(
+        "id AS k", s"CAST(id % $p AS STRING) AS pt", "id * 1.5 AS v")
+      val (_, t) = ms(graft.sources.HudiSink.insert(
+        df, root, "k", Some("pt"), "20240101000000001"))
+      require(graft.sources.HudiRO.read(spark, root).count() == 20000L,
+        s"writer sweep: bad row count at $p partitions")
+      p -> t
+    }
+    val s20dAlpha = math.log(s20d.last._2 / s20d.head._2) /
+      math.log(s20d.last._1.toDouble / s20d.head._1)
+    sb.append("  \"s20d_write_commit_ms\": {")
+    sb.append(s20d.map { case (n, t) => f""""$n": $t%.1f""" }.mkString(", "))
+    sb.append(f""", "alpha": $s20dAlpha%.2f}%n""")
 
     sb.append("}\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
