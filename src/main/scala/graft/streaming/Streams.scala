@@ -783,6 +783,51 @@ object Streams {
         "streaming-query-id" -> queryId))
   }
 
+  /** T34–T36: the REMAINING migration hops — with T26/T28/T30/T32
+    * these complete the full source×sink matrix over the three
+    * lakehouse formats (Iceberg, Hive ACID, Hudi): ANY of the three
+    * tables graft tails can continuously feed ANY of the three it
+    * writes. Each hop composes an existing exactly-once source with an
+    * existing exactly-once sink — no new state machinery, which is the
+    * point: offsets live in the source table's own layout, the batch
+    * log lives in the sink table's own metadata, and the hop is pure
+    * plumbing. All three sources are append-only by contract on these
+    * paths, so the hops are insert feeds. */
+
+  /** T34: Hive ACID → Hudi (T27 write-id source → T31 Hudi sink). */
+  def hiveAcidToHudiHop(spark: SparkSession, acidDir: String,
+                        hudiDir: String, keyCol: String,
+                        partitionCol: Option[String],
+                        maxWriteIdsPerTrigger: Option[Int] = None):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val reader = spark.readStream.format("graft.sources.HiveAcidStreamSource")
+    val withCap = maxWriteIdsPerTrigger
+      .fold(reader)(n => reader.option("maxWriteIdsPerTrigger", n.toString))
+    hudiSink(withCap.load(acidDir), hudiDir, keyCol, partitionCol)
+  }
+
+  /** T35: Iceberg → Hive ACID (T25 snapshot source → T33 ACID sink). */
+  def icebergToHiveAcidHop(spark: SparkSession, icebergDir: String,
+                           acidDir: String,
+                           maxSnapshotsPerTrigger: Option[Int] = None):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val reader = spark.readStream.format("graft.sources.IcebergSource")
+    val withCap = maxSnapshotsPerTrigger
+      .fold(reader)(n => reader.option("maxSnapshotsPerTrigger", n.toString))
+    hiveAcidSink(withCap.load(icebergDir), acidDir)
+  }
+
+  /** T36: Hudi → Hive ACID (T29 instant source → T33 ACID sink). */
+  def hudiToHiveAcidHop(spark: SparkSession, hudiDir: String,
+                        acidDir: String,
+                        maxCommitsPerTrigger: Option[Int] = None):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val reader = spark.readStream.format("graft.sources.HudiStreamSource")
+    val withCap = maxCommitsPerTrigger
+      .fold(reader)(n => reader.option("maxCommitsPerTrigger", n.toString))
+    hiveAcidSink(withCap.load(hudiDir), acidDir)
+  }
+
   /** T3: drop duplicate event_ids arriving within the watermark. */
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")

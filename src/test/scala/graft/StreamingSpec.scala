@@ -1649,6 +1649,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T34–T36: the migration matrix closes — ACID→Hudi→ACID round-trips intact; Iceberg→ACID lands snapshots as deltas") {
+    import graft.sources.{HiveAcid, HiveAcidSink, HudiRO}
+    import graft.streaming.Streams
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_t34").toString
+    val acid1 = s"$root/acid1"; val hudi = s"$root/hudi"
+    val acid2 = s"$root/acid2"; val ice = s"$root/ice"; val acid3 = s"$root/acid3"
+    def docs(ids: Long*) = ids.map(i => (i, s"text $i")).toDF("doc_id", "text")
+    // source-of-record ACID table: two committed writes (via our own
+    // writer — every table in this test is produced by the engine)
+    Streams.hiveAcidCommitBatch(docs(1L, 2L), 0L, acid1)
+    Streams.hiveAcidCommitBatch(docs(3L), 1L, acid1)
+    // T34: ACID → Hudi
+    val q1 = Streams.hiveAcidToHudiHop(spark, acid1, hudi, "doc_id", None)
+      .option("checkpointLocation", s"$root/ck1").start()
+    try {
+      q1.processAllAvailable()
+      assert(HudiRO.read(spark, hudi).select("doc_id").as[Long]
+        .collect().toSet == Set(1L, 2L, 3L))
+      // a new upstream ACID commit propagates through the running hop
+      Streams.hiveAcidCommitBatch(docs(4L), 2L, acid1)
+      q1.processAllAvailable()
+      assert(HudiRO.read(spark, hudi).select("doc_id").as[Long]
+        .collect().toSet == Set(1L, 2L, 3L, 4L))
+    } finally q1.stop()
+    // T36: Hudi → ACID — the round trip ends where it began
+    val q2 = Streams.hudiToHiveAcidHop(spark, hudi, acid2)
+      .option("checkpointLocation", s"$root/ck2").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val hwm2 = HiveAcidSink.nextWriteId(spark, acid2) - 1
+    assert(hwm2 >= 1)
+    assert(HiveAcid.readInsertOnly(spark, acid2, HiveAcid.ValidWriteIds(hwm2))
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    // T35: Iceberg → ACID, each snapshot one delta
+    Streams.icebergCommitBatch(docs(7L, 8L), 0L, ice, "doc_id")
+    val q3 = Streams.icebergToHiveAcidHop(spark, ice, acid3)
+      .option("checkpointLocation", s"$root/ck3").start()
+    try {
+      q3.processAllAvailable()
+      Streams.icebergCommitBatch(docs(9L), 1L, ice, "doc_id")
+      q3.processAllAvailable()
+    } finally q3.stop()
+    val hwm3 = HiveAcidSink.nextWriteId(spark, acid3) - 1
+    assert(hwm3 == 2, s"expected one delta per Iceberg snapshot, hwm=$hwm3")
+    assert(HiveAcid.readInsertOnly(spark, acid3, HiveAcid.ValidWriteIds(hwm3))
+      .select("doc_id").as[Long].collect().toSet == Set(7L, 8L, 9L))
+  }
+
   test("T29: a permanently missing table fails the poll loudly after consecutive failures") {
     // ADVICE r12: latestOffset used to swallow every poll failure —
     // a deleted/missing table idled the stream forever while the batch
