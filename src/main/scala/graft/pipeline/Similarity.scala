@@ -766,6 +766,28 @@ object Similarity {
         .groupBy("cell").agg(VectorAvg.of(col("embedding")).as("cvec"))
       i += 1
     }
+    semanticDedupFrom(emb, cent, eps)
+  }
+
+  /** P37b: SemDeDup under the PINNED quantizer (r13, the P8c device
+    * for cluster-then-prune): the trained entry is rows-only ONLY
+    * because float k-means centroids have no SQL replay — against the
+    * frozen [[pinnedCentroids]] table every step is replayable
+    * (argmax assignment, within-cell exact-cosine edges, recursive-CTE
+    * components, the (ccos, vec_id) struct-min representative), so
+    * the ENTIRE paper algorithm is oracle-exact end to end. */
+  def semanticDedupPinned(spark: SparkSession, emb: DataFrame,
+                          eps: Double): DataFrame = {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    semanticDedupFrom(emb, pinnedCentroids().toDF("cell", "cvec"), eps)
+  }
+
+  /** The cluster-then-prune tail shared by the trained and pinned
+    * quantizers: assignment, within-cell pair verify, per-cell CC,
+    * least-centroid-similar representative. */
+  private def semanticDedupFrom(emb: DataFrame, cent: DataFrame,
+                                eps: Double): DataFrame = {
     val assigned = Dedup.cacheReplacing(
       assignCells(emb, cent)
         .join(broadcast(cent), Seq("cell"))
@@ -912,6 +934,11 @@ object Similarity {
       semanticDedup(spark, Tables(spark, dir).embeddings, 0.3, cells0 = 16)
         .orderBy("vec_id")
     }),
+    // P37b: SemDeDup against the pinned quantizer — oracle-exact
+    "dedup_semantic_pinned" -> ((spark, dir) => {
+      semanticDedupPinned(spark, Tables(spark, dir).embeddings, 0.3)
+        .orderBy("vec_id")
+    }),
   )
 
   /** DuckDB literal of the pinned centroid table: the raw splitmix64
@@ -1037,6 +1064,51 @@ object Similarity {
          |    row_number() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS rk
          |  FROM sc WHERE q_id <> c_id)
          |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+    },
+    // P37b: the whole SemDeDup algorithm replayed against the pinned
+    // quantizer — argmax assignment (the P8c device), within-cell
+    // exact-cosine edges, recursive-CTE components (the
+    // dedup_embed_cosine device, per-cell by construction), and the
+    // (ccos, vec_id) struct-min representative as a rank.
+    "dedup_semantic_pinned" -> {
+      import graft.operators.DuckHashSql._
+      s"""WITH $centLiteralCte,
+         |ccs AS (
+         |  SELECT e.vec_id, c.cell,
+         |    ${cosineExactSql("e.embedding", "c.cvec")} AS cos
+         |  FROM embeddings e CROSS JOIN cent c),
+         |asg AS (
+         |  SELECT vec_id, cell, round(cos, 6) AS ccos FROM (
+         |    SELECT vec_id, cell, cos,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS arn
+         |    FROM ccs)
+         |  WHERE arn = 1),
+         |edges AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON a.vec_id = ea.vec_id
+         |  JOIN embeddings eb ON b.vec_id = eb.vec_id
+         |  WHERE round(${cosineExactSql("ea.embedding", "eb.embedding")}, 6) >= 0.3),
+         |sym AS (SELECT va AS s, vb AS d FROM edges UNION SELECT vb, va FROM edges),
+         |rch AS (
+         |  WITH RECURSIVE r(id, m) AS (
+         |    SELECT s, s FROM sym
+         |    UNION
+         |    SELECT sym.s, r.m FROM r JOIN sym ON r.id = sym.d)
+         |  SELECT id, min(m) AS cluster_id FROM r GROUP BY id),
+         |lab AS (
+         |  SELECT a.vec_id, a.cell, a.ccos,
+         |    coalesce(rch.cluster_id, a.vec_id) AS cluster_id
+         |  FROM asg a LEFT JOIN rch ON a.vec_id = rch.id),
+         |reps AS (
+         |  SELECT cluster_id, vec_id AS rep FROM (
+         |    SELECT cluster_id, vec_id,
+         |      row_number() OVER (PARTITION BY cluster_id ORDER BY ccos, vec_id) AS rrn
+         |    FROM lab)
+         |  WHERE rrn = 1)
+         |SELECT l.vec_id, CAST(l.cell AS BIGINT) AS cell, l.cluster_id,
+         |  l.ccos, l.vec_id = r.rep AS keep
+         |FROM lab l JOIN reps r USING (cluster_id) ORDER BY l.vec_id""".stripMargin
     },
     // lsh/cosine_pairs/embed_dedup: the rhp_bucket signature IS
     // SQL-replayable — hyperplane components are splitmix64 constants,

@@ -199,6 +199,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pinned-quantizer SemDeDup: one rep per cluster (least-centroid-similar); an exact twin collapses") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // a planted exact duplicate of vector 0: identical embedding →
+    // identical argmax cell, cosine 1.0 edge, same cluster; equal ccos
+    // ties the struct-min to the lowest id, so 0 keeps and the twin drops
+    val twin = emb.filter($"vec_id" === 0L)
+      .select(lit(900000L).as("vec_id"), $"embedding", $"label")
+    val out = Similarity.semanticDedupPinned(spark, emb.unionByName(twin), 0.3)
+      .select("vec_id", "cluster_id", "ccos", "keep")
+      .as[(Long, Long, Double, Boolean)].collect()
+    val byCluster = out.groupBy(_._2)
+    // exactly one representative per cluster, and it is the (ccos,
+    // vec_id)-minimal member (the paper's diversity rule)
+    byCluster.foreach { case (cid, ms) =>
+      val keeps = ms.filter(_._4)
+      assert(keeps.length == 1, s"cluster $cid keeps ${keeps.length}")
+      val want = ms.map(m => (m._3, m._1)).min
+      assert((keeps.head._3, keeps.head._1) == want, s"cluster $cid rep mismatch")
+    }
+    val zeroCluster = out.find(_._1 == 0L).get._2
+    val twinRow = out.find(_._1 == 900000L).get
+    assert(twinRow._2 == zeroCluster && !twinRow._4, twinRow.toString)
+    assert(out.find(_._1 == 0L).get._4)
+  }
+
   test("PQ top-k: ADC ranking recalls brute-force neighbors; encode plan is corpus-shuffle-free") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 10)

@@ -682,7 +682,7 @@ class PlanAuditSpec extends SparkSpec {
       // r13: the pinned-quantizer variants — the SAME bounded literal
       // centroid (16 rows) / codebook (256 rows) broadcasts as their
       // trained siblings above, from an analytic LocalRelation
-      "sim_ivf_topk_pinned", "sim_pq_topk_pinned",
+      "sim_ivf_topk_pinned", "sim_pq_topk_pinned", "dedup_semantic_pinned",
       // documented bounded-query brute-force baseline (SURVEY P7)
       "sim_brute_topk")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
