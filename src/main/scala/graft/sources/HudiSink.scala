@@ -115,6 +115,25 @@ object HudiSink {
              recordsPerGroup: Long = 0L,
              extraMetadata: Map[String, String] = Map.empty): Unit = {
     val spark = batch.sparkSession
+    // an append to an existing table must keep its partitioning — a
+    // silent column switch would split one logical table across two
+    // incompatible layouts
+    val fs0 = hfs(spark, tableDir)
+    if (fs0.exists(new Path(s"$tableDir/.hoodie"))) {
+      val existing = HudiRO.listPartitionDirs(spark, tableDir)
+        .find(_.contains("=")).map(_.split("=", 2)(0))
+      require(existing.isEmpty || existing == partitionCol,
+        s"insert: $tableDir is partitioned by ${existing.get}, not " +
+          s"${partitionCol.getOrElse("(unpartitioned)")}")
+      // the reverse switch is just as fatal: partition dirs added to a
+      // table with root-level base files would SHADOW the root data
+      // (the reader lists partition dirs and ignores the root)
+      val hasRootData = fs0.listStatus(new Path(tableDir)).exists(s =>
+        s.isFile && HudiRO.parseFile(s.getPath.getName).isDefined)
+      require(!(hasRootData && partitionCol.nonEmpty),
+        s"insert: $tableDir is an unpartitioned table (base files at the " +
+          s"root); a partitioned append would shadow its data")
+    }
     createTable(spark, tableDir)
     val userCols = batch.columns.filterNot(partitionCol.contains).toSeq
     val tagged = withNewMeta(
@@ -246,10 +265,12 @@ object HudiSink {
         val updates = keyedBatch.join(locator, Seq("__bk"))
           .withColumn("__part", col("__lp")).withColumn("__fg", col("__lf"))
           .drop("__bk", "__lp", "__lf")
+        // new keys route by the TABLE's own partition column (derived
+        // from the layout) — the caller's hint cannot diverge from it
         val inserts = tagGroups(
           keyedBatch.join(locator.select("__bk"), Seq("__bk"), "left_anti")
             .drop("__bk"),
-          keyCol, partitionCol, instant, recordsPerGroup)
+          keyCol, tablePart, instant, recordsPerGroup)
         val newMeta = withNewMeta(
           updates.select((curUserCols.map(col) ++ Seq(col("__part"), col("__fg"))): _*)
             .unionByName(inserts.select(

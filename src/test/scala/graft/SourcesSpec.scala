@@ -1772,6 +1772,23 @@ class SourcesSpec extends SparkSpec {
     HudiSink.upsert(Seq((7L, 77.0), (8L, 80.0)).toDF("k", "v"), u, "k", None, C2)
     assert(HudiRO.read(spark, u).select("k", "v").as[(Long, Double)]
       .collect().toSet == Set((7L, 77.0), (8L, 80.0)))
+    // partitioning is STICKY: a layout-switching append refuses loudly
+    // in both directions (an unpartitioned append into a partitioned
+    // table, and a partitioned append that would shadow root data)
+    intercept[IllegalArgumentException] {
+      HudiSink.insert(Seq((9L, "c", 90.0)).toDF("k", "p", "v"),
+        dir, "k", None, "20300101000000009")
+    }
+    intercept[IllegalArgumentException] {
+      HudiSink.insert(Seq((9L, 90.0)).toDF("k", "v"),
+        u, "k", Some("k"), "20300101000000009")
+    }
+    // upsert routes NEW keys by the table's OWN layout even when the
+    // caller passes no partition hint
+    HudiSink.upsert(Seq((6L, "a", 60.0)).toDF("k", "p", "v"),
+      dir, "k", None, "20300101000000004")
+    assert(HudiRO.read(spark, dir).filter($"k" === 6L)
+      .select("v", "p").as[(Double, String)].head() == ((60.0, "a")))
   }
 
   test("S20e: the writer's clustering replacecommit compacts groups; visible rows identical, old groups dead") {
