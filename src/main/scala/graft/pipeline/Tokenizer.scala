@@ -184,6 +184,14 @@ object Tokenizer {
     * distinct-aggregates over the corpus and broadcast once. */
   def tokenFertilityPinned(spark: SparkSession, docs: DataFrame): DataFrame = {
     GraftFunctions.register(spark)
+    fertilityAgg(docs, pinnedCharBigramVocab(docs))
+  }
+
+  /** The P63b pinned analytic vocab shared by the fertility audit and
+    * the P50b segmentation oracle: every corpus char at 300 micro-nats,
+    * every corpus bigram at 450 — two bounded distinct-aggregates,
+    * broadcast as one row. */
+  private def pinnedCharBigramVocab(docs: DataFrame): DataFrame = {
     val ws = docs.select(explode(words(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
     val chars = ws.select(explode(split(col("w"), "")).as("piece"))
@@ -194,9 +202,34 @@ object Tokenizer {
       .select(explode(expr(
         "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("piece"))
       .distinct().withColumn("cost", lit(450L))
-    val vrow = chars.unionByName(bigrams)
+    chars.unionByName(bigrams)
       .agg(array_sort(collect_list(struct(col("piece"), col("cost")))).as("vocab"))
-    fertilityAgg(docs, vrow)
+  }
+
+  /** P50b: unigram tokenization under the PINNED vocab — the P63b
+    * closed form extended from COUNTS to the SEGMENTATION itself.
+    * Under chars=300/bigrams=450 the Viterbi recurrence ties odd
+    * positions between (bigram, char) endings, and the DP's
+    * ascending-split strict-< tie-break keeps the SMALLEST split point
+    * (the bigram), so backtracking is bigram-first all the way down:
+    * an odd-length word's single char provably lands at the FRONT —
+    * w segments as [w₁] ++ bigrams for odd |w|, all-bigrams for even.
+    * DuckDB replays the pieces THEMSELVES (1-based slicing), so the
+    * oracle certifies every piece of every word of every doc — not
+    * just counts. The encoder still runs the real DP (it must DISCOVER
+    * the pairing); only the vocab is analytic. Train-time unigram
+    * stays rows-only (pipe_unigram_tokenize): EM-trained float scores
+    * have no single-SQL replay — that boundary is unchanged. */
+  def unigramTokenizePinned(spark: SparkSession, docs: DataFrame): DataFrame = {
+    GraftFunctions.register(spark)
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .crossJoin(broadcast(pinnedCharBigramVocab(docs)))
+      .select(col("doc_id"), col("ws"),
+        expr("transform(ws, w -> unigram_encode(w, vocab))").as("toks"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        expr("CAST(aggregate(toks, 0, (acc, t) -> acc + size(t)) AS BIGINT)").as("n_pieces"),
+        expr("concat_ws(' ', transform(toks, t -> array_join(t, '|')))").as("seg"))
   }
 
   private def fertilityAgg(docs: DataFrame, vrow: DataFrame): DataFrame = {
@@ -239,6 +272,8 @@ object Tokenizer {
       tokenFertilityPinned(spark, Tables(spark, dir).documents).orderBy("lang")),
     "pipe_bpe_tokenize_pinned" -> ((spark, dir) =>
       bpeTokenizePinned(spark, Tables(spark, dir).documents).orderBy("doc_id")),
+    "pipe_unigram_tokenize_pinned" -> ((spark, dir) =>
+      unigramTokenizePinned(spark, Tables(spark, dir).documents).orderBy("doc_id")),
   )
 
   /** The pinned merge table's closed form as a DuckDB regex: doubled
@@ -295,5 +330,26 @@ object Tokenizer {
          |    AS n_merges,
          |  CAST(list_max(tc) AS BIGINT) AS max_word_tokens
          |FROM t ORDER BY doc_id""".stripMargin,
+    // P50b: the pinned Viterbi's pieces themselves — odd words are
+    // [first char] ++ bigrams, even words all-bigrams (the bigram-first
+    // backtrack; 1-based inclusive slicing both engines)
+    "pipe_unigram_tokenize_pinned" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, ws,
+        |    list_transform(ws, x -> CASE WHEN length(x) % 2 = 1 THEN
+        |        list_prepend(x[1:1],
+        |          [x[2*i : 2*i+1] for i in range(1, (length(x)-1)//2 + 1)])
+        |      ELSE [x[2*i-1 : 2*i] for i in range(1, length(x)//2 + 1)]
+        |      END) AS pieces
+        |  FROM w
+        |)
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(list_sum([len(p) for p in pieces]) AS BIGINT) AS n_pieces,
+        |  array_to_string([array_to_string(p, '|') for p in pieces], ' ') AS seg
+        |FROM t ORDER BY doc_id""".stripMargin,
   )
 }

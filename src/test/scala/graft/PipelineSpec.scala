@@ -1808,4 +1808,20 @@ class PipelineSpec extends SparkSpec {
     val again = Tokenizer.tokenFertilityPinned(spark, docs.repartition(5)).collect()
     assert(again.head.toString == r.toString)
   }
+
+  test("pinned-vocab unigram SEGMENTATION: odd words lead with their single char, bigrams follow") {
+    import graft.pipeline.Tokenizer
+    // the closed form the oracle replays piece-for-piece: the DP's
+    // ascending-split strict-< tie-break backtracks bigram-FIRST, so
+    // the odd word's lone char provably lands at the FRONT
+    val docs = docsDf((1L, "a bc def ghij klmno", "s1"))
+    val r = Tokenizer.unigramTokenizePinned(spark, docs).collect().head
+    assert(r.getAs[Long]("n_words") == 5L)
+    assert(r.getAs[Long]("n_pieces") == 9L)
+    assert(r.getAs[String]("seg") == "a bc d|ef gh|ij k|lm|no", r.toString)
+    // partition-invariance
+    val again = Tokenizer.unigramTokenizePinned(spark, docs.repartition(5))
+      .collect().head
+    assert(again.getAs[String]("seg") == r.getAs[String]("seg"))
+  }
 }

@@ -666,6 +666,7 @@ class PlanAuditSpec extends SparkSpec {
       "pipe_unigram_tokenize", // r8: unigram vocab, the same 1-row fold as BPE
       "pipe_token_fertility", // r9: the same 1-row unigram-vocab broadcast
       "pipe_token_fertility_pinned", // r10: P63b pinned analytic vocab, same 1-row broadcast
+      "pipe_unigram_tokenize_pinned", // r13: P50b, the same pinned-vocab 1-row broadcast
       "pipe_bpe_tokenize_pinned", // r12: P38b pinned merge table, same 1-row broadcast
       "text_lm_perplexity", "text_quality_classifier", "text_ppl_buckets",
       "text_tfidf_terms",
