@@ -244,7 +244,11 @@ object Bench {
     // from SPARK_GRAFT_ROUND when the driver exports it, else from the
     // newest CORRECTNESS_r{N}.json + 1 (the artifact the PREVIOUS round
     // closed with, so an unset env still stamps the current round).
-    // Clobbering WITHIN a round is fine; across rounds the tag differs.
+    // Archive protection (r13 verdict #2 — a 2-query SPARK_GRAFT_ONLY
+    // A/B run clobbered the r12 archive): a FILTERED run never
+    // archives (it is not a round record; A/B output belongs in
+    // bench_control_*.json), and a full run never overwrites an
+    // existing archive that covers MORE queries than it does.
     val roundTag = sys.env.get("SPARK_GRAFT_ROUND").map(r => s"r$r")
       .getOrElse {
         val pat = "CORRECTNESS_r(\\d+)\\.json".r
@@ -254,8 +258,27 @@ object Bench {
         s"r${if (prev.isEmpty) 0 else prev.max + 1}"
       }
     val archive = s"bench_full_$roundTag.json"
-    java.nio.file.Files.write(java.nio.file.Paths.get(archive),
-      full.getBytes("UTF-8"))
+    val archivePath = java.nio.file.Paths.get(archive)
+    val priorCount: Int =
+      if (!java.nio.file.Files.exists(archivePath)) -1
+      else {
+        // Count of `queries` keys in the existing archive, without a
+        // JSON library: keys are flat "name":N pairs inside the first
+        // {"..."} object after "queries":.
+        val txt = new String(java.nio.file.Files.readAllBytes(archivePath), "UTF-8")
+        val i = txt.indexOf("\"queries\":{")
+        if (i < 0) 0
+        else {
+          val body = txt.substring(i + 11, txt.indexOf('}', i))
+          if (body.trim.isEmpty) 0 else body.count(_ == ':')
+        }
+      }
+    if (only.nonEmpty)
+      System.err.println(s"[bench] filtered run (SPARK_GRAFT_ONLY set): NOT archiving to $archive")
+    else if (priorCount > ok.length)
+      System.err.println(s"[bench] $archive already holds $priorCount queries > this run's ${ok.length}: NOT overwriting")
+    else
+      java.nio.file.Files.write(archivePath, full.getBytes("UTF-8"))
     // Self-selecting headline set: static list UNION this run's top-10
     // by median, so no expensive query can go untracked again.
     val top10 = ok.sortBy(-_._2).take(10).map(_._1).toSet

@@ -84,18 +84,23 @@ object HiveAcidSink {
     require(fs.rename(tmp, dest), s"commit rename failed: $tmp -> $dest")
   }
 
-  /** Streaming-batch ids recorded in the committed deltas' sidecars
-    * for `queryId` — the replay log for the T33 sink (bounded listing,
-    * like every S18 sweep). */
-  private[graft] def committedBatchIds(spark: SparkSession, tableDir: String,
-                                       queryId: String): Seq[Long] = {
+  /** NEWEST streaming-batch id recorded in a committed delta's sidecar
+    * for `queryId` — the replay watermark for the T33 sink. Scans
+    * deltas NEWEST-FIRST (write ids are dense and monotone) and stops
+    * at the first sidecar carrying the query id, so the per-micro-batch
+    * cost is O(deltas since this query's last commit), not O(table
+    * lifetime) — the same quadratic-avoidance as the Hudi twin. */
+  private[graft] def lastCommittedBatchId(spark: SparkSession, tableDir: String,
+                                          queryId: String): Option[Long] = {
     val p = new Path(tableDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return Nil
+    if (!fs.exists(p)) return None
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
-      .filter(d => HiveAcid.parseDelta(d.getName).isDefined)
-      .flatMap { d =>
+      .flatMap(d => HiveAcid.parseDelta(d.getName).map(pd => (pd, d)))
+      .sortBy { case (pd, _) => (-pd.maxWriteId, -pd.statementId) }
+      .iterator
+      .flatMap { case (_, d) =>
         val sc = new Path(d, "_graft_batch")
         if (!fs.exists(sc)) None
         else {
@@ -111,5 +116,6 @@ object HiveAcidSink {
           else bid.asText().toLongOption
         }
       }
+      .nextOption()
   }
 }

@@ -53,11 +53,24 @@ import org.apache.spark.sql.functions._
   * file group (repartition on the group key + partitionBy routing, so
   * each group lands as exactly one file); the upsert index probe is an
   * equi-join of the batch against the snapshot's key column (never a
-  * driver-side key set). Driver-side work is NAME-level and bounded by
+  * driver-side key set), PRUNED to the base files whose parquet-footer
+  * `_hoodie_record_key` min/max intersects the batch's key range (the
+  * public Hudi bloom-index idea expressed through footer stats — the
+  * S16h bounds-skipping device), so per-commit upsert cost scales with
+  * the files that can hold a batch key, not with table size.
+  * Driver-side work is NAME-level and bounded by
   * the touched-file-group count — the same metadata-scale class as the
   * timeline listing itself: the group list collect, the per-group
   * renames, the commit JSON. Record→group routing for inserts is a
   * hash with a records-per-group target, the file-sizing knob.
+  *
+  * Concurrency contract: SINGLE WRITER per table. Instant allocation
+  * ([[nextInstant]]) is list-then-write with no lock — two concurrent
+  * writers could allocate the same instant; the commit path fails fast
+  * if the allocated instant's `.requested` or completed marker already
+  * exists (create-exclusive, the HiveAcidSink dest-exists discipline),
+  * so a lost race surfaces as a loud error, never as two interleaved
+  * commits under one instant.
   */
 object HudiSink {
 
@@ -213,6 +226,90 @@ object HudiSink {
       userCols.map(col) ++ Seq(col("__part"), col("__fg")): _*)
   }
 
+  /** Parquet-footer key range of `_hoodie_record_key` for one base
+    * file, for locator pruning. Footer-only metadata work — no data
+    * pages are read. */
+  private[graft] sealed trait KeyRange
+  private[graft] case object RangeUnknown extends KeyRange // stats absent: must read
+  private[graft] case object FileEmpty extends KeyRange // zero rows: never read
+  private[graft] final case class Range(min: Array[Byte], max: Array[Byte])
+      extends KeyRange
+
+  /** Unsigned-lexicographic byte compare — parquet's BINARY stats
+    * order, and Spark's own UTF8String/string min-max order, so the
+    * two sides of the prune test agree for every key alphabet (Java
+    * String compareTo would diverge on supplementary characters). */
+  private[graft] def cmpU(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Read one base file's `_hoodie_record_key` min/max from its
+    * parquet footer. Conservative: any row group missing the column or
+    * its statistics makes the whole file [[RangeUnknown]] (it stays a
+    * locator candidate). Parquet's own stats truncation is safe here —
+    * a truncated max is rounded UP by the writer, so it remains a
+    * valid upper bound. */
+  private[graft] def keyRangeOf(conf: org.apache.hadoop.conf.Configuration,
+                                path: String): KeyRange = {
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(path), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      if (blocks.forall(_.getRowCount == 0L)) return FileEmpty
+      val ranges = blocks.filter(_.getRowCount > 0L).map { b =>
+        b.getColumns.asScala
+          .find(_.getPath.toDotString == "_hoodie_record_key")
+          .flatMap { c =>
+            val st = c.getStatistics
+            if (st == null || !st.hasNonNullValue) None
+            else (st.genericGetMin, st.genericGetMax) match {
+              case (mn: org.apache.parquet.io.api.Binary,
+                    mx: org.apache.parquet.io.api.Binary) =>
+                Some((mn.getBytes, mx.getBytes))
+              case _ => None
+            }
+          }
+      }
+      if (ranges.exists(_.isEmpty)) RangeUnknown
+      else {
+        val rs = ranges.flatten
+        Range(rs.map(_._1).reduce((a, b) => if (cmpU(a, b) <= 0) a else b),
+              rs.map(_._2).reduce((a, b) => if (cmpU(a, b) >= 0) a else b))
+      }
+    } finally reader.close()
+  }
+
+  /** The base files whose footer key range intersects `[bmin, bmax]`
+    * (both UTF-8 string bounds from the batch) — the upsert/delete
+    * locator's scan set. Footer reads are driver-side metadata work,
+    * the same O(file-count) class as the snapshot listing itself. */
+  private[graft] def pruneByKeyRange(spark: SparkSession, files: Seq[String],
+                                     bmin: String, bmax: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val lo = bmin.getBytes("UTF-8")
+    val hi = bmax.getBytes("UTF-8")
+    files.filter { f =>
+      keyRangeOf(conf, f) match {
+        case FileEmpty      => false
+        case RangeUnknown   => true
+        case Range(mn, mx)  => cmpU(mx, lo) >= 0 && cmpU(mn, hi) <= 0
+      }
+    }
+  }
+
+  /** Test seam: (locator candidate files, total snapshot files) of the
+    * most recent [[rewrite]] on this JVM — the S16h-style file-count
+    * assert for the key-range prune. */
+  @volatile private[graft] var lastRewriteScan: Option[(Int, Int)] = None
+
   /** The shared UPSERT/DELETE group rewrite. */
   private def rewrite(batch: DataFrame, tableDir: String, keyCol: String,
                       partitionCol: Option[String], instant: String,
@@ -220,18 +317,53 @@ object HudiSink {
                       extraMetadata: Map[String, String],
                       deleteKeys: Boolean): Unit = {
     val spark = batch.sparkSession
-    val cur = HudiRO.read(spark, tableDir)
     // the table's own partition column (from the dir layout), which may
     // differ from / confirm the caller's: data files never carry it
     val tablePart = HudiRO.listPartitionDirs(spark, tableDir)
       .find(_.contains("=")).map(_.split("=", 2)(0))
-    val curUserCols = cur.columns.filterNot(MetaCols.contains)
+    val snapFiles = HudiRO.snapshotFiles(spark, tableDir)
+    require(snapFiles.nonEmpty,
+      s"$op: no completed Hudi base files under $tableDir")
+    // data-file schema from one footer (the partition column is never
+    // in the files; the rewrite only carries data fields + meta)
+    val dataSchema = spark.read.parquet(snapFiles.head).schema
+    require(dataSchema.fieldNames.contains("_hoodie_record_key"),
+      s"$op: $tableDir base files carry no _hoodie_record_key meta column — " +
+        "only tables written with Hudi meta columns support keyed rewrites")
+    val curUserCols = dataSchema.fieldNames.filterNot(MetaCols.contains)
       .filterNot(tablePart.contains).toSeq
+    // one tiny agg: batch emptiness, null keys, key uniqueness (the
+    // upsert contract — two rows under one _hoodie_record_key would
+    // silently both land in the rewritten group), and the key range
+    // for the footer prune
+    val bstat = batch.agg(
+      count(lit(1)), count(col(keyCol).cast("string")),
+      countDistinct(col(keyCol).cast("string")),
+      min(col(keyCol).cast("string")), max(col(keyCol).cast("string"))).head()
+    val (nAll, nKeys, nDistinct) = (bstat.getLong(0), bstat.getLong(1), bstat.getLong(2))
+    require(nAll == nKeys, s"$op: batch carries ${nAll - nKeys} null keys")
+    require(deleteKeys || nKeys == nDistinct,
+      s"$op: batch carries duplicate keys (${nKeys - nDistinct} extra rows) — " +
+        "collapse to one row per key first (last-wins is the CALLER's " +
+        "ordering decision; see Streams.hudiUpsertBatch)")
+    // the locator scan set: only files whose footer key range can hold
+    // a batch key (empty batch → nothing can match → no files)
+    val candidates =
+      if (nAll == 0L) Nil
+      else pruneByKeyRange(spark, snapFiles, bstat.getString(3), bstat.getString(4))
+    lastRewriteScan = Some((candidates.length, snapFiles.length))
     val fileIdOf = regexp_extract(col("_hoodie_file_name"),
       """(.+)_[0-9]+-[0-9]+-[0-9]+_[0-9]+\.parquet""", 1)
     val partTag = tablePart.map(pc => concat(lit("v"), col(pc).cast("string")))
       .getOrElse(lit("v"))
-    val curTagged = cur
+    // curTagged is the PRUNED slice: every existing batch key lives in
+    // a candidate file (a pruned file's key range excludes the whole
+    // batch range), so the affected probe, locator and survivors are
+    // all complete over it
+    val curSlice =
+      if (candidates.nonEmpty) HudiRO.readFiles(spark, tableDir, candidates)
+      else HudiRO.readFiles(spark, tableDir, snapFiles.take(1)).where(lit(false))
+    val curTagged = curSlice
       .withColumn("__part", partTag)
       .withColumn("__fg", fileIdOf)
     val batchKeys = batch.select(col(keyCol).cast("string").as("__bk")).distinct()
@@ -241,7 +373,7 @@ object HudiSink {
       .join(batchKeys, col("_hoodie_record_key") === col("__bk"))
       .select("__part", "__fg").distinct()
     val affSet = affected.collect().map(r => (r.getString(0), r.getString(1))).toSet
-    require(!deleteKeys || affSet.nonEmpty || batch.isEmpty,
+    require(!deleteKeys || affSet.nonEmpty || nAll == 0L,
       s"delete: no batch key exists in $tableDir")
     // survivors: rows of touched groups whose key is NOT in the batch —
     // they carry their ORIGINAL meta columns, re-homed into the new
@@ -331,7 +463,20 @@ object HudiSink {
                           markerSuffix: String = ".commit",
                           replaced: Map[String, Set[String]] = Map.empty): Unit = {
     val fs = hfs(spark, tableDir)
-    touch(spark, s"$tableDir/.hoodie/$instant$markerSuffix.requested")
+    // single-writer guard (see object scaladoc): a concurrent writer
+    // that allocated the same instant loses the exclusive create of the
+    // .requested marker, or trips on an already-completed marker —
+    // never silently interleaves two commits under one instant
+    require(!fs.exists(new Path(s"$tableDir/.hoodie/$instant$markerSuffix")),
+      s"instant $instant already completed in $tableDir — concurrent writer? " +
+        "(HudiSink is single-writer per table)")
+    val requested = new Path(s"$tableDir/.hoodie/$instant$markerSuffix.requested")
+    try fs.create(requested, /* overwrite = */ false).close()
+    catch {
+      case e: java.io.IOException => throw new IllegalStateException(
+        s"instant $instant already requested in $tableDir — concurrent " +
+          "writer? (HudiSink is single-writer per table)", e)
+    }
     touch(spark, s"$tableDir/.hoodie/$instant.inflight")
     val tmp = s"$tableDir/.hoodie/.temp_$instant"
     // each (partition, group) is one shuffle partition → exactly one
@@ -423,18 +568,25 @@ object HudiSink {
     writeAtomic(spark, s"$tableDir/.hoodie/$instant$markerSuffix", root.toString)
   }
 
-  /** Streaming-batch ids recorded in completed commits' extraMetadata
-    * for `queryId` (the T18 exactly-once device: the table IS the
-    * commit log — no side state; replay detection is one bounded
-    * timeline read). */
-  private[graft] def committedBatchIds(spark: SparkSession, tableDir: String,
-                                       queryId: String): Seq[Long] = {
+  /** NEWEST streaming-batch id recorded in a completed commit's
+    * extraMetadata for `queryId` (the T18 exactly-once device: the
+    * table IS the commit log — no side state). Scans the timeline
+    * NEWEST-FIRST and stops at the first commit carrying the query id:
+    * batch ids are monotone in commit order (a stream commits its
+    * batches in sequence), so the newest one is the replay watermark —
+    * and the per-micro-batch cost is O(commits since this query's last
+    * commit), not O(timeline lifetime), which over a long-running
+    * stream would have been quadratic. */
+  private[graft] def lastCommittedBatchId(spark: SparkSession, tableDir: String,
+                                          queryId: String): Option[Long] = {
     val fs = hfs(spark, tableDir)
     val p = new Path(s"$tableDir/.hoodie")
-    if (!fs.exists(p)) return Nil
+    if (!fs.exists(p)) return None
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     fs.listStatus(p).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".commit"))
+      .sortBy(_.getName)(Ordering[String].reverse) // instants: lexicographic = commit order
+      .iterator
       .flatMap { fp =>
         val in = fs.open(fp)
         val bytes = try {
@@ -448,5 +600,6 @@ object HudiSink {
         if (bid == null || qid == null || qid.asText() != queryId) None
         else bid.asText().toLongOption
       }
+      .nextOption()
   }
 }

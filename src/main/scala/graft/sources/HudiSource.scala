@@ -186,6 +186,17 @@ object HudiRO {
     * string (a "01" partition must not round-trip as int 1). */
   def read(spark: SparkSession, tableDir: String,
            partitions: Seq[String] = Nil): DataFrame = {
+    val files = snapshotFiles(spark, tableDir, partitions)
+    require(files.nonEmpty, s"no completed Hudi base files under $tableDir")
+    readFiles(spark, tableDir, files)
+  }
+
+  /** The visible snapshot's base-file paths (the same name-level
+    * selection [[read]] scans), for callers that prune the list further
+    * before scanning — the S20d upsert key-locator reads only files
+    * whose footer key range intersects its batch. */
+  private[graft] def snapshotFiles(spark: SparkSession, tableDir: String,
+                                   partitions: Seq[String] = Nil): Seq[String] = {
     val tl = timeline(spark, tableDir)
     val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val want = partitions.toSet
@@ -196,15 +207,24 @@ object HudiRO {
         .exists(want)
     }
     require(dirs.nonEmpty, s"no Hudi partitions selected under $tableDir")
-    val files = dirs.flatMap { d =>
+    dirs.flatMap { d =>
       val dirPath = if (d.isEmpty) tableDir else s"$tableDir/$d"
       val names = fs.listStatus(new Path(dirPath)).toSeq
         .filter(_.isFile).map(_.getPath.getName)
       // an all-inflight/replaced partition is a valid empty slice
       selectLatest(names, tl.completed, tl.dead(d)).map(n => s"$dirPath/$n")
     }
-    require(files.nonEmpty, s"no completed Hudi base files under $tableDir")
-    if (!dirs.exists(_.contains("="))) spark.read.parquet(files: _*)
+  }
+
+  /** ONE parquet relation over an explicit base-file subset (paths from
+    * [[snapshotFiles]]); partitioned tables rematerialize the partition
+    * column from the `col=value` path segment, pinned to STRING. */
+  private[graft] def readFiles(spark: SparkSession, tableDir: String,
+                               files: Seq[String]): DataFrame = {
+    require(files.nonEmpty, s"no Hudi base files to read under $tableDir")
+    val partitioned = files.exists(f =>
+      f.stripPrefix(tableDir).stripPrefix("/").contains("="))
+    if (!partitioned) spark.read.parquet(files: _*)
     else {
       // Pin the partition column to STRING via an explicit user schema
       // (data fields from the first selected file's footer + the
@@ -212,7 +232,8 @@ object HudiRO {
       // toggling the session-global type-inference conf — a concurrent
       // query on the same SparkSession must never observe a flipped
       // conf, and two overlapping reads could restore a stale value.
-      val pcol = dirs.find(_.contains("=")).get.split("=", 2)(0)
+      val pcol = files.find(f => f.stripPrefix(tableDir).contains("=")).get
+        .stripPrefix(tableDir).stripPrefix("/").split("=", 2)(0)
       val data = spark.read.parquet(files.head).schema
       val full = org.apache.spark.sql.types.StructType(
         data.fields :+ org.apache.spark.sql.types.StructField(
@@ -356,7 +377,7 @@ object HudiQueries {
     * o_orderstatus, key o_orderkey, split into ~4000-row file groups);
     * C2 UPSERTs one batch carrying updates (keys %10==3 get +1000
     * price — their groups rewrite, carried rows keep their C1 meta)
-    * and inserts (key+20000000 for %1000==1 — new file groups); C3
+    * and inserts (key shifted past the table max for %1000==1 — new file groups); C3
     * DELETEs every then-current key with key%7==5 (group rewrites,
     * empty groups get empty base files). DuckDB recomputes the final
     * state from flat orders; a hash match certifies the whole
@@ -371,8 +392,14 @@ object HudiQueries {
         recordsPerGroup = 4000L)
       val updates = orders.filter(pmod(col("o_orderkey"), lit(10L)) === 3L)
         .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      // insert-key shift DERIVED from the table's own max key (max+1):
+      // a fixed 20M shift collided with real orderkeys once the max key
+      // passed 20M (SF>~3.3), silently turning an 'insert' into an
+      // update while the oracle's UNION ALL kept both rows — the oracle
+      // computes the same (SELECT max(o_orderkey)+1 FROM orders)
+      val shift = orders.agg(max("o_orderkey")).head.getLong(0) + 1L
       val inserts = orders.filter(pmod(col("o_orderkey"), lit(1000L)) === 1L)
-        .withColumn("o_orderkey", col("o_orderkey") + lit(20000000L))
+        .withColumn("o_orderkey", col("o_orderkey") + lit(shift))
       HudiSink.upsert(updates.unionByName(inserts), root, "o_orderkey",
         Some("o_orderstatus"), C2)
       val delKeys = HudiRO.read(spark, root)
@@ -453,7 +480,7 @@ object HudiQueries {
          |FROM orders
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // writer round trip: insert all, upsert (+1000 on %10==3 keys;
-    // new keys +20000000 for %1000==1 sources), delete keys %7==5
+    // new keys shifted past max(o_orderkey) for %1000==1 sources), delete keys %7==5
     "src_hudi_write_rt" ->
       s"""WITH upd AS (
          |  SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -461,7 +488,8 @@ object HudiQueries {
          |         ELSE o_totalprice END AS o_totalprice
          |  FROM orders
          |  UNION ALL
-         |  SELECT o_orderkey + 20000000, o_custkey, o_orderstatus, o_totalprice
+         |  SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders),
+         |    o_custkey, o_orderstatus, o_totalprice
          |  FROM orders WHERE o_orderkey % 1000 = 1)
          |SELECT o_orderstatus, count(*) AS n,
          |  count(DISTINCT o_custkey) AS nd_cust,
@@ -479,7 +507,8 @@ object HudiQueries {
          |         ELSE o_totalprice END AS o_totalprice
          |  FROM orders
          |  UNION ALL
-         |  SELECT o_orderkey + 20000000, o_custkey, o_orderstatus, o_totalprice
+         |  SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders),
+         |    o_custkey, o_orderstatus, o_totalprice
          |  FROM orders WHERE o_orderkey % 1000 = 1)
          |SELECT o_orderstatus, count(*) AS n,
          |  count(DISTINCT o_custkey) AS nd_cust,

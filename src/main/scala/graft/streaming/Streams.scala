@@ -684,7 +684,7 @@ object Streams {
     val queryId = Option(spark.sparkContext.getLocalProperty(
       org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY))
       .getOrElse("unattached")
-    val committed = graft.sources.HudiSink.committedBatchIds(spark, tableDir, queryId)
+    val committed = graft.sources.HudiSink.lastCommittedBatchId(spark, tableDir, queryId)
     if (committed.exists(batchId <= _)) return // replayed micro-batch
     graft.sources.HudiSink.insert(batch, tableDir, keyCol, partitionCol,
       graft.sources.HudiSink.nextInstant(spark, tableDir),
@@ -695,29 +695,49 @@ object Streams {
   /** T31b: streaming Hudi UPSERT sink — CDC-shaped micro-batches MERGE
     * by key (COW file-group rewrites; carried rows keep their original
     * `_hoodie_commit_time`, so a downstream T29b tail sees exactly the
-    * changed rows); within-batch duplicate keys collapse to one row
-    * (key-unique per batch is the upsert contract; last-wins ordering
-    * is the upstream's job). First batch INSERTs (creates the table),
-    * later batches upsert; same exactly-once device as [[hudiSink]]. */
+    * changed rows); within-batch duplicate keys collapse to ONE row per
+    * key BEFORE the upsert ([[graft.sources.HudiSink.upsert]] itself
+    * REJECTS duplicate-key batches — two rows under one
+    * `_hoodie_record_key` would silently both land). `orderCol` names
+    * the CDC ordering column when the feed carries one (an event time /
+    * LSN): the HIGHEST-ordered row per key wins; without it the
+    * collapse is made deterministic by ordering over every column, so
+    * a replayed batch always collapses to the same row — but which
+    * duplicate "wins" is then arbitrary-but-stable, so feeds with
+    * meaningful duplicates should pass `orderCol`. First batch INSERTs
+    * (creates the table), later batches upsert; same exactly-once
+    * device as [[hudiSink]]. */
   def hudiUpsertSink(docs: DataFrame, tableDir: String, keyCol: String,
-                     partitionCol: Option[String]):
+                     partitionCol: Option[String],
+                     orderCol: Option[String] = None):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("update").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        hudiUpsertBatch(batch, batchId, tableDir, keyCol, partitionCol)
+        hudiUpsertBatch(batch, batchId, tableDir, keyCol, partitionCol, orderCol)
     }
 
   /** T31b's idempotent commit step. */
   def hudiUpsertBatch(batch: DataFrame, batchId: Long, tableDir: String,
-                      keyCol: String, partitionCol: Option[String]): Unit = {
+                      keyCol: String, partitionCol: Option[String],
+                      orderCol: Option[String] = None): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val queryId = Option(spark.sparkContext.getLocalProperty(
       org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY))
       .getOrElse("unattached")
-    val committed = graft.sources.HudiSink.committedBatchIds(spark, tableDir, queryId)
+    val committed = graft.sources.HudiSink.lastCommittedBatchId(spark, tableDir, queryId)
     if (committed.exists(batchId <= _)) return
-    val collapsed = batch.dropDuplicates(keyCol)
+    // last-wins collapse: orderCol first (desc), then every remaining
+    // column desc as the deterministic tie-break — never an arbitrary
+    // dropDuplicates survivor
+    val ordering = (orderCol.toSeq ++
+      batch.columns.filterNot(c => c == keyCol || orderCol.contains(c)))
+      .map(col(_).desc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(ordering: _*)
+    val collapsed = batch
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val em = Map("streaming-batch-id" -> batchId.toString,
@@ -774,7 +794,7 @@ object Streams {
     val queryId = Option(spark.sparkContext.getLocalProperty(
       org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY))
       .getOrElse("unattached")
-    val committed = graft.sources.HiveAcidSink.committedBatchIds(
+    val committed = graft.sources.HiveAcidSink.lastCommittedBatchId(
       spark, tableDir, queryId)
     if (committed.exists(batchId <= _)) return // replayed micro-batch
     graft.sources.HiveAcidSink.insertOnly(batch, tableDir,

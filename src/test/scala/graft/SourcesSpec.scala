@@ -1830,6 +1830,77 @@ class SourcesSpec extends SparkSpec {
       s"$dir/.hoodie/$C4.replacecommit")))
   }
 
+  test("S20f: the upsert key-locator reads ONLY base files whose footer key range intersects the batch") {
+    import graft.sources.{HudiRO, HudiSink}
+    import spark.implicits._
+    val dir = tmp() + "/hudiprune"
+    val C = (1 to 9).map(i => s"2030030100000000$i")
+    // three inserts -> three file groups with DISJOINT string key ranges
+    // (hash routing inside one insert would overlap ranges; separate
+    // commits are how range-clustered groups arise in practice)
+    HudiSink.insert((1 to 4).map(i => (f"a$i%02d", i * 1.0)).toDF("k", "v"),
+      dir, "k", None, C(0))
+    HudiSink.insert((1 to 4).map(i => (f"b$i%02d", i * 1.0)).toDF("k", "v"),
+      dir, "k", None, C(1))
+    HudiSink.insert((1 to 4).map(i => (f"c$i%02d", i * 1.0)).toDF("k", "v"),
+      dir, "k", None, C(2))
+    // update one b-key: the locator must read ONLY the b-range file
+    // (the verdict-#1 asymptotic fix: per-commit upsert cost scales
+    // with the files that can hold a batch key, not table size)
+    HudiSink.upsert(Seq(("b02", 22.0)).toDF("k", "v"), dir, "k", None, C(3))
+    assert(HudiSink.lastRewriteScan.contains((1, 3)),
+      s"expected 1-of-3 candidate files, got ${HudiSink.lastRewriteScan}")
+    // a brand-new key beyond every file's range: ZERO files scanned,
+    // the row still inserts into a fresh group
+    HudiSink.upsert(Seq(("d99", 99.0)).toDF("k", "v"), dir, "k", None, C(4))
+    assert(HudiSink.lastRewriteScan.contains((0, 3)),
+      s"expected 0-of-3 candidate files, got ${HudiSink.lastRewriteScan}")
+    // delete prunes the same way (now 4 groups: a, b, c, d)
+    HudiSink.delete(Seq("a03").toDF("k"), dir, "k", C(5))
+    assert(HudiSink.lastRewriteScan.contains((1, 4)),
+      s"expected 1-of-4 candidate files, got ${HudiSink.lastRewriteScan}")
+    // an EMPTIED group's base file (zero row groups) is never a
+    // candidate: delete d99, then upsert another d-key — 0 candidates
+    HudiSink.delete(Seq("d99").toDF("k"), dir, "k", C(6))
+    HudiSink.upsert(Seq(("d50", 50.0)).toDF("k", "v"), dir, "k", None, C(7))
+    assert(HudiSink.lastRewriteScan.contains((0, 4)),
+      s"expected the emptied d-group file pruned, got ${HudiSink.lastRewriteScan}")
+    // end state is exact despite all the pruning
+    assert(HudiRO.read(spark, dir).select("k", "v").as[(String, Double)]
+      .collect().toSet ==
+      ((1 to 4).map(i => (f"a$i%02d", i * 1.0)).toSet - (("a03", 3.0))) ++
+        (1 to 4).map(i => (f"b$i%02d", i * 1.0)).toSet - (("b02", 2.0)) +
+        (("b02", 22.0)) + (("c01", 1.0)) + (("c02", 2.0)) + (("c03", 3.0)) +
+        (("c04", 4.0)) + (("d50", 50.0)))
+    // the upsert CONTRACT rejects duplicate and null keys loudly (a
+    // duplicate pair under one _hoodie_record_key would silently both
+    // land in the rewritten group — ADVICE r13)
+    intercept[IllegalArgumentException] {
+      HudiSink.upsert(Seq(("b01", 1.0), ("b01", 2.0)).toDF("k", "v"),
+        dir, "k", None, C(8))
+    }
+    intercept[IllegalArgumentException] {
+      HudiSink.upsert(Seq((null.asInstanceOf[String], 1.0)).toDF("k", "v"),
+        dir, "k", None, C(8))
+    }
+    // single-writer guard (ADVICE r13): reusing a COMPLETED instant is
+    // a loud failure, and an instant another writer already REQUESTED
+    // (crashed mid-commit or racing) is too — never two interleaved
+    // commits under one instant
+    intercept[IllegalArgumentException] {
+      HudiSink.insert(Seq(("z01", 1.0)).toDF("k", "v"), dir, "k", None, C(0))
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/.hoodie/${C(8)}.commit.requested"), false).close()
+    intercept[IllegalStateException] {
+      HudiSink.insert(Seq(("z01", 1.0)).toDF("k", "v"), dir, "k", None, C(8))
+    }
+    // nextInstant skips past the orphaned .requested marker
+    assert(HudiSink.nextInstant(spark, dir) > C(8))
+  }
+
   test("S18d: ORC DATE columns decode to the external java.sql.Date on the batch path") {
     import graft.sources.AcidOrc
     // ADVICE r12: the batch (Row-encoder) path previously surfaced the
