@@ -83,7 +83,31 @@ object BpeImpl {
     * through [[rulesOf]]'s content-keyed cache. Semantics are
     * unchanged: one left-to-right non-overlapping pass per rule in
     * rank order (the trainer cross-check in PipelineSpec pins this). */
-  def encode(word: UTF8String, merges: ArrayData): ArrayData = {
+  def encode(word: UTF8String, merges: ArrayData): ArrayData =
+    encodeWith(word, rulesOf(merges))
+
+  /** Whole-row batch encode: resolves the rule table ONCE for every
+    * word of the row. Inside `transform(ws, w -> bpe_encode(w, m))`
+    * the table arrives as a fresh ArrayData view per WORD, so even the
+    * content-keyed cache pays one full-table memcmp per word — for a
+    * corpus-derived table that compare dominates the encode itself
+    * (the r13 pinned-variant constant factor). One call per row makes
+    * it one probe per row. */
+  def encodeAll(words: ArrayData, merges: ArrayData): ArrayData = {
+    val rc = rulesOf(merges)
+    val nw = words.numElements()
+    val out = new Array[AnyRef](nw)
+    var i = 0
+    while (i < nw) {
+      out(i) =
+        if (words.isNullAt(i)) null
+        else encodeWith(words.getUTF8String(i), rc)
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  private def encodeWith(word: UTF8String, rc: RuleCache): ArrayData = {
     val w = word.toString
     val syms = new Array[String](math.max(w.length, 1))
     var n = 0
@@ -95,7 +119,6 @@ object BpeImpl {
       n += 1
       i += cc
     }
-    val rc = rulesOf(merges)
     var m = 0
     val nm = rc.a.length
     while (m < nm && n > 1) {
@@ -196,4 +219,20 @@ case class BpeEncode(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BpeEncode =
     copy(left = l, right = r)
   override def prettyName: String = "bpe_encode"
+}
+
+/** `bpe_encode_all(words, merges) -> array<array<string>>` — every word
+  * of the row in one call, resolving the merge table once per ROW
+  * instead of once per word (see [[BpeImpl.encodeAll]]). */
+case class BpeEncodeAll(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType), BpeMergesType.tpe)
+  override def dataType: DataType = ArrayType(ArrayType(StringType, containsNull = false))
+  override def nullSafeEval(a: Any, b: Any): Any =
+    BpeImpl.encodeAll(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (ws, m) => s"graft.functions.BpeImpl.encodeAll($ws, $m)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BpeEncodeAll =
+    copy(left = l, right = r)
+  override def prettyName: String = "bpe_encode_all"
 }

@@ -61,10 +61,37 @@ object UnigramImpl {
     * `vocab: array<struct<piece:string,cost:long>>`. Every position is
     * always reachable (unknown single chars cost [[UnkCost]]). */
   def encode(word: UTF8String, vocab: ArrayData): ArrayData = {
+    val (costs, maxLen) = vocabMap(vocab)
+    encodeWith(word, costs, maxLen)
+  }
+
+  /** Whole-row batch encode: resolves the vocab map ONCE for every
+    * word of the row. Inside a `transform`/`aggregate` lambda the
+    * vocab arrives as a fresh ArrayData view per WORD, so the cache's
+    * equality probe is a full-vocab byte-compare per word — for the
+    * corpus-derived pinned char+bigram vocab (thousands of pieces,
+    * vs the trained 96) that compare dominates the Viterbi itself
+    * (the r13 pinned-variant constant factor). */
+  def encodeAll(words: ArrayData, vocab: ArrayData): ArrayData = {
+    val (costs, maxLen) = vocabMap(vocab)
+    val nw = words.numElements()
+    val out = new Array[AnyRef](nw)
+    var i = 0
+    while (i < nw) {
+      out(i) =
+        if (words.isNullAt(i)) null
+        else encodeWith(words.getUTF8String(i), costs, maxLen)
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  private def encodeWith(word: UTF8String,
+                         costs: java.util.HashMap[String, java.lang.Long],
+                         maxLen: Int): ArrayData = {
     val w = word.toString
     val n = w.length
     if (n == 0) return ArrayData.toArrayData(Array.empty[AnyRef])
-    val (costs, maxLen) = vocabMap(vocab)
     val best = new Array[Long](n + 1)
     val back = new Array[Int](n + 1)
     java.util.Arrays.fill(best, Long.MaxValue)
@@ -145,4 +172,20 @@ case class UnigramEncode(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): UnigramEncode =
     copy(left = l, right = r)
   override def prettyName: String = "unigram_encode"
+}
+
+/** `unigram_encode_all(words, vocab) -> array<array<string>>` — every
+  * word of the row in one call, resolving the vocab map once per ROW
+  * instead of once per word (see [[UnigramImpl.encodeAll]]). */
+case class UnigramEncodeAll(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType), UnigramVocabType.tpe)
+  override def dataType: DataType = ArrayType(ArrayType(StringType, containsNull = false))
+  override def nullSafeEval(a: Any, b: Any): Any =
+    UnigramImpl.encodeAll(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (ws, v) => s"graft.functions.UnigramImpl.encodeAll($ws, $v)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): UnigramEncodeAll =
+    copy(left = l, right = r)
+  override def prettyName: String = "unigram_encode_all"
 }

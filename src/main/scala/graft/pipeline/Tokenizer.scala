@@ -68,7 +68,7 @@ object Tokenizer {
     docs.select(col("doc_id"), words(col("text")).as("ws"))
       .crossJoin(broadcast(mrow))
       .select(col("doc_id"), col("ws"),
-        expr("transform(ws, w -> bpe_encode(w, merges))").as("toks"))
+        expr("bpe_encode_all(ws, merges)").as("toks"))
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_words"),
         expr("CAST(aggregate(toks, 0, (acc, t) -> acc + size(t)) AS BIGINT)").as("n_bpe"),
@@ -107,7 +107,7 @@ object Tokenizer {
     docs.select(col("doc_id"), words(col("text")).as("ws"))
       .crossJoin(broadcast(vrow))
       .select(col("doc_id"), col("ws"),
-        expr("transform(ws, w -> unigram_encode(w, vocab))").as("toks"))
+        expr("unigram_encode_all(ws, vocab)").as("toks"))
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_words"),
         expr("CAST(aggregate(toks, 0, (acc, t) -> acc + size(t)) AS BIGINT)").as("n_pieces"),
@@ -140,7 +140,7 @@ object Tokenizer {
     docs.select(col("doc_id"), words(col("text")).as("ws"))
       .crossJoin(broadcast(mrow))
       .select(col("doc_id"), col("ws"),
-        expr("transform(ws, w -> bpe_encode(w, merges))").as("toks"))
+        expr("bpe_encode_all(ws, merges)").as("toks"))
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_words"),
         expr("CAST(aggregate(toks, 0, (acc, t) -> acc + size(t)) AS BIGINT)").as("n_bpe"),
@@ -192,17 +192,27 @@ object Tokenizer {
     * every corpus bigram at 450 — two bounded distinct-aggregates,
     * broadcast as one row. */
   private def pinnedCharBigramVocab(docs: DataFrame): DataFrame = {
-    val ws = docs.select(explode(words(col("text"))).as("w"))
+    // Distinct the WORDS first (Heaps law: far fewer types than
+    // tokens), then explode chars+bigrams of the distinct words only —
+    // identical vocab (a piece exists iff some word contains it), but
+    // the piece explode runs over ~1% of the rows. Construction over
+    // the full corpus — not the encode — was the r13 pinned-vs-trained
+    // constant factor (the trained twin trains on a 256-doc sample):
+    // per-token piece explode measured 0.6–0.7 s at sf0.1, this form
+    // 0.2–0.3 s. Both distincts map-side combine, so the shuffles stay
+    // at vocabulary scale at any corpus size.
+    // sequence(1, len-1) DESCENDS for len=1 (round-9 trap) → CASE len>=2
+    docs.select(explode(words(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
-    val chars = ws.select(explode(split(col("w"), "")).as("piece"))
-      .filter(length(col("piece")) > 0)
-      .distinct().withColumn("cost", lit(300L))
-    // sequence(1, len-1) DESCENDS for len=1 (round-9 trap) → guard len>=2
-    val bigrams = ws.filter(length(col("w")) >= 2)
+      .distinct()
       .select(explode(expr(
-        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("piece"))
-      .distinct().withColumn("cost", lit(450L))
-    chars.unionByName(bigrams)
+        "concat(split(w, ''), CASE WHEN length(w) >= 2 THEN " +
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2)) " +
+          "ELSE CAST(array() AS array<string>) END)")).as("piece"))
+      .filter(length(col("piece")) > 0)
+      .distinct()
+      .select(col("piece"),
+        when(length(col("piece")) === 1, lit(300L)).otherwise(lit(450L)).as("cost"))
       .agg(array_sort(collect_list(struct(col("piece"), col("cost")))).as("vocab"))
   }
 
@@ -225,7 +235,7 @@ object Tokenizer {
     docs.select(col("doc_id"), words(col("text")).as("ws"))
       .crossJoin(broadcast(pinnedCharBigramVocab(docs)))
       .select(col("doc_id"), col("ws"),
-        expr("transform(ws, w -> unigram_encode(w, vocab))").as("toks"))
+        expr("unigram_encode_all(ws, vocab)").as("toks"))
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_words"),
         expr("CAST(aggregate(toks, 0, (acc, t) -> acc + size(t)) AS BIGINT)").as("n_pieces"),
@@ -236,12 +246,17 @@ object Tokenizer {
     docs.select(col("lang"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 1)
       .crossJoin(broadcast(vrow))
+      // ONE vocab resolve per row (unigram_encode_all), not one per
+      // word inside each aggregate lambda — the per-word cache probe
+      // is a full-vocab byte-compare (r13 pinned constant factor)
+      .select(col("lang"), col("ws"),
+        expr("unigram_encode_all(ws, vocab)").as("toks"))
       .select(col("lang"),
         size(col("ws")).cast("long").as("n_words"),
         expr("CAST(aggregate(ws, 0, (acc, w) -> acc + length(w)) AS BIGINT)").as("n_chars"),
-        expr("CAST(aggregate(ws, 0, (acc, w) -> acc + size(unigram_encode(w, vocab))) AS BIGINT)")
+        expr("CAST(aggregate(toks, 0, (acc, t) -> acc + size(t)) AS BIGINT)")
           .as("n_pieces"),
-        expr("CAST(aggregate(ws, 0, (acc, w) -> acc + IF(size(unigram_encode(w, vocab)) > 1, 1, 0)) AS BIGINT)")
+        expr("CAST(aggregate(toks, 0, (acc, t) -> acc + IF(size(t) > 1, 1, 0)) AS BIGINT)")
           .as("n_split"))
       .groupBy("lang")
       .agg(sum(col("n_words")).as("n_words"), sum(col("n_chars")).as("n_chars"),

@@ -120,6 +120,10 @@ object GraftFunctions {
       arity("bpe_encode", 2)(es => BpeEncode(es(0), es(1)))),
     ("unigram_encode", info("unigram_encode", "unigram_encode(word, vocab) - Viterbi min-cost pieces under a scored unigram vocab"),
       arity("unigram_encode", 2)(es => UnigramEncode(es(0), es(1)))),
+    ("bpe_encode_all", info("bpe_encode_all", "bpe_encode_all(words, merges) - BPE tokens for every word, one merge-table resolve per row"),
+      arity("bpe_encode_all", 2)(es => BpeEncodeAll(es(0), es(1)))),
+    ("unigram_encode_all", info("unigram_encode_all", "unigram_encode_all(words, vocab) - Viterbi pieces for every word, one vocab resolve per row"),
+      arity("unigram_encode_all", 2)(es => UnigramEncodeAll(es(0), es(1)))),
     ("intersect_count_sorted", info("intersect_count_sorted", "intersect_count_sorted(a, b) - |A∩B| of two sorted bigint arrays"),
       arity("intersect_count_sorted", 2)(es => IntersectCountSorted(es(0), es(1)))),
     ("pq_dtab", info("pq_dtab", "pq_dtab(vec, codebook, K) - per-query ADC distance table"),
