@@ -56,9 +56,35 @@ def run_bench(wt, only, sf, iters, cpus):
     with open(os.path.join(wt, "bench_full.json")) as f:
         return json.load(f)
 
+def movers_between(old_path, new_path, ratio, min_sec):
+    """Every query moving >= ratio AND >= min_sec between two bench
+    archives — the adjudication set, computed instead of hand-picked
+    (r13 verdict #6: a hand-picked set can let a mover escape)."""
+    def qmap(p):
+        d = json.load(open(p))
+        if not isinstance(d.get("queries"), dict):
+            raise SystemExit(f"{p}: no queries map")
+        return d["queries"]
+    a, b = qmap(old_path), qmap(new_path)
+    out = []
+    for q in sorted(set(a) & set(b)):
+        x, y = a[q], b[q]
+        if min(x, y) <= 0:
+            continue
+        if max(x, y) / min(x, y) >= ratio and abs(x - y) >= min_sec:
+            out.append(q)
+    return out
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--only", required=True)
+    ap.add_argument("--only",
+                    help="regex over query names (or use --movers)")
+    ap.add_argument("--movers", metavar="OLD.json,NEW.json",
+                    help="derive the query set automatically: every query "
+                         "moving >= --mover-ratio AND >= --mover-sec between "
+                         "two bench archives")
+    ap.add_argument("--mover-ratio", type=float, default=1.25)
+    ap.add_argument("--mover-sec", type=float, default=0.3)
     ap.add_argument("--binaries", default="HEAD",
                     help="comma list; HEAD = current tree, else commit-ish")
     ap.add_argument("--rounds", type=int, default=3)
@@ -68,6 +94,27 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--note", default="")
     args = ap.parse_args()
+
+    mover_list = None
+    if args.movers:
+        old_p, new_p = args.movers.split(",")
+        mover_list = movers_between(old_p, new_p, args.mover_ratio,
+                                    args.mover_sec)
+        if not mover_list:
+            out = {"what": (f"mover-derived A/B control: NO movers >= "
+                            f"{args.mover_ratio}x and >= {args.mover_sec}s "
+                            f"between {old_p} and {new_p} — nothing to "
+                            "adjudicate"),
+                   "movers": [], "binaries": args.binaries.split(","),
+                   "note": args.note}
+            with open(os.path.join(REPO, args.out), "w") as f:
+                json.dump(out, f, indent=1)
+            print(f"no movers; wrote {args.out}")
+            return
+        args.only = "^(" + "|".join(mover_list) + ")$"
+        print(f"movers ({len(mover_list)}): {mover_list}", flush=True)
+    if not args.only:
+        raise SystemExit("need --only or --movers")
 
     bins = args.binaries.split(",")
     trees = {}
@@ -117,6 +164,7 @@ def main():
                  "1 untimed warm-up)"),
         "sf": args.sf, "cpus": args.cpus, "rounds": args.rounds,
         "iters": args.iters, "binaries": bins,
+        "movers": mover_list,
         "queries": summary, "loads": loads, "note": args.note,
     }
     with open(os.path.join(REPO, args.out), "w") as f:

@@ -27,37 +27,48 @@ Reason categories:
 import sys, os, glob, json
 
 # name -> (category, why no oracle; what checks it instead)
+#
+# TWIN-OR-IMPOSSIBILITY closure (r13 verdict #7): every declaration
+# below either NAMES the oracle-exact twin that certifies the same
+# machinery over a replayable regime (pinned analytic tables — P38b/
+# P50b/P63b/P8c/P33c/P37b; exact regimes — theta<=k, KLL<=k), or
+# records WHY no replay exists at all. The remaining truly-unreplayable
+# cores are: randomized sketch compaction/register state beyond the
+# exact regime, engine-local seeded RNG draws, IEEE float k-means/EM
+# TRAINING reduction order, inherently sequential greedy loops, binary
+# codecs, engine identity, and fake-codec multimodal decodes (no
+# DuckDB-side codec of any kind, real or fake).
 DECLARED = {
-    "agg_approx_ndv":       ("approx-estimator", "HLL ndv() estimate; error-bound property spec (SketchSpec)"),
-    "agg_cpc_ndv":          ("approx-estimator", "CPC sketch estimate; error-bound property spec"),
-    "agg_histogram":        ("approx-estimator", "equi-depth histogram bounds depend on sample/merge order; invariants spec'd"),
-    "agg_hll_sketch":       ("codec",            "HLL register-state string; round-trip + merge specs"),
-    "agg_kll_quantile":     ("approx-estimator", "KLL quantile estimate; rank-error property spec"),
-    "agg_kll_rank":         ("approx-estimator", "KLL rank estimate; rank-error property spec"),
-    "agg_sample":           ("seeded-rng",       "reservoir sample; membership+size property spec"),
-    "agg_sampled_ndv":      ("approx-estimator", "estimator over a seeded row sample"),
-    "agg_sketch_str":       ("codec",            "sketch serialized form is engine-local; round-trip spec"),
-    "dedup_semantic":       ("float-centroid",   "SemDeDup k-means cells (IEEE reduction order); planted-collapse spec"),
-    "fn_env":               ("env",              "version()/current_database() are engine identity by definition"),
-    "mm_audio_decode":      ("fake-codec",       "deterministic fake PCM decode; pinned-value spec (PipelineSpec)"),
-    "mm_audio_frames":      ("fake-codec",       "frame windows over fake PCM; pinned-value spec"),
-    "mm_image_decode":      ("fake-codec",       "deterministic fake image decode; pinned-value spec"),
-    "mm_image_phash":       ("fake-codec",       "perceptual hash over fake decode; pinned-value spec"),
-    "mm_image_resize":      ("fake-codec",       "resize over fake decode; pinned-value spec"),
-    "mm_video_decode":      ("fake-codec",       "frame-sample over fake video; pinned-value spec"),
-    "pipe_bpe_merges":      ("sequential-argmin","BPE training = sequential argmax merge loop; pinned-merges spec"),
-    "pipe_bpe_tokenize":    ("sequential-argmin","tokenization under the trained (non-SQL) merge list; pinned spec"),
-    "pipe_pack_bfd":        ("sequential-argmin","best-fit-decreasing packing is order-dependent; capacity/coverage spec"),
-    "pipe_token_fertility": ("float-centroid",   "fertility under the TRAINED unigram vocab; P63b pins an analytic vocab and IS oracle-checked"),
-    "pipe_unigram_tokenize":("float-centroid",   "unigram EM training (float likelihood loop); pinned-vocab spec"),
-    "rel_tablesample":      ("seeded-rng",       "TABLESAMPLE draws from the engine's seeded RNG; bounds spec"),
-    "sample_weighted":      ("seeded-rng",       "A-ES weighted reservoir keys are engine-local; distribution spec"),
-    "sim_ivf_persisted":    ("float-centroid",   "IVF centroids are float k-means output; recall property spec"),
-    "sim_ivf_topk":         ("float-centroid",   "IVF probe against float centroids; recall vs brute-force spec"),
-    "sim_pq_persisted":     ("float-centroid",   "PQ codebooks are float k-means output; recall property spec"),
-    "sim_pq_topk":          ("float-centroid",   "PQ ADC scan recall vs brute force; property spec"),
-    "stats_table_incremental": ("approx-estimator", "incremental HLL-NDV merge; exact twin stats_table IS oracle-checked"),
-    "stats_table_ndv":      ("approx-estimator", "HLL column NDV; exact twin stats_table IS oracle-checked"),
+    "agg_approx_ndv":       ("approx-estimator", "HLL ndv() register estimate beyond exact mode — no replay exists; error-bound property spec (SketchSpec); exact-count twins agg_condcount/stats_table ARE oracle-checked"),
+    "agg_cpc_ndv":          ("approx-estimator", "CPC coupon/window estimate — no replay exists; error-bound property spec; theta twin agg_theta_overlap IS oracle-exact in its <=k exact mode"),
+    "agg_histogram":        ("approx-estimator", "sketch histogram bounds depend on randomized compaction — no replay exists; invariants spec'd; the non-sketch twin agg_equidepth_hist IS oracle-checked"),
+    "agg_hll_sketch":       ("codec",            "HLL register-state binary is engine-local — no replay exists; round-trip + merge specs"),
+    "agg_kll_quantile":     ("approx-estimator", "KLL estimate beyond k=200 retention (randomized compaction) — no replay exists there; rank-error property spec; exact-regime twin agg_kll_exact_regime IS oracle-exact (r14)"),
+    "agg_kll_rank":         ("approx-estimator", "KLL rank estimate beyond the exact regime — no replay exists there; property spec; exact-regime twin agg_kll_exact_regime IS oracle-exact (r14)"),
+    "agg_sample":           ("seeded-rng",       "reservoir sample from an engine-local seeded RNG — no replay exists; membership+size property spec"),
+    "agg_sampled_ndv":      ("approx-estimator", "estimator over a seeded row sample — no replay exists (RNG + estimator state)"),
+    "agg_sketch_str":       ("codec",            "sketch summary strings are library-layout-specific — no replay exists; parse/ordering spec"),
+    "dedup_semantic":       ("float-centroid",   "k-means TRAINING (IEEE reduction order) — no replay of training exists; planted-collapse spec; pinned-cell twin dedup_semantic_pinned IS oracle-exact + g10-certified"),
+    "fn_env":               ("env",              "version()/current_database() are engine identity by definition — no replay exists"),
+    "mm_audio_decode":      ("fake-codec",       "no DuckDB-side codec (real or fake) — no replay exists; pinned-value spec (PipelineSpec)"),
+    "mm_audio_frames":      ("fake-codec",       "frame windows over fake PCM — no replay exists; pinned-value spec"),
+    "mm_image_decode":      ("fake-codec",       "deterministic fake image decode — no replay exists; pinned-value spec"),
+    "mm_image_phash":       ("fake-codec",       "perceptual hash over fake decode — no replay exists; pinned-value spec"),
+    "mm_image_resize":      ("fake-codec",       "resize over fake decode — no replay exists; pinned-value spec"),
+    "mm_video_decode":      ("fake-codec",       "frame-sample over fake video — no replay exists; pinned-value spec"),
+    "pipe_bpe_merges":      ("sequential-argmin","BPE TRAINING = sequential argmax merge loop — no single-SQL replay exists; pinned-merges spec"),
+    "pipe_bpe_tokenize":    ("sequential-argmin","tokenization under the TRAINED merge list — training unreplayable; pinned-table twin pipe_bpe_tokenize_pinned IS oracle-exact"),
+    "pipe_pack_bfd":        ("sequential-argmin","best-fit-decreasing packing is order-dependent — no replay exists; capacity/coverage spec"),
+    "pipe_token_fertility": ("float-centroid",   "fertility under the TRAINED unigram vocab — training unreplayable; pinned-vocab twin pipe_token_fertility_pinned IS oracle-exact"),
+    "pipe_unigram_tokenize":("float-centroid",   "unigram EM training (float likelihood loop) — training unreplayable; pinned-vocab twin pipe_unigram_tokenize_pinned IS oracle-exact (piece-for-piece, P50b)"),
+    "rel_tablesample":      ("seeded-rng",       "TABLESAMPLE draws from the engine's seeded RNG — no replay exists; bounds spec"),
+    "sample_weighted":      ("seeded-rng",       "A-ES weighted reservoir keys are engine-local — no replay exists; distribution spec"),
+    "sim_ivf_persisted":    ("float-centroid",   "IVF centroids are float k-means TRAINING output — training unreplayable; recall spec; pinned-quantizer twin sim_ivf_topk_pinned IS oracle-exact + spec-pinned equal to this serve path over the frozen tables"),
+    "sim_ivf_topk":         ("float-centroid",   "IVF probe against trained float centroids — training unreplayable; pinned-quantizer twin sim_ivf_topk_pinned IS oracle-exact (P8c)"),
+    "sim_pq_persisted":     ("float-centroid",   "PQ codebooks are float k-means TRAINING output — training unreplayable; recall spec; pinned-codebook twin sim_pq_topk_pinned IS oracle-exact + spec-pinned equal to this serve path"),
+    "sim_pq_topk":          ("float-centroid",   "PQ ADC scan under trained codebooks — training unreplayable; pinned-codebook twin sim_pq_topk_pinned IS oracle-exact (P33c)"),
+    "stats_table_incremental": ("approx-estimator", "incremental HLL-NDV merge — register state unreplayable; exact twin stats_table IS oracle-checked"),
+    "stats_table_ndv":      ("approx-estimator", "HLL column NDV — register state unreplayable; exact twin stats_table IS oracle-checked"),
 }
 
 

@@ -7,7 +7,7 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -16,8 +16,31 @@ object Verify {
       // and shuffle state across ~200 queries (default 30 min never fires)
       .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.ui.enabled", "false")
+    // Spill certification knob (r13 verdict #3, the Impala
+    // spilling-operator parity story): a deliberately small unified
+    // memory pool (with SPARK_DRIVER_MEM bounding the local-mode heap)
+    // forces the heavy tail's hash aggregates / sorts / joins through
+    // their spill paths; correctness must be IDENTICAL.
+    val spark = sys.env.get("SPARK_GRAFT_MEMORY_FRACTION")
+      .fold(builder)(f => builder.config("spark.memory.fraction", f))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-query spill evidence for the certification artifact: task
+    // metrics summed across the query's jobs — a cert run where
+    // nothing spilled would not be exercising the spill paths.
+    val memSpilled = new java.util.concurrent.atomic.AtomicLong
+    val diskSpilled = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            memSpilled.addAndGet(m.memoryBytesSpilled)
+            diskSpilled.addAndGet(m.diskBytesSpilled)
+          }
+        }
+      })
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY: regex filter for local iteration (same knob as
     // Bench); the driver runs unfiltered.
@@ -25,11 +48,15 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
       .foreach { case (name, fn) =>
+      val (m0, d0) = (memSpilled.get(), diskSpilled.get())
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      val (dm, dd) = (memSpilled.get() - m0, diskSpilled.get() - d0)
+      if (dm > 0 || dd > 0)
+        System.err.println(s"[verify] spill $name mem=$dm disk=$dd")
       // same cache hygiene as Bench: drop each query's persisted
       // subtrees/RDDs so ~200 queries don't accumulate storage blocks
       // (blocking, so reclaim can't overlap the next query — same

@@ -247,6 +247,34 @@ object AggQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // KLL EXACT-REGIME oracle twin (r13 verdict #7, the theta-<=k
+    // device extended to quantiles): while a group's item count stays
+    // under the sketch's k=200 level-0 retention, KLL never compacts —
+    // every item is retained, so getQuantile(r) under the INCLUSIVE
+    // criterion is EXACTLY the order statistic at ceil(r*n) and
+    // getRank(v) is exactly (#items<=v)/n. The absolute s_suppkey
+    // bound (not an SF-relative filter) caps every group below 200 at
+    // ANY scale, so the exactness is by construction, not by luck.
+    // Randomized compaction beyond k remains the reason the trained
+    // agg_kll_quantile/agg_kll_rank twins stay rows-only.
+    "agg_kll_exact_regime" -> ((spark, dir) => {
+      GraftFunctions.register(spark)
+      val t = Tables(spark, dir)
+      t.supplier.filter(col("s_suppkey") <= 150)
+        .withColumn("g", pmod(col("s_nationkey"), lit(5)).cast("long"))
+        .groupBy("g")
+        .agg(KllQuantile.sketch(col("s_acctbal")).as("sk"),
+          count(lit(1)).as("n"))
+        .select(col("g"),
+          call_function("kll_quantile", col("sk"), lit(0.25)).as("p25"),
+          call_function("kll_quantile", col("sk"), lit(0.5)).as("p50"),
+          call_function("kll_quantile", col("sk"), lit(0.75)).as("p75"),
+          call_function("kll_rank", col("sk"), lit(0.0)).as("rank_zero"),
+          call_function("kll_n", col("sk")).as("n_sketch"),
+          col("n"))
+        .orderBy("g")
+    }),
+
     // Sketch string renderers (impala_functions.py ds_hll_estimate_
     // bounds_as_string + ds_hll/cpc/theta/kll_stringify — be/src/exprs/
     // datasketches-functions-ir.cc:49,102,131,337). Summary layout is
@@ -431,6 +459,26 @@ object AggQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact-regime KLL (every group <= 150 items < k=200 retention →
+    // no compaction): INCLUSIVE quantile = order statistic at
+    // ceil(r*n), INCLUSIVE rank = (#items<=v)/n — both replayable
+    "agg_kll_exact_regime" ->
+      """WITH s AS (
+        |  SELECT CAST(s_nationkey % 5 AS BIGINT) AS g, s_acctbal
+        |  FROM supplier WHERE s_suppkey <= 150),
+        |r AS (
+        |  SELECT g, s_acctbal,
+        |    row_number() OVER (PARTITION BY g ORDER BY s_acctbal) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM s)
+        |SELECT g,
+        |  max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN s_acctbal END) AS p25,
+        |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN s_acctbal END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN s_acctbal END) AS p75,
+        |  count(*) FILTER (s_acctbal <= 0.0) * 1.0 / max(n) AS rank_zero,
+        |  CAST(max(n) AS BIGINT) AS n_sketch,
+        |  count(*) AS n
+        |FROM r GROUP BY g ORDER BY g""".stripMargin,
     "agg_minmax_by" ->
       """SELECT o_orderstatus,
         |  max_by(o_orderkey, CAST(round(o_totalprice * 100) AS HUGEINT) * 10000000000000 + o_orderkey) AS priciest_key,

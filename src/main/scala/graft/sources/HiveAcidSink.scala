@@ -57,12 +57,60 @@ object HiveAcidSink {
     maxId.maxOption.getOrElse(0L) + 1L
   }
 
+  /** The full-ACID write DESCOPE, pinned the X14 way (r13 verdict #5):
+    * this sink writes ONLY insert-only (MM) tables — producing
+    * full-ACID event files without a metastore txn manager would
+    * invent semantics the public layout leaves to HMS (see object
+    * scaladoc; full-ACID READS stay supported via HiveAcidSource, the
+    * reference's own scope: Impala writes only insert-only ACID,
+    * hdfs-table-sink.cc has no event-writer path). The boundary is
+    * BEHAVIORAL, not just documented: an insertOnly into a table
+    * showing either full-ACID signature — a `delete_delta_*` dir, or
+    * event-wrapped files in an existing base/delta — refuses loudly
+    * (a plain-file delta mixed into an event-wrapped table would read
+    * back as corrupt). */
+  private[graft] def requireInsertOnlyShape(spark: SparkSession,
+                                            tableDir: String): Unit = {
+    val fs = hfs(spark, tableDir)
+    val p = new Path(tableDir)
+    if (!fs.exists(p)) return
+    val dirs = fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+    require(!dirs.exists(_.startsWith("delete_delta_")),
+      s"$tableDir is a FULL-ACID table (delete_delta present) — " +
+        "HiveAcidSink writes only insert-only (MM) tables; full-ACID " +
+        "stays read-only (descope: no metastore txn manager here)")
+    // probe ONE data file of one existing base/delta for the acid
+    // event wrapper (bounded footer read, the reader's own detector)
+    val firstData = dirs
+      .filter(d => HiveAcid.parseDelta(d).isDefined || HiveAcid.parseBase(d).isDefined)
+      .sorted.iterator
+      .flatMap { d =>
+        fs.listStatus(new Path(s"$tableDir/$d")).toSeq
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          .map(_.getPath.toString)
+      }
+      .nextOption()
+    firstData.foreach { f =>
+      val eventShaped =
+        scala.util.Try(AcidOrc.isEventFile(spark, f)).getOrElse(false) ||
+          scala.util.Try(spark.read.parquet(f).schema.fieldNames.take(2).toSeq ==
+            Seq("operation", "originalTransaction")).getOrElse(false)
+      require(!eventShaped,
+        s"$tableDir carries acid EVENT-wrapped files ($f) — a full-ACID " +
+          "table; HiveAcidSink writes only insert-only (MM) tables " +
+          "(descope: no metastore txn manager here)")
+    }
+  }
+
   /** One committed insert-only write: `delta_{w}_{w}[_stmt]` with plain
     * parquet files, atomically dir-renamed into place. */
   def insertOnly(batch: DataFrame, tableDir: String, writeId: Long,
                  stmtId: Option[Int] = None,
                  sidecar: Map[String, String] = Map.empty): Unit = {
     val spark = batch.sparkSession
+    requireInsertOnlyShape(spark, tableDir)
     val fs = hfs(spark, tableDir)
     fs.mkdirs(new Path(tableDir))
     val name = f"delta_$writeId%07d_$writeId%07d" +

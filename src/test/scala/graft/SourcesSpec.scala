@@ -1901,6 +1901,47 @@ class SourcesSpec extends SparkSpec {
     assert(HudiSink.nextInstant(spark, dir) > C(8))
   }
 
+  test("S18f: the full-ACID write descope is BEHAVIORAL — insertOnly refuses full-ACID tables loudly") {
+    import graft.sources.HiveAcidSink
+    import spark.implicits._
+    val batch = Seq((1L, "x")).toDF("k", "v")
+    // signature 1: a delete_delta dir marks a full-ACID table
+    val t1 = tmp() + "/acid_full_dd"
+    val fs = new org.apache.hadoop.fs.Path(t1)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    batch.write.parquet(s"$t1/delta_0000001_0000001")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$t1/delete_delta_0000002_0000002"))
+    intercept[IllegalArgumentException] {
+      HiveAcidSink.insertOnly(batch, t1, 3L)
+    }
+    // signature 2: acid EVENT-wrapped files in an existing delta
+    // (the real Hive 3 full-ACID ORC shape, the S18d fixture device)
+    val t2 = tmp() + "/acid_full_ev"
+    batch.select(lit(0).as("operation"), lit(1L).as("originalTransaction"),
+      lit(0).as("bucket"), col("k").as("rowId"),
+      lit(1L).as("currentTransaction"),
+      struct(col("k"), col("v")).as("row"))
+      .coalesce(1).write.orc(s"$t2/delta_0000001_0000001")
+    intercept[IllegalArgumentException] {
+      HiveAcidSink.insertOnly(batch, t2, 2L)
+    }
+    // and the parquet-flavored event shape (fixture-shaped full ACID)
+    val t3 = tmp() + "/acid_full_evpq"
+    batch.select(lit(0).as("operation"), lit(1L).as("originalTransaction"),
+      lit(0).as("bucket"), col("k").as("rowId"),
+      lit(1L).as("currentTransaction"), col("k"), col("v"))
+      .coalesce(1).write.parquet(s"$t3/delta_0000001_0000001")
+    intercept[IllegalArgumentException] {
+      HiveAcidSink.insertOnly(batch, t3, 2L)
+    }
+    // a genuine insert-only table keeps accepting writes
+    val t4 = tmp() + "/acid_mm_ok"
+    HiveAcidSink.insertOnly(batch, t4, 1L)
+    HiveAcidSink.insertOnly(Seq((2L, "y")).toDF("k", "v"), t4, 2L)
+    assert(spark.read.parquet(s"$t4/delta_0000001_0000001",
+      s"$t4/delta_0000002_0000002").count() == 2)
+  }
+
   test("S18d: ORC DATE columns decode to the external java.sql.Date on the batch path") {
     import graft.sources.AcidOrc
     // ADVICE r12: the batch (Row-encoder) path previously surfaced the
