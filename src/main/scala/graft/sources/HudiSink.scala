@@ -290,19 +290,24 @@ object HudiSink {
   /** The base files whose footer key range intersects `[bmin, bmax]`
     * (both UTF-8 string bounds from the batch) — the upsert/delete
     * locator's scan set. Footer reads are driver-side metadata work,
-    * the same O(file-count) class as the snapshot listing itself. */
+    * the same O(file-count) class as the snapshot listing itself, but
+    * each open is a round trip — so they run on a parallel stream
+    * (the footer path touches no shared state; ParquetFileReader is
+    * one instance per file), keeping a large table's probe latency at
+    * files/parallelism, not files. */
   private[graft] def pruneByKeyRange(spark: SparkSession, files: Seq[String],
                                      bmin: String, bmax: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
     val lo = bmin.getBytes("UTF-8")
     val hi = bmax.getBytes("UTF-8")
-    files.filter { f =>
+    files.asJava.parallelStream().filter { f =>
       keyRangeOf(conf, f) match {
         case FileEmpty      => false
         case RangeUnknown   => true
         case Range(mn, mx)  => cmpU(mx, lo) >= 0 && cmpU(mn, hi) <= 0
       }
-    }
+    }.collect(java.util.stream.Collectors.toList[String]).asScala.toSeq
   }
 
   /** Test seam: (locator candidate files, total snapshot files) of the
