@@ -121,7 +121,7 @@ class FunctionsSpec extends SparkSpec {
   test("GraftExtensions registers all functions via injection points") {
     // unit-level: the extension applies builders without touching a live session
     val names = GraftFunctions.all.map(_._1).toSet
-    assert(names == Set("fnv_hash", "murmur_hash", "simhash64", "fingerprint64", "minhash_sig", "hashed_shingles", "jaccard_sorted", "cosine_sim", "rhp_bucket", "kll_quantile", "kll_rank", "kll_n", "kll_cdf", "kll_pmf", "kll_quantiles", "theta_estimate", "theta_union_est", "theta_intersect_est", "theta_anotb_est", "theta_union_f", "theta_intersect_f", "theta_exclude_f", "sniff_format", "byte_entropy", "byte_histogram16", "jaro_sim", "jaro_winkler_sim", "damerau_levenshtein", "damerau_levenshtein_full", "cpc_estimate", "cpc_union_est", "iceberg_bucket", "iceberg_truncate", "zorder64", "hll_bounds", "hll_stringify", "cpc_stringify", "theta_stringify", "kll_stringify", "l2_normalize", "pq_encode", "pq_dtab", "pq_adc_score", "bpe_encode", "unigram_encode", "intersect_count_sorted", "gopher_rep_stats", "dup_stats", "reflow_paragraphs", "pair_expand"))
+    assert(names == Set("fnv_hash", "murmur_hash", "simhash64", "fingerprint64", "minhash_sig", "hashed_shingles", "jaccard_sorted", "cosine_sim", "rhp_bucket", "kll_quantile", "kll_rank", "kll_n", "kll_cdf", "kll_pmf", "kll_quantiles", "theta_estimate", "theta_union_est", "theta_intersect_est", "theta_anotb_est", "theta_union_f", "theta_intersect_f", "theta_exclude_f", "sniff_format", "byte_entropy", "byte_histogram16", "jaro_sim", "jaro_winkler_sim", "damerau_levenshtein", "damerau_levenshtein_full", "cpc_estimate", "cpc_union_est", "iceberg_bucket", "iceberg_truncate", "zorder64", "hll_bounds", "hll_stringify", "cpc_stringify", "theta_stringify", "kll_stringify", "l2_normalize", "pq_encode", "pq_dtab", "pq_adc_score", "bpe_encode", "unigram_encode", "bpe_encode_all", "unigram_encode_all", "intersect_count_sorted", "gopher_rep_stats", "dup_stats", "reflow_paragraphs", "pair_expand"))
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
