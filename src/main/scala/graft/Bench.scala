@@ -257,28 +257,23 @@ object Bench {
         }
         s"r${if (prev.isEmpty) 0 else prev.max + 1}"
       }
-    val archive = s"bench_full_$roundTag.json"
-    val archivePath = java.nio.file.Paths.get(archive)
-    val priorCount: Int =
-      if (!java.nio.file.Files.exists(archivePath)) -1
-      else {
-        // Count of `queries` keys in the existing archive, without a
-        // JSON library: keys are flat "name":N pairs inside the first
-        // {"..."} object after "queries":.
-        val txt = new String(java.nio.file.Files.readAllBytes(archivePath), "UTF-8")
-        val i = txt.indexOf("\"queries\":{")
-        if (i < 0) 0
-        else {
-          val body = txt.substring(i + 11, txt.indexOf('}', i))
-          if (body.trim.isEmpty) 0 else body.count(_ == ':')
-        }
-      }
+    // APPEND-ONLY: an existing archive is NEVER overwritten (the r12
+    // archive died to a tag collision — r13's close and r14's runs
+    // both compute "r14"); later full runs of the same tag get lettered
+    // suffixes (r14b, r14c, …). The highest-lettered file is the
+    // round's final record.
+    val archive0 = s"bench_full_$roundTag.json"
+    val archive =
+      if (only.nonEmpty) archive0
+      else (Iterator(archive0) ++ ('b' to 'z').iterator.map(c =>
+        s"bench_full_$roundTag$c.json"))
+        .find(n => !java.nio.file.Files.exists(java.nio.file.Paths.get(n)))
+        .getOrElse(archive0)
     if (only.nonEmpty)
       System.err.println(s"[bench] filtered run (SPARK_GRAFT_ONLY set): NOT archiving to $archive")
-    else if (priorCount > ok.length)
-      System.err.println(s"[bench] $archive already holds $priorCount queries > this run's ${ok.length}: NOT overwriting")
     else
-      java.nio.file.Files.write(archivePath, full.getBytes("UTF-8"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(archive),
+        full.getBytes("UTF-8"))
     // Self-selecting headline set: static list UNION this run's top-10
     // by median, so no expensive query can go untracked again.
     val top10 = ok.sortBy(-_._2).take(10).map(_._1).toSet
