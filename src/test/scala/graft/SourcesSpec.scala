@@ -1901,6 +1901,63 @@ class SourcesSpec extends SparkSpec {
     assert(HudiSink.nextInstant(spark, dir) > C(8))
   }
 
+  test("S20f: key-range pruning orders by UTF-8 BYTES — keys where Java String order disagrees stay correct") {
+    import graft.sources.{HudiRO, HudiSink}
+    import spark.implicits._
+    // U+FF61 (EF BD A1) vs U+10000 (F0 90 80 80, a surrogate pair):
+    // Java compareTo puts "𐀀" BELOW "｡" (code-unit
+    // order), but UTF-8 bytes/parquet stats/Spark's UTF8String put it
+    // ABOVE. A prune comparing in String order would wrongly drop the
+    // supplementary-key file; cmpU compares bytes so it cannot.
+    val dir = tmp() + "/hudiprune_utf8"
+    val kSupp = "𐀀a" // U+10000 + 'a'
+    HudiSink.insert(Seq(("｡a", 1.0), ("｡b", 2.0)).toDF("k", "v"),
+      dir, "k", None, "20300401000000001")
+    HudiSink.insert(Seq((kSupp, 3.0)).toDF("k", "v"),
+      dir, "k", None, "20300401000000002")
+    HudiSink.upsert(Seq((kSupp, 33.0)).toDF("k", "v"),
+      dir, "k", None, "20300401000000003")
+    // only the supplementary-key file is a candidate (byte order puts
+    // the batch range above the FF61 file's max; String order would
+    // have inverted this)
+    assert(HudiSink.lastRewriteScan.contains((1, 2)),
+      s"expected 1-of-2 candidates, got ${HudiSink.lastRewriteScan}")
+    val got = HudiRO.read(spark, dir).select("k", "v")
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("｡a" -> 1.0, "｡b" -> 2.0, kSupp -> 33.0), got)
+    // unsigned-compare unit check: the byte order the prune uses
+    assert(HudiSink.cmpU(kSupp.getBytes("UTF-8"), "｡a".getBytes("UTF-8")) > 0)
+    assert(kSupp.compareTo("｡a") < 0) // the String order that would lie
+  }
+
+  test("T31/T33: lastCommittedBatchId returns the NEWEST batch per query id under interleaved writers") {
+    import graft.sources.{HudiSink, HiveAcidSink}
+    import spark.implicits._
+    val dir = tmp() + "/hudi_batchids"
+    val df = Seq((1L, 1.0)).toDF("k", "v")
+    // two query ids interleave commits; each must see only ITS newest
+    HudiSink.insert(df, dir, "k", None, "20300501000000001",
+      extraMetadata = Map("streaming-query-id" -> "qa", "streaming-batch-id" -> "0"))
+    HudiSink.insert(df, dir, "k", None, "20300501000000002",
+      extraMetadata = Map("streaming-query-id" -> "qb", "streaming-batch-id" -> "5"))
+    HudiSink.insert(df, dir, "k", None, "20300501000000003",
+      extraMetadata = Map("streaming-query-id" -> "qa", "streaming-batch-id" -> "2"))
+    assert(HudiSink.lastCommittedBatchId(spark, dir, "qa").contains(2L))
+    assert(HudiSink.lastCommittedBatchId(spark, dir, "qb").contains(5L))
+    assert(HudiSink.lastCommittedBatchId(spark, dir, "qc").isEmpty)
+    // ACID twin: newest delta (highest write id) wins per query id
+    val adir = tmp() + "/acid_batchids"
+    HiveAcidSink.insertOnly(df, adir, 1L,
+      sidecar = Map("streaming-query-id" -> "qa", "streaming-batch-id" -> "0"))
+    HiveAcidSink.insertOnly(df, adir, 2L,
+      sidecar = Map("streaming-query-id" -> "qb", "streaming-batch-id" -> "7"))
+    HiveAcidSink.insertOnly(df, adir, 3L,
+      sidecar = Map("streaming-query-id" -> "qa", "streaming-batch-id" -> "1"))
+    assert(HiveAcidSink.lastCommittedBatchId(spark, adir, "qa").contains(1L))
+    assert(HiveAcidSink.lastCommittedBatchId(spark, adir, "qb").contains(7L))
+    assert(HiveAcidSink.lastCommittedBatchId(spark, adir, "qc").isEmpty)
+  }
+
   test("S18f: the full-ACID write descope is BEHAVIORAL — insertOnly refuses full-ACID tables loudly") {
     import graft.sources.HiveAcidSink
     import spark.implicits._
