@@ -20,7 +20,7 @@ HEAD means the CURRENT working tree (not a commit); anything else is a
 commit-ish checked out into a scratch worktree under .ab/ (gitignored)
 and compiled there once. NOT part of the shipped library.
 """
-import argparse, json, os, statistics, subprocess, sys, time
+import argparse, json, os, re, statistics, subprocess, sys, time
 
 REPO = "/root/repo"
 
@@ -60,12 +60,22 @@ def movers_between(old_path, new_path, ratio, min_sec):
     """Every query moving >= ratio AND >= min_sec between two bench
     archives — the adjudication set, computed instead of hand-picked
     (r13 verdict #6: a hand-picked set can let a mover escape)."""
-    def qmap(p):
+    def qload(p):
         d = json.load(open(p))
         if not isinstance(d.get("queries"), dict):
             raise SystemExit(f"{p}: no queries map")
-        return d["queries"]
-    a, b = qmap(old_path), qmap(new_path)
+        return d
+    da, db = qload(old_path), qload(new_path)
+    # refuse cross-environment comparisons (r14 verdict: the r14b/c
+    # archives ran at 16 cpus vs the driver's 32 — raw per-query ratios
+    # between different core counts are apples-to-oranges)
+    ca, cb = str(da.get("cpus")), str(db.get("cpus"))
+    if ca != cb:
+        raise SystemExit(
+            f"REFUSED: {old_path} ran at cpus={ca} but {new_path} at "
+            f"cpus={cb} — mover ratios across core counts are not "
+            "comparable; re-run one side at the other's cpu count")
+    a, b = da["queries"], db["queries"]
     out = []
     for q in sorted(set(a) & set(b)):
         x, y = a[q], b[q]
@@ -111,7 +121,9 @@ def main():
                 json.dump(out, f, indent=1)
             print(f"no movers; wrote {args.out}")
             return
-        args.only = "^(" + "|".join(mover_list) + ")$"
+        # re.escape: a future query name carrying regex metacharacters
+        # must not silently select the wrong set (ADVICE r14)
+        args.only = "^(" + "|".join(re.escape(q) for q in mover_list) + ")$"
         print(f"movers ({len(mover_list)}): {mover_list}", flush=True)
     if not args.only:
         raise SystemExit("need --only or --movers")

@@ -34,7 +34,7 @@ if args.a is None or args.b is None:
 def load_queries(path):
     d = json.load(open(path))
     if "queries" in d and isinstance(d["queries"], dict):
-        return d["queries"], d.get("value")
+        return d["queries"], d.get("value"), d.get("cpus")
     p = d.get("parsed")
     if not p:
         # The driver's tail-capture can truncate the JSON line mid-map
@@ -64,12 +64,22 @@ def load_queries(path):
                     if isinstance(fbd.get("queries"), dict):
                         print(f"note: {path} has no parsable queries map; "
                               f"falling back to {fb}")
-                        return fbd["queries"], fbd.get("value")
+                        return fbd["queries"], fbd.get("value"), fbd.get("cpus")
             print(f"cannot find a queries map in {path}"); sys.exit(1)
-    return p.get("queries", {}), p.get("value")
+    return p.get("queries", {}), p.get("value"), p.get("cpus")
 
-aq, atot = load_queries(args.a)
-bq, btot = load_queries(args.b)
+aq, atot, acpus = load_queries(args.a)
+bq, btot, bcpus = load_queries(args.b)
+
+# Hard-fail on mismatched environments (r14 verdict: bench_full_r14b/c
+# ran at 16 cpus vs the driver's 32 — raw ratios across core counts are
+# apples-to-oranges). Driver BENCH_r*.json artifacts predating the cpus
+# field record None; only refuse when BOTH sides state a count.
+if acpus is not None and bcpus is not None and str(acpus) != str(bcpus):
+    print(f"REFUSED: {args.a} ran at cpus={acpus} but {args.b} at "
+          f"cpus={bcpus} — per-query ratios across core counts are not "
+          "comparable; re-run one side at the other's cpu count")
+    sys.exit(2)
 
 common = sorted(set(aq) & set(bq))
 flagged = []

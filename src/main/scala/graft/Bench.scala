@@ -268,7 +268,11 @@ object Bench {
       else (Iterator(archive0) ++ ('b' to 'z').iterator.map(c =>
         s"bench_full_$roundTag$c.json"))
         .find(n => !java.nio.file.Files.exists(java.nio.file.Paths.get(n)))
-        .getOrElse(archive0)
+        // never fall back to overwriting: exhausted suffixes (26 full
+        // runs under one tag) fail loudly — the guarantee is APPEND-ONLY
+        .getOrElse(sys.error(s"all archive slots bench_full_$roundTag" +
+          "[b-z].json exist — refusing to overwrite (append-only archives); " +
+          "set SPARK_GRAFT_ROUND to a fresh tag"))
     if (only.nonEmpty)
       System.err.println(s"[bench] filtered run (SPARK_GRAFT_ONLY set): NOT archiving to $archive")
     else

@@ -41,6 +41,18 @@ object Verify {
           }
         }
       })
+    // ADVICE r14: task-end events are delivered ASYNCHRONOUSLY on the
+    // listener bus, so spill deltas sampled right after a query's action
+    // could misattribute bytes to the next query. Drain the bus before
+    // each sample (listenerBus/waitUntilEmpty are private[spark] —
+    // public at the bytecode level, so reflection reaches them;
+    // best-effort: if the method moves, attribution degrades to the old
+    // approximate sampling rather than failing the run).
+    def drainListenerBus(): Unit = try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+    } catch { case _: Throwable => () }
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY: regex filter for local iteration (same knob as
     // Bench); the driver runs unfiltered.
@@ -48,12 +60,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
       .foreach { case (name, fn) =>
+      drainListenerBus() // flush the PREVIOUS query's stragglers first
       val (m0, d0) = (memSpilled.get(), diskSpilled.get())
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      drainListenerBus() // ...and THIS query's, before sampling
       val (dm, dd) = (memSpilled.get() - m0, diskSpilled.get() - d0)
       if (dm > 0 || dd > 0)
         System.err.println(s"[verify] spill $name mem=$dm disk=$dd")

@@ -80,28 +80,35 @@ object HiveAcidSink {
       s"$tableDir is a FULL-ACID table (delete_delta present) — " +
         "HiveAcidSink writes only insert-only (MM) tables; full-ACID " +
         "stays read-only (descope: no metastore txn manager here)")
-    // probe ONE data file of one existing base/delta for the acid
-    // event wrapper (bounded footer read, the reader's own detector)
-    val firstData = dirs
+    // probe one data file of the OLDEST and the NEWEST base/delta for
+    // the acid event wrapper (bounded footer reads, the reader's own
+    // detector — ADVICE r14: a table converted to full-ACID mid-life
+    // shows event files only in LATER deltas, so the oldest-only probe
+    // missed it); the parquet signature is the FULL five-column acid
+    // event prefix, not just the first two names — a user schema that
+    // happens to start (operation, originalTransaction) must not be
+    // falsely refused
+    val dataDirs = dirs
       .filter(d => HiveAcid.parseDelta(d).isDefined || HiveAcid.parseBase(d).isDefined)
-      .sorted.iterator
-      .flatMap { d =>
-        fs.listStatus(new Path(s"$tableDir/$d")).toSeq
-          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-            !s.getPath.getName.startsWith("."))
-          .map(_.getPath.toString)
+      .sorted
+    def firstFileIn(d: String): Option[String] =
+      fs.listStatus(new Path(s"$tableDir/$d")).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .map(_.getPath.toString).sorted.headOption
+    val acidPrefix = Seq("operation", "originalTransaction", "bucket",
+      "rowId", "currentTransaction")
+    (dataDirs.headOption.toSeq ++ dataDirs.lastOption.toSeq).distinct
+      .flatMap(firstFileIn).foreach { f =>
+        val eventShaped =
+          scala.util.Try(AcidOrc.isEventFile(spark, f)).getOrElse(false) ||
+            scala.util.Try(spark.read.parquet(f).schema.fieldNames.take(5).toSeq ==
+              acidPrefix).getOrElse(false)
+        require(!eventShaped,
+          s"$tableDir carries acid EVENT-wrapped files ($f) — a full-ACID " +
+            "table; HiveAcidSink writes only insert-only (MM) tables " +
+            "(descope: no metastore txn manager here)")
       }
-      .nextOption()
-    firstData.foreach { f =>
-      val eventShaped =
-        scala.util.Try(AcidOrc.isEventFile(spark, f)).getOrElse(false) ||
-          scala.util.Try(spark.read.parquet(f).schema.fieldNames.take(2).toSeq ==
-            Seq("operation", "originalTransaction")).getOrElse(false)
-      require(!eventShaped,
-        s"$tableDir carries acid EVENT-wrapped files ($f) — a full-ACID " +
-          "table; HiveAcidSink writes only insert-only (MM) tables " +
-          "(descope: no metastore txn manager here)")
-    }
   }
 
   /** One committed insert-only write: `delta_{w}_{w}[_stmt]` with plain

@@ -53,12 +53,18 @@ import org.apache.spark.sql.functions._
   * file group (repartition on the group key + partitionBy routing, so
   * each group lands as exactly one file); the upsert index probe is an
   * equi-join of the batch against the snapshot's key column (never a
-  * driver-side key set), PRUNED to the base files whose parquet-footer
+  * driver-side key set), PRUNED to the base files whose
   * `_hoodie_record_key` min/max intersects the batch's key range (the
-  * public Hudi bloom-index idea expressed through footer stats — the
-  * S16h bounds-skipping device), so per-commit upsert cost scales with
-  * the files that can hold a batch key, not with table size.
-  * Driver-side work is NAME-level and bounded by
+  * public Hudi bloom-index idea — the S16h bounds-skipping device), so
+  * per-commit upsert cost scales with the files that can hold a batch
+  * key, not with table size. The ranges come from the COMMIT BODIES:
+  * every file this sink writes records its key min/max in its
+  * writeStat (one footer probe at write time — ranges are immutable
+  * per base file), so a future locator reads them from the timeline it
+  * already parses and footer-probes ONLY foreign-writer files — a
+  * long-running CDC stream's per-batch metadata cost is O(new commits
+  * to parse), never O(snapshot footers to re-open). Driver-side work
+  * is NAME-level and bounded by
   * the touched-file-group count — the same metadata-scale class as the
   * timeline listing itself: the group list collect, the per-group
   * renames, the commit JSON. Record→group routing for inserts is a
@@ -66,11 +72,14 @@ import org.apache.spark.sql.functions._
   *
   * Concurrency contract: SINGLE WRITER per table. Instant allocation
   * ([[nextInstant]]) is list-then-write with no lock — two concurrent
-  * writers could allocate the same instant; the commit path fails fast
-  * if the allocated instant's `.requested` or completed marker already
-  * exists (create-exclusive, the HiveAcidSink dest-exists discipline),
-  * so a lost race surfaces as a loud error, never as two interleaved
-  * commits under one instant.
+  * writers could allocate the same instant; a create-exclusive
+  * `.hoodie/.lock` (owner metadata in the body, held for the commit,
+  * released on success or in-process failure) turns a lost race into a
+  * clean up-front refusal naming the holder, and the commit path still
+  * fails fast if the allocated instant's `.requested` or completed
+  * marker already exists (create-exclusive, the HiveAcidSink
+  * dest-exists discipline) — never two interleaved commits under one
+  * instant, even if a crashed JVM's stale lock was manually cleared.
   */
 object HudiSink {
 
@@ -287,33 +296,121 @@ object HudiSink {
     } finally reader.close()
   }
 
-  /** The base files whose footer key range intersects `[bmin, bmax]`
-    * (both UTF-8 string bounds from the batch) — the upsert/delete
-    * locator's scan set. Footer reads are driver-side metadata work,
-    * the same O(file-count) class as the snapshot listing itself, but
-    * each open is a round trip — so they run on a parallel stream
-    * (the footer path touches no shared state; ParquetFileReader is
-    * one instance per file), keeping a large table's probe latency at
-    * files/parallelism, not files. */
-  private[graft] def pruneByKeyRange(spark: SparkSession, files: Seq[String],
-                                     bmin: String, bmax: String): Seq[String] = {
+  private def toHex(b: Array[Byte]): String =
+    b.map(x => f"${x & 0xff}%02x").mkString
+
+  private def fromHex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  /** Per-file `_hoodie_record_key` ranges recorded in completed commit
+    * bodies (`minKeyHex`/`maxKeyHex`/`emptyFile` on each writeStat —
+    * written by [[commitMarker]] since this sink records them), keyed
+    * by the file's TABLE-RELATIVE path. This is the r14-verdict-#1 fix:
+    * the locator prune reads key ranges from the timeline it already
+    * parses instead of re-opening every snapshot footer on every commit
+    * — the public Hudi bloom-index / metadata-table column-stats idea
+    * (key ranges are immutable per base file, so recording them once at
+    * write time amortizes all future probes). Parsed commit bodies are
+    * cached per (path, length, mtime) — completed commits are immutable
+    * (written via atomic rename, never modified), so a long-running CDC
+    * stream parses only the commits NEW since its last micro-batch.
+    * Foreign-writer commits lacking the fields (or with unparsable
+    * bodies, e.g. the hand-touched fixture markers) contribute nothing;
+    * their files fall back to footer probes in [[pruneByKeyRange]]. */
+  private val rangeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+      Map[String, KeyRange]]()
+
+  private[graft] def timelineKeyRanges(spark: SparkSession,
+                                       tableDir: String): Map[String, KeyRange] = {
+    val fs = hfs(spark, tableDir)
+    val p = new Path(s"$tableDir/.hoodie")
+    if (!fs.exists(p)) return Map.empty
+    // bound the JVM-lifetime cache (tests churn /tmp tables; a stale
+    // entry cannot be served because the key carries length + mtime)
+    if (rangeCache.size > 4096) rangeCache.clear()
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && (s.getPath.getName.endsWith(".commit") ||
+        s.getPath.getName.endsWith(".replacecommit")))
+      .flatMap { s =>
+        rangeCache.computeIfAbsent(
+          (s.getPath.toString, s.getLen, s.getModificationTime),
+          _ => parseCommitRanges(fs, s.getPath, s.getLen))
+      }.toMap // file names carry their instant — no cross-commit collisions
+  }
+
+  private def parseCommitRanges(fs: org.apache.hadoop.fs.FileSystem,
+                                fp: Path, len: Long): Map[String, KeyRange] = {
+    val in = fs.open(fp)
+    val bytes = try {
+      val b = new Array[Byte](len.toInt); in.readFully(b); b
+    } finally in.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = try mapper.readTree(bytes) catch { case _: Exception => null }
+    val p2ws = if (node == null) null else node.get("partitionToWriteStats")
+    if (p2ws == null || !p2ws.isObject) return Map.empty
+    val out = Map.newBuilder[String, KeyRange]
+    val parts = p2ws.fields()
+    while (parts.hasNext) {
+      val arr = parts.next().getValue
+      if (arr.isArray) (0 until arr.size()).foreach { i =>
+        val st = arr.get(i)
+        val path = st.get("path")
+        if (path != null && path.isTextual) {
+          val mn = st.get("minKeyHex"); val mx = st.get("maxKeyHex")
+          val empty = st.get("emptyFile")
+          if (empty != null && empty.asBoolean(false))
+            out += path.asText() -> FileEmpty
+          else if (mn != null && mn.isTextual && mx != null && mx.isTextual)
+            out += path.asText() -> Range(fromHex(mn.asText()), fromHex(mx.asText()))
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** The base files whose key range intersects `[bmin, bmax]` (both
+    * UTF-8 string bounds from the batch) — the upsert/delete locator's
+    * scan set. Ranges come from `recorded` (the timeline's writeStats,
+    * [[timelineKeyRanges]]) when this sink wrote the file; only files
+    * a FOREIGN writer produced (no recorded range) fall back to a
+    * parquet-footer probe. Fallback probes are driver-side metadata
+    * work on a parallel stream (the footer path touches no shared
+    * state; ParquetFileReader is one instance per file), keeping probe
+    * latency at files/parallelism — but for a sink-written table the
+    * probe count is ZERO, which the S20g spec pins. Returns
+    * (candidates, footer probes performed). */
+  private[graft] def pruneByKeyRange(spark: SparkSession, tableDir: String,
+                                     files: Seq[String],
+                                     bmin: String, bmax: String,
+                                     recorded: Map[String, KeyRange]): (Seq[String], Int) = {
     import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
     val lo = bmin.getBytes("UTF-8")
     val hi = bmax.getBytes("UTF-8")
-    files.asJava.parallelStream().filter { f =>
-      keyRangeOf(conf, f) match {
+    val probes = new java.util.concurrent.atomic.AtomicInteger
+    val kept = files.asJava.parallelStream().filter { f =>
+      val rel = f.stripPrefix(tableDir).stripPrefix("/")
+      val kr = recorded.getOrElse(rel,
+        { probes.incrementAndGet(); keyRangeOf(conf, f) })
+      kr match {
         case FileEmpty      => false
         case RangeUnknown   => true
         case Range(mn, mx)  => cmpU(mx, lo) >= 0 && cmpU(mn, hi) <= 0
       }
     }.collect(java.util.stream.Collectors.toList[String]).asScala.toSeq
+    (kept, probes.get)
   }
 
   /** Test seam: (locator candidate files, total snapshot files) of the
     * most recent [[rewrite]] on this JVM — the S16h-style file-count
     * assert for the key-range prune. */
   @volatile private[graft] var lastRewriteScan: Option[(Int, Int)] = None
+
+  /** Test seam: parquet-footer probes the most recent [[rewrite]]'s
+    * prune performed — 0 for a table this sink wrote (ranges come from
+    * the timeline), >0 only for foreign/older-writer files. */
+  @volatile private[graft] var lastRewriteFooterProbes: Option[Int] = None
 
   /** The shared UPSERT/DELETE group rewrite. */
   private def rewrite(batch: DataFrame, tableDir: String, keyCol: String,
@@ -351,12 +448,17 @@ object HudiSink {
       s"$op: batch carries duplicate keys (${nKeys - nDistinct} extra rows) — " +
         "collapse to one row per key first (last-wins is the CALLER's " +
         "ordering decision; see Streams.hudiUpsertBatch)")
-    // the locator scan set: only files whose footer key range can hold
-    // a batch key (empty batch → nothing can match → no files)
-    val candidates =
-      if (nAll == 0L) Nil
-      else pruneByKeyRange(spark, snapFiles, bstat.getString(3), bstat.getString(4))
+    // the locator scan set: only files whose key range can hold a
+    // batch key (empty batch → nothing can match → no files); ranges
+    // come from the timeline's recorded writeStats, footer probes only
+    // for foreign files (r14 verdict #1)
+    val (candidates, probes) =
+      if (nAll == 0L) (Nil, 0)
+      else pruneByKeyRange(spark, tableDir, snapFiles,
+        bstat.getString(3), bstat.getString(4),
+        timelineKeyRanges(spark, tableDir))
     lastRewriteScan = Some((candidates.length, snapFiles.length))
+    lastRewriteFooterProbes = Some(probes)
     val fileIdOf = regexp_extract(col("_hoodie_file_name"),
       """(.+)_[0-9]+-[0-9]+-[0-9]+_[0-9]+\.parquet""", 1)
     val partTag = tablePart.map(pc => concat(lit("v"), col(pc).cast("string")))
@@ -468,6 +570,46 @@ object HudiSink {
                           markerSuffix: String = ".commit",
                           replaced: Map[String, Set[String]] = Map.empty): Unit = {
     val fs = hfs(spark, tableDir)
+    // Writer LOCK (create-exclusive, owner metadata in the body): turns
+    // a lost single-writer race from a mid-commit marker error into a
+    // clean up-front refusal naming the holder. Released on success AND
+    // on in-process failure (a failed commit must not wedge the table);
+    // only a crashed JVM leaves it behind — the refusal says how to
+    // clear that. The `.requested`/completed marker guards below stay:
+    // they are the correctness backstop, the lock is ergonomics.
+    val lock = new Path(s"$tableDir/.hoodie/.lock")
+    val owner = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+    try {
+      val out = fs.create(lock, /* overwrite = */ false)
+      try out.write(s"""{"owner":"$owner","instant":"$instant","op":"$op"}"""
+        .getBytes("UTF-8")) finally out.close()
+    } catch {
+      case e: java.io.IOException =>
+        val held = try {
+          val len = fs.getFileStatus(lock).getLen.toInt
+          val in = fs.open(lock)
+          try {
+            val b = new Array[Byte](len); in.readFully(b); new String(b, "UTF-8")
+          } finally in.close()
+        } catch { case _: Exception => "(unreadable)" }
+        throw new IllegalStateException(
+          s"$tableDir is locked by another writer: $held — HudiSink is " +
+            "single-writer per table; if the holder is dead, delete " +
+            s"$lock to recover", e)
+    }
+    try commitWriteLocked(spark, tableDir, partitionCol, instant, tagged, op,
+      extraMetadata, expectGroups, markerSuffix, replaced)
+    finally fs.delete(lock, false)
+  }
+
+  private def commitWriteLocked(spark: SparkSession, tableDir: String,
+                                partitionCol: Option[String], instant: String,
+                                tagged: DataFrame, op: String,
+                                extraMetadata: Map[String, String],
+                                expectGroups: Set[(String, String)],
+                                markerSuffix: String,
+                                replaced: Map[String, Set[String]]): Unit = {
+    val fs = hfs(spark, tableDir)
     // single-writer guard (see object scaladoc): a concurrent writer
     // that allocated the same instant loses the exclusive create of the
     // .requested marker, or trips on an already-completed marker —
@@ -519,8 +661,26 @@ object HudiSink {
         tagged.limit(0).drop("__part", "__fg"), s"$destDir/$name")
       stats += ((relPart(partitionCol, rawPart), fg, name))
     }
+    // Record each written file's `_hoodie_record_key` min/max into the
+    // commit body (r14 verdict #1): ONE footer probe per file written
+    // by THIS commit (parallel, bounded by touched-group count — the
+    // probe reads back exactly the stats the prune would otherwise
+    // re-derive per future commit), so the locator never re-opens old
+    // footers: key ranges are immutable per base file.
+    val keyStats = {
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sparkContext.hadoopConfiguration
+      stats.toList.asJava.parallelStream()
+        .map[(String, KeyRange)] { t: (String, String, String) =>
+          val (p, _, name) = t
+          val rel = if (p.isEmpty) name else s"$p/$name"
+          rel -> keyRangeOf(conf, s"$tableDir/$rel")
+        }
+        .collect(java.util.stream.Collectors.toList[(String, KeyRange)])
+        .asScala.toMap
+    }
     commitMarker(spark, tableDir, instant, op, stats.toList, extraMetadata,
-      markerSuffix, replaced)
+      markerSuffix, replaced, keyStats)
   }
 
   private def relPart(partitionCol: Option[String], rawPart: String): String =
@@ -542,13 +702,20 @@ object HudiSink {
 
   /** The completed-commit marker, body in the public
     * HoodieCommitMetadata JSON vocabulary (partitionToWriteStats +
-    * operationType + extraMetadata), written atomically LAST. */
+    * operationType + extraMetadata), written atomically LAST. Each
+    * writeStat additionally records the file's `_hoodie_record_key`
+    * min/max (`minKeyHex`/`maxKeyHex` — hex because a parquet-truncated
+    * bound rounded up need not be valid UTF-8, and the prune compares
+    * BYTES) or `emptyFile` for an emptied group's zero-row base file;
+    * [[timelineKeyRanges]] reads these back so the upsert locator never
+    * re-probes footers for sink-written files. */
   private def commitMarker(spark: SparkSession, tableDir: String,
                            instant: String, op: String,
                            stats: List[(String, String, String)],
                            extraMetadata: Map[String, String],
                            markerSuffix: String = ".commit",
-                           replaced: Map[String, Set[String]] = Map.empty): Unit = {
+                           replaced: Map[String, Set[String]] = Map.empty,
+                           keyStats: Map[String, KeyRange] = Map.empty): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     val p2ws = root.putObject("partitionToWriteStats")
@@ -557,7 +724,14 @@ object HudiSink {
       fs0.foreach { case (p, fg, name) =>
         val st = arr.addObject()
         st.put("fileId", fg)
-        st.put("path", if (p.isEmpty) name else s"$p/$name")
+        val rel = if (p.isEmpty) name else s"$p/$name"
+        st.put("path", rel)
+        keyStats.get(rel) match {
+          case Some(Range(mn, mx)) =>
+            st.put("minKeyHex", toHex(mn)); st.put("maxKeyHex", toHex(mx))
+          case Some(FileEmpty) => st.put("emptyFile", true)
+          case _ => () // RangeUnknown/unprobed: reader falls back to a footer probe
+        }
       }
     }
     root.put("operationType", op)

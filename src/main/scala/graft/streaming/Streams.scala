@@ -728,11 +728,31 @@ object Streams {
     val committed = graft.sources.HudiSink.lastCommittedBatchId(spark, tableDir, queryId)
     if (committed.exists(batchId <= _)) return
     // last-wins collapse: orderCol first (desc), then every remaining
-    // column desc as the deterministic tie-break — never an arbitrary
-    // dropDuplicates survivor
-    val ordering = (orderCol.toSeq ++
-      batch.columns.filterNot(c => c == keyCol || orderCol.contains(c)))
-      .map(col(_).desc)
+    // ORDERABLE column desc as the deterministic tie-break — never an
+    // arbitrary dropDuplicates survivor. Unorderable payloads (MapType,
+    // the common CDC property-bag shape — ADVICE r14) cannot join an
+    // ORDER BY (analysis would fail, and Spark bans hashing maps too:
+    // entry order is not canonical); sorted entries ARE canonical, so a
+    // map column joins as array_sort(map_entries(..)) — orderable,
+    // deterministic, content-equal maps compare equal. A column still
+    // unorderable after that transform (e.g. map-valued map) drops out
+    // of the tie-break: rows identical everywhere else collapse to an
+    // arbitrary-but-single survivor.
+    import org.apache.spark.sql.types._
+    def orderable(dt: DataType) =
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt)
+    def tieBreak(f: StructField): Option[org.apache.spark.sql.Column] = f.dataType match {
+      case dt if orderable(dt) => Some(col(f.name))
+      case MapType(kt, vt, vn) if orderable(ArrayType(StructType(Seq(
+          StructField("key", kt, nullable = false),
+          StructField("value", vt, vn))))) =>
+        Some(array_sort(map_entries(col(f.name))))
+      case _ => None
+    }
+    val rest = batch.schema.fields
+      .filterNot(f => f.name == keyCol || orderCol.contains(f.name))
+    val ordering = (orderCol.map(col(_).desc).toSeq ++
+      rest.toSeq.flatMap(tieBreak).map(_.desc))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(ordering: _*)
     val collapsed = batch

@@ -1901,6 +1901,94 @@ class SourcesSpec extends SparkSpec {
     assert(HudiSink.nextInstant(spark, dir) > C(8))
   }
 
+  test("S20g: locator key ranges come from commit metadata — ZERO footer probes for sink-written tables; foreign commits fall back") {
+    import graft.sources.{HudiRO, HudiSink}
+    import spark.implicits._
+    val dir = tmp() + "/hudimeta"
+    val C = (1 to 9).map(i => s"2030060100000000$i")
+    HudiSink.insert((1 to 4).map(i => (f"a$i%02d", i * 1.0)).toDF("k", "v"),
+      dir, "k", None, C(0))
+    HudiSink.insert((1 to 4).map(i => (f"b$i%02d", i * 1.0)).toDF("k", "v"),
+      dir, "k", None, C(1))
+    HudiSink.insert((1 to 4).map(i => (f"c$i%02d", i * 1.0)).toDF("k", "v"),
+      dir, "k", None, C(2))
+    // sink-written table: the prune reads every range from the commit
+    // bodies — NOT ONE footer is opened (the r14-verdict-#1 contract:
+    // per-commit metadata cost is O(commits to parse), never
+    // O(snapshot footers to re-open))
+    HudiSink.upsert(Seq(("b02", 22.0)).toDF("k", "v"), dir, "k", None, C(3))
+    assert(HudiSink.lastRewriteScan.contains((1, 3)),
+      s"expected 1-of-3 candidates, got ${HudiSink.lastRewriteScan}")
+    assert(HudiSink.lastRewriteFooterProbes.contains(0),
+      s"expected ZERO footer probes, got ${HudiSink.lastRewriteFooterProbes}")
+    // an emptied group's base file is recorded emptyFile:true — still
+    // never a candidate, still zero probes
+    HudiSink.delete((1 to 4).map(i => f"c$i%02d").toDF("k"), dir, "k", C(4))
+    HudiSink.upsert(Seq(("c01", 11.0)).toDF("k", "v"), dir, "k", None, C(5))
+    assert(HudiSink.lastRewriteScan.contains((0, 3)),
+      s"expected the emptied c-group pruned, got ${HudiSink.lastRewriteScan}")
+    assert(HudiSink.lastRewriteFooterProbes.contains(0),
+      s"expected zero probes, got ${HudiSink.lastRewriteFooterProbes}")
+    // FOREIGN/older-writer commit: strip C(0)'s recorded ranges (the
+    // body shape real Hudi writes — writeStats without our key fields;
+    // C(0)'s a-group base file is still VISIBLE, never rewritten); the
+    // cache must not serve the stale parse (its key carries
+    // length+mtime), and ONLY that commit's file falls back to a probe
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val body = """{"partitionToWriteStats": {"": [{"fileId": "x",
+      | "path": "n%s_0-0-0_%s.parquet"}]}, "operationType": "INSERT"}"""
+      .stripMargin.replace("\n", "").format(C(0), C(0))
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/.hoodie/${C(0)}.commit"), true)
+    out.write(body.getBytes("UTF-8")); out.close()
+    HudiSink.upsert(Seq(("b03", 33.0)).toDF("k", "v"), dir, "k", None, C(6))
+    assert(HudiSink.lastRewriteScan.contains((1, 4)),
+      s"expected 1-of-4 candidates, got ${HudiSink.lastRewriteScan}")
+    assert(HudiSink.lastRewriteFooterProbes.contains(1),
+      s"expected exactly the foreign file probed, got ${HudiSink.lastRewriteFooterProbes}")
+    // end state exact despite the pruning + fallback mix
+    assert(HudiRO.read(spark, dir).select("k", "v").as[(String, Double)]
+      .collect().toMap ==
+      ((1 to 4).map(i => (f"a$i%02d", i * 1.0)) ++
+        Seq(("b01", 1.0), ("b02", 22.0), ("b03", 33.0), ("b04", 4.0),
+          ("c01", 11.0))).toMap)
+  }
+
+  test("S20g: the writer lock refuses a held table up front and releases on success and failure") {
+    import graft.sources.{HudiRO, HudiSink}
+    import spark.implicits._
+    val dir = tmp() + "/hudilock"
+    HudiSink.insert(Seq(("a01", 1.0)).toDF("k", "v"), dir, "k", None,
+      "20300701000000001")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/.hoodie/.lock")
+    // a successful commit leaves no lock behind
+    assert(!fs.exists(lock))
+    // a held lock is a clean UP-FRONT refusal naming the holder
+    val out = fs.create(lock, false)
+    out.write("""{"owner":"pid123@elsewhere","instant":"x","op":"UPSERT"}"""
+      .getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalStateException] {
+      HudiSink.upsert(Seq(("a01", 2.0)).toDF("k", "v"), dir, "k", None,
+        "20300701000000002")
+    }
+    assert(e.getMessage.contains("pid123@elsewhere"), e.getMessage)
+    fs.delete(lock, false)
+    // an in-process FAILURE (duplicate instant) still releases the lock
+    intercept[IllegalArgumentException] {
+      HudiSink.insert(Seq(("z01", 1.0)).toDF("k", "v"), dir, "k", None,
+        "20300701000000001")
+    }
+    assert(!fs.exists(lock), "a failed commit must not wedge the table")
+    // and the table still writes + reads normally afterwards
+    HudiSink.upsert(Seq(("a01", 3.0)).toDF("k", "v"), dir, "k", None,
+      "20300701000000003")
+    assert(HudiRO.read(spark, dir).select("k", "v").as[(String, Double)]
+      .collect().toMap == Map("a01" -> 3.0))
+  }
+
   test("S20f: key-range pruning orders by UTF-8 BYTES — keys where Java String order disagrees stay correct") {
     import graft.sources.{HudiRO, HudiSink}
     import spark.implicits._
@@ -1997,6 +2085,30 @@ class SourcesSpec extends SparkSpec {
     HiveAcidSink.insertOnly(Seq((2L, "y")).toDF("k", "v"), t4, 2L)
     assert(spark.read.parquet(s"$t4/delta_0000001_0000001",
       s"$t4/delta_0000002_0000002").count() == 2)
+    // ADVICE r14: event files appearing only in the NEWEST delta (a
+    // table converted to full-ACID mid-life) must still refuse — the
+    // guard probes both ends of the delta range
+    val t5 = tmp() + "/acid_full_late"
+    batch.write.parquet(s"$t5/delta_0000001_0000001") // plain MM delta
+    batch.select(lit(0).as("operation"), lit(1L).as("originalTransaction"),
+      lit(0).as("bucket"), col("k").as("rowId"),
+      lit(1L).as("currentTransaction"), col("k"), col("v"))
+      .coalesce(1).write.parquet(s"$t5/delta_0000002_0000002")
+    intercept[IllegalArgumentException] {
+      HiveAcidSink.insertOnly(batch, t5, 3L)
+    }
+    // ...while an MM table whose USER schema merely starts
+    // (operation, originalTransaction) is NOT falsely refused: the
+    // signature is the full five-column acid event prefix
+    val t6 = tmp() + "/acid_mm_opnames"
+    HiveAcidSink.insertOnly(
+      Seq((0, 1L, "x")).toDF("operation", "originalTransaction", "payload"),
+      t6, 1L)
+    HiveAcidSink.insertOnly(
+      Seq((1, 2L, "y")).toDF("operation", "originalTransaction", "payload"),
+      t6, 2L)
+    assert(spark.read.parquet(s"$t6/delta_0000001_0000001",
+      s"$t6/delta_0000002_0000002").count() == 2)
   }
 
   test("S18d: ORC DATE columns decode to the external java.sql.Date on the batch path") {

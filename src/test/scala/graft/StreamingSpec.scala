@@ -1561,6 +1561,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T31b: duplicate-key batches collapse last-wins under orderCol; MAP-typed CDC payloads keep working") {
+    import graft.sources.HudiRO
+    import graft.streaming.Streams
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_t31b").toString
+    // orderCol last-wins: the highest seq per key survives
+    val d1 = s"$root/t1"
+    Streams.hudiUpsertBatch(
+      Seq((1L, 1L, "old"), (1L, 3L, "new"), (1L, 2L, "mid"), (2L, 1L, "only"))
+        .toDF("k", "seq", "v"),
+      0L, d1, "k", None, orderCol = Some("seq"))
+    assert(HudiRO.read(spark, d1).select("k", "v").as[(Long, String)]
+      .collect().toSet == Set((1L, "new"), (2L, "only")))
+    // ADVICE r14: with orderCol ABSENT, the deterministic tie-break
+    // must not put an unorderable MapType payload in the ORDER BY —
+    // the analysis failure this pins regressed map-carrying CDC batches
+    val d2 = s"$root/t2"
+    Streams.hudiUpsertBatch(
+      Seq((1L, "a", Map("x" -> 1)), (1L, "b", Map("y" -> 2)), (2L, "c", Map.empty[String, Int]))
+        .toDF("k", "v", "props"),
+      0L, d2, "k", None)
+    val got = HudiRO.read(spark, d2)
+      .select("k", "v").as[(Long, String)].collect().toMap
+    // k=1 collapsed to ONE row (which duplicate wins is deterministic:
+    // orderable columns first, then the map's hash)
+    assert(got.keySet == Set(1L, 2L) && got(2L) == "c", got.toString)
+    assert(got(1L) == "b", got.toString) // 'b' > 'a' on the orderable column
+  }
+
   test("T32: Iceberg→Hudi reverse hop — each Iceberg snapshot lands as one Hudi commit; restart replays nothing") {
     import graft.sources.HudiRO
     import graft.streaming.Streams
