@@ -38,6 +38,27 @@ object RelationalQueries {
         .offset(10).limit(100)
     }),
 
+    // R19: FULL total-order sort of the wide fact — SortExec through
+    // UnsafeExternalSorter, the sort-node.cc / buffered-tuple-stream.cc
+    // third of the reference's spilling-operator trio (r14 verdict #4:
+    // hash-agg and join spills were certified in spill_cert.json, the
+    // external-sort path was not). No LIMIT, so no TakeOrdered shortcut:
+    // range-partition shuffle + per-partition external sort; at g10
+    // under the 1 GiB/0.05 budget the sorter must spill and the output
+    // stay oracle-exact. ship date as a formatted string (raw
+    // timestamps are ns-vs-µs precision traps in the compare).
+    "rel_sort_external" -> ((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.lineitem.select(
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_d"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    }),
+
     // R3: distinct (shuffle-dedup on the projected keys).
     "rel_distinct" -> ((spark, dir) => {
       val t = Tables(spark, dir)
@@ -252,6 +273,16 @@ object RelationalQueries {
     "rel_sort_limit_offset" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100 OFFSET 10""".stripMargin,
+
+    "rel_sort_external" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey,
+        |  CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_quantity, l_extendedprice, l_discount, l_tax,
+        |  l_returnflag, l_linestatus,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ship_d
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber,
+        |  l_partkey, l_suppkey""".stripMargin,
 
     "rel_distinct" ->
       "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer ORDER BY 1, 2",

@@ -187,6 +187,18 @@ object Tokenizer {
     fertilityAgg(docs, pinnedCharBigramVocab(docs))
   }
 
+  /** Dev-probe seams (graft.tools.TokenizerProbe — the r14 verdict #5
+    * residual decomposition): the two vocab constructions alone, so the
+    * probe can time construction separately from encode. */
+  private[graft] def pinnedVocabForProbe(docs: DataFrame): DataFrame =
+    pinnedCharBigramVocab(docs)
+  private[graft] def trainedVocabForProbe(spark: SparkSession,
+                                          docs: DataFrame): DataFrame = {
+    GraftFunctions.register(spark)
+    trainUnigram(spark, docs, 96, 4, 256)
+      .agg(array_sort(collect_list(struct(col("piece"), col("cost")))).as("vocab"))
+  }
+
   /** The P63b pinned analytic vocab shared by the fertility audit and
     * the P50b segmentation oracle: every corpus char at 300 micro-nats,
     * every corpus bigram at 450 — two bounded distinct-aggregates,

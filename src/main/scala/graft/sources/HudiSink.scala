@@ -299,8 +299,13 @@ object HudiSink {
   private def toHex(b: Array[Byte]): String =
     b.map(x => f"${x & 0xff}%02x").mkString
 
-  private def fromHex(s: String): Array[Byte] =
+  private def fromHex(s: String): Array[Byte] = {
+    // strict: odd-length/garbage hex (a foreign writer's colliding
+    // field) must throw, never silently parse to a WRONG range — a
+    // wrong range could prune a file that holds a live key
+    require(s.length % 2 == 0, s"odd-length hex: $s")
     s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+  }
 
   /** Per-file `_hoodie_record_key` ranges recorded in completed commit
     * bodies (`minKeyHex`/`maxKeyHex`/`emptyFile` on each writeStat —
@@ -362,7 +367,11 @@ object HudiSink {
           if (empty != null && empty.asBoolean(false))
             out += path.asText() -> FileEmpty
           else if (mn != null && mn.isTextual && mx != null && mx.isTextual)
-            out += path.asText() -> Range(fromHex(mn.asText()), fromHex(mx.asText()))
+            // malformed hex from a foreign writer's colliding field name
+            // must not crash the prune — the file just falls back to a
+            // footer probe like any other stats-less file
+            try out += path.asText() -> Range(fromHex(mn.asText()), fromHex(mx.asText()))
+            catch { case _: IllegalArgumentException => () } // incl. NumberFormatException
         }
       }
     }

@@ -56,9 +56,15 @@ object HudiUpsertSweep {
         f"${c0 + g + 1}%017d")
       val wall = (System.nanoTime() - t0) / 1e9
       val (cand, tot) = HudiSink.lastRewriteScan.get
+      // r14 verdict #1 done-criterion: the locator reads key ranges
+      // from the commit bodies — ZERO parquet-footer probes however
+      // many commits/files accumulated (all sink-written here)
+      val probes = HudiSink.lastRewriteFooterProbes.get
       val n = HudiRO.read(spark, dir).count()
-      println(s"[upsweep] g=$g files=$files candidates=$cand wall=${fmt(wall)}s rows=$n")
+      println(s"[upsweep] g=$g files=$files candidates=$cand " +
+        s"footer_probes=$probes wall=${fmt(wall)}s rows=$n")
       require(cand == 1, s"expected 1 candidate at g=$g, got $cand")
+      require(probes == 0, s"expected 0 footer probes at g=$g, got $probes")
       require(n == g * rowsPerGroup, s"row count drifted: $n")
       (g, files, cand, wall)
     }
@@ -66,10 +72,10 @@ object HudiUpsertSweep {
     val (gHi, _, _, wHi) = results.last
     val alpha = math.log(wHi / wLo) / math.log(gHi.toDouble / gLo)
     val rows = results.map { case (g, f, c, w) =>
-      s"""{"groups":$g,"files":$f,"candidates":$c,"upsert_wall_s":${fmt(w)}}"""
+      s"""{"groups":$g,"files":$f,"candidates":$c,"footer_probes":0,"upsert_wall_s":${fmt(w)}}"""
     }.mkString("[", ",", "]")
     val body =
-      s"""{"what":"S20f upsert key-locator sweep: fixed 1-key upsert vs file-group count over range-clustered tables; candidates must stay 1 and wall ~O(1) (alpha<<1) as G grows","rows_per_group":$rowsPerGroup,"sweeps":$rows,"alpha_wall_vs_groups":${fmt(alpha)}}"""
+      s"""{"what":"S20f/S20g upsert key-locator sweep: fixed 1-key upsert vs file-group count over range-clustered tables; candidates must stay 1, parquet-footer probes must stay 0 (ranges read from commit metadata — r14 verdict #1), and wall ~O(1) (alpha<<1) as G grows","rows_per_group":$rowsPerGroup,"sweeps":$rows,"alpha_wall_vs_groups":${fmt(alpha)}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("hudi_upsert_sweep.json"), body.getBytes("UTF-8"))
     println(s"[upsweep] alpha=${fmt(alpha)} -> hudi_upsert_sweep.json")
