@@ -296,10 +296,10 @@ object HudiSink {
     } finally reader.close()
   }
 
-  private def toHex(b: Array[Byte]): String =
+  private[graft] def toHex(b: Array[Byte]): String =
     b.map(x => f"${x & 0xff}%02x").mkString
 
-  private def fromHex(s: String): Array[Byte] = {
+  private[graft] def fromHex(s: String): Array[Byte] = {
     // strict: odd-length/garbage hex (a foreign writer's colliding
     // field) must throw, never silently parse to a WRONG range — a
     // wrong range could prune a file that holds a live key

@@ -1989,6 +1989,31 @@ class SourcesSpec extends SparkSpec {
       .collect().toMap == Map("a01" -> 3.0))
   }
 
+  test("S20g property: hex key-range encoding round-trips EVERY byte sequence, and recorded ranges prune identically to footer probes") {
+    import graft.sources.HudiSink
+    // the commit body carries key bounds as hex because a
+    // parquet-truncated bound rounded up need not be valid UTF-8 — the
+    // encoding must round-trip arbitrary BYTES, not just strings
+    val rnd = new scala.util.Random(20300801L) // fixed seed: deterministic
+    (1 to 500).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(24)); rnd.nextBytes(b)
+      val rt = HudiSink.fromHex(HudiSink.toHex(b))
+      assert(java.util.Arrays.equals(rt, b),
+        s"hex round-trip broke: ${b.toSeq} -> ${rt.toSeq}")
+    }
+    // and the round-tripped bounds compare EXACTLY like the originals
+    (1 to 500).foreach { _ =>
+      val x = new Array[Byte](rnd.nextInt(12)); rnd.nextBytes(x)
+      val y = new Array[Byte](rnd.nextInt(12)); rnd.nextBytes(y)
+      val direct = Integer.signum(HudiSink.cmpU(x, y))
+      val viaHex = Integer.signum(HudiSink.cmpU(
+        HudiSink.fromHex(HudiSink.toHex(x)), HudiSink.fromHex(HudiSink.toHex(y))))
+      assert(direct == viaHex, s"cmpU drifted through hex: ${x.toSeq} vs ${y.toSeq}")
+    }
+    intercept[IllegalArgumentException](HudiSink.fromHex("abc")) // odd length
+    intercept[IllegalArgumentException](HudiSink.fromHex("zz")) // garbage
+  }
+
   test("S20f: key-range pruning orders by UTF-8 BYTES — keys where Java String order disagrees stay correct") {
     import graft.sources.{HudiRO, HudiSink}
     import spark.implicits._

@@ -31,6 +31,7 @@ object HudiUpsertSweep {
     import spark.implicits._
 
     val rowsPerGroup = 4000L
+    val c0 = 20300101000000000L
     val sweeps = Seq(8, 32, 128)
     val results = sweeps.map { g =>
       val dir = s"/tmp/graft_hudi_upsweep_g$g"
@@ -40,7 +41,6 @@ object HudiUpsertSweep {
       // range-clustered table: G groups with DISJOINT key ranges, each
       // its own insert commit (how range-clustered groups arise in a
       // CDC/time-keyed workload: new key ranges land as new commits)
-      val c0 = 20300101000000000L
       (0 until g).foreach { i =>
         val lo = i * rowsPerGroup
         val batch = spark.range(lo, lo + rowsPerGroup)
@@ -71,11 +71,38 @@ object HudiUpsertSweep {
     val (gLo, _, _, wLo) = results(results.length - 2)
     val (gHi, _, _, wHi) = results.last
     val alpha = math.log(wHi / wLo) / math.log(gHi.toDouble / gLo)
+    // COMMIT-CADENCE phase (r15, the S20g CDC-stream claim): on the
+    // largest table, run K sequential 1-key upserts — the timeline
+    // GROWS by one commit each time, and per-upsert driver cost must
+    // stay FLAT because ranges for already-seen commits come from the
+    // immutable-commit cache (only the one NEW commit parses) and the
+    // locator never re-opens footers. A per-upsert trend here is
+    // exactly the long-running-stream regression the r14 verdict named.
+    val gBig = sweeps.last
+    val cadDir = s"/tmp/graft_hudi_upsweep_g$gBig"
+    val kCad = 24
+    val cadence = (0 until kCad).map { k =>
+      val key = f"k${(gBig / 3) * rowsPerGroup + 11 + k}%09d"
+      val t0 = System.nanoTime()
+      HudiSink.upsert(Seq((key, -2L - k)).toDF("k", "v"), cadDir, "k", None,
+        f"${c0 + gBig + 10 + k}%017d")
+      val w = (System.nanoTime() - t0) / 1e9
+      require(HudiSink.lastRewriteFooterProbes.contains(0),
+        s"cadence upsert $k probed footers: ${HudiSink.lastRewriteFooterProbes}")
+      w
+    }
+    val firstHalf = cadence.take(kCad / 2).sum / (kCad / 2)
+    val secondHalf = cadence.drop(kCad / 2).sum / (kCad - kCad / 2)
+    println(f"[upsweep] cadence: first-half avg ${firstHalf}%.3f s, " +
+      f"second-half avg ${secondHalf}%.3f s over $kCad upserts (timeline grows each commit)")
+    require(secondHalf <= firstHalf * 1.5,
+      f"per-upsert cost TRENDS UP as commits accumulate: $firstHalf%.3f -> $secondHalf%.3f")
     val rows = results.map { case (g, f, c, w) =>
       s"""{"groups":$g,"files":$f,"candidates":$c,"footer_probes":0,"upsert_wall_s":${fmt(w)}}"""
     }.mkString("[", ",", "]")
+    val cadJson = cadence.map(fmt).mkString("[", ",", "]")
     val body =
-      s"""{"what":"S20f/S20g upsert key-locator sweep: fixed 1-key upsert vs file-group count over range-clustered tables; candidates must stay 1, parquet-footer probes must stay 0 (ranges read from commit metadata — r14 verdict #1), and wall ~O(1) (alpha<<1) as G grows","rows_per_group":$rowsPerGroup,"sweeps":$rows,"alpha_wall_vs_groups":${fmt(alpha)}}"""
+      s"""{"what":"S20f/S20g upsert key-locator sweep: fixed 1-key upsert vs file-group count over range-clustered tables; candidates must stay 1, parquet-footer probes must stay 0 (ranges read from commit metadata — r14 verdict #1), and wall ~O(1) (alpha<<1) as G grows. commit_cadence: $kCad SEQUENTIAL 1-key upserts on the g=$gBig table — the timeline grows one commit per upsert and per-upsert wall must stay flat (only the NEW commit parses; immutable-commit cache, zero footer re-opens — the CDC long-running-stream claim)","rows_per_group":$rowsPerGroup,"sweeps":$rows,"alpha_wall_vs_groups":${fmt(alpha)},"commit_cadence_walls_s":$cadJson,"cadence_first_half_avg_s":${fmt(firstHalf)},"cadence_second_half_avg_s":${fmt(secondHalf)}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("hudi_upsert_sweep.json"), body.getBytes("UTF-8"))
     println(s"[upsweep] alpha=${fmt(alpha)} -> hudi_upsert_sweep.json")
