@@ -338,6 +338,22 @@ class PlanAuditSpec extends SparkSpec {
       s"TopN did not collapse:\n${topPlan.take(800)}")
   }
 
+  /** R19's whole point is driving the EXTERNAL-SORT path: the query
+    * must plan a range exchange feeding per-partition SortExec — if a
+    * refactor ever introduced a limit, Catalyst would collapse it to
+    * TakeOrderedAndProject and the spill_cert sort pin would silently
+    * stop exercising UnsafeExternalSorter. */
+  test("rel_sort_external plans a full range-partitioned sort — never a TopN collapse") {
+    val df = graft.SparkEntry.queries("rel_sort_external")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      s"rel_sort_external lacks the range exchange:\n${plan.take(800)}")
+    assert(plan.contains("Sort "),
+      s"rel_sort_external lacks SortExec:\n${plan.take(800)}")
+    assert(!plan.contains("TakeOrderedAndProject"),
+      s"rel_sort_external collapsed to TopN — the spill pin is dead:\n${plan.take(800)}")
+  }
+
   /** q49's rank windows partitioned by channel (2–3 distinct values)
     * would serialize the whole aggregate onto 2–3 tasks at any cluster
     * size. The rewrite computes top-10 per axis with a bounded TopK

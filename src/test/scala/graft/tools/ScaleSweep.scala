@@ -42,7 +42,10 @@ object ScaleSweep {
     // batch-7 shapes — the planner stress-tests must scale like the
     // plans argue (q64 one fact pass, q72 two, q95 one)
     "ds_q64_rebuy_chain", "ds_q72_inventory_gap", "ds_q95_double_exists",
-    "ds_q45_disjunct_exists", "ds_q70_rollup_rank")
+    "ds_q45_disjunct_exists", "ds_q70_rollup_rank",
+    // round-15: the R19 full-fact external sort — expected alpha ~1
+    // (n log n: range exchange + per-partition sorts)
+    "rel_sort_external")
 
   /** Sweep-only variants calling the library API with NO sizing flags:
     * verifies the round-10 adaptive defaults hold the measured-linear
