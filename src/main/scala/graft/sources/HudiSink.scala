@@ -322,25 +322,44 @@ object HudiSink {
     * Foreign-writer commits lacking the fields (or with unparsable
     * bodies, e.g. the hand-touched fixture markers) contribute nothing;
     * their files fall back to footer probes in [[pruneByKeyRange]]. */
+  /** LRU, NOT clear-all-at-cap: a long-running stream on a
+    * >cap-commit timeline must keep its whole working set cached —
+    * clearing everything at the bound would re-parse the full
+    * timeline every batch, exactly the cost class this cache removes.
+    * 64k entries × a-few-hundred-byte per-commit maps bounds driver
+    * memory at tens of MB; eviction only matters when one JVM churns
+    * through more distinct commit files than that (test suites). A
+    * stale entry cannot be served: the key carries length + mtime and
+    * completed commits are immutable. */
   private val rangeCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
-      Map[String, KeyRange]]()
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long, Long), Map[String, KeyRange]](
+        1024, 0.75f, /* accessOrder = */ true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long, Long), Map[String, KeyRange]]): Boolean =
+          size() > 65536
+      })
 
   private[graft] def timelineKeyRanges(spark: SparkSession,
                                        tableDir: String): Map[String, KeyRange] = {
     val fs = hfs(spark, tableDir)
     val p = new Path(s"$tableDir/.hoodie")
     if (!fs.exists(p)) return Map.empty
-    // bound the JVM-lifetime cache (tests churn /tmp tables; a stale
-    // entry cannot be served because the key carries length + mtime)
-    if (rangeCache.size > 4096) rangeCache.clear()
     fs.listStatus(p).toSeq
       .filter(s => s.isFile && (s.getPath.getName.endsWith(".commit") ||
         s.getPath.getName.endsWith(".replacecommit")))
       .flatMap { s =>
-        rangeCache.computeIfAbsent(
-          (s.getPath.toString, s.getLen, s.getModificationTime),
-          _ => parseCommitRanges(fs, s.getPath, s.getLen))
+        val key = (s.getPath.toString, s.getLen, s.getModificationTime)
+        val hit = rangeCache.get(key)
+        if (hit != null) hit
+        else {
+          // parse OUTSIDE the map lock (synchronizedMap's computeIfAbsent
+          // would hold it across I/O); a racing duplicate parse of the
+          // same immutable file is harmless and yields the same value
+          val parsed = parseCommitRanges(fs, s.getPath, s.getLen)
+          rangeCache.put(key, parsed)
+          parsed
+        }
       }.toMap // file names carry their instant — no cross-commit collisions
   }
 
