@@ -607,27 +607,33 @@ object HudiSink {
     // they are the correctness backstop, the lock is ergonomics.
     val lock = new Path(s"$tableDir/.hoodie/.lock")
     val owner = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+    // create-exclusive FIRST (the race decider); the body write is a
+    // separate failure domain — an I/O error there must clean up the
+    // just-created lock and surface as itself, never masquerade as
+    // "locked by another writer"
+    val created =
+      try { fs.create(lock, /* overwrite = */ false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!created) {
+      val held = try {
+        val len = fs.getFileStatus(lock).getLen.toInt
+        val in = fs.open(lock)
+        try {
+          val b = new Array[Byte](len); in.readFully(b); new String(b, "UTF-8")
+        } finally in.close()
+      } catch { case _: Exception => "(unreadable)" }
+      throw new IllegalStateException(
+        s"$tableDir is locked by another writer: $held — HudiSink is " +
+          "single-writer per table; if the holder is dead, delete " +
+          s"$lock to recover")
+    }
     try {
-      val out = fs.create(lock, /* overwrite = */ false)
+      val out = fs.create(lock, /* overwrite = */ true)
       try out.write(s"""{"owner":"$owner","instant":"$instant","op":"$op"}"""
         .getBytes("UTF-8")) finally out.close()
-    } catch {
-      case e: java.io.IOException =>
-        val held = try {
-          val len = fs.getFileStatus(lock).getLen.toInt
-          val in = fs.open(lock)
-          try {
-            val b = new Array[Byte](len); in.readFully(b); new String(b, "UTF-8")
-          } finally in.close()
-        } catch { case _: Exception => "(unreadable)" }
-        throw new IllegalStateException(
-          s"$tableDir is locked by another writer: $held — HudiSink is " +
-            "single-writer per table; if the holder is dead, delete " +
-            s"$lock to recover", e)
-    }
-    try commitWriteLocked(spark, tableDir, partitionCol, instant, tagged, op,
-      extraMetadata, expectGroups, markerSuffix, replaced)
-    finally fs.delete(lock, false)
+      commitWriteLocked(spark, tableDir, partitionCol, instant, tagged, op,
+        extraMetadata, expectGroups, markerSuffix, replaced)
+    } finally fs.delete(lock, false)
   }
 
   private def commitWriteLocked(spark: SparkSession, tableDir: String,

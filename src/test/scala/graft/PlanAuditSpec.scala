@@ -338,6 +338,17 @@ class PlanAuditSpec extends SparkSpec {
       s"TopN did not collapse:\n${topPlan.take(800)}")
   }
 
+  /** Verify's per-query spill attribution drains the listener bus via
+    * reflection (listenerBus/waitUntilEmpty are private[spark], public
+    * at the bytecode level) and DEGRADES SILENTLY if the method moves —
+    * this pin turns a Spark-upgrade rename into a loud test failure
+    * instead of quietly approximate spill numbers in the cert. */
+  test("the listener-bus drain reflection Verify relies on resolves and runs") {
+    val sc = spark.sparkContext
+    val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+    bus.getClass.getMethod("waitUntilEmpty").invoke(bus) // throws if renamed
+  }
+
   /** R19's whole point is driving the EXTERNAL-SORT path: the query
     * must plan a range exchange feeding per-partition SortExec — if a
     * refactor ever introduced a limit, Catalyst would collapse it to
