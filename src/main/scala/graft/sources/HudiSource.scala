@@ -86,6 +86,63 @@ object HudiRO {
     * 26-38). A replacecommit body the parser does not recognize stays
     * a LOUD refusal — reading on would silently duplicate replaced
     * rows (the Iceberg-v2-deletes discipline). */
+  /** Parsed replacecommit bodies, cached per immutable file
+    * (path+length+mtime — completed commits never change; the S20g
+    * discipline applied to the READ side too): a long-lived reader or
+    * stream re-plans the timeline every batch, and without this each
+    * re-plan re-read every clustering body on disk. Per-entry LRU,
+    * never clear-all (a >cap timeline must keep its working set). A
+    * REFUSAL (unparsable body) is deliberately NOT cached: the file
+    * could be fixed in place, and refusing is already the slow path. */
+  private val replaceCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long, Long), Map[String, Set[String]]](
+        1024, 0.75f, /* accessOrder = */ true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long, Long), Map[String, Set[String]]]): Boolean =
+          size() > 65536
+      })
+
+  private def parseReplaceBody(fs: org.apache.hadoop.fs.FileSystem,
+                               tableDir: String, fp: Path,
+                               n: String): Map[String, Set[String]] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val in = fs.open(fp)
+    val bytes = try {
+      val len = fs.getFileStatus(fp).getLen.toInt
+      val b = new Array[Byte](len); in.readFully(b); b
+    } finally in.close()
+    val node = try mapper.readTree(bytes) catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"$tableDir/.hoodie/$n: clustering replacecommit body is not JSON — " +
+          "refusing to read (the replaced file groups are only named there); " +
+          s"cause: ${e.getMessage}")
+    }
+    val ptr = if (node == null) null else node.get("partitionToReplaceFileIds")
+    require(ptr != null && ptr.isObject,
+      s"$tableDir/.hoodie/$n: replacecommit body carries no " +
+        "partitionToReplaceFileIds object — unrecognized shape, refusing " +
+        "to read (reading on would duplicate replaced rows)")
+    val out = scala.collection.mutable.HashMap.empty[String, Set[String]]
+    val it = ptr.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      val arr = e.getValue
+      require(arr.isArray,
+        s"$tableDir/.hoodie/$n: partitionToReplaceFileIds['${e.getKey}'] " +
+          "is not an array — unrecognized shape, refusing to read")
+      val ids = (0 until arr.size()).map { i =>
+        val v = arr.get(i)
+        require(v.isTextual,
+          s"$tableDir/.hoodie/$n: non-string fileId in " +
+            s"partitionToReplaceFileIds['${e.getKey}'] — refusing to read")
+        v.asText()
+      }.toSet
+      out(e.getKey) = out.getOrElse(e.getKey, Set.empty) ++ ids
+    }
+    out.toMap
+  }
+
   private[graft] def timeline(spark: SparkSession, tableDir: String,
                               asOf: Option[String] = None): Timeline = {
     val p = new Path(tableDir, ".hoodie")
@@ -94,52 +151,34 @@ object HudiRO {
     // asOf: the timeline AS OF an instant (inclusive) — instants are
     // fixed-width digit strings, lexicographic = commit order; marker
     // files without a digit prefix (hoodie.properties) pass through
-    val names = fs.listStatus(p).toSeq.map(_.getPath.getName).filter { n =>
+    val statuses = fs.listStatus(p).toSeq.filter { s =>
+      val n = s.getPath.getName
       asOf.forall { max =>
         val inst = n.takeWhile(_.isDigit); inst.isEmpty || inst <= max
       }
     }
+    val names = statuses.map(_.getPath.getName)
     val commits = names.filter(_.endsWith(".commit"))
       .map(_.stripSuffix(".commit")).toSet
-    val replacecommits = names.filter(_.endsWith(".replacecommit"))
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val replaced = scala.collection.mutable.HashMap.empty[String, Set[String]]
-    replacecommits.foreach { n =>
-      val fp = new Path(p, n)
-      val in = fs.open(fp)
-      val bytes = try {
-        val len = fs.getFileStatus(fp).getLen.toInt
-        val b = new Array[Byte](len); in.readFully(b); b
-      } finally in.close()
-      val node = try mapper.readTree(bytes) catch {
-        case e: Exception => throw new IllegalArgumentException(
-          s"$tableDir/.hoodie/$n: clustering replacecommit body is not JSON — " +
-            "refusing to read (the replaced file groups are only named there); " +
-            s"cause: ${e.getMessage}")
-      }
-      val ptr = if (node == null) null else node.get("partitionToReplaceFileIds")
-      require(ptr != null && ptr.isObject,
-        s"$tableDir/.hoodie/$n: replacecommit body carries no " +
-          "partitionToReplaceFileIds object — unrecognized shape, refusing " +
-          "to read (reading on would duplicate replaced rows)")
-      val it = ptr.fields()
-      while (it.hasNext) {
-        val e = it.next()
-        val arr = e.getValue
-        require(arr.isArray,
-          s"$tableDir/.hoodie/$n: partitionToReplaceFileIds['${e.getKey}'] " +
-            "is not an array — unrecognized shape, refusing to read")
-        val ids = (0 until arr.size()).map { i =>
-          val v = arr.get(i)
-          require(v.isTextual,
-            s"$tableDir/.hoodie/$n: non-string fileId in " +
-              s"partitionToReplaceFileIds['${e.getKey}'] — refusing to read")
-          v.asText()
-        }.toSet
-        replaced(e.getKey) = replaced.getOrElse(e.getKey, Set.empty) ++ ids
+    val replacecommits = statuses.filter(_.getPath.getName.endsWith(".replacecommit"))
+    replacecommits.foreach { s =>
+      val key = (s.getPath.toString, s.getLen, s.getModificationTime)
+      val hit = replaceCache.get(key)
+      val body =
+        if (hit != null) hit
+        else {
+          // parse outside the map lock; duplicate parse of an
+          // immutable file is harmless and yields the same value
+          val parsed = parseReplaceBody(fs, tableDir, s.getPath, s.getPath.getName)
+          replaceCache.put(key, parsed)
+          parsed
+        }
+      body.foreach { case (part, ids) =>
+        replaced(part) = replaced.getOrElse(part, Set.empty) ++ ids
       }
     }
-    Timeline(commits ++ replacecommits.map(_.stripSuffix(".replacecommit")),
+    Timeline(commits ++ replacecommits.map(_.getPath.getName.stripSuffix(".replacecommit")),
       replaced.toMap)
   }
 
