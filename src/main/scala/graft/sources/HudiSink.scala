@@ -307,21 +307,6 @@ object HudiSink {
     s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
   }
 
-  /** Per-file `_hoodie_record_key` ranges recorded in completed commit
-    * bodies (`minKeyHex`/`maxKeyHex`/`emptyFile` on each writeStat —
-    * written by [[commitMarker]] since this sink records them), keyed
-    * by the file's TABLE-RELATIVE path. This is the r14-verdict-#1 fix:
-    * the locator prune reads key ranges from the timeline it already
-    * parses instead of re-opening every snapshot footer on every commit
-    * — the public Hudi bloom-index / metadata-table column-stats idea
-    * (key ranges are immutable per base file, so recording them once at
-    * write time amortizes all future probes). Parsed commit bodies are
-    * cached per (path, length, mtime) — completed commits are immutable
-    * (written via atomic rename, never modified), so a long-running CDC
-    * stream parses only the commits NEW since its last micro-batch.
-    * Foreign-writer commits lacking the fields (or with unparsable
-    * bodies, e.g. the hand-touched fixture markers) contribute nothing;
-    * their files fall back to footer probes in [[pruneByKeyRange]]. */
   /** LRU, NOT clear-all-at-cap: a long-running stream on a
     * >cap-commit timeline must keep its whole working set cached —
     * clearing everything at the bound would re-parse the full
@@ -340,6 +325,22 @@ object HudiSink {
           size() > 65536
       })
 
+  /** Per-file `_hoodie_record_key` ranges recorded in completed commit
+    * bodies (`minKeyHex`/`maxKeyHex`/`emptyFile` on each writeStat —
+    * written by [[commitMarker]] since this sink records them), keyed
+    * by the file's TABLE-RELATIVE path. This is the r14-verdict-#1 fix:
+    * the locator prune reads key ranges from the timeline it already
+    * parses instead of re-opening every snapshot footer on every commit
+    * — the public Hudi bloom-index / metadata-table column-stats idea
+    * (key ranges are immutable per base file, so recording them once at
+    * write time amortizes all future probes). Parsed commit bodies are
+    * cached per (path, length, mtime) in [[rangeCache]] — completed
+    * commits are immutable (written via atomic rename, never
+    * modified), so a long-running CDC stream parses only the commits
+    * NEW since its last micro-batch. Foreign-writer commits lacking
+    * the fields (or with unparsable bodies, e.g. the hand-touched
+    * fixture markers) contribute nothing; their files fall back to
+    * footer probes in [[pruneByKeyRange]]. */
   private[graft] def timelineKeyRanges(spark: SparkSession,
                                        tableDir: String): Map[String, KeyRange] = {
     val fs = hfs(spark, tableDir)
