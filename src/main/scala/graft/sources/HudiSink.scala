@@ -89,6 +89,27 @@ object HudiSink {
   private def hfs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** TRUE create-exclusive, the race decider for the writer lock and
+    * the `.requested` marker. Hadoop's RawLocalFileSystem implements
+    * `create(overwrite = false)` as exists-check-then-create — a TOCTOU
+    * window two same-box writers can both slip through — so on a local
+    * FS this goes through NIO `Files.createFile` (O_EXCL, atomic in the
+    * kernel); on HDFS and object stores `create(overwrite = false)` is
+    * atomic natively. Returns false when the path already exists. */
+  private def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
+                              p: Path): Boolean = fs match {
+    case _: org.apache.hadoop.fs.LocalFileSystem |
+         _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      try {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(p.toUri.getPath))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    case _ =>
+      try { fs.create(p, /* overwrite = */ false).close(); true }
+      catch { case _: java.io.IOException => false }
+  }
+
   private def touch(spark: SparkSession, p: String): Unit = {
     val hp = new Path(p)
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).create(hp, true).close()
@@ -612,9 +633,7 @@ object HudiSink {
     // separate failure domain — an I/O error there must clean up the
     // just-created lock and surface as itself, never masquerade as
     // "locked by another writer"
-    val created =
-      try { fs.create(lock, /* overwrite = */ false).close(); true }
-      catch { case _: java.io.IOException => false }
+    val created = createExclusive(fs, lock)
     if (!created) {
       val held = try {
         val len = fs.getFileStatus(lock).getLen.toInt
@@ -653,12 +672,10 @@ object HudiSink {
       s"instant $instant already completed in $tableDir — concurrent writer? " +
         "(HudiSink is single-writer per table)")
     val requested = new Path(s"$tableDir/.hoodie/$instant$markerSuffix.requested")
-    try fs.create(requested, /* overwrite = */ false).close()
-    catch {
-      case e: java.io.IOException => throw new IllegalStateException(
+    if (!createExclusive(fs, requested))
+      throw new IllegalStateException(
         s"instant $instant already requested in $tableDir — concurrent " +
-          "writer? (HudiSink is single-writer per table)", e)
-    }
+          "writer? (HudiSink is single-writer per table)")
     touch(spark, s"$tableDir/.hoodie/$instant.inflight")
     val tmp = s"$tableDir/.hoodie/.temp_$instant"
     // each (partition, group) is one shuffle partition → exactly one

@@ -1989,6 +1989,56 @@ class SourcesSpec extends SparkSpec {
       .collect().toMap == Map("a01" -> 3.0))
   }
 
+  test("S20g: racing writers — every loser refuses CLEANLY (lock or marker), never interleaves; the table stays exact") {
+    import graft.sources.{HudiRO, HudiSink}
+    import spark.implicits._
+    val dir = tmp() + "/hudirace"
+    HudiSink.insert(Seq(("seed", 0.0)).toDF("k", "v"), dir, "k", None,
+      "20300901000000000")
+    // 8 threads race DISTINCT instants at once: the single-writer
+    // contract says losers refuse up front (IllegalStateException via
+    // the lock) — what must NEVER happen is a silent interleave or a
+    // corrupted table. Successes are timing-dependent (1..8); the
+    // invariant is successes + clean refusals == 8 and the visible
+    // rows == exactly the successful commits' rows.
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[String, String]]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        start.await()
+        val inst = f"2030090100000000$i"
+        try {
+          HudiSink.insert(Seq((f"r$i%02d", i * 1.0)).toDF("k", "v"),
+            dir, "k", None, inst)
+          results.add(Right(f"r$i%02d")); ()
+        } catch {
+          case e: IllegalStateException
+              if e.getMessage.contains("locked by another writer") =>
+            results.add(Left("lock")); ()
+          case e: IllegalStateException =>
+            results.add(Left("marker")); ()
+        }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val rs = results.asScala.toSeq
+    val won = rs.collect { case Right(k) => k }.toSet
+    assert(rs.size == 8 && won.nonEmpty,
+      s"expected 8 outcomes with >=1 success, got $rs")
+    // the lock is gone and the table holds EXACTLY seed + the winners
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.hoodie/.lock")))
+    val visible = HudiRO.read(spark, dir).select("k").as[String].collect().toSet
+    assert(visible == won + "seed", s"visible=$visible won=$won")
+    // and the table still accepts a NEW commit afterwards
+    HudiSink.upsert(Seq(("seed", 1.0)).toDF("k", "v"), dir, "k", None,
+      HudiSink.nextInstant(spark, dir))
+    assert(HudiRO.read(spark, dir).filter($"k" === "seed")
+      .select("v").as[Double].head() == 1.0)
+  }
+
   test("S20g property: hex key-range encoding round-trips EVERY byte sequence, and recorded ranges prune identically to footer probes") {
     import graft.sources.HudiSink
     // the commit body carries key bounds as hex because a
