@@ -68,9 +68,12 @@ def movers_between(old_path, new_path, ratio, min_sec):
     da, db = qload(old_path), qload(new_path)
     # refuse cross-environment comparisons (r14 verdict: the r14b/c
     # archives ran at 16 cpus vs the driver's 32 — raw per-query ratios
-    # between different core counts are apples-to-oranges)
-    ca, cb = str(da.get("cpus")), str(db.get("cpus"))
-    if ca != cb:
+    # between different core counts are apples-to-oranges). Mirror
+    # benchdiff.py: refuse only when BOTH archives record a count — an
+    # older archive predating the cpus field stays comparable
+    # (ADVICE r15).
+    ca, cb = da.get("cpus"), db.get("cpus")
+    if ca is not None and cb is not None and str(ca) != str(cb):
         raise SystemExit(
             f"REFUSED: {old_path} ran at cpus={ca} but {new_path} at "
             f"cpus={cb} — mover ratios across core counts are not "

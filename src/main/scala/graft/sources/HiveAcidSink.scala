@@ -139,6 +139,11 @@ object HiveAcidSink {
     require(fs.rename(tmp, dest), s"commit rename failed: $tmp -> $dest")
   }
 
+  /** Test seam: deltas the most recent [[lastCommittedBatchId]] walk
+    * examined before stopping — the T33 cadence pin: O(deltas newer
+    * than this query's last commit), not O(table lifetime). */
+  @volatile private[graft] var lastBatchIdDeltasScanned: Option[Int] = None
+
   /** NEWEST streaming-batch id recorded in a committed delta's sidecar
     * for `queryId` — the replay watermark for the T33 sink. Scans
     * deltas NEWEST-FIRST (write ids are dense and monotone) and stops
@@ -149,13 +154,16 @@ object HiveAcidSink {
                                           queryId: String): Option[Long] = {
     val p = new Path(tableDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    lastBatchIdDeltasScanned = Some(0) // nonexistent table: nothing examined
     if (!fs.exists(p)) return None
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+    val scanned = new java.util.concurrent.atomic.AtomicInteger
+    val res = fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
       .flatMap(d => HiveAcid.parseDelta(d.getName).map(pd => (pd, d)))
       .sortBy { case (pd, _) => (-pd.maxWriteId, -pd.statementId) }
       .iterator
       .flatMap { case (_, d) =>
+        scanned.incrementAndGet()
         val sc = new Path(d, "_graft_batch")
         if (!fs.exists(sc)) None
         else {
@@ -172,5 +180,7 @@ object HiveAcidSink {
         }
       }
       .nextOption()
+    lastBatchIdDeltasScanned = Some(scanned.get)
+    res
   }
 }

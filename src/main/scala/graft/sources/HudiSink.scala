@@ -73,7 +73,10 @@ import org.apache.spark.sql.functions._
   * Concurrency contract: SINGLE WRITER per table. Instant allocation
   * ([[nextInstant]]) is list-then-write with no lock — two concurrent
   * writers could allocate the same instant; a create-exclusive
-  * `.hoodie/.lock` (owner metadata in the body, held for the commit,
+  * `.hoodie/.lock` (owner metadata in the body, held across PLANNING +
+  * commit for rewrites/clustering — so a rewrite commits against the
+  * snapshot it planned from, never a stale one (no lost updates
+  * between serialized distinct-instant writers) —
   * released on success or in-process failure) turns a lost race into a
   * clean up-front refusal naming the holder, and the commit path still
   * fails fast if the allocated instant's `.requested` or completed
@@ -95,9 +98,13 @@ object HudiSink {
     * window two same-box writers can both slip through — so on a local
     * FS this goes through NIO `Files.createFile` (O_EXCL, atomic in the
     * kernel); on HDFS and object stores `create(overwrite = false)` is
-    * atomic natively. Returns false when the path already exists. */
-  private def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
-                              p: Path): Boolean = fs match {
+    * atomic natively. Returns false ONLY when the path already exists:
+    * a transient I/O failure surfaces as ITSELF — mapping it to
+    * "already exists" would tell the caller "locked by another writer:
+    * delete the lock to recover", inviting an unsafe manual deletion
+    * while a live writer may actually hold it (ADVICE r15). */
+  private[graft] def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
+                                     p: Path): Boolean = fs match {
     case _: org.apache.hadoop.fs.LocalFileSystem |
          _: org.apache.hadoop.fs.RawLocalFileSystem =>
       try {
@@ -107,7 +114,19 @@ object HudiSink {
       } catch { case _: java.nio.file.FileAlreadyExistsException => false }
     case _ =>
       try { fs.create(p, /* overwrite = */ false).close(); true }
-      catch { case _: java.io.IOException => false }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case e: java.io.IOException =>
+          // some stores signal a create collision as a plain
+          // IOException (incl. a RemoteException-wrapped
+          // FileAlreadyExistsException): trust an exists re-check —
+          // if the path is there, the collision reading is correct;
+          // if not, the failure propagates as what it was
+          if (try fs.exists(p) catch { case _: java.io.IOException => throw e })
+            false
+          else throw e
+      }
   }
 
   private def touch(spark: SparkSession, p: String): Unit = {
@@ -323,8 +342,14 @@ object HudiSink {
   private[graft] def fromHex(s: String): Array[Byte] = {
     // strict: odd-length/garbage hex (a foreign writer's colliding
     // field) must throw, never silently parse to a WRONG range — a
-    // wrong range could prune a file that holds a live key
+    // wrong range could prune a file that holds a live key.
+    // Integer.parseInt(_, 16) accepts leading '+'/'-', so an
+    // even-length value like "-1ab0" would otherwise parse silently to
+    // wrong bytes: validate the characters first (ADVICE r15)
     require(s.length % 2 == 0, s"odd-length hex: $s")
+    require(s.forall(c => (c >= '0' && c <= '9') ||
+      (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')),
+      s"non-hex characters: $s")
     s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
   }
 
@@ -343,6 +368,23 @@ object HudiSink {
         1024, 0.75f, /* accessOrder = */ true) {
         override def removeEldestEntry(
             e: java.util.Map.Entry[(String, Long, Long), Map[String, KeyRange]]): Boolean =
+          size() > 65536
+      })
+
+  /** Footer-probe results for FOREIGN-writer base files (no recorded
+    * range in any commit body), keyed by (path, length, mtime) — base
+    * files are immutable, so the probe result is too (r15 verdict #1:
+    * a CDC stream upserting into a table REAL Hudi wrote must pay
+    * O(new files) footer probes per batch, not O(snapshot) — the same
+    * cost class S20g removed for sink-written tables). Same per-entry
+    * LRU discipline as [[rangeCache]]: never clear-all, and a stale
+    * entry cannot be served because the key carries length + mtime. */
+  private val probeCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long, Long), KeyRange](
+        1024, 0.75f, /* accessOrder = */ true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long, Long), KeyRange]): Boolean =
           size() > 65536
       })
 
@@ -424,25 +466,57 @@ object HudiSink {
     * scan set. Ranges come from `recorded` (the timeline's writeStats,
     * [[timelineKeyRanges]]) when this sink wrote the file; only files
     * a FOREIGN writer produced (no recorded range) fall back to a
-    * parquet-footer probe. Fallback probes are driver-side metadata
+    * parquet-footer probe — CACHED per (path, length, mtime) in
+    * [[probeCache]], so even a 100k-file table real Hudi wrote pays
+    * the probes ONCE per JVM, then O(new files) per batch (r15 verdict
+    * #1). Fallback probes are driver-side metadata
     * work on a parallel stream (the footer path touches no shared
     * state; ParquetFileReader is one instance per file), keeping probe
     * latency at files/parallelism — but for a sink-written table the
     * probe count is ZERO, which the S20g spec pins. Returns
-    * (candidates, footer probes performed). */
+    * (candidates, footer probes performed — cache hits don't count). */
   private[graft] def pruneByKeyRange(spark: SparkSession, tableDir: String,
                                      files: Seq[String],
                                      bmin: String, bmax: String,
                                      recorded: Map[String, KeyRange]): (Seq[String], Int) = {
     import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
+    val fs = hfs(spark, tableDir)
     val lo = bmin.getBytes("UTF-8")
     val hi = bmax.getBytes("UTF-8")
+    // (length, mtime) for the fallback files — the probe-cache key —
+    // gathered with ONE listStatus per parent dir, not one RPC per
+    // file (the fallback set is usually empty: sink-written tables
+    // record every range)
+    val statusOf: Map[String, (Long, Long)] = {
+      val fallback = files.filterNot(f =>
+        recorded.contains(f.stripPrefix(tableDir).stripPrefix("/")))
+      fallback.groupBy(f => new Path(f).getParent).iterator.flatMap {
+        case (d, fl) =>
+          val byName = fs.listStatus(d).iterator.filter(_.isFile)
+            .map(s => s.getPath.getName ->
+              (s.getLen, s.getModificationTime)).toMap
+          fl.iterator.flatMap(f => byName.get(new Path(f).getName).map(f -> _))
+      }.toMap
+    }
     val probes = new java.util.concurrent.atomic.AtomicInteger
     val kept = files.asJava.parallelStream().filter { f =>
       val rel = f.stripPrefix(tableDir).stripPrefix("/")
-      val kr = recorded.getOrElse(rel,
-        { probes.incrementAndGet(); keyRangeOf(conf, f) })
+      val kr = recorded.getOrElse(rel, {
+        val (len, mtime) = statusOf.getOrElse(f, {
+          val st = fs.getFileStatus(new Path(f))
+          (st.getLen, st.getModificationTime)
+        })
+        val ck = (f, len, mtime)
+        val hit = probeCache.get(ck)
+        if (hit != null) hit
+        else {
+          probes.incrementAndGet()
+          val r = keyRangeOf(conf, f)
+          probeCache.put(ck, r)
+          r
+        }
+      })
       kr match {
         case FileEmpty      => false
         case RangeUnknown   => true
@@ -462,12 +536,26 @@ object HudiSink {
     * the timeline), >0 only for foreign/older-writer files. */
   @volatile private[graft] var lastRewriteFooterProbes: Option[Int] = None
 
-  /** The shared UPSERT/DELETE group rewrite. */
+  /** The shared UPSERT/DELETE group rewrite. The writer lock is taken
+    * HERE, before the snapshot read — not at commit time — so the
+    * snapshot the rewrite plans against is the snapshot it commits
+    * against (two serialized distinct-instant upserts can never both
+    * succeed with the second planning from a stale snapshot). */
   private def rewrite(batch: DataFrame, tableDir: String, keyCol: String,
                       partitionCol: Option[String], instant: String,
                       recordsPerGroup: Long, op: String,
                       extraMetadata: Map[String, String],
-                      deleteKeys: Boolean): Unit = {
+                      deleteKeys: Boolean): Unit =
+    withWriterLock(batch.sparkSession, tableDir, instant, op) {
+      rewriteLocked(batch, tableDir, keyCol, partitionCol, instant,
+        recordsPerGroup, op, extraMetadata, deleteKeys)
+    }
+
+  private def rewriteLocked(batch: DataFrame, tableDir: String, keyCol: String,
+                            partitionCol: Option[String], instant: String,
+                            recordsPerGroup: Long, op: String,
+                            extraMetadata: Map[String, String],
+                            deleteKeys: Boolean): Unit = {
     val spark = batch.sparkSession
     // the table's own partition column (from the dir layout), which may
     // differ from / confirm the caller's: data files never carry it
@@ -568,7 +656,7 @@ object HudiSink {
           userCols = curUserCols)
         survivors.unionByName(newMeta)
       }
-    commitWrite(spark, tableDir, tablePart, instant, written, op,
+    commitWriteLocked(spark, tableDir, tablePart, instant, written, op,
       extraMetadata, expectGroups = affSet)
   }
 
@@ -583,7 +671,14 @@ object HudiSink {
     * clustering is layout maintenance, not data change — the visible
     * slice before and after is row-identical, which the oracle pins. */
   def cluster(spark: SparkSession, tableDir: String, instant: String,
-              extraMetadata: Map[String, String] = Map.empty): Unit = {
+              extraMetadata: Map[String, String] = Map.empty): Unit =
+    withWriterLock(spark, tableDir, instant, "CLUSTER") {
+      clusterLocked(spark, tableDir, instant, extraMetadata)
+    }
+
+  private def clusterLocked(spark: SparkSession, tableDir: String,
+                            instant: String,
+                            extraMetadata: Map[String, String]): Unit = {
     val cur = HudiRO.read(spark, tableDir)
     val tablePart = HudiRO.listPartitionDirs(spark, tableDir)
       .find(_.contains("=")).map(_.split("=", 2)(0))
@@ -606,34 +701,76 @@ object HudiSink {
       .withColumn("_hoodie_file_name", lit(s"${newFg}_0-0-0_$instant.parquet"))
       .select(MetaCols.map(col) ++ curUserCols.map(col) ++
         Seq(col("__part"), col("__fg")): _*)
-    commitWrite(spark, tableDir, tablePart, instant, written, "CLUSTER",
-      extraMetadata, markerSuffix = ".replacecommit", replaced = replaced)
+    commitWriteLocked(spark, tableDir, tablePart, instant, written, "CLUSTER",
+      extraMetadata, expectGroups = Set.empty,
+      markerSuffix = ".replacecommit", replaced = replaced)
   }
 
-  /** One distributed write job for every (partition, fileId) group,
-    * then name-level placement and the atomic commit marker. */
-  private def commitWrite(spark: SparkSession, tableDir: String,
-                          partitionCol: Option[String], instant: String,
-                          tagged: DataFrame, op: String,
-                          extraMetadata: Map[String, String],
-                          expectGroups: Set[(String, String)] = Set.empty,
-                          markerSuffix: String = ".commit",
-                          replaced: Map[String, Set[String]] = Map.empty): Unit = {
+  /** Lock LEASE TTL (r15 verdict #6): a live holder heartbeats the
+    * lock's mtime every ttl/3; a lock whose mtime is older than this
+    * is presumed abandoned (crashed JVM) and may be TAKEN OVER. Must
+    * exceed any real heartbeat gap — the default gives a live writer
+    * ~3 missed heartbeats of slack. Test seam: specs shrink it. */
+  @volatile private[graft] var lockTtlMs: Long = 10 * 60 * 1000L
+
+  /** Acquire the table's create-exclusive writer LOCK (owner metadata
+    * in the body), run `body`, release. Released on success AND on
+    * in-process failure (a failed commit must not wedge the table).
+    * [[rewrite]] and [[cluster]] hold it across PLANNING +
+    * COMMIT, so the snapshot a rewrite reads is the snapshot it
+    * commits against: a second writer — even with a DISTINCT instant —
+    * refuses up front instead of committing from a stale snapshot (a
+    * lost update; ADVICE r15).
+    *
+    * Stale-lock recovery (r15 verdict #6): while held, a daemon thread
+    * refreshes the lock's mtime every [[lockTtlMs]]/3 (the heartbeat);
+    * a contender finding a lock whose mtime is older than the TTL
+    * presumes the holder dead and takes over — it RENAMES the stale
+    * lock to a tombstone (rename succeeds for exactly ONE taker),
+    * verifies it renamed the incarnation it observed (a fresh lock
+    * re-created in the race window is renamed BACK and the takeover
+    * abandoned), then competes through the normal create-exclusive
+    * path. Manual `delete <lock>` stays the documented fallback. The
+    * `.requested`/completed marker guards in [[commitWriteLocked]]
+    * remain the fencing backstop: even if a presumed-dead holder was
+    * actually alive, two commits can never interleave under one
+    * instant. */
+  private def withWriterLock[T](spark: SparkSession, tableDir: String,
+                                instant: String, op: String)(body: => T): T = {
     val fs = hfs(spark, tableDir)
-    // Writer LOCK (create-exclusive, owner metadata in the body): turns
-    // a lost single-writer race from a mid-commit marker error into a
-    // clean up-front refusal naming the holder. Released on success AND
-    // on in-process failure (a failed commit must not wedge the table);
-    // only a crashed JVM leaves it behind — the refusal says how to
-    // clear that. The `.requested`/completed marker guards below stay:
-    // they are the correctness backstop, the lock is ergonomics.
+    require(fs.exists(new Path(s"$tableDir/.hoodie")),
+      s"$op: no Hudi table at $tableDir (no .hoodie timeline)")
     val lock = new Path(s"$tableDir/.hoodie/.lock")
     val owner = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
     // create-exclusive FIRST (the race decider); the body write is a
     // separate failure domain — an I/O error there must clean up the
     // just-created lock and surface as itself, never masquerade as
     // "locked by another writer"
-    val created = createExclusive(fs, lock)
+    var created = createExclusive(fs, lock)
+    if (!created) {
+      // dead-holder takeover: only when the observed incarnation's
+      // mtime is past the lease TTL
+      val st = try Some(fs.getFileStatus(lock)) catch { case _: Exception => None }
+      val staleMtime = st.map(_.getModificationTime)
+        .filter(System.currentTimeMillis() - _ > lockTtlMs)
+      staleMtime.foreach { mt =>
+        val tomb = new Path(s"$tableDir/.hoodie/.lock.expired.$mt")
+        val renamed = try fs.rename(lock, tomb) catch { case _: Exception => false }
+        if (renamed) {
+          val tombMt = try fs.getFileStatus(tomb).getModificationTime
+                       catch { case _: Exception => -1L }
+          if (tombMt == mt || tombMt == -1L) {
+            // we renamed the stale incarnation we observed — clear it
+            try fs.delete(tomb, false) catch { case _: Exception => () }
+          } else {
+            // race: another taker already recycled the lock and we
+            // renamed the FRESH one — put it back, abandon takeover
+            try fs.rename(tomb, lock) catch { case _: Exception => () }
+          }
+        }
+        created = createExclusive(fs, lock)
+      }
+    }
     if (!created) {
       val held = try {
         val len = fs.getFileStatus(lock).getLen.toInt
@@ -644,25 +781,56 @@ object HudiSink {
       } catch { case _: Exception => "(unreadable)" }
       throw new IllegalStateException(
         s"$tableDir is locked by another writer: $held — HudiSink is " +
-          "single-writer per table; if the holder is dead, delete " +
-          s"$lock to recover")
+          "single-writer per table; a dead holder's lock expires after " +
+          s"${lockTtlMs / 1000}s without a heartbeat, or delete $lock " +
+          "to recover immediately")
     }
+    // heartbeat: keep a LIVE holder's lease fresh for long commits so
+    // a contender never presumes it dead
+    val hb = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(math.max(lockTtlMs / 3, 50L))
+          fs.setTimes(lock, System.currentTimeMillis(), -1L)
+        }
+      } catch { case _: Throwable => () } // incl. interrupt on release
+    }, s"graft-hudi-lock-heartbeat-$instant")
+    hb.setDaemon(true)
     try {
       val out = fs.create(lock, /* overwrite = */ true)
       try out.write(s"""{"owner":"$owner","instant":"$instant","op":"$op"}"""
         .getBytes("UTF-8")) finally out.close()
+      hb.start()
+      body
+    } finally {
+      hb.interrupt()
+      fs.delete(lock, false)
+    }
+  }
+
+  /** One distributed write job for every (partition, fileId) group,
+    * then name-level placement and the atomic commit marker — under
+    * the writer lock (insert's entry point; rewrite/cluster take the
+    * lock earlier, around their snapshot planning). */
+  private def commitWrite(spark: SparkSession, tableDir: String,
+                          partitionCol: Option[String], instant: String,
+                          tagged: DataFrame, op: String,
+                          extraMetadata: Map[String, String],
+                          expectGroups: Set[(String, String)] = Set.empty,
+                          markerSuffix: String = ".commit",
+                          replaced: Map[String, Set[String]] = Map.empty): Unit =
+    withWriterLock(spark, tableDir, instant, op) {
       commitWriteLocked(spark, tableDir, partitionCol, instant, tagged, op,
         extraMetadata, expectGroups, markerSuffix, replaced)
-    } finally fs.delete(lock, false)
-  }
+    }
 
   private def commitWriteLocked(spark: SparkSession, tableDir: String,
                                 partitionCol: Option[String], instant: String,
                                 tagged: DataFrame, op: String,
                                 extraMetadata: Map[String, String],
-                                expectGroups: Set[(String, String)],
-                                markerSuffix: String,
-                                replaced: Map[String, Set[String]]): Unit = {
+                                expectGroups: Set[(String, String)] = Set.empty,
+                                markerSuffix: String = ".commit",
+                                replaced: Map[String, Set[String]] = Map.empty): Unit = {
     val fs = hfs(spark, tableDir)
     // single-writer guard (see object scaladoc): a concurrent writer
     // that allocated the same instant loses the exclusive create of the
@@ -799,6 +967,11 @@ object HudiSink {
     writeAtomic(spark, s"$tableDir/.hoodie/$instant$markerSuffix", root.toString)
   }
 
+  /** Test seam: commit bodies the most recent [[lastCommittedBatchId]]
+    * walk read before stopping — the T31 cadence pin: O(commits newer
+    * than this query's last commit), not O(timeline lifetime). */
+  @volatile private[graft] var lastBatchIdCommitsScanned: Option[Int] = None
+
   /** NEWEST streaming-batch id recorded in a completed commit's
     * extraMetadata for `queryId` (the T18 exactly-once device: the
     * table IS the commit log — no side state). Scans the timeline
@@ -812,13 +985,16 @@ object HudiSink {
                                           queryId: String): Option[Long] = {
     val fs = hfs(spark, tableDir)
     val p = new Path(s"$tableDir/.hoodie")
+    lastBatchIdCommitsScanned = Some(0) // nonexistent table: nothing examined
     if (!fs.exists(p)) return None
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    fs.listStatus(p).toSeq.map(_.getPath)
+    val scanned = new java.util.concurrent.atomic.AtomicInteger
+    val res = fs.listStatus(p).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".commit"))
       .sortBy(_.getName)(Ordering[String].reverse) // instants: lexicographic = commit order
       .iterator
       .flatMap { fp =>
+        scanned.incrementAndGet()
         val in = fs.open(fp)
         val bytes = try {
           val len = fs.getFileStatus(fp).getLen.toInt
@@ -832,5 +1008,7 @@ object HudiSink {
         else bid.asText().toLongOption
       }
       .nextOption()
+    lastBatchIdCommitsScanned = Some(scanned.get)
+    res
   }
 }

@@ -1947,11 +1947,21 @@ class SourcesSpec extends SparkSpec {
       s"expected 1-of-4 candidates, got ${HudiSink.lastRewriteScan}")
     assert(HudiSink.lastRewriteFooterProbes.contains(1),
       s"expected exactly the foreign file probed, got ${HudiSink.lastRewriteFooterProbes}")
-    // end state exact despite the pruning + fallback mix
+    // SECOND upsert against the still-foreign file: the probe result
+    // is immutable per base file, so it comes from the probe cache —
+    // ZERO footer probes (r15 verdict #1: a CDC stream into a table
+    // real Hudi wrote pays O(new files) probes per batch, not
+    // O(snapshot) re-probes)
+    HudiSink.upsert(Seq(("b04", 44.0)).toDF("k", "v"), dir, "k", None, C(7))
+    assert(HudiSink.lastRewriteScan.contains((1, 4)),
+      s"expected 1-of-4 candidates, got ${HudiSink.lastRewriteScan}")
+    assert(HudiSink.lastRewriteFooterProbes.contains(0),
+      s"expected the foreign probe CACHED, got ${HudiSink.lastRewriteFooterProbes}")
+    // end state exact despite the pruning + fallback + cache mix
     assert(HudiRO.read(spark, dir).select("k", "v").as[(String, Double)]
       .collect().toMap ==
       ((1 to 4).map(i => (f"a$i%02d", i * 1.0)) ++
-        Seq(("b01", 1.0), ("b02", 22.0), ("b03", 33.0), ("b04", 4.0),
+        Seq(("b01", 1.0), ("b02", 22.0), ("b03", 33.0), ("b04", 44.0),
           ("c01", 11.0))).toMap)
   }
 
@@ -2039,6 +2049,140 @@ class SourcesSpec extends SparkSpec {
       .select("v").as[Double].head() == 1.0)
   }
 
+  test("S20g: lock lease — a dead holder's lock is taken over after the TTL; a fresh (live) lock still refuses; the heartbeat keeps a long commit alive") {
+    import graft.sources.{HudiRO, HudiSink}
+    import spark.implicits._
+    val dir = tmp() + "/hudilease"
+    HudiSink.insert(Seq(("a01", 1.0)).toDF("k", "v"), dir, "k", None,
+      "20301101000000001")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/.hoodie/.lock")
+    val oldTtl = HudiSink.lockTtlMs
+    try {
+      HudiSink.lockTtlMs = 400L
+      // a crashed JVM's lock: no heartbeat, mtime far past the TTL —
+      // the next writer takes it over WITHOUT manual deletion
+      val out = fs.create(lock, false)
+      out.write("""{"owner":"dead@gone","instant":"x","op":"UPSERT"}"""
+        .getBytes("UTF-8")); out.close()
+      fs.setTimes(lock, System.currentTimeMillis() - 60000L, -1L)
+      HudiSink.upsert(Seq(("a01", 2.0)).toDF("k", "v"), dir, "k", None,
+        "20301101000000002")
+      assert(HudiRO.read(spark, dir).select("v").as[Double].head() == 2.0)
+      assert(!fs.exists(lock), "takeover must release the lock after commit")
+      // a FRESH lock (mtime now — a live writer between heartbeats)
+      // is NOT presumed dead: clean refusal naming the holder
+      val o2 = fs.create(lock, false)
+      o2.write("""{"owner":"alive@here","instant":"y","op":"UPSERT"}"""
+        .getBytes("UTF-8")); o2.close()
+      val e = intercept[IllegalStateException] {
+        HudiSink.upsert(Seq(("a01", 9.0)).toDF("k", "v"), dir, "k", None,
+          "20301101000000003")
+      }
+      assert(e.getMessage.contains("alive@here"), e.getMessage)
+      fs.delete(lock, false)
+      // heartbeat: during a commit LONGER than the TTL, the holder
+      // refreshes the lock's mtime (ttl/3 cadence) so a contender
+      // never sees a stale lease — sample mtimes while a slow insert
+      // (many file groups) holds the lock
+      val samples = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val writer = new Thread(() => {
+        HudiSink.insert(
+          (1 to 2000).map(i => (f"h$i%05d", i * 1.0)).toDF("k", "v"),
+          dir, "k", None, "20301101000000004", recordsPerGroup = 25L)
+      })
+      writer.start()
+      while (writer.isAlive) {
+        try {
+          val st = fs.getFileStatus(lock)
+          samples += st.getModificationTime
+        } catch { case _: Exception => () } // lock not created yet / released
+        Thread.sleep(100L)
+      }
+      writer.join()
+      // the slow commit held the lock well past the 400ms TTL; if we
+      // observed the lease at least a TTL apart, it must have been
+      // REFRESHED (distinct mtimes) — otherwise a contender could
+      // have presumed the live holder dead
+      if (samples.size >= 5)
+        assert(samples.distinct.size >= 2,
+          s"lock mtime never refreshed across ${samples.size} samples")
+      assert(HudiRO.read(spark, dir).count() == 2001)
+    } finally HudiSink.lockTtlMs = oldTtl
+  }
+
+  test("S20g: createExclusive error taxonomy — a transient non-local I/O failure surfaces as ITSELF, never as 'already exists'") {
+    import graft.sources.HudiSink
+    import org.apache.hadoop.fs.{FSDataOutputStream, FilterFileSystem, Path => HPath}
+    val raw = new org.apache.hadoop.fs.RawLocalFileSystem()
+    raw.initialize(new java.net.URI("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    // a NON-local FS (FilterFileSystem matches neither Local branch)
+    // whose next exclusive create throws the injected exception —
+    // the ADVICE-r15 scenario: on HDFS/object stores a network blip
+    // during lock creation must NOT read as "locked by another
+    // writer", which invites an unsafe manual lock deletion
+    class FlakyFs(var failWith: Option[java.io.IOException])
+        extends FilterFileSystem(raw) {
+      override def create(f: HPath, overwrite: Boolean): FSDataOutputStream =
+        failWith match {
+          case Some(e) if !overwrite => failWith = None; throw e
+          case _ => super.create(f, overwrite)
+        }
+    }
+    val dir = tmp() + "/hudiflaky"
+    new java.io.File(dir).mkdirs()
+    val p = new HPath(s"$dir/.lock")
+    // 1) transient blip while the path does NOT exist: propagates as itself
+    val flaky = new FlakyFs(Some(new java.io.IOException("transient blip")))
+    val e = intercept[java.io.IOException](HudiSink.createExclusive(flaky, p))
+    assert(e.getMessage == "transient blip")
+    assert(!new java.io.File(s"$dir/.lock").exists())
+    // 2) clean exclusive create succeeds
+    assert(HudiSink.createExclusive(flaky, p))
+    // 3) an explicit FileAlreadyExistsException is a collision
+    val faee = new FlakyFs(Some(
+      new org.apache.hadoop.fs.FileAlreadyExistsException("exists")))
+    assert(!HudiSink.createExclusive(faee, p))
+    // 4) a store signalling the collision as a PLAIN IOException while
+    //    the path exists: the exists re-check reads it as a collision
+    val plain = new FlakyFs(Some(new java.io.IOException("opaque store error")))
+    assert(!HudiSink.createExclusive(plain, p))
+  }
+
+  test("S20g: the writer lock is held across PLANNING — a held lock refuses BEFORE the snapshot read (no stale-snapshot lost update)") {
+    import graft.sources.{HudiRO, HudiSink}
+    import spark.implicits._
+    val dir = tmp() + "/hudiplanlock"
+    HudiSink.insert(Seq(("a01", 1.0)).toDF("k", "v"), dir, "k", None,
+      "20301001000000001")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/.hoodie/.lock")
+    fs.create(lock, false).close()
+    // a DISTINCT-instant upsert against the held table refuses before
+    // reading the snapshot: the locator seam never runs (the ADVICE-r15
+    // lost-update scenario — two interleaved rewrites where the second
+    // plans from a snapshot that predates the first's commit)
+    HudiSink.lastRewriteScan = None
+    intercept[IllegalStateException] {
+      HudiSink.upsert(Seq(("a01", 2.0)).toDF("k", "v"), dir, "k", None,
+        "20301001000000002")
+    }
+    assert(HudiSink.lastRewriteScan.isEmpty,
+      "upsert PLANNED against a snapshot while the table was locked")
+    // clustering takes the same lock around its planning
+    intercept[IllegalStateException] {
+      HudiSink.cluster(spark, dir, "20301001000000003")
+    }
+    fs.delete(lock, false)
+    HudiSink.upsert(Seq(("a01", 3.0)).toDF("k", "v"), dir, "k", None,
+      "20301001000000004")
+    assert(HudiRO.read(spark, dir).select("k", "v").as[(String, Double)]
+      .collect().toMap == Map("a01" -> 3.0))
+  }
+
   test("S20g property: hex key-range encoding round-trips EVERY byte sequence, and recorded ranges prune identically to footer probes") {
     import graft.sources.HudiSink
     // the commit body carries key bounds as hex because a
@@ -2062,6 +2206,12 @@ class SourcesSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException](HudiSink.fromHex("abc")) // odd length
     intercept[IllegalArgumentException](HudiSink.fromHex("zz")) // garbage
+    // Integer.parseInt(_, 16) accepts leading signs — an even-length
+    // signed value must THROW, never silently parse to wrong bytes
+    // (ADVICE r15: a wrong range could prune a file holding a live key)
+    intercept[IllegalArgumentException](HudiSink.fromHex("-1ab0"))
+    intercept[IllegalArgumentException](HudiSink.fromHex("+f"))
+    intercept[IllegalArgumentException](HudiSink.fromHex("+0f0a"))
   }
 
   test("S20f: key-range pruning orders by UTF-8 BYTES — keys where Java String order disagrees stay correct") {

@@ -1678,6 +1678,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T31/T33: the replay-watermark walk examines O(new instants), never O(table lifetime) — the sink cadence pin") {
+    import graft.sources.{HiveAcidSink, HudiSink}
+    import graft.streaming.Streams
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cadence").toString
+    // --- T33 Hive ACID: newest-first delta walk stops at the query's
+    // own last commit, whatever accumulated before it ---
+    val acid = s"$root/acid"
+    (0 to 3).foreach { b =>
+      Streams.hiveAcidCommitBatch(
+        Seq((b.toLong, s"d$b")).toDF("doc_id", "text"), b.toLong, acid)
+      // batch 0 sees no table (0 examined); each later batch stops at
+      // the NEWEST delta — its own previous commit — after exactly 1
+      val want = if (b == 0) 0 else 1
+      assert(HiveAcidSink.lastBatchIdDeltasScanned.contains(want),
+        s"batch $b examined ${HiveAcidSink.lastBatchIdDeltasScanned} deltas")
+    }
+    // m sidecar-less FOREIGN deltas land on top (another writer): the
+    // walk examines exactly m+1 — the new instants plus the stop
+    (5 to 7).foreach { w =>
+      HiveAcidSink.insertOnly(Seq((100L + w, "x")).toDF("doc_id", "text"),
+        acid, w.toLong)
+    }
+    assert(HiveAcidSink.lastCommittedBatchId(spark, acid, "unattached")
+      .contains(3L))
+    assert(HiveAcidSink.lastBatchIdDeltasScanned.contains(4),
+      s"expected 3 foreign + 1 own examined, got " +
+        s"${HiveAcidSink.lastBatchIdDeltasScanned}")
+    // --- T31 Hudi: same contract over the commit timeline ---
+    val hudi = s"$root/hudi"
+    (0 to 3).foreach { b =>
+      Streams.hudiCommitBatch(
+        Seq((s"k$b", b.toLong)).toDF("k", "v"), b.toLong, hudi, "k", None)
+      val want = if (b == 0) 0 else 1
+      assert(HudiSink.lastBatchIdCommitsScanned.contains(want),
+        s"batch $b read ${HudiSink.lastBatchIdCommitsScanned} commit bodies")
+    }
+    (0 until 3).foreach { i =>
+      HudiSink.insert(Seq((s"f$i", -1L)).toDF("k", "v"), hudi, "k", None,
+        HudiSink.nextInstant(spark, hudi))
+    }
+    assert(HudiSink.lastCommittedBatchId(spark, hudi, "unattached")
+      .contains(3L))
+    assert(HudiSink.lastBatchIdCommitsScanned.contains(4),
+      s"expected 3 foreign + 1 own commit bodies read, got " +
+        s"${HudiSink.lastBatchIdCommitsScanned}")
+  }
+
   test("T34–T36: the migration matrix closes — ACID→Hudi→ACID round-trips intact; Iceberg→ACID lands snapshots as deltas") {
     import graft.sources.{HiveAcid, HiveAcidSink, HudiRO}
     import graft.streaming.Streams

@@ -97,12 +97,70 @@ object HudiUpsertSweep {
       f"second-half avg ${secondHalf}%.3f s over $kCad upserts (timeline grows each commit)")
     require(secondHalf <= firstHalf * 1.5,
       f"per-upsert cost TRENDS UP as commits accumulate: $firstHalf%.3f -> $secondHalf%.3f")
+    // FOREIGN-TABLE cadence phase (r15 verdict #1): strip every
+    // recorded key range from the g=32 table's commit bodies — the
+    // body shape REAL Hudi writes (writeStats without our key fields)
+    // — so every base file is stats-less, then run K sequential 1-key
+    // upserts. The FIRST pays one footer probe per foreign file
+    // (cold cache); every subsequent upsert pays ZERO: probe results
+    // are immutable per base file and cached per (path, length,
+    // mtime), so a CDC stream upserting into a table real Hudi wrote
+    // is O(new files) probes per batch, not O(snapshot) re-probes.
+    val gFor = sweeps(1)
+    val forDir = s"/tmp/graft_hudi_upsweep_g$gFor"
+    val ffs = new org.apache.hadoop.fs.Path(forDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    ffs.listStatus(new org.apache.hadoop.fs.Path(s"$forDir/.hoodie")).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".commit"))
+      .foreach { s =>
+        val in = ffs.open(s.getPath)
+        val b = new Array[Byte](s.getLen.toInt)
+        try in.readFully(b) finally in.close()
+        val node = mapper.readTree(b)
+        val p2ws = node.get("partitionToWriteStats")
+        if (p2ws != null && p2ws.isObject) {
+          val parts = p2ws.fields()
+          while (parts.hasNext) {
+            val arr = parts.next().getValue
+            if (arr.isArray) (0 until arr.size()).foreach { i =>
+              val st = arr.get(i)
+                .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+              st.remove("minKeyHex"); st.remove("maxKeyHex"); st.remove("emptyFile")
+            }
+          }
+        }
+        val out = ffs.create(s.getPath, true)
+        try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+      }
+    val foreignFiles = HudiRO.snapshotFiles(spark, forDir).length
+    val kFor = 12
+    val foreignProbes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val foreignWalls = (0 until kFor).map { k =>
+      val key = f"k${(gFor / 2) * rowsPerGroup + 100 + k}%09d"
+      val t0 = System.nanoTime()
+      HudiSink.upsert(Seq((key, -9L - k)).toDF("k", "v"), forDir, "k", None,
+        f"${c0 + gFor + 50 + k}%017d")
+      val w = (System.nanoTime() - t0) / 1e9
+      foreignProbes += HudiSink.lastRewriteFooterProbes.get
+      w
+    }
+    println(s"[upsweep] foreign cadence: probes=${foreignProbes.mkString(",")} " +
+      s"walls=${foreignWalls.map(fmt).mkString(",")} (files=$foreignFiles)")
+    require(foreignProbes.head == foreignFiles,
+      s"cold foreign upsert should probe every stats-less file " +
+        s"($foreignFiles), probed ${foreignProbes.head}")
+    require(foreignProbes.tail.forall(_ == 0),
+      s"warm foreign upserts must pay ZERO probes (immutable-file " +
+        s"cache), got ${foreignProbes.mkString(",")}")
     val rows = results.map { case (g, f, c, w) =>
       s"""{"groups":$g,"files":$f,"candidates":$c,"footer_probes":0,"upsert_wall_s":${fmt(w)}}"""
     }.mkString("[", ",", "]")
     val cadJson = cadence.map(fmt).mkString("[", ",", "]")
+    val forWallsJson = foreignWalls.map(fmt).mkString("[", ",", "]")
+    val forProbesJson = foreignProbes.mkString("[", ",", "]")
     val body =
-      s"""{"what":"S20f/S20g upsert key-locator sweep: fixed 1-key upsert vs file-group count over range-clustered tables; candidates must stay 1, parquet-footer probes must stay 0 (ranges read from commit metadata — r14 verdict #1), and wall ~O(1) (alpha<<1) as G grows. commit_cadence: $kCad SEQUENTIAL 1-key upserts on the g=$gBig table — the timeline grows one commit per upsert and per-upsert wall must stay flat (only the NEW commit parses; immutable-commit cache, zero footer re-opens — the CDC long-running-stream claim)","rows_per_group":$rowsPerGroup,"sweeps":$rows,"alpha_wall_vs_groups":${fmt(alpha)},"commit_cadence_walls_s":$cadJson,"cadence_first_half_avg_s":${fmt(firstHalf)},"cadence_second_half_avg_s":${fmt(secondHalf)}}"""
+      s"""{"what":"S20f/S20g upsert key-locator sweep: fixed 1-key upsert vs file-group count over range-clustered tables; candidates must stay 1, parquet-footer probes must stay 0 (ranges read from commit metadata — r14 verdict #1), and wall ~O(1) (alpha<<1) as G grows. commit_cadence: $kCad SEQUENTIAL 1-key upserts on the g=$gBig table — the timeline grows one commit per upsert and per-upsert wall must stay flat (only the NEW commit parses; immutable-commit cache, zero footer re-opens — the CDC long-running-stream claim). foreign_cadence (r15 verdict #1): every key range STRIPPED from the g=$gFor table's commit bodies (the shape real Hudi writes), then $kFor sequential 1-key upserts — the first pays one footer probe per stats-less file (cold), every later one pays ZERO (probe results are immutable per base file, cached per path+length+mtime): a CDC stream into a foreign-written table is O(new files) probes per batch, not O(snapshot)","rows_per_group":$rowsPerGroup,"sweeps":$rows,"alpha_wall_vs_groups":${fmt(alpha)},"commit_cadence_walls_s":$cadJson,"cadence_first_half_avg_s":${fmt(firstHalf)},"cadence_second_half_avg_s":${fmt(secondHalf)},"foreign_files":$foreignFiles,"foreign_cadence_probes":$forProbesJson,"foreign_cadence_walls_s":$forWallsJson}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("hudi_upsert_sweep.json"), body.getBytes("UTF-8"))
     println(s"[upsweep] alpha=${fmt(alpha)} -> hudi_upsert_sweep.json")
