@@ -278,6 +278,33 @@ object IcebergWrite {
     (""""operation":"append"""" +:
       extra.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":"$v"""" }).mkString(",")
 
+  /** Streaming replay watermark persisted in TABLE PROPERTIES (r16):
+    * snapshot summaries are the T18/T22 commit log, but summaries die
+    * with their snapshots — S16g expiry keeping the newest K can drop
+    * a streaming query's last commit, after which a foreachBatch
+    * REPLAY of that query would look like a fresh batch and commit
+    * DUPLICATE rows. Table properties live in the CURRENT metadata
+    * version (the spec's documented table-scoped key/value map) and
+    * survive expiry, so every streaming commit also RAISES
+    * `graft.stream.watermark.<queryId>` (monotone max, never
+    * lowered) and [[lastSummaryLongForId]] takes the max of the
+    * summary scan and the property. */
+  private def raiseWatermarkProp(
+      node: com.fasterxml.jackson.databind.node.ObjectNode,
+      summary: Map[String, String]): Unit =
+    for {
+      qid <- summary.get("streaming-query-id")
+      bid <- summary.get("streaming-batch-id").flatMap(_.toLongOption)
+    } {
+      val props = node.get("properties") match {
+        case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+        case _ => node.putObject("properties")
+      }
+      val key = s"graft.stream.watermark.$qid"
+      val prev = Option(props.get(key)).flatMap(_.asText.toLongOption)
+      if (!prev.exists(_ >= bid)) props.put(key, bid.toString)
+    }
+
   /** General form: `transform` is any of the spec's value transforms
     * this source supports — "bucket[N]", "truncate[W]", "identity".
     * Identity/truncate on a long or (simple, fs-safe) string column is
@@ -318,6 +345,12 @@ object IcebergWrite {
     val snapJson =
       s"""{"snapshot-id":$snapshotId,"timestamp-ms":${System.currentTimeMillis()},
          |"summary":{${summaryJson(summary)}},"manifest-list":"${fs.makeQualified(listPath)}"}""".stripMargin
+    // first commit of a streaming query: seed the expiry-proof
+    // watermark property (see raiseWatermarkProp)
+    val initialProps = (for {
+      qid <- summary.get("streaming-query-id")
+      bid <- summary.get("streaming-batch-id")
+    } yield s""""graft.stream.watermark.$qid":"$bid"""").getOrElse("")
     val metaJson =
       s"""{"format-version":1,"table-uuid":"graft-${tableDir.hashCode.toHexString}",
          |"location":"$tableDir","last-updated-ms":${System.currentTimeMillis()},
@@ -329,7 +362,7 @@ object IcebergWrite {
          |"transform":"${spec.head.transform}","source-id":${spec.head.sourceId},
          |"field-id":${spec.head.fieldId}}]}],
          |"last-partition-id":${spec.head.fieldId},
-         |"default-spec-id":0,"properties":{},
+         |"default-spec-id":0,"properties":{$initialProps},
          |"current-snapshot-id":$snapshotId,
          |"snapshots":[$snapJson]}""".stripMargin
     writeSmall(fs, new Path(tableDir, "metadata/v1.metadata.json"), metaJson)
@@ -375,6 +408,7 @@ object IcebergWrite {
       node.put("last-updated-ms", System.currentTimeMillis())
       node.set[JsonNode]("snapshots",
         mapper.readTree(s"[$oldSnaps,$snapJson]"))
+      raiseWatermarkProp(node, summary)
       mapper.writeValueAsString(node)
     }
     writeSmall(fs, new Path(tableDir, s"metadata/v${v + 1}.metadata.json"), metaJson)
@@ -522,6 +556,7 @@ object IcebergWrite {
       node.put("current-snapshot-id", snapshotId)
       node.put("last-updated-ms", System.currentTimeMillis())
       node.set[JsonNode]("snapshots", mapper.readTree(s"[$oldSnaps,$snapJson]"))
+      raiseWatermarkProp(node, mergedSummary)
       mapper.writeValueAsString(node)
     }
     writeSmall(fs, new Path(tableDir, s"metadata/v${v + 1}.metadata.json"), metaJson)
@@ -660,7 +695,12 @@ object IcebergWrite {
     * every NEW streaming query, so "batchId <= table max" is only a
     * replay signal WITHIN one query lineage — a fresh query writing to
     * an existing table must not have its first batches silently
-    * swallowed by an older query's high-water mark (ADVICE r7). */
+    * swallowed by an older query's high-water mark (ADVICE r7).
+    * Additionally consults the EXPIRY-PROOF watermark property
+    * `graft.stream.watermark.<id>` ([[raiseWatermarkProp]]) when
+    * asking for the streaming batch id: S16g retention can drop every
+    * snapshot of a lineage, and without the property a replayed batch
+    * would look fresh and commit duplicates. */
   def lastSummaryLongForId(tableDir: String, conf: org.apache.hadoop.conf.Configuration,
                            key: String, idKey: String, idVal: String): Option[Long] = {
     val fs = new Path(tableDir).getFileSystem(conf)
@@ -676,7 +716,14 @@ object IcebergWrite {
         else None
       }
     }.toSeq
-    if (vals.isEmpty) None else Some(vals.max)
+    val prop =
+      if (key == "streaming-batch-id" && idKey == "streaming-query-id")
+        Option(metaNode.get("properties"))
+          .flatMap(p => Option(p.get(s"graft.stream.watermark.$idVal")))
+          .flatMap(_.asText.toLongOption)
+      else None
+    val all = vals ++ prop
+    if (all.isEmpty) None else Some(all.max)
   }
 
   /** Column RENAME — schema evolution as a pure metadata commit per

@@ -1726,6 +1726,52 @@ class StreamingSpec extends SparkSpec {
         s"${HudiSink.lastBatchIdCommitsScanned}")
   }
 
+  test("T18/S16g: the exactly-once watermark SURVIVES snapshot expiry — a replay after retention dropped the query's snapshots is still a no-op") {
+    import graft.sources.IcebergWrite
+    import graft.streaming.Streams
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_t18_expiry").toString + "/tbl"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val qidKey = org.apache.spark.sql.execution.streaming.runtime
+      .StreamExecution.QUERY_ID_KEY
+    def count() = spark.read.format("graft.sources.IcebergSource")
+      .load(dir).count()
+    try {
+      // query A commits batches 0 and 1 (snapshot summaries = commit log)
+      spark.sparkContext.setLocalProperty(qidKey, "query-A")
+      val b0 = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      val b1 = Seq((3L, "c")).toDF("doc_id", "text")
+      Streams.icebergCommitBatch(b0, 0L, dir, "doc_id", 2)
+      Streams.icebergCommitBatch(b1, 1L, dir, "doc_id", 2)
+      assert(count() == 3)
+      // a DIFFERENT lineage (query B) commits on top, pushing query
+      // A's snapshots to the old end of the log
+      spark.sparkContext.setLocalProperty(qidKey, "query-B")
+      Streams.icebergCommitBatch(Seq((4L, "d")).toDF("doc_id", "text"),
+        0L, dir, "doc_id", 2)
+      // retention keeps ONLY the newest snapshot: every query-A
+      // snapshot (and its summary — the commit log) is expired
+      assert(IcebergWrite.expireSnapshots(dir, conf, keepLast = 1) == 2)
+      // failure recovery REPLAYS query A's batch 1: without the
+      // expiry-proof property watermark this would look like a fresh
+      // batch and commit DUPLICATES; with it, still a no-op
+      spark.sparkContext.setLocalProperty(qidKey, "query-A")
+      Streams.icebergCommitBatch(b1, 1L, dir, "doc_id", 2)
+      assert(count() == 4, "replayed batch committed duplicates after expiry")
+      // a genuinely NEW batch of the same query still commits...
+      Streams.icebergCommitBatch(Seq((5L, "e")).toDF("doc_id", "text"),
+        2L, dir, "doc_id", 2)
+      assert(count() == 5)
+      // ...and the raised watermark survives the NEXT expiry too
+      // (B's survivor + A's batch-2 snapshot → one more expires)
+      assert(IcebergWrite.expireSnapshots(dir, conf, keepLast = 1) == 1)
+      Streams.icebergCommitBatch(Seq((5L, "e")).toDF("doc_id", "text"),
+        2L, dir, "doc_id", 2)
+      assert(count() == 5)
+    } finally spark.sparkContext.setLocalProperty(qidKey, null)
+  }
+
   test("T34–T36: the migration matrix closes — ACID→Hudi→ACID round-trips intact; Iceberg→ACID lands snapshots as deltas") {
     import graft.sources.{HiveAcid, HiveAcidSink, HudiRO}
     import graft.streaming.Streams
