@@ -13,23 +13,35 @@ final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
   /** Guide §2.5 ("input skew: one huge unsplittable file — repartition
-    * immediately after the read"), applied scale-adaptively. The driver
-    * testdata ships each table as ONE parquet file with ONE row group;
-    * Spark cannot split a row group, so every scan stage otherwise runs
-    * as a single task and ALL pre-exchange compute (decode, filters,
-    * shingle hashing, partial aggregation) single-threads regardless of
-    * core count. When the file layout cannot feed the session's
-    * parallelism — strictly fewer potential input splits than cores —
-    * spread rows round-robin right after the read. On any layout with
-    * >= cores splits (every production table, multi-file Spark-written
-    * dirs) the gate is false and NO exchange is added, so the rewrite
-    * costs nothing at 100 TB; the gate derives from input size and
-    * session parallelism, never from a local constant. Round-robin is
-    * retry-safe (sortBeforeRepartition stays on) and results are
-    * partitioning-independent: every declared query aggregates through
-    * exact decimal sums / total orders (re-verified against the DuckDB
-    * oracle at all three SFs after this change). */
-  private def fact(name: String): DataFrame = {
+    * immediately after the read"), applied scale-adaptively and OPT-IN
+    * PER CONSUMER. The driver testdata ships each table as ONE parquet
+    * file with ONE row group; Spark cannot split a row group, so every
+    * scan stage otherwise runs as a single task and ALL pre-exchange
+    * compute (decode, filters, shingle hashing, partial aggregation)
+    * single-threads regardless of core count. When the file layout
+    * cannot feed the session's parallelism — strictly fewer potential
+    * input splits than cores — spread rows round-robin right after the
+    * read. On any layout with >= cores splits (every production table,
+    * multi-file Spark-written dirs) the gate is false and NO exchange
+    * is added, so the rewrite costs nothing at 100 TB; the gate derives
+    * from input size and session parallelism, never a local constant.
+    *
+    * Why opt-in and not the default (r16, measured): the spread
+    * exchange itself costs one extra stage (~0.2–0.4 s on the bench
+    * box), so it pays ONLY where post-scan per-row compute dominates —
+    * tokenizers, shingle/regex pipelines, full-fact decimal aggregates,
+    * multi-distinct Expands, parallel sink writes (interleaved A/B
+    * ledger: bench_control_r16b/c.json; e.g. text_langid 2.4×,
+    * pipe_token_fertility 2.2×, stats_table 1.56× faster with the
+    * spread, but q03 1.7× SLOWER — a filtered scan plus a cheap
+    * aggregate loses more to the extra exchange than the parallel
+    * compute wins back). Cheap scan→filter→aggregate paths therefore
+    * keep the bare single-task scan. Round-robin is retry-safe
+    * (sortBeforeRepartition stays on) and results are partitioning-
+    * independent: every declared query aggregates through exact decimal
+    * sums / total orders (re-verified against the DuckDB oracle at all
+    * three SFs with the spread active). */
+  private def spread(name: String): DataFrame = {
     val df = t(name)
     val cores = spark.sparkContext.defaultParallelism
     if (potentialSplits(s"$dir/$name.parquet") >= cores) df
@@ -78,9 +90,19 @@ final case class Tables(spark: SparkSession, dir: String) {
   def customer: DataFrame = t("customer")
   def supplier: DataFrame = t("supplier")
   def part: DataFrame = t("part")
-  def orders: DataFrame = fact("orders")
-  def lineitem: DataFrame = fact("lineitem")
-  def events: DataFrame = normalizeTs(fact("events"))
-  def documents: DataFrame = fact("documents")
-  def embeddings: DataFrame = fact("embeddings")
+  def orders: DataFrame = t("orders")
+  def lineitem: DataFrame = t("lineitem")
+  def events: DataFrame = normalizeTs(t("events"))
+  def documents: DataFrame = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+
+  /** Input-spread variants (see [[spread]]) — used by the queries whose
+    * measured post-scan compute dominates the spread exchange; every
+    * call site is an entry in the bench_control_r16b/c.json A/B ledger
+    * (or shares its operator with one, noted inline). */
+  def ordersSpread: DataFrame = spread("orders")
+  def lineitemSpread: DataFrame = spread("lineitem")
+  def eventsSpread: DataFrame = normalizeTs(spread("events"))
+  def documentsSpread: DataFrame = spread("documents")
+  def embeddingsSpread: DataFrame = spread("embeddings")
 }

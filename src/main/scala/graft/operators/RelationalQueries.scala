@@ -47,9 +47,12 @@ object RelationalQueries {
     // under the 1 GiB/0.05 budget the sorter must spill and the output
     // stay oracle-exact. ship date as a formatted string (raw
     // timestamps are ns-vs-µs precision traps in the compare).
+    // r16 input spread (Tables.lineitemSpread): the range-partition
+    // sample + per-partition sort of the full wide fact parallelize —
+    // interleaved A/B 1.14× (bench_control_r16c.json).
     "rel_sort_external" -> ((spark, dir) => {
       val t = Tables(spark, dir)
-      t.lineitem.select(
+      t.lineitemSpread.select(
         col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         col("l_linenumber").cast("long").as("l_linenumber"),
         col("l_quantity"), col("l_extendedprice"), col("l_discount"),

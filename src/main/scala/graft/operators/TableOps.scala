@@ -116,9 +116,12 @@ object TableOps {
     // group) — Impala's COMPUTE STATS child-query batching. The
     // 4-independent-aggregates UNION alternative re-scans per column;
     // at 100 TB the single scan wins (I/O-bound), so Expand stays.
+    // r16 input spread (Tables.ordersSpread): the 4-way countDistinct
+    // Expand multiplies every row — interleaved A/B 1.56×
+    // (bench_control_r16c.json).
     "stats_table" -> ((spark, dir) => {
       val t = Tables(spark, dir)
-      val a = t.orders.agg(
+      val a = t.ordersSpread.agg(
         count(lit(1)).as("n"),
         count(col("o_orderstatus")).as("nn_status"),
         countDistinct(col("o_orderstatus")).as("ndv_status"),

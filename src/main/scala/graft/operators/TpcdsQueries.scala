@@ -773,39 +773,30 @@ object TpcdsQueries {
     }),
 
     // DS q78 shape: per-(year, item) cross-channel quantity ratio over
-    // sales NOT coupled with a return — the oracle keeps the literal
-    // form (a DISTINCT'd return set LEFT-joined back ... IS NULL, the
-    // q78 anti-join; DISTINCT because (orderkey, linenumber) is not
-    // unique in the synthetic lineitem). Here the same membership is a
-    // MAX over the (l_orderkey, l_linenumber) PEER GROUP — a window
-    // PARTITIONed by orderkey whose RANGE CURRENT ROW..CURRENT ROW
-    // frame over ORDER BY linenumber is exactly the composite-key
-    // group (r16, guide §2.4): ONE lineitem scan instead of two, no
-    // DISTINCT shuffle of the return set, no join back, and the
-    // window's hashpartitioning(l_orderkey) + sort (ok, ln) already
-    // satisfy the orders join's distribution AND sort order, so at
-    // scale the whole exclusion costs one exchange that the join
-    // needed anyway. Row multiset is unchanged: a row survives iff no
-    // row with its (orderkey, linenumber) carries returnflag 'R' —
-    // proven against the unchanged literal-form oracle at all 3 SFs.
+    // sales NOT coupled with a return — the return set joins back
+    // LEFT ... IS NULL (the q78 anti-join), DISTINCT'd first because
+    // (orderkey, linenumber) is not unique in the synthetic lineitem.
+    // (r16 note: a window-over-peer-group rewrite that folded the
+    // exclusion into one lineitem scan measured 0.85× — SLOWER — in the
+    // interleaved A/B (bench_control_r16c.json): the full-fact
+    // hashpartition+sort the window needs costs more here than the
+    // small DISTINCT'd return set + broadcast join it replaced, so the
+    // literal form stays.)
     // The share is floor-of-double-division in basis points: IEEE
     // division and floor are bit-identical across engines, unlike
     // round()'s half-up/half-even conventions.
     "ds_q78_channel_ratio" -> ((spark, dir) => {
       views(spark, dir)
       spark.sql(s"""
-        WITH l AS (
-          SELECT l_orderkey, l_partkey, l_linestatus, l_quantity,
-                 MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) OVER (
-                   PARTITION BY l_orderkey ORDER BY l_linenumber
-                   RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS grp_ret
-          FROM lineitem),
+        WITH ret AS (
+          SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag = 'R'),
         s AS (
           SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, l_partkey AS pk,
                  CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS web,
                  l_quantity AS qty
-          FROM l JOIN orders ON l.l_orderkey = o_orderkey
-          WHERE grp_ret = 0),
+          FROM lineitem l JOIN orders ON l.l_orderkey = o_orderkey
+          LEFT JOIN ret r ON l.l_orderkey = r.l_orderkey AND l.l_linenumber = r.l_linenumber
+          WHERE r.l_orderkey IS NULL),
         agg AS (
           SELECT yr, pk,
             ${sqlSum("CASE WHEN web = 1 THEN qty END")} AS ws_qty,

@@ -130,7 +130,11 @@ object TpcdsQueries2 {
     "ds_q75_yoy_decline" -> ((spark, dir) => {
       val t = Tables(spark, dir)
       val w = org.apache.spark.sql.expressions.Window.partitionBy("pk").orderBy("yr")
-      t.lineitem
+      // r16 input spread (Tables.lineitemSpread): the (year, part)
+      // grain aggregates the whole fact — interleaved A/B 1.10× with
+      // min-times 1.95→1.48 s (bench_control_r16b.json); orders
+      // broadcasts and stays bare.
+      t.lineitemSpread
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
         .groupBy(year(col("o_orderdate")).cast("long").as("yr"), col("l_partkey").as("pk"))
         .agg(sum(col("l_quantity").cast(D)).as("cq"), sum(rev.cast(D)).as("ca"))

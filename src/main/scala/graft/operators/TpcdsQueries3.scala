@@ -130,7 +130,11 @@ object TpcdsQueries3 {
     // DuckDB's 0=Sunday convention.
     "ds_q2_wow_pivot" -> ((spark, dir) => {
       val t = Tables(spark, dir)
-      val base = t.lineitem
+      // r16 input spread (Tables.lineitemSpread): the single-pass
+      // conditional pivot aggregates the whole fact — interleaved A/B
+      // 1.40× (bench_control_r16c.json); orders broadcasts and stays
+      // bare.
+      val base = t.lineitemSpread
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
         .select(year(col("o_orderdate")).cast("long").as("yr"),
           weekofyear(col("o_orderdate")).cast("long").as("wk"),

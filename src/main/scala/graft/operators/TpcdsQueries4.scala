@@ -188,7 +188,11 @@ object TpcdsQueries4 {
       val aggs = days.zipWithIndex.map { case (d, i) =>
         microsIf(dow === (i + 1), rev).as(s"${d}_micros")
       }
-      t.lineitem
+      // r16 input spread (Tables.lineitemSpread): the unfiltered fact
+      // pays 7 conditional decimal sums per row — interleaved A/B
+      // 1.35× (bench_control_r16c.json); the broadcast-side dims stay
+      // bare.
+      t.lineitemSpread
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
         .join(t.customer, col("o_custkey") === col("c_custkey"))
         .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))

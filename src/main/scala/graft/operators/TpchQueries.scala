@@ -24,9 +24,14 @@ object TpchQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // r16 input spread (Tables.lineitemSpread): ~98% of the fact
+    // survives the date filter and pays 8 decimal aggregates per row —
+    // interleaved A/B 1.47× (bench_control_r16b.json). The other TPC-H
+    // queries are selective-filter joins where the spread exchange
+    // measured SLOWER (q03 0.60×, q19 0.54×) — they keep the bare scan.
     "q01_pricing_summary" -> ((spark, dir) => {
       val t = Tables(spark, dir)
-      t.lineitem
+      t.lineitemSpread
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(

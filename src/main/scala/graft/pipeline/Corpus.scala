@@ -127,8 +127,12 @@ object Corpus {
       clean(Tables(spark, dir).documents)
         .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
     }),
+    // r16 input spread (Tables.documentsSpread): the near-dup gate's
+    // shingle pipeline dominates — interleaved A/B 1.16×
+    // (bench_control_r16c.json); the other corpus entries measured
+    // flat-or-worse and keep the bare scan.
     "corpus_clean_neardup" -> ((spark, dir) => {
-      clean(Tables(spark, dir).documents, nearDup = true)
+      clean(Tables(spark, dir).documentsSpread, nearDup = true)
         .select("doc_id").orderBy("doc_id")
     }),
     "corpus_data_card" -> ((spark, dir) =>

@@ -372,12 +372,16 @@ object Curation {
             col("c_custkey"), lit(" id 123-45-6789")).as("txt"))
       piiScrub(src, col("txt")).drop("txt").orderBy("c_custkey")
     }),
+    // r16 input spread (Tables.documentsSpread): these four are
+    // dominated by row-local gram/array algebra — interleaved A/B wins
+    // 1.1–1.8× (bench_control_r16b/c.json); the pack/chunk/dsir/cap
+    // entries measured flat-or-worse and keep the bare scan.
     "pipe_repetition" -> ((spark, dir) =>
-      repetitionScore(Tables(spark, dir).documents).orderBy("doc_id")),
+      repetitionScore(Tables(spark, dir).documentsSpread).orderBy("doc_id")),
     "pipe_contamination" -> ((spark, dir) =>
-      contamination(Tables(spark, dir).documents)),
+      contamination(Tables(spark, dir).documentsSpread)),
     "pipe_overlap_frac" -> ((spark, dir) =>
-      overlapFraction(Tables(spark, dir).documents).orderBy("doc_id")),
+      overlapFraction(Tables(spark, dir).documentsSpread).orderBy("doc_id")),
     "pipe_pack_sequences" -> ((spark, dir) =>
       packSequences(Tables(spark, dir).documents).orderBy("doc_id")),
     "pipe_pack_bfd" -> ((spark, dir) =>
@@ -385,7 +389,7 @@ object Curation {
     "pipe_chunking" -> ((spark, dir) =>
       chunkDocuments(Tables(spark, dir).documents).orderBy("doc_id", "chunk_idx")),
     "pipe_exact_substr" -> ((spark, dir) =>
-      exactSubstrDedup(Tables(spark, dir).documents).orderBy("doc_id")),
+      exactSubstrDedup(Tables(spark, dir).documentsSpread).orderBy("doc_id")),
     "pipe_dsir_select" -> ((spark, dir) =>
       dsirSelect(spark, Tables(spark, dir).documents).orderBy("doc_id")),
     "pipe_source_cap" -> ((spark, dir) =>

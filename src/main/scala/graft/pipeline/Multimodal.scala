@@ -606,9 +606,13 @@ object Multimodal {
     // BACK through the P13 feature extractor — the round trip proves
     // the resized payloads are themselves valid images. Rows-only (PNG
     // codec); PipelineSpec pins exact nearest-neighbor pixels.
+    // r16 input spread (Tables.documentsSpread) for resize + decode:
+    // per-row pixel work dominates — interleaved A/B 1.15×/2.1×
+    // (bench_control_r16b/c.json); phash (0.66×) and video (0.88×)
+    // measured SLOWER with the spread and keep the bare scan.
     "mm_image_resize" -> ((spark, dir) => {
       import spark.implicits._
-      val docs = graft.Tables(spark, dir).documents.filter(col("doc_id") < 300)
+      val docs = graft.Tables(spark, dir).documentsSpread.filter(col("doc_id") < 300)
       val resized = resizeImages(mediaWithRealImages(spark, docs), 2, 2)
       extractFeatures(
         resized.filter(_.origW > 0)
@@ -657,7 +661,7 @@ object Multimodal {
     // statistics of a hand-built 2×2 image. lum_total must be 1.0 on
     // every row (the luminance histogram is a distribution).
     "mm_image_decode" -> ((spark, dir) => {
-      val docs = graft.Tables(spark, dir).documents.filter(col("doc_id") < 300)
+      val docs = graft.Tables(spark, dir).documentsSpread.filter(col("doc_id") < 300)
       extractFeatures(mediaWithRealImages(spark, docs), dim = 9).toDF()
         .filter(col("modality") === "image")
         .select(col("id"),

@@ -923,8 +923,12 @@ object Similarity {
     "sim_quantize_int8" -> ((spark, dir) => {
       quantizeInt8(Tables(spark, dir).embeddings).orderBy("vec_id")
     }),
+    // r16 input spread (Tables.embeddingsSpread): the multi-table LSH
+    // hash + per-pair dot products dominate — interleaved A/B 1.9×
+    // (bench_control_r16c.json); the other sim entries measured
+    // flat-or-worse and keep the bare scan.
     "sim_hard_negatives" -> ((spark, dir) => {
-      hardNegatives(spark, Tables(spark, dir).embeddings, 5, bitsPerTable = 6)
+      hardNegatives(spark, Tables(spark, dir).embeddingsSpread, 5, bitsPerTable = 6)
         .orderBy("anchor", "rk")
     }),
     // float k-means centroids → sample-dependent clusters: rows-only +

@@ -544,12 +544,17 @@ object TextAnalysis {
   }
 
   val queries: Map[String, Q] = Map(
+    // r16 input spread (Tables.documentsSpread): row-local tokenize/
+    // regex work dominates these — interleaved A/B wins 1.15–2.4×
+    // (bench_control_r16c.json); text_tokens/text_c4_rules and the
+    // aggregate-bound text queries measured flat-or-worse and keep the
+    // bare scan.
     "text_vocab_growth" -> ((spark, dir) =>
-      vocabGrowth(Tables(spark, dir).documents).orderBy("sample_denom")),
+      vocabGrowth(Tables(spark, dir).documentsSpread).orderBy("sample_denom")),
     "text_langid" -> ((spark, dir) =>
-      languageId(Tables(spark, dir).documents).orderBy("doc_id")),
+      languageId(Tables(spark, dir).documentsSpread).orderBy("doc_id")),
     "text_quality" -> ((spark, dir) =>
-      qualityScore(Tables(spark, dir).documents).orderBy("doc_id")),
+      qualityScore(Tables(spark, dir).documentsSpread).orderBy("doc_id")),
     "text_tokens" -> ((spark, dir) =>
       tokenCounts(Tables(spark, dir).documents).orderBy("doc_id")),
     "text_fingerprint" -> ((spark, dir) =>
@@ -560,22 +565,22 @@ object TextAnalysis {
     // rows-only; the guarantee (every word with freq > n/(k+1) present)
     // is asserted in PipelineSpec.
     "text_lm_perplexity" -> ((spark, dir) =>
-      lmScore(Tables(spark, dir).documents).orderBy("doc_id")),
+      lmScore(Tables(spark, dir).documentsSpread).orderBy("doc_id")),
     "text_quality_classifier" -> ((spark, dir) =>
-      qualityClassifier(spark, Tables(spark, dir).documents).orderBy("doc_id")),
+      qualityClassifier(spark, Tables(spark, dir).documentsSpread).orderBy("doc_id")),
     "text_ppl_buckets" -> ((spark, dir) =>
       perplexityBuckets(spark, Tables(spark, dir).documents).orderBy("doc_id")),
     "text_tfidf_terms" -> ((spark, dir) =>
       tfidfTerms(Tables(spark, dir).documents).orderBy("doc_id", "rk")),
     "text_gopher_rules" -> ((spark, dir) =>
-      gopherRules(Tables(spark, dir).documents).orderBy("doc_id")),
+      gopherRules(Tables(spark, dir).documentsSpread).orderBy("doc_id")),
     "text_c4_rules" -> ((spark, dir) =>
       c4Rules(Tables(spark, dir).documents).orderBy("doc_id")),
     // P53: the synthetic corpus has no newlines, so the reflow adapter
     // (3-word lines, 4-line paragraphs) gives the line/paragraph rules
     // real grain; gram rules see the unchanged token stream.
     "text_gopher_repetition" -> ((spark, dir) =>
-      gopherRepetition(spark, reflowParagraphs(Tables(spark, dir).documents))
+      gopherRepetition(spark, reflowParagraphs(Tables(spark, dir).documentsSpread))
         .orderBy("doc_id")),
     // P18, oracle-exact since r8 via the classic TWO-PASS exact heavy
     // hitter algorithm: pass 1 folds a Misra–Gries summary (k=40

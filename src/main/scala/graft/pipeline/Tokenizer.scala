@@ -287,20 +287,26 @@ object Tokenizer {
     // deterministic integer training + compiled encode; rows-only (an
     // iterative argmax-rewrite loop has no single-SQL DuckDB replay) +
     // PipelineSpec pinned-merge/round-trip/repartition-stability specs.
+    // r16 input spread (Tables.documentsSpread): the batch-encode pass
+    // (broadcast vocab, row-local DP over every doc) is the cost —
+    // interleaved A/B wins 1.3–2.2× (bench_control_r16c.json;
+    // fertility_pinned shares the fertility operator measured at 2.2×).
+    // pipe_bpe_merges is training-aggregate-bound and keeps the bare
+    // scan.
     "pipe_bpe_tokenize" -> ((spark, dir) =>
-      bpeTokenize(spark, Tables(spark, dir).documents).orderBy("doc_id")),
+      bpeTokenize(spark, Tables(spark, dir).documentsSpread).orderBy("doc_id")),
     "pipe_bpe_merges" -> ((spark, dir) =>
       trainMerges(spark, Tables(spark, dir).documents).orderBy("rank")),
     "pipe_unigram_tokenize" -> ((spark, dir) =>
-      unigramTokenize(spark, Tables(spark, dir).documents).orderBy("doc_id")),
+      unigramTokenize(spark, Tables(spark, dir).documentsSpread).orderBy("doc_id")),
     "pipe_token_fertility" -> ((spark, dir) =>
-      tokenFertility(spark, Tables(spark, dir).documents).orderBy("lang")),
+      tokenFertility(spark, Tables(spark, dir).documentsSpread).orderBy("lang")),
     "pipe_token_fertility_pinned" -> ((spark, dir) =>
-      tokenFertilityPinned(spark, Tables(spark, dir).documents).orderBy("lang")),
+      tokenFertilityPinned(spark, Tables(spark, dir).documentsSpread).orderBy("lang")),
     "pipe_bpe_tokenize_pinned" -> ((spark, dir) =>
-      bpeTokenizePinned(spark, Tables(spark, dir).documents).orderBy("doc_id")),
+      bpeTokenizePinned(spark, Tables(spark, dir).documentsSpread).orderBy("doc_id")),
     "pipe_unigram_tokenize_pinned" -> ((spark, dir) =>
-      unigramTokenizePinned(spark, Tables(spark, dir).documents).orderBy("doc_id")),
+      unigramTokenizePinned(spark, Tables(spark, dir).documentsSpread).orderBy("doc_id")),
   )
 
   /** The pinned merge table's closed form as a DuckDB regex: doubled

@@ -365,8 +365,11 @@ object AvroQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // r16 input spread (Tables.eventsSpread): parallelizes the avro
+    // WRITE half of the round trip (32 writer tasks instead of one) —
+    // interleaved A/B 1.56× (bench_control_r16c.json).
     "src_avro_roundtrip" -> ((spark, dir) => {
-      val ev = graft.Tables(spark, dir).events
+      val ev = graft.Tables(spark, dir).eventsSpread
       AvroIO.write(ev, path(dir))
       val back = spark.read.format("graft.sources.AvroSource").load(path(dir))
       back.groupBy("event_type").agg(
